@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextClean
+
+/**
+ * Oracle-checked relational query battery over the driver testdata
+ * (`/root/testdata/sf*`). Each query here has a matching DuckDB SQL
+ * entry in [[SparkEntry.oracleSql]]; names and aliases MUST stay in
+ * sync between the two (the driver compare sorts columns by name and
+ * hashes values).
+ *
+ * Coverage mapping to SURVEY.md §2 (reference
+ * witlox/spark_sentiment, cited per query):
+ *  - q1_agg            A1/A8/F4 aggregate shapes (ref `utils/Detection.scala:25`)
+ *  - q2_join_agg       J1 equi-join (ref `TrainingSet.scala:51`) + agg
+ *  - q3_filter_project P1/P2/P5 pushdown-friendly column predicates
+ *                      (ref `CreateScoreList.scala:40`, fixed to Column form)
+ *  - q4_wordfreq       A4 word frequency (ref `CreateScoreList.scala:45-50`,
+ *                      RDD reduceByKey re-expressed as DataFrame hash agg)
+ *  - q5_clean_text     U1 cleaning chain, native-expression form
+ *                      (ref `utils/Helper.scala:77-84`)
+ *  - q6_distinct       A3/U1 distinct (ref `utils/Detection.scala:79,88`)
+ *  - q7_avg_wordcount  A1/D2 text-column detection aggregate
+ *                      (ref `utils/Detection.scala:25-38`)
+ *  - q8_dedup_exact    exact-dedup extension (north star): per-group
+ *                      distinct-normalized-text counts
+ *  - q9_events_hourly  batch shape of the streaming extension: tumbling
+ *                      hourly window re-expressed as date_trunc agg
+ *  - q10_topk          W2 top-k by aggregate (ref `utils/Detection.scala:36`)
+ *  - q11_text_stats    text-analysis extension: per-doc token/char counts
+ *  - q12_nullsafe_join J1 null-safe `<=>` join exactly as the reference
+ *                      (ref `TrainingSet.scala:51`)
+ *  - q13_levenshtein   F7 Levenshtein as a native column expression
+ *                      (ref `utils/Helper.scala:149-163`)
+ *  - q14_starjoin      multi-way dimension join with explicit broadcasts
+ *
+ * Scale notes (100 TB design intent):
+ *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
+ *    are broadcast explicitly so the fact scan never shuffles for them;
+ *  - all aggregates are partial+final hash aggregates (map-side combine);
+ *  - filters/projections are plain Column expressions so parquet gets
+ *    PushedFilters + pruned ReadSchema;
+ *  - every query orders its (small, post-aggregate) output only at the
+ *    very end — the sort is on grouped results, not the fact table.
+ */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
+    * Bench sessions); convert the long nanos back to a timestamp here. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => df
+    }
+  }
+
+  /** TPC-H Q1 shape: scan-heavy multi-aggregate over lineitem. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Fact-to-dimension equi-join; dimension broadcast (no fact shuffle). */
+  def q2JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** Predicate + projection; both must reach the parquet scan. */
+  def q3FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Word frequency across the corpus (ref A4, DataFrame hash agg). */
+  def q4WordFreq(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(desc("n"), asc("word"))
+
+  /** The cleaning regex chain as pure Catalyst expressions (codegen). */
+  def q5CleanText(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextClean.cleanStringCol(col("text")).as("cleaned"))
+      .orderBy("doc_id")
+
+  /** Distinct values of a low-cardinality column. */
+  def q6Distinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select("event_type").distinct()
+      .orderBy("event_type")
+
+  /** Per-source average word count — the detection aggregate (D2/A1). */
+  def q7AvgWordCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(round(avg(size(split(col("text"), " "))), 4).as("avg_words"))
+      .orderBy("source")
+
+  /** Exact-dedup stats: distinct normalized text per language. */
+  def q8DedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(lower(col("text"))).as("n_unique"))
+      .orderBy("lang")
+
+  /** Hourly tumbling aggregation over events (batch form of streaming). */
+  def q9EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("hour",
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type", "hour")
+
+  /** Top-10 customers by revenue; sort happens post-aggregate only. */
+  def q10TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(desc("revenue"), asc("o_custkey"))
+      .limit(10)
+
+  /** Per-document token/char stats (text-analysis extension). */
+  def q11TextStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+
+  /** Null-safe `<=>` equi-join exactly as the reference's J1. */
+  def q12NullSafeJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") <=> col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** Built-in Levenshtein expression (ref F7's memoized Scala version is
+    * kept for inside-UDF use; column-level uses the codegen built-in). */
+  def q13Levenshtein(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("dist"))
+      .orderBy("p_partkey")
+
+  /** Exact-match word-score (U3's deterministic core): explode ->
+    * broadcast dictionary join -> per-doc aggregate. */
+  def q15WordScoreExact(spark: SparkSession, dir: String): DataFrame =
+    graft.wordscore.WordScore
+      .exactScore(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Full word-score path (U3+U4): clean -> score UDF with stem/dedup/
+    * fuzzy fallback. Not SQL-expressible (fuzzy Levenshtein ladder) —
+    * registered without an oracle entry (rows-only check); pinned by
+    * unit tests instead. */
+  def q16WordScoreFull(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = TextClean.cleanSource(
+      t(spark, dir, "documents"), "text", "filtered", stem = false)
+    graft.wordscore.WordScore.score(cleaned, "filtered", "computed")
+      .select(col("doc_id"), round(col("computed"), 4).as("computed"))
+      .orderBy("doc_id")
+  }
+
+  /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
+  def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("r_name", "n_name")
+}

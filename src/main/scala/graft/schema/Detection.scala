@@ -1,0 +1,207 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Column-role detection: find the text / index / categorical / value
+ * columns of an arbitrary input schema from a bounded sample.
+ *
+ * Capability parity with the reference's `Detection`
+ * (`/root/reference/src/main/scala-2.11/ch/uzh/sentiment/utils/Detection.scala:7-145`)
+ * with the documented intended-semantics fixes:
+ *  - Q6: `extractStringCategories` guards on STRING columns (the
+ *    reference copy-pasted the integer guard and would throw);
+ *  - Q7: `convertCategoricalColumn` returns the name of the column it
+ *    actually created;
+ *  - the reference re-runs `take(limit)` up to 3x per column per
+ *    predicate and one aggregate job per string column; we compute every
+ *    signal in ONE multi-aggregate job over one `limit(n)` sample —
+ *    at 100 TB the detection pass costs one bounded scan, not
+ *    O(columns x predicates) scans.
+ *
+ * Threshold constants and tie-break order match the reference exactly
+ * (`categoricalSizeLimit=5`, `minimumTextSize=5`, default sample 100;
+ * the reference's candidate lists are built by prepending, so "head"
+ * means the LAST matching column in schema order — preserved here).
+ *
+ * Type widening per SURVEY.md D1: Spark-4 inference yields Long where
+ * Spark-2.1 CSV gave Int, so "integer" means {byte,short,int,long} and
+ * "double" means {float,double,decimal}.
+ */
+object Detection {
+
+  val categoricalSizeLimit = 5
+  val minimumTextSize = 5
+  val defaultSampleSize = 100
+
+  def stringColumns(df: DataFrame): List[String] =
+    df.schema.fields.collect { case f if f.dataType == StringType => f.name }.toList
+
+  def integerColumns(df: DataFrame): List[String] =
+    df.schema.fields.collect {
+      case f if Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(f.dataType) => f.name
+    }.toList
+
+  def doubleColumns(df: DataFrame): List[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == FloatType || f.dataType == DoubleType ||
+        f.dataType.isInstanceOf[DecimalType] => f.name
+    }.toList
+
+  /** Everything the role resolution needs, measured on one sample. */
+  case class Signals(
+      sampleRows: Long,
+      avgWordCount: Map[String, Double],
+      distinctCount: Map[String, Long],
+      firstValue: Map[String, String])
+
+  /** One multi-aggregate job over a `limit(n)` sample: per string column
+    * avg word count + first value, per integer column distinct count. */
+  def measure(df: DataFrame, limit: Int = defaultSampleSize): Signals = {
+    val sCols = stringColumns(df)
+    val iCols = integerColumns(df)
+    val sample = df.limit(limit)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n")) ++
+        sCols.flatMap { c =>
+          Seq(
+            avg(size(split(col(c), " "))).as(s"__wc__$c"),
+            first(col(c), ignoreNulls = false).as(s"__fv__$c"),
+            countDistinct(col(c)).as(s"__nd__$c"))
+        } ++
+        iCols.map(c => countDistinct(col(c)).as(s"__nd__$c"))
+    val row: Row = sample.agg(aggs.head, aggs.tail: _*).first()
+    def get[T](name: String): T = row.getAs[T](name)
+    Signals(
+      sampleRows = get[Long]("__n"),
+      avgWordCount = sCols.map { c =>
+        val v = row.getAs[Any](s"__wc__$c")
+        c -> (if (v == null) 0.0 else v.asInstanceOf[Double])
+      }.toMap,
+      distinctCount = (sCols ++ iCols).map(c => c -> get[Long](s"__nd__$c")).toMap,
+      firstValue = sCols.map { c =>
+        c -> String.valueOf(row.getAs[Any](s"__fv__$c"))
+      }.toMap)
+  }
+
+  private def isNumeric(s: String): Boolean =
+    s != null && s.nonEmpty && scala.util.Try(s.trim.toDouble).isSuccess
+
+  /** D2: string column with the max avg word count when > 5. */
+  def detectTextColumn(df: DataFrame, limit: Int = defaultSampleSize): Option[String] =
+    detectTextColumn(df, measure(df, limit))
+
+  def detectTextColumn(df: DataFrame, sig: Signals): Option[String] = {
+    val wcs = sig.avgWordCount
+    if (wcs.nonEmpty && wcs.exists(_._2 > minimumTextSize.toDouble))
+      Some(wcs.toSeq.sortWith(_._2 > _._2).head._1)
+    else None
+  }
+
+  /** D3: the single integer column whose sampled values are all distinct. */
+  def detectIndexColumn(df: DataFrame, limit: Int = defaultSampleSize): Option[String] =
+    detectIndexColumn(df, measure(df, limit))
+
+  def detectIndexColumn(df: DataFrame, sig: Signals): Option[String] = {
+    val candidates = integerColumns(df).filter(c =>
+      sig.distinctCount.getOrElse(c, -1L) == sig.sampleRows)
+    if (candidates.size == 1) Some(candidates.head) else None
+  }
+
+  /** D4: categorical preference — single int candidate, else single
+    * string candidate, else the string candidate with a numeric first
+    * value, else the reference's "head" (= last in schema order). */
+  def detectCategoricalColumn(df: DataFrame, limit: Int = defaultSampleSize): Option[String] =
+    detectCategoricalColumn(df, measure(df, limit))
+
+  def detectCategoricalColumn(df: DataFrame, sig: Signals): Option[String] = {
+    val n = sig.sampleRows
+    val intCands = integerColumns(df).filter { c =>
+      val nd = sig.distinctCount.getOrElse(c, Long.MaxValue)
+      nd < n && nd < categoricalSizeLimit && nd > 1
+    }.reverse
+    val strCands = stringColumns(df).filter(c =>
+      math.round(sig.avgWordCount.getOrElse(c, 0.0)).toInt == 1).reverse
+    (intCands, strCands) match {
+      case (i :: Nil, _) => Some(i)
+      case (_, s :: Nil) => Some(s)
+      case (_, s) if s.nonEmpty =>
+        val numericFirst = s.filter(c => isNumeric(sig.firstValue.getOrElse(c, "")))
+        if (numericFirst.size == 1) Some(numericFirst.head) else Some(s.head)
+      case _ => None
+    }
+  }
+
+  /** D5: exactly one double column, else exactly one string column whose
+    * first sampled value parses as a double. */
+  def detectValueColumn(df: DataFrame, limit: Int = defaultSampleSize): Option[String] =
+    detectValueColumn(df, measure(df, limit))
+
+  def detectValueColumn(df: DataFrame, sig: Signals): Option[String] = {
+    val dCols = doubleColumns(df)
+    if (dCols.nonEmpty) {
+      if (dCols.size == 1) Some(dCols.head) else None
+    } else {
+      val cvCols = stringColumns(df).filter(c =>
+        isNumeric(sig.firstValue.getOrElse(c, "")))
+      if (cvCols.size == 1) Some(cvCols.head) else None
+    }
+  }
+
+  /** D6: distinct values of an integer label column (bounded: <=5). */
+  def extractIntegerCategories(df: DataFrame, column: String): Option[Array[Long]] =
+    if (integerColumns(df).contains(column))
+      Some(df.select(col(column).cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted)
+    else None
+
+  /** D7 with the intended guard (Q6 fixed): string columns only. */
+  def extractStringCategories(df: DataFrame, column: String): Option[Array[String]] =
+    if (stringColumns(df).contains(column))
+      Some(df.select(col(column)).distinct()
+        .collect().map(_.getString(0)).sorted)
+    else None
+
+  /**
+   * D8 with Q7 fixed: encode a string categorical column to dense int
+   * codes; returns (df, createdColumnName). Codes follow SORTED distinct
+   * value order (deterministic; the reference's `distinct.collect`
+   * ordering was partition-dependent). The value set is bounded (<=5 for
+   * detected categoricals) so the code map travels as a map literal and
+   * the encode stays inside codegen — no UDF, no shuffle.
+   */
+  def convertCategoricalColumn(df: DataFrame, column: String): (DataFrame, String) = {
+    if (integerColumns(df).contains(column)) (df, column)
+    else {
+      val outputColumn = "converted_categorical"
+      val values = df.select(col(column)).distinct()
+        .collect().map(_.getString(0)).sorted
+      val entries = values.zipWithIndex.flatMap {
+        case (v, i) => Seq(lit(v), lit(i))
+      }
+      (df.withColumn(outputColumn, element_at(map(entries.toSeq: _*), col(column))),
+        outputColumn)
+    }
+  }
+
+  /** All roles of a schema, resolved from ONE sampled aggregate job. */
+  case class ColumnRoles(
+      text: Option[String],
+      index: Option[String],
+      categorical: Option[String],
+      value: Option[String],
+      avgWordCount: Map[String, Double])
+
+  def resolve(df: DataFrame, limit: Int = defaultSampleSize): ColumnRoles = {
+    val sig = measure(df, limit)
+    ColumnRoles(
+      text = detectTextColumn(df, sig),
+      index = detectIndexColumn(df, sig),
+      categorical = detectCategoricalColumn(df, sig),
+      value = detectValueColumn(df, sig),
+      avgWordCount = sig.avgWordCount)
+  }
+}

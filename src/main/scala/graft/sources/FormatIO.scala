@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Format registry: load/save json/csv/text/parquet with CSV dialect
+ * sniffing — capability parity with the reference's `IO`
+ * (`/root/reference/src/main/scala-2.11/ch/uzh/sentiment/utils/IO.scala:8-71`),
+ * on native Spark readers (the reference used `com.databricks.spark.csv`).
+ *
+ * Intended-semantics fixes (SURVEY.md §2.1, quirks Q1/Q3/Q12):
+ *  - Q1: the reference's delimiter sniffer compares `Char == String`
+ *    (always false), so it always returns ",". Ours implements the
+ *    intended rule: a candidate delimiter wins when the first two lines
+ *    agree on a non-zero occurrence count; candidates are tried in the
+ *    reference's order (`, | : \t`), falling back to ";".
+ *  - Q3: the reference's header sniff compares the schema of two rows of
+ *    the same DataFrame (always equal => always header). Ours checks
+ *    whether the first line's fields fail to type-match the second
+ *    line's (a numeric column with a non-numeric first value => header).
+ *  - Q12: the reference's loader tags parquet as "par" which its own
+ *    `save` never matches (MatchError). We use one canonical tag set.
+ *
+ * Scale notes: sniffing reads exactly two lines via `limit(2)` on a text
+ * scan (no full pass); everything else is the built-in readers, which
+ * keep pushdown/pruning intact.
+ */
+object FormatIO {
+
+  val Formats: Set[String] = Set("json", "csv", "txt", "parquet")
+
+  private def firstTwoLines(path: String, spark: SparkSession): Array[String] =
+    spark.read.text(path).limit(2).collect().map(_.getString(0))
+
+  /** Intended S5 semantics: pick the first of `, | : \t` whose count is
+    * equal and non-zero across the first two lines; else ";". */
+  def findDelimiter(path: String, spark: SparkSession): String = {
+    val lines = firstTwoLines(path, spark)
+    if (lines.length < 2) return ","
+    val (l1, l2) = (lines(0), lines(1))
+    val candidates = Seq(',', '|', ':', '\t')
+    candidates
+      .find(c => l1.count(_ == c) > 0 && l1.count(_ == c) == l2.count(_ == c))
+      .map(_.toString)
+      .getOrElse(";")
+  }
+
+  /** S6: quote char is `"` or `'` iff the longest multi-word field of
+    * the second line starts with it (reference algorithm, kept). */
+  def detectEscape(path: String, delim: String, spark: SparkSession): Option[String] = {
+    val lines = firstTwoLines(path, spark)
+    if (lines.length < 2) return None
+    val parts = lines(1).split(java.util.regex.Pattern.quote(delim))
+      .filter(_.split(" ").length > 3)
+    if (parts.isEmpty) None
+    else parts.maxBy(_.length).headOption match {
+      case Some('"')  => Some("\"")
+      case Some('\'') => Some("'")
+      case _          => None
+    }
+  }
+
+  private def looksNumeric(s: String): Boolean =
+    s.nonEmpty && scala.util.Try(s.trim.toDouble).isSuccess
+
+  /** Intended S7 semantics: the first line is a header iff some field
+    * that is numeric on line 2 is non-numeric on line 1. */
+  def hasHeader(path: String, delim: String, spark: SparkSession): Boolean = {
+    val lines = firstTwoLines(path, spark)
+    if (lines.length < 2) return false
+    val q = java.util.regex.Pattern.quote(delim)
+    val f1 = lines(0).split(q)
+    val f2 = lines(1).split(q)
+    f1.zip(f2).exists { case (a, b) => looksNumeric(b) && !looksNumeric(a) }
+  }
+
+  private def csvLoad(path: String, header: Boolean, delim: String,
+                      spark: SparkSession): DataFrame = {
+    val base = spark.read
+      .option("delimiter", delim)
+      .option("header", header)
+      .option("inferSchema", "true")
+    detectEscape(path, delim, spark) match {
+      case Some(q) => base.option("quote", q).option("escape", q).csv(path)
+      case None    => base.csv(path)
+    }
+  }
+
+  /** S1-S4 + sniffing: load `path` as `format`, returning the DataFrame
+    * and the canonical format tag (usable directly by [[save]]). */
+  def load(format: String, path: String, spark: SparkSession): Option[(DataFrame, String)] =
+    format.toLowerCase match {
+      case "json" => Some((spark.read.json(path), "json"))
+      case "csv" =>
+        val delim = findDelimiter(path, spark)
+        val header = hasHeader(path, delim, spark)
+        Some((csvLoad(path, header, delim, spark), "csv"))
+      case "txt" | "text" => Some((spark.read.text(path), "txt"))
+      case "parquet" | "par" => Some((spark.read.parquet(path), "parquet"))
+      case _ => None
+    }
+
+  /** S8: extension-based dispatch (reference substring match kept). */
+  def loadFromPath(path: String, spark: SparkSession): Option[(DataFrame, String)] =
+    path.toLowerCase match {
+      case p if p.contains(".json") => load("json", path, spark)
+      case p if p.contains(".txt")  => load("txt", path, spark)
+      case p if p.contains(".csv")  => load("csv", path, spark)
+      case p if p.contains(".par")  => load("parquet", path, spark)
+      case _ => None
+    }
+
+  /** Reference `loadFile`: explicit type wins over extension dispatch. */
+  def loadFile(fileType: Option[String], path: String,
+               spark: SparkSession): Option[(DataFrame, String)] =
+    fileType match {
+      case Some(t) => load(t, path, spark)
+      case None    => loadFromPath(path, spark)
+    }
+
+  /** S11: format-preserving sink; the tag set matches [[load]] (Q12
+    * fixed). `overwrite` maps to the reference's output-path cleanup
+    * (S13) without driver-side recursive deletes. */
+  def save(fileType: String, df: DataFrame, output: String,
+           overwrite: Boolean = false): Unit = {
+    val w = if (overwrite) df.write.mode("overwrite") else df.write
+    fileType.toLowerCase match {
+      case "json" => w.json(output)
+      case "csv" => w.option("header", true).csv(output)
+      case "txt" | "text" => w.text(output)
+      case "parquet" | "par" => w.parquet(output)
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+  }
+
+  /** S12: word-list sink — one text file per category. */
+  def saveWordList(words: Seq[String], dest: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    words.toDF("value").coalesce(1).write.mode("overwrite").text(dest)
+  }
+}

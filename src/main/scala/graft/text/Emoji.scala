@@ -40,19 +40,59 @@ object Emoji {
   def withTable(native2word: Iterable[(String, String)]): Map[String, String] =
     native2word.toMap ++ base
 
+  /** Split one `;`-separated CSV line honoring double-quoted fields
+    * (quotes may contain `;`; `""` escapes a literal quote). */
+  private[text] def splitCsvLine(line: String, sep: Char = ';'): Array[String] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += c
+      } else {
+        if (c == '"') inQuotes = true
+        else if (c == sep) { fields += cur.result(); cur.clear() }
+        else cur += c
+      }
+      i += 1
+    }
+    fields += cur.result()
+    fields.toArray
+  }
+
   /** Parse reference-shaped emoji CSV lines: `"Description";"Native";...`,
     * header already dropped. Driver-side; the result is broadcast. */
   def parseCsvLines(lines: Iterator[String]): Map[String, String] = {
     val pairs = lines.flatMap { line =>
-      val parts = line.split(";")
+      val parts = splitCsvLine(line)
       if (parts.length >= 2) {
-        val desc = parts(0).replace("\"", "")
-        val native = parts(1).replace("\"", "")
+        val desc = parts(0)
+        val native = parts(1)
         if (desc.nonEmpty && native.nonEmpty) Some(native -> desc) else None
       } else None
     }
     withTable(pairs.toList)
   }
+
+  /** The full emoji table from the bundled `emojis.csv` resource (same
+    * 843-row data as the reference's `src/main/resources/emojis.csv`,
+    * loaded at `utils/IO.scala:73-77`), extended with [[base]]. Loaded
+    * once per JVM — executors read their own classpath copy, no
+    * driver-side broadcast needed. */
+  lazy val fromResourceTable: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/emojis.csv")
+    require(in != null, "classpath resource /graft/emojis.csv missing")
+    try parseCsvLines(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1))
+    finally in.close()
+  }
+
+  def fromResource(): Map[String, String] = fromResourceTable
 
   /** Token-wise substitution: each space-separated token found in `table`
     * is replaced by its word. */

@@ -1,6 +1,5 @@
 package graft.text
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.ml.feature.{StopWordsRemover, Tokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -23,16 +22,31 @@ import org.apache.spark.sql.functions._
  */
 object TextClean {
 
+  // The reference chain (`utils/Helper.scala:77-84`) calls
+  // String.replaceAll per rule, recompiling every regex on every row;
+  // in the hot UDF we precompile once (same matching semantics).
+  private val PQuotes = java.util.regex.Pattern.compile("[\"']")
+  private val PBreaks = java.util.regex.Pattern.compile("[\\n\\r\\t]")
+  private val PRt = java.util.regex.Pattern.compile("rt\\s+")
+  private val PMention = java.util.regex.Pattern.compile("@\\w+")
+  private val PHash = java.util.regex.Pattern.compile("#")
+  private val PUrl = java.util.regex.Pattern.compile("http\\S+")
+  private val PSpaces = java.util.regex.Pattern.compile(" +")
+  private val PWs = java.util.regex.Pattern.compile("\\s+")
+
   /** Exact reference regex chain (`utils/Helper.scala:77-84`): lowercase;
     * drop quotes; drop line breaks/tabs; drop "rt " retweet markers,
     * @mentions, '#' prefixes; drop http URLs; squeeze whitespace. */
   def cleanString(text: String): String = {
-    text.toLowerCase
-      .replaceAll("\"", "").replaceAll("'", "")
-      .replaceAll("\n", "").replaceAll("\r", "").replaceAll("\t", "")
-      .replaceAll("rt\\s+", "").replaceAll("@\\w+", "").replaceAll("#", "")
-      .replaceAll("http\\S+", "")
-      .replaceAll(" +", " ").replaceAll("\\s+", " ")
+    var x = text.toLowerCase
+    x = PQuotes.matcher(x).replaceAll("")
+    x = PBreaks.matcher(x).replaceAll("")
+    x = PRt.matcher(x).replaceAll("")
+    x = PMention.matcher(x).replaceAll("")
+    x = PHash.matcher(x).replaceAll("")
+    x = PUrl.matcher(x).replaceAll("")
+    x = PSpaces.matcher(x).replaceAll(" ")
+    PWs.matcher(x).replaceAll(" ")
   }
 
   /** [[cleanString]] as a codegen-friendly Column expression chain. */
@@ -72,23 +86,34 @@ object TextClean {
   def cleanSource(df: DataFrame, inputCol: String, outputCol: String,
                   stem: Boolean,
                   emoji: Map[String, String] = Emoji.base): DataFrame = {
-    val bc: Broadcast[Map[String, String]] =
-      df.sparkSession.sparkContext.broadcast(emoji)
+    // Ship the emoji table inside the UDF closure (it serializes once
+    // per stage into the task binary — no per-call Broadcast object to
+    // leak, fixing round-1 review note #4). The default table is the
+    // 71-entry emoticon map; the full 843-row CSV table is a per-JVM
+    // lazy singleton when callers pass Emoji.fromResourceTable.
     val cleanUdf =
-      if (stem) udf((s: String) => cleanTextAndStem(bc.value)(s))
-      else udf((s: String) => cleanText(bc.value)(s))
+      if (stem) udf((s: String) => cleanTextAndStem(emoji)(s))
+      else udf((s: String) => cleanText(emoji)(s))
+
+    // Collision-proof intermediate names (round-1 review note: a real
+    // input column named converted_text/tokens_* would be lost).
+    val sfx = java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(df.columns.asInstanceOf[Array[AnyRef]]))
+    val cConv = s"__graft_conv_$sfx"
+    val cTokRaw = s"__graft_tokraw_$sfx"
+    val cTokClean = s"__graft_tokclean_$sfx"
 
     val cleaned = df.where(col(inputCol).isNotNull)
-      .withColumn("converted_text", cleanUdf(col(inputCol)))
+      .withColumn(cConv, cleanUdf(col(inputCol)))
 
     val tokenizer = new Tokenizer()
-      .setInputCol("converted_text").setOutputCol("tokens_raw")
+      .setInputCol(cConv).setOutputCol(cTokRaw)
     val remover = new StopWordsRemover()
-      .setInputCol("tokens_raw").setCaseSensitive(false)
-      .setOutputCol("tokens_clean")
+      .setInputCol(cTokRaw).setCaseSensitive(false)
+      .setOutputCol(cTokClean)
     remover.transform(tokenizer.transform(cleaned))
-      .withColumn(outputCol, concat_ws(" ", col("tokens_clean")))
-      .drop("tokens_raw", "tokens_clean", "converted_text")
+      .withColumn(outputCol, concat_ws(" ", col(cTokClean)))
+      .drop(cTokRaw, cTokClean, cConv)
   }
 
   /** The default English stop-word list used by [[cleanSource]], exposed

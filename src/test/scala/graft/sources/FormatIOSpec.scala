@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Sniffer unit tests (intended S5-S7 semantics) + round-trip load/save
+  * for every format (S1-S4, S11). */
+class FormatIOSpec extends AnyFunSuite with SparkTestSession {
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-io")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("delimiter sniffing: comma / pipe / colon / tab / fallback semicolon") {
+    assert(FormatIO.findDelimiter(
+      tmpFile("a.csv", "a,b,c\n1,2,3\n"), spark) === ",")
+    assert(FormatIO.findDelimiter(
+      tmpFile("b.csv", "a|b|c\n1|2|3\n"), spark) === "|")
+    assert(FormatIO.findDelimiter(
+      tmpFile("c.csv", "a:b:c\n1:2:3\n"), spark) === ":")
+    assert(FormatIO.findDelimiter(
+      tmpFile("d.csv", "a\tb\tc\n1\t2\t3\n"), spark) === "\t")
+    assert(FormatIO.findDelimiter(
+      tmpFile("e.csv", "a;b;c\n1;2;3\n"), spark) === ";")
+  }
+
+  test("delimiter sniffing: inconsistent counts fall through (Q1 fixed)") {
+    // commas differ between lines (1 vs 2) but pipes agree
+    assert(FormatIO.findDelimiter(
+      tmpFile("f.csv", "a,x|b|c\n1|2|3,4,5\n"), spark) === "|")
+  }
+
+  test("header sniffing: header iff first row breaks numeric pattern (Q3 fixed)") {
+    assert(FormatIO.hasHeader(
+      tmpFile("g.csv", "id,score\n1,2.5\n"), ",", spark) === true)
+    assert(FormatIO.hasHeader(
+      tmpFile("h.csv", "1,2.5\n2,3.5\n"), ",", spark) === false)
+  }
+
+  test("escape sniffing: quoted long field detected") {
+    val p = tmpFile("i.csv",
+      "h1,h2\n\"a long quoted text field here\",2\n")
+    assert(FormatIO.detectEscape(p, ",", spark) === Some("\""))
+  }
+
+  test("csv sniffed load infers schema") {
+    val p = tmpFile("j.csv", "a,b\n1,x\n2,y\n")
+    val (df, tag) = FormatIO.load("csv", p, spark).get
+    assert(tag === "csv")
+    assert(df.columns.toSeq === Seq("a", "b"))
+    assert(df.schema("a").dataType.typeName === "integer")
+    assert(df.count() === 2)
+  }
+
+  test("round-trip: every format loads back what it saved (Q12 fixed)") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "txt")
+    for (fmt <- Seq("json", "csv", "parquet")) {
+      val out = Files.createTempDirectory(s"graft-rt-$fmt").resolve("out").toString
+      FormatIO.save(fmt, df, out, overwrite = true)
+      val (back, tag) = FormatIO.load(fmt, out, spark).get
+      assert(tag === fmt)
+      assert(back.count() === 2, s"format $fmt")
+    }
+    // text: single string column only
+    val tdf = Seq("l1", "l2", "l3").toDF("value")
+    val tout = Files.createTempDirectory("graft-rt-txt").resolve("out").toString
+    FormatIO.save("txt", tdf, tout, overwrite = true)
+    val (tback, ttag) = FormatIO.load("txt", tout, spark).get
+    assert(ttag === "txt")
+    assert(tback.count() === 3)
+  }
+
+  test("extension dispatch routes by substring (S8)") {
+    val p = tmpFile("k.json", """{"a":1}""" + "\n" + """{"a":2}""")
+    // .json in the path routes to the json reader
+    val (df, tag) = FormatIO.loadFromPath(p, spark).get
+    assert(tag === "json")
+    assert(df.count() === 2)
+  }
+
+  test("loadFile: explicit type overrides extension") {
+    val p = tmpFile("data.json", "line one\nline two\n")
+    val (df, tag) = FormatIO.loadFile(Some("txt"), p, spark).get
+    assert(tag === "txt")
+    assert(df.columns.toSeq === Seq("value"))
+  }
+
+  test("word-list sink writes one file per category (S12)") {
+    val dest = Files.createTempDirectory("graft-wl").resolve("pos").toString
+    FormatIO.saveWordList(Seq("good", "nice", "great"), dest, spark)
+    val (back, _) = FormatIO.load("txt", dest, spark).get
+    assert(back.count() === 3)
+  }
+}
