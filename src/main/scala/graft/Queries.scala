@@ -199,6 +199,85 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Exact dedup (keep min id per normalized text), grouped by lang. */
+  def q17DedupExactRows(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  /** Exact unigram Jaccard pairs within a source block (inverted-index
+    * join — the oracle-checkable core of near-dup detection). */
+  def q18JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.jaccardPairsWithin(
+      t(spark, dir, "documents"), "doc_id", "text", "source",
+      n = 1, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Per-document text-quality profile (oracle-checkable subset). */
+  def q19TextProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.profile(t(spark, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_chars", "mean_token_len",
+        "punct_ratio", "stopword_ratio")
+      .orderBy("doc_id")
+
+  /** Embedding vector stats (dims + L2 norm). */
+  def q20VectorStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SimSearch.vectorStats(
+      t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  /** Exact cosine top-10 neighbors of vec_id 0 (brute-force baseline). */
+  def q21KnnExact(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SimSearch.cosineTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
+  /** MinHash-LSH near-dup candidate pairs (banded; rows-only check —
+    * the banding is not SQL-expressible; plan asserted cartesian-free
+    * in OpsSpec). The corpus plants ~25 pairs at J~0.99, so the 0.7
+    * threshold retrieves exactly the planted near-dups. */
+  def q22MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashPairs(
+      t(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (banded chunks; rows-only check). */
+  def q23SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SimHash.nearDupPairs(
+      t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** SRP-LSH approximate top-10 neighbors of vec_id 0 (rows-only; the
+    * exact baseline q21 is the oracle-checked ground truth). */
+  def q24AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SimSearch.annLshTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, bits = 8, seed = 42L)
+
+  /** MLlib training (M3-M7): static LogisticRegression over documents
+    * labelled by lang; returns (classifier, label_column, precision).
+    * Not SQL-expressible — rows-only; semantics pinned in MLSpec. */
+  def q25MlTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select("text", "lang")
+    val r = graft.ml.SentimentML.train(docs, "text", "logistic-static")
+    Seq((r.name, r.labelColumn, math.rint(r.precision * 10000) / 10000))
+      .toDF("classifier", "label_column", "precision")
+  }
+
+  /** Word-score-list training (A4/A5/J2/U2): per-category vocabulary
+    * (CountVectorizer minDF=5) with >2-category overlap removed.
+    * Category codes follow sorted label order (Detection.convert). */
+  def q26ScoreList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select("text", "lang")
+    val lists = graft.wordscore.ScoreListTrainer.train(docs, "text")
+    lists.toSeq.map { case (c, ws) => (c, ws.length.toLong) }
+      .sortBy(_._1)
+      .toDF("category", "n_words")
+  }
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -39,6 +39,16 @@ object SparkEntry {
     "q14_starjoin" -> (Queries.q14StarJoin(_, _)),
     "q15_wordscore_exact" -> (Queries.q15WordScoreExact(_, _)),
     "q16_wordscore_full" -> (Queries.q16WordScoreFull(_, _)),
+    "q17_dedup_exact_rows" -> (Queries.q17DedupExactRows(_, _)),
+    "q18_jaccard_pairs" -> (Queries.q18JaccardPairs(_, _)),
+    "q19_text_profile" -> (Queries.q19TextProfile(_, _)),
+    "q20_vector_stats" -> (Queries.q20VectorStats(_, _)),
+    "q21_knn_exact" -> (Queries.q21KnnExact(_, _)),
+    "q22_minhash_pairs" -> (Queries.q22MinhashPairs(_, _)),
+    "q23_simhash_pairs" -> (Queries.q23SimhashPairs(_, _)),
+    "q24_ann_lsh" -> (Queries.q24AnnLsh(_, _)),
+    "q25_ml_train" -> (Queries.q25MlTrain(_, _)),
+    "q26_scorelist" -> (Queries.q26ScoreList(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,6 +146,88 @@ object SparkEntry {
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
     "q15_wordscore_exact" -> graft.wordscore.WordScore.exactScoreOracleSql,
+    "q17_dedup_exact_rows" ->
+      """SELECT lang, count(*) AS n FROM (
+        |  SELECT lang, row_number() OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q18_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT source, doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q19_text_profile" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n_tok, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to',
+        |      'in','is','are','was','it','that','this','for','on','with',
+        |      'as','at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  s.n_tok::BIGINT AS n_tokens,
+        |  length(d.text)::BIGINT AS n_chars,
+        |  round(s.mtl, 4) AS mean_token_len,
+        |  round((length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text), 4) AS punct_ratio,
+        |  round(s.stops::DOUBLE / s.n_tok, 4) AS stopword_ratio
+        |FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q20_vector_stats" ->
+      """SELECT vec_id, dims::BIGINT AS dims, round(sqrt(ss), 4) AS l2_norm
+        |FROM (
+        |  SELECT vec_id, len(embedding) AS dims, sum(x * x) AS ss
+        |  FROM (SELECT vec_id, embedding, unnest(embedding)::DOUBLE AS x
+        |        FROM embeddings) u
+        |  GROUP BY vec_id, len(embedding)) s
+        |ORDER BY vec_id""".stripMargin,
+    "q26_scorelist" ->
+      """WITH cats AS (
+        |  SELECT lang, cast(dense_rank() OVER (ORDER BY lang) - 1 AS VARCHAR) AS category
+        |  FROM (SELECT DISTINCT lang FROM documents) dl),
+        |term_df AS (
+        |  SELECT d.lang, u.w, count(DISTINCT d.doc_id) AS df
+        |  FROM documents d,
+        |       unnest(string_split(d.text, ' ')) AS u(w)
+        |  GROUP BY d.lang, u.w),
+        |vocab AS (SELECT lang, w FROM term_df WHERE df >= 5),
+        |overlap AS (
+        |  SELECT w FROM (SELECT w, count(*) AS c FROM vocab GROUP BY w) o
+        |  WHERE c > 2),
+        |final AS (
+        |  SELECT lang, w FROM vocab
+        |  WHERE w NOT IN (SELECT w FROM overlap)),
+        |counts AS (SELECT lang, count(*) AS n FROM final GROUP BY lang)
+        |SELECT c.category, coalesce(n.n, 0)::BIGINT AS n_words
+        |FROM cats c LEFT JOIN counts n ON c.lang = n.lang
+        |ORDER BY c.category""".stripMargin,
+    "q21_knn_exact" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+        |         unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx,
+        |             sqrt(sum(y*y)) AS ny
+        |      FROM pairs GROUP BY vec_id)
+        |SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+        |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

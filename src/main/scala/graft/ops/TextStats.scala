@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * quality scoring, language identification (n-gram/stopword heuristic),
+ * and document fingerprinting (rolling-hash winnowing). Extension
+ * surface beyond the reference (which only normalizes+scores text).
+ *
+ * Everything except the winnowing fingerprint is pure Catalyst
+ * expressions — whole-stage-codegen friendly, no shuffle, pushdown
+ * preserved upstream.
+ */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation runs —
+    * a deterministic proxy for tokenizer-cost estimation. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[\\p{L}\\p{N}])(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])(?=[\\p{L}\\p{N}])|\\s+"),
+      t => t =!= ""))
+
+  /** Ratio of punctuation chars to all chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = total - length(regexp_replace(text, "\\p{Punct}", ""))
+    when(total > 0, punct.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of uppercase letters to letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val uppers = length(regexp_replace(text, "[^\\p{Lu}]", ""))
+    when(letters > 0, uppers.cast("double") / letters.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLength(text: Column): Column = {
+    val tokens = filter(split(text, "\\s+"), t => t =!= "")
+    val totalLen = aggregate(tokens, lit(0),
+      (acc, t) => acc + length(t)).cast("double")
+    when(size(tokens) > 0, totalLen / size(tokens).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** English stop-token ratio over whitespace tokens (quality signal:
+    * natural prose has ~0.3-0.5, keyword-stuffed or non-English text
+    * scores low). The list is fixed so results are reproducible. */
+  val EnglishStopTokens: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  def stopwordRatio(text: Column, stop: Seq[String] = EnglishStopTokens): Column = {
+    val tokens = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val stopArr = array(stop.map(lit): _*)
+    val hits = size(filter(tokens, t => array_contains(stopArr, t)))
+    when(size(tokens) > 0, hits.cast("double") / size(tokens).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, presence of stopwords, sane mean token length.
+    * Deterministic, documented weights — a heuristic gate, not a model. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthTerm = least(n / lit(20.0), lit(1.0)) // ramps to 1 at 20 tokens
+    val punctTerm = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 4, lit(1.0))
+    val mtl = meanTokenLength(text)
+    val mtlTerm = when(mtl.between(3.0, 9.0), lit(1.0)).otherwise(lit(0.5))
+    round((lengthTerm * 0.3 + punctTerm * 0.2 + stopTerm * 0.3 + mtlTerm * 0.2), 4)
+  }
+
+  /** Tiny per-language stop-token profiles for the language-ID
+    * heuristic. Deliberately small + fixed (reproducibility beats
+    * accuracy here; swap in fastText offline for production quality). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das",
+      "mit", "sich", "des", "auf", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "be", "to", "of", "and", "a", "in", "that",
+      "have", "i", "it", "is", "was", "for", "on"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "a", "los", "se",
+      "del", "las", "un", "por", "con", "no"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du",
+      "une", "que", "est", "pour", "qui", "dans"))
+
+  /**
+   * Language-ID: argmax over profile-hit ratios; "und" when nothing
+   * matches. Native expressions: per-language hit counts -> array of
+   * (score, lang) structs -> array_max (struct ordering = score first,
+   * ties break toward the lexicographically larger code; documented).
+   */
+  def langId(text: Column): Column = {
+    val tokens = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val scored = array(LangProfiles.map { case (code, profile) =>
+      val profArr = array(profile.map(lit): _*)
+      val hits = size(filter(tokens, t => array_contains(profArr, t)))
+      struct(hits.as("hits"), lit(code).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = xxhash64(Dedup.normalized(text))
+
+  /** Winnowing (Schleimer et al. 2003): k-gram rolling hashes, keep the
+    * minimum in each window of w — a position-robust fingerprint set
+    * for near-dup/plagiarism detection. Per-row UDF (single pass). */
+  private[ops] def winnow(text: String, k: Int, w: Int): Seq[Long] = {
+    if (text == null || text.length < k) return Seq.empty
+    val hashes = new Array[Long](text.length - k + 1)
+    var i = 0
+    while (i + k <= text.length) {
+      hashes(i) = SimHash.fnv1a64(text.substring(i, i + k))
+      i += 1
+    }
+    if (hashes.length <= w) return Seq(hashes.min).distinct
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var s = 0
+    while (s + w <= hashes.length) {
+      var m = hashes(s)
+      var j = s + 1
+      while (j < s + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      out += m
+      s += 1
+    }
+    out.toSeq
+  }
+
+  def winnowUdf(k: Int = 5, w: Int = 4): UserDefinedFunction =
+    udf((s: String) => winnow(s, k, w))
+
+  /** Full per-document stats projection (one map stage). */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      tokenCount(t).cast("long").as("n_tokens"),
+      subwordCount(t).cast("long").as("n_subwords"),
+      length(t).cast("long").as("n_chars"),
+      round(meanTokenLength(t), 4).as("mean_token_len"),
+      round(punctRatio(t), 4).as("punct_ratio"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      round(upperRatio(t), 4).as("upper_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/**
+ * Structured Streaming over the events table — EXTENSION surface
+ * (SURVEY.md §2.11: the reference has no streaming at all; this is the
+ * north-star addition, built Spark-first).
+ *
+ * Every transform here is expressed on a generic DataFrame with an
+ * event-time `ts`, so the SAME code runs in batch (for the oracle /
+ * tests) and as a `readStream` pipeline. The streaming entry points
+ * wire watermarks + output modes around them.
+ *
+ * Scale notes: windowed aggregates are partial+final hash aggregates
+ * keyed by (window, event_type) — shuffle width is bounded by
+ * cardinality(windows x types), not event volume; watermarks bound
+ * state size; `availableNow` triggers let the same pipeline drain a
+ * backlog batch-style on a 1000-executor cluster.
+ */
+object EventStreams {
+
+  /** Tumbling window aggregate (count + sum per event_type). */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding window aggregate. */
+  def sliding(events: DataFrame, width: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def sessions(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** File-source stream over an events parquet directory with an
+    * event-time watermark; same aggregation as [[tumbling]]. */
+  def streamTumbling(spark: SparkSession, dir: String,
+                     watermark: String = "2 hours",
+                     width: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+    tumbling(events.withWatermark("ts", watermark), width)
+  }
+
+  /** Drain the stream to an in-memory sink once (availableNow) and
+    * return the result table. Used by tests; in production the same
+    * query writes to a real sink with a periodic trigger. */
+  def runOnce(spark: SparkSession, streamed: DataFrame,
+              tableName: String): StreamingQuery = {
+    streamed.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Per-user running state: event count + last seen timestamp via
+    * mapGroupsWithState (custom stateful operator surface). */
+  case class UserState(n: Long, lastTs: java.sql.Timestamp)
+  case class UserUpdate(user_id: Long, n: Long, last_seen: java.sql.Timestamp)
+
+  def userRunningCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, new java.sql.Timestamp(0L)))
+          rows.foreach { case (_, ts) =>
+            s = UserState(s.n + 1,
+              if (ts.after(s.lastTs)) ts else s.lastTs)
+          }
+          state.update(s)
+          UserUpdate(user, s.n, s.lastTs)
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Train -> validate -> save -> load -> score round-trip over the
+  * Sentiment140-shaped fixture (reference §3.2 lifecycle). */
+class MLSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val fixture = {
+    val (df, _) = graft.sources.FormatIO.loadFile(
+      Some("csv"), resourcePath("/graft/sentiment140.csv"), spark).get
+    df
+  }
+
+  test("static logistic: trains on detected label, precision in [0,1]") {
+    val r = SentimentML.train(fixture, "_c5", "logistic-static")
+    assert(r.name === "logistic regression")
+    assert(r.labelColumn === "_c0")
+    assert(r.precision >= 0.0 && r.precision <= 1.0)
+  }
+
+  test("grid sweep selects a model at least as good as static") {
+    val stat = SentimentML.train(fixture, "_c5", "logistic-static")
+    val swept = SentimentML.train(fixture, "_c5", "logistic")
+    assert(swept.precision >= stat.precision)
+  }
+
+  test("save -> load -> score round-trip keeps predictions") {
+    val r = SentimentML.train(fixture, "_c5", "logistic-static")
+    val dir = Files.createTempDirectory("graft-ml").resolve("model").toString
+    SentimentML.save(r.model, dir)
+    val loaded = SentimentML.load(dir)
+    val scored = SentimentML.score(loaded, fixture)
+    assert(scored.columns.contains("prediction"))
+    // intermediates dropped (P3)
+    assert(!scored.columns.contains("tfidf"))
+    assert(!scored.columns.contains("rawPrediction"))
+    assert(scored.count() === fixture.count())
+    // same predictions from the persisted model as from the live one
+    val live = SentimentML.score(r.model, fixture)
+      .select("_c1", "prediction").collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    val persisted = scored
+      .select("_c1", "prediction").collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    assert(live === persisted)
+  }
+
+  test("naive bayes trains (multinomial, label codes)") {
+    val r = SentimentML.train(fixture, "_c5", "naivebayes")
+    assert(r.name === "naive bayes")
+    assert(r.precision >= 0.0 && r.precision <= 1.0)
+  }
+
+  test("score-list training: per-category vocab minus overlap") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text", "lang")
+    val lists = graft.wordscore.ScoreListTrainer.train(docs, "text")
+    assert(lists.keySet === Set("0", "1", "2", "3", "4"))
+    // overlap rule (>2 categories) fires with 5 categories: the shared
+    // synthetic vocabulary is removed, so lists are small
+    assert(lists.values.forall(_.size < 40))
+  }
+}

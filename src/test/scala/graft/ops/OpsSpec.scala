@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** LLM-pipeline operator semantics + plan-shape assertions (the scale
+  * contract: LSH paths must never contain a cartesian product). */
+class OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "a"), // near dup
+    (4L, "completely different content about spark engines", "a"),
+    (5L, "THE QUICK  BROWN fox jumps over the lazy dog", "b")  // dup modulo case/ws
+  ).toDF("doc_id", "text", "src")
+
+  test("exact dedup keeps the smallest id per normalized text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 3L, 4L)) // 2 and 5 drop (5 normalizes to 1)
+  }
+
+  test("minhash pairs find exact and near duplicates, with jaccard") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 12, bands = 6, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical
+    assert(keys.contains((1L, 5L))) // identical after normalization
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 === 1.0)
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
+  }
+
+  test("minhash plan contains no cartesian product") {
+    val plan = planOf(Dedup.minhashPairs(docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("jaccardPairsWithin blocks by key (no cross-block pairs)") {
+    val pairs = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
+      n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // different block
+  }
+
+  test("simhash: identical texts have distance 0, near texts small") {
+    val t1 = "the quick brown fox jumps over the lazy dog".split(" ").toSeq
+    val t2 = "the quick brown fox jumps over the lazy cat".split(" ").toSeq
+    val (s1, s2) = (SimHash.simhash64(t1), SimHash.simhash64(t2))
+    assert(s1 === SimHash.simhash64(t1))
+    assert(java.lang.Long.bitCount(s1 ^ s2) < 20)
+  }
+
+  test("simhash near-dup pairs: dups found, plan cartesian-free") {
+    val q = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val keys = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(keys.contains((1L, 5L)))
+  }
+
+  test("text stats: counts and ratios on a known sentence") {
+    val df = Seq((1L, "The quick, brown fox!")).toDF("id", "text")
+    val row = TextStats.profile(df, "id", "text").collect().head
+    assert(row.getAs[Long]("n_tokens") === 4L)
+    assert(row.getAs[Long]("n_chars") === 21L)
+    assert(row.getAs[Double]("punct_ratio") === math.rint(2.0 / 21 * 10000) / 10000)
+    assert(row.getAs[Double]("stopword_ratio") === 0.25) // "the"
+  }
+
+  test("language id picks the dominant profile") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "la casa es grande y el perro de los vecinos"),
+      (3L, "der hund und die katze sind in dem haus"),
+      (4L, "zzz qqq xxx www")).toDF("id", "text")
+    val got = df.select($"id", TextStats.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(3L) === "de")
+    assert(got(4L) === "und")
+  }
+
+  test("winnowing fingerprints: deterministic, robust to prefix shift") {
+    val a = TextStats.winnow("abcdefghijklmnop", 5, 4)
+    assert(a === TextStats.winnow("abcdefghijklmnop", 5, 4))
+    val shifted = TextStats.winnow("XYabcdefghijklmnop", 5, 4)
+    // shared k-gram minima survive the shift (winnowing guarantee)
+    assert(a.toSet.intersect(shifted.toSet).nonEmpty)
+  }
+
+  test("cosineTopK: nearest is the most aligned vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = SimSearch.cosineTopK(vecs, "vec_id", "embedding", 0L, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 === 1L)
+    assert(top.head._2 > 0.99)
+    assert(top.last._1 === 2L)
+  }
+
+  test("ann lsh finds an identical vector (same bucket) and no cartesian") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val vecs = (Seq((0L, base), (1L, base)) ++
+      (2L to 40L).map(i => (i, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat))))
+      .toDF("vec_id", "embedding")
+    val q = SimSearch.annLshTopK(vecs, "vec_id", "embedding", 0L, 3)
+    val got = q.collect().map(_.getLong(0))
+    assert(got.contains(1L)) // the identical vector must be retrieved
+  }
+}

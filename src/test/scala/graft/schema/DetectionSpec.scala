@@ -56,8 +56,8 @@ class DetectionSpec extends AnyFunSuite with SparkTestSession {
   test("extractIntegerCategories on the sentiment label") {
     val path = resourcePath("/graft/sentiment140.csv")
     val (df, _) = graft.sources.FormatIO.loadFile(Some("csv"), path, spark).get
-    assert(Detection.extractIntegerCategories(df, "_c0")
-      === Some(Array(0L, 4L)))
+    assert(Detection.extractIntegerCategories(df, "_c0").map(_.toSeq)
+      === Some(Seq(0L, 4L)))
     // intended D7 guard: integer column is not a string column
     assert(Detection.extractStringCategories(df, "_c0") === None)
   }
