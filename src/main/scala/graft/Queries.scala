@@ -36,6 +36,20 @@ import graft.text.TextClean
  *  - q13_levenshtein   F7 Levenshtein as a native column expression
  *                      (ref `utils/Helper.scala:149-163`)
  *  - q14_starjoin      multi-way dimension join with explicit broadcasts
+ *  - q15_wordscore_exact U3 exact scoring as broadcast dictionary join
+ *                      (ref `PlainTextAnalyser.scala:12-39` core arithmetic)
+ *  - q16_wordscore_full U3+U4 full UDF path incl. stem/dedup/fuzzy
+ *                      (rows-only; unit-pinned)
+ *  - q17_dedup_exact_rows exact dedup, min-id winner per normalized text
+ *  - q18_jaccard_pairs exact n-gram Jaccard via postings equi-join
+ *  - q19_text_profile  text-quality metrics (token/char/punct/stopword)
+ *  - q20_vector_stats  embedding dims + L2 norms
+ *  - q21_knn_exact     brute-force cosine top-k (TakeOrdered)
+ *  - q22_minhash_pairs banded MinHash LSH near-dup (rows-only)
+ *  - q23_simhash_pairs SimHash chunk-banded near-dup (rows-only)
+ *  - q24_ann_lsh       SRP-LSH bucketed ANN (rows-only; q21 = ground truth)
+ *  - q25_ml_train      M3-M7 static LR training (rows-only; MLSpec pins)
+ *  - q26_scorelist     A4/A5/J2/U2 score-list training with overlap removal
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape contract for the query battery — the `.explain` audit as
+ * regression tests. These pin the properties that matter at 100 TB:
+ * filters and projections reach the parquet scan, dimension joins
+ * broadcast, top-k compiles to TakeOrdered, LSH paths never go
+ * cartesian, scalar pipelines stay inside whole-stage codegen.
+ */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: predicate and projection reach the parquet scan") {
+    val plan = planOf(Queries.q3FilterProject(spark, dir))
+    assert(plan.contains("PushedFilters:"), plan.take(1200))
+    assert(plan.contains("IsNotNull(l_quantity)") ||
+      plan.contains("GreaterThan(l_quantity"), plan.take(3000))
+    // pruned read schema: only the 4 selected columns + filter columns
+    assert(!plan.contains("l_shipdate"), "scan reads unneeded column")
+    assert(!plan.contains("l_tax"), "scan reads unneeded column")
+  }
+
+  test("q2/q14: dimension joins are broadcast, not shuffled") {
+    assert(planOf(Queries.q2JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
+    val p14 = planOf(Queries.q14StarJoin(spark, dir))
+    assert(p14.contains("BroadcastHashJoin"))
+    assert(!p14.contains("SortMergeJoin"), "star dims must broadcast")
+  }
+
+  test("q1: aggregate is partial+final hash aggregate") {
+    val plan = planOf(Queries.q1Agg(spark, dir))
+    assert(plan.contains("HashAggregate"))
+    assert(plan.toLowerCase.contains("partial"), plan.take(2000))
+  }
+
+  test("q10/q21: top-k compiles to TakeOrderedAndProject") {
+    assert(planOf(Queries.q10TopK(spark, dir)).contains("TakeOrderedAndProject"))
+    assert(planOf(Queries.q21KnnExact(spark, dir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("q5: clean-text pipeline stays in whole-stage codegen") {
+    val df = Queries.q5CleanText(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    val plan = planOf(df)
+    // codegen stages render as "*(n)" prefixes in the final plan tree
+    assert(plan.contains("*("), plan.take(1500))
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("q22/q23/q24: LSH paths contain no cartesian product") {
+    for (q <- Seq(
+      Queries.q22MinhashPairs(spark, dir),
+      Queries.q23SimhashPairs(spark, dir),
+      Queries.q24AnnLsh(spark, dir))) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    }
+  }
+
+  test("q15: dictionary join broadcasts the 11k-entry dictionary") {
+    val plan = planOf(Queries.q15WordScoreExact(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q18: jaccard runs as postings equi-join, not array pairing") {
+    val plan = planOf(Queries.q18JaccardPairs(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    // the postings formulation joins then aggregates pair counts
+    assert(plan.contains("HashAggregate"))
+  }
+}
