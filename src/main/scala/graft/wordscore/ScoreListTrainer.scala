@@ -50,25 +50,63 @@ object ScoreListTrainer {
         .getOrElse(throw new IllegalArgumentException(
           s"no categories extractable from $labelColumn"))
 
+    // Vocabulary selection (A5) in ONE aggregate pass over all
+    // categories: a term is in a category's vocabulary iff it appears
+    // in >= minDF (5) of that category's documents — exactly
+    // CountVectorizer(minDF=5) semantics (minTF only affects the
+    // transform counts, not vocabulary selection). The reference runs
+    // one CountVectorizer.fit job per category (ACTION per category,
+    // `CreateScoreList.scala:39-43`); this is a single shuffle on
+    // (category, word) regardless of category count.
+    val perCategoryDf = t
+      .select(col(labelColumn).cast("string").as("__cat"),
+        // per-doc distinct first, so count(*) below = doc frequency
+        explode(array_distinct(split(col(textColumn), " "))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col("__cat"), col("__w"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 5)
+      .cache()
+
+    val vocabularies: Map[String, Seq[String]] =
+      try {
+        val rows = perCategoryDf.collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val grouped = rows.groupBy(_._1).map { case (c, ws) =>
+          c -> ws.map(_._2).toSeq
+        }
+        categories.map(c => c -> grouped.getOrElse(c, Seq.empty)).toMap
+      } finally perCategoryDf.unpersist()
+
+    // overlap: words present in > 2 category vocabularies (Q15 parity)
+    val wordCounts = vocabularies.values.flatten
+      .groupBy(identity).view.mapValues(_.size)
+    val overlap: Set[String] =
+      wordCounts.filter(_._2 > 2).keys.toSet
+
+    vocabularies.map { case (cat, words) =>
+      cat -> words.filterNot(overlap.contains)
+    }.toMap
+  }
+
+  /** The reference-shaped path (one CountVectorizer.fit per category) —
+    * kept for parity testing against [[train]]. */
+  def trainWithCountVectorizer(source: DataFrame, textColumn: String,
+                               labelColumn: String,
+                               categories: Seq[String]): Map[String, Seq[String]] = {
     val vocabularies: Seq[(String, Array[String])] = categories.map { category =>
-      val categorized = t
+      val categorized = source
         .filter(col(labelColumn).cast("string") === lit(category))
         .withColumn(s"split_$textColumn", split(col(textColumn), " "))
       val vectorized = new CountVectorizer().setMinDF(5).setMinTF(2)
         .setInputCol(s"split_$textColumn").fit(categorized)
       category -> vectorized.vocabulary
     }
-
-    // overlap: words present in > 2 category vocabularies (Q15 parity)
-    val overlap: Set[String] = vocabularies
-      .flatMap { case (_, words) => words.distinct }
-      .toDF("word")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .where(col("n") > 2)
-      .collect().map(_.getString(0)).toSet
-
-    vocabularies.map { case (cat, words) =>
-      cat -> words.filterNot(overlap.contains).toSeq
+    val counts = vocabularies.flatMap(_._2.distinct)
+      .groupBy(identity).view.mapValues(_.size)
+    val overlap = counts.filter(_._2 > 2).keys.toSet
+    vocabularies.map { case (c, ws) =>
+      c -> ws.filterNot(overlap.contains).toSeq
     }.toMap
   }
 }

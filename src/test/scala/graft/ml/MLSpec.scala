@@ -54,6 +54,22 @@ class MLSpec extends AnyFunSuite with SparkTestSession {
     assert(r.precision >= 0.0 && r.precision <= 1.0)
   }
 
+  test("score-list aggregate path matches CountVectorizer path") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text", "lang")
+    val fast = graft.wordscore.ScoreListTrainer.train(docs, "text")
+    val cv = graft.wordscore.ScoreListTrainer.trainWithCountVectorizer(
+      docs.withColumnRenamed("lang", "label")
+        .withColumn("code",
+          org.apache.spark.sql.functions.expr(
+            "element_at(map('de',0,'en',1,'es',2,'fr',3,'zh',4), label)")),
+      "text", "code", Seq("0", "1", "2", "3", "4"))
+    assert(fast.keySet === cv.keySet)
+    for (k <- fast.keySet)
+      assert(fast(k).sorted === cv(k).sorted, s"category $k")
+  }
+
   test("score-list training: per-category vocab minus overlap") {
     import spark.implicits._
     val docs = spark.read

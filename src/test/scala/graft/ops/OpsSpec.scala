@@ -53,6 +53,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // different block
   }
 
+  test("shingle UDF matches the pure-expression formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    for (n <- Seq(1, 3)) {
+      val both = docs.select(
+        Dedup.shingles(org.apache.spark.sql.functions.col("text"), n).as("u"),
+        Dedup.shinglesExpr(org.apache.spark.sql.functions.col("text"), n).as("e"))
+        .collect()
+      for (r <- both)
+        assert(r.getSeq[String](0).sorted === r.getSeq[String](1).sorted, s"n=$n")
+    }
+  }
+
   test("simhash: identical texts have distance 0, near texts small") {
     val t1 = "the quick brown fox jumps over the lazy dog".split(" ").toSeq
     val t2 = "the quick brown fox jumps over the lazy cat".split(" ").toSeq
