@@ -1,0 +1,60 @@
+package graft.plans
+
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expression + extension registration: SQL and Column access,
+  * codegen parity with the Scala implementations, null handling. */
+class GraftExtensionsSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  // All suites share one forked JVM, so getOrCreate may return a
+  // session built without withExtensions — retrofit instead (the
+  // withExtensions path injects the identical function list).
+  GraftExtensions.register(spark)
+
+  test("graft_stem registered and matches Stemmer.stem") {
+    val got = spark.sql(
+      "SELECT graft_stem('running'), graft_stem('caresses'), graft_stem('feed')")
+      .head()
+    assert(got.getString(0) === graft.text.Stemmer.stem("running"))
+    assert(got.getString(1) === "caress")
+    assert(got.getString(2) === "fe") // reference step-1b order
+  }
+
+  test("graft_clean registered and matches TextClean.cleanString") {
+    val s = "RT @user: check #spark http://t.co/x now"
+    val got = spark.sql(s"SELECT graft_clean('$s')").head().getString(0)
+    assert(got === graft.text.TextClean.cleanString(s))
+  }
+
+  test("null input yields null (nullIntolerant)") {
+    assert(spark.sql("SELECT graft_stem(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
+  test("type check rejects non-string input") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_stem(42)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("column API via call_function agrees with the UDF-free chain") {
+    import spark.implicits._
+    val df = Seq("plastered", "motoring", "sky").toDF("w")
+    val got = df.select(GraftFunctions.graftStem($"w")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("plaster", "motor", "sky"))
+  }
+
+  test("expression executes inside whole-stage codegen") {
+    // a file scan prevents the optimizer collapsing everything into a
+    // LocalRelation (which would leave no codegen stage to observe)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.graftClean(
+        org.apache.spark.sql.functions.col("text")).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(1000)) // codegen stage marker
+    assert(plan.contains("graft_clean"), plan.take(1000))
+  }
+}
