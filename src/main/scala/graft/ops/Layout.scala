@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-layout operators for shuffle management at scale:
+ * bucketing for co-located joins, and salting for skewed keys.
+ * Extension surface (the reference runs Spark defaults everywhere,
+ * SURVEY.md §4).
+ *
+ * Why this matters at 100 TB: a fact-fact equi-join shuffles both
+ * sides every query. Bucketing pre-partitions the data ON DISK by the
+ * join key, so repeated joins on that key skip the exchange entirely
+ * (plan shows no Exchange on the bucketed sides). Salting splits a hot
+ * key across `saltFactor` sub-keys so one executor doesn't serialize
+ * the whole skewed partition — AQE's skew-join handles moderate skew
+ * automatically, salting is for the pathological tail.
+ */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted table (requires a table catalog;
+    * bucket layout is what lets later same-key joins skip their
+    * shuffles). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. With matching
+    * bucket counts neither side shuffles (asserted in LayoutSpec). */
+  def cogroupJoin(spark: SparkSession, leftTable: String,
+                  rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /**
+   * Skew-safe equi-join: explode the SMALL side `saltFactor` times and
+   * salt the big side's key with a deterministic hash-derived salt in
+   * [0, saltFactor). Each hot key spreads over `saltFactor` reduce
+   * partitions. Results are identical to a plain equi-join on `key`.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    // deterministic per-row salt derived from the full row hash
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
+    val smallExploded = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Pre-partition two frames identically so a subsequent join reuses
+    * the partitioning (one shuffle each, reused across downstream
+    * same-key operations instead of re-shuffling per join). */
+  def copartition(a: DataFrame, b: DataFrame, key: String,
+                  partitions: Int): (DataFrame, DataFrame) =
+    (a.repartition(partitions, col(key)), b.repartition(partitions, col(key)))
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Physical-layout contracts: bucketed joins skip exchanges, salted
+  * joins reproduce plain-join results on skewed keys. */
+class LayoutSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a stale warehouse dir without a catalog entry blocks re-creation
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("bucketed tables join without shuffling either side") {
+    dropTable("b_orders")
+    dropTable("b_lineitem")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Layout.writeBucketed(
+      orders.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 8)
+    Layout.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 8)
+    // force SMJ: at fixture scale AQE would broadcast (which disables
+    // the bucketed read); production fact-fact sizes always take SMJ
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem").hint("merge"), "k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle:\n" + plan.take(2000))
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+    assert(joined.count() === lineitem.count()) // FK join preserves fact rows
+    dropTable("b_orders")
+    dropTable("b_lineitem")
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    // 10k rows of one hot key + a uniform tail
+    val big = ((1 to 10000).map(i => (1L, s"row$i")) ++
+      (1 to 100).map(i => (i.toLong % 10 + 2, s"tail$i")))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Layout.saltedJoin(big, small, "k", saltFactor = 8)
+    assert(salted.count() === plain.count())
+    val a = plain.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("copartitioned frames reuse their partitioning across the join") {
+    val (a, b) = Layout.copartition(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_totalprice")),
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(col("l_orderkey").as("k"), col("l_quantity")),
+      "k", 8)
+    // force a sort-merge join so AQE's broadcast conversion doesn't
+    // replace the partitioning-reuse scenario under test
+    val joined = a.join(b.hint("merge"), "k")
+    joined.collect()
+    // count exchanges in the FINAL adaptive plan only (the plan string
+    // repeats the initial plan below it)
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // exactly the two explicit repartitions; the join itself adds none
+    assert(exchanges <= 2, s"found $exchanges exchanges:\n" + plan.take(2000))
+  }
+}

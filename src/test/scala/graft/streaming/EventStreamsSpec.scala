@@ -59,6 +59,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed === batch)
   }
 
+  test("word-score scoring runs identically on a text stream") {
+    // the reference's scoring flow (§3.1) applied through readStream:
+    // same column transforms, streamed vs batch results must agree
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-score-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
+      streamDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(docsPath).schema
+    val streamed = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .select(col("doc_id"),
+        graft.wordscore.WordScore.scoreCol(col("text")).as("computed"))
+    val q = streamed.writeStream.format("memory").queryName("scored_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("scored_stream")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = spark.read.parquet(docsPath)
+      .select(col("doc_id"),
+        graft.wordscore.WordScore.scoreCol(col("text")).as("computed"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+    assert(got.size === 500)
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
