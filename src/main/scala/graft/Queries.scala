@@ -269,6 +269,13 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, bits = 8, seed = 42L)
 
+  /** IVF ANN (KMeans coarse quantizer + nprobe rerank; rows-only —
+    * q21 is the exact ground truth, recall pinned in OpsSpec). */
+  def q27AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SimSearch.ivfTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nlist = 16, nprobe = 4)
+
   /** MLlib training (M3-M7): static LogisticRegression over documents
     * labelled by lang; returns (classifier, label_column, precision).
     * Not SQL-expressible — rows-only; semantics pinned in MLSpec. */

@@ -49,6 +49,7 @@ object SparkEntry {
     "q24_ann_lsh" -> (Queries.q24AnnLsh(_, _)),
     "q25_ml_train" -> (Queries.q25MlTrain(_, _)),
     "q26_scorelist" -> (Queries.q26ScoreList(_, _)),
+    "q27_ann_ivf" -> (Queries.q27AnnIvf(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -105,6 +105,47 @@ object SimSearch {
       .limit(k)
   }
 
+  /**
+   * IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+   * corpus into `nlist` cells; a query probes its `nprobe` nearest
+   * cells and reranks exactly. At scale the cell assignment is
+   * precomputed/persisted (one narrow map per ingest batch) and each
+   * query touches ~nprobe/nlist of the corpus. Deterministic via seed.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = df.withColumn("__feat",
+      array_to_vector(asDouble(col(vecCol))))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__feat").setPredictionCol("__cell")
+      .fit(featured)
+    val assigned = model.transform(featured)
+    // driver-side: the query's nprobe nearest centroids (nlist is tiny)
+    val qVec = featured.where(col(idCol) === queryId)
+      .select("__feat").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0
+        var j = 0
+        val n = math.min(c.size, qVec.size)
+        while (j < n) { val d = c(j) - qVec(j); s += d * d; j += 1 }
+        (i, s)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val qRow = assigned.where(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("__q"))
+    assigned
+      .where(col("__cell").isin(probeCells.toSeq: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(qRow))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("__q")), 4).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-vector stats (dims, L2 norm) — oracle-checkable projection. */
   def vectorStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(

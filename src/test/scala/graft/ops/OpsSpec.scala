@@ -127,6 +127,18 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top.last._1 === 2L)
   }
 
+  test("ivf ann: high recall vs brute force on the embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SimSearch.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nlist = 8, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    // probing half the cells must recover most of the true top-10
+    assert(ivf.intersect(exact).size >= 5, s"ivf=$ivf exact=$exact")
+    assert(ivf.size === 10)
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
