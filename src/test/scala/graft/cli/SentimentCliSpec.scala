@@ -62,6 +62,41 @@ class SentimentCliSpec extends AnyFunSuite with SparkTestSession {
     assert(stats.getDouble(0) >= -1.0 && stats.getDouble(1) <= 1.0)
   }
 
+  test("end-to-end --train word-score writes per-category word lists") {
+    val dest = Files.createTempDirectory("graft-cli-wl").toString + "/wl"
+    val cfg = SentimentCli.parse(Seq(
+      "--inputs", resourcePath("/graft/sentiment140.csv"),
+      "--filetype", "csv",
+      "--train",
+      "--output", dest)).get
+    SentimentCli.run(cfg, spark)
+    // sentiment labels 0 and 4 -> word lists at <dest>0 and <dest>4
+    for (cat <- Seq("0", "4")) {
+      val dir = new java.io.File(dest + cat)
+      assert(dir.exists() && dir.isDirectory, s"missing word list dir for $cat")
+    }
+  }
+
+  test("end-to-end --train mlib trains and persists a loadable model") {
+    val modelPath = Files.createTempDirectory("graft-cli-ml").toString + "/model"
+    val cfg = SentimentCli.parse(Seq(
+      "--inputs", resourcePath("/graft/sentiment140.csv"),
+      "--filetype", "csv",
+      "--train", "--method", "mlib",
+      "--classifier", "logistic-static",
+      "--model", modelPath)).get
+    SentimentCli.run(cfg, spark)
+    val model = graft.ml.SentimentML.load(modelPath)
+    // score through the loaded model end-to-end
+    val (df, _) = graft.sources.FormatIO.loadFile(
+      Some("csv"), resourcePath("/graft/sentiment140.csv"), spark).get
+    val cleaned = graft.text.TextClean.cleanSource(
+      df, "_c5", "filtered", stem = true)
+    val scored = model.transform(cleaned)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.count() === 60)
+  }
+
   test("randomSample returns rows (Q8 fixed: non-zero fraction)") {
     import spark.implicits._
     val df = (1 to 100).toDF("n")
