@@ -276,6 +276,22 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, nlist = 16, nprobe = 4)
 
+  /** Sliding-window aggregate (1h window, 30min slide) — the batch
+    * form of the streaming extension's sliding windows, oracle-checked
+    * (each event lands in exactly two windows). */
+  def q28EventsSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sliding(events(spark, dir), "1 hour", "30 minutes")
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based session windows per user (10 min), oracle-checked
+    * against a lag-over-window SQL formulation. (Boundary note: a gap
+    * of exactly 10:00.000000 splits in SQL but merges in Spark's
+    * overlap rule — unobservable with microsecond-random fixtures.) */
+  def q29UserSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessions(events(spark, dir), "10 minutes")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** MLlib training (M3-M7): static LogisticRegression over documents
     * labelled by lang; returns (classifier, label_column, precision).
     * Not SQL-expressible — rows-only; semantics pinned in MLSpec. */

@@ -50,6 +50,8 @@ object SparkEntry {
     "q25_ml_train" -> (Queries.q25MlTrain(_, _)),
     "q26_scorelist" -> (Queries.q26ScoreList(_, _)),
     "q27_ann_ivf" -> (Queries.q27AnnIvf(_, _)),
+    "q28_events_sliding" -> (Queries.q28EventsSliding(_, _)),
+    "q29_user_sessions" -> (Queries.q29UserSessions(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -218,6 +220,33 @@ object SparkEntry {
         |SELECT c.category, coalesce(n.n, 0)::BIGINT AS n_words
         |FROM cats c LEFT JOIN counts n ON c.lang = n.lang
         |ORDER BY c.category""".stripMargin,
+    "q28_events_sliding" ->
+      """WITH starts AS (
+        |  SELECT event_type, ts,
+        |    unnest([ (floor(epoch(ts)/1800)*1800)::BIGINT,
+        |             (floor(epoch(ts)/1800)*1800 - 1800)::BIGINT ]) AS ws
+        |  FROM events)
+        |SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M') AS window_start,
+        |       event_type, count(*) AS n
+        |FROM starts
+        |WHERE epoch(ts) >= ws AND epoch(ts) < ws + 3600
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q29_user_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q21_knn_exact" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (
