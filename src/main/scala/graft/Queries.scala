@@ -68,15 +68,8 @@ object Queries {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads
     * with `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
     * Bench sessions); convert the long nanos back to a timestamp here. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = t(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          timestamp_micros((col("ts") / 1000).cast("long")))
-      case _ => df
-    }
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.nanosToTimestamp(t(spark, dir, "events"))
 
   /** TPC-H Q1 shape: scan-heavy multi-aggregate over lineitem. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =

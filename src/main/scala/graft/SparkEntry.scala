@@ -176,8 +176,10 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q19_text_profile" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |  FROM documents),
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) raw
+        |  WHERE w <> ''),
         |stats AS (
         |  SELECT doc_id, count(*) AS n_tok, avg(length(w)) AS mtl,
         |    sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to',
@@ -208,6 +210,7 @@ object SparkEntry {
         |  SELECT d.lang, u.w, count(DISTINCT d.doc_id) AS df
         |  FROM documents d,
         |       unnest(string_split(d.text, ' ')) AS u(w)
+        |  WHERE u.w <> ''
         |  GROUP BY d.lang, u.w),
         |vocab AS (SELECT lang, w FROM term_df WHERE df >= 5),
         |overlap AS (

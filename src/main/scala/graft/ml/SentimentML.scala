@@ -55,9 +55,11 @@ object SentimentML {
   case class TrainResult(model: PipelineModel, name: String, precision: Double,
                          labelColumn: String)
 
+  // the 10% test split is produced for split-ratio parity with the
+  // reference (seed-0 0.7/0.2/0.1) but not retained: model selection
+  // uses the validation split only
   private case class Prepared(labelColumn: String, features: PipelineModel,
-                              train: DataFrame, validation: DataFrame,
-                              test: DataFrame)
+                              train: DataFrame, validation: DataFrame)
 
   private def prepare(training: DataFrame, textColumn: String, limit: Int,
                       fitFeaturesOnTrainOnly: Boolean): Prepared = {
@@ -73,13 +75,18 @@ object SentimentML {
     val splits = data.randomSplit(Array(0.7, 0.2, 0.1), 0)
     val featFitInput = if (fitFeaturesOnTrainOnly) splits(0) else data
     val features = featurePipeline(textColumn).fit(featFitInput)
-    Prepared(labelColumn, features, splits(0), splits(1), splits(2))
+    Prepared(labelColumn, features, splits(0), splits(1))
   }
 
-  /** Reference precision metric: avg(prediction == score) (A2). */
-  def precisionOf(scored: DataFrame): Double =
-    scored.select(avg((col("prediction") === col(ScoreCol)).cast("double")))
-      .head.getDouble(0)
+  /** Reference precision metric: avg(prediction == score) (A2).
+    * 0.0 on an empty frame (avg returns null) — a tiny input whose
+    * seed-0 split leaves the validation set empty must not NPE. */
+  def precisionOf(scored: DataFrame): Double = {
+    val row = scored
+      .select(avg((col("prediction") === col(ScoreCol)).cast("double")))
+      .head
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
 
   /** Grid sweep on cached featurized vectors; returns the best
     * (classifierModel, precision) and the static model's precision,

@@ -165,12 +165,18 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    candidates
+    val verified = candidates
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    // Eagerly materialize the (LSH-small) verified pair set so the
+    // persisted shingle frame can be released immediately — otherwise
+    // every call leaks one cached dataset for the session's lifetime.
+    val out = verified.localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Near-dedup: greedily drop the right-hand member of each verified

@@ -86,7 +86,9 @@ object SimSearch {
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int, bits: Int = 8,
                  seed: Long = 42L): DataFrame = {
-    val dim = 64 // testdata embedding width; parameterize per corpus
+    // derive the embedding width from the data (a hardcoded dim would
+    // silently bucket 768-dim vectors by their first components only)
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
     val bucketOf = srpBucketUdf(bits, dim, seed)
     val bucketed = df.withColumn("__bucket", bucketOf(col(vecCol)))
     val qRow = bucketed.where(col(idCol) === queryId)

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
  */
 object TextStats {
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+  /** Whitespace token count (empty tokens from leading/repeated
+    * whitespace excluded — consistent with every other ratio here). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
 
   /** BPE-ish subword count: word-pieces + digits + punctuation runs —
     * a deterministic proxy for tokenizer-cost estimation. */

@@ -66,11 +66,12 @@ object Detection {
     val sample = df.limit(limit)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__n")) ++
+        // string columns need only avg word count + first value; no
+        // consumer reads string distinct counts, so don't pay for them
         sCols.flatMap { c =>
           Seq(
             avg(size(split(col(c), " "))).as(s"__wc__$c"),
-            first(col(c), ignoreNulls = false).as(s"__fv__$c"),
-            countDistinct(col(c)).as(s"__nd__$c"))
+            first(col(c), ignoreNulls = false).as(s"__fv__$c"))
         } ++
         iCols.map(c => countDistinct(col(c)).as(s"__nd__$c"))
     val row: Row = sample.agg(aggs.head, aggs.tail: _*).first()
@@ -81,7 +82,7 @@ object Detection {
         val v = row.getAs[Any](s"__wc__$c")
         c -> (if (v == null) 0.0 else v.asInstanceOf[Double])
       }.toMap,
-      distinctCount = (sCols ++ iCols).map(c => c -> get[Long](s"__nd__$c")).toMap,
+      distinctCount = iCols.map(c => c -> get[Long](s"__nd__$c")).toMap,
       firstValue = sCols.map { c =>
         c -> String.valueOf(row.getAs[Any](s"__fv__$c"))
       }.toMap)

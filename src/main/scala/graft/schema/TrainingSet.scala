@@ -56,10 +56,20 @@ object TrainingSet {
       case (df, roles) => roles.index.map(ix => (df, ix))
     }
     if (indexed.size != participants.size) return None
-    Some(indexed.reduce { (l, r) =>
-      val (ldf, lix) = l
-      val (rdf, rix) = r
-      (ldf.join(rdf, ldf.col(lix) <=> rdf.col(rix)), lix)
-    }._1)
+    // Disambiguate before joining: sources routinely share inferred
+    // column names (two headerless CSVs both have _c0.._cN); an
+    // un-renamed join would make every downstream col() reference
+    // throw AMBIGUOUS_REFERENCE. Left frame keeps its names; each
+    // right frame's colliding columns get a positional suffix.
+    Some(indexed.zipWithIndex.map { case ((df, ix), i) => (df, ix, i) }
+      .reduce { (l, r) =>
+        val (ldf, lix, _) = l
+        val (rdf0, rix0, ri) = r
+        val collisions = rdf0.columns.toSet.intersect(ldf.columns.toSet)
+        val rdf = collisions.foldLeft(rdf0)((df, c) =>
+          df.withColumnRenamed(c, s"${c}__src$ri"))
+        val rix = if (collisions.contains(rix0)) s"${rix0}__src$ri" else rix0
+        (ldf.join(rdf, ldf.col(lix) <=> rdf.col(rix)), lix, ri)
+      }._1)
   }
 }

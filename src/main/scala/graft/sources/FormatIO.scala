@@ -123,13 +123,25 @@ object FormatIO {
     * (S13) without driver-side recursive deletes. */
   def save(fileType: String, df: DataFrame, output: String,
            overwrite: Boolean = false): Unit = {
-    val w = if (overwrite) df.write.mode("overwrite") else df.write
+    fileType.toLowerCase match {
+      case "json" | "csv" | "parquet" | "par" | "txt" | "text" =>
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+    // the text sink only accepts a single string column; a scored txt
+    // input (value + computed...) would otherwise crash the
+    // format-preserving save — collapse to tab-separated lines
+    val out =
+      if (Set("txt", "text").contains(fileType.toLowerCase) && df.columns.length > 1)
+        df.select(org.apache.spark.sql.functions.concat_ws("\t",
+          df.columns.map(c => org.apache.spark.sql.functions.col(c).cast("string")).toSeq: _*)
+          .as("value"))
+      else df
+    val w = if (overwrite) out.write.mode("overwrite") else out.write
     fileType.toLowerCase match {
       case "json" => w.json(output)
       case "csv" => w.option("header", true).csv(output)
       case "txt" | "text" => w.text(output)
       case "parquet" | "par" => w.parquet(output)
-      case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }
 

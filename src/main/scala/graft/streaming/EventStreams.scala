@@ -52,6 +52,19 @@ object EventStreams {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Convert a long-nanos `ts` column (from
+    * `spark.sql.legacy.parquet.nanosAsLong` reads) back to a timestamp.
+    * MUST be integer division: `/` on columns is double division, and a
+    * 61-bit nanos value loses precision in a 53-bit mantissa — ~1.5% of
+    * fixture timestamps land 1 microsecond off, which would diverge
+    * from the oracle on any boundary-aligned event. */
+  def nanosToTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+
   /** File-source stream over an events parquet directory with an
     * event-time watermark; same aggregation as [[tumbling]]. */
   def streamTumbling(spark: SparkSession, dir: String,
@@ -59,12 +72,7 @@ object EventStreams {
                      width: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    val events = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-      case _ => raw
-    }
-    tumbling(events.withWatermark("ts", watermark), width)
+    tumbling(nanosToTimestamp(raw).withWatermark("ts", watermark), width)
   }
 
   /** Drain the stream to an in-memory sink once (availableNow) and

@@ -63,6 +63,24 @@ class DetectionTotalitySpec extends AnyFunSuite with SparkTestSession {
     assert(roles.value === None)
   }
 
+  test("align joins sources sharing column names (headerless-CSV shape)") {
+    import spark.implicits._
+    // two sources with IDENTICAL inferred names: one carries text, one
+    // carries the label; both have an all-distinct int index (_c0)
+    val texts = (1 to 30).map(i =>
+      (i, s"many words in this long text number $i indeed truly"))
+      .toDF("_c0", "_c1")
+    val labels = (1 to 30).map(i => (i, i % 2)).toDF("_c0", "_c1")
+    val joined = TrainingSet.align(Seq(texts, labels), limit = 30)
+    assert(joined.isDefined, "alignment must succeed")
+    assert(joined.get.count() === 30)
+    // all columns from both sources survive, disambiguated
+    assert(joined.get.columns.length === 4)
+    assert(joined.get.columns.distinct.length === 4, "ambiguous columns")
+    // downstream detection works on the joined frame (no AMBIGUOUS_REFERENCE)
+    assert(Detection.detectTextColumn(joined.get, 30).isDefined)
+  }
+
   test("TrainingSet.align is total: returns None instead of crashing") {
     import spark.implicits._
     // sources with no detectable roles at all

@@ -6,8 +6,10 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 SQL in DuckDB against the parquet tables in <sfDir>, and compares with the
 Spark result parquet at <verifyOutDir>/<name>/. Compares row count, column
-names (sorted), and values (floats with tolerance, everything else exact),
-both in result order and after a canonical sort.
+names (sorted), and values in result order (floats with tolerance,
+everything else exact). Order sensitivity is intentional: every query
+declares a deterministic ORDER BY on both sides, and Verify writes each
+result coalesce(1) so a single part file preserves it.
 """
 import sys, json, glob, math
 import duckdb
