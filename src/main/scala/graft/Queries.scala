@@ -269,6 +269,23 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, nlist = 16, nprobe = 4)
 
+  /** Embedding-cosine near-dup pairs (SRP-bucketed + multi-probe,
+    * exact-cosine verify). The fixture's vectors are near-orthogonal
+    * (max pairwise cosine ~0.51), so duplicates are planted: the
+    * corpus is unioned with id-shifted copies of itself and the
+    * operator must recover exactly those copy pairs at cosine 1.0.
+    * Rows-only (LSH recall semantics pinned in OpsSpec); expected row
+    * count = corpus size. */
+  def q30CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val copies = emb.select(
+      (col("vec_id") + lit(1000000)).as("vec_id"), col("embedding"))
+    graft.ops.SimSearch.cosineNearDupPairs(
+      emb.select("vec_id", "embedding").union(copies),
+      "vec_id", "embedding", threshold = 0.99, bits = 8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Sliding-window aggregate (1h window, 30min slide) — the batch
     * form of the streaming extension's sliding windows, oracle-checked
     * (each event lands in exactly two windows). */

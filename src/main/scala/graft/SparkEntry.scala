@@ -52,6 +52,7 @@ object SparkEntry {
     "q27_ann_ivf" -> (Queries.q27AnnIvf(_, _)),
     "q28_events_sliding" -> (Queries.q28EventsSliding(_, _)),
     "q29_user_sessions" -> (Queries.q29UserSessions(_, _)),
+    "q30_cosine_neardup" -> (Queries.q30CosineNearDup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -138,6 +138,22 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 12,
                    bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val (sh, verified) = minhashPairsPlan(df, idCol, textCol, shingleSize,
+      numHashes, bands, threshold)
+    // Eagerly materialize the (LSH-small) verified pair set so the
+    // persisted shingle frame can be released immediately — otherwise
+    // every call leaks one cached dataset for the session's lifetime.
+    val out = verified.localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[minhashPairs]] (un-checkpointed so tests
+    * can assert its shape; returns the persisted shingle frame for the
+    * caller to release). */
+  private[ops] def minhashPairsPlan(df: DataFrame, idCol: String, textCol: String,
+                                    shingleSize: Int, numHashes: Int,
+                                    bands: Int, threshold: Double): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // Persisted: this frame feeds three consumers (banding + both
@@ -171,12 +187,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    // Eagerly materialize the (LSH-small) verified pair set so the
-    // persisted shingle frame can be released immediately — otherwise
-    // every call leaks one cached dataset for the session's lifetime.
-    val out = verified.localCheckpoint(true)
-    sh.unpersist()
-    out
+    (sh, verified)
   }
 
   /** Near-dedup: greedily drop the right-hand member of each verified

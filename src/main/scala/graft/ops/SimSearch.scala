@@ -148,6 +148,55 @@ object SimSearch {
       .limit(k)
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs (the fifth dedup modality
+   * next to exact/MinHash/SimHash/n-gram-Jaccard): SRP-bucket every
+   * vector, pair within buckets (plus single-bit-flip neighbor buckets
+   * for recall), verify with exact cosine. Narrow candidate shuffle on
+   * the bucket key only — never an all-pairs product. Recall is
+   * tunable via `bits` (fewer bits = bigger buckets = higher recall,
+   * more verification work).
+   */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 8,
+                         seed: Long = 42L): DataFrame = {
+    val (bucketed, verified) =
+      cosineNearDupPlan(df, idCol, vecCol, threshold, bits, seed)
+    val out = verified.localCheckpoint(true)
+    bucketed.unpersist()
+    out
+  }
+
+  /** Un-checkpointed plan behind [[cosineNearDupPairs]] (testable). */
+  private[ops] def cosineNearDupPlan(df: DataFrame, idCol: String, vecCol: String,
+                                     threshold: Double, bits: Int,
+                                     seed: Long): (DataFrame, DataFrame) = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val bucketOf = srpBucketUdf(bits, dim, seed)
+    val bucketed = df.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"),
+      bucketOf(col(vecCol)).as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each vector also probes its single-bit-flip buckets so pairs
+    // split across one differing hyperplane sign are still candidates
+    val probed = bucketed.select(col("__id"), col("__v"),
+      explode(array((0 to bits).map {
+        case 0 => col("__b")
+        case i => col("__b").bitwiseXOR(lit(1 << (i - 1)))
+      }: _*)).as("__bucket"))
+    val a = probed.select(col("__bucket"), col("__id").as("id_a"),
+      col("__v").as("v_a"))
+    val b = bucketed.select(col("__b").as("__bucket"),
+      col("__id").as("id_b"), col("__v").as("v_b"))
+    val verified = a.join(b, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    (bucketed, verified)
+  }
+
   /** Per-vector stats (dims, L2 norm) — oracle-checkable projection. */
   def vectorStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(

@@ -39,9 +39,14 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("minhash plan contains no cartesian product") {
-    val plan = planOf(Dedup.minhashPairs(docs, "doc_id", "text"))
-    assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // assert on the un-checkpointed plan (the public API checkpoints
+    // eagerly, which would sever the lineage under inspection)
+    val (sh, verified) = Dedup.minhashPairsPlan(docs, "doc_id", "text", 3, 12, 4, 0.7)
+    try {
+      val plan = planOf(verified)
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    } finally sh.unpersist()
   }
 
   test("jaccardPairsWithin blocks by key (no cross-block pairs)") {
@@ -137,6 +142,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // probing half the cells must recover most of the true top-10
     assert(ivf.intersect(exact).size >= 5, s"ivf=$ivf exact=$exact")
     assert(ivf.size === 10)
+  }
+
+  test("embedding-cosine near-dup finds identical vectors, no cartesian") {
+    val base = Array.tabulate(32)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val vecs = (Seq((0L, base), (1L, base), (2L, near)) ++
+      (3L to 40L).map(i => (i, Array.tabulate(32)(j => math.cos(i * 37 + j).toFloat))))
+      .toDF("vec_id", "embedding")
+    val (bucketed, lazyPairs) = SimSearch.cosineNearDupPlan(
+      vecs, "vec_id", "embedding", 0.999, 4, 42L)
+    try assert(!planOf(lazyPairs).contains("CartesianProduct"),
+      planOf(lazyPairs).take(1500))
+    finally bucketed.unpersist()
+    val pairs = SimSearch.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.999, bits = 4)
+    val keys = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L))) // identical pair must be found
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L))) // near pair
+    val cos01 = pairs.where($"id_a" === 0 && $"id_b" === 1)
+      .head().getDouble(2)
+    assert(cos01 === 1.0)
   }
 
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
