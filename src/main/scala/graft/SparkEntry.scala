@@ -262,6 +262,50 @@ object SparkEntry {
         |      FROM pairs GROUP BY vec_id)
         |SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // q22: the LSH banding itself is not SQL-expressible, but its
+    // OUTPUT contract is — all pairs with exact 3-gram Jaccard >= 0.7
+    // (the fixture plants pairs at J ~0.9-0.99, where the banded
+    // candidate probability is >0.99, and the exact-Jaccard verify
+    // makes the final set threshold-exact). The CTE mirrors
+    // Dedup.shingleSet: normalized tokens, distinct trigrams, and the
+    // whole-text shingle for docs shorter than n tokens.
+    "q22_minhash_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM norm WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q30: the planted-copy corpus makes the output contract exact —
+    // every pair at cosine >= 0.99 is a planted (i, i+1000000) copy at
+    // cosine 1.0 (organic max pairwise cosine is ~0.51), and identical
+    // vectors always share an SRP bucket, so LSH recall is 1 here.
+    "q30_cosine_neardup" ->
+      """WITH uni AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+        |FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -26,18 +26,28 @@ object Dedup {
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Exact dedup: keep the smallest id per normalized text. Shuffles
-    * narrow (key, id) rows for the keeper aggregate, then left-semi
-    * joins the keepers back; deterministic winner (min id), unlike
-    * `dropDuplicates` whose survivor is partition-order-dependent.
-    * (A one-shuffle `min_by(struct(*), id)` variant was measured 30x
+  /** Exact dedup: keep the smallest id per normalized text —
+    * deterministic winner (min id), unlike `dropDuplicates` whose
+    * survivor is partition-order-dependent.
+    *
+    * Plan shape: ONE scan of the source and ONE shuffle (row_number
+    * over the 64-bit key). The previous agg+left-semi formulation
+    * scanned the source twice and still shuffled full rows for the
+    * join, so at 100 TB this form moves strictly fewer bytes. (A
+    * one-shuffle `min_by(struct(*), id)` variant was measured 30x
     * SLOWER at sf0.1 — struct-valued min_by leaves the codegen hash-
-    * aggregate path — so the two-pass form stands.) */
+    * aggregate path.) Skew note: a pathological mega-cluster (e.g.
+    * boilerplate text duplicated millions of times) lands its copies
+    * in one window partition; the sort is spill-backed so it degrades
+    * to disk speed, not OOM — pre-filter known boilerplate upstream if
+    * that profile is expected. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.withColumn("__key", xxhash64(normalized(col(textCol))))
-    val keepers = keyed.groupBy(col("__key"))
-      .agg(min(col(idCol)).as(idCol))
-    keyed.join(keepers, Seq("__key", idCol), "left_semi").drop("__key")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__key")).orderBy(col(idCol))
+    df.withColumn("__key", xxhash64(normalized(col(textCol))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__key", "__rn")
   }
 
   /** Single-pass word n-gram shingle set (distinct, first-occurrence
@@ -190,17 +200,62 @@ object Dedup {
     (sh, verified)
   }
 
-  /** Near-dedup: greedily drop the right-hand member of each verified
-    * pair (keeps the smallest id of every duplicate cluster that forms
-    * a star; chained clusters may keep more than one representative —
-    * full transitive closure needs an iterative connected-components
-    * pass, deliberately out of scope for one shot). */
+  /**
+   * Connected components over an undirected pair set (columns
+   * `id_a`/`id_b`): min-label propagation to fixpoint — each node's
+   * component label is the minimum id reachable from it. Returns
+   * (node, comp).
+   *
+   * Scale shape: the pair set is the VERIFIED near-dup set, tiny
+   * relative to the corpus, and duplicate clusters are shallow (label
+   * propagation converges in O(diameter) rounds; `maxIter` is a
+   * safety bound, with convergence detected by the monotonically
+   * decreasing label sum). Each round is one equi-join + one hash
+   * aggregate on narrow (long, long) rows, eagerly checkpointed so
+   * lineage doesn't grow with iterations.
+   */
+  private[ops] def componentsOf(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("comp").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("comp"))
+      val next = labels.union(msgs)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dedup with FULL transitive closure: connected components over
+    * the verified pair set, keeping exactly the min-id representative
+    * of every duplicate cluster — a chain A~B~C (where A,C were never
+    * direct candidates) still collapses to just A. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 12,
                          bands: Int = 4, threshold: Double = 0.7): DataFrame = {
-    val losers = minhashPairs(df, idCol, textCol, shingleSize, numHashes,
+    val pairs = minhashPairs(df, idCol, textCol, shingleSize, numHashes,
       bands, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    val comps = componentsOf(pairs)
+    val losers = comps.where(col("comp") =!= col("node"))
+      .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -217,9 +272,29 @@ object Dedup {
    */
   def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
                          blockCol: String, n: Int,
-                         threshold: Double): DataFrame = {
-    val postings = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+                         threshold: Double,
+                         maxDf: Int = Int.MaxValue): DataFrame = {
+    val rawPostings = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
       explode(shingles(col(textCol), n)).as("__g"))
+    // Document-frequency cap (standard prefix filtering): a shingle in k
+    // docs of a block yields k^2 candidate rows, and with small n a
+    // stopword-grade shingle makes k ~ block size — quadratic blowup on
+    // a skewed key. With `maxDf` set, postings whose per-(block, gram)
+    // count exceeds it are dropped BEFORE the self-join, bounding the
+    // per-gram fanout at maxDf^2; similarity then means "Jaccard over
+    // non-hot shingles" (sizes are computed from the capped postings so
+    // numerator and denominator stay consistent). Default Int.MaxValue
+    // = off (exact semantics, oracle-checked at current scale);
+    // MANDATORY at 100x — leave it off only when the shingle DF
+    // distribution is known to be bounded.
+    val postings =
+      if (maxDf == Int.MaxValue) rawPostings
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("__blk"), col("__g"))
+        rawPostings.withColumn("__df", count(lit(1)).over(w))
+          .where(col("__df") <= maxDf).drop("__df")
+      }
     val sizes = postings.groupBy(col("__id"))
       .agg(count(lit(1)).as("__sz"))
     val a = postings.select(col("__blk"), col("__g"), col("__id").as("id_a"))

@@ -178,19 +178,28 @@ object SimSearch {
       bucketOf(col(vecCol)).as("__b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each vector also probes its single-bit-flip buckets so pairs
-    // split across one differing hyperplane sign are still candidates
-    val probed = bucketed.select(col("__id"), col("__v"),
+    // split across one differing hyperplane sign are still candidates.
+    // The probe explosion and pair-dedup carry ONLY (bucket, id) — at
+    // 768-dim embeddings the vectors are ~3 KB/row and shuffling them
+    // x(1+bits) probes is the dominant cost at scale; instead the
+    // (small) deduped candidate set joins the vectors back from the
+    // persisted bucketed frame for the exact-cosine verify, exactly as
+    // Dedup.minhashPairsPlan keeps shingle arrays out of its candidate
+    // shuffle.
+    val probed = bucketed.select(col("__id"),
       explode(array((0 to bits).map {
         case 0 => col("__b")
         case i => col("__b").bitwiseXOR(lit(1 << (i - 1)))
       }: _*)).as("__bucket"))
-    val a = probed.select(col("__bucket"), col("__id").as("id_a"),
-      col("__v").as("v_a"))
-    val b = bucketed.select(col("__b").as("__bucket"),
-      col("__id").as("id_b"), col("__v").as("v_b"))
-    val verified = a.join(b, Seq("__bucket"))
+    val a = probed.select(col("__bucket"), col("__id").as("id_a"))
+    val b = bucketed.select(col("__b").as("__bucket"), col("__id").as("id_b"))
+    val candidates = a.join(b, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val verified = candidates
+      .join(bucketed.select(col("__id").as("id_a"), col("__v").as("v_a")), "id_a")
+      .join(bucketed.select(col("__id").as("id_b"), col("__v").as("v_b")), "id_b")
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))

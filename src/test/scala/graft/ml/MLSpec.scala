@@ -54,6 +54,38 @@ class MLSpec extends AnyFunSuite with SparkTestSession {
     assert(r.precision >= 0.0 && r.precision <= 1.0)
   }
 
+  test("M9: random forest ('maxentropy') trains deterministically, seed 5043") {
+    val r1 = SentimentML.train(fixture, "_c5", "maxentropy")
+    assert(r1.name === "maximum entropy")
+    assert(r1.labelColumn === "_c0")
+    assert(r1.precision >= 0.0 && r1.precision <= 1.0)
+    // pinned seed + seed-0 split => bit-identical rerun
+    val r2 = SentimentML.train(fixture, "_c5", "randomforest")
+    assert(r2.precision === r1.precision)
+    // the artifact scores like any other pipeline
+    val scored = SentimentML.score(r1.model, fixture)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.count() === fixture.count())
+  }
+
+  test("M11: all-classifiers mode returns the max-precision of the three") {
+    val all = SentimentML.train(fixture, "_c5", "all")
+    val lr = SentimentML.train(fixture, "_c5", "logistic")
+    val nb = SentimentML.train(fixture, "_c5", "naivebayes")
+    val rf = SentimentML.train(fixture, "_c5", "maxentropy")
+    val individual = Seq(
+      "logistic regression" -> lr.precision,
+      "naive bayes" -> nb.precision,
+      "maximum entropy" -> rf.precision)
+    val bestPrecision = individual.map(_._2).max
+    assert(all.precision === bestPrecision)
+    // the reported name is one of the classifiers achieving the max
+    val bestNames = individual.collect {
+      case (n, p) if p == bestPrecision => n
+    }.toSet
+    assert(bestNames.contains(all.name), s"${all.name} not in $bestNames")
+  }
+
   test("score-list aggregate path matches CountVectorizer path") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

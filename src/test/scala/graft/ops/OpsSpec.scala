@@ -165,6 +165,85 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(cos01 === 1.0)
   }
 
+  test("cosine near-dup candidate shuffle carries ids only, no vectors") {
+    // the scale contract behind q30: the (1+bits)-way probe explosion
+    // and the pair dedup must shuffle (bucket, id) rows only — the
+    // vectors join back just for the verified candidate set
+    val vecs = (0L to 60L)
+      .map(i => (i, Array.tabulate(16)(j => math.sin(i * 31 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    // disable AQE (so ShuffleExchangeExec nodes are visible in the
+    // executed plan) and broadcast joins (so the candidate join takes
+    // the shuffle path it would take at real scale)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (bucketed, lazyPairs) = SimSearch.cosineNearDupPlan(
+        vecs, "vec_id", "embedding", 0.999, 4, 42L)
+      try {
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.types.ArrayType
+        val exchanges = lazyPairs.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        val bucketKeyed = exchanges.filter(
+          _.outputPartitioning.toString.contains("__bucket"))
+        assert(bucketKeyed.nonEmpty,
+          lazyPairs.queryExecution.executedPlan.toString.take(2000))
+        for (e <- bucketKeyed)
+          assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"vector-typed column in candidate exchange: $e")
+        // the pair-dedup exchange is narrow too: exactly (id_a, id_b)
+        assert(exchanges.exists(_.output.map(_.name).toSet == Set("id_a", "id_b")),
+          exchanges.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+      } finally bucketed.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
+  test("jaccardPairsWithin maxDf: generous cap is exact, df=1 cap drops all") {
+    val exact = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
+      n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
+      n = 1, threshold = 0.5, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === exact) // no gram is hotter than the cap
+    // maxDf=1 removes every shared posting -> zero candidate fanout
+    val tight = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
+      n = 1, threshold = 0.5, maxDf = 1)
+    assert(tight.count() === 0L)
+  }
+
+  test("connected components: chains collapse to the min-id label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.componentsOf(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicates: chained cluster keeps exactly one representative") {
+    // A~B (J=0.8) and B~C (J=0.8) but A~C only 0.64 — below the 0.7
+    // threshold, so C survives star-removal and only the transitive
+    // closure collapses the chain to its min id
+    val w = (1 to 10).map(i => s"w$i")
+    val t1 = w.mkString(" ")
+    val t2 = (w.init :+ "x10").mkString(" ")
+    val t3 = ("y1" +: w.tail.init :+ "x10").mkString(" ")
+    val chain = Seq(
+      (1L, t1), (2L, t2), (3L, t3),
+      (4L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(chain, "doc_id", "text",
+      shingleSize = 2, numHashes = 12, bands = 6, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
