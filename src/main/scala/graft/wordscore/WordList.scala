@@ -77,9 +77,10 @@ object WordList {
   private val MaxFuzzyDistance = 3
 
   /** Memo of fuzzy results (per JVM). Zipf-distributed tokens make the
-    * hit rate high; bounded by periodic clear to cap executor memory. */
-  private val fuzzyCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-  private val FuzzyCacheCap = 1 << 17
+    * hit rate high; bounded LRU so the hot set survives overflow (a
+    * full clear-on-cap caused periodic refill latency spikes). */
+  private val fuzzyCache =
+    new BoundedLruCache[String, java.lang.Double](1 << 17)
 
   /** Mean score of dictionary entries at the minimal edit distance from
     * `word` when that distance <= 3; 0.0 otherwise. */
@@ -106,7 +107,6 @@ object WordList {
       l += 1
     }
     val result = if (bestDist > MaxFuzzyDistance || n == 0) 0.0 else sum / n
-    if (fuzzyCache.size() >= FuzzyCacheCap) fuzzyCache.clear()
     fuzzyCache.put(word, result)
     result
   }

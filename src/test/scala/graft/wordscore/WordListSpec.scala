@@ -51,4 +51,19 @@ class WordListSpec extends AnyFunSuite {
   test("fuzzy: tokens >3 edits from every dictionary entry score 0") {
     assert(WordList.fuzzy("qqqqqqqqqqqqqqqqqqqqqq") === 0.0)
   }
+
+  test("fuzzy memo LRU: bounded at cap without full eviction") {
+    // the memo behind WordList.fuzzy; small instance so overflowing it
+    // doesn't need 2^17 Levenshtein scans
+    val c = new BoundedLruCache[String, java.lang.Integer](64, stripes = 4)
+    for (i <- 0 until 256) c.put(s"k$i", i)
+    assert(c.size <= 64)          // bounded
+    assert(c.size > 32)           // ...but NOT cleared wholesale on cap
+    // recency: a key touched while inserts continue survives the churn
+    c.put("hot", -1)
+    for (i <- 1000 until 1014) { c.put(s"k$i", i); assert(c.get("hot") === -1) }
+    assert(c.get("hot") === -1)
+    // and cold keys from the first wave were evicted, not retained
+    assert((0 until 64).count(i => c.get(s"k$i") != null) < 64)
+  }
 }
