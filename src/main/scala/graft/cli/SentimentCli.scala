@@ -8,7 +8,7 @@ import graft.sources.FormatIO
 import graft.text.TextClean
 import graft.wordscore.{ScoreListTrainer, WordScore}
 import graft.ml.SentimentML
-import graft.nlp.SentimentFunctions
+import graft.nlp.{MlSentimentBackend, SentimentBackend, SentimentFunctions, WordScoreBackend}
 
 /**
  * CLI entry — the reference's `Sentiment.main` arg surface and
@@ -177,11 +177,11 @@ object SentimentCli {
                   (model.transform(cleaned), Some("prediction"))
                 case "our-nlp" =>
                   (cleaned.withColumn("computed",
-                    SentimentFunctions.sentimentUdf()(col(OutputColumn))),
+                    SentimentFunctions.sentimentUdf(nlpBackend(config))(col(OutputColumn))),
                     Some("computed"))
                 case "databricks-nlp" =>
                   (cleaned.withColumn("sentiment",
-                    SentimentFunctions.sentiment(col(OutputColumn))), None)
+                    SentimentFunctions.sentimentUdf(nlpBackend(config))(col(OutputColumn))), None)
                 case _ =>
                   (WordScore.score(cleaned, OutputColumn, "computed"),
                     Some("computed"))
@@ -191,6 +191,16 @@ object SentimentCli {
       }
     }
   }
+
+  /** our-nlp/databricks-nlp backend selection: a trained MLlib model
+    * when --model points at one (the reference's CoreNLP-RNN role,
+    * served by [[graft.nlp.MlSentimentBackend]]'s local scorer), else
+    * the offline word-score heuristic. */
+  private def nlpBackend(config: Config): SentimentBackend =
+    config.model match {
+      case Some(path) => MlSentimentBackend.load(path)
+      case None => WordScoreBackend
+    }
 
   /** W3: random sample for inspection, with the reference's integer-
     * division bug fixed (Q8: `m/count` was Long division = 0). */

@@ -97,6 +97,32 @@ class SentimentCliSpec extends AnyFunSuite with SparkTestSession {
     assert(scored.count() === 60)
   }
 
+  test("end-to-end our-nlp with --model scores via the trained backend") {
+    // train + persist a model through the CLI, then score with
+    // --method our-nlp --model: the MlSentimentBackend path
+    val tmp = Files.createTempDirectory("graft-cli-nlp").toString
+    val modelPath = tmp + "/model"
+    SentimentCli.run(SentimentCli.parse(Seq(
+      "--inputs", resourcePath("/graft/sentiment140.csv"),
+      "--filetype", "csv",
+      "--train", "--method", "mlib",
+      "--classifier", "logistic-static",
+      "--model", modelPath)).get, spark)
+    val out = tmp + "/scored"
+    SentimentCli.run(SentimentCli.parse(Seq(
+      "--inputs", resourcePath("/graft/sentiment140.csv"),
+      "--filetype", "csv",
+      "--method", "our-nlp",
+      "--model", modelPath,
+      "--output", out)).get, spark)
+    val (scored, _) = graft.sources.FormatIO.load("csv", out, spark).get
+    assert(scored.count() === 60)
+    assert(scored.columns.contains("computed"))
+    // model classes land in the clamped 0..4 band (not the lexicon's [-1,1])
+    val stats = scored.selectExpr("min(computed)", "max(computed)").head()
+    assert(stats.getInt(0) >= 0 && stats.getInt(1) <= 4)
+  }
+
   test("randomSample returns rows (Q8 fixed: non-zero fraction)") {
     import spark.implicits._
     val df = (1 to 100).toDF("n")
