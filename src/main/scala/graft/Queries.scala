@@ -325,6 +325,24 @@ object Queries {
       .toDF("category", "n_words")
   }
 
+  /** As-of (point-in-time) join: each purchase event picks up the most
+    * recent prior view-event value of the same user — the feature-
+    * lookup shape Spark lacks natively, implemented as union + running
+    * last over one key shuffle (no per-key cartesian). Oracle: DuckDB's
+    * native ASOF LEFT JOIN. */
+  def q31AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    graft.ops.AsofJoin.asof(left, right, "user_id", "ts", "value",
+      "prior_view_value")
+      .select(col("event_id"), col("user_id"),
+        round(col("prior_view_value"), 2).as("prior_view_value"))
+      .orderBy("event_id")
+  }
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

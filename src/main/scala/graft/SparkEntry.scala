@@ -53,6 +53,7 @@ object SparkEntry {
     "q28_events_sliding" -> (Queries.q28EventsSliding(_, _)),
     "q29_user_sessions" -> (Queries.q29UserSessions(_, _)),
     "q30_cosine_neardup" -> (Queries.q30CosineNearDup(_, _)),
+    "q31_asof_join" -> (Queries.q31AsofJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -306,6 +307,18 @@ object SparkEntry {
         |FROM uni a JOIN uni b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+    // q31: DuckDB has a native ASOF JOIN; the right side is reduced to
+    // one row per (user, ts) by max(value) on both sides so ties are
+    // deterministic (same reduction AsofJoin.asof applies).
+    "q31_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS v FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, round(r.v, 2) AS prior_view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

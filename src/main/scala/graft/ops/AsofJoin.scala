@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (point-in-time) join — an operator Spark lacks natively, core
+ * to training-data pipelines: attach to each left row the most recent
+ * right-side value with the same key at or before the left row's
+ * ordering value (feature lookups, slowly-changing dimensions, "last
+ * known state at event time").
+ *
+ * Scale shape: the naive formulation is a range join (`l.ts >= r.ts`
+ * theta-join), which Spark executes as a per-key cartesian — quadratic
+ * in events per key. This implementation instead UNIONS the two sides,
+ * sorts once per key (one hash shuffle on the key, the window sort is
+ * spill-backed), and takes a running `last(payload, ignoreNulls)` over
+ * the merged stream, so cost is O(n log n) per key and the plan has
+ * exactly one exchange. Right rows sort before left rows at equal
+ * ordering values, making the match inclusive (`>=`), same as DuckDB's
+ * ASOF JOIN.
+ *
+ * Determinism: multiple right rows at the same (key, ord) are reduced
+ * to one by `max(payload)` before the merge (document the reduction,
+ * don't inherit partition order).
+ */
+object AsofJoin {
+
+  /**
+   * For every row of `left`, the latest `payloadCol` from `right` with
+   * the same `keyCol` and `ordCol` <= the left row's (null when no
+   * such row). Output = left columns + `outCol`.
+   */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String,
+           ordCol: String, payloadCol: String, outCol: String): DataFrame = {
+    require(!left.columns.contains(outCol),
+      s"output column $outCol already exists on the left side")
+    val payloadType = right.schema(payloadCol).dataType
+    // one row per (key, ord) on the right: deterministic max reduction
+    val r = right.groupBy(col(keyCol), col(ordCol))
+      .agg(max(col(payloadCol)).as("__p"))
+      .withColumn("__r", lit(1))
+    val l = left
+      .withColumn("__p", lit(null).cast(payloadType))
+      .withColumn("__r", lit(0))
+    // merged stream: right rows first at equal ord (inclusive >=)
+    val merged = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(ordCol).asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn(outCol, last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__r") === 0)
+      .drop("__p", "__r")
+  }
+}

@@ -244,6 +244,43 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Set(1L, 4L))
   }
 
+  test("asof join: latest at-or-before match per key, null when none") {
+    val left = Seq(
+      (1L, 100L, 10L),   // after right@5 -> 50.0
+      (2L, 100L, 5L),    // equal ts -> inclusive match 50.0
+      (3L, 100L, 3L),    // before any right row -> null
+      (4L, 200L, 99L),   // key with no right rows -> null
+      (5L, 100L, 20L))   // after right@15 -> latest wins: 70.0
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 5L, 50.0),
+      (100L, 15L, 60.0),
+      (100L, 15L, 70.0), // same (key, ts): max-reduced to 70.0
+      (300L, 1L, 99.0))  // unrelated key
+      .toDF("user_id", "ts", "value")
+    val out = AsofJoin.asof(left, right, "user_id", "ts", "value", "v")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      (1L, Some(50.0)), (2L, Some(50.0)), (3L, None), (4L, None), (5L, Some(70.0))))
+  }
+
+  test("asof join plan: one key exchange, no cartesian range join") {
+    val left = (1L to 50L).map(i => (i, i % 5, i * 10)).toDF("event_id", "user_id", "ts")
+    val right = (1L to 50L).map(i => (i % 5, i * 7, i.toDouble)).toDF("user_id", "ts", "value")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(AsofJoin.asof(left, right, "user_id", "ts", "value", "v"))
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      // union + window: the only exchanges are the key hash partitioning
+      // (right side also pre-aggregates per (key, ord) -> same key prefix)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2, plan.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
