@@ -343,6 +343,28 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Bounded-interval range join: per purchase, count/sum the same
+    * user's view events in the preceding 30 minutes (attribution
+    * window). Bin-bucketed equi-join — see [[graft.ops.RangeJoin]];
+    * oracle is the plain DuckDB theta-join. */
+  def q32RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    val pairs = graft.ops.RangeJoin.pairsWithin(
+      purchases, views, "user_id", "ts", windowMicros = 30L * 60 * 1000000)
+    val agg = pairs.groupBy("event_id").agg(
+      count(lit(1)).as("n_prior_views"),
+      round(sum("value"), 2).as("sum_view_value"))
+    purchases.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_prior_views"), lit(0L)).as("n_prior_views"),
+        coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
+      .orderBy("event_id")
+  }
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

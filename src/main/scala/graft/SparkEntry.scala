@@ -54,6 +54,7 @@ object SparkEntry {
     "q29_user_sessions" -> (Queries.q29UserSessions(_, _)),
     "q30_cosine_neardup" -> (Queries.q30CosineNearDup(_, _)),
     "q31_asof_join" -> (Queries.q31AsofJoin(_, _)),
+    "q32_range_join" -> (Queries.q32RangeJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -318,6 +319,19 @@ object SparkEntry {
         |  WHERE event_type = 'view' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, round(r.v, 2) AS prior_view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // q32: the exact theta-join the bin-bucketed plan must reproduce.
+    "q32_range_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id,
+        |  count(r.ts) AS n_prior_views,
+        |  round(coalesce(sum(r.value), 0), 2) AS sum_view_value
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts < l.ts
+        |GROUP BY l.event_id, l.user_id
         |ORDER BY l.event_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,

@@ -281,6 +281,29 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("range join: exact [l-w, l) window incl. cross-bin matches, no cartesian") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // window = 60s; bins are [0,60), [60,120), ...
+    val left = Seq((1L, 10L, ts(130))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(70), 1.0),   // exactly l-60: included (>=), lives in bin 1
+      (10L, ts(69), 2.0),   // just outside window: excluded
+      (10L, ts(90), 3.0),   // previous bin, inside window: cross-bin match
+      (10L, ts(125), 4.0),  // same bin, inside window
+      (10L, ts(130), 5.0),  // equal to l: excluded (< l)
+      (99L, ts(100), 6.0))  // other key: excluded
+      .toDF("user_id", "ts", "value")
+    val got = RangeJoin.pairsWithin(left, right, "user_id", "ts",
+      windowMicros = 60L * 1000000)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got === Seq(1.0, 3.0, 4.0))
+    val plan = planOf(RangeJoin.pairsWithin(left, right, "user_id", "ts",
+      windowMicros = 60L * 1000000))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
