@@ -241,6 +241,7 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -74,4 +74,20 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // the postings formulation joins then aggregates pair counts
     assert(plan.contains("HashAggregate"))
   }
+
+  test("q31/q32: temporal joins push event_type to the scan, no cartesian") {
+    for (q <- Seq(
+      Queries.q31AsofJoin(spark, dir),
+      Queries.q32RangeJoin(spark, dir))) {
+      val plan = planOf(q)
+      // the event_type predicate reaches the parquet scan on each branch
+      assert(plan.contains("PushedFilters:"), plan.take(2000))
+      assert(plan.contains("EqualTo(event_type,"), plan.take(3000))
+      // the range/asof shape is an equi-join or window, never a theta join
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      // the unused wide `props` column is pruned from the scan
+      assert(!plan.contains("props"), "scan reads unneeded props column")
+    }
+  }
 }
