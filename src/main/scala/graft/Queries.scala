@@ -365,6 +365,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Composite text-quality score + language-ID guess per document —
+    * the two TextStats signals q19 doesn't cover, both deterministic
+    * arithmetic/argmax over oracle-replicable token stats. */
+  def q33TextQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.ops.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+      graft.ops.TextStats.qualityScore(col("text")).as("quality"),
+      graft.ops.TextStats.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -55,6 +55,7 @@ object SparkEntry {
     "q30_cosine_neardup" -> (Queries.q30CosineNearDup(_, _)),
     "q31_asof_join" -> (Queries.q31AsofJoin(_, _)),
     "q32_range_join" -> (Queries.q32RangeJoin(_, _)),
+    "q33_text_quality" -> (Queries.q33TextQuality(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,6 +334,53 @@ object SparkEntry {
         |  AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts < l.ts
         |GROUP BY l.event_id, l.user_id
         |ORDER BY l.event_id""".stripMargin,
+    // q33: TextStats.qualityScore's documented weights + langId's
+    // argmax (ties break toward the lexicographically larger code, so
+    // the CASE checks fr -> es -> en -> de) replayed over the same
+    // token stats the q19 oracle already replicates.
+    "q33_text_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) r
+        |  WHERE w <> ''),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops,
+        |    sum(CASE WHEN w IN ('der','die','und','in','den','von','zu',
+        |      'das','mit','sich','des','auf','ist','nicht','ein')
+        |      THEN 1 ELSE 0 END) AS h_de,
+        |    sum(CASE WHEN w IN ('the','be','to','of','and','a','in','that',
+        |      'have','i','it','is','was','for','on') THEN 1 ELSE 0 END) AS h_en,
+        |    sum(CASE WHEN w IN ('de','la','que','el','en','y','a','los',
+        |      'se','del','las','un','por','con','no') THEN 1 ELSE 0 END) AS h_es,
+        |    sum(CASE WHEN w IN ('de','la','le','et','les','des','en','un',
+        |      'du','une','que','est','pour','qui','dans') THEN 1 ELSE 0 END) AS h_fr
+        |  FROM tok GROUP BY doc_id),
+        |agg AS (
+        |  SELECT d.doc_id,
+        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
+        |    coalesce(s.stops, 0) AS stops,
+        |    coalesce(s.h_de, 0) AS h_de, coalesce(s.h_en, 0) AS h_en,
+        |    coalesce(s.h_es, 0) AS h_es, coalesce(s.h_fr, 0) AS h_fr,
+        |    CASE WHEN length(d.text) > 0 THEN
+        |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |    ELSE 0.0 END AS punct
+        |  FROM documents d LEFT JOIN stats s USING (doc_id))
+        |SELECT doc_id, n::BIGINT AS n_tokens,
+        |  round(least(n / 20.0, 1.0) * 0.3
+        |      + (1.0 - least(punct * 4, 1.0)) * 0.2
+        |      + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
+        |      + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 4) AS quality,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+        |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_guess
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
