@@ -88,6 +88,28 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming exact dedup on `keyCols`: first arrival wins, later
+    * duplicates within the watermark horizon drop. State is bounded by
+    * the watermark (keys older than the horizon are evicted — the only
+    * way streaming dedup survives unbounded input; an unwatermarked
+    * `dropDuplicates` would grow state forever). In batch the same
+    * call degrades to a plain `dropDuplicates`, so one code path
+    * serves the oracle/batch tests and the ingest pipeline. */
+  def dedup(events: DataFrame, keyCols: Seq[String],
+            watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
+  /** File-source stream wired through [[dedup]]. */
+  def streamDedup(spark: SparkSession, dir: String, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    dedup(nanosToTimestamp(raw), keyCols, watermark)
+  }
+
   /** Per-user running state: event count + last seen timestamp via
     * mapGroupsWithState (custom stateful operator surface). */
   case class UserState(n: Long, lastTs: java.sql.Timestamp)

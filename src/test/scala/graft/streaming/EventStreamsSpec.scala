@@ -86,6 +86,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.size === 500)
   }
 
+  test("streaming dedup (watermarked) equals batch distinct key count") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
+      streamDir.resolve("events.parquet"))
+    val keys = Seq("user_id", "event_type")
+    val q = EventStreams.streamDedup(spark, streamDir.toString, keys)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_stream")
+    // one survivor per key (the fixture drains in one micro-batch, so
+    // the watermark horizon never evicts mid-run)
+    assert(streamed.count() ===
+      events.select(keys.map(col): _*).distinct().count())
+    assert(streamed.select(keys.map(col): _*).distinct().count() ===
+      streamed.count())
+    // batch form of the same call degrades to plain dropDuplicates
+    assert(EventStreams.dedup(events, keys).count() === streamed.count())
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
