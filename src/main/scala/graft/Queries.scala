@@ -376,6 +376,14 @@ object Queries {
       graft.ops.TextStats.langId(col("text")).as("lang_guess"))
       .orderBy("doc_id")
 
+  /** Context-length chunking: 64-token chunks, 16-token overlap (step
+    * 48) — the LLM-training prep step, token-exact against a DuckDB
+    * list-slicing oracle. */
+  def q34Chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunk.explodeChunks(
+      t(spark, dir, "documents"), "doc_id", "text", size = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -56,6 +56,7 @@ object SparkEntry {
     "q31_asof_join" -> (Queries.q31AsofJoin(_, _)),
     "q32_range_join" -> (Queries.q32RangeJoin(_, _)),
     "q33_text_quality" -> (Queries.q33TextQuality(_, _)),
+    "q34_chunks" -> (Queries.q34Chunks(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -381,6 +382,29 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_guess
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
+    // q34: Chunk.explodeChunks replayed with DuckDB list slicing —
+    // starts 0, 48, 96, ...; k = 1 + ceil((n-64)/48) chunks; slice ends
+    // clamp at n. Multiple unnests in one SELECT zip positionally.
+    "q34_chunks" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, ws, len(ws) AS n FROM norm WHERE len(ws) > 0),
+        |ks AS (
+        |  SELECT doc_id, ws, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE cast(ceil((n - 64)::DOUBLE / 48) AS INT) + 1 END AS k
+        |  FROM sized)
+        |SELECT doc_id,
+        |  unnest(generate_series(0, k - 1)) AS chunk_id,
+        |  unnest(list_transform(generate_series(0, k - 1),
+        |    i -> array_to_string(ws[i*48 + 1 : least(i*48 + 64, n)], ' '))) AS chunk_text,
+        |  unnest(list_transform(generate_series(0, k - 1),
+        |    i -> least(i*48 + 64, n) - i*48)) AS n_chunk_tokens
+        |FROM ks
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

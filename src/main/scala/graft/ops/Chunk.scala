@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/**
+ * Context-length document chunking — the prep step that turns long
+ * documents into training-window-sized pieces: fixed `size`-token
+ * chunks advancing by `size - overlap` tokens, so consecutive chunks
+ * share `overlap` tokens of context. Chunk boundaries are token-exact
+ * and deterministic: starts are 0, step, 2*step, ...; the chunk that
+ * reaches the end of the document is the last one (no degenerate tail
+ * chunk fully contained in its predecessor).
+ *
+ * Scale shape: one pass per row (single-pass UDF — the higher-order
+ * slice/transform formulation evaluates interpreted per element and
+ * profiled ~6x slower on the shingle pipeline, same lesson applies) +
+ * posexplode; no shuffle. Downstream packing/batching shuffles on
+ * whatever key the trainer needs.
+ */
+object Chunk {
+
+  /** Array of space-joined chunk texts for one document. */
+  private[ops] def chunksOf(tokens: Array[String], size: Int,
+                            overlap: Int): Array[String] = {
+    val step = size - overlap
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var done = false
+    while (!done) {
+      val end = math.min(start + size, tokens.length)
+      buf += tokens.slice(start, end).mkString(" ")
+      if (end >= tokens.length) done = true else start += step
+    }
+    buf.toArray
+  }
+
+  def chunkUdf(size: Int, overlap: Int): UserDefinedFunction = {
+    require(size > overlap && overlap >= 0,
+      "chunk size must exceed overlap (step must be positive)")
+    udf((text: String) => {
+      if (text == null) Array.empty[String]
+      else {
+        val tokens = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (tokens.isEmpty) Array.empty[String]
+        else chunksOf(tokens, size, overlap)
+      }
+    })
+  }
+
+  /** Explode documents into (id, chunk_id, chunk_text, n_chunk_tokens)
+    * rows; documents with no tokens produce no chunks. */
+  def explodeChunks(df: DataFrame, idCol: String, textCol: String,
+                    size: Int, overlap: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(chunkUdf(size, overlap)(col(textCol)))
+        .as(Seq("chunk_id", "chunk_text")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))
+          .cast("long").as("n_chunk_tokens"))
+}

@@ -304,6 +304,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("chunking: token-exact boundaries, overlap stride, clean last chunk") {
+    // 10 tokens, size 4, overlap 1 -> starts 0,3,6; last chunk ends flush
+    val toks = (0 until 10).map(i => s"t$i").toArray
+    assert(Chunk.chunksOf(toks, 4, 1).toSeq === Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    // shorter than one chunk -> single chunk of everything
+    assert(Chunk.chunksOf(toks.take(3), 4, 1).toSeq === Seq("t0 t1 t2"))
+    // exact fit -> single chunk, no empty tail
+    assert(Chunk.chunksOf(toks.take(4), 4, 1).toSeq === Seq("t0 t1 t2 t3"))
+    // frame form: ids, positions, token counts; empty docs drop out
+    val df = Seq((1L, toks.mkString(" ")), (2L, "a b"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = Chunk.explodeChunks(df, "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (2L, 0L, 2L)))
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
