@@ -384,6 +384,14 @@ object Queries {
       t(spark, dir, "documents"), "doc_id", "text", size = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
 
+  /** Int8 scalar quantization digest per embedding — exact integer
+    * sum/min/max of the quantized vector + rounded scale, so the
+    * whole quantization is hash-checked against DuckDB. */
+  def q35Quantize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SimSearch.quantizeDigest(
+      t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

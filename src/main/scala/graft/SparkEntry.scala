@@ -57,6 +57,7 @@ object SparkEntry {
     "q32_range_join" -> (Queries.q32RangeJoin(_, _)),
     "q33_text_quality" -> (Queries.q33TextQuality(_, _)),
     "q34_chunks" -> (Queries.q34Chunks(_, _)),
+    "q35_quantize" -> (Queries.q35Quantize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -405,6 +406,26 @@ object SparkEntry {
         |    i -> least(i*48 + 64, n) - i*48)) AS n_chunk_tokens
         |FROM ks
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // q35: symmetric int8 quantization replayed in DuckDB — same
+    // scale = max|x|/127, same round(x/scale); integer digests make
+    // the compare exact.
+    "q35_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(e, x -> cast(round(x / scale) AS INT))
+        |      ELSE list_transform(e, x -> 0) END AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  list_sum(qv)::BIGINT AS q_sum,
+        |  list_min(qv)::BIGINT AS q_min,
+        |  list_max(qv)::BIGINT AS q_max
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

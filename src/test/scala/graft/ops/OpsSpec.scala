@@ -321,6 +321,25 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq === Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (2L, 0L, 2L)))
   }
 
+  test("int8 quantization: scale, round-trip error bound, zero vector") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimSearch.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2))).toMap
+    val (s1, q1) = rows(1L)
+    assert(s1 === 1.0 / 127.0)
+    assert(q1 === Seq(127, -64, 32, 0)) // round(x * 127 / max|x|)
+    // reconstruction error bounded by scale/2 per component
+    q1.zip(Seq(1.0, -0.5, 0.25, 0.0)).foreach { case (q, x) =>
+      assert(math.abs(q * s1 - x) <= s1 / 2 + 1e-12)
+    }
+    val (s2, q2) = rows(2L)
+    assert(s2 === 0.0 && q2.forall(_ === 0)) // zero vector stays zero
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
