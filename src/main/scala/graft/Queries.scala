@@ -392,6 +392,17 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** Leakage-safe 80/10/10 split of documents grouped by source
+    * (md5-bucketed, engine-portable): per-split doc and source counts.
+    * The n_sources column IS the leakage check — each source appears
+    * in exactly one split on both engines or the hashes differ. */
+  def q36Splits(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.assign(t(spark, dir, "documents"), "source")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("split")
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

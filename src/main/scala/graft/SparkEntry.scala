@@ -58,6 +58,7 @@ object SparkEntry {
     "q33_text_quality" -> (Queries.q33TextQuality(_, _)),
     "q34_chunks" -> (Queries.q34Chunks(_, _)),
     "q35_quantize" -> (Queries.q35Quantize(_, _)),
+    "q36_splits" -> (Queries.q36Splits(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -426,6 +427,21 @@ object SparkEntry {
         |  list_max(qv)::BIGINT AS q_max
         |FROM q
         |ORDER BY vec_id""".stripMargin,
+    // q36: the md5-bucket split replayed — '0x'||hex cast parses the
+    // same first-8-hex-chars integer Spark's conv(...,16,10) produces.
+    "q36_splits" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bucket < 8 THEN 'train'
+        |              WHEN bucket < 9 THEN 'val'
+        |              ELSE 'test' END AS split, source
+        |  FROM b)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

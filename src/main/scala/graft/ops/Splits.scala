@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, leakage-safe dataset splitting — the contamination
+ * control a training pipeline needs: rows are assigned to
+ * train/val/test by a hash of a GROUP key (source, domain, document
+ * family), so correlated rows can never straddle a split boundary.
+ *
+ * Hash choice: md5 (first 8 hex chars → int) instead of xxhash64
+ * because it is bit-identical across engines (the DuckDB oracle
+ * replays the same arithmetic; Spark's xxhash64 seed/variant has no
+ * DuckDB counterpart). Assignment is a pure per-row expression —
+ * codegen, no shuffle, stable across runs/cluster sizes/partitioning,
+ * unlike `randomSplit` whose output depends on partition layout.
+ */
+object Splits {
+
+  /** Bucket in [0, buckets) from the md5 of the (stringified) key. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /**
+   * Split assignment column: `weights` are (name, share) pairs; a key
+   * hashing into the first `share_1` of `sum(shares)` buckets gets the
+   * first name, and so on. Example: Seq(("train", 8), ("val", 1),
+   * ("test", 1)) → 80/10/10 by group.
+   */
+  def assignment(key: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = hashBucket(key, total)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+  }
+
+  /** Attach `outCol` with the split name per row, grouped by `groupCol`. */
+  def assign(df: DataFrame, groupCol: String,
+             weights: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1)),
+             outCol: String = "split"): DataFrame =
+    df.withColumn(outCol, assignment(col(groupCol), weights))
+}

@@ -340,6 +340,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(s2 === 0.0 && q2.forall(_ === 0)) // zero vector stays zero
   }
 
+  test("splits: group-atomic, deterministic, weights cover all buckets") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val df = (1L to 200L).map(i => (i, s"src${i % 20}")).toDF("id", "src")
+    val assigned = Splits.assign(df, "src").cache()
+    // leakage check: every source lands in exactly one split
+    val perSource = assigned.groupBy("src")
+      .agg(countDistinct(col("split")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perSource.forall(_ === 1L))
+    // deterministic across evaluations
+    val a = assigned.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Splits.assign(df, "src").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b)
+    // all split names valid; every row assigned
+    assert(assigned.select("split").distinct().collect().map(_.getString(0))
+      .toSet.subsetOf(Set("train", "val", "test")))
+    assert(assigned.where(col("split").isNull).count() === 0L)
+    assigned.unpersist()
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
