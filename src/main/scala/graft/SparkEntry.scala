@@ -387,10 +387,15 @@ object SparkEntry {
     // q34: Chunk.explodeChunks replayed with DuckDB list slicing —
     // starts 0, 48, 96, ...; k = 1 + ceil((n-64)/48) chunks; slice ends
     // clamp at n. Multiple unnests in one SELECT zip positionally.
+    // Whitespace is normalized first (like q22's oracle) so the
+    // single-space split can't diverge from Spark's \s+ tokenizer on
+    // tabs/newlines in fixture text.
     "q34_chunks" ->
       """WITH norm AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |    list_filter(
+        |      string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      w -> w <> '') AS ws
         |  FROM documents),
         |sized AS (
         |  SELECT doc_id, ws, len(ws) AS n FROM norm WHERE len(ws) > 0),

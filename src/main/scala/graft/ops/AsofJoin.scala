@@ -36,6 +36,12 @@ object AsofJoin {
            ordCol: String, payloadCol: String, outCol: String): DataFrame = {
     require(!left.columns.contains(outCol),
       s"output column $outCol already exists on the left side")
+    // reserved merge-marker temp names: a caller column named __p/__r
+    // would be overwritten and corrupt the running-last merge
+    val clash = (left.columns ++ right.columns).toSet
+      .intersect(Set("__p", "__r"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with AsofJoin's reserved temp names")
     val payloadType = right.schema(payloadCol).dataType
     // one row per (key, ord) on the right: deterministic max reduction
     val r = right.groupBy(col(keyCol), col(ordCol))

@@ -43,6 +43,9 @@ object Dedup {
     * that profile is expected. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val clash = df.columns.toSet.intersect(Set("__key", "__rn"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Dedup.exact's reserved temp names")
     val w = Window.partitionBy(col("__key")).orderBy(col(idCol))
     df.withColumn("__key", xxhash64(normalized(col(textCol))))
       .withColumn("__rn", row_number().over(w))
@@ -213,8 +216,15 @@ object Dedup {
    * decreasing label sum). Each round is one equi-join + one hash
    * aggregate on narrow (long, long) rows, eagerly checkpointed so
    * lineage doesn't grow with iterations.
+   *
+   * A maxIter exit (cluster diameter > maxIter) means the labels are
+   * only PARTIALLY converged — extra representatives survive — so it
+   * must never be silent: [[componentsWithStatus]] reports the flag,
+   * and [[componentsOf]] logs a warning for callers that keep the
+   * labels-only shape.
    */
-  private[ops] def componentsOf(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  private[ops] def componentsWithStatus(pairs: DataFrame,
+                                        maxIter: Int = 25): (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -242,6 +252,19 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    (labels, converged)
+  }
+
+  /** Labels-only form of [[componentsWithStatus]]; a partial
+    * convergence (maxIter hit before the label-sum fixpoint) is
+    * logged rather than silently returned. */
+  private[ops] def componentsOf(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val (labels, converged) = componentsWithStatus(pairs, maxIter)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"componentsOf hit maxIter=$maxIter before converging: labels are " +
+          "partial and duplicate clusters may keep extra representatives " +
+          "(raise maxIter or inspect the pair graph)")
     labels
   }
 

@@ -32,6 +32,12 @@ object RangeJoin {
   def pairsWithin(left: DataFrame, right: DataFrame, keyCol: String,
                   ordCol: String, windowMicros: Long): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
+    // an input already carrying a reserved temp name would silently
+    // join on the wrong bins — refuse instead
+    val reserved = Set("__bin", "__lus")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with RangeJoin's reserved temp names")
     val lUs = unix_micros(col(ordCol))
     val collisions = right.columns.toSet.intersect(left.columns.toSet) - keyCol
     val r0 = collisions.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"${c}_r"))

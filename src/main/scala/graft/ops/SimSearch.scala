@@ -228,7 +228,9 @@ object SimSearch {
     val quantized = when(col("__scale") > 0,
       transform(v, x => round(x / col("__scale")).cast("int")))
       .otherwise(transform(v, _ => lit(0)))
-    df.withColumn("__scale", scale)
+    // an empty vector has no max|x|: scale is null (DuckDB's list_max
+    // of an empty list), not 0.0 — downstream digests must stay null
+    df.withColumn("__scale", when(size(v) > 0, scale))
       .select(
         col(idCol),
         col("__scale").as("scale"),
@@ -236,12 +238,20 @@ object SimSearch {
   }
 
   /** Oracle-checkable digest of [[quantizeInt8]]: exact integer
-    * sum/min/max of the quantized vector + the rounded scale. */
-  def quantizeDigest(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    * sum/min/max of the quantized vector + the rounded scale. Empty
+    * vectors digest to null across the board — matching DuckDB, whose
+    * list_sum/list_min/list_max of an empty list are NULL — instead of
+    * the fold seeds (0, 127, -127) leaking out as fake extrema. */
+  def quantizeDigest(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val nonEmpty = size(col("q")) > 0
     quantizeInt8(df, idCol, vecCol).select(
       col(idCol),
       round(col("scale"), 6).as("scale"),
-      aggregate(col("q"), lit(0L), (acc, x) => acc + x).cast("long").as("q_sum"),
-      aggregate(col("q"), lit(127), (acc, x) => least(acc, x)).cast("long").as("q_min"),
-      aggregate(col("q"), lit(-127), (acc, x) => greatest(acc, x)).cast("long").as("q_max"))
+      when(nonEmpty, aggregate(col("q"), lit(0L), (acc, x) => acc + x)
+        .cast("long")).as("q_sum"),
+      when(nonEmpty, aggregate(col("q"), lit(127), (acc, x) => least(acc, x))
+        .cast("long")).as("q_min"),
+      when(nonEmpty, aggregate(col("q"), lit(-127), (acc, x) => greatest(acc, x))
+        .cast("long")).as("q_max"))
+  }
 }

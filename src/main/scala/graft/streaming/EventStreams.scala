@@ -92,15 +92,34 @@ object EventStreams {
     * duplicates within the watermark horizon drop. State is bounded by
     * the watermark (keys older than the horizon are evicted — the only
     * way streaming dedup survives unbounded input; an unwatermarked
-    * `dropDuplicates` would grow state forever). In batch the same
-    * call degrades to a plain `dropDuplicates`, so one code path
-    * serves the oracle/batch tests and the ingest pipeline. */
+    * `dropDuplicates` would grow state forever).
+    *
+    * The batch branch picks a DETERMINISTIC winner — earliest `ts`,
+    * remaining columns as tie-breakers — rather than `dropDuplicates`,
+    * whose survivor is partition-order-dependent: with the same code
+    * path serving oracle/batch comparisons, a run-to-run flap on
+    * non-key columns would look like a correctness bug. Earliest-ts
+    * also mirrors the streaming branch's first-arrival semantics for
+    * in-order sources. One window shuffle, same as Dedup.exact. */
   def dedup(events: DataFrame, keyCols: Seq[String],
             watermark: String = "2 hours"): DataFrame =
     if (events.isStreaming)
       events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keyCols)
-    else events.dropDuplicates(keyCols)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      require(!events.columns.contains("__rn"),
+        "input column __rn collides with dedup's reserved temp name")
+      val rest = events.columns
+        .filterNot(c => keyCols.contains(c) || c == "ts").sorted
+      val order = (if (events.columns.contains("ts")) Seq("ts") else Nil) ++ rest
+      // all-columns-are-keys: duplicates are identical rows, any order works
+      val orderCols = if (order.nonEmpty) order else keyCols
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(col(_).asc): _*)
+      events.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
 
   /** File-source stream wired through [[dedup]]. */
   def streamDedup(spark: SparkSession, dir: String, keyCols: Seq[String],

@@ -2,6 +2,8 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.SparkTestSession
 
 /** LLM-pipeline operator semantics + plan-shape assertions (the scale
@@ -369,5 +371,47 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     val q = SimSearch.annLshTopK(vecs, "vec_id", "embedding", 0L, 3)
     val got = q.collect().map(_.getLong(0))
     assert(got.contains(1L)) // the identical vector must be retrieved
+  }
+
+  test("quantize digest: empty vector yields null digests, not fold seeds") {
+    // DuckDB's list_sum/list_min/list_max of an empty list are NULL;
+    // the fold seeds (0, 127, -127) must not leak out as fake extrema
+    val vecs = Seq((1L, Array(2.0f, -4.0f)), (2L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val rows = SimSearch.quantizeDigest(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val full = rows(1L)
+    assert(full.getLong(2) === (64L - 127L)) // q_sum of [64, -127]
+    assert(full.getLong(3) === -127L && full.getLong(4) === 64L)
+    val empty = rows(2L)
+    assert(empty.isNullAt(1) && empty.isNullAt(2) &&
+      empty.isNullAt(3) && empty.isNullAt(4))
+  }
+
+  test("connected components report non-convergence when maxIter is hit") {
+    // a 6-node chain has diameter 5: one propagation round cannot
+    // reach the fixpoint, and that must be signalled, not silent
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (_, convergedEarly) = Dedup.componentsWithStatus(chain, maxIter = 1)
+    assert(!convergedEarly)
+    val (labels, ok) = Dedup.componentsWithStatus(chain, maxIter = 25)
+    assert(ok)
+    assert(labels.collect().map(_.getLong(1)).forall(_ === 1L))
+  }
+
+  test("reserved temp-column names are rejected, not silently corrupted") {
+    val withKey = docs.withColumn("__key", lit(1))
+    intercept[IllegalArgumentException] {
+      Dedup.exact(withKey, "doc_id", "text")
+    }
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pairsWithin(ts.withColumn("__bin", lit(0L)), ts, "k", "ts",
+        windowMicros = 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(ts, ts.withColumn("__p", lit(0)), "k", "ts", "v", "out")
+    }
   }
 }

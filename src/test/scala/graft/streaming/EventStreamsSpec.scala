@@ -104,8 +104,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
       events.select(keys.map(col): _*).distinct().count())
     assert(streamed.select(keys.map(col): _*).distinct().count() ===
       streamed.count())
-    // batch form of the same call degrades to plain dropDuplicates
+    // batch form of the same call keeps one survivor per key too
     assert(EventStreams.dedup(events, keys).count() === streamed.count())
+  }
+
+  test("batch dedup picks a deterministic earliest-ts winner") {
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, "click", t("2024-01-01 00:00:02"), "late"),
+      (1L, "click", t("2024-01-01 00:00:01"), "first"),
+      (1L, "view", t("2024-01-01 00:00:05"), "only"),
+      (2L, "click", t("2024-01-01 00:00:03"), "b"),
+      (2L, "click", t("2024-01-01 00:00:03"), "a")) // ts tie -> payload breaks it
+      .toDF("user_id", "event_type", "ts", "payload")
+    // the winner must not depend on physical partition layout
+    Seq(rows.repartition(1), rows.repartition(7, col("payload"))).foreach { df =>
+      val got = EventStreams.dedup(df, Seq("user_id", "event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(3))
+        .toMap
+      assert(got === Map(
+        (1L, "click") -> "first",
+        (1L, "view") -> "only",
+        (2L, "click") -> "a"))
+    }
   }
 
   test("mapGroupsWithState running counts match groupBy in batch") {
