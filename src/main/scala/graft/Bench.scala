@@ -84,11 +84,13 @@ object Bench {
     val ok = results.collect { case (k, ts, None) => (k, ts.min, ts) }
     val qs = ok.map { case (k, m, _) => s""""$k":${fmt(m)}""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
-      s"\"$k\":\"${m.replaceAll("[\"\\\\\\n\\r\\t]", " ")}\""
+    val errEntries = results.collect { case (k, _, Some(m)) => (k, m) }
+    val errsFull = errEntries.map { case (k, m) =>
+      s""""$k":"${escape(m)}""""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    // Full per-pass samples go to a sidecar file, never to stdout.
+    // Full per-pass samples AND full error messages go to a sidecar
+    // file, never to stdout.
     val runs = ok.map { case (k, _, ts) =>
       s""""$k":${ts.map(fmt).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -96,9 +98,9 @@ object Bench {
       val p = java.nio.file.Paths.get("target/bench-runs.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"runs":$runs,"errors":$errs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"runs":$runs,"errors":$errsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(line(total, qs, errs, sfDir))
+    println(line(total, qs, boundedErrs(errEntries), sfDir))
     spark.stop()
   }
 
@@ -107,6 +109,25 @@ object Bench {
     */
   private def fmt(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  private def escape(s: String): String =
+    s.replaceAll("[\"\\\\\\n\\r\\t]", " ")
+
+  /** Stdout-side error summary, bounded so a worst case (every query
+    * failing with max-length messages) still fits the driver's
+    * 2000-char capture window: the first few names carry a truncated
+    * message, the rest collapse to a count. Full messages are always
+    * in the `target/bench-runs.json` sidecar.
+    */
+  def boundedErrs(entries: Seq[(String, String)]): String = {
+    val keep = 3
+    val shown = entries.take(keep).map { case (k, m) =>
+      s""""$k":"${escape(m.take(60))}""""
+    }
+    val dropped = entries.size - shown.size
+    val extra = if (dropped > 0) Seq(s""""__dropped":$dropped""") else Nil
+    (shown ++ extra).mkString("{", ",", "}")
+  }
 
   /** The single driver-facing JSON line (also built by BenchFormatSpec
     * to assert it stays well inside the 2000-char capture window).

@@ -222,6 +222,8 @@ object SimSearch {
    * all-zero with scale 0.
    */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    require(!df.columns.contains("__scale"),
+      "input column __scale collides with quantizeInt8's reserved temp name")
     val v = asDouble(col(vecCol))
     val scale = aggregate(v, lit(0.0),
       (acc, x) => greatest(acc, abs(x))) / lit(127.0)

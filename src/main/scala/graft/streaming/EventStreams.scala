@@ -108,10 +108,17 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(keyCols)
     else {
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.catalyst.expressions.RowOrdering
       require(!events.columns.contains("__rn"),
         "input column __rn collides with dedup's reserved temp name")
+      // tie-breakers must be orderable — a MapType column in orderBy
+      // throws AnalysisException. Non-orderable columns are skipped:
+      // rows identical on every orderable column but differing in a
+      // map keep a partition-order-dependent winner (documented limit).
       val rest = events.columns
-        .filterNot(c => keyCols.contains(c) || c == "ts").sorted
+        .filterNot(c => keyCols.contains(c) || c == "ts")
+        .filter(c => RowOrdering.isOrderable(events.schema(c).dataType))
+        .sorted
       val order = (if (events.columns.contains("ts")) Seq("ts") else Nil) ++ rest
       // all-columns-are-keys: duplicates are identical rows, any order works
       val orderCols = if (order.nonEmpty) order else keyCols

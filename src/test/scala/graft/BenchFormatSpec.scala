@@ -30,4 +30,22 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.line(0.0011234, qs, "{}", "/tmp/x")
     assert(line.contains(""""value":0.001,"""))
   }
+
+  test("line fits the capture window even when EVERY query errors") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst case: all queries fail with max-length (120-char) messages
+    val errs = Bench.boundedErrs(names.map(n => (n, "x" * 120)))
+    val line = Bench.line(0.0, "{}", errs, "/root/testdata/sf0.1")
+    assert(line.length < 1800,
+      s"all-failing bench line is ${line.length} chars; must fit the " +
+        "2000-char capture window so diagnostics survive truncation")
+    assert(errs.contains("\"__dropped\":" + (names.size - 3)))
+  }
+
+  test("boundedErrs escapes and truncates messages, keeps small sets whole") {
+    val errs = Bench.boundedErrs(Seq(("q1", "a\"b\\c\nd"), ("q2", "ok")))
+    assert(errs == """{"q1":"a b c d","q2":"ok"}""")
+    val one = Bench.boundedErrs(Seq(("q1", "y" * 200)))
+    assert(one == s"""{"q1":"${"y" * 60}"}""")
+  }
 }

@@ -342,6 +342,14 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(s2 === 0.0 && q2.forall(_ === 0)) // zero vector stays zero
   }
 
+  test("quantizeInt8 rejects an input that already has a __scale column") {
+    val vecs = Seq((1L, Array(1.0f), 9.9)).toDF("vec_id", "embedding", "__scale")
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.quantizeInt8(vecs, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("__scale"))
+  }
+
   test("splits: group-atomic, deterministic, weights cover all buckets") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val df = (1L to 200L).map(i => (i, s"src${i % 20}")).toDF("id", "src")

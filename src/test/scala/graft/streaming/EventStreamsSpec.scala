@@ -130,6 +130,22 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("batch dedup tolerates non-orderable (map) payload columns") {
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    // a MapType column cannot appear in orderBy; dedup must skip it as
+    // a tie-breaker instead of throwing AnalysisException
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:02"), Map("k" -> "late")),
+      (1L, t("2024-01-01 00:00:01"), Map("k" -> "first")),
+      (2L, t("2024-01-01 00:00:03"), Map("k" -> "only")))
+      .toDF("user_id", "ts", "attrs")
+    val got = EventStreams.dedup(rows, Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](2)("k"))
+      .toMap
+    assert(got === Map(1L -> "first", 2L -> "only"))
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
