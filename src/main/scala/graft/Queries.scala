@@ -403,6 +403,40 @@ object Queries {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("split")
 
+  /** Benchmark decontamination report: docs sharing any 5-gram with
+    * the benchmark slice (doc_id % 10 == 0 stands in for an eval set),
+    * with distinct shared-gram counts. The fixture's planted near-dup
+    * pairs are exactly what it must catch across the split. */
+  def q37Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    graft.ops.Decontaminate.contaminationReport(
+      corpus, benchmark, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition stats per document (distinct-word ratio,
+    * top-word fraction, duplicate-2-gram fraction). */
+  def q38Repetition(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.repetitionStats(
+      t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Corpus top-20 trigrams by document frequency (boilerplate
+    * discovery / vocabulary aggregate). */
+  def q39GramTopDf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.topGramsByDocFreq(
+      t(spark, dir, "documents"), "text", n = 3, k = 20)
+
+  /** Per-cluster embedding centroid digest (cluster = vec_id % 8):
+    * element-wise means as one narrow (cluster, pos) aggregate. */
+  def q40Centroids(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.VectorAgg.centroidDigest(
+      t(spark, dir, "embeddings").withColumn("cluster", col("vec_id") % 8),
+      "cluster", "embedding")
+      .orderBy("cluster")
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

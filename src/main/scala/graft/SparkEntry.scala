@@ -59,6 +59,10 @@ object SparkEntry {
     "q34_chunks" -> (Queries.q34Chunks(_, _)),
     "q35_quantize" -> (Queries.q35Quantize(_, _)),
     "q36_splits" -> (Queries.q36Splits(_, _)),
+    "q37_decontaminate" -> (Queries.q37Decontaminate(_, _)),
+    "q38_repetition" -> (Queries.q38Repetition(_, _)),
+    "q39_gram_topdf" -> (Queries.q39GramTopDf(_, _)),
+    "q40_centroids" -> (Queries.q40Centroids(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -447,6 +451,85 @@ object SparkEntry {
         |SELECT split, count(*) AS n_docs,
         |  count(DISTINCT source) AS n_sources
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // q37: gram semantics mirror q22's oracle (normalized word
+    // 5-grams, distinct per doc, whole-text gram for docs shorter than
+    // n tokens); benchmark = doc_id % 10 = 0, corpus = the rest.
+    "q37_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM norm WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm WHERE len(ws) < 5 AND array_to_string(ws, ' ') <> ''),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q38: TextStats.repetitionOf replayed — normalized tokens, word
+    // histogram, adjacent-2-gram duplicate fraction.
+    "q38_repetition" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      w -> w <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS w FROM norm),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, sum(c) AS total, count(*) AS dw, max(c) AS top
+        |       FROM wc GROUP BY 1),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(ws)-1),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS g
+        |      FROM norm WHERE len(ws) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |ga AS (SELECT doc_id, sum(c) AS tg, count(*) AS dg FROM gc GROUP BY 1)
+        |SELECT n.doc_id,
+        |  coalesce(wa.total, 0)::BIGINT AS n_tokens,
+        |  round(coalesce(wa.dw / wa.total, 0), 4) AS distinct_ratio,
+        |  round(coalesce(wa.top / wa.total, 0), 4) AS top_word_frac,
+        |  round(coalesce((ga.tg - ga.dg) / ga.tg, 0), 4) AS dup_2gram_frac
+        |FROM norm n LEFT JOIN wa ON n.doc_id = wa.doc_id
+        |LEFT JOIN ga ON n.doc_id = ga.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // q39: document frequency of normalized trigrams (q22's gram CTE),
+    // deterministic tie-break on the gram itself.
+    "q39_gram_topdf" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |  FROM norm WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS gram
+        |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> '')
+        |SELECT gram, count(*) AS doc_freq
+        |FROM grams GROUP BY gram
+        |ORDER BY doc_freq DESC, gram
+        |LIMIT 20""".stripMargin,
+    // q40: element-wise centroid means per cluster; the two unnests in
+    // one SELECT zip positionally (value with its 1-based position).
+    "q40_centroids" ->
+      """WITH x AS (
+        |  SELECT vec_id % 8 AS cluster,
+        |    unnest(embedding)::DOUBLE AS v,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |m AS (SELECT cluster, pos, avg(v) AS m, count(*) AS n
+        |      FROM x GROUP BY 1, 2)
+        |SELECT cluster, max(n)::BIGINT AS n_vecs, count(*)::BIGINT AS dims,
+        |  round(sqrt(sum(m * m)), 4) AS centroid_l2
+        |FROM m GROUP BY cluster
+        |ORDER BY cluster""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

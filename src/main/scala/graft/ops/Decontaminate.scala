@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination — the training-data hygiene step that
+ * removes corpus documents sharing word n-grams with an evaluation
+ * benchmark, so held-out test sets stay held out. Extension surface
+ * beyond the reference (which has no corpus-hygiene operators at all);
+ * the n-gram-overlap rule is the published practice for LLM training
+ * sets (e.g. GPT-3 appendix C / PaLM-style 8-gram overlap).
+ *
+ * Scale design (100 TB corpus, MB-scale benchmark):
+ *  - the benchmark's distinct gram set is SMALL by definition (eval
+ *    suites are a few MB) — it is broadcast, so the corpus NEVER
+ *    shuffles for the probe: one map stage explodes narrow (id, gram)
+ *    rows, the broadcast-hash join filters them, and the per-doc hit
+ *    count is a partial+final hash aggregate;
+ *  - corpus text never travels: the anti-join removing contaminated
+ *    docs carries ids only;
+ *  - if the benchmark ever outgrows broadcast range, swap the join key
+ *    to `xxhash64(gram)` and let AQE pick a shuffled hash join — the
+ *    operator shape stays the same.
+ *
+ * Gram semantics are [[Dedup.shingleSet]]'s: normalized (lower, trimmed,
+ * whitespace-squeezed) word n-grams, distinct per document, with a
+ * whole-text gram for documents shorter than n tokens.
+ */
+object Decontaminate {
+
+  /** Distinct (id, gram) postings of word n-grams. */
+  private[ops] def gramPostings(df: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+
+  /**
+   * Per-document contamination report: corpus docs sharing at least one
+   * word n-gram with the benchmark, with the count of distinct shared
+   * grams. Docs absent from the output are clean.
+   */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 5): DataFrame = {
+    val bench = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .distinct()
+    gramPostings(corpus, idCol, textCol, n)
+      .join(broadcast(bench), Seq("__g"))
+      .groupBy(col("__id"))
+      // postings are distinct per doc, so count(*) == distinct shared grams
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("__id").as(idCol), col("n_hits"))
+  }
+
+  /** The corpus minus every document contaminated by the benchmark —
+    * ids-only anti-join against [[contaminationReport]]. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val dirty = contaminationReport(corpus, benchmark, idCol, textCol, n)
+      .select(idCol)
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+}

@@ -141,6 +141,66 @@ object TextStats {
   def winnowUdf(k: Int = 5, w: Int = 4): UserDefinedFunction =
     udf((s: String) => winnow(s, k, w))
 
+  /** Raw repetition signals of one document (single pass over the
+    * normalized tokens — no shuffle; the Gopher-style repetition gate).
+    * Ratios are returned unrounded so queries can apply the same
+    * `round(..., 4)` the rest of the battery uses. */
+  private[ops] case class Repetition(n_tokens: Long, distinct_ratio: Double,
+                                     top_word_frac: Double,
+                                     dup_2gram_frac: Double)
+
+  private[ops] def repetitionOf(text: String): Repetition = {
+    val ws =
+      if (text == null) Array.empty[String]
+      else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val total = ws.length
+    if (total == 0) return Repetition(0L, 0.0, 0.0, 0.0)
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    while (i < total) {
+      val c = counts.merge(ws(i), 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    val dupGramFrac =
+      if (total < 2) 0.0
+      else {
+        val grams = new java.util.HashSet[String]()
+        var j = 0
+        while (j < total - 1) { grams.add(ws(j) + " " + ws(j + 1)); j += 1 }
+        val tg = total - 1
+        (tg - grams.size).toDouble / tg
+      }
+    Repetition(total.toLong, counts.size.toDouble / total,
+      top.toDouble / total, dupGramFrac)
+  }
+
+  /** Per-document repetition stats (duplicate-2-gram fraction, most-
+    * frequent-word fraction, distinct-word ratio) — the filters a
+    * Gopher/C4-style quality pipeline gates on. One map stage. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rep = udf((s: String) => repetitionOf(s))
+    df.select(col(idCol), rep(col(textCol)).as("__r"))
+      .select(col(idCol),
+        col("__r.n_tokens").as("n_tokens"),
+        round(col("__r.distinct_ratio"), 4).as("distinct_ratio"),
+        round(col("__r.top_word_frac"), 4).as("top_word_frac"),
+        round(col("__r.dup_2gram_frac"), 4).as("dup_2gram_frac"))
+  }
+
+  /** Corpus-level top-k word n-grams by document frequency (distinct
+    * per doc — [[Dedup.shingleSet]] semantics) — the vocabulary/
+    * boilerplate-discovery aggregate. Partial+final hash aggregate on
+    * narrow (gram) rows; the final top-k is TakeOrderedAndProject. */
+  def topGramsByDocFreq(df: DataFrame, textCol: String,
+                        n: Int = 3, k: Int = 20): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(desc("doc_freq"), asc("gram"))
+      .limit(k)
+
   /** Full per-document stats projection (one map stage). */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

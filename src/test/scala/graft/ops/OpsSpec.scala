@@ -342,6 +342,76 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(s2 === 0.0 && q2.forall(_ === 0)) // zero vector stays zero
   }
 
+  test("decontaminate removes exactly the gram-overlapping docs, broadcast probe") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares a 5-gram
+      (2L, "one two three four five six seven"),     // clean
+      (3L, "alpha beta gamma delta EPSILON theta"))  // shares after normalization
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon suffix"))
+      .toDF("doc_id", "text")
+    val report = Decontaminate.contaminationReport(
+      corpus, benchmark, "doc_id", "text", n = 5)
+    val hits = report.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: grams {a b g d e, b g d e z}; bench has {p a b g d, a b g d e,
+    // b g d e s} -> 1 shared. doc 3 shares the same one (case-normalized).
+    assert(hits === Map(1L -> 1L, 3L -> 1L))
+    val clean = Decontaminate.decontaminate(
+      corpus, benchmark, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(clean === Seq(2L))
+    // scale contract: the benchmark side is broadcast (corpus never
+    // shuffles for the probe) and there is no cartesian anywhere
+    val plan = planOf(report)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("repetition stats: histogram fractions and 2-gram duplication") {
+    val r1 = TextStats.repetitionOf("a a a a")
+    assert(r1.n_tokens === 4L)
+    assert(r1.distinct_ratio === 0.25)
+    assert(r1.top_word_frac === 1.0)
+    // 2-grams: "a a" x3, 1 distinct -> (3-1)/3
+    assert(math.abs(r1.dup_2gram_frac - 2.0 / 3) < 1e-12)
+    val r2 = TextStats.repetitionOf("  The   quick  FOX ")
+    assert(r2 === TextStats.Repetition(3L, 1.0, 1.0 / 3, 0.0))
+    assert(TextStats.repetitionOf(null) === TextStats.Repetition(0L, 0.0, 0.0, 0.0))
+    assert(TextStats.repetitionOf("solo") === TextStats.Repetition(1L, 1.0, 1.0, 0.0))
+  }
+
+  test("top grams by doc frequency: counts distinct per doc, ordered") {
+    val df = Seq(
+      (1L, "x y z x y z"),     // gram "x y z" counted once for this doc
+      (2L, "x y z other words"),
+      (3L, "unrelated content here"))
+      .toDF("doc_id", "text")
+    val top = TextStats.topGramsByDocFreq(df, "text", n = 3, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head === ("x y z", 2L))
+    assert(top(1)._2 === 1L)
+  }
+
+  test("vector centroids: element-wise means per cluster, exact digest") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 3.0f)), (2L, Array(3.0f, 5.0f)),  // cluster 0
+      (1L, Array(2.0f, 2.0f)))                           // cluster 1
+      .toDF("vec_id", "embedding")
+      .withColumn("cluster", col("vec_id") % 2)
+    val cents = VectorAgg.centroids(vecs, "cluster", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2)))
+      .toMap
+    assert(cents(0L) === ((2L, Seq(2.0, 4.0))))
+    assert(cents(1L) === ((1L, Seq(2.0, 2.0))))
+    val digest = VectorAgg.centroidDigest(vecs, "cluster", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // cluster 0 centroid (2,4): l2 = sqrt(20) = 4.4721
+    assert(digest(0) === ((0L, 2L, 2L, 4.4721)))
+    assert(digest(1) === ((1L, 1L, 2L, 2.8284)))
+  }
+
   test("quantizeInt8 rejects an input that already has a __scale column") {
     val vecs = Seq((1L, Array(1.0f), 9.9)).toDF("vec_id", "embedding", "__scale")
     val e = intercept[IllegalArgumentException] {
