@@ -108,38 +108,62 @@ object SimSearch {
   }
 
   /**
-   * IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
-   * corpus into `nlist` cells; a query probes its `nprobe` nearest
-   * cells and reranks exactly. At scale the cell assignment is
-   * precomputed/persisted (one narrow map per ingest batch) and each
-   * query touches ~nprobe/nlist of the corpus. Deterministic via seed.
+   * Precomputed IVF (inverted-file) index: a KMeans coarse quantizer
+   * partitions the corpus into `nlist` cells; `assigned` carries the
+   * per-row cell id. This is the SCALE path — fit once per corpus
+   * version (on a sample if the corpus is huge), persist `assigned`
+   * (in production: write it bucketed by `__cell` so probes prune
+   * files), then serve every query from the index. Cell assignment is
+   * one narrow map stage per ingest batch.
    */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+  final case class IvfIndex(centers: Array[Array[Double]],
+                            assigned: DataFrame, idCol: String,
+                            vecCol: String)
+
+  /** Fit the coarse quantizer and assign every row to its cell.
+    * Deterministic via seed. `sampleFraction` < 1.0 fits KMeans on a
+    * seeded sample (the standard move when the corpus is too large to
+    * iterate over; assignment still covers every row). */
+  def ivfFit(df: DataFrame, idCol: String, vecCol: String,
+             nlist: Int = 16, seed: Long = 42L,
+             sampleFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = df.withColumn("__feat",
       array_to_vector(asDouble(col(vecCol))))
+    val fitOn =
+      if (sampleFraction >= 1.0) featured
+      else featured.sample(withReplacement = false, sampleFraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(featured)
-    val assigned = model.transform(featured)
-    // driver-side: the query's nprobe nearest centroids (nlist is tiny)
-    val qVec = featured.where(col(idCol) === queryId)
-      .select("__feat").head().getAs[org.apache.spark.ml.linalg.Vector](0)
-    val probeCells = model.clusterCenters.zipWithIndex
+      .fit(fitOn)
+    val assigned = model.transform(featured).drop("__feat")
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned, idCol, vecCol)
+  }
+
+  /** Serve one query from a prebuilt [[IvfIndex]]: pick the `nprobe`
+    * nearest cells driver-side (centers are tiny), scan only those
+    * cells, rerank exactly. Each query touches ~nprobe/nlist of the
+    * corpus — with a cell-bucketed layout the scan prunes at the file
+    * level. */
+  def ivfSearch(index: IvfIndex, queryId: Long, k: Int,
+                nprobe: Int = 4): DataFrame = {
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val qVec = index.assigned.where(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).head().getSeq[Double](0).toArray
+    val probeCells = index.centers.zipWithIndex
       .map { case (c, i) =>
         var s = 0.0
         var j = 0
-        val n = math.min(c.size, qVec.size)
+        val n = math.min(c.length, qVec.length)
         while (j < n) { val d = c(j) - qVec(j); s += d * d; j += 1 }
         (i, s)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
-    val qRow = assigned.where(col(idCol) === queryId)
+    val qRow = index.assigned.where(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("__q"))
-    assigned
+    index.assigned
       .where(col("__cell").isin(probeCells.toSeq: _*) && col(idCol) =!= queryId)
       .crossJoin(broadcast(qRow))
       .select(col(idCol),
@@ -147,6 +171,13 @@ object SimSearch {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
+
+  /** One-shot IVF ANN (fit + search). Demo/test convenience — at scale
+    * use [[ivfFit]] once and [[ivfSearch]] per query. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame =
+    ivfSearch(ivfFit(df, idCol, vecCol, nlist, seed), queryId, k, nprobe)
 
   /**
    * Embedding-cosine near-duplicate pairs (the fifth dedup modality

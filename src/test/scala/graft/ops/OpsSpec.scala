@@ -146,6 +146,35 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ivf.size === 10)
   }
 
+  test("ivf index: fit once, serve many queries, same results as one-shot") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
+      nlist = 8, seed = 42L)
+    index.assigned.persist()
+    try {
+      assert(index.centers.length === 8)
+      // every corpus row carries a cell id within range
+      assert(index.assigned.where(
+        col("__cell") < 0 || col("__cell") >= 8).count() === 0L)
+      Seq(0L, 7L).foreach { qid =>
+        val fromIndex = SimSearch.ivfSearch(index, qid, 10, nprobe = 4)
+          .collect().map(_.getLong(0)).toSeq
+        val oneShot = SimSearch.ivfTopK(emb, "vec_id", "embedding", qid, 10,
+          nlist = 8, nprobe = 4)
+          .collect().map(_.getLong(0)).toSeq
+        assert(fromIndex === oneShot, s"query $qid diverged")
+      }
+    } finally index.assigned.unpersist()
+  }
+
+  test("ivf sample-fit still assigns every row and serves queries") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
+      nlist = 4, seed = 42L, sampleFraction = 0.5)
+    assert(index.assigned.count() === emb.count()) // assignment covers all
+    assert(SimSearch.ivfSearch(index, 0L, 5, nprobe = 2).count() === 5L)
+  }
+
   test("embedding-cosine near-dup finds identical vectors, no cartesian") {
     val base = Array.tabulate(32)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.001f
