@@ -437,6 +437,25 @@ object Queries {
       "cluster", "embedding")
       .orderBy("cluster")
 
+  /** PII redaction: the fixture corpus carries no PII, so each doc is
+    * planted with a synthetic email + URL + IPv4 derived from its id;
+    * the operator must count and redact all three (engine-portable
+    * regex subset — oracle replays the same patterns in RE2). */
+  def q41Redact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or http://ex.com/"), col("doc_id").cast("string"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7")).as("text"))
+    graft.ops.Redact.redact(planted, "text",
+      Seq(graft.ops.Redact.Email, graft.ops.Redact.Url, graft.ops.Redact.Ipv4))
+      .select(col("doc_id"), col("n_email"), col("n_url"), col("n_ip"),
+        col("text_redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -63,6 +63,7 @@ object SparkEntry {
     "q38_repetition" -> (Queries.q38Repetition(_, _)),
     "q39_gram_topdf" -> (Queries.q39GramTopDf(_, _)),
     "q40_centroids" -> (Queries.q40Centroids(_, _)),
+    "q41_redact" -> (Queries.q41Redact(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,6 +531,26 @@ object SparkEntry {
         |  round(sqrt(sum(m * m)), 4) AS centroid_l2
         |FROM m GROUP BY cluster
         |ORDER BY cluster""".stripMargin,
+    // q41: Redact's patterns replayed in RE2 (the patterns deliberately
+    // avoid Java-only constructs); counts via regexp_extract_all,
+    // replacement sequential in the same pattern order.
+    "q41_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR ||
+        |    '@example.com or http://ex.com/' || doc_id::VARCHAR ||
+        |    ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_url,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+        |    'https?://[^\s]+', '[REDACTED]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[REDACTED]', 'g') AS text_redacted
+        |FROM planted
+        |ORDER BY doc_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -136,6 +136,23 @@ object EventStreams {
     dedup(nanosToTimestamp(raw), keyCols, watermark)
   }
 
+  /** Stream-static enrichment: join a (possibly streaming) event frame
+    * against a static dimension on `key`. The dimension is broadcast —
+    * in streaming this is the supported stream-static join shape and
+    * the stream side never shuffles; in batch it is the same plan as
+    * every dimension join in Queries. Left join: events without a
+    * dimension row survive with nulls (monitor, don't drop). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** File-source stream wired through [[enrich]]. */
+  def streamEnrich(spark: SparkSession, dir: String, dim: DataFrame,
+                   key: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    enrich(nanosToTimestamp(raw), dim, key)
+  }
+
   /** Per-user running state: event count + last seen timestamp via
     * mapGroupsWithState (custom stateful operator surface). */
   case class UserState(n: Long, lastTs: java.sql.Timestamp)

@@ -441,6 +441,34 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(digest(1) === ((1L, 1L, 2L, 2.8284)))
   }
 
+  test("redact: counts and replaces emails, urls, ips, phones") {
+    val df = Seq(
+      (1L, "mail a.user+x@sub.example.org and b@c.io now"),
+      (2L, "see https://ex.com/p?q=1 or http://plain.net done"),
+      (3L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (4L, "call +1 555-123-4567 today"),
+      (5L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val out = Redact.redact(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+      .toMap
+    // columns: doc_id, text, n_email, n_url, n_ip, n_phone, text_redacted
+    val (e1, u1, i1, p1, t1) = out(1L)
+    assert((e1, u1, i1, p1) === ((2L, 0L, 0L, 0L)))
+    assert(t1 === s"mail ${Redact.Token} and ${Redact.Token} now")
+    val (_, u2, _, _, t2) = out(2L)
+    assert(u2 === 2L)
+    assert(t2 === s"see ${Redact.Token} or ${Redact.Token} done")
+    val (_, _, i3, _, t3) = out(3L)
+    assert(i3 === 2L)
+    assert(t3 === s"host ${Redact.Token} and ${Redact.Token} up")
+    val (_, _, _, p4, t4) = out(4L)
+    assert(p4 === 1L)
+    assert(t4 === s"call ${Redact.Token} today")
+    assert(out(5L) === ((0L, 0L, 0L, 0L, "nothing sensitive here")))
+  }
+
   test("quantizeInt8 rejects an input that already has a __scale column") {
     val vecs = Seq((1L, Array(1.0f), 9.9)).toDF("vec_id", "embedding", "__scale")
     val e = intercept[IllegalArgumentException] {

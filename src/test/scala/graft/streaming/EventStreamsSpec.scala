@@ -146,6 +146,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Map(1L -> "first", 2L -> "only"))
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-enrich-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
+      streamDir.resolve("events.parquet"))
+    val dim = events.select("user_id").distinct()
+      .withColumn("segment",
+        concat(lit("seg"), pmod(col("user_id"), lit(3)).cast("string")))
+    val q = EventStreams.streamEnrich(spark, streamDir.toString, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("enrich_stream").groupBy("segment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = EventStreams.enrich(events, dim, "user_id")
+      .groupBy("segment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.sum === events.count())
+    assert(!got.keySet.contains(null)) // every event found its dim row
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
