@@ -456,6 +456,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sample: md5-ranked top-10 docs per
+    * source (the per-source quota op for corpus mixing). */
+  def q42Stratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sample.stratifiedTopN(
+      t(spark, dir, "documents"), "source", "doc_id", n = 10)
+      .select("doc_id", "source")
+      .orderBy("source", "doc_id")
+
+  /** Rate-based source mixing: downsample src0 to 50% and src1 to 25%
+    * (hash-deterministic, not probabilistic), per-source survivors. */
+  def q43RateMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sample.byRates(
+      t(spark, dir, "documents"), "source", "doc_id",
+      rates = Map("src0" -> 0.5, "src1" -> 0.25))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

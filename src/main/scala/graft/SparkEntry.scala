@@ -64,6 +64,8 @@ object SparkEntry {
     "q39_gram_topdf" -> (Queries.q39GramTopDf(_, _)),
     "q40_centroids" -> (Queries.q40Centroids(_, _)),
     "q41_redact" -> (Queries.q41Redact(_, _)),
+    "q42_stratified" -> (Queries.q42Stratified(_, _)),
+    "q43_rate_mix" -> (Queries.q43RateMix(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,6 +553,30 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[REDACTED]', 'g') AS text_redacted
         |FROM planted
         |ORDER BY doc_id""".stripMargin,
+    // q42: the md5 rank replayed with q36's '0x'||hex parity trick;
+    // 1073741824 = 1 << 30 (Sample.stratifiedTopN's rank modulus).
+    "q42_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1073741824,
+        |             doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+    // q43: Sample.byRates' bucket-cutoff arithmetic (rate x 10000).
+    "q43_rate_mix" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs
+        |FROM b
+        |WHERE bucket < CASE WHEN source = 'src0' THEN 5000
+        |                    WHEN source = 'src1' THEN 2500
+        |                    ELSE 10000 END
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for data mixing — the per-source quota and
+ * rate controls an LLM training pipeline uses to compose its corpus
+ * mixture. Extension surface beyond the reference. Both operators are
+ * hash-ranked ([[Splits.hashBucket]]'s engine-portable md5 form), so
+ * samples are stable across runs, partitioning, and cluster size —
+ * unlike `sample()`/`rand()`, whose output depends on partition layout.
+ *
+ * Scale shapes:
+ *  - [[stratifiedTopN]] is ONE window shuffle keyed by the group
+ *    column (rank within group by hash). Skew note: a mega-group sorts
+ *    within one partition — for quota sampling with n << group size,
+ *    pre-filtering by a hash-bucket upper bound first (cheap map) cuts
+ *    the sorted volume.
+ *  - [[byRates]] is a pure per-row filter expression — codegen, no
+ *    shuffle, pushdown-friendly. Rates are a broadcast-free literal
+ *    CASE over the (small) group domain.
+ */
+object Sample {
+
+  /** Deterministic stratified sample: the `n` rows of each group with
+    * the smallest md5-rank (ties broken by id). A per-source quota —
+    * every group contributes at most `n` rows, chosen stably. */
+  def stratifiedTopN(df: DataFrame, groupCol: String, idCol: String,
+                     n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "sample size must be positive")
+    require(!df.columns.contains("__rank"),
+      "input column __rank collides with stratifiedTopN's reserved temp name")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Splits.hashBucket(col(idCol), 1 << 30).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= n)
+      .drop("__rank")
+  }
+
+  /** Rate-based source mixing: keep each row with its group's rate
+    * (exactly the rows whose per-id hash bucket falls under
+    * rate x 10000 — deterministic, not probabilistic). Groups absent
+    * from `rates` use `defaultRate`. Rates are clamped to [0, 1]. */
+  def byRates(df: DataFrame, groupCol: String, idCol: String,
+              rates: Map[String, Double],
+              defaultRate: Double = 1.0): DataFrame = {
+    def cut(r: Double): Int = (math.max(0.0, math.min(1.0, r)) * 10000).toInt
+    val bucket = Splits.hashBucket(col(idCol), 10000)
+    val cutoff = rates.toSeq.sortBy(_._1).foldRight(lit(cut(defaultRate))) {
+      case ((g, r), rest) => when(col(groupCol) === g, cut(r)).otherwise(rest)
+    }
+    df.where(bucket < cutoff)
+  }
+}

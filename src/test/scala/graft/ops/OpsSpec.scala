@@ -477,6 +477,36 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("__scale"))
   }
 
+  test("stratified top-n: quota per group, partition-independent") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sample.stratifiedTopN(df, "grp", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.size === 15)
+    assert(a.groupBy(_._2).forall(_._2.size == 5))
+    // same sample regardless of physical layout
+    val b = Sample.stratifiedTopN(df.repartition(7, col("id")), "grp", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // a group smaller than n survives whole
+    val tiny = Seq((1L, "solo")).toDF("id", "grp")
+    assert(Sample.stratifiedTopN(tiny, "grp", "id", 5).count() === 1L)
+  }
+
+  test("rate mixing: deterministic, monotone in rate, 0 and 1 exact") {
+    val df = (1L to 400L).map(i => (i, s"s${i % 2}")).toDF("id", "grp")
+    val half = Sample.byRates(df, "grp", "id", Map("s0" -> 0.5, "s1" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(half.forall(_._2 == "s0")) // rate 0 removes the group entirely
+    val n0 = half.length
+    assert(n0 > 50 && n0 < 150, s"~50% of 200 expected, got $n0")
+    // a lower rate selects a SUBSET of a higher rate (nested samples)
+    val quarter = Sample.byRates(df, "grp", "id", Map("s0" -> 0.25, "s1" -> 0.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(half.map(_._1).toSet))
+    // default rate 1.0 keeps unlisted groups whole
+    assert(Sample.byRates(df, "grp", "id", Map.empty).count() === 400L)
+  }
+
   test("splits: group-atomic, deterministic, weights cover all buckets") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val df = (1L to 200L).map(i => (i, s"src${i % 20}")).toDF("id", "src")
