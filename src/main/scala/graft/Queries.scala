@@ -50,6 +50,21 @@ import graft.text.TextClean
  *  - q24_ann_lsh       SRP-LSH bucketed ANN (rows-only; q21 = ground truth)
  *  - q25_ml_train      M3-M7 static LR training (rows-only; MLSpec pins)
  *  - q26_scorelist     A4/A5/J2/U2 score-list training with overlap removal
+ *  - q27_ann_ivf       IVF ANN (rows-only; q21 = ground truth)
+ *  - q28/q29           sliding windows / session windows (streaming batch forms)
+ *  - q30_cosine_neardup embedding-cosine near-dup (planted-copy contract)
+ *  - q31/q32           as-of join / bounded range join (temporal shapes)
+ *  - q33_text_quality  composite quality + language-ID
+ *  - q34_chunks        context-length chunking
+ *  - q35_quantize      int8 quantization digest
+ *  - q36_splits        leakage-safe md5-bucketed splits
+ *  - q37_decontaminate benchmark n-gram overlap report
+ *  - q38_repetition    Gopher-style repetition gates
+ *  - q39_gram_topdf    corpus top-k n-grams by doc frequency
+ *  - q40_centroids     per-cluster embedding centroid digest
+ *  - q41_redact        PII scrub counts + redacted text (planted PII)
+ *  - q42_stratified    md5-ranked per-source quota sample
+ *  - q43_rate_mix      hash-cutoff source mixing
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
