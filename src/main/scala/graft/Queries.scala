@@ -489,6 +489,13 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Per-source token-length distribution (exact p50/p90/p99, min,
+    * max) — the corpus profile behind context-length choices. */
+  def q44LengthProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.lengthProfile(
+      t(spark, dir, "documents"), "source", "text")
+      .orderBy("source")
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -66,6 +66,7 @@ object SparkEntry {
     "q41_redact" -> (Queries.q41Redact(_, _)),
     "q42_stratified" -> (Queries.q42Stratified(_, _)),
     "q43_rate_mix" -> (Queries.q43RateMix(_, _)),
+    "q44_length_profile" -> (Queries.q44LengthProfile(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -576,6 +577,22 @@ object SparkEntry {
         |                    WHEN source = 'src1' THEN 2500
         |                    ELSE 10000 END
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // q44: Spark's exact `percentile` and DuckDB's quantile_cont share
+    // linear-interpolation semantics; token counts replay the
+    // normalized single-space split.
+    "q44_length_profile" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.9), 4) AS p90,
+        |  round(quantile_cont(n, 0.99), 4) AS p99,
+        |  min(n)::BIGINT AS min_tokens,
+        |  max(n)::BIGINT AS max_tokens
+        |FROM t GROUP BY source
         |ORDER BY source""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,

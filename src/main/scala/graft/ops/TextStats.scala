@@ -201,6 +201,27 @@ object TextStats {
       .orderBy(desc("doc_freq"), asc("gram"))
       .limit(k)
 
+  /** Per-group token-length distribution (exact interpolated p50/p90/
+    * p99 + min/max) — the corpus profile that sizes context lengths
+    * and packing. Exact `percentile` is a sort-based aggregate per
+    * group; at extreme group cardinality swap in `approx_percentile`
+    * (t-digest, mergeable) — the output contract stays the same.
+    * Token counts use [[Dedup.normalized]] + single-space split so the
+    * DuckDB oracle replays them exactly. */
+  def lengthProfile(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val n = size(split(Dedup.normalized(col(textCol)), " "))
+    val pct = percentile(col("__n"), array(lit(0.5), lit(0.9), lit(0.99)))
+    df.select(col(groupCol), n.as("__n"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(element_at(pct, 1), 4).as("p50"),
+        round(element_at(pct, 2), 4).as("p90"),
+        round(element_at(pct, 3), 4).as("p99"),
+        min(col("__n")).cast("long").as("min_tokens"),
+        max(col("__n")).cast("long").as("max_tokens"))
+  }
+
   /** Full per-document stats projection (one map stage). */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -507,6 +507,16 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(Sample.byRates(df, "grp", "id", Map.empty).count() === 400L)
   }
 
+  test("length profile: exact interpolated percentiles per group") {
+    val df = Seq("a", "a b", "a b c", "a b c d", "a b c d e")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "g") }
+      .toDF("id", "text", "grp")
+    val r = TextStats.lengthProfile(df, "grp", "text").collect().head
+    // tokens 1..5: p50=3, p90=4.6, p99=4.96 (linear interpolation)
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getLong(5), r.getLong(6)) === ((5L, 3.0, 4.6, 4.96, 1L, 5L)))
+  }
+
   test("splits: group-atomic, deterministic, weights cover all buckets") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val df = (1L to 200L).map(i => (i, s"src${i % 20}")).toDF("id", "src")
