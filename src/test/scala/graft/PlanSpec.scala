@@ -75,6 +75,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("q37: decontamination probes via broadcast, corpus side unshuffled") {
+    val plan = planOf(Queries.q37Decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q38/q41/q43: per-row pipelines add no exchange before the sort/agg") {
+    // map-only operators: the only exchanges allowed are the final
+    // ORDER BY's range partitioning (q38/q41) or the single aggregate
+    // shuffle (q43) — anything more means the operator shuffles rows
+    // it should process in place
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    assert(exchanges(planOf(Queries.q38Repetition(spark, dir))) <= 1)
+    assert(exchanges(planOf(Queries.q41Redact(spark, dir))) <= 1)
+    assert(exchanges(planOf(Queries.q43RateMix(spark, dir))) <= 2)
+  }
+
+  test("q42: stratified sample is one window shuffle") {
+    val plan = planOf(Queries.q42Stratified(spark, dir))
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q31/q32: temporal joins push event_type to the scan, no cartesian") {
     for (q <- Seq(
       Queries.q31AsofJoin(spark, dir),
