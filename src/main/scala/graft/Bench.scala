@@ -60,7 +60,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
-        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        // keep the (nearly) full message: the sidecar promises complete
+        // diagnostics; only the stdout line truncates (boundedErrs)
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(2000))
       }
     }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -65,6 +65,7 @@ import graft.text.TextClean
  *  - q41_redact        PII scrub counts + redacted text (planted PII)
  *  - q42_stratified    md5-ranked per-source quota sample
  *  - q43_rate_mix      hash-cutoff source mixing
+ *  - q44_length_profile per-source token-length percentiles
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)

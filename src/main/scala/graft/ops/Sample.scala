@@ -46,7 +46,11 @@ object Sample {
   def byRates(df: DataFrame, groupCol: String, idCol: String,
               rates: Map[String, Double],
               defaultRate: Double = 1.0): DataFrame = {
-    def cut(r: Double): Int = (math.max(0.0, math.min(1.0, r)) * 10000).toInt
+    // round, don't truncate: 0.57 * 10000 is 5699.999... in binary and
+    // a floor would silently drop one bucket below the documented
+    // rate x 10000 cutoff for most non-representable decimal rates
+    def cut(r: Double): Int =
+      math.round(math.max(0.0, math.min(1.0, r)) * 10000).toInt
     val bucket = Splits.hashBucket(col(idCol), 10000)
     val cutoff = rates.toSeq.sortBy(_._1).foldRight(lit(cut(defaultRate))) {
       case ((g, r), rest) => when(col(groupCol) === g, cut(r)).otherwise(rest)

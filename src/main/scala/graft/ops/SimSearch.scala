@@ -122,8 +122,10 @@ object SimSearch {
 
   /** Fit the coarse quantizer and assign every row to its cell.
     * Deterministic via seed. `sampleFraction` < 1.0 fits KMeans on a
-    * seeded sample (the standard move when the corpus is too large to
-    * iterate over; assignment still covers every row). */
+    * deterministic md5-bucket sample of ids ([[Splits.hashBucket]] —
+    * NOT `DataFrame.sample`, whose output depends on partition layout
+    * and would make "fit once per corpus version" unreproducible);
+    * assignment still covers every row. */
   def ivfFit(df: DataFrame, idCol: String, vecCol: String,
              nlist: Int = 16, seed: Long = 42L,
              sampleFraction: Double = 1.0): IvfIndex = {
@@ -133,7 +135,8 @@ object SimSearch {
       array_to_vector(asDouble(col(vecCol))))
     val fitOn =
       if (sampleFraction >= 1.0) featured
-      else featured.sample(withReplacement = false, sampleFraction, seed)
+      else featured.where(Splits.hashBucket(col(idCol), 10000) <
+        math.round(math.max(0.0, math.min(1.0, sampleFraction)) * 10000).toInt)
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(fitOn)

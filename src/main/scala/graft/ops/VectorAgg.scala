@@ -18,15 +18,23 @@ import org.apache.spark.sql.functions._
  */
 object VectorAgg {
 
+  /** The shared first aggregate: per-(cluster, position) mean and
+    * vector count — both public shapes derive from this frame, so the
+    * oracle-checked digest can never desynchronize from the centroid
+    * computation itself. */
+  private def posMeans(df: DataFrame, clusterCol: String,
+                       vecCol: String): DataFrame =
+    df.select(col(clusterCol).as("cluster"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
+      .groupBy(col("cluster"), col("__pos"))
+      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__n"))
+
   /** Per-cluster element-wise mean vectors: (cluster, n_vecs, centroid).
     * The centroid array is reassembled from the per-position means by
     * sorting (pos, mean) structs — `sort_array` on structs orders by
     * the first field, so the array index order is exact. */
   def centroids(df: DataFrame, clusterCol: String, vecCol: String): DataFrame =
-    df.select(col(clusterCol).as("cluster"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
-      .groupBy(col("cluster"), col("__pos"))
-      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__n"))
+    posMeans(df, clusterCol, vecCol)
       .groupBy(col("cluster"))
       .agg(
         max(col("__n")).as("n_vecs"),
@@ -37,10 +45,7 @@ object VectorAgg {
   /** Oracle-checkable digest of [[centroids]]: vector count, dims, and
     * the centroid's L2 norm per cluster. */
   def centroidDigest(df: DataFrame, clusterCol: String, vecCol: String): DataFrame =
-    df.select(col(clusterCol).as("cluster"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
-      .groupBy(col("cluster"), col("__pos"))
-      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__n"))
+    posMeans(df, clusterCol, vecCol)
       .groupBy(col("cluster"))
       .agg(
         max(col("__n")).as("n_vecs"),

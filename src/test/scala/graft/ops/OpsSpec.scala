@@ -507,6 +507,17 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(Sample.byRates(df, "grp", "id", Map.empty).count() === 400L)
   }
 
+  test("rate mixing: decimal rates round to the exact bucket cutoff") {
+    // 0.57 * 10000 is 5699.999... in binary; a floor would lose bucket
+    // 5699 and silently exclude its rows from the documented cutoff
+    val df = (1L to 5000L).map(i => (i, "s")).toDF("id", "grp")
+    val got = Sample.byRates(df, "grp", "id", Map("s" -> 0.57))
+      .collect().map(_.getLong(0)).toSet
+    val want = df.where(Splits.hashBucket(col("id"), 10000) < 5700)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
   test("length profile: exact interpolated percentiles per group") {
     val df = Seq("a", "a b", "a b c", "a b c d", "a b c d e")
       .zipWithIndex.map { case (t, i) => (i.toLong, t, "g") }
