@@ -66,6 +66,7 @@ import graft.text.TextClean
  *  - q42_stratified    md5-ranked per-source quota sample
  *  - q43_rate_mix      hash-cutoff source mixing
  *  - q44_length_profile per-source token-length percentiles
+ *  - q45_multimodal    blob-plumbing digest (byte-histogram kernel)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -496,6 +497,31 @@ object Queries {
     graft.ops.TextStats.lengthProfile(
       t(spark, dir, "documents"), "source", "text")
       .orderBy("source")
+
+  /** Multimodal plumbing digest: documents' text bytes wrapped as
+    * binary payloads -> blob schema -> mapPartitions feature kernel
+    * (16-bin byte histogram) + metadata-only projection. Digests are
+    * exact integers (histogram fraction x payload length recovers the
+    * bin count; float error < 0.5 always rounds away), so the whole
+    * decode-plumbing path is hash-checked against DuckDB. Bins over
+    * ASCII text: bin 2 = space (0x20), bins 6-7 = lowercase letters. */
+  def q45Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = graft.ops.Multimodal.asBlobTable(
+      t(spark, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", "text/plain")
+    val meta = graft.ops.Multimodal.metadataOnly(blobs)
+      .select("blob_id", "payload_bytes")
+    val feats = graft.ops.Multimodal.extractFeatures(blobs, bins = 16)
+    def binCount(bin: Int) =
+      round(element_at(col("features"), bin + 1).cast("double") *
+        col("payload_bytes")).cast("long")
+    feats.join(meta, Seq("blob_id"))
+      .select(col("blob_id"), col("payload_bytes"),
+        binCount(2).as("n_space"),
+        binCount(6).as("n_bin6"),
+        binCount(7).as("n_bin7"))
+      .orderBy("blob_id")
+  }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

@@ -67,6 +67,7 @@ object SparkEntry {
     "q42_stratified" -> (Queries.q42Stratified(_, _)),
     "q43_rate_mix" -> (Queries.q43RateMix(_, _)),
     "q44_length_profile" -> (Queries.q44LengthProfile(_, _)),
+    "q45_multimodal" -> (Queries.q45Multimodal(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -594,6 +595,26 @@ object SparkEntry {
         |  max(n)::BIGINT AS max_tokens
         |FROM t GROUP BY source
         |ORDER BY source""".stripMargin,
+    // q45: the byte-histogram stub replayed over ASCII code points
+    // (fixture text is pure printable ASCII, so ascii() == byte and
+    // length == octet_length); bin = byte * 16 / 256 = byte // 16.
+    "q45_multimodal" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(text)),
+        |      i -> ascii(substr(text, i, 1)) // 16)) AS bin
+        |  FROM documents),
+        |h AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT d.doc_id AS blob_id,
+        |  length(d.text)::BIGINT AS payload_bytes,
+        |  coalesce(h2.c, 0)::BIGINT AS n_space,
+        |  coalesce(h6.c, 0)::BIGINT AS n_bin6,
+        |  coalesce(h7.c, 0)::BIGINT AS n_bin7
+        |FROM documents d
+        |LEFT JOIN h h2 ON h2.doc_id = d.doc_id AND h2.bin = 2
+        |LEFT JOIN h h6 ON h6.doc_id = d.doc_id AND h6.bin = 6
+        |LEFT JOIN h h7 ON h7.doc_id = d.doc_id AND h7.bin = 7
+        |ORDER BY blob_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
