@@ -46,7 +46,7 @@ import graft.text.TextClean
  *  - q20_vector_stats  embedding dims + L2 norms
  *  - q21_knn_exact     brute-force cosine top-k (TakeOrdered)
  *  - q22_minhash_pairs banded MinHash LSH near-dup (rows-only)
- *  - q23_simhash_pairs SimHash chunk-banded near-dup (rows-only)
+ *  - q23_simhash_pairs SimHash chunk-banded near-dup (oracle: FNV+vote replay)
  *  - q24_ann_lsh       SRP-LSH bucketed ANN (rows-only; q21 = ground truth)
  *  - q25_ml_train      M3-M7 static LR training (rows-only; MLSpec pins)
  *  - q26_scorelist     A4/A5/J2/U2 score-list training with overlap removal
@@ -266,7 +266,10 @@ object Queries {
       shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (banded chunks; rows-only check). */
+  /** SimHash near-dup pairs (banded chunks). Oracle-checked: the
+    * banding guarantees completeness for Hamming <= 3 (pigeonhole), so
+    * the output contract is the brute-force pair set, which DuckDB
+    * replays by re-deriving fnv1a64 + bit votes in SQL. */
   def q23SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.SimHash.nearDupPairs(
       t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)

@@ -307,6 +307,42 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // q23: the banded candidate generation is an implementation detail;
+    // the OUTPUT contract — every pair within Hamming distance 3, which
+    // the 4x16-bit banding guarantees complete by pigeonhole — is fully
+    // SQL-expressible. The CTE replays fnv1a64 exactly (HUGEINT modular
+    // arithmetic; xor touches only the low 7 bits because inputs are
+    // ASCII code points), re-derives the 64 signature bits by token
+    // vote, and brute-forces pair Hamming (fine at oracle scale; the
+    // Spark side is the one that must avoid the quadratic pass).
+    "q23_simhash_pairs" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |dtok AS (SELECT DISTINCT tok FROM toks),
+        |f(tok, pos, h) AS (
+        |  SELECT tok, 0, 14695981039346656037::HUGEINT FROM dtok
+        |  UNION ALL
+        |  SELECT tok, pos + 1,
+        |    ((h - h % 128 + xor((h % 128)::BIGINT, ascii(substr(tok, pos + 1, 1)))::HUGEINT)
+        |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM f WHERE pos < length(tok)),
+        |th AS (SELECT tok, h FROM f WHERE pos = length(tok)),
+        |votes AS (
+        |  SELECT t.doc_id, b.bit,
+        |    sum(CASE WHEN (th.h // (1::HUGEINT << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM toks t JOIN th USING (tok)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+        |  GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, bit, CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM votes),
+        |ham AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming::INT AS hamming FROM ham
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // q30: the planted-copy corpus makes the output contract exact —
     // every pair at cosine >= 0.99 is a planted (i, i+1000000) copy at
     // cosine 1.0 (organic max pairwise cosine is ~0.51), and identical
