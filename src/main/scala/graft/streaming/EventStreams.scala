@@ -153,6 +153,22 @@ object EventStreams {
     enrich(nanosToTimestamp(raw), dim, key)
   }
 
+  /** Durable sink: drain the stream to parquet with a checkpoint.
+    * Exactly-once comes from the checkpoint + file-sink manifest —
+    * re-running the same query over the same source after a stop (or
+    * crash) resumes from the committed offsets instead of reprocessing,
+    * so restarts never duplicate rows. `availableNow` makes the same
+    * pipeline a drainable batch job on a cluster. */
+  def sinkToParquet(streamed: DataFrame, outDir: String,
+                    checkpointDir: String): StreamingQuery =
+    streamed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-user running state: event count + last seen timestamp via
     * mapGroupsWithState (custom stateful operator surface). */
   case class UserState(n: Long, lastTs: java.sql.Timestamp)

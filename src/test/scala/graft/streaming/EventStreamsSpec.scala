@@ -169,6 +169,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.keySet.contains(null)) // every event found its dim row
   }
 
+  test("parquet sink is exactly-once across a restart (checkpointed)") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sink-src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
+      streamDir.resolve("events.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink-out")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sink-ck")
+    val schema = spark.read.parquet(dir).schema
+    def run(): Unit = {
+      val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val q = EventStreams.sinkToParquet(
+        EventStreams.nanosToTimestamp(raw).select("event_id", "user_id"),
+        outDir.toString, ckDir.toString)
+      q.awaitTermination(120000)
+    }
+    run()
+    val n = events.count()
+    assert(spark.read.parquet(outDir.toString).count() === n)
+    // restart over the same source + checkpoint: offsets are committed,
+    // nothing reprocesses, row count unchanged
+    run()
+    assert(spark.read.parquet(outDir.toString).count() === n)
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
