@@ -67,6 +67,7 @@ import graft.text.TextClean
  *  - q43_rate_mix      hash-cutoff source mixing
  *  - q44_length_profile per-source token-length percentiles
  *  - q45_multimodal    blob-plumbing digest (byte-histogram kernel)
+ *  - q46_packing       sequence packing to a token budget
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -524,6 +525,18 @@ object Queries {
         binCount(6).as("n_bin6"),
         binCount(7).as("n_bin7"))
       .orderBy("blob_id")
+  }
+
+  /** Sequence packing digest: q34's 64/16 chunks packed into 512-token
+    * packs per source (contiguous greedy fill; at most one straddling
+    * chunk of overshoot per pack). */
+  def q46Packing(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.ops.Chunk.explodeChunks(
+      t(spark, dir, "documents"), "doc_id", "text", size = 64, overlap = 16)
+      .join(t(spark, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+    graft.ops.Pack.packDigest(chunks, "source",
+      Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512)
+      .orderBy("source", "pack_id")
   }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */

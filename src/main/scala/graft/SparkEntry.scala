@@ -68,6 +68,7 @@ object SparkEntry {
     "q43_rate_mix" -> (Queries.q43RateMix(_, _)),
     "q44_length_profile" -> (Queries.q44LengthProfile(_, _)),
     "q45_multimodal" -> (Queries.q45Multimodal(_, _)),
+    "q46_packing" -> (Queries.q46Packing(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -651,6 +652,41 @@ object SparkEntry {
         |LEFT JOIN h h6 ON h6.doc_id = d.doc_id AND h6.bin = 6
         |LEFT JOIN h h7 ON h7.doc_id = d.doc_id AND h7.bin = 7
         |ORDER BY blob_id""".stripMargin,
+    // q46: q34's chunk arithmetic + the running-sum pack rule
+    // (pack = floor(tokens_before / budget)) replayed as a window.
+    "q46_packing" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      w -> w <> '') AS ws
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, len(ws) AS n FROM norm WHERE len(ws) > 0),
+        |ks AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE cast(ceil((n - 64)::DOUBLE / 48) AS INT) + 1 END AS k
+        |  FROM sized),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, k - 1)) AS chunk_id,
+        |    unnest(list_transform(generate_series(0, k - 1),
+        |      i -> least(i*48 + 64, n) - i*48)) AS n_chunk_tokens
+        |  FROM ks),
+        |src AS (
+        |  SELECT d.source, c.doc_id, c.chunk_id, c.n_chunk_tokens
+        |  FROM chunks c JOIN documents d USING (doc_id)),
+        |packed AS (
+        |  SELECT source, n_chunk_tokens,
+        |    floor(coalesce(sum(n_chunk_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)::BIGINT AS pack_id
+        |  FROM src)
+        |SELECT source, pack_id, count(*) AS n_chunks,
+        |  sum(n_chunk_tokens)::BIGINT AS sum_tokens
+        |FROM packed GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
     "q14_starjoin" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

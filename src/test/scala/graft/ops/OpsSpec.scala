@@ -528,6 +528,30 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       r.getLong(5), r.getLong(6)) === ((5L, 3.0, 4.6, 4.96, 1L, 5L)))
   }
 
+  test("packing: contiguous fill, bounded overshoot, positions dense") {
+    // tokens 300+300+300 with budget 512: chunk 2 starts at 300 (<512)
+    // so pack 0 holds [300, 300] (overshoot 88 — one straddler max);
+    // chunk 3 starts at 600 -> pack 1
+    val df = Seq(
+      ("s", 1L, 300L), ("s", 2L, 300L), ("s", 3L, 300L),
+      ("t", 1L, 600L), ("t", 2L, 10L))
+      .toDF("grp", "seq", "n_tok")
+    val out = Pack.byBudget(df, "grp", Seq("seq"), "n_tok", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getInt(4))).toMap
+    assert(out(("s", 1L)) === ((0L, 0)))
+    assert(out(("s", 2L)) === ((0L, 1)))
+    assert(out(("s", 3L)) === ((1L, 0)))
+    // an oversized single chunk still lands alone in its own pack
+    assert(out(("t", 1L)) === ((0L, 0)))
+    assert(out(("t", 2L)) === ((1L, 0)))
+    val digest = Pack.packDigest(df, "grp", Seq("seq"), "n_tok", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(digest(("s", 0L)) === ((2L, 600L)))
+    assert(digest(("s", 1L)) === ((1L, 300L)))
+  }
+
   test("splits: group-atomic, deterministic, weights cover all buckets") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val df = (1L to 200L).map(i => (i, s"src${i % 20}")).toDF("id", "src")
