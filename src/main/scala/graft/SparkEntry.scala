@@ -677,12 +677,16 @@ object SparkEntry {
         |src AS (
         |  SELECT d.source, c.doc_id, c.chunk_id, c.n_chunk_tokens
         |  FROM chunks c JOIN documents d USING (doc_id)),
-        |packed AS (
+        |raw AS (
         |  SELECT source, n_chunk_tokens,
         |    floor(coalesce(sum(n_chunk_tokens) OVER (
         |      PARTITION BY source ORDER BY doc_id, chunk_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)::BIGINT AS pack_id
-        |  FROM src)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS rawpack
+        |  FROM src),
+        |packed AS (
+        |  SELECT source, n_chunk_tokens,
+        |    (dense_rank() OVER (PARTITION BY source ORDER BY rawpack) - 1)::BIGINT AS pack_id
+        |  FROM raw)
         |SELECT source, pack_id, count(*) AS n_chunks,
         |  sum(n_chunk_tokens)::BIGINT AS sum_tokens
         |FROM packed GROUP BY source, pack_id

@@ -25,29 +25,37 @@ import org.apache.spark.sql.functions._
  */
 object Pack {
 
-  /** Assign `packCol` (0-based pack id per group) and `packPosCol`
-    * (0-based position within the pack). Rows are ordered within each
-    * group by `orderCols`. */
+  /** Assign `packCol` (DENSE 0-based pack id per group — a single row
+    * larger than several budgets still only advances the id by one)
+    * and `packPosCol` (0-based position within the pack). Rows are
+    * ordered within each group by `orderCols`. */
   def byBudget(df: DataFrame, groupCol: String, orderCols: Seq[String],
                tokenCol: String, budget: Int,
                packCol: String = "pack_id",
                packPosCol: String = "pack_pos"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "token budget must be positive")
-    require(!df.columns.contains("__before"),
-      "input column __before collides with Pack.byBudget's reserved temp name")
+    val clash = df.columns.toSet.intersect(Set("__before", "__rawpack", packCol, packPosCol))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Pack.byBudget's reserved/output names")
     val order = orderCols.map(col(_).asc)
     val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     // tokens strictly before this row in group order
     val before = coalesce(
       sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
+    // dense-rank the raw floor buckets so pack ids have no gaps even
+    // when one row spans multiple budgets (same partition key — the
+    // extra window adds no shuffle)
     val withPack = df.withColumn("__before", before)
-      .withColumn(packCol, floor(col("__before") / budget))
+      .withColumn("__rawpack", floor(col("__before") / budget))
+      .withColumn(packCol,
+        dense_rank().over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__rawpack"))).cast("long") - 1)
     val wp = Window.partitionBy(col(groupCol), col(packCol)).orderBy(order: _*)
     withPack
       .withColumn(packPosCol, row_number().over(wp) - 1)
-      .drop("__before")
+      .drop("__before", "__rawpack")
   }
 
   /** Per-pack digest: chunk count and token sum (oracle-checkable

@@ -545,6 +545,13 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // an oversized single chunk still lands alone in its own pack
     assert(out(("t", 1L)) === ((0L, 0)))
     assert(out(("t", 2L)) === ((1L, 0)))
+    // a row spanning MULTIPLE budgets must not leave pack-id gaps:
+    // raw floors are 0 and 2 (1100 crosses two 512 boundaries), but
+    // dense ids stay contiguous 0, 1
+    val wide = Seq(("u", 1L, 1100L), ("u", 2L, 10L)).toDF("grp", "seq", "n_tok")
+    val dense = Pack.byBudget(wide, "grp", Seq("seq"), "n_tok", 512)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(dense === Map(1L -> 0L, 2L -> 1L))
     val digest = Pack.packDigest(df, "grp", Seq("seq"), "n_tok", 512)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3))).toMap

@@ -11,6 +11,15 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
 
   private val dir = "/root/testdata/sf0.001/events.parquet"
 
+  /** Stage a single-file parquet fixture into a fresh directory (file
+    * stream sources need a directory, not a file). */
+  private def stageDir(prefix: String, fixture: String = dir): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    val src = java.nio.file.Paths.get(fixture)
+    java.nio.file.Files.copy(src, d.resolve(src.getFileName))
+    d.toString
+  }
+
   private lazy val events = {
     val raw = spark.read.parquet(dir)
     raw.schema("ts").dataType match {
@@ -42,13 +51,9 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("streamed tumbling (watermark + availableNow) equals batch") {
-    // file stream sources need a directory; stage the single-file
-    // fixture into one
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
-      streamDir.resolve("events.parquet"))
+    val streamDir = stageDir("graft-stream")
     val q = EventStreams.runOnce(spark,
-      EventStreams.streamTumbling(spark, streamDir.toString), "stream_tumbling")
+      EventStreams.streamTumbling(spark, streamDir), "stream_tumbling")
     q.awaitTermination(120000)
     val streamed = spark.table("stream_tumbling")
       .orderBy("event_type", "window_start")
@@ -63,12 +68,10 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     // the reference's scoring flow (§3.1) applied through readStream:
     // same column transforms, streamed vs batch results must agree
     val docsPath = "/root/testdata/sf0.001/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-score-stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
-      streamDir.resolve("documents.parquet"))
+    val streamDir = stageDir("graft-score-stream", docsPath)
     val schema = spark.read.parquet(docsPath).schema
     val streamed = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
+      .parquet(streamDir)
       .select(col("doc_id"),
         graft.wordscore.WordScore.scoreCol(col("text")).as("computed"))
     val q = streamed.writeStream.format("memory").queryName("scored_stream")
@@ -87,11 +90,9 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("streaming dedup (watermarked) equals batch distinct key count") {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
-      streamDir.resolve("events.parquet"))
+    val streamDir = stageDir("graft-dedup-stream")
     val keys = Seq("user_id", "event_type")
-    val q = EventStreams.streamDedup(spark, streamDir.toString, keys)
+    val q = EventStreams.streamDedup(spark, streamDir, keys)
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -147,13 +148,11 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("stream-static enrichment equals the batch broadcast join") {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-enrich-stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
-      streamDir.resolve("events.parquet"))
+    val streamDir = stageDir("graft-enrich-stream")
     val dim = events.select("user_id").distinct()
       .withColumn("segment",
         concat(lit("seg"), pmod(col("user_id"), lit(3)).cast("string")))
-    val q = EventStreams.streamEnrich(spark, streamDir.toString, dim, "user_id")
+    val q = EventStreams.streamEnrich(spark, streamDir, dim, "user_id")
       .writeStream.format("memory").queryName("enrich_stream")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -170,14 +169,12 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("parquet sink is exactly-once across a restart (checkpointed)") {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-sink-src")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
-      streamDir.resolve("events.parquet"))
+    val streamDir = stageDir("graft-sink-src")
     val outDir = java.nio.file.Files.createTempDirectory("graft-sink-out")
     val ckDir = java.nio.file.Files.createTempDirectory("graft-sink-ck")
     val schema = spark.read.parquet(dir).schema
     def run(): Unit = {
-      val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val raw = spark.readStream.schema(schema).parquet(streamDir)
       val q = EventStreams.sinkToParquet(
         EventStreams.nanosToTimestamp(raw).select("event_id", "user_id"),
         outDir.toString, ckDir.toString)
