@@ -531,9 +531,11 @@ object Queries {
     * packs per source (contiguous greedy fill; at most one straddling
     * chunk of overshoot per pack). */
   def q46Packing(spark: SparkSession, dir: String): DataFrame = {
+    // `source` rides through the chunker (carryCols) — re-joining the
+    // parent table on doc_id would shuffle the whole chunk set twice
     val chunks = graft.ops.Chunk.explodeChunks(
-      t(spark, dir, "documents"), "doc_id", "text", size = 64, overlap = 16)
-      .join(t(spark, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+      t(spark, dir, "documents"), "doc_id", "text", size = 64, overlap = 16,
+      carryCols = Seq("source"))
     graft.ops.Pack.packDigest(chunks, "source",
       Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512)
       .orderBy("source", "pack_id")

@@ -49,17 +49,21 @@ object Chunk {
     })
   }
 
-  /** Explode documents into (id, chunk_id, chunk_text, n_chunk_tokens)
-    * rows; documents with no tokens produce no chunks. */
+  /** Explode documents into (id, [carry...], chunk_id, chunk_text,
+    * n_chunk_tokens) rows; documents with no tokens produce no chunks.
+    * `carryCols` propagate row metadata (source, lang, split) through
+    * the explode — at scale this beats re-joining the parent table on
+    * id afterwards (a whole extra shuffle of the chunk set). */
   def explodeChunks(df: DataFrame, idCol: String, textCol: String,
-                    size: Int, overlap: Int): DataFrame =
-    df.select(col(idCol),
+                    size: Int, overlap: Int,
+                    carryCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: carryCols.map(col) :+
       posexplode(chunkUdf(size, overlap)(col(textCol)))
-        .as(Seq("chunk_id", "chunk_text")))
+        .as(Seq("chunk_id", "chunk_text")): _*)
       .select(
-        col(idCol),
-        col("chunk_id").cast("long").as("chunk_id"),
-        col("chunk_text"),
-        org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))
-          .cast("long").as("n_chunk_tokens"))
+        (col(idCol) +: carryCols.map(col)) ++ Seq(
+          col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"),
+          org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))
+            .cast("long").as("n_chunk_tokens")): _*)
 }
