@@ -559,6 +559,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(digest(("s", 1L)) === ((1L, 300L)))
   }
 
+  test("curate: stages remove monotonically, pipeline output annotated") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val benchmark = corpus.where(col("doc_id") % 10 === 0)
+    val input = corpus.where(col("doc_id") % 10 =!= 0)
+    val (out, report) = Curate.standard(input, benchmark)
+    val counts = report.stages.map(_._2)
+    // every stage only removes rows
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      report.stages.toString)
+    assert(counts.head <= input.count())
+    // output carries the split column and survived end-to-end
+    assert(out.columns.contains("split"))
+    assert(out.count() === counts.last)
+    assert(report.counts.keySet === Set("quality", "repetition",
+      "exact_dedup", "near_dedup", "decontaminate", "split"))
+  }
+
   test("splits: group-atomic, deterministic, weights cover all buckets") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val df = (1L to 200L).map(i => (i, s"src${i % 20}")).toDF("id", "src")
