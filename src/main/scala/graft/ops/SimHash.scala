@@ -53,6 +53,14 @@ object SimHash {
   val simhashUdf: UserDefinedFunction = udf((tokens: Seq[String]) =>
     if (tokens == null) 0L else simhash64(tokens))
 
+  /** Whole-text form (normalize + tokenize + signature in one call) —
+    * the static entry point the `graft_simhash` codegen expression
+    * invokes. Semantics identical to [[simhashCol]]'s
+    * split(normalized, " ") path, including the empty-text case
+    * (one "" token). */
+  def simhashOfText(s: String): Long =
+    simhash64(s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).toSeq)
+
   /** 64-bit SimHash of whitespace tokens of a (normalized) text. */
   def simhashCol(text: Column): Column =
     simhashUdf(split(Dedup.normalized(text), " "))

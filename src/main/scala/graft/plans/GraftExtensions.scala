@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *    (reference semantics incl. the step-1b ordering deviation,
  *    `/root/reference/.../utils/Stemmer.scala` pinned by StemmerSpec);
  *  - `graft_clean(str)` — the tweet cleaning chain
- *    (`/root/reference/.../utils/Helper.scala:77-84`).
+ *    (`/root/reference/.../utils/Helper.scala:77-84`);
+ *  - `graft_simhash(str)` — 64-bit SimHash of the normalized text
+ *    (extension surface; same semantics as [[graft.ops.SimHash.simhashCol]]).
  *
  * The generated code calls the static Scala implementations directly —
  * one virtual-call-free static invoke per row, null handling inlined
@@ -74,6 +76,29 @@ case class CleanTextExpression(child: Expression)
     copy(child = newChild)
 }
 
+case class SimHashExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      prettyName + " requires a string argument")
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.SimHash.simhashOfText(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.SimHash.simhashOfText($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpression =
+    copy(child = newChild)
+}
+
 /** Session extension: `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.plans.GraftExtensions`; for an already-
   * running session use [[GraftExtensions.register]]. */
@@ -92,7 +117,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => StemExpression(children.head)),
     (new FunctionIdentifier("graft_clean"),
       new ExpressionInfo(classOf[CleanTextExpression].getName, "graft_clean"),
-      (children: Seq[Expression]) => CleanTextExpression(children.head)))
+      (children: Seq[Expression]) => CleanTextExpression(children.head)),
+    (new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpression].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashExpression(children.head)))
 
   /** Retrofit the functions into an existing session (e.g. one created
     * without `withExtensions`). */
@@ -112,4 +140,5 @@ object GraftFunctions {
 
   def graftStem(c: Column): Column = call_function("graft_stem", c)
   def graftClean(c: Column): Column = call_function("graft_clean", c)
+  def graftSimhash(c: Column): Column = call_function("graft_simhash", c)
 }

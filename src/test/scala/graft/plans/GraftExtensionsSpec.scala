@@ -27,6 +27,22 @@ class GraftExtensionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got === graft.text.TextClean.cleanString(s))
   }
 
+  test("graft_simhash matches the UDF path on the fixture corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaExpr = docs.select(col("doc_id"),
+      GraftFunctions.graftSimhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUdf = docs.select(col("doc_id"),
+      graft.ops.SimHash.simhashCol(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaUdf)
+    assert(viaExpr.size === docs.count())
+    // empty text: one "" token, same on both paths
+    assert(spark.sql("SELECT graft_simhash('')").head().getLong(0) ===
+      graft.ops.SimHash.simhashOfText(""))
+  }
+
   test("null input yields null (nullIntolerant)") {
     assert(spark.sql("SELECT graft_stem(CAST(NULL AS STRING))").head().isNullAt(0))
   }
