@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver benches with `sbt "runMain graft.Bench"` and parses the
+// JSON line from captured stdout. By default sbt routes forked-process
+// stdout through its logger, prefixing every line with "[info] " — which
+// breaks any parser expecting a line that *starts* with '{' (all five
+// driver BENCH_r*.json artifacts show parsed:null). StdoutOutput passes
+// the forked process's streams through verbatim, and showSuccess
+// suppresses the trailing "[success] Total time" line so the bare JSON
+// line is the last thing on stdout.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
