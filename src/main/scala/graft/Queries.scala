@@ -45,12 +45,13 @@ import graft.text.TextClean
  *  - q19_text_profile  text-quality metrics (token/char/punct/stopword)
  *  - q20_vector_stats  embedding dims + L2 norms
  *  - q21_knn_exact     brute-force cosine top-k (TakeOrdered)
- *  - q22_minhash_pairs banded MinHash LSH near-dup (rows-only)
+ *  - q22_minhash_pairs banded MinHash LSH near-dup (oracle: exact-Jaccard contract)
  *  - q23_simhash_pairs SimHash chunk-banded near-dup (oracle: FNV+vote replay)
- *  - q24_ann_lsh       SRP-LSH bucketed ANN (rows-only; q21 = ground truth)
+ *  - q24_ann_lsh       SRP-LSH bucketed ANN (oracle: full SRP replay,
+ *                      hyperplanes embedded as literals)
  *  - q25_ml_train      M3-M7 static LR training (rows-only; MLSpec pins)
  *  - q26_scorelist     A4/A5/J2/U2 score-list training with overlap removal
- *  - q27_ann_ivf       IVF ANN (rows-only; q21 = ground truth)
+ *  - q27_ann_ivf       IVF ANN (oracle: recall-1.0 contract = exact top-k)
  *  - q28/q29           sliding windows / session windows (streaming batch forms)
  *  - q30_cosine_neardup embedding-cosine near-dup (planted-copy contract)
  *  - q31/q32           as-of join / bounded range join (temporal shapes)
@@ -68,6 +69,8 @@ import graft.text.TextClean
  *  - q44_length_profile per-source token-length percentiles
  *  - q45_multimodal    blob-plumbing digest (byte-histogram kernel)
  *  - q46_packing       sequence packing to a token budget
+ *  - q47_bloom_decontaminate q37 through the broadcast Bloom prefilter
+ *  - q48_incremental_minhash new-batch-vs-corpus near-dup (no old x old)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -539,6 +542,34 @@ object Queries {
     graft.ops.Pack.packDigest(chunks, "source",
       Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512)
       .orderBy("source", "pack_id")
+  }
+
+  /** q37's contamination report computed through the broadcast
+    * Bloom-filter prefilter — same fixture split, same oracle (the
+    * exact verify join makes the bloom path's output bit-identical),
+    * exercising the map-only prefilter shape end-to-end. */
+  def q47BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    graft.ops.Decontaminate.contaminationReportViaBloom(
+      corpus, benchmark, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Incremental near-dup pairs: even doc_ids are the historical
+    * corpus, odd the new ingest batch — output is every near-dup pair
+    * touching the new batch (old x old pairs, found when those batches
+    * landed, are never re-derived). The planted near-dups at J >= 0.9
+    * make the contract exact-Jaccard-expressible like q22. */
+  def q48IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val oldBatch = docs.filter(col("doc_id") % 2 === 0)
+    val newBatch = docs.filter(col("doc_id") % 2 =!= 0)
+    graft.ops.Dedup.minhashPairsIncremental(
+      newBatch, oldBatch, "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7)
+      .orderBy("id_a", "id_b")
   }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */

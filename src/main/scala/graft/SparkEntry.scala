@@ -69,7 +69,31 @@ object SparkEntry {
     "q44_length_profile" -> (Queries.q44LengthProfile(_, _)),
     "q45_multimodal" -> (Queries.q45Multimodal(_, _)),
     "q46_packing" -> (Queries.q46Packing(_, _)),
+    "q47_bloom_decontaminate" -> (Queries.q47BloomDecontaminate(_, _)),
+    "q48_incremental_minhash" -> (Queries.q48IncrementalMinhash(_, _)),
   )
+
+  /** q37 and q47 share one contract: the Bloom prefilter path's exact
+    * verify join makes its report bit-identical to the broadcast-join
+    * path, so both check against the same SQL. */
+  private val decontaminationReportSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws)-4),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+      |  FROM norm WHERE len(ws) >= 5
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+      |  FROM norm WHERE len(ws) < 5 AND array_to_string(ws, ' ') <> ''),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM grams JOIN bench USING (g)
+      |WHERE doc_id % 10 <> 0
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -268,6 +292,29 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q21_knn_exact" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+        |         unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx,
+        |             sqrt(sum(y*y)) AS ny
+        |      FROM pairs GROUP BY vec_id)
+        |SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+        |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // q24: full SRP-LSH replay — seeded hyperplanes embedded as
+    // literals, bucket signatures + multi-probe + exact rerank all
+    // re-derived in SQL (see SimSearch.annLshOracleSql).
+    "q24_ann_lsh" -> graft.ops.SimSearch.annLshOracleSql(
+      "embeddings", "vec_id", "embedding",
+      queryId = 0L, k = 10, bits = 8, dim = 64, seed = 42L),
+    // q27: the IVF coarse quantizer (seeded KMeans) is not
+    // SQL-replayable, but the operator's CONTRACT on this corpus is —
+    // with nprobe=4 of nlist=16 cells the probed cells contain the
+    // entire exact top-10 (recall 1.0, independently pinned in
+    // OpsSpec), and the exact-cosine rerank makes the output identical
+    // to the brute-force top-k. The oracle asserts that contract.
+    "q27_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (
         |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
@@ -496,24 +543,36 @@ object SparkEntry {
     // q37: gram semantics mirror q22's oracle (normalized word
     // 5-grams, distinct per doc, whole-text gram for docs shorter than
     // n tokens); benchmark = doc_id % 10 = 0, corpus = the rest.
-    "q37_decontaminate" ->
+    "q37_decontaminate" -> decontaminationReportSql,
+    "q47_bloom_decontaminate" -> decontaminationReportSql,
+    // q48: like q22, the banding is the implementation and the exact
+    // n-gram Jaccard set is the contract — restricted to pairs
+    // touching the new (odd-id) batch, since old x old pairs are by
+    // design never re-derived by the incremental path.
+    "q48_incremental_minhash" ->
       """WITH norm AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
         |  FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(generate_series(1, len(ws)-4),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
-        |  FROM norm WHERE len(ws) >= 5
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM norm WHERE len(ws) >= 3
         |  UNION
         |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
-        |  FROM norm WHERE len(ws) < 5 AND array_to_string(ws, ' ') <> ''),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
-        |SELECT doc_id, count(*) AS n_hits
-        |FROM grams JOIN bench USING (g)
-        |WHERE doc_id % 10 <> 0
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.7
+        |  AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
     // q38: TextStats.repetitionOf replayed — normalized tokens, word
     // histogram, adjacent-2-gram duplicate fraction.
     "q38_repetition" ->

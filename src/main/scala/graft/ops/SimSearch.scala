@@ -108,6 +108,52 @@ object SimSearch {
   }
 
   /**
+   * DuckDB oracle for [[annLshTopK]]: replays the WHOLE SRP pipeline —
+   * bucket signatures, multi-probe candidate set, exact-cosine rerank —
+   * in SQL, so the cross-engine check validates the LSH semantics, not
+   * just the final ranking. The seeded hyperplanes are embedded as
+   * literals (generated here by the same [[hyperplanes]] call the Spark
+   * side uses); `dim` must match the corpus embedding width (the Spark
+   * side derives it from the data — 64 in the driver's testdata).
+   * Strict `> 0` sign threshold and `round(.., 4)`-then-order tie-break
+   * mirror [[srpBucket]] / [[annLshTopK]] exactly.
+   */
+  def annLshOracleSql(table: String, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, bits: Int, dim: Int,
+                      seed: Long): String = {
+    val planes = hyperplanes(bits, dim, seed)
+    val planeRows = planes.zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(b, p) AS (VALUES
+       |    $planeRows),
+       |emb AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS v
+       |        FROM $table),
+       |sig AS (
+       |  SELECT e.vid,
+       |         CAST(sum(CASE WHEN list_dot_product(pl.p, e.v) > 0
+       |                       THEN 1 << pl.b ELSE 0 END) AS INT) AS bucket
+       |  FROM emb e CROSS JOIN planes pl GROUP BY e.vid),
+       |qv AS (SELECT v FROM emb WHERE vid = $queryId),
+       |qb AS (SELECT bucket FROM sig WHERE vid = $queryId),
+       |probes AS (
+       |  SELECT bucket FROM qb
+       |  UNION
+       |  SELECT xor(qb.bucket, 1 << f.i)
+       |  FROM qb CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS i) f),
+       |cand AS (
+       |  SELECT s.vid FROM sig s JOIN probes p ON s.bucket = p.bucket
+       |  WHERE s.vid <> $queryId)
+       |SELECT e.vid AS $idCol,
+       |       round(list_dot_product(e.v, q.v) /
+       |             (sqrt(list_dot_product(e.v, e.v)) *
+       |              sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+       |FROM cand c JOIN emb e ON c.vid = e.vid CROSS JOIN qv q
+       |ORDER BY cosine DESC, e.vid
+       |LIMIT $k""".stripMargin
+  }
+
+  /**
    * Precomputed IVF (inverted-file) index: a KMeans coarse quantizer
    * partitions the corpus into `nlist` cells; `assigned` carries the
    * per-row cell id. This is the SCALE path — fit once per corpus
