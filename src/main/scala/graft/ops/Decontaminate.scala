@@ -54,6 +54,50 @@ object Decontaminate {
       .select(col("__id").as(idCol), col("n_hits"))
   }
 
+  /**
+   * [[contaminationReport]] behind a broadcast Bloom-filter prefilter —
+   * the shape for when the benchmark gram set outgrows a broadcast
+   * HASH join but still fits as a Bloom filter (~10 bits/gram at 1%
+   * fpp vs ~100 bytes/entry in a hash relation: a 1B-gram benchmark
+   * is ~1.2 GB of filter vs ~100 GB of hash table).
+   *
+   * Plan shape: the filter is built once from the benchmark's hashed
+   * grams (driver-side sketch merge), shipped to executors as a
+   * broadcast variable, and applied as a MAP-ONLY prefilter on the
+   * corpus postings — the 100 TB side never shuffles to discover it is
+   * clean. Only bloom-positive postings (true hits + fpp noise) reach
+   * the exact verify join, which removes false positives, so the
+   * OUTPUT is bit-identical to [[contaminationReport]] — same oracle.
+   * The verify join carries no broadcast hint: its probe side is the
+   * tiny prefiltered set, and AQE picks the strategy.
+   */
+  def contaminationReportViaBloom(corpus: DataFrame, benchmark: DataFrame,
+                                  idCol: String, textCol: String,
+                                  n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val bench = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = math.max(bench.count(), 1L)
+    val bloom = bench.select(xxhash64(col("__g")).as("__gh"))
+      .stat.bloomFilter("__gh", nGrams, fpp)
+    val sc = corpus.sparkSession.sparkContext
+    val bloomB = sc.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContain(h))
+    val report = gramPostings(corpus, idCol, textCol, n)
+      .where(mightContain(xxhash64(col("__g"))))
+      .join(bench, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("__id").as(idCol), col("n_hits"))
+    // materialize eagerly so the persisted gram set and the broadcast
+    // filter can be released instead of leaking per call
+    val out = report.localCheckpoint(true)
+    bench.unpersist()
+    bloomB.destroy()
+    out
+  }
+
   /** The corpus minus every document contaminated by the benchmark —
     * ids-only anti-join against [[contaminationReport]]. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,

@@ -268,6 +268,74 @@ object Dedup {
     labels
   }
 
+  /**
+   * Incremental near-dup detection: pairs between a NEW ingest batch
+   * and itself plus a (much larger) historical corpus, without ever
+   * re-pairing the historical corpus against itself. This is the
+   * daily-ingest shape at 100 TB: old x old pairs were found when those
+   * batches landed, so the only candidate buckets worth probing are the
+   * ones the new batch touches.
+   *
+   * Plan shape: both sides get the same shingle+signature map stage
+   * (in production the historical (band, hash, id) index and the
+   * (id, shingles) frame are PRECOMPUTED — written bucketed by band
+   * hash when each batch lands — so per-ingest cost is proportional to
+   * the NEW batch only); candidates are the new-side band postings
+   * equi-joined against new+old postings (never old x old), deduped as
+   * narrow id pairs, then exact-Jaccard verified via shingle joins,
+   * exactly like [[minhashPairs]].
+   *
+   * Ids must be disjoint across the two frames (one global id space);
+   * output pairs are normalized to id_a < id_b.
+   */
+  def minhashPairsIncremental(newDf: DataFrame, oldDf: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int = 3, numHashes: Int = 12,
+                              bands: Int = 4,
+                              threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shNew = prep(newDf)
+    val shOld = prep(oldDf)
+    def banded(sh: DataFrame): DataFrame = sh
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col("__id"),
+        posexplode(bandHashes(col("__sig"), bands, r))
+          .as(Seq("__band", "__bh")))
+    val probe = banded(shNew)
+      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val index = banded(shNew)
+      .select(col("__band"), col("__bh"), col("__id").as("id_b"),
+        lit(false).as("__old"))
+      .union(banded(shOld)
+        .select(col("__band"), col("__bh"), col("__id").as("id_b"),
+          lit(true).as("__old")))
+    // new x new pairs appear from both directions -> keep id_a < id_b;
+    // new x old pairs appear once (old ids are never on the probe side)
+    val candidates = probe.join(index, Seq("__band", "__bh"))
+      .where((col("__old") && col("id_a") =!= col("id_b")) ||
+        (!col("__old") && col("id_a") < col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sh = shNew.union(shOld)
+    val verified = candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val out = verified.localCheckpoint(true)
+    shNew.unpersist()
+    shOld.unpersist()
+    out
+  }
+
   /** Near-dedup with FULL transitive closure: connected components over
     * the verified pair set, keeping exactly the min-id representative
     * of every duplicate cluster — a chain A~B~C (where A,C were never

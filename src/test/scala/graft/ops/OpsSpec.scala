@@ -51,6 +51,49 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     } finally sh.unpersist()
   }
 
+  test("incremental minhash finds new-new and new-old pairs, never old-old") {
+    // old: 1 (dog) and 2 (exact dup of 1); new: 5 (dup of 1 modulo
+    // case/ws) and 3 (near dup of 1). The old-old pair (1,2) must NOT
+    // appear; every pair touching the new batch must.
+    val oldBatch = docs.filter(col("doc_id").isin(1L, 2L))
+    val newBatch = docs.filter(col("doc_id").isin(3L, 4L, 5L))
+    val pairs = Dedup.minhashPairsIncremental(newBatch, oldBatch,
+      "doc_id", "text", shingleSize = 2, numHashes = 12, bands = 6,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(!keys.contains((1L, 2L))) // old x old: found when batch 0 landed
+    assert(keys.contains((1L, 5L))) // new x old, identical after norm
+    assert(keys.contains((2L, 5L)))
+    assert(keys.contains((3L, 5L))) // new x new (near dup)
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 5L))).get._3 === 1.0)
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // matches the full-corpus pair set minus old x old pairs
+    val full = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 12, bands = 6, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys === full - ((1L, 2L)))
+  }
+
+  test("bloom decontamination report is identical to the broadcast path") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta EPSILON theta"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon suffix"))
+      .toDF("doc_id", "text")
+    val viaBloom = Decontaminate.contaminationReportViaBloom(
+      corpus, benchmark, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Decontaminate.contaminationReport(
+      corpus, benchmark, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBloom === exact)
+    assert(viaBloom === Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("jaccardPairsWithin blocks by key (no cross-block pairs)") {
     val pairs = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
       n = 1, threshold = 0.5)
