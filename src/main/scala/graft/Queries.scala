@@ -71,6 +71,7 @@ import graft.text.TextClean
  *  - q46_packing       sequence packing to a token budget
  *  - q47_bloom_decontaminate q37 through the broadcast Bloom prefilter
  *  - q48_incremental_minhash new-batch-vs-corpus near-dup (no old x old)
+ *  - q49_ann_batch     batch ANN: query set x SRP index, per-query top-k
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -570,6 +571,18 @@ object Queries {
       newBatch, oldBatch, "doc_id", "text",
       shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Batch ANN: vec_ids 0-4 as the query set, the rest as corpus —
+    * per-query cosine top-5 through one bucket equi-join against the
+    * SRP index (the amortized serving shape; q24 is single-query). */
+  def q49AnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.ops.SimSearch.annLshTopKBatch(
+      corpus = emb.filter(col("vec_id") >= 5),
+      queries = emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, bits = 8, seed = 42L)
+      .orderBy(col("query_id"), desc("cosine"), col("vec_id"))
   }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */

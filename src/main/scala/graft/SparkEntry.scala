@@ -71,6 +71,7 @@ object SparkEntry {
     "q46_packing" -> (Queries.q46Packing(_, _)),
     "q47_bloom_decontaminate" -> (Queries.q47BloomDecontaminate(_, _)),
     "q48_incremental_minhash" -> (Queries.q48IncrementalMinhash(_, _)),
+    "q49_ann_batch" -> (Queries.q49AnnBatch(_, _)),
   )
 
   /** q37 and q47 share one contract: the Bloom prefilter path's exact
@@ -308,6 +309,12 @@ object SparkEntry {
     "q24_ann_lsh" -> graft.ops.SimSearch.annLshOracleSql(
       "embeddings", "vec_id", "embedding",
       queryId = 0L, k = 10, bits = 8, dim = 64, seed = 42L),
+    // q49: the q24 SRP replay generalized to a query set (per-query
+    // multi-probe + window top-k).
+    "q49_ann_batch" -> graft.ops.SimSearch.annLshBatchOracleSql(
+      "embeddings", "vec_id", "embedding",
+      queryPred = "vid < 5", corpusPred = "vid >= 5",
+      k = 5, bits = 8, dim = 64, seed = 42L),
     // q27: the IVF coarse quantizer (seeded KMeans) is not
     // SQL-replayable, but the operator's CONTRACT on this corpus is —
     // with nprobe=4 of nlist=16 cells the probed cells contain the

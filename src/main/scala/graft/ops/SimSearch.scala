@@ -107,6 +107,107 @@ object SimSearch {
       .limit(k)
   }
 
+  /** SRP bucket index of a corpus: the fit-once artifact behind
+    * [[annLshTopKBatch]]. At scale this is computed when a batch lands
+    * and written bucketed/partitioned by `__bucket`, so query-time
+    * probes prune at the file level and the corpus never re-buckets. */
+  def srpIndex(df: DataFrame, vecCol: String, bits: Int = 8,
+               seed: Long = 42L): DataFrame = {
+    require(!df.columns.contains("__bucket"),
+      "input column __bucket collides with srpIndex's reserved name")
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    df.withColumn("__bucket", srpBucketUdf(bits, dim, seed)(col(vecCol)))
+  }
+
+  /**
+   * Batch ANN: every row of `queries` gets its cosine top-k from the
+   * corpus via one bucket equi-join — the production serving shape,
+   * amortizing the index over the whole query set instead of launching
+   * a job per query ([[annLshTopK]] is the single-query form).
+   *
+   * Plan shape: the corpus side is [[srpIndex]] output (precomputable;
+   * with a bucketed layout only the query side moves); the query set —
+   * small relative to the corpus by definition — is exploded into
+   * `1+bits` multi-probe rows and broadcast, so the bucket join never
+   * shuffles the corpus; the per-query rerank shuffles only narrow
+   * (qid, id, cosine) rows for the row_number window. Query and corpus
+   * ids must be disjoint (one id namespace).
+   */
+  def annLshTopKBatch(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      bits: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = srpIndex(corpus, vecCol, bits, seed)
+    val qIndexed = srpIndex(queries, vecCol, bits, seed)
+      .select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__q"),
+        col("__bucket").as("__qb"))
+    val probes = qIndexed.select(col("__qid"), col("__q"),
+      explode(array((0 to bits).map {
+        case 0 => col("__qb")
+        case i => col("__qb").bitwiseXOR(lit(1 << (i - 1)))
+      }: _*)).as("__bucket"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(desc("cosine"), col(idCol))
+    indexed.join(broadcast(probes), Seq("__bucket"))
+      .select(col("__qid"), col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("__q")), 4).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
+  }
+
+  /**
+   * DuckDB oracle for [[annLshTopKBatch]]: the [[annLshOracleSql]]
+   * replay generalized to a query SET — signatures for both sides,
+   * per-query multi-probe, and a row_number window for the per-query
+   * top-k. `queryPred` / `corpusPred` are SQL predicates over the CTE
+   * alias `vid` (the id column) selecting the two disjoint sides,
+   * e.g. "vid < 5" / "vid >= 5".
+   */
+  def annLshBatchOracleSql(table: String, idCol: String, vecCol: String,
+                           queryPred: String, corpusPred: String, k: Int,
+                           bits: Int, dim: Int, seed: Long): String = {
+    val planes = hyperplanes(bits, dim, seed)
+    val planeRows = planes.zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(b, p) AS (VALUES
+       |    $planeRows),
+       |emb AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS v
+       |        FROM $table),
+       |sig AS (
+       |  SELECT e.vid,
+       |         CAST(sum(CASE WHEN list_dot_product(pl.p, e.v) > 0
+       |                       THEN 1 << pl.b ELSE 0 END) AS INT) AS bucket
+       |  FROM emb e CROSS JOIN planes pl GROUP BY e.vid),
+       |probes AS (
+       |  SELECT vid AS qid, bucket FROM sig WHERE $queryPred
+       |  UNION
+       |  SELECT vid AS qid, xor(bucket, 1 << f.i)
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS i) f
+       |  WHERE $queryPred),
+       |cand AS (
+       |  SELECT p.qid, s.vid
+       |  FROM sig s JOIN probes p ON s.bucket = p.bucket
+       |  WHERE $corpusPred),
+       |scored AS (
+       |  SELECT c.qid, c.vid,
+       |         round(list_dot_product(e.v, q.v) /
+       |               (sqrt(list_dot_product(e.v, e.v)) *
+       |                sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+       |  FROM cand c
+       |  JOIN emb e ON e.vid = c.vid
+       |  JOIN emb q ON q.vid = c.qid),
+       |ranked AS (
+       |  SELECT qid, vid, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cosine DESC, vid) AS rn
+       |  FROM scored)
+       |SELECT qid AS query_id, vid AS $idCol, cosine
+       |FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, cosine DESC, $idCol""".stripMargin
+  }
+
   /**
    * DuckDB oracle for [[annLshTopK]]: replays the WHOLE SRP pipeline —
    * bucket signatures, multi-probe candidate set, exact-cosine rerank —

@@ -650,6 +650,31 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.contains(1L)) // the identical vector must be retrieved
   }
 
+  test("batch ann matches the single-query path per query") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val vecs = (Seq((100L, base), (1L, base), (101L, base.map(-_))) ++
+      (2L to 40L).map(i => (i, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat))))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") < 100L)
+    val queries = vecs.filter(col("vec_id") >= 100L)
+    val batch = SimSearch.annLshTopKBatch(corpus, queries,
+      "vec_id", "embedding", k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    // each query's rows equal the single-query operator run on
+    // (corpus + that query alone)
+    for (qid <- Seq(100L, 101L)) {
+      val single = SimSearch.annLshTopK(
+        corpus.union(queries.filter(col("vec_id") === qid)),
+        "vec_id", "embedding", queryId = qid, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) === single, s"query $qid")
+    }
+    // the identical vector is retrieved for the identical query
+    assert(batch(100L).exists(_._1 == 1L))
+  }
+
   test("quantize digest: empty vector yields null digests, not fold seeds") {
     // DuckDB's list_sum/list_min/list_max of an empty list are NULL;
     // the fold seeds (0, 127, -127) must not leak out as fake extrema
