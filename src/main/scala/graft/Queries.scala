@@ -72,6 +72,7 @@ import graft.text.TextClean
  *  - q47_bloom_decontaminate q37 through the broadcast Bloom prefilter
  *  - q48_incremental_minhash new-batch-vs-corpus near-dup (no old x old)
  *  - q49_ann_batch     batch ANN: query set x SRP index, per-query top-k
+ *  - q50_skew_report   top-k key skew diagnostic (salting decision input)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -584,6 +585,13 @@ object Queries {
       "vec_id", "embedding", k = 5, bits = 8, seed = 42L)
       .orderBy(col("query_id"), desc("cosine"), col("vec_id"))
   }
+
+  /** Key-skew diagnostic on the events fact: top-10 users by row
+    * count with corpus share and skew ratio — the report that decides
+    * salting/bucketing for a key before a 100 TB join. */
+  def q50SkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.keySkewReport(
+      events(spark, dir), "user_id", k = 10)
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

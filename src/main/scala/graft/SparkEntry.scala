@@ -72,6 +72,7 @@ object SparkEntry {
     "q47_bloom_decontaminate" -> (Queries.q47BloomDecontaminate(_, _)),
     "q48_incremental_minhash" -> (Queries.q48IncrementalMinhash(_, _)),
     "q49_ann_batch" -> (Queries.q49AnnBatch(_, _)),
+    "q50_skew_report" -> (Queries.q50SkewReport(_, _)),
   )
 
   /** q37 and q47 share one contract: the Bloom prefilter path's exact
@@ -309,6 +310,16 @@ object SparkEntry {
     "q24_ann_lsh" -> graft.ops.SimSearch.annLshOracleSql(
       "embeddings", "vec_id", "embedding",
       queryId = 0L, k = 10, bits = 8, dim = 64, seed = 42L),
+    "q50_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT sum(n_rows) AS total, count(*) AS nkeys FROM c)
+        |SELECT user_id, n_rows,
+        |  round(n_rows / total, 4) AS share,
+        |  round(n_rows * nkeys / total, 4) AS skew
+        |FROM c CROSS JOIN s
+        |ORDER BY n_rows DESC, user_id
+        |LIMIT 10""".stripMargin,
     // q49: the q24 SRP replay generalized to a query set (per-query
     // multi-probe + window top-k).
     "q49_ann_batch" -> graft.ops.SimSearch.annLshBatchOracleSql(

@@ -59,4 +59,29 @@ object Layout {
   def copartition(a: DataFrame, b: DataFrame, key: String,
                   partitions: Int): (DataFrame, DataFrame) =
     (a.repartition(partitions, col(key)), b.repartition(partitions, col(key)))
+
+  /**
+   * Key-skew diagnostic: the top-k keys by row count with each key's
+   * corpus share and its skew ratio (count / mean count over ALL
+   * keys) — the decision input for [[saltedJoin]] vs AQE skew handling
+   * vs plain hash join (a skew ratio near 1 means salting only adds
+   * overhead; 100+ means one reducer serializes the key).
+   *
+   * Plan shape: one partial+final hash aggregate over the input (the
+   * only pass that sees full rows), then the global mean is a scalar
+   * aggregate over the (small) per-key counts crossed back in as a
+   * broadcast literal — nothing wide ever collects to one partition.
+   */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      sum(col("n_rows")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows") / col("__total"), 4).as("share"),
+        round(col("n_rows") * col("__nkeys") / col("__total"), 4).as("skew"))
+      .orderBy(desc("n_rows"), col(keyCol))
+      .limit(k)
+  }
 }

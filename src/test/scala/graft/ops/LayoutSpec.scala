@@ -63,6 +63,20 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(a === b)
   }
 
+  test("key skew report: shares and skew ratios against the key mean") {
+    // 6 + 2 + 2 rows over 3 keys -> mean 10/3; skew(a) = 6*3/10
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val rows = Layout.keySkewReport(df, "k", k = 2).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b")) // count desc, key asc tie-break
+    val a = rows.head
+    assert(a.getLong(1) === 6L)
+    assert(a.getDouble(2) === 0.6)    // 6/10
+    assert(a.getDouble(3) === 1.8)    // 6 * 3 / 10
+    val b = rows(1)
+    assert(b.getLong(1) === 2L && b.getDouble(2) === 0.2 && b.getDouble(3) === 0.6)
+  }
+
   test("copartitioned frames reuse their partitioning across the join") {
     val (a, b) = Layout.copartition(
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
