@@ -73,6 +73,8 @@ import graft.text.TextClean
  *  - q48_incremental_minhash new-batch-vs-corpus near-dup (no old x old)
  *  - q49_ann_batch     batch ANN: query set x SRP index, per-query top-k
  *  - q50_skew_report   top-k key skew diagnostic (salting decision input)
+ *  - q51_novel_docs    exact novelty gate vs a historical corpus (md5
+ *                      anti-join; streaming form spec-tested)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -592,6 +594,20 @@ object Queries {
   def q50SkewReport(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Layout.keySkewReport(
       events(spark, dir), "user_id", k = 10)
+
+  /** Exact novelty gate, batch form: odd-id docs are the incoming
+    * batch, even-id docs the historical corpus; output = incoming docs
+    * whose normalized text is not already in the corpus (the md5 key
+    * makes the contract engine-portable — same SQL in the oracle). */
+  def q51NovelDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Novelty.exactNovel(
+      docs.filter(col("doc_id") % 2 =!= 0),
+      docs.filter(col("doc_id") % 2 === 0),
+      "text")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

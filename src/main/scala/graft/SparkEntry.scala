@@ -73,6 +73,7 @@ object SparkEntry {
     "q48_incremental_minhash" -> (Queries.q48IncrementalMinhash(_, _)),
     "q49_ann_batch" -> (Queries.q49AnnBatch(_, _)),
     "q50_skew_report" -> (Queries.q50SkewReport(_, _)),
+    "q51_novel_docs" -> (Queries.q51NovelDocs(_, _)),
   )
 
   /** q37 and q47 share one contract: the Bloom prefilter path's exact
@@ -310,6 +311,16 @@ object SparkEntry {
     "q24_ann_lsh" -> graft.ops.SimSearch.annLshOracleSql(
       "embeddings", "vec_id", "embedding",
       queryId = 0L, k = 10, bits = 8, dim = 64, seed = 42L),
+    "q51_novel_docs" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nk
+        |  FROM documents)
+        |SELECT a.doc_id, a.lang FROM k a
+        |WHERE a.doc_id % 2 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM k b
+        |                  WHERE b.doc_id % 2 = 0 AND b.nk = a.nk)
+        |ORDER BY a.doc_id""".stripMargin,
     "q50_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS n_rows
         |           FROM events GROUP BY user_id),

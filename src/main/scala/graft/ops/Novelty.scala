@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * Novelty gates for continuous ingest: is an incoming document already
+ * in the historical corpus? Both forms work identically on a batch
+ * frame and a streaming frame (the streaming wrappers below), because
+ * they avoid stateful streaming operators entirely — the corpus is the
+ * state, carried as a static frame or a broadcast sketch.
+ *
+ * Extension surface beyond the reference (batch sentiment only); the
+ * dedup-at-ingest shape is standard practice for training-data
+ * pipelines that continuously crawl.
+ *
+ * Scale design (100 TB corpus, GB-scale daily ingest):
+ *  - [[exactNovel]] anti-joins on a 16-byte md5 of the normalized text
+ *    — the corpus side reduces to a (key) frame that is precomputable
+ *    and incrementally appendable (union yesterday's keys with
+ *    yesterday's novel keys); only narrow keys shuffle. md5 (not
+ *    xxhash64) so the key — and therefore the whole contract — is
+ *    replayable by any engine (the DuckDB oracle included).
+ *  - [[nearNovel]] goes further: the corpus' banded-MinHash bucket keys
+ *    collapse into a broadcast Bloom filter, making the check MAP-ONLY
+ *    (no join, no shuffle, no streaming state). Semantics are LSH
+ *    candidate semantics: kept == no band collision with the corpus
+ *    (novel at the banding's threshold/recall), with an extra-drop
+ *    rate bounded by the filter's fpp per band.
+ */
+object Novelty {
+
+  private def exactKey(textCol: String) =
+    md5(Dedup.normalized(col(textCol)).cast("binary"))
+
+  /** Documents whose normalized text does not appear in `corpus` —
+    * exact novelty via a left-anti join on md5(normalized). Works as a
+    * stream-static join when `docs` is streaming (left_anti with a
+    * static right side is a supported shape; no watermark or state). */
+  def exactNovel(docs: DataFrame, corpus: DataFrame,
+                 textCol: String): DataFrame = {
+    require(!docs.columns.contains("__nk"),
+      "input column __nk collides with exactNovel's reserved name")
+    val corpusKeys = corpus.select(exactKey(textCol).as("__nk")).distinct()
+    docs.join(corpusKeys,
+      exactKey(textCol) === corpusKeys("__nk"), "left_anti")
+  }
+
+  /** File-source stream wired through [[exactNovel]]. */
+  def streamExactNovel(spark: SparkSession, dir: String, corpus: DataFrame,
+                       textCol: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    exactNovel(spark.readStream.schema(schema).parquet(dir), corpus, textCol)
+  }
+
+  /** The broadcast-able near-dup state of a corpus: a Bloom filter over
+    * its banded-MinHash bucket keys (band position is baked into each
+    * key by [[Dedup.bandHashes]]' per-band seed). */
+  final case class BandIndex(bloom: BloomFilter, shingleSize: Int,
+                             numHashes: Int, bands: Int)
+
+  /** Fit the [[BandIndex]] of a historical corpus. Fit once per corpus
+    * version; the filter is a few bytes per corpus document at the
+    * default fpp, so even a billion-doc corpus ships to executors. */
+  def fitBandIndex(corpus: DataFrame, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 12,
+                   bands: Int = 4, fpp: Double = 0.001): BandIndex = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val keys = corpus
+      .select(Dedup.shingles(col(textCol), shingleSize).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__sig", Dedup.minhashSignature(col("__sh"), numHashes))
+      .select(explode(Dedup.bandHashes(col("__sig"), bands, r)).as("__bh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter("__bh", n, fpp)
+    keys.unpersist()
+    BandIndex(bloom, shingleSize, numHashes, bands)
+  }
+
+  /** Documents with NO banded-MinHash band collision against the
+    * indexed corpus — near-dup novelty as a map-only filter (streaming-
+    * safe: per-row expressions plus a broadcast sketch, no state). */
+  def nearNovel(docs: DataFrame, index: BandIndex,
+                textCol: String): DataFrame = {
+    val r = index.numHashes / index.bands
+    val sc = docs.sparkSession.sparkContext
+    val bloomB = sc.broadcast(index.bloom)
+    val anyHit = udf((bhs: Seq[Long]) =>
+      bhs != null && bhs.exists(bloomB.value.mightContain))
+    val cols = docs.columns
+    val clash = cols.toSet.intersect(Set("__sh", "__sig", "__bhs"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with nearNovel's reserved names")
+    docs
+      .withColumn("__sh", Dedup.shingles(col(textCol), index.shingleSize))
+      .withColumn("__sig", Dedup.minhashSignature(col("__sh"), index.numHashes))
+      .withColumn("__bhs", Dedup.bandHashes(col("__sig"), index.bands, r))
+      .where(size(col("__sh")) === 0 || !anyHit(col("__bhs")))
+      .drop("__sh", "__sig", "__bhs")
+  }
+
+  /** File-source stream wired through [[nearNovel]]. */
+  def streamNearNovel(spark: SparkSession, dir: String, index: BandIndex,
+                      textCol: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    nearNovel(spark.readStream.schema(schema).parquet(dir), index, textCol)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestSession
+
+/** Novelty gates: exact (md5 anti-join) and near-dup (band Bloom)
+  * ingest filters, batch and streamed forms agreeing. */
+class NoveltySpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely different content about spark engines"))
+    .toDF("doc_id", "text")
+
+  private lazy val incoming = Seq(
+    (10L, "THE QUICK  BROWN fox jumps over the lazy dog"), // dup modulo case/ws
+    (11L, "the quick brown fox jumps over the lazy cat"),  // near dup only
+    (12L, "entirely novel text with no relation whatsoever"))
+    .toDF("doc_id", "text")
+
+  test("exact novelty drops normalized duplicates, keeps near dups") {
+    val out = Novelty.exactNovel(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(11L, 12L))
+  }
+
+  test("near novelty drops band-colliding near dups, keeps novel docs") {
+    val idx = Novelty.fitBandIndex(corpus, "text",
+      shingleSize = 2, numHashes = 12, bands = 6)
+    val out = Novelty.nearNovel(incoming, idx, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(12L)) // 10 exact, 11 near — both collide
+  }
+
+  test("streamed exact novelty (stream-static left_anti) equals batch") {
+    val d = java.nio.file.Files.createTempDirectory("novelty").toString
+    incoming.write.mode("overwrite").parquet(s"$d/in")
+    val streamed = Novelty.streamExactNovel(spark, s"$d/in", corpus, "text")
+    assert(streamed.isStreaming)
+    val q = streamed.select("doc_id")
+      .writeStream.format("memory").queryName("novel_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("novel_stream").as[Long].collect().sorted.toSeq
+    val batch = Novelty.exactNovel(spark.read.parquet(s"$d/in"), corpus, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === batch)
+    assert(got === Seq(11L, 12L))
+  }
+}
