@@ -75,6 +75,8 @@ import graft.text.TextClean
  *  - q50_skew_report   top-k key skew diagnostic (salting decision input)
  *  - q51_novel_docs    exact novelty gate vs a historical corpus (md5
  *                      anti-join; streaming form spec-tested)
+ *  - q52_unigram_logprob corpus-self unigram LM score (perplexity-proxy
+ *                      quality filter)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -608,6 +610,13 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
+
+  /** Unigram log-prob quality proxy: every doc scored under the
+    * corpus' own unigram model (CCNet-style perplexity-filter shape). */
+  def q52UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.unigramLogProb(
+      t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

@@ -74,6 +74,7 @@ object SparkEntry {
     "q49_ann_batch" -> (Queries.q49AnnBatch(_, _)),
     "q50_skew_report" -> (Queries.q50SkewReport(_, _)),
     "q51_novel_docs" -> (Queries.q51NovelDocs(_, _)),
+    "q52_unigram_logprob" -> (Queries.q52UnigramLogprob(_, _)),
   )
 
   /** q37 and q47 share one contract: the Bloom prefilter path's exact
@@ -311,6 +312,20 @@ object SparkEntry {
     "q24_ann_lsh" -> graft.ops.SimSearch.annLshOracleSql(
       "embeddings", "vec_id", "embedding",
       queryId = 0L, k = 10, bits = 8, dim = 64, seed = 42L),
+    "q52_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+        |wc AS (SELECT doc_id, count(*) OVER (PARTITION BY w) AS c FROM t2),
+        |d AS (SELECT doc_id, count(*) AS n_tokens, sum(ln(c)) AS slc
+        |      FROM wc GROUP BY doc_id),
+        |s AS (SELECT sum(n_tokens) AS total FROM d)
+        |SELECT doc_id, n_tokens,
+        |       round(ln(total) - slc / n_tokens, 4) AS avg_neg_logp
+        |FROM d CROSS JOIN s
+        |ORDER BY doc_id""".stripMargin,
     "q51_novel_docs" ->
       """WITH k AS (
         |  SELECT doc_id, lang,

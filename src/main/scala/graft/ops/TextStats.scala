@@ -201,6 +201,44 @@ object TextStats {
       .orderBy(desc("doc_freq"), asc("gram"))
       .limit(k)
 
+  /**
+   * Per-document unigram log-probability under the corpus' own unigram
+   * model — the cheap LM-perplexity proxy a CCNet-style quality filter
+   * thresholds on (a doc of rare/garbled tokens scores high
+   * `avg_neg_logp`; boilerplate scores low). Token semantics are
+   * [[Dedup.normalized]] + single-space split (token INSTANCES, not
+   * distinct), so the model is `p(w) = count(w) / total_tokens` over
+   * the corpus and the score is `avg(-ln p(w))` over the document.
+   *
+   * Plan shape: ONE scan — the (id, token) explode is consumed once; a
+   * window count over the token key replaces the model-aggregate-plus-
+   * scoring-join formulation (which would re-execute the explode per
+   * branch — a second full scan at 100 TB). Two narrow shuffles (token
+   * key, then doc id); the global total is an aggregate over the
+   * already-small per-doc frame, crossed back in as a single-row
+   * broadcast like [[Layout.keySkewReport]]'s mean. Uses
+   * `avg(-ln(c/total)) == ln(total) - avg(ln c)`. Self-scoring means
+   * no OOV tokens by construction; to score against a REFERENCE corpus
+   * model, join that corpus' frequency table instead and add
+   * smoothing.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
+      .where(col("__w") =!= "")
+    val withC = toks.withColumn("__c",
+      count(lit(1)).over(Window.partitionBy(col("__w"))))
+    val perDoc = withC.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("__c"))).as("__slc"))
+    val total = perDoc.agg(sum(col("n_tokens")).as("__total"))
+    perDoc.crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        round(log(col("__total")) - col("__slc") / col("n_tokens"), 4)
+          .as("avg_neg_logp"))
+  }
+
   /** Per-group token-length distribution (exact interpolated p50/p90/
     * p99 + min/max) — the corpus profile that sizes context lengths
     * and packing. Exact `percentile` is a sort-based aggregate per

@@ -453,6 +453,21 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(TextStats.repetitionOf("solo") === TextStats.Repetition(1L, 1.0, 1.0, 0.0))
   }
 
+  test("unigram log-prob: exact hand-computed scores, rare tokens score high") {
+    // corpus: 6 tokens total; "a" appears 3x, "b" 2x, "z" 1x
+    val df = Seq((1L, "a a b"), (2L, "A  b"), (3L, "z")).toDF("doc_id", "text")
+    val got = TextStats.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ln = (x: Double) => math.log(x)
+    def score(cs: Seq[Int]) =
+      math.rint((ln(6.0) - cs.map(c => ln(c.toDouble)).sum / cs.size) * 1e4) / 1e4
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2 === score(Seq(3, 3, 2))) // a a b
+    assert(got(2L)._2 === score(Seq(3, 2)))    // case/ws normalized
+    assert(got(3L)._2 === score(Seq(1)))       // rare token -> highest
+    assert(got(3L)._2 > got(1L)._2)
+  }
+
   test("top grams by doc frequency: counts distinct per doc, ordered") {
     val df = Seq(
       (1L, "x y z x y z"),     // gram "x y z" counted once for this doc
