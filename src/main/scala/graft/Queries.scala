@@ -77,6 +77,7 @@ import graft.text.TextClean
  *                      anti-join; streaming form spec-tested)
  *  - q52_unigram_logprob corpus-self unigram LM score (perplexity-proxy
  *                      quality filter)
+ *  - q53_semantic_dedup SemDeDup: KMeans cells + within-cell cosine
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -617,6 +618,20 @@ object Queries {
     graft.ops.TextStats.unigramLogProb(
       t(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** SemDeDup semantic near-dup pairs on the q30 planted-copy corpus:
+    * KMeans cells + within-cell cosine — must recover exactly the
+    * brute-force >= 0.99 pair set (copies share a cell by
+    * construction). */
+  def q53SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val copies = emb.select(
+      (col("vec_id") + lit(1000000)).as("vec_id"), col("embedding"))
+    graft.ops.SimSearch.semanticDedupPairs(
+      emb.select("vec_id", "embedding").union(copies),
+      "vec_id", "embedding", threshold = 0.99, nlist = 16)
+      .orderBy("id_a", "id_b")
+  }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

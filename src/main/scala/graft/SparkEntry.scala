@@ -75,7 +75,22 @@ object SparkEntry {
     "q50_skew_report" -> (Queries.q50SkewReport(_, _)),
     "q51_novel_docs" -> (Queries.q51NovelDocs(_, _)),
     "q52_unigram_logprob" -> (Queries.q52UnigramLogprob(_, _)),
+    "q53_semantic_dedup" -> (Queries.q53SemanticDedup(_, _)),
   )
+
+  /** q30 and q53 share one contract: both near-dup paths (SRP
+    * multi-probe, SemDeDup cells) must recover exactly the brute-force
+    * cosine >= 0.99 pair set of the planted-copy corpus. */
+  private val plantedCosinePairSql: String =
+    """WITH uni AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+      |FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** q37 and q47 share one contract: the Bloom prefilter path's exact
     * verify join makes its report bit-identical to the broadcast-join
@@ -439,16 +454,11 @@ object SparkEntry {
     // every pair at cosine >= 0.99 is a planted (i, i+1000000) copy at
     // cosine 1.0 (organic max pairwise cosine is ~0.51), and identical
     // vectors always share an SRP bucket, so LSH recall is 1 here.
-    "q30_cosine_neardup" ->
-      """WITH uni AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.e, b.e), 4) AS cosine
-        |FROM uni a JOIN uni b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.e, b.e) >= 0.99
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q30_cosine_neardup" -> plantedCosinePairSql,
+    // q53: same planted-copy contract as q30 — identical vectors get
+    // identical KMeans cell assignments, so SemDeDup's within-cell
+    // pairing recovers exactly the brute-force >= 0.99 pair set.
+    "q53_semantic_dedup" -> plantedCosinePairSql,
     // q31: DuckDB has a native ASOF JOIN; the right side is reduced to
     // one row per (user, ts) by max(value) on both sides so ties are
     // deterministic (same reduction AsofJoin.asof applies).

@@ -387,6 +387,40 @@ object SimSearch {
     (bucketed, verified)
   }
 
+  /**
+   * SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): a
+   * KMeans coarse quantizer partitions the corpus into `nlist` cells,
+   * then ONLY within-cell pairs are cosine-compared — the published
+   * recipe for embedding-level dedup of web-scale corpora, trading the
+   * SRP multi-probe of [[cosineNearDupPairs]] for cluster locality
+   * (duplicates collapse into the same cell because identical/near-
+   * identical vectors get identical/nearest centroid assignments).
+   *
+   * Plan shape: cell assignment is [[ivfFit]]'s one map stage
+   * (precomputable, persisted in production); the pair stage is an
+   * equi-join on `__cell` — never a global product; the quadratic term
+   * is bounded per cell (pick `nlist` so corpus/nlist fits the
+   * comparison budget; SemDeDup uses ~100k cells at web scale). Only
+   * (cell, id, vector) rows shuffle, and only within the join.
+   */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nlist: Int = 16,
+                         seed: Long = 42L,
+                         sampleFraction: Double = 1.0): DataFrame = {
+    val index = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction)
+    val cells = index.assigned.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"), col("__cell"))
+    val a = cells.select(col("__cell"), col("__id").as("id_a"),
+      col("__v").as("v_a"))
+    val b = cells.select(col("__cell"), col("__id").as("id_b"),
+      col("__v").as("v_b"))
+    a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Per-vector stats (dims, L2 norm) — oracle-checkable projection. */
   def vectorStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(

@@ -690,6 +690,42 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(batch(100L).exists(_._1 == 1L))
   }
 
+  test("semantic dedup recovers planted copies within cells, no global product") {
+    // independent per-id seeded gaussian vectors (pairwise cosine
+    // ~N(0, 1/8), far from 0.99 — deterministic via the seed; a
+    // cos(i*64+j) or LCG fixture has accidental near-dup structure)
+    // + two planted exact copies
+    def v(i: Long) = {
+      val r = new scala.util.Random(i)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val raw = (0L to 40L).map(i => (i, v(i))) ++
+      Seq((100L, v(7)), (101L, v(13)))
+    val vecs = raw.toDF("vec_id", "embedding")
+    // brute-force expected pair set at the threshold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val expected = (for {
+      (ia, va) <- raw; (ib, vb) <- raw
+      if ia < ib && cos(va, vb) >= 0.99
+    } yield (ia, ib)).toSet
+    assert(expected === Set((7L, 100L), (13L, 101L))) // fixture sanity
+    val pairs = SimSearch.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected)
+    assert(pairs.forall(_._3 === 1.0))
+    // the pair stage is an equi-join on the cell key — no global product
+    val plan = SimSearch.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, nlist = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("quantize digest: empty vector yields null digests, not fold seeds") {
     // DuckDB's list_sum/list_min/list_max of an empty list are NULL;
     // the fold seeds (0, 127, -127) must not leak out as fake extrema
