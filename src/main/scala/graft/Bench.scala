@@ -96,13 +96,19 @@ object Bench {
     val runs = ok.map { case (k, _, ts) =>
       s""""$k":${ts.map(fmt).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
+    val stdoutLine = line(total, qs, boundedErrs(errEntries), sfDir)
     try {
       val p = java.nio.file.Paths.get("target/bench-runs.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
         s"""{"runs":$runs,"errors":$errsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      // the driver-facing line also lands on disk, so a capture/parse
+      // failure on the stdout side never loses the round's numbers
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench.json"),
+        (stdoutLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(line(total, qs, boundedErrs(errEntries), sfDir))
+    println(stdoutLine)
     spark.stop()
   }
 
