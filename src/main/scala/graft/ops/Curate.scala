@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
  * pipelines run them (cheap row-local gates first, pairwise/global
  * passes on the survivors):
  *
- *   1. quality gate      — [[TextStats.qualityScore]] >= minQuality
- *   2. repetition gate   — [[TextStats.repetitionStats]] dup-2-gram cap
- *   3. exact dedup       — [[Dedup.exact]] (min-id winner)
- *   4. near dedup        — [[Dedup.dropNearDuplicates]] (MinHash LSH +
+ *   1. novelty gate      — [[Novelty.exactNovel]] vs a historical
+ *                          corpus (optional; drop already-ingested docs
+ *                          before anything touches them)
+ *   2. quality gate      — [[TextStats.qualityScore]] >= minQuality
+ *   3. repetition gate   — [[TextStats.repetitionStats]] dup-2-gram cap
+ *   4. LM gate           — [[TextStats.unigramLogProb]] cap (optional;
+ *                          CCNet-style perplexity-proxy filter)
+ *   5. exact dedup       — [[Dedup.exact]] (min-id winner)
+ *   6. near dedup        — [[Dedup.dropNearDuplicates]] (MinHash LSH +
  *                          connected-components closure)
- *   5. decontamination   — [[Decontaminate.decontaminate]] vs an eval set
- *   6. split assignment  — [[Splits.assign]] (leakage-safe by group)
+ *   7. decontamination   — [[Decontaminate.decontaminate]] vs an eval set
+ *   8. split assignment  — [[Splits.assign]] (leakage-safe by group)
  *
  * Each stage only ever REMOVES or ANNOTATES rows, so stage counts are
  * monotone non-increasing — the per-stage report is the monitoring
@@ -41,20 +46,38 @@ object Curate {
                minQuality: Double = 0.3,
                maxDup2gramFrac: Double = 0.3,
                nearDupThreshold: Double = 0.7,
-               contaminationN: Int = 5): (DataFrame, Report) = {
+               contaminationN: Int = 5,
+               historicalCorpus: Option[DataFrame] = None,
+               maxAvgNegLogp: Option[Double] = None): (DataFrame, Report) = {
     val b = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def stage(name: String, df: DataFrame): DataFrame = {
       b += name -> df.count(); df
     }
+    val fresh = historicalCorpus match {
+      case Some(hist) =>
+        stage("novelty", Novelty.exactNovel(docs, hist, textCol))
+      case None => docs
+    }
     val quality = stage("quality",
-      docs.where(TextStats.qualityScore(col(textCol)) >= minQuality))
+      fresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
     val repetition = stage("repetition", {
       val keep = TextStats.repetitionStats(quality, idCol, textCol)
         .where(col("dup_2gram_frac") <= maxDup2gramFrac)
         .select(idCol)
       quality.join(keep, Seq(idCol), "left_semi")
     })
-    val exact = stage("exact_dedup", Dedup.exact(repetition, idCol, textCol))
+    val lmGated = maxAvgNegLogp match {
+      case Some(cap) => stage("lm_gate", {
+        // scored under the SURVIVORS' own unigram model (the corpus at
+        // this stage IS the model corpus, CCNet-style self-scoring)
+        val keep = TextStats.unigramLogProb(repetition, idCol, textCol)
+          .where(col("avg_neg_logp") <= cap)
+          .select(idCol)
+        repetition.join(keep, Seq(idCol), "left_semi")
+      })
+      case None => repetition
+    }
+    val exact = stage("exact_dedup", Dedup.exact(lmGated, idCol, textCol))
     val near = stage("near_dedup",
       Dedup.dropNearDuplicates(exact, idCol, textCol,
         threshold = nearDupThreshold))

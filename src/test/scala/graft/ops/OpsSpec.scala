@@ -632,6 +632,21 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.count() === counts.last)
     assert(report.counts.keySet === Set("quality", "repetition",
       "exact_dedup", "near_dedup", "decontaminate", "split"))
+    // optional stages: novelty vs a historical corpus + unigram LM gate
+    val hist = corpus.where(col("doc_id") % 10 === 1)
+    val (out2, report2) = Curate.standard(input, benchmark,
+      historicalCorpus = Some(hist), maxAvgNegLogp = Some(1e9))
+    assert(report2.counts.keySet === Set("novelty", "quality",
+      "repetition", "lm_gate", "exact_dedup", "near_dedup",
+      "decontaminate", "split"))
+    // novelty removes the docs whose exact text is already historical
+    assert(report2.counts("novelty") <= input.count())
+    // a non-binding LM cap changes nothing downstream
+    assert(report2.counts("lm_gate") === report2.counts("repetition"))
+    val c2 = report2.stages.map(_._2)
+    assert(c2.zip(c2.tail).forall { case (a, b) => b <= a },
+      report2.stages.toString)
+    assert(out2.columns.contains("split"))
   }
 
   test("splits: group-atomic, deterministic, weights cover all buckets") {
