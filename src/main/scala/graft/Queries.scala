@@ -78,6 +78,7 @@ import graft.text.TextClean
  *  - q52_unigram_logprob corpus-self unigram LM score (perplexity-proxy
  *                      quality filter)
  *  - q53_semantic_dedup SemDeDup: KMeans cells + within-cell cosine
+ *  - q54_project       JL random-projection digest (seeded Gaussian)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -632,6 +633,15 @@ object Queries {
       "vec_id", "embedding", threshold = 0.99, nlist = 16)
       .orderBy("id_a", "id_b")
   }
+
+  /** JL random-projection digest: every embedding projected 64->8 dims
+    * through the seeded Gaussian matrix, digested as (first component,
+    * L2 norm, sum) — the shuffle-width-reduction step before indexing. */
+  def q54Project(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SimSearch.projectDigest(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      outDim = 8, seed = 42L)
+      .orderBy("vec_id")
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

@@ -76,6 +76,7 @@ object SparkEntry {
     "q51_novel_docs" -> (Queries.q51NovelDocs(_, _)),
     "q52_unigram_logprob" -> (Queries.q52UnigramLogprob(_, _)),
     "q53_semantic_dedup" -> (Queries.q53SemanticDedup(_, _)),
+    "q54_project" -> (Queries.q54Project(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -367,6 +368,11 @@ object SparkEntry {
       "embeddings", "vec_id", "embedding",
       queryPred = "vid < 5", corpusPred = "vid >= 5",
       k = 5, bits = 8, dim = 64, seed = 42L),
+    // q54: seeded projection matrix embedded as literals, matmul
+    // replayed with list_dot_product (see SimSearch.projectOracleSql).
+    "q54_project" -> graft.ops.SimSearch.projectOracleSql(
+      "embeddings", "vec_id", "embedding",
+      outDim = 8, inDim = 64, seed = 42L),
     // q27: the IVF coarse quantizer (seeded KMeans) is not
     // SQL-replayable, but the operator's CONTRACT on this corpus is —
     // with nprobe=4 of nlist=16 cells the probed cells contain the

@@ -421,6 +421,77 @@ object SimSearch {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /**
+   * Johnson-Lindenstrauss random projection: project an embedding
+   * column to `outDim` dimensions through a seeded Gaussian matrix
+   * scaled by 1/sqrt(outDim) — the standard dimensionality-reduction
+   * step before indexing high-dim embeddings (768-dim float32 is ~3 KB
+   * per row through every shuffle; a 64-dim projection preserves
+   * pairwise distances within ~1/sqrt(outDim) while cutting storage
+   * and shuffle width 12x). Map-only, codegen-friendly per-row kernel;
+   * the matrix is generated from (seed, outDim, inDim) on each
+   * executor — nothing ships.
+   */
+  def projectDims(df: DataFrame, vecCol: String, outDim: Int,
+                  seed: Long = 42L): DataFrame = {
+    val inDim = df.select(size(col(vecCol))).head.getInt(0)
+    val planes = hyperplanes(outDim, inDim, seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    val project = udf((v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = new Array[Double](outDim)
+        var o = 0
+        while (o < outDim) {
+          val p = planes(o)
+          var s = 0.0
+          var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { s += p(i) * v(i); i += 1 }
+          out(o) = s * scale
+          o += 1
+        }
+        out
+      })
+    df.withColumn(vecCol, project(col(vecCol)))
+  }
+
+  /** Digest of [[projectDims]] output for cross-engine checking (same
+    * style as [[quantizeDigest]]): first component, L2 norm, and
+    * component sum, rounded. */
+  def projectDigest(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, seed: Long = 42L): DataFrame =
+    projectDims(df, vecCol, outDim, seed).select(
+      col(idCol),
+      round(element_at(col(vecCol), 1), 4).as("p0"),
+      round(norm(col(vecCol)), 4).as("l2_norm"),
+      round(aggregate(col(vecCol), lit(0.0), (a, x) => a + x), 4).as("p_sum"))
+
+  /** DuckDB oracle for [[projectDigest]]: the seeded projection matrix
+    * embedded as literals (same [[hyperplanes]] generation the Spark
+    * side uses), the matmul replayed with list_dot_product. */
+  def projectOracleSql(table: String, idCol: String, vecCol: String,
+                       outDim: Int, inDim: Int, seed: Long): String = {
+    val planes = hyperplanes(outDim, inDim, seed)
+    val planeRows = planes.zipWithIndex.map { case (p, o) =>
+      s"($o, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(o, p) AS (VALUES
+       |    $planeRows),
+       |emb AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS v
+       |        FROM $table),
+       |proj AS (
+       |  SELECT e.vid, pl.o,
+       |         list_dot_product(pl.p, e.v) / sqrt($outDim.0) AS x
+       |  FROM emb e CROSS JOIN planes pl)
+       |SELECT vid AS $idCol,
+       |       round(max(CASE WHEN o = 0 THEN x END), 4) AS p0,
+       |       round(sqrt(sum(x * x)), 4) AS l2_norm,
+       |       round(sum(x), 4) AS p_sum
+       |FROM proj GROUP BY vid
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** Per-vector stats (dims, L2 norm) — oracle-checkable projection. */
   def vectorStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(

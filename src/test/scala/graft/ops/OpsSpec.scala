@@ -741,6 +741,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("random projection: hand-computed components, distances preserved") {
+    val a = Array.tabulate(64)(j => math.sin(j + 1).toFloat)
+    val vecs = Seq((1L, a), (2L, a.map(x => 2 * x))).toDF("vec_id", "embedding")
+    val got = SimSearch.projectDigest(vecs, "vec_id", "embedding", outDim = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // p0 == dot(plane0, a) / sqrt(8), replayed with the same generator
+    val planes = SimSearch.hyperplanes(8, 64, 42L)
+    val p0 = a.zip(planes(0)).map { case (x, p) => x.toDouble * p }.sum / math.sqrt(8)
+    assert(math.abs(got(1L)._1 - math.rint(p0 * 1e4) / 1e4) < 1e-9)
+    // linearity: doubling the vector doubles every digest component
+    assert(math.abs(got(2L)._2 - 2 * got(1L)._2) < 2e-4)
+  }
+
   test("quantize digest: empty vector yields null digests, not fold seeds") {
     // DuckDB's list_sum/list_min/list_max of an empty list are NULL;
     // the fold seeds (0, 127, -127) must not leak out as fake extrema
