@@ -97,6 +97,7 @@ object FormatIO {
         Some((csvLoad(path, header, delim, spark), "csv"))
       case "txt" | "text" => Some((spark.read.text(path), "txt"))
       case "parquet" | "par" => Some((spark.read.parquet(path), "parquet"))
+      case "orc" => Some((spark.read.orc(path), "orc"))
       case _ => None
     }
 
@@ -107,6 +108,7 @@ object FormatIO {
       case p if p.contains(".txt")  => load("txt", path, spark)
       case p if p.contains(".csv")  => load("csv", path, spark)
       case p if p.contains(".par")  => load("parquet", path, spark)
+      case p if p.contains(".orc")  => load("orc", path, spark)
       case _ => None
     }
 
@@ -124,7 +126,7 @@ object FormatIO {
   def save(fileType: String, df: DataFrame, output: String,
            overwrite: Boolean = false): Unit = {
     fileType.toLowerCase match {
-      case "json" | "csv" | "parquet" | "par" | "txt" | "text" =>
+      case "json" | "csv" | "parquet" | "par" | "txt" | "text" | "orc" =>
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
     // the text sink only accepts a single string column; a scored txt
@@ -142,6 +144,7 @@ object FormatIO {
       case "csv" => w.option("header", true).csv(output)
       case "txt" | "text" => w.text(output)
       case "parquet" | "par" => w.parquet(output)
+      case "orc" => w.orc(output)
     }
   }
 

@@ -61,7 +61,7 @@ class FormatIOSpec extends AnyFunSuite with SparkTestSession {
   test("round-trip: every format loads back what it saved (Q12 fixed)") {
     import spark.implicits._
     val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "txt")
-    for (fmt <- Seq("json", "csv", "parquet")) {
+    for (fmt <- Seq("json", "csv", "parquet", "orc")) {
       val out = Files.createTempDirectory(s"graft-rt-$fmt").resolve("out").toString
       FormatIO.save(fmt, df, out, overwrite = true)
       val (back, tag) = FormatIO.load(fmt, out, spark).get
