@@ -97,16 +97,20 @@ object Bench {
       s""""$k":${ts.map(fmt).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val stdoutLine = line(total, qs, boundedErrs(errEntries), sfDir)
+    // independent try blocks: a failure writing the (larger) samples
+    // sidecar must not also lose the driver-facing line's disk copy
+    try {
+      val p = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      // the driver-facing line also lands on disk, so a capture/parse
+      // failure on the stdout side never loses the round's numbers
+      java.nio.file.Files.write(p, (stdoutLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     try {
       val p = java.nio.file.Paths.get("target/bench-runs.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
         s"""{"runs":$runs,"errors":$errsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))
-      // the driver-facing line also lands on disk, so a capture/parse
-      // failure on the stdout side never loses the round's numbers
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("target/bench.json"),
-        (stdoutLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(stdoutLine)
     spark.stop()

@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * counts — can be reviewed and pinned. PLANS.md is curated from this
   * output.
   *
+  * Caveat: queries whose operators materialize eagerly (the
+  * localCheckpoint family q22/q30/q47/q48 and the KMeans-fitting
+  * q27/q53) EXECUTE that work during query construction and then show
+  * only the post-checkpoint tail here; their pre-checkpoint plan
+  * shapes are pinned by OpsSpec plan assertions instead (see
+  * PLANS.md's checkpoint caveat). Prefer a small sfDir.
+  *
   * Usage: runMain graft.Explain <sfDir> [queryName...]
   */
 object Explain {

@@ -358,7 +358,7 @@ object SparkEntry {
         |s AS (SELECT sum(n_rows) AS total, count(*) AS nkeys FROM c)
         |SELECT user_id, n_rows,
         |  round(n_rows / total, 4) AS share,
-        |  round(n_rows * nkeys / total, 4) AS skew
+        |  round(n_rows::DOUBLE * nkeys / total, 4) AS skew
         |FROM c CROSS JOIN s
         |ORDER BY n_rows DESC, user_id
         |LIMIT 10""".stripMargin,
@@ -379,6 +379,11 @@ object SparkEntry {
     // entire exact top-10 (recall 1.0, independently pinned in
     // OpsSpec), and the exact-cosine rerank makes the output identical
     // to the brute-force top-k. The oracle asserts that contract.
+    // Partitioning-robustness verified empirically: Verify at
+    // SPARK_GRAFT_CPUS=4 and =32 produces bit-identical q27 output
+    // (sf0.01 embeddings are a single input split, so the KMeans
+    // aggregation order — and therefore the centers — cannot vary
+    // with core count).
     "q27_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (

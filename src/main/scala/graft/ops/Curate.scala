@@ -69,11 +69,15 @@ object Curate {
     val lmGated = maxAvgNegLogp match {
       case Some(cap) => stage("lm_gate", {
         // scored under the SURVIVORS' own unigram model (the corpus at
-        // this stage IS the model corpus, CCNet-style self-scoring)
-        val keep = TextStats.unigramLogProb(repetition, idCol, textCol)
-          .where(col("avg_neg_logp") <= cap)
+        // this stage IS the model corpus, CCNet-style self-scoring).
+        // Gate by ANTI-joining the docs that EXCEED the cap: zero-token
+        // docs produce no unigramLogProb row at all, and a semi-join on
+        // the passers would silently drop them even under a non-binding
+        // cap — an LM gate has no opinion on docs with no tokens.
+        val drop = TextStats.unigramLogProb(repetition, idCol, textCol)
+          .where(col("avg_neg_logp") > cap)
           .select(idCol)
-        repetition.join(keep, Seq(idCol), "left_semi")
+        repetition.join(drop, Seq(idCol), "left_anti")
       })
       case None => repetition
     }

@@ -80,7 +80,11 @@ object Layout {
     counts.crossJoin(broadcast(stats))
       .select(col(keyCol), col("n_rows"),
         round(col("n_rows") / col("__total"), 4).as("share"),
-        round(col("n_rows") * col("__nkeys") / col("__total"), 4).as("skew"))
+        // multiply in double: long x long wraps at ~1e12 rows x ~1e7
+        // keys — exactly the scale this diagnostic targets — and a
+        // wrapped negative "skew" on the hottest key defeats the point
+        round(col("n_rows").cast("double") * col("__nkeys") / col("__total"), 4)
+          .as("skew"))
       .orderBy(desc("n_rows"), col(keyCol))
       .limit(k)
   }

@@ -33,6 +33,22 @@ object SimSearch {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Embedding width from the first row with a non-null vector; 0 for
+    * an empty frame (callers then return empty results instead of
+    * throwing — an empty ingest/query tick is a legitimate input). */
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.where(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Multi-probe bucket set: the own bucket plus every single-bit
+    * flip — THE probe policy, shared by every SRP path (and mirrored
+    * by the SQL oracle generators; change all together). */
+  private def multiProbe(bucket: Column, bits: Int): Column =
+    array((0 to bits).map {
+      case 0 => bucket
+      case i => bucket.bitwiseXOR(lit(1 << (i - 1)))
+    }: _*)
+
   /**
    * Exact cosine top-k neighbors of the row with `queryId`. The query
    * vector travels as a one-row broadcast (no shuffle of the corpus);
@@ -88,17 +104,13 @@ object SimSearch {
                  seed: Long = 42L): DataFrame = {
     // derive the embedding width from the data (a hardcoded dim would
     // silently bucket 768-dim vectors by their first components only)
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = dimOf(df, vecCol)
     val bucketOf = srpBucketUdf(bits, dim, seed)
     val bucketed = df.withColumn("__bucket", bucketOf(col(vecCol)))
     val qRow = bucketed.where(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("__q"), col("__bucket").as("__qb"))
-    // query bucket + all single-bit flips
     val probes = qRow.select(col("__q"),
-      explode(array((0 to bits).map {
-        case 0 => col("__qb")
-        case i => col("__qb").bitwiseXOR(lit(1 << (i - 1)))
-      }: _*)).as("__bucket"))
+      explode(multiProbe(col("__qb"), bits)).as("__bucket"))
     bucketed.where(col(idCol) =!= queryId)
       .join(broadcast(probes), Seq("__bucket"))
       .select(col(idCol),
@@ -115,7 +127,7 @@ object SimSearch {
                seed: Long = 42L): DataFrame = {
     require(!df.columns.contains("__bucket"),
       "input column __bucket collides with srpIndex's reserved name")
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = dimOf(df, vecCol)
     df.withColumn("__bucket", srpBucketUdf(bits, dim, seed)(col(vecCol)))
   }
 
@@ -142,10 +154,7 @@ object SimSearch {
       .select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__q"),
         col("__bucket").as("__qb"))
     val probes = qIndexed.select(col("__qid"), col("__q"),
-      explode(array((0 to bits).map {
-        case 0 => col("__qb")
-        case i => col("__qb").bitwiseXOR(lit(1 << (i - 1)))
-      }: _*)).as("__bucket"))
+      explode(multiProbe(col("__qb"), bits)).as("__bucket"))
     val w = Window.partitionBy(col("__qid"))
       .orderBy(desc("cosine"), col(idCol))
     indexed.join(broadcast(probes), Seq("__bucket"))
@@ -352,7 +361,7 @@ object SimSearch {
   private[ops] def cosineNearDupPlan(df: DataFrame, idCol: String, vecCol: String,
                                      threshold: Double, bits: Int,
                                      seed: Long): (DataFrame, DataFrame) = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = dimOf(df, vecCol)
     val bucketOf = srpBucketUdf(bits, dim, seed)
     val bucketed = df.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"),
@@ -368,10 +377,7 @@ object SimSearch {
     // Dedup.minhashPairsPlan keeps shingle arrays out of its candidate
     // shuffle.
     val probed = bucketed.select(col("__id"),
-      explode(array((0 to bits).map {
-        case 0 => col("__b")
-        case i => col("__b").bitwiseXOR(lit(1 << (i - 1)))
-      }: _*)).as("__bucket"))
+      explode(multiProbe(col("__b"), bits)).as("__bucket"))
     val a = probed.select(col("__bucket"), col("__id").as("id_a"))
     val b = bucketed.select(col("__b").as("__bucket"), col("__id").as("id_b"))
     val candidates = a.join(b, Seq("__bucket"))
@@ -434,7 +440,7 @@ object SimSearch {
    */
   def projectDims(df: DataFrame, vecCol: String, outDim: Int,
                   seed: Long = 42L): DataFrame = {
-    val inDim = df.select(size(col(vecCol))).head.getInt(0)
+    val inDim = dimOf(df, vecCol)
     val planes = hyperplanes(outDim, inDim, seed)
     val scale = 1.0 / math.sqrt(outDim)
     val project = udf((v: Seq[Float]) =>

@@ -754,6 +754,34 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got(2L)._2 - 2 * got(1L)._2) < 2e-4)
   }
 
+  test("ann paths tolerate empty frames (empty ingest/query tick)") {
+    val vecs = (1L to 5L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val none = vecs.where(col("vec_id") < 0)
+    assert(SimSearch.annLshTopKBatch(vecs, none,
+      "vec_id", "embedding", k = 3).count() === 0)
+    assert(SimSearch.annLshTopKBatch(none, vecs,
+      "vec_id", "embedding", k = 3).count() === 0)
+    assert(SimSearch.projectDims(none, "embedding", outDim = 4).count() === 0)
+    assert(SimSearch.srpIndex(none, "embedding").count() === 0)
+  }
+
+  test("curate lm gate has no opinion on zero-token docs") {
+    val docs = Seq(
+      (1L, "real content words in this document", "s"),
+      (2L, "   ", "s")) // zero tokens: no unigramLogProb row exists
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((9L, "unrelated benchmark text", "s"))
+      .toDF("doc_id", "text", "source")
+    val (_, report) = Curate.standard(docs, bench,
+      minQuality = 0.0, maxDup2gramFrac = 1.0,
+      maxAvgNegLogp = Some(1e9))
+    // a non-binding cap must not drop the tokenless doc (anti-join on
+    // cap-exceeders, not semi-join on scored passers)
+    assert(report.counts("lm_gate") === report.counts("repetition"),
+      report.stages.toString)
+  }
+
   test("quantize digest: empty vector yields null digests, not fold seeds") {
     // DuckDB's list_sum/list_min/list_max of an empty list are NULL;
     // the fold seeds (0, 127, -127) must not leak out as fake extrema
