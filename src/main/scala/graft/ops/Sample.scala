@@ -39,6 +39,41 @@ object Sample {
       .drop("__rank")
   }
 
+  /**
+   * Solve per-source sampling rates for a target mixture: given each
+   * source's available token (or row) count and the desired mixture
+   * weights, return the [[byRates]] map that realizes the LARGEST
+   * corpus achieving those proportions without upsampling (no rate
+   * above 1.0 — repetition is a training-config decision, not a
+   * sampling one). The binding source is the one with the smallest
+   * available/weight ratio; it samples at 1.0 and every other source
+   * scales down proportionally.
+   *
+   * Driver-side arithmetic over the (tiny) source domain — compose
+   * with [[byRates]] for the actual filter. Sources present in
+   * `available` but absent from `weights` get rate 0 (excluded);
+   * weights for unavailable sources are an error.
+   */
+  def ratesForMixture(available: Map[String, Long],
+                      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    weights.foreach { case (g, w) =>
+      require(w > 0, s"weight for '$g' must be positive")
+      require(available.get(g).exists(_ > 0),
+        s"mixture weights name source '$g' with no available rows")
+    }
+    val totalW = weights.values.sum
+    // scale = corpus size that makes the binding source sample at 1.0
+    val scale = weights.map { case (g, w) =>
+      available(g) / (w / totalW)
+    }.min
+    available.map { case (g, _) =>
+      g -> weights.get(g)
+        .map(w => (w / totalW) * scale / available(g))
+        .getOrElse(0.0)
+    }
+  }
+
   /** Rate-based source mixing: keep each row with its group's rate
     * (exactly the rows whose per-id hash bucket falls under
     * rate x 10000 — deterministic, not probabilistic). Groups absent

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+
+/** Property tests over the pure per-row kernels (no SparkSession —
+  * these are the functions executors run millions of times per
+  * partition, so their invariants get randomized coverage, not just
+  * the hand-picked vectors in the suites). */
+object KernelProps extends Properties("kernels") {
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val text: Gen[String] =
+    Gen.listOf(word).map(_.mkString(" "))
+  private val smallN: Gen[Int] = Gen.choose(1, 5)
+
+  property("shingleSet: distinct, <= n tokens each, empty iff no tokens") =
+    forAll(text, smallN) { (t, n) =>
+      val sh = Dedup.shingleSet(t, n)
+      val tokens = t.trim.split("\\s+").filter(_.nonEmpty)
+      Prop(sh.distinct.length == sh.length) &&
+        Prop(sh.forall(_.split(" ").length <= n)) &&
+        Prop(sh.isEmpty == tokens.isEmpty)
+    }
+
+  property("shingleSet: identical modulo case/whitespace => identical") =
+    forAll(text, smallN) { (t, n) =>
+      val noisy = "  " + t.toUpperCase.replace(" ", "   ") + " "
+      Dedup.shingleSet(noisy, n).toSeq == Dedup.shingleSet(t, n).toSeq
+    }
+
+  property("signatureOf: length k, superset never raises a component") =
+    forAll(Gen.listOf(word), Gen.listOf(word), Gen.choose(1, 16)) { (a, b, k) =>
+      val sa = Dedup.signatureOf(a.toArray, k)
+      val sab = Dedup.signatureOf((a ++ b).toArray, k)
+      Prop(sa.length == k) &&
+        Prop(sa.zip(sab).forall { case (x, y) => y <= x })
+    }
+
+  property("fnv1a64: deterministic and distinct-input sensitive") =
+    forAll(word, word) { (a, b) =>
+      Prop(SimHash.fnv1a64(a) == SimHash.fnv1a64(a)) &&
+        Prop(a == b || SimHash.fnv1a64(a) != SimHash.fnv1a64(b))
+    }
+
+  property("repetitionOf: ratios bounded, token count consistent") =
+    forAll(text) { t =>
+      val r = TextStats.repetitionOf(t)
+      Prop(r.distinct_ratio >= 0 && r.distinct_ratio <= 1) &&
+        Prop(r.top_word_frac >= 0 && r.top_word_frac <= 1) &&
+        Prop(r.dup_2gram_frac >= 0 && r.dup_2gram_frac <= 1) &&
+        Prop(r.n_tokens == t.trim.split("\\s+").count(_.nonEmpty))
+    }
+
+  private val mixture: Gen[(Map[String, Long], Map[String, Double])] = for {
+    n <- Gen.choose(1, 6)
+    names = (1 to n).map(i => s"s$i")
+    counts <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+    weights <- Gen.listOfN(n, Gen.choose(0.01, 10.0))
+  } yield (names.zip(counts).toMap, names.zip(weights).toMap)
+
+  property("ratesForMixture: rates in [0,1], binding source saturated, proportions exact") =
+    forAll(mixture) { case (avail, weights) =>
+      val rates = Sample.ratesForMixture(avail, weights)
+      val totalW = weights.values.sum
+      val realized = rates.map { case (g, r) => g -> avail(g) * r }
+      val total = realized.values.sum
+      Prop(rates.values.forall(r => r >= -1e-12 && r <= 1 + 1e-12)) &&
+        Prop(rates.values.exists(r => math.abs(r - 1.0) < 1e-9)) &&
+        Prop(total == 0.0 || weights.forall { case (g, w) =>
+          math.abs(realized(g) / total - w / totalW) < 1e-9
+        })
+    }
+}

@@ -766,6 +766,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(SimSearch.srpIndex(none, "embedding").count() === 0)
   }
 
+  test("mixture solver: binding source at 1.0, proportions exact, no upsampling") {
+    val avail = Map("web" -> 1000L, "code" -> 100L, "books" -> 50L, "junk" -> 7L)
+    // want 60/20/20 web/code/books; books is binding (50/0.2 < others)
+    val rates = Sample.ratesForMixture(avail,
+      Map("web" -> 0.6, "code" -> 0.2, "books" -> 0.2))
+    assert(rates("books") === 1.0)          // binding source fully used
+    assert(rates("junk") === 0.0)           // unweighted source excluded
+    assert(rates.values.forall(r => r >= 0.0 && r <= 1.0))
+    // realized mixture matches the target proportions
+    val realized = rates.map { case (g, r) => g -> avail(g) * r }
+    assert(math.abs(realized("web") - 150.0) < 1e-9)  // 0.6/0.2 * 50
+    assert(math.abs(realized("code") - 50.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Sample.ratesForMixture(avail, Map("missing" -> 1.0))
+    }
+  }
+
   test("curate lm gate has no opinion on zero-token docs") {
     val docs = Seq(
       (1L, "real content words in this document", "s"),
