@@ -79,6 +79,7 @@ import graft.text.TextClean
  *                      quality filter)
  *  - q53_semantic_dedup SemDeDup: KMeans cells + within-cell cosine
  *  - q54_project       JL random-projection digest (seeded Gaussian)
+ *  - q55_similar_docs  cross-table "docs like this one" (ANN ⋈ metadata)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -642,6 +643,22 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       outDim = 8, seed = 42L)
       .orderBy("vec_id")
+
+  /** Cross-table similarity lookup: the top-5 documents most similar
+    * to doc 0 by embedding cosine, carrying their text-table metadata —
+    * the end-to-end "find me documents like this one" composition
+    * (exact top-k over embeddings ⋈ broadcast-joined back to the
+    * documents table; doc_id == vec_id in the fixture). */
+  def q55SimilarDocs(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.ops.SimSearch.cosineTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 5)
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    top.join(docs, top("vec_id") === docs("doc_id"))
+      .select(col("vec_id"), col("cosine"), col("lang"), col("source"))
+      .orderBy(desc("cosine"), col("vec_id"))
+  }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

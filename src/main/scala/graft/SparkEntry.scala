@@ -77,6 +77,7 @@ object SparkEntry {
     "q52_unigram_logprob" -> (Queries.q52UnigramLogprob(_, _)),
     "q53_semantic_dedup" -> (Queries.q53SemanticDedup(_, _)),
     "q54_project" -> (Queries.q54Project(_, _)),
+    "q55_similar_docs" -> (Queries.q55SimilarDocs(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -368,6 +369,21 @@ object SparkEntry {
       "embeddings", "vec_id", "embedding",
       queryPred = "vid < 5", corpusPred = "vid >= 5",
       k = 5, bits = 8, dim = 64, seed = 42L),
+    "q55_similar_docs" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+        |         unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx,
+        |             sqrt(sum(y*y)) AS ny
+        |      FROM pairs GROUP BY vec_id),
+        |topk AS (
+        |  SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+        |  FROM s ORDER BY cosine DESC, vec_id LIMIT 5)
+        |SELECT t.vec_id, t.cosine, d.lang, d.source
+        |FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+        |ORDER BY t.cosine DESC, t.vec_id""".stripMargin,
     // q54: seeded projection matrix embedded as literals, matmul
     // replayed with list_dot_product (see SimSearch.projectOracleSql).
     "q54_project" -> graft.ops.SimSearch.projectOracleSql(
