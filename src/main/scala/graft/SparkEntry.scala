@@ -399,7 +399,12 @@ object SparkEntry {
     // SPARK_GRAFT_CPUS=4 and =32 produces bit-identical q27 output
     // (sf0.01 embeddings are a single input split, so the KMeans
     // aggregation order — and therefore the centers — cannot vary
-    // with core count).
+    // with core count). Scale caveat, measured: the contract is
+    // sf0.01-specific — at sf0.1 (2000 near-orthogonal vectors)
+    // recall drops to 4/10 at nprobe=4 and 9/10 even at nprobe=8,
+    // the expected IVF behavior on unstructured embeddings. The
+    // driver's correctness gate runs at sf0.01; if that ever moves,
+    // re-derive this oracle or demote q27 to rows-only.
     "q27_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (
@@ -550,7 +555,7 @@ object SparkEntry {
         |  round(least(n / 20.0, 1.0) * 0.3
         |      + (1.0 - least(punct * 4, 1.0)) * 0.2
         |      + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
-        |      + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 4) AS quality,
+        |      + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality,
         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
         |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'

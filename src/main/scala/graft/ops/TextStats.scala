@@ -78,7 +78,12 @@ object TextStats {
     val stopTerm = least(stopwordRatio(text) * 4, lit(1.0))
     val mtl = meanTokenLength(text)
     val mtlTerm = when(mtl.between(3.0, 9.0), lit(1.0)).otherwise(lit(0.5))
-    round((lengthTerm * 0.3 + punctTerm * 0.2 + stopTerm * 0.3 + mtlTerm * 0.2), 4)
+    // 3 decimals, not 4: the pre-round sum differs between engines in
+    // the last ulp, and at sf0.1 one of 5000 docs landed exactly on a
+    // 4-decimal rounding boundary (0.86875), flipping the cross-engine
+    // compare. Coarser granularity has 10x fewer boundaries; the score
+    // is a heuristic gate, 3 decimals lose nothing.
+    round((lengthTerm * 0.3 + punctTerm * 0.2 + stopTerm * 0.3 + mtlTerm * 0.2), 3)
   }
 
   /** Tiny per-language stop-token profiles for the language-ID
