@@ -340,7 +340,7 @@ object SparkEntry {
         |      FROM wc GROUP BY doc_id),
         |s AS (SELECT sum(n_tokens) AS total FROM d)
         |SELECT doc_id, n_tokens,
-        |       round(ln(total) - slc / n_tokens, 4) AS avg_neg_logp
+        |       round(ln(total) - slc / n_tokens, 3) AS avg_neg_logp
         |FROM d CROSS JOIN s
         |ORDER BY doc_id""".stripMargin,
     "q51_novel_docs" ->

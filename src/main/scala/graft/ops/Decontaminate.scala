@@ -35,6 +35,25 @@ object Decontaminate {
     df.select(col(idCol).as("__id"),
       explode(Dedup.shingles(col(textCol), n)).as("__g"))
 
+  /** The benchmark's distinct gram set — ONE implementation shared by
+    * both report paths, whose outputs must stay bit-identical (they
+    * check against the same oracle). */
+  private def benchGrams(benchmark: DataFrame, textCol: String,
+                         n: Int): DataFrame =
+    benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .distinct()
+
+  /** Shared report tail: verify postings against the true gram set and
+    * count distinct shared grams per doc (postings are distinct per
+    * doc, so count(*) == distinct shared grams). */
+  private def reportOf(postings: DataFrame, bench: DataFrame,
+                       idCol: String): DataFrame =
+    postings.join(bench, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("__id").as(idCol), col("n_hits"))
+
   /**
    * Per-document contamination report: corpus docs sharing at least one
    * word n-gram with the benchmark, with the count of distinct shared
@@ -42,17 +61,10 @@ object Decontaminate {
    */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int = 5): DataFrame = {
-    val bench = benchmark
-      .select(explode(Dedup.shingles(col(textCol), n)).as("__g"))
-      .distinct()
-    gramPostings(corpus, idCol, textCol, n)
-      .join(broadcast(bench), Seq("__g"))
-      .groupBy(col("__id"))
-      // postings are distinct per doc, so count(*) == distinct shared grams
-      .agg(count(lit(1)).as("n_hits"))
-      .select(col("__id").as(idCol), col("n_hits"))
-  }
+                          n: Int = 5): DataFrame =
+    reportOf(
+      gramPostings(corpus, idCol, textCol, n),
+      broadcast(benchGrams(benchmark, textCol, n)), idCol)
 
   /**
    * [[contaminationReport]] behind a broadcast Bloom-filter prefilter —
@@ -74,9 +86,7 @@ object Decontaminate {
   def contaminationReportViaBloom(corpus: DataFrame, benchmark: DataFrame,
                                   idCol: String, textCol: String,
                                   n: Int = 5, fpp: Double = 0.01): DataFrame = {
-    val bench = benchmark
-      .select(explode(Dedup.shingles(col(textCol), n)).as("__g"))
-      .distinct()
+    val bench = benchGrams(benchmark, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams = math.max(bench.count(), 1L)
     val bloom = bench.select(xxhash64(col("__g")).as("__gh"))
@@ -84,12 +94,10 @@ object Decontaminate {
     val sc = corpus.sparkSession.sparkContext
     val bloomB = sc.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContain(h))
-    val report = gramPostings(corpus, idCol, textCol, n)
-      .where(mightContain(xxhash64(col("__g"))))
-      .join(bench, Seq("__g"))
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_hits"))
-      .select(col("__id").as(idCol), col("n_hits"))
+    val report = reportOf(
+      gramPostings(corpus, idCol, textCol, n)
+        .where(mightContain(xxhash64(col("__g")))),
+      bench, idCol)
     // materialize eagerly so the persisted gram set and the broadcast
     // filter can be released instead of leaking per call
     val out = report.localCheckpoint(true)

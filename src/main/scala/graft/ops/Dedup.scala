@@ -161,6 +161,41 @@ object Dedup {
     out
   }
 
+  /** Persisted (id, shingles) frame — the stage every MinHash path
+    * starts from. Persisted because it feeds multiple consumers
+    * (banding + both sides of the verification join); at scale this is
+    * the natural production checkpoint between the candidate and
+    * verification phases of a 100 TB dedup run. ONE implementation so
+    * full and incremental dedup can never drift in shingle semantics
+    * (their equivalence is a tested contract). */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int): DataFrame =
+    df.select(
+      col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Narrow (band, hash, id) posting of a shingle frame — the only
+    * thing the candidate shuffle ever carries. */
+  private def bandedPostings(sh: DataFrame, numHashes: Int, bands: Int,
+                             rowsPerBand: Int): DataFrame =
+    sh.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col("__id"),
+        posexplode(bandHashes(col("__sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__bh")))
+
+  /** Exact-Jaccard verification of a narrow candidate pair set:
+    * shingle arrays join back only for the (small) candidates. */
+  private def verifyPairs(candidates: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
   /** The lazy plan behind [[minhashPairs]] (un-checkpointed so tests
     * can assert its shape; returns the persisted shingle frame for the
     * caller to release). */
@@ -169,38 +204,15 @@ object Dedup {
                                     bands: Int, threshold: Double): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // Persisted: this frame feeds three consumers (banding + both
-    // sides of the verification join); without persistence Spark
-    // re-executes the shingle computation once per consumer branch.
-    // This is also the natural production checkpoint at scale — the
-    // (id, shingles) frame is what you'd write to storage between the
-    // candidate and verification phases of a 100 TB dedup run.
-    val sh = df.select(
-      col(idCol).as("__id"),
-      shingles(col(textCol), shingleSize).as("__sh"))
-      .where(size(col("__sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bucket join and pair-dedup carry ONLY (band, hash, id) — the
-    // shingle arrays never travel through the candidate shuffle; they
-    // are joined back just for the (small) verified candidate set.
-    val banded = sh
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-      .select(col("__id"),
-        posexplode(bandHashes(col("__sig"), bands, r))
-          .as(Seq("__band", "__bh")))
+    val sh = shingleFrame(df, idCol, textCol, shingleSize)
+    val banded = bandedPostings(sh, numHashes, bands, r)
     val a = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
     val candidates = a.join(b, Seq("__band", "__bh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val verified = candidates
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    (sh, verified)
+    (sh, verifyPairs(candidates, sh, threshold))
   }
 
   /**
@@ -295,24 +307,14 @@ object Dedup {
                               threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    def prep(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("__id"),
-      shingles(col(textCol), shingleSize).as("__sh"))
-      .where(size(col("__sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shNew = prep(newDf)
-    val shOld = prep(oldDf)
-    def banded(sh: DataFrame): DataFrame = sh
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-      .select(col("__id"),
-        posexplode(bandHashes(col("__sig"), bands, r))
-          .as(Seq("__band", "__bh")))
-    val probe = banded(shNew)
+    val shNew = shingleFrame(newDf, idCol, textCol, shingleSize)
+    val shOld = shingleFrame(oldDf, idCol, textCol, shingleSize)
+    val probe = bandedPostings(shNew, numHashes, bands, r)
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
-    val index = banded(shNew)
+    val index = bandedPostings(shNew, numHashes, bands, r)
       .select(col("__band"), col("__bh"), col("__id").as("id_b"),
         lit(false).as("__old"))
-      .union(banded(shOld)
+      .union(bandedPostings(shOld, numHashes, bands, r)
         .select(col("__band"), col("__bh"), col("__id").as("id_b"),
           lit(true).as("__old")))
     // new x new pairs appear from both directions -> keep id_a < id_b;
@@ -323,13 +325,7 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = shNew.union(shOld)
-    val verified = candidates
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val verified = verifyPairs(candidates, shNew.union(shOld), threshold)
     val out = verified.localCheckpoint(true)
     shNew.unpersist()
     shOld.unpersist()

@@ -442,7 +442,10 @@ object SimSearch {
                   seed: Long = 42L): DataFrame = {
     val inDim = dimOf(df, vecCol)
     val planes = hyperplanes(outDim, inDim, seed)
-    val scale = 1.0 / math.sqrt(outDim)
+    // divide, don't multiply by a precomputed reciprocal: the oracle
+    // divides (dot / sqrt(outDim)), and the two forms differ in the
+    // last ulp — enough to flip a round(.., 4) digest on a boundary
+    val root = math.sqrt(outDim)
     val project = udf((v: Seq[Float]) =>
       if (v == null) null
       else {
@@ -454,7 +457,7 @@ object SimSearch {
           var i = 0
           val n = math.min(p.length, v.length)
           while (i < n) { s += p(i) * v(i); i += 1 }
-          out(o) = s * scale
+          out(o) = s / root
           o += 1
         }
         out

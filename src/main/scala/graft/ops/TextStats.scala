@@ -215,33 +215,47 @@ object TextStats {
    * distinct), so the model is `p(w) = count(w) / total_tokens` over
    * the corpus and the score is `avg(-ln p(w))` over the document.
    *
-   * Plan shape: ONE scan — the (id, token) explode is consumed once; a
-   * window count over the token key replaces the model-aggregate-plus-
-   * scoring-join formulation (which would re-execute the explode per
-   * branch — a second full scan at 100 TB). Two narrow shuffles (token
-   * key, then doc id); the global total is an aggregate over the
-   * already-small per-doc frame, crossed back in as a single-row
-   * broadcast like [[Layout.keySkewReport]]'s mean. Uses
-   * `avg(-ln(c/total)) == ln(total) - avg(ln c)`. Self-scoring means
-   * no OOV tokens by construction; to score against a REFERENCE corpus
-   * model, join that corpus' frequency table instead and add
-   * smoothing.
+   * Plan shape: ONE scan of the corpus. The token explode immediately
+   * collapses to per-doc TERM FREQUENCIES — a (doc, word)-keyed
+   * partial+final hash aggregate whose fine-grained key is skew-free
+   * (an instance-level window over the bare token key would funnel
+   * every occurrence of a Zipf-head word like "the" — percent of the
+   * corpus — through one task at 100 TB). The tf frame is persisted
+   * across its two consumers (model aggregate + scoring join, the
+   * [[Dedup.minhashPairsPlan]] pattern), the corpus counts are another
+   * partial+final aggregate, and the scoring join on the word key
+   * carries one row per DISTINCT (doc, word) — bounded by docs, not
+   * instances, even for stopwords. The global total rides in as a
+   * single-row broadcast like [[Layout.keySkewReport]]'s mean. Uses
+   * `avg(-ln(c/total)) == ln(total) - sum(tf*ln c)/n`. Self-scoring
+   * means no OOV tokens by construction; to score against a REFERENCE
+   * corpus model, join that corpus' frequency table instead and add
+   * smoothing. Result is materialized eagerly so the persisted tf
+   * frame releases instead of leaking per call.
    */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
+    val tf = df.select(col(idCol),
       explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
       .where(col("__w") =!= "")
-    val withC = toks.withColumn("__c",
-      count(lit(1)).over(Window.partitionBy(col("__w"))))
-    val perDoc = withC.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(log(col("__c"))).as("__slc"))
-    val total = perDoc.agg(sum(col("n_tokens")).as("__total"))
-    perDoc.crossJoin(broadcast(total))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqs = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__c"))
+    val total = freqs.agg(sum(col("__c")).as("__total"))
+    val perDoc = tf.join(freqs, "__w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * log(col("__c"))).as("__slc"))
+    // 3 decimals for the same reason as qualityScore: the sum order
+    // differs across engines (and shuffles) in the last ulp, and a
+    // 4-decimal boundary doc flips the cross-engine compare
+    val out = perDoc.crossJoin(broadcast(total))
       .select(col(idCol), col("n_tokens"),
-        round(log(col("__total")) - col("__slc") / col("n_tokens"), 4)
+        round(log(col("__total")) - col("__slc") / col("n_tokens"), 3)
           .as("avg_neg_logp"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 
   /** Per-group token-length distribution (exact interpolated p50/p90/

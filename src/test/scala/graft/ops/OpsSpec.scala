@@ -460,7 +460,7 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val ln = (x: Double) => math.log(x)
     def score(cs: Seq[Int]) =
-      math.rint((ln(6.0) - cs.map(c => ln(c.toDouble)).sum / cs.size) * 1e4) / 1e4
+      math.rint((ln(6.0) - cs.map(c => ln(c.toDouble)).sum / cs.size) * 1e3) / 1e3
     assert(got(1L)._1 === 3L)
     assert(got(1L)._2 === score(Seq(3, 3, 2))) // a a b
     assert(got(2L)._2 === score(Seq(3, 2)))    // case/ws normalized
