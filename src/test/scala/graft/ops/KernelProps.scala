@@ -54,6 +54,37 @@ object KernelProps extends Properties("kernels") {
         Prop(r.n_tokens == t.trim.split("\\s+").count(_.nonEmpty))
     }
 
+  property("levenshtein: metric axioms and insertion-distance identity") =
+    forAll(word, word) { (a, b) =>
+      val d = graft.wordscore.Distance.levenshtein(a, b)
+      Prop(d >= 0) &&
+        Prop((d == 0) == (a == b)) &&
+        Prop(graft.wordscore.Distance.levenshtein(b, a) == d) &&
+        Prop(d <= math.max(a.length, b.length)) &&
+        Prop(d >= math.abs(a.length - b.length)) &&
+        // appending k chars moves distance by at most k
+        Prop(graft.wordscore.Distance.levenshtein(a, a + b) == b.length)
+    }
+
+  property("levenshtein bounded: agrees with exact under the bound, exceeds over it") =
+    forAll(word, word, Gen.choose(0, 6)) { (a, b, max) =>
+      val exact = graft.wordscore.Distance.levenshtein(a, b)
+      val got = graft.wordscore.Distance.bounded(a, b, max)
+      if (exact <= max) Prop(got == exact)
+      else Prop(got > max)
+    }
+
+  property("winnow: fingerprints are a subset of all k-gram hashes, never empty for len >= k") =
+    forAll(Gen.choose(2, 8), Gen.alphaStr) { (k, t) =>
+      val fp = TextStats.winnow(t, k, 4)
+      if (t.length < k) Prop(fp.isEmpty)
+      else {
+        val all = (0 to t.length - k)
+          .map(i => SimHash.fnv1a64(t.substring(i, i + k))).toSet
+        Prop(fp.nonEmpty) && Prop(fp.toSet.subsetOf(all))
+      }
+    }
+
   private val mixture: Gen[(Map[String, Long], Map[String, Double])] = for {
     n <- Gen.choose(1, 6)
     names = (1 to n).map(i => s"s$i")
