@@ -80,6 +80,7 @@ import graft.text.TextClean
  *  - q53_semantic_dedup SemDeDup: KMeans cells + within-cell cosine
  *  - q54_project       JL random-projection digest (seeded Gaussian)
  *  - q55_similar_docs  cross-table "docs like this one" (ANN ⋈ metadata)
+ *  - q56_schema_profile per-column null/distinct/range quality report
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -659,6 +660,17 @@ object Queries {
       .select(col("vec_id"), col("cosine"), col("lang"), col("source"))
       .orderBy(desc("cosine"), col("vec_id"))
   }
+
+  /** Per-column data-quality profile of the orders table (exact
+    * distincts for the oracle; integer/string columns so min/max
+    * string rendering agrees across engines — doubles/timestamps
+    * format differently and are profiled but not oracle-compared). */
+  def q56SchemaProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.schemaReport(
+      t(spark, dir, "orders"),
+      cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+      exactDistinct = true)
+      .orderBy("column")
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

@@ -78,6 +78,7 @@ object SparkEntry {
     "q53_semantic_dedup" -> (Queries.q53SemanticDedup(_, _)),
     "q54_project" -> (Queries.q54Project(_, _)),
     "q55_similar_docs" -> (Queries.q55SimilarDocs(_, _)),
+    "q56_schema_profile" -> (Queries.q56SchemaProfile(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -369,6 +370,30 @@ object SparkEntry {
       "embeddings", "vec_id", "embedding",
       queryPred = "vid < 5", corpusPred = "vid >= 5",
       k = 5, bits = 8, dim = 64, seed = 42L),
+    "q56_schema_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority)
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
     "q55_similar_docs" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-column data-quality profiling — the monitoring report an ingest
+ * pipeline records per batch (null rates, cardinalities, value ranges)
+ * to catch schema drift and upstream corruption before training jobs
+ * consume the data. Extension surface beyond the reference (whose
+ * column-role detection samples; this profiles exhaustively).
+ *
+ * Scale design: ONE logical pass — all per-column aggregates ride in a
+ * single `agg` (partial+final, map-side combine), and the single
+ * result row explodes driver-free into one output row per column.
+ * Distinct counts default to `approx_count_distinct` (HLL — mergeable,
+ * constant memory, the only sane choice at 100 TB); `exactDistinct =
+ * true` switches to exact `count(DISTINCT ...)` for oracle checking
+ * and small batches (Spark expands multi-distinct aggregates — cost
+ * grows with the column count).
+ */
+object Profile {
+
+  /** One row per profiled column: (column, n_rows, n_nulls,
+    * n_distinct, min_value, max_value) — min/max rendered as strings
+    * so the report is schema-stable across column types. */
+  def schemaReport(df: DataFrame, cols: Seq[String] = Nil,
+                   exactDistinct: Boolean = false): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(cs.nonEmpty, "no columns to profile")
+    def nd(c: String): Column =
+      if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs: Seq[Column] = cs.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        nd(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = cs.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    row.select(col("__n").as("n_rows"), explode(array(perCol: _*)).as("__p"))
+      .select(col("__p.column").as("column"), col("n_rows"),
+        col("__p.n_nulls").as("n_nulls"),
+        col("__p.n_distinct").as("n_distinct"),
+        col("__p.min_value").as("min_value"),
+        col("__p.max_value").as("max_value"))
+  }
+}

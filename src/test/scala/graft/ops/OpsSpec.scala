@@ -766,6 +766,22 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(SimSearch.srpIndex(none, "embedding").count() === 0)
   }
 
+  test("schema profile: nulls, distincts, ranges per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a")))
+      .toDF("k", "s")
+    val rows = graft.ops.Profile.schemaReport(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(rows("k") === ((4L, 1L, 2L, "1", "2")))
+    assert(rows("s") === ((4L, 1L, 2L, "a", "c")))
+    // approx path: same shape, cardinalities near-exact at this size
+    val approx = graft.ops.Profile.schemaReport(df)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("k") === 2L && approx("s") === 2L)
+  }
+
   test("mixture solver: binding source at 1.0, proportions exact, no upsampling") {
     val avail = Map("web" -> 1000L, "code" -> 100L, "books" -> 50L, "junk" -> 7L)
     // want 60/20/20 web/code/books; books is binding (50/0.2 < others)
