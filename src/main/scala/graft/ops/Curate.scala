@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * End-to-end corpus curation — the standard LLM training-data pipeline
@@ -12,21 +13,33 @@ import org.apache.spark.sql.functions._
  *   1. novelty gate      — [[Novelty.exactNovel]] vs a historical
  *                          corpus (optional; drop already-ingested docs
  *                          before anything touches them)
- *   2. quality gate      — [[TextStats.qualityScore]] >= minQuality
- *   3. repetition gate   — [[TextStats.repetitionStats]] dup-2-gram cap
- *   4. LM gate           — [[TextStats.unigramLogProb]] cap (optional;
+ *   2. near-novelty gate — [[Novelty.nearNovel]] vs a prebuilt
+ *                          [[Novelty.BandIndex]] (optional; map-only
+ *                          near-dup check against the corpus sketch)
+ *   3. quality gate      — [[TextStats.qualityScore]] >= minQuality
+ *   4. repetition gate   — [[TextStats.repetitionStats]] dup-2-gram cap
+ *   5. LM gate           — [[TextStats.unigramLogProb]] cap (optional;
  *                          CCNet-style perplexity-proxy filter)
- *   5. exact dedup       — [[Dedup.exact]] (min-id winner)
- *   6. near dedup        — [[Dedup.dropNearDuplicates]] (MinHash LSH +
+ *   6. exact dedup       — [[Dedup.exact]] (min-id winner)
+ *   7. near dedup        — [[Dedup.dropNearDuplicates]] (MinHash LSH +
  *                          connected-components closure)
- *   7. decontamination   — [[Decontaminate.decontaminate]] vs an eval set
- *   8. split assignment  — [[Splits.assign]] (leakage-safe by group)
+ *   8. semantic dedup    — [[SimSearch.dropSemanticDuplicates]]
+ *                          (optional; SemDeDup over an embedding col)
+ *   9. decontamination   — [[Decontaminate.decontaminate]] vs an eval set
+ *  10. split assignment  — [[Splits.assign]] (leakage-safe by group)
  *
  * Each stage only ever REMOVES or ANNOTATES rows, so stage counts are
  * monotone non-increasing — the per-stage report is the monitoring
  * surface a production run logs. Chunk/pack ([[Chunk]], [[Pack]]) are
  * deliberately downstream of curation (run per training config, not
  * per corpus version).
+ *
+ * Single-pass contract: every counted stage is persisted before its
+ * count and its predecessor released right after, so stage N's count
+ * reads stage N-1's cache instead of recomputing stages 1..N-1 from
+ * the source — at 100 TB the difference between one scan and a scan
+ * per stage. The RETURNED frame is still persisted (it is the last
+ * stage's cache); the caller writes it out or unpersists it.
  */
 object Curate {
 
@@ -37,8 +50,12 @@ object Curate {
 
   /**
    * Run the standard pipeline. Returns the curated, split-annotated
-   * corpus and the per-stage report. `benchmark` is the eval set to
-   * decontaminate against (pass a small DataFrame of documents).
+   * corpus (persisted — unpersist or write it when done) and the
+   * per-stage report. `benchmark` is the eval set to decontaminate
+   * against (pass a small DataFrame of documents). Optional stages
+   * activate via `historicalCorpus` (exact novelty), `bandIndex`
+   * (near-novelty), `maxAvgNegLogp` (LM gate), and `semanticVecCol`
+   * (SemDeDup over that embedding column).
    */
   def standard(docs: DataFrame, benchmark: DataFrame,
                idCol: String = "doc_id", textCol: String = "text",
@@ -48,18 +65,32 @@ object Curate {
                nearDupThreshold: Double = 0.7,
                contaminationN: Int = 5,
                historicalCorpus: Option[DataFrame] = None,
-               maxAvgNegLogp: Option[Double] = None): (DataFrame, Report) = {
+               bandIndex: Option[Novelty.BandIndex] = None,
+               maxAvgNegLogp: Option[Double] = None,
+               semanticVecCol: Option[String] = None,
+               semanticThreshold: Double = 0.95,
+               semanticNlist: Int = 16): (DataFrame, Report) = {
     val b = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var prev: Option[DataFrame] = None
     def stage(name: String, df: DataFrame): DataFrame = {
-      b += name -> df.count(); df
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      b += name -> p.count() // materializes p from prev's cache
+      prev.foreach(_.unpersist())
+      prev = Some(p)
+      p
     }
     val fresh = historicalCorpus match {
       case Some(hist) =>
         stage("novelty", Novelty.exactNovel(docs, hist, textCol))
       case None => docs
     }
+    val nearFresh = bandIndex match {
+      case Some(idx) =>
+        stage("near_novelty", Novelty.nearNovel(fresh, idx, textCol))
+      case None => fresh
+    }
     val quality = stage("quality",
-      fresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
+      nearFresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
     val repetition = stage("repetition", {
       val keep = TextStats.repetitionStats(quality, idCol, textCol)
         .where(col("dup_2gram_frac") <= maxDup2gramFrac)
@@ -85,8 +116,14 @@ object Curate {
     val near = stage("near_dedup",
       Dedup.dropNearDuplicates(exact, idCol, textCol,
         threshold = nearDupThreshold))
+    val semantic = semanticVecCol match {
+      case Some(vc) => stage("semantic_dedup",
+        SimSearch.dropSemanticDuplicates(near, idCol, vc,
+          semanticThreshold, semanticNlist))
+      case None => near
+    }
     val clean = stage("decontaminate",
-      Decontaminate.decontaminate(near, benchmark, idCol, textCol,
+      Decontaminate.decontaminate(semantic, benchmark, idCol, textCol,
         contaminationN))
     val split = stage("split", Splits.assign(clean, groupCol))
     (split, Report(b.toSeq))

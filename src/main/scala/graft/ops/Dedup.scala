@@ -309,9 +309,10 @@ object Dedup {
     val r = numHashes / bands
     val shNew = shingleFrame(newDf, idCol, textCol, shingleSize)
     val shOld = shingleFrame(oldDf, idCol, textCol, shingleSize)
-    val probe = bandedPostings(shNew, numHashes, bands, r)
+    val newPostings = bandedPostings(shNew, numHashes, bands, r)
+    val probe = newPostings
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
-    val index = bandedPostings(shNew, numHashes, bands, r)
+    val index = newPostings
       .select(col("__band"), col("__bh"), col("__id").as("id_b"),
         lit(false).as("__old"))
       .union(bandedPostings(shOld, numHashes, bands, r)
@@ -375,13 +376,22 @@ object Dedup {
     // = off (exact semantics, oracle-checked at current scale);
     // MANDATORY at 100x — leave it off only when the shingle DF
     // distribution is known to be bounded.
+    //
+    // The cap is computed skew-safely: a groupBy DF count (partial
+    // aggregation collapses a hot gram to one row per map task) filtered
+    // to the over-cap grams — a TINY set, broadcast into a left-anti
+    // join against the postings. The obvious `count(*) over (block,
+    // gram)` window would funnel every posting of a hot shingle through
+    // ONE sorted window partition — the skew blowup the cap exists to
+    // prevent.
     val postings =
       if (maxDf == Int.MaxValue) rawPostings
       else {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("__blk"), col("__g"))
-        rawPostings.withColumn("__df", count(lit(1)).over(w))
-          .where(col("__df") <= maxDf).drop("__df")
+        val hot = rawPostings.groupBy(col("__blk"), col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxDf)
+          .select(col("__blk"), col("__g"))
+        rawPostings.join(broadcast(hot), Seq("__blk", "__g"), "left_anti")
       }
     val sizes = postings.groupBy(col("__id"))
       .agg(count(lit(1)).as("__sz"))

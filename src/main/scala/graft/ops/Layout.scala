@@ -85,7 +85,10 @@ object Layout {
         // wrapped negative "skew" on the hottest key defeats the point
         round(col("n_rows").cast("double") * col("__nkeys") / col("__total"), 4)
           .as("skew"))
-      .orderBy(desc("n_rows"), col(keyCol))
+      // asc_nulls_last: Spark sorts NULL keys first ascending, DuckDB
+      // last — a null key tying at the top-k boundary must not flip
+      // the cross-engine compare
+      .orderBy(desc("n_rows"), col(keyCol).asc_nulls_last)
       .limit(k)
   }
 }

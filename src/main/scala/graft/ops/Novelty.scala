@@ -62,11 +62,17 @@ object Novelty {
 
   /** Fit the [[BandIndex]] of a historical corpus. Fit once per corpus
     * version; the filter is a few bytes per corpus document at the
-    * default fpp, so even a billion-doc corpus ships to executors. */
+    * default fpp, so even a billion-doc corpus ships to executors.
+    *
+    * `fpp` is the PER-DOCUMENT false-drop budget: [[nearNovel]] probes
+    * `bands` keys per doc, so the filter is built at fpp/bands per
+    * lookup — a novel doc's chance of being falsely dropped stays
+    * ~fpp, not ~bands*fpp. */
   def fitBandIndex(corpus: DataFrame, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 12,
                    bands: Int = 4, fpp: Double = 0.001): BandIndex = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val r = numHashes / bands
     val keys = corpus
       .select(Dedup.shingles(col(textCol), shingleSize).as("__sh"))
@@ -76,7 +82,7 @@ object Novelty {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = math.max(keys.count(), 1L)
-    val bloom = keys.stat.bloomFilter("__bh", n, fpp)
+    val bloom = keys.stat.bloomFilter("__bh", n, fpp / bands)
     keys.unpersist()
     BandIndex(bloom, shingleSize, numHashes, bands)
   }

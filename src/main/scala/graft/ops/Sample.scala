@@ -68,8 +68,12 @@ object Sample {
       available(g) / (w / totalW)
     }.min
     available.map { case (g, _) =>
+      // the binding source's algebraic rate is exactly 1.0 but
+      // x*(a/x)/a can land a few ulps above it in floating point —
+      // clamp so the documented "no rate above 1.0" contract holds
+      // exactly for every consumer, not just the clamping byRates
       g -> weights.get(g)
-        .map(w => (w / totalW) * scale / available(g))
+        .map(w => math.min(1.0, (w / totalW) * scale / available(g)))
         .getOrElse(0.0)
     }
   }

@@ -149,8 +149,22 @@ object SimSearch {
                       idCol: String, vecCol: String, k: Int,
                       bits: Int = 8, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val indexed = srpIndex(corpus, vecCol, bits, seed)
-    val qIndexed = srpIndex(queries, vecCol, bits, seed)
+    require(!corpus.columns.contains("__bucket") &&
+      !queries.columns.contains("__bucket"),
+      "input column __bucket collides with annLshTopKBatch's reserved name")
+    // ONE hyperplane matrix for both sides, derived from the corpus
+    // width: sniffing dim per side would bucket the two frames with
+    // DIFFERENT plane matrices if their widths disagree, and the join
+    // would silently return near-empty garbage instead of failing
+    val dim = dimOf(corpus, vecCol)
+    val qDim = dimOf(queries, vecCol)
+    // dim 0 = an empty side (legitimate empty ingest/query tick -> empty
+    // result); only a genuine width disagreement is an error
+    require(qDim == 0 || dim == 0 || qDim == dim,
+      s"query embedding width $qDim != corpus width $dim")
+    val bucketOf = srpBucketUdf(bits, dim, seed)
+    val indexed = corpus.withColumn("__bucket", bucketOf(col(vecCol)))
+    val qIndexed = queries.withColumn("__bucket", bucketOf(col(vecCol)))
       .select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__q"),
         col("__bucket").as("__qb"))
     val probes = qIndexed.select(col("__qid"), col("__q"),
@@ -425,6 +439,25 @@ object SimSearch {
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** SemDeDup semantic dedup as a corpus transform: keep exactly the
+    * min-id representative of every semantic-duplicate cluster —
+    * [[semanticDedupPairs]] composed with connected components so a
+    * chain A~B~C (A,C in the same cell but below threshold pairwise)
+    * still collapses to just A, mirroring [[Dedup.dropNearDuplicates]]
+    * for the embedding modality. The pair set is tiny relative to the
+    * corpus, so the closure and the final left-anti join are narrow. */
+  def dropSemanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, nlist: Int = 16,
+                             seed: Long = 42L,
+                             sampleFraction: Double = 1.0): DataFrame = {
+    val pairs = semanticDedupPairs(df, idCol, vecCol, threshold, nlist,
+      seed, sampleFraction)
+    val losers = Dedup.componentsOf(pairs)
+      .where(col("comp") =!= col("node"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /**

@@ -841,6 +841,139 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(labels.collect().map(_.getLong(1)).forall(_ === 1L))
   }
 
+  test("jaccardPairsWithin maxDf cap plans as agg + anti-join, not a window") {
+    // the cap exists to defuse hot-shingle skew; a `count(*) over
+    // (__blk, __g)` window would funnel every posting of the hot gram
+    // through ONE sorted task — assert the capped path has NO Window
+    // node anywhere (the agg+broadcast-anti-join form collapses hot
+    // keys map-side instead)
+    val capped = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
+      n = 1, threshold = 0.5, maxDf = 1000)
+    val windows = capped.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      capped.queryExecution.optimizedPlan.toString.take(2000))
+  }
+
+  test("curate is single-pass: each stage reads its predecessor's cache") {
+    val n = 40
+    val acc = spark.sparkContext.longAccumulator("curate-source-reads")
+    val raw = (1 to n).map(i =>
+      (i.toLong, s"document number $i carrying distinct content words $i", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val counting = org.apache.spark.sql.functions
+      .udf { (s: String) => acc.add(1); s }.asNondeterministic()
+    val tracked = raw.withColumn("text", counting(col("text")))
+    val bench = Seq((999L, "benchmark text unrelated to the corpus", "s0"))
+      .toDF("doc_id", "text", "source")
+    val (out, report) = Curate.standard(tracked, bench,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    assert(out.count() === report.stages.last._2)
+    out.unpersist()
+    // ~10 counted stages over unpersisted lineage would re-derive the
+    // source per stage (~8n evaluations); the persist-per-stage
+    // contract keeps it at one evaluation per row (+ slack for the
+    // initial fill)
+    assert(acc.value <= 2L * n,
+      s"source text evaluated ${acc.value} times for $n rows — lineage is being recomputed per stage")
+    // and persistence must not change the report itself
+    val (out2, report2) = Curate.standard(raw, bench,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    out2.unpersist()
+    assert(report.stages === report2.stages)
+  }
+
+  test("dropSemanticDuplicates: chained cluster collapses to its min-id rep") {
+    // 2-d unit vectors at angles 0, 2.2deg, 4.4deg: cos(2.2deg) ~ 0.9993
+    // and cos(4.4deg) ~ 0.9971, so with threshold 0.999 A~B and B~C pair
+    // but A~C does NOT — only the connected-components closure collapses
+    // the chain. A far-away tight cluster keeps KMeans(k=2) cells stable
+    // (chain in one cell, the rest in the other).
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq(
+      (1L, at(0.0)), (2L, at(2.2)), (3L, at(4.4)),
+      (10L, at(90.0)), (11L, at(91.0)), (12L, at(89.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = SimSearch.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.999, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), pairs.toString)
+    val kept = SimSearch.dropSemanticDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.999, nlist = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the chain keeps exactly min-id 1; the 90deg cluster (~1deg apart,
+    // cos ~ 0.99985) also collapses to its min id 10
+    assert(kept === Set(1L, 10L), kept.toString)
+  }
+
+  test("dropSemanticDuplicates returns exactly the corpus with planted copies removed") {
+    // chaotic-phase components (NOT cos(i*w+j): phased cosine rows have
+    // cosine ~ cos(w*(i-i')) and can graze any threshold by accident)
+    val base = (1L to 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7919.0 + j * 104729.0).toFloat)))
+    val copies = Seq(101L -> base(0)._2, 102L -> base(5)._2)
+    val planted = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = SimSearch.dropSemanticDuplicates(planted, "vec_id", "embedding",
+      threshold = 0.9995, nlist = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 20L).toSet, kept.toString)
+  }
+
+  test("curate optional near-novelty and semantic stages wire in pipeline order") {
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "s0"),
+      (2L, "an entirely separate historical document about engines", "s0"))
+      .toDF("doc_id", "text", "source")
+    val idx = Novelty.fitBandIndex(hist, "text", shingleSize = 2,
+      numHashes = 12, bands = 6)
+    def vec(seed: Long) =
+      Array.tabulate(8)(j => math.cos(seed * 8 + j).toFloat)
+    val ingest = Seq(
+      // near-dup of hist doc 1 (one word swapped) -> dropped at near_novelty
+      (10L, "the quick brown fox jumps over the lazy cat today", "s1", vec(10L)),
+      (11L, "fresh content about distributed query processing", "s1", vec(11L)),
+      (12L, "novel writing on streaming watermarks and state", "s2", vec(12L)),
+      // semantic dup of 11 (identical embedding, different text)
+      (13L, "different words but the very same embedding vector", "s2", vec(11L)))
+      .toDF("doc_id", "text", "source", "embedding")
+    val bench = Seq((999L, "held out benchmark prompt", "s0"))
+      .toDF("doc_id", "text", "source")
+    val (out, report) = Curate.standard(ingest, bench,
+      minQuality = 0.0, maxDup2gramFrac = 1.0,
+      bandIndex = Some(idx),
+      semanticVecCol = Some("embedding"), semanticThreshold = 0.9995,
+      semanticNlist = 2)
+    val names = report.stages.map(_._1)
+    assert(names === Seq("near_novelty", "quality", "repetition",
+      "exact_dedup", "near_dedup", "semantic_dedup", "decontaminate",
+      "split"), names.toString)
+    // the near-dup ingest row dropped BEFORE the quality gate
+    assert(report.counts("near_novelty") === 3L, report.stages.toString)
+    // the semantic dup collapsed to its min-id representative
+    assert(report.counts("semantic_dedup") ===
+      report.counts("near_dedup") - 1L, report.stages.toString)
+    val counts = report.stages.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      report.stages.toString)
+    val keptIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    out.unpersist()
+    assert(keptIds === Set(11L, 12L), keptIds.toString)
+  }
+
+  test("annLshTopKBatch rejects mismatched embedding widths") {
+    val corpus = (1L to 5L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array.tabulate(4)(j => math.cos(j).toFloat)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      SimSearch.annLshTopKBatch(corpus, queries, "vec_id", "embedding", k = 3)
+    }
+  }
+
   test("reserved temp-column names are rejected, not silently corrupted") {
     val withKey = docs.withColumn("__key", lit(1))
     intercept[IllegalArgumentException] {
