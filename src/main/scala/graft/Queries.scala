@@ -672,6 +672,41 @@ object Queries {
       exactDistinct = true)
       .orderBy("column")
 
+  /** The flagship curation composition, end to end: all ten
+    * [[graft.ops.Curate.standard]] stages active — exact + near
+    * novelty vs a historical slice, quality/repetition/LM gates,
+    * exact/near/semantic dedup (embeddings joined in; doc_id == vec_id
+    * in the fixture), decontamination, split assignment. Output is the
+    * per-stage survivor report (the monitoring surface a production
+    * run logs). Rows-only contract: the MinHash-LSH and KMeans stages
+    * are not SQL-expressible, but every count is deterministic
+    * (seeded/md5 kernels throughout) and the composition is pinned
+    * end-to-end by OpsSpec. */
+  def q57Curate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val hist = docs.filter(col("doc_id") % 5 === 0)
+    val input = docs.filter(col("doc_id") % 5 =!= 0)
+      .join(emb, Seq("doc_id"))
+    val benchmark = docs.filter(col("doc_id") % 101 === 0)
+    val bandIdx = graft.ops.Novelty.fitBandIndex(hist, "text")
+    val (out, report) = graft.ops.Curate.standard(
+      input, benchmark,
+      historicalCorpus = Some(hist),
+      bandIndex = Some(bandIdx),
+      maxAvgNegLogp = Some(9.0),
+      semanticVecCol = Some("embedding"),
+      semanticThreshold = 0.99,
+      semanticNlist = 16)
+    out.unpersist()
+    report.stages.zipWithIndex
+      .map { case ((name, n), i) => (i, name, n) }
+      .toDF("stage_idx", "stage", "n_rows")
+      .orderBy("stage_idx")
+  }
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -79,6 +79,7 @@ object SparkEntry {
     "q54_project" -> (Queries.q54Project(_, _)),
     "q55_similar_docs" -> (Queries.q55SimilarDocs(_, _)),
     "q56_schema_profile" -> (Queries.q56SchemaProfile(_, _)),
+    "q57_curate" -> (Queries.q57Curate(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
