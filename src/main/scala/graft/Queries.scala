@@ -707,6 +707,55 @@ object Queries {
       .orderBy("stage_idx")
   }
 
+  /** Repeated-substring masking (Lee et al. 2022 sub-document dedup):
+    * every 5-word span present in >= 2 documents (the paper's "any
+    * duplicated substring" default) is boilerplate and is masked out
+    * of every document's (normalized) text. Census pass is a map-side-
+    * combining hash aggregate; masking is a per-row kernel against the
+    * doc's own (tiny) hot-span list — corpus text never shuffles. */
+  def q58SpanMask(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SpanDedup.maskRepeatedSpans(
+      t(spark, dir, "documents"), "doc_id", "text", n = 5, minDocFreq = 2)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** Cohort retention over the event stream: users grouped by their
+    * first-activity day, counted once per (cohort, day-offset) they
+    * return on — the standard engagement matrix. Two narrow hash
+    * aggregates + one equi-join on user_id; the distinct collapses
+    * map-side before the count. */
+  def q59Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort"))
+    ev.join(firstDay, Seq("user_id"))
+      .select(col("cohort"),
+        // long, matching DuckDB date_diff's BIGINT for the hash compare
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Pivoted corpus composition matrix: documents per source x
+    * language, the wide-format monitoring view. `pivot` with an
+    * EXPLICIT value list — one pass, no second distinct-values job,
+    * and the output schema is static (required at scale AND by the
+    * oracle contract). */
+  def q60LangPivot(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+      .orderBy("source")
+  }
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

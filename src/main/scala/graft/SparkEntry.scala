@@ -80,6 +80,9 @@ object SparkEntry {
     "q55_similar_docs" -> (Queries.q55SimilarDocs(_, _)),
     "q56_schema_profile" -> (Queries.q56SchemaProfile(_, _)),
     "q57_curate" -> (Queries.q57Curate(_, _)),
+    "q58_span_mask" -> (Queries.q58SpanMask(_, _)),
+    "q59_retention" -> (Queries.q59Retention(_, _)),
+    "q60_lang_pivot" -> (Queries.q60LangPivot(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -871,5 +874,62 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    // q58: full replay of the span-masking pipeline — per-doc distinct
+    // 5-grams -> document frequency -> covered positions -> positional
+    // reassembly (string_agg ORDER BY pos == the kernel's in-order
+    // rebuild; coalesce('') == a fully-masked doc's empty text).
+    "q58_span_mask" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS g
+        |  FROM norm WHERE len(ws) >= 5),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |pos_grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4), i -> i)) AS p,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS g
+        |  FROM norm WHERE len(ws) >= 5),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT pg.doc_id, unnest(generate_series(pg.p, pg.p + 4)) AS cp
+        |    FROM pos_grams pg JOIN hot h ON pg.g = h.g)),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |    unnest(list_transform(generate_series(1, len(ws)), i -> i)) AS p
+        |  FROM norm),
+        |kept AS (
+        |  SELECT w.doc_id, w.w, w.p
+        |  FROM words w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.cp
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q59_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id),
+        |u AS (SELECT DISTINCT f.cohort,
+        |        date_diff('day', f.cohort, e.d) AS day_offset, e.user_id
+        |      FROM ev e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_offset,
+        |  count(*) AS n_users
+        |FROM u GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q60_lang_pivot" ->
+      """SELECT source,
+        |  count(*) FILTER (WHERE lang = 'de') AS de,
+        |  count(*) FILTER (WHERE lang = 'en') AS en,
+        |  count(*) FILTER (WHERE lang = 'es') AS es,
+        |  count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -74,16 +74,19 @@ object Novelty {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val r = numHashes / bands
-    val keys = corpus
+    // Size the filter from the corpus row count (metadata-cheap), not
+    // from counting the distinct band keys: distinct keys <= docs x
+    // bands, and OVERestimating n only adds bits (lowers fpp — always
+    // safe). This keeps the fit to ONE pass over the expensive
+    // shingle+signature pipeline — no persist, no distinct shuffle, no
+    // separate count action (duplicate inserts set the same bits).
+    val nEst = math.max(corpus.count() * bands, 1L)
+    val bloom = corpus
       .select(Dedup.shingles(col(textCol), shingleSize).as("__sh"))
       .where(size(col("__sh")) > 0)
       .withColumn("__sig", Dedup.minhashSignature(col("__sh"), numHashes))
       .select(explode(Dedup.bandHashes(col("__sig"), bands, r)).as("__bh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = math.max(keys.count(), 1L)
-    val bloom = keys.stat.bloomFilter("__bh", n, fpp / bands)
-    keys.unpersist()
+      .stat.bloomFilter("__bh", nEst, fpp / bands)
     BandIndex(bloom, shingleSize, numHashes, bands)
   }
 

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Repeated-substring masking (the "dedupe repeated substrings" recipe
+ * of Lee et al. 2022, word-n-gram span form): any n-word span that
+ * occurs in at least `minDocFreq` distinct documents is boilerplate —
+ * license headers, navigation chrome, templated disclaimers — and is
+ * masked OUT of every document, keeping the surrounding novel text.
+ * This is sub-document dedup: exact/near/semantic dedup drop whole
+ * documents, this removes the repeated REGIONS inside otherwise-novel
+ * documents. Extension surface; no reference citation (the reference
+ * is batch sentiment only).
+ *
+ * Scale design (100 TB):
+ *  - pass 1 (span census): per-doc DISTINCT n-grams explode narrow and
+ *    hash-aggregate to document frequencies — partial aggregation
+ *    collapses hot grams map-side, so a million-doc license header is
+ *    one row per map task, never a skew funnel (same argument as
+ *    [[Dedup.jaccardPairsWithin]]'s maxDf cap);
+ *  - the hot-gram set is TINY by construction (boilerplate, not
+ *    content), so it broadcast-joins back to each doc's gram postings
+ *    and per-doc hot lists aggregate narrow;
+ *  - pass 2 (masking): a per-row kernel re-derives the doc's spans
+ *    against ITS OWN hot list — the corpus text itself never shuffles;
+ *    only (id, hot-gram) rows (bounded by boilerplate volume) move.
+ *  - No driver-side collect anywhere: the hot set stays distributed
+ *    through the join (unlike a collect-and-broadcast-a-Set design,
+ *    which caps at driver memory).
+ *
+ * Output text is NORMALIZED (lowercased, whitespace-squeezed) — the
+ * same canonical form every dedup operator in this library keys on.
+ */
+object SpanDedup {
+
+  /** Word n-grams of a text, in order, with duplicates — the span
+    * census wants per-doc DISTINCT grams ([[Dedup.shingleSet]]); the
+    * masking kernel wants every positioned occurrence. */
+  private[ops] def maskSpans(text: String, n: Int, hot: Set[String]): String = {
+    if (text == null) return null
+    val tokens = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < n || hot.isEmpty) return tokens.mkString(" ")
+    val covered = new Array[Boolean](tokens.length)
+    var i = 0
+    while (i <= tokens.length - n) {
+      if (hot.contains(tokens.slice(i, i + n).mkString(" "))) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < tokens.length) {
+      if (!covered(i)) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(tokens(i))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The repeated spans of a corpus: n-grams present in at least
+    * `minDocFreq` distinct documents, with their document frequency.
+    * Per-doc distinct grams ([[Dedup.shingles]]) make `count(*)` the
+    * document frequency directly — no count-distinct expansion. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDocFreq: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+
+  /**
+   * Mask every occurrence of every repeated span out of every
+   * document. Returns the input frame with `textCol` replaced by the
+   * masked, normalized text ("" when a doc was pure boilerplate —
+   * the row survives so downstream gates can drop it deliberately).
+   */
+  def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDocFreq: Int): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("__hot", "__id"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with maskRepeatedSpans' reserved names")
+    val hot = repeatedSpans(df, idCol, textCol, n, minDocFreq)
+      .select(col("gram"))
+    // per-doc hot-gram lists: only grams that are BOTH in the doc and
+    // hot survive the broadcast join — narrow (id, gram) rows
+    val perDoc = df.select(col(idCol).as("__id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(hot), Seq("gram"))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("gram")).as("__hot"))
+    val mask = udf((text: String, hot: Seq[String]) =>
+      maskSpans(text, n, if (hot == null) Set.empty[String] else hot.toSet))
+    df.join(perDoc, df(idCol) === perDoc("__id"), "left")
+      .withColumn(textCol, mask(col(textCol), col("__hot")))
+      .drop("__id", "__hot")
+  }
+}

@@ -974,6 +974,38 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("span masking removes exactly the covered positions, keeps novel text") {
+    // kernel semantics: overlapping hot spans union their coverage;
+    // docs shorter than n pass through normalized; full coverage -> ""
+    val hot = Set("a b c", "c d e")
+    assert(SpanDedup.maskSpans("x a b c d e y", 3, hot) === "x y")
+    assert(SpanDedup.maskSpans("A  B c", 3, Set("a b c")) === "")
+    assert(SpanDedup.maskSpans("a b", 3, hot) === "a b")
+    assert(SpanDedup.maskSpans("no hot spans here at all", 3, hot) ===
+      "no hot spans here at all")
+    // end-to-end: the 5-gram shared by docs 1/2 masks out of BOTH,
+    // their distinct tails survive, and the unrelated doc is untouched
+    val corpus = Seq(
+      (1L, "shared license header words here plus alpha unique tail"),
+      (2L, "shared license header words here plus beta ending"),
+      (3L, "completely novel document with no repeats"))
+      .toDF("doc_id", "text")
+    val masked = SpanDedup.maskRepeatedSpans(corpus, "doc_id", "text",
+      n = 5, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "shared license header words here plus" = 6 shared words -> two
+    // overlapping hot 5-grams covering positions 0..5 in both docs
+    assert(masked(1L) === "alpha unique tail", masked.toString)
+    assert(masked(2L) === "beta ending", masked.toString)
+    assert(masked(3L) === "completely novel document with no repeats")
+    // repeatedSpans reports the census with doc frequencies
+    val spans = SpanDedup.repeatedSpans(corpus, "doc_id", "text", 5, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spans.keySet === Set("shared license header words here",
+      "license header words here plus"), spans.toString)
+    assert(spans.values.forall(_ === 2L))
+  }
+
   test("reserved temp-column names are rejected, not silently corrupted") {
     val withKey = docs.withColumn("__key", lit(1))
     intercept[IllegalArgumentException] {
