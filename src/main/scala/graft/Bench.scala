@@ -109,11 +109,19 @@ object Bench {
     spark.stop()
   }
 
-  /** ms-precision decimal — 36 queries at full ns precision is what
+  /** Width-bounded decimal — 36 queries at full ns precision is what
     * overflowed the driver's 2000-char output capture in round 4.
-    */
-  private def fmt(d: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    * Precision adapts to magnitude (ms below 100 s, coarser above:
+    * nobody needs milliseconds on a 10^5-second query) so the
+    * worst-case line width stays inside the capture budget as the
+    * battery grows — BenchFormatSpec pins the budget with the REAL
+    * registered names through this exact formatter. */
+  private[graft] def fmt(d: Double): String = {
+    val abs = math.abs(d)
+    val pattern =
+      if (abs >= 1000) "%.1f" else if (abs >= 100) "%.2f" else "%.3f"
+    String.format(java.util.Locale.ROOT, pattern, Double.box(d))
+  }
 
   private def escape(s: String): String =
     s.replaceAll("[\"\\\\\\n\\r\\t]", " ")

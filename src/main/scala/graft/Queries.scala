@@ -756,6 +756,45 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Rolling 7-day activity per event type: pre-aggregate to one row
+    * per (type, day), THEN a ROWS-frame window over the tiny daily
+    * frame — the window never sees raw events (a rolling window
+    * directly over the event stream would sort the whole fact table;
+    * the pre-agg form's window input is |types| x |days| rows). */
+  def q61RollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("__sv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .withColumn("value_7d", round(sum(col("__sv")).over(w), 2))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("n_7d"), col("value_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Collocation mining: adjacent-word PMI over the corpus (see
+    * [[graft.ops.TextStats.collocationPmi]] for the scale shape). */
+  def q62Collocations(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.collocationPmi(
+      t(spark, dir, "documents"), "text", minCount = 10)
+      .orderBy(desc("pmi"), col("word_a"), col("word_b"))
+
+  /** Unpivot (melt) — the inverse of q60's pivot: the wide source x
+    * language matrix back to long (source, lang, n_docs) rows,
+    * zero-count combinations included. `Dataset.unpivot` is map-only
+    * (each wide row emits |values| long rows; no shuffle beyond the
+    * final order). */
+  def q63LangUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    q60LangPivot(spark, dir)
+      .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n_docs")
+      .orderBy("source", "lang")
+  }
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -83,6 +83,9 @@ object SparkEntry {
     "q58_span_mask" -> (Queries.q58SpanMask(_, _)),
     "q59_retention" -> (Queries.q59Retention(_, _)),
     "q60_lang_pivot" -> (Queries.q60LangPivot(_, _)),
+    "q61_rolling_daily" -> (Queries.q61RollingDaily(_, _)),
+    "q62_collocations" -> (Queries.q62Collocations(_, _)),
+    "q63_lang_unpivot" -> (Queries.q63LangUnpivot(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -931,5 +934,51 @@ object SparkEntry {
         |  count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    "q61_rolling_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    count(*) AS n, sum(value) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+        |  sum(n) OVER w AS n_7d,
+        |  round(sum(sv) OVER w, 2) AS value_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "q62_collocations" ->
+      """WITH norm AS (
+        |  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c_w FROM (
+        |    SELECT unnest(ws) AS w FROM norm) t
+        |  WHERE w <> '' GROUP BY w),
+        |bi AS (
+        |  SELECT word_a, word_b, count(*) AS n_pair FROM (
+        |    SELECT unnest(ws[1:len(ws)-1]) AS word_a,
+        |           unnest(ws[2:len(ws)]) AS word_b
+        |    FROM norm WHERE len(ws) >= 2) t
+        |  WHERE word_a <> '' AND word_b <> '' GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS ntok FROM uni),
+        |btot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS nbi FROM bi)
+        |SELECT b.word_a, b.word_b, b.n_pair,
+        |  round(ln((b.n_pair / bt.nbi) /
+        |        ((ua.c_w / t.ntok) * (ub.c_w / t.ntok))), 3) AS pmi
+        |FROM bi b
+        |JOIN uni ua ON ua.w = b.word_a
+        |JOIN uni ub ON ub.w = b.word_b
+        |CROSS JOIN tot t CROSS JOIN btot bt
+        |WHERE b.n_pair >= 10
+        |ORDER BY pmi DESC, word_a, word_b""".stripMargin,
+    "q63_lang_unpivot" ->
+      """WITH langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')),
+        |src AS (SELECT DISTINCT source FROM documents),
+        |c AS (SELECT source, lang, count(*) AS n
+        |      FROM documents GROUP BY 1, 2)
+        |SELECT s.source, l.lang, coalesce(c.n, 0) AS n_docs
+        |FROM src s CROSS JOIN langs l
+        |LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+        |ORDER BY s.source, l.lang""".stripMargin,
   )
 }

@@ -258,6 +258,61 @@ object TextStats {
     out
   }
 
+  /**
+   * Collocation mining via pointwise mutual information: adjacent
+   * word pairs scored by `PMI = ln(p(ab) / (p(a) p(b)))` with
+   * `p(ab) = c_ab / N_bigrams` and `p(w) = c_w / N_tokens` — the
+   * standard measure for "words that travel together" (multi-word
+   * entities, templated phrases), a corpus-analysis staple next to
+   * [[topGramsByDocFreq]]'s raw document frequency.
+   *
+   * Scale shape: three hash aggregates over exploded tokens/bigrams
+   * (all partial-aggregating — Zipf-head words collapse map-side),
+   * the two scalar totals ride in as single-row broadcast crosses,
+   * and the bigram↔unigram joins shuffle only (word, count) rows.
+   * `minCount` prunes the long tail BEFORE the joins, so the scored
+   * frame is the (small) frequent-pair set. 3-decimal rounding for
+   * the cross-engine float boundary (same reason as
+   * [[unigramLogProb]]).
+   */
+  def collocationPmi(df: DataFrame, textCol: String,
+                     minCount: Int): DataFrame = {
+    val toks = df.select(
+      split(Dedup.normalized(col(textCol)), " ").as("__ws"))
+      .where(size(col("__ws")) > 0)
+    val uni = toks.select(explode(col("__ws")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    // the aggregated pair-count frame feeds TWO consumers (the total
+    // and the scored subset) — persist so the expensive explode pass
+    // runs once, checkpoint the (small) scored result, release
+    val biAll = toks.select(explode(
+      zip_with(slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+      .select(col("__p.a").as("word_a"), col("__p.b").as("word_b"))
+      .where(col("word_a") =!= "" && col("word_b") =!= "")
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTok = uni.agg(sum(col("c_w")).as("__ntok"))
+    // N_bigrams is the total over ALL pairs (the probability space),
+    // not just the frequent ones; minCount only prunes what gets SCORED
+    val nBi = biAll.agg(sum(col("n_pair")).as("__nbi"))
+    val bi = biAll.where(col("n_pair") >= minCount)
+    val out = bi
+      .join(uni.select(col("w").as("word_a"), col("c_w").as("__ca")), "word_a")
+      .join(uni.select(col("w").as("word_b"), col("c_w").as("__cb")), "word_b")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("word_a"), col("word_b"), col("n_pair"),
+        round(log((col("n_pair") / col("__nbi")) /
+          ((col("__ca") / col("__ntok")) * (col("__cb") / col("__ntok")))), 3)
+          .as("pmi"))
+      .localCheckpoint(true)
+    biAll.unpersist()
+    out
+  }
+
   /** Per-group token-length distribution (exact interpolated p50/p90/
     * p99 + min/max) — the corpus profile that sizes context lengths
     * and packing. Exact `percentile` is a sort-based aggregate per

@@ -15,8 +15,11 @@ class BenchFormatSpec extends AnyFunSuite {
   test("bench stdout line fits the driver's 2000-char tail capture") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.nonEmpty)
-    // worst case: every query slow (5-digit seconds at ms precision)
-    val qs = names.map(n => s""""$n":99999.999""").mkString("{", ",", "}")
+    // worst case: every query slow (5-digit seconds), THROUGH the real
+    // formatter so this spec fails the moment fmt + battery growth
+    // would overflow the capture window
+    val qs = names.map(n => s""""$n":${Bench.fmt(99999.999)}""")
+      .mkString("{", ",", "}")
     val line = Bench.line(99999.999 * names.size, qs, "{}",
       "/root/testdata/sf0.1")
     assert(line.length < 1800,

@@ -1006,6 +1006,18 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(spans.values.forall(_ === 2L))
   }
 
+  test("collocation PMI matches the hand-computed value") {
+    // corpus "a b a b" + "a b c": uni a:3 b:3 c:1 (N=7);
+    // bigrams (a,b):3 (b,a):1 (b,c):1 (N=5); minCount=2 keeps (a,b):
+    // PMI = ln((3/5) / ((3/7)*(3/7))) = ln(49*3/15) ~ 1.184
+    val pmi = TextStats.collocationPmi(
+      Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text"),
+      "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(pmi.toSeq === Seq(("a", "b", 3L, 1.184)), pmi.toSeq.toString)
+  }
+
   test("reserved temp-column names are rejected, not silently corrupted") {
     val withKey = docs.withColumn("__key", lit(1))
     intercept[IllegalArgumentException] {
