@@ -746,15 +746,18 @@ object Queries {
     * EXPLICIT value list — one pass, no second distinct-values job,
     * and the output schema is static (required at scale AND by the
     * oracle contract). */
-  def q60LangPivot(spark: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("de", "en", "es", "fr", "zh")
+  /** The documents fixture's language domain — shared by q60 (pivot
+    * value list), q63 (unpivot column list), and BOTH their oracle
+    * VALUES lists; change all four together. */
+  private[graft] val langs = Seq("de", "en", "es", "fr", "zh")
+
+  def q60LangPivot(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .groupBy(col("source"))
       .pivot("lang", langs)
       .agg(count(lit(1)))
       .na.fill(0L, langs)
       .orderBy("source")
-  }
 
   /** Rolling 7-day activity per event type: pre-aggregate to one row
     * per (type, day), THEN a ROWS-frame window over the tiny daily
@@ -788,12 +791,10 @@ object Queries {
     * zero-count combinations included. `Dataset.unpivot` is map-only
     * (each wide row emits |values| long rows; no shuffle beyond the
     * final order). */
-  def q63LangUnpivot(spark: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("de", "en", "es", "fr", "zh")
+  def q63LangUnpivot(spark: SparkSession, dir: String): DataFrame =
     q60LangPivot(spark, dir)
       .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n_docs")
       .orderBy("source", "lang")
-  }
 
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =

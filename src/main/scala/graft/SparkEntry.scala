@@ -912,7 +912,9 @@ object SparkEntry {
         |agg AS (
         |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
         |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.text, '') AS text
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(a.text, '') END AS text
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q59_retention" ->

@@ -74,11 +74,16 @@ object Curate {
     var prev: Option[DataFrame] = None
     def stage(name: String, df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      b += name -> p.count() // materializes p from prev's cache
+      try b += name -> p.count() // materializes p from prev's cache
+      catch { case e: Throwable => p.unpersist(); throw e }
       prev.foreach(_.unpersist())
       prev = Some(p)
       p
     }
+    // a failing stage must not strand the predecessor's cache for the
+    // rest of the session (a bench harness catches the exception and
+    // keeps running) — release the live stage cache and rethrow
+    try {
     val fresh = historicalCorpus match {
       case Some(hist) =>
         stage("novelty", Novelty.exactNovel(docs, hist, textCol))
@@ -127,5 +132,6 @@ object Curate {
         contaminationN))
     val split = stage("split", Splits.assign(clean, groupCol))
     (split, Report(b.toSeq))
+    } catch { case e: Throwable => prev.foreach(_.unpersist()); throw e }
   }
 }

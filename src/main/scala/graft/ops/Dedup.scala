@@ -379,11 +379,14 @@ object Dedup {
     //
     // The cap is computed skew-safely: a groupBy DF count (partial
     // aggregation collapses a hot gram to one row per map task) filtered
-    // to the over-cap grams — a TINY set, broadcast into a left-anti
-    // join against the postings. The obvious `count(*) over (block,
-    // gram)` window would funnel every posting of a hot shingle through
-    // ONE sorted window partition — the skew blowup the cap exists to
-    // prevent.
+    // to the over-cap grams, left-anti joined against the postings. The
+    // obvious `count(*) over (block, gram)` window would funnel every
+    // posting of a hot shingle through ONE sorted window partition — the
+    // skew blowup the cap exists to prevent. No broadcast hint on
+    // purpose: with a generous cap the over-cap set is tiny and AQE
+    // broadcasts it at runtime, but a TIGHT cap (maxDf near 1) makes it
+    // most of the gram vocabulary, and a forced broadcast would OOM
+    // where the shuffled anti-join degrades gracefully.
     val postings =
       if (maxDf == Int.MaxValue) rawPostings
       else {
@@ -391,7 +394,7 @@ object Dedup {
           .agg(count(lit(1)).as("__df"))
           .where(col("__df") > maxDf)
           .select(col("__blk"), col("__g"))
-        rawPostings.join(broadcast(hot), Seq("__blk", "__g"), "left_anti")
+        rawPostings.join(hot, Seq("__blk", "__g"), "left_anti")
       }
     val sizes = postings.groupBy(col("__id"))
       .agg(count(lit(1)).as("__sz"))

@@ -63,14 +63,22 @@ object SpanDedup {
     sb.toString
   }
 
+  /** Documents with at least n tokens — [[Dedup.shingleSet]] emits the
+    * WHOLE text as one sub-n pseudo-gram for shorter docs (MinHash
+    * wants that; a span census must not), so both census and postings
+    * exclude them, exactly like the oracle's `len(ws) >= n` guard. */
+  private def atLeastNTokens(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.where(size(split(Dedup.normalized(col(textCol)), " ")) >= n)
+
   /** The repeated spans of a corpus: n-grams present in at least
     * `minDocFreq` distinct documents, with their document frequency.
     * Per-doc distinct grams ([[Dedup.shingles]]) make `count(*)` the
     * document frequency directly — no count-distinct expansion. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int, minDocFreq: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
-      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    atLeastNTokens(df, textCol, n)
+      .select(col(idCol).as("__id"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") >= minDocFreq)
@@ -90,9 +98,14 @@ object SpanDedup {
       .select(col("gram"))
     // per-doc hot-gram lists: only grams that are BOTH in the doc and
     // hot survive the broadcast join — narrow (id, gram) rows
-    val perDoc = df.select(col(idCol).as("__id"),
-      explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .join(broadcast(hot), Seq("gram"))
+    // no broadcast hint: boilerplate hot sets are tiny (AQE broadcasts
+    // them at runtime), but minDocFreq=2 over a duplicate-heavy corpus
+    // can make `hot` arbitrarily large — the shuffled join degrades
+    // gracefully where a forced broadcast would OOM
+    val perDoc = atLeastNTokens(df, textCol, n)
+      .select(col(idCol).as("__id"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(hot, Seq("gram"))
       .groupBy(col("__id"))
       .agg(collect_set(col("gram")).as("__hot"))
     val mask = udf((text: String, hot: Seq[String]) =>

@@ -1004,6 +1004,16 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(spans.keySet === Set("shared license header words here",
       "license header words here plus"), spans.toString)
     assert(spans.values.forall(_ === 2L))
+    // docs SHORTER than n contribute no pseudo-gram to the census
+    // (shingleSet emits the whole short text as one sub-n gram, which
+    // a span census must ignore) and pass through masking unchanged
+    val short = Seq((1L, "tiny dup text"), (2L, "tiny dup text"))
+      .toDF("doc_id", "text")
+    assert(SpanDedup.repeatedSpans(short, "doc_id", "text", 5, 2)
+      .count() === 0L)
+    val shortMasked = SpanDedup.maskRepeatedSpans(short, "doc_id", "text", 5, 2)
+      .collect().map(_.getString(1))
+    assert(shortMasked.forall(_ === "tiny dup text"))
   }
 
   test("collocation PMI matches the hand-computed value") {
