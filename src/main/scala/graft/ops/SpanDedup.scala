@@ -83,6 +83,51 @@ object SpanDedup {
       .agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") >= minDocFreq)
 
+  /** Broadcastable span index: the hot-span set of one corpus
+    * version — fit once per version with [[fitSpanIndex]], applied
+    * per ingest batch (or per streaming micro-batch) with
+    * [[maskWithIndex]], exactly the fit/apply split
+    * [[Novelty.BandIndex]] gives the novelty gate. */
+  final case class SpanIndex(hot: Set[String], n: Int)
+
+  /** Fit the [[SpanIndex]] of a corpus. The census stays distributed;
+    * only the (boilerplate-sized) hot set collects. `maxSpans` guards
+    * the driver: a census bigger than it (e.g. minDocFreq=2 over a
+    * duplicate-heavy corpus) fails fast — use the fully-distributed
+    * [[maskRepeatedSpans]] for that profile instead. */
+  def fitSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   n: Int, minDocFreq: Int,
+                   maxSpans: Int = 1000000): SpanIndex = {
+    val hot = repeatedSpans(corpus, idCol, textCol, n, minDocFreq)
+      .select(col("gram")).take(maxSpans + 1).map(_.getString(0))
+    require(hot.length <= maxSpans,
+      s"span census exceeds maxSpans=$maxSpans; the hot set is not " +
+        "boilerplate-sized — use maskRepeatedSpans (distributed join " +
+        "form) instead of the broadcast index")
+    SpanIndex(hot.toSet, n)
+  }
+
+  /** Map-only masking against a prebuilt [[SpanIndex]]: per-row kernel
+    * + broadcast set, no join, no shuffle, no state — streaming-safe,
+    * and the production serving shape (the census is NOT recomputed
+    * per ingest batch). Same output contract as
+    * [[maskRepeatedSpans]]. */
+  def maskWithIndex(docs: DataFrame, index: SpanIndex,
+                    textCol: String): DataFrame = {
+    val hotB = docs.sparkSession.sparkContext.broadcast(index.hot)
+    val n = index.n
+    val mask = udf((text: String) => maskSpans(text, n, hotB.value))
+    docs.withColumn(textCol, mask(col(textCol)))
+  }
+
+  /** File-source stream wired through [[maskWithIndex]]. */
+  def streamMask(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 index: SpanIndex, textCol: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    maskWithIndex(spark.readStream.schema(schema).parquet(dir),
+      index, textCol)
+  }
+
   /**
    * Mask every occurrence of every repeated span out of every
    * document. Returns the input frame with `textCol` replaced by the

@@ -85,6 +85,35 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  private val maskCase: Gen[(List[String], Int, Set[String])] = for {
+    toks <- Gen.listOf(word)
+    n <- Gen.choose(2, 4)
+    grams = toks.sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSeq.distinct
+    hot <- Gen.someOf(grams)
+  } yield (toks, n, hot.toSet + (1 to n).map(_.toString).mkString(" "))
+
+  property("maskSpans: keeps exactly the uncovered positions, in order") =
+    forAll(maskCase) { case (toks, n, hot) =>
+      // reference semantics, independently recomputed: a position is
+      // covered iff some hot n-gram occurrence in the INPUT spans it
+      // (single-pass — adjacency created BY masking is not re-checked;
+      // the digit noise gram never matches the alpha tokens)
+      val covered = toks.indices.filter { i =>
+        (math.max(0, i - n + 1) to math.min(i, toks.length - n))
+          .exists(s => hot.contains(toks.slice(s, s + n).mkString(" ")))
+      }.toSet
+      val expected = toks.zipWithIndex
+        .collect { case (w, i) if !covered(i) => w }.mkString(" ")
+      SpanDedup.maskSpans(toks.mkString(" "), n, hot) == expected
+    }
+
+  property("maskSpans: empty hot set is identity on normalized text") =
+    forAll(text, Gen.choose(2, 4)) { (t, n) =>
+      SpanDedup.maskSpans(t, n, Set.empty) ==
+        t.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+
   private val mixture: Gen[(Map[String, Long], Map[String, Double])] = for {
     n <- Gen.choose(1, 6)
     names = (1 to n).map(i => s"s$i")

@@ -1016,6 +1016,38 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(shortMasked.forall(_ === "tiny dup text"))
   }
 
+  test("span index fit/apply equals the distributed mask; streamed equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val c = Seq(
+      (1L, "shared license header words here plus alpha unique tail"),
+      (2L, "shared license header words here plus beta ending"),
+      (3L, "completely novel document with no repeats"))
+      .toDF("doc_id", "text")
+    val idx = SpanDedup.fitSpanIndex(c, "doc_id", "text", n = 5, minDocFreq = 2)
+    assert(idx.hot === Set("shared license header words here",
+      "license header words here plus"))
+    val viaIndex = SpanDedup.maskWithIndex(c, idx, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaJoin = SpanDedup.maskRepeatedSpans(c, "doc_id", "text", 5, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaIndex === viaJoin)
+    // the index applies map-only on a stream (no state, no join)
+    val d = java.nio.file.Files.createTempDirectory("spanmask").toString
+    c.write.mode("overwrite").parquet(s"$d/in")
+    val q = SpanDedup.streamMask(spark, s"$d/in", idx, "text")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("masked_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("masked_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === viaJoin)
+    // a census bigger than maxSpans fails fast instead of OOMing the driver
+    intercept[IllegalArgumentException] {
+      SpanDedup.fitSpanIndex(c, "doc_id", "text", 5, 2, maxSpans = 1)
+    }
+  }
+
   test("collocation PMI matches the hand-computed value") {
     // corpus "a b a b" + "a b c": uni a:3 b:3 c:1 (N=7);
     // bigrams (a,b):3 (b,a):1 (b,c):1 (N=5); minCount=2 keeps (a,b):
