@@ -119,7 +119,7 @@ object Bench {
   private[graft] def fmt(d: Double): String = {
     val abs = math.abs(d)
     val pattern =
-      if (abs >= 1000) "%.1f" else if (abs >= 100) "%.2f" else "%.3f"
+      if (abs >= 1000) "%.0f" else if (abs >= 100) "%.2f" else "%.3f"
     String.format(java.util.Locale.ROOT, pattern, Double.box(d))
   }
 

@@ -796,6 +796,43 @@ object Queries {
       .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n_docs")
       .orderBy("source", "lang")
 
+  /** Per-source quality-percentile gate: score every doc with the
+    * composite heuristic, keep each source's docs at or above the
+    * source's own median — percentile filtering normalized per group
+    * so a low-quality source cannot flood the gate. Threshold
+    * comparison happens on the 3-decimal ROUNDED score, the same
+    * granularity the cross-engine contract guarantees (q33). */
+  def q64QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+    graft.ops.Sample.aboveGroupQuantile(scored, "source", "quality", 0.5)
+      .select(col("doc_id"), col("source"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Rollup: revenue by (region, nation) with nation subtotals, region
+    * subtotals, and a grand total in ONE pass — `rollup` compiles to a
+    * single expand+aggregate, not one job per grouping set. `lvl` is
+    * the grouping-id bitmask disambiguating subtotal rows from data
+    * rows (NULL dimension values appear in both roles otherwise). */
+  def q65Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().as("lvl"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("lvl"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+
   /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
   def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

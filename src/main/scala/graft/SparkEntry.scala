@@ -86,6 +86,8 @@ object SparkEntry {
     "q61_rolling_daily" -> (Queries.q61RollingDaily(_, _)),
     "q62_collocations" -> (Queries.q62Collocations(_, _)),
     "q63_lang_unpivot" -> (Queries.q63LangUnpivot(_, _)),
+    "q64_quality_gate" -> (Queries.q64QualityGate(_, _)),
+    "q65_rollup" -> (Queries.q65Rollup(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -982,5 +984,53 @@ object SparkEntry {
         |FROM src s CROSS JOIN langs l
         |LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
         |ORDER BY s.source, l.lang""".stripMargin,
+    // q64: the q33 quality formula (same 3-decimal contract) gated at
+    // each source's own median via quantile_cont == Spark's exact
+    // interpolated `percentile`. The threshold compare runs on the
+    // ROUNDED score, so engine ulp noise cannot flip the gate.
+    "q64_quality_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) r
+        |  WHERE w <> ''),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok GROUP BY doc_id),
+        |agg AS (
+        |  SELECT d.doc_id, d.source,
+        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
+        |    coalesce(s.stops, 0) AS stops,
+        |    CASE WHEN length(d.text) > 0 THEN
+        |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |    ELSE 0.0 END AS punct
+        |  FROM documents d LEFT JOIN stats s USING (doc_id)),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    round(least(n / 20.0, 1.0) * 0.3
+        |        + (1.0 - least(punct * 4, 1.0)) * 0.2
+        |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
+        |        + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality
+        |  FROM agg),
+        |thr AS (
+        |  SELECT source, quantile_cont(quality, 0.5) AS t
+        |  FROM scored GROUP BY source)
+        |SELECT s.doc_id, s.source, s.quality
+        |FROM scored s JOIN thr ON s.source = thr.source
+        |WHERE s.quality >= thr.t
+        |ORDER BY s.doc_id""".stripMargin,
+    "q65_rollup" ->
+      """SELECT CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS lvl,
+        |  r_name, n_name, count(*) AS n_rows,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY lvl, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -78,6 +78,29 @@ object Sample {
     }
   }
 
+  /** Keep each group's rows at or above the group's own `p`-quantile
+    * of `scoreCol` — the "top X% by quality per source" gate
+    * (FineWeb-style percentile filtering), generalized to any score.
+    *
+    * Scale shape: ONE hash aggregate over narrow (group, score) pairs
+    * computes the per-group exact interpolated percentile, the (tiny —
+    * one row per group) threshold frame broadcasts back, and the gate
+    * itself is a map-side filter. No window function, no sort of the
+    * corpus. At extreme group cardinality swap `percentile` for
+    * `approx_percentile` (t-digest, mergeable) — same contract,
+    * bounded error. */
+  def aboveGroupQuantile(df: DataFrame, groupCol: String,
+                         scoreCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p < 1.0, "quantile must be in (0, 1)")
+    require(!df.columns.contains("__thr"),
+      "input column __thr collides with aboveGroupQuantile's reserved name")
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile(col(scoreCol), lit(p)).as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .where(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Rate-based source mixing: keep each row with its group's rate
     * (exactly the rows whose per-id hash bucket falls under
     * rate x 10000 — deterministic, not probabilistic). Groups absent

@@ -1048,6 +1048,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("aboveGroupQuantile keeps rows at or above each group's own quantile") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 4L, 10.0), ("b", 5L, 20.0)).toDF("g", "id", "s")
+    // median(a) = 2.0 -> keep ids 2, 3; median(b) = 15.0 (interpolated
+    // between the two values) -> keep only id 5
+    val kept = Sample.aboveGroupQuantile(df, "g", "s", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 5L), kept.toString)
+    intercept[IllegalArgumentException] {
+      Sample.aboveGroupQuantile(df, "g", "s", 1.5)
+    }
+  }
+
   test("collocation PMI matches the hand-computed value") {
     // corpus "a b a b" + "a b c": uni a:3 b:3 c:1 (N=7);
     // bigrams (a,b):3 (b,a):1 (b,c):1 (N=5); minCount=2 keeps (a,b):
