@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextClean
@@ -817,24 +817,18 @@ object Queries {
     * the grouping-id bitmask disambiguating subtotal rows from data
     * rows (NULL dimension values appear in both roles otherwise). */
   def q65Rollup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "supplier")),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(spark, dir, "nation")),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(spark, dir, "region")),
-        col("n_regionkey") === col("r_regionkey"))
+    starFrame(spark, dir)
       .rollup(col("r_name"), col("n_name"))
       .agg(
         grouping_id().as("lvl"),
         count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        revenue)
       .orderBy(col("lvl"), col("r_name").asc_nulls_first,
         col("n_name").asc_nulls_first)
 
-  /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
-  def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
+  /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
+    * broadcast) shared by q14 and q65. */
+  private def starFrame(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .join(broadcast(t(spark, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
@@ -842,8 +836,15 @@ object Queries {
         col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")),
         col("n_regionkey") === col("r_regionkey"))
+
+  private def revenue: Column =
+    round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .as("revenue")
+
+  /** Star join: fact ⋈ three broadcast dimensions, grouped rollup. */
+  def q14StarJoin(spark: SparkSession, dir: String): DataFrame =
+    starFrame(spark, dir)
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(revenue)
       .orderBy("r_name", "n_name")
 }

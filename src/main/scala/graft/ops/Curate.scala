@@ -84,54 +84,54 @@ object Curate {
     // rest of the session (a bench harness catches the exception and
     // keeps running) — release the live stage cache and rethrow
     try {
-    val fresh = historicalCorpus match {
-      case Some(hist) =>
-        stage("novelty", Novelty.exactNovel(docs, hist, textCol))
-      case None => docs
-    }
-    val nearFresh = bandIndex match {
-      case Some(idx) =>
-        stage("near_novelty", Novelty.nearNovel(fresh, idx, textCol))
-      case None => fresh
-    }
-    val quality = stage("quality",
-      nearFresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
-    val repetition = stage("repetition", {
-      val keep = TextStats.repetitionStats(quality, idCol, textCol)
-        .where(col("dup_2gram_frac") <= maxDup2gramFrac)
-        .select(idCol)
-      quality.join(keep, Seq(idCol), "left_semi")
-    })
-    val lmGated = maxAvgNegLogp match {
-      case Some(cap) => stage("lm_gate", {
-        // scored under the SURVIVORS' own unigram model (the corpus at
-        // this stage IS the model corpus, CCNet-style self-scoring).
-        // Gate by ANTI-joining the docs that EXCEED the cap: zero-token
-        // docs produce no unigramLogProb row at all, and a semi-join on
-        // the passers would silently drop them even under a non-binding
-        // cap — an LM gate has no opinion on docs with no tokens.
-        val drop = TextStats.unigramLogProb(repetition, idCol, textCol)
-          .where(col("avg_neg_logp") > cap)
+      val fresh = historicalCorpus match {
+        case Some(hist) =>
+          stage("novelty", Novelty.exactNovel(docs, hist, textCol))
+        case None => docs
+      }
+      val nearFresh = bandIndex match {
+        case Some(idx) =>
+          stage("near_novelty", Novelty.nearNovel(fresh, idx, textCol))
+        case None => fresh
+      }
+      val quality = stage("quality",
+        nearFresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
+      val repetition = stage("repetition", {
+        val keep = TextStats.repetitionStats(quality, idCol, textCol)
+          .where(col("dup_2gram_frac") <= maxDup2gramFrac)
           .select(idCol)
-        repetition.join(drop, Seq(idCol), "left_anti")
+        quality.join(keep, Seq(idCol), "left_semi")
       })
-      case None => repetition
-    }
-    val exact = stage("exact_dedup", Dedup.exact(lmGated, idCol, textCol))
-    val near = stage("near_dedup",
-      Dedup.dropNearDuplicates(exact, idCol, textCol,
-        threshold = nearDupThreshold))
-    val semantic = semanticVecCol match {
-      case Some(vc) => stage("semantic_dedup",
-        SimSearch.dropSemanticDuplicates(near, idCol, vc,
-          semanticThreshold, semanticNlist))
-      case None => near
-    }
-    val clean = stage("decontaminate",
-      Decontaminate.decontaminate(semantic, benchmark, idCol, textCol,
-        contaminationN))
-    val split = stage("split", Splits.assign(clean, groupCol))
-    (split, Report(b.toSeq))
+      val lmGated = maxAvgNegLogp match {
+        case Some(cap) => stage("lm_gate", {
+          // scored under the SURVIVORS' own unigram model (the corpus at
+          // this stage IS the model corpus, CCNet-style self-scoring).
+          // Gate by ANTI-joining the docs that EXCEED the cap: zero-token
+          // docs produce no unigramLogProb row at all, and a semi-join on
+          // the passers would silently drop them even under a non-binding
+          // cap — an LM gate has no opinion on docs with no tokens.
+          val drop = TextStats.unigramLogProb(repetition, idCol, textCol)
+            .where(col("avg_neg_logp") > cap)
+            .select(idCol)
+          repetition.join(drop, Seq(idCol), "left_anti")
+        })
+        case None => repetition
+      }
+      val exact = stage("exact_dedup", Dedup.exact(lmGated, idCol, textCol))
+      val near = stage("near_dedup",
+        Dedup.dropNearDuplicates(exact, idCol, textCol,
+          threshold = nearDupThreshold))
+      val semantic = semanticVecCol match {
+        case Some(vc) => stage("semantic_dedup",
+          SimSearch.dropSemanticDuplicates(near, idCol, vc,
+            semanticThreshold, semanticNlist))
+        case None => near
+      }
+      val clean = stage("decontaminate",
+        Decontaminate.decontaminate(semantic, benchmark, idCol, textCol,
+          contaminationN))
+      val split = stage("split", Splits.assign(clean, groupCol))
+      (split, Report(b.toSeq))
     } catch { case e: Throwable => prev.foreach(_.unpersist()); throw e }
   }
 }

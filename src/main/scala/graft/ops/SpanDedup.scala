@@ -26,18 +26,22 @@ import org.apache.spark.sql.functions._
  *  - pass 2 (masking): a per-row kernel re-derives the doc's spans
  *    against ITS OWN hot list — the corpus text itself never shuffles;
  *    only (id, hot-gram) rows (bounded by boilerplate volume) move.
- *  - No driver-side collect anywhere: the hot set stays distributed
- *    through the join (unlike a collect-and-broadcast-a-Set design,
- *    which caps at driver memory).
+ *  - [[maskRepeatedSpans]] keeps the hot set distributed through the
+ *    join (no driver-side collect, no driver-memory cap); the
+ *    [[fitSpanIndex]]/[[maskWithIndex]] split deliberately trades
+ *    that for a collected broadcast Set — guarded by `maxSpans` —
+ *    to get a map-only, streaming-safe apply path.
  *
  * Output text is NORMALIZED (lowercased, whitespace-squeezed) — the
  * same canonical form every dedup operator in this library keys on.
  */
 object SpanDedup {
 
-  /** Word n-grams of a text, in order, with duplicates — the span
-    * census wants per-doc DISTINCT grams ([[Dedup.shingleSet]]); the
-    * masking kernel wants every positioned occurrence. */
+  /** The masking kernel: normalize, mark every position covered by a
+    * hot n-gram occurrence (overlaps union), emit the uncovered
+    * tokens in order — "" when fully covered, null for null text.
+    * Single pass; adjacencies CREATED by masking are not re-checked
+    * (Lee et al. semantics). */
   private[ops] def maskSpans(text: String, n: Int, hot: Set[String]): String = {
     if (text == null) return null
     val tokens = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
