@@ -826,6 +826,31 @@ object Queries {
       .orderBy(col("lvl"), col("r_name").asc_nulls_first,
         col("n_name").asc_nulls_first)
 
+  /** Approximate-sketch contract: per event type, HLL distinct users
+    * (`approx_count_distinct`, mergeable — THE count-distinct at
+    * 100 TB) and t-digest median value (`approx_percentile`) checked
+    * in-query against their exact forms. The exact values are
+    * oracle-compared outright; the sketch results ride as contract
+    * booleans (within 2% / 5%) because no other engine reproduces
+    * Spark's sketch internals bit-for-bit — same style as q27's
+    * recall-1.0 contract. */
+  def q66ApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        // rsd 0.5% so the 2% contract bound is a 4-sigma margin at any
+        // cardinality (the default 5% rsd would make 2% a coin flip)
+        approx_count_distinct(col("user_id"), 0.005).as("__hll"),
+        percentile(col("value"), lit(0.5)).as("__p50x"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50a"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__hll") - col("n_exact")) <=
+          col("n_exact") * lit(0.02)).as("hll_ok"),
+        (abs(col("__p50a") - col("__p50x")) <=
+          abs(col("__p50x")) * lit(0.05)).as("p50_ok"))
+      .orderBy("event_type")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -88,6 +88,7 @@ object SparkEntry {
     "q63_lang_unpivot" -> (Queries.q63LangUnpivot(_, _)),
     "q64_quality_gate" -> (Queries.q64QualityGate(_, _)),
     "q65_rollup" -> (Queries.q65Rollup(_, _)),
+    "q66_approx_sketch" -> (Queries.q66ApproxSketch(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -1032,5 +1033,15 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY lvl, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    // q66: exact distincts replayed outright; the sketch columns are
+    // in-query contract booleans (no engine reproduces Spark's HLL /
+    // t-digest bit-for-bit), so the oracle pins them to true.
+    "q66_approx_sketch" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  true AS hll_ok,
+        |  true AS p50_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }
