@@ -240,6 +240,16 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // no pairs -> no components: skip the whole propagation loop (the
+    // COMMON production case — a mostly-clean corpus — would otherwise
+    // pay several per-iteration jobs to converge on an empty frame).
+    // isEmpty here reads the already-materialized checkpoint, not the
+    // (possibly expensive) pair lineage.
+    if (edges.isEmpty) {
+      val empty = edges.select(col("src").as("node"), col("dst").as("comp"))
+      edges.unpersist()
+      return (empty, true)
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)

@@ -830,6 +830,18 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       empty.isNullAt(3) && empty.isNullAt(4))
   }
 
+  test("connected components of an empty pair set are empty and converged") {
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (labels, converged) = Dedup.componentsWithStatus(none)
+    assert(converged)
+    assert(labels.count() === 0L)
+    assert(labels.columns.toSeq === Seq("node", "comp"))
+    // and the drop composition is identity on a dup-free corpus
+    val clean = Seq((1L, "alpha unrelated"), (2L, "beta different"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dropNearDuplicates(clean, "doc_id", "text").count() === 2L)
+  }
+
   test("connected components report non-convergence when maxIter is hit") {
     // a 6-node chain has diameter 5: one propagation round cannot
     // reach the fixpoint, and that must be signalled, not silent
