@@ -826,6 +826,15 @@ object Queries {
       .orderBy(col("lvl"), col("r_name").asc_nulls_first,
         col("n_name").asc_nulls_first)
 
+  /** Per-source corpus-version digest: order/partition-independent
+    * content checksum (sum of 60-bit md5 row prefixes) — the
+    * reproducibility record for "same corpus version?" checks. */
+  def q67CorpusDigest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.corpusDigest(
+      t(spark, dir, "documents"), "source",
+      Seq("doc_id", "text", "lang"))
+      .orderBy("source")
+
   /** Approximate-sketch contract: per event type, HLL distinct users
     * (`approx_count_distinct`, mergeable — THE count-distinct at
     * 100 TB) and t-digest median value (`approx_percentile`) checked

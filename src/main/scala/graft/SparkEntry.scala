@@ -89,6 +89,7 @@ object SparkEntry {
     "q64_quality_gate" -> (Queries.q64QualityGate(_, _)),
     "q65_rollup" -> (Queries.q65Rollup(_, _)),
     "q66_approx_sketch" -> (Queries.q66ApproxSketch(_, _)),
+    "q67_corpus_digest" -> (Queries.q67CorpusDigest(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -1043,5 +1044,14 @@ object SparkEntry {
         |  true AS p50_ok
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q67: the commutative md5-prefix digest replayed — same
+    // '0x'||hex parse as q36; DuckDB's HUGEINT sum prints the same
+    // integer Spark's DECIMAL(38,0) sum does.
+    "q67_corpus_digest" ->
+      """SELECT source, count(*) AS n_rows,
+        |  sum(('0x' || substr(md5(concat_ws(chr(1),
+        |        doc_id::VARCHAR, text, lang)), 1, 15))::BIGINT) AS digest
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -53,4 +53,31 @@ object Profile {
         col("__p.min_value").as("min_value"),
         col("__p.max_value").as("max_value"))
   }
+
+  /**
+   * Order-independent content digest per group: row count plus the SUM
+   * of each row's 60-bit md5 prefix over `cols` — the corpus-version
+   * checksum a reproducibility pipeline records per batch ("is this
+   * byte-for-byte the corpus that trained run X?"). Commutative
+   * addition makes the digest independent of partitioning, task order,
+   * and file layout — any two frames with equal row multisets digest
+   * identically; DECIMAL(38,0) accumulation cannot overflow (2^60 x
+   * row count stays far inside 38 digits at any real corpus size).
+   * One partial+final hash aggregate; engine-portable by construction
+   * (md5 + hex-prefix parse replay in any SQL engine).
+   *
+   * Nulls: concat_ws SKIPS null columns, so (null, "x") and ("x",
+   * null) collide — acceptable for a drift checksum; feed explicitly
+   * null-coalesced columns if that distinction matters.
+   */
+  def corpusDigest(df: DataFrame, groupCol: String,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "digest needs at least one content column")
+    val rowKey = concat_ws("\u0001", // 0x01 separator so ("ab","c") != ("a","bc")
+      cols.map(c => col(c).cast("string")): _*)
+    val rowHash = conv(substring(md5(rowKey.cast("binary")), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("digest"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, desc, lit}
 
 import graft.SparkTestSession
 
@@ -1071,6 +1071,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       Sample.aboveGroupQuantile(df, "g", "s", 1.5)
     }
+  }
+
+  test("corpus digest is order- and partition-independent, content-sensitive") {
+    val df = Seq((1L, "alpha", "s"), (2L, "beta", "s"), (3L, "gamma", "t"))
+      .toDF("id", "text", "src")
+    def digestOf(d: org.apache.spark.sql.DataFrame) =
+      Profile.corpusDigest(d, "src", Seq("id", "text"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2).toString))).toMap
+    val base = digestOf(df)
+    // any reordering/repartitioning digests identically
+    assert(digestOf(df.orderBy(desc("id")).repartition(7)) === base)
+    // one changed byte changes the group digest, leaves others alone
+    val tweaked = digestOf(Seq((1L, "alphA", "s"), (2L, "beta", "s"),
+      (3L, "gamma", "t")).toDF("id", "text", "src"))
+    assert(tweaked("t") === base("t"))
+    assert(tweaked("s")._2 !== base("s")._2)
   }
 
   test("collocation PMI matches the hand-computed value") {
