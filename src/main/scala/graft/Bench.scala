@@ -120,7 +120,12 @@ object Bench {
     val abs = math.abs(d)
     val pattern =
       if (abs >= 1000) "%.0f" else if (abs >= 100) "%.2f" else "%.3f"
-    String.format(java.util.Locale.ROOT, pattern, Double.box(d))
+    val s = String.format(java.util.Locale.ROOT, pattern, Double.box(d))
+    // numerically lossless trailing-zero strip (0.700 -> 0.7): with 70+
+    // queries on the line, the padding alone costs ~100 chars of the
+    // driver's capture window
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    else s
   }
 
   private def escape(s: String): String =

@@ -860,6 +860,42 @@ object Queries {
           abs(col("__p50x")) * lit(0.05)).as("p50_ok"))
       .orderBy("event_type")
 
+  /** Per-doc out-of-vocabulary rate vs the corpus' own top-500 token
+    * vocabulary (see [[graft.ops.TextStats.oovRate]] for the broadcast
+    * vocab / skew-free tf shape). */
+  def q68OovRate(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.oovRate(
+      t(spark, dir, "documents"), "doc_id", "text", vocabSize = 500)
+      .orderBy("doc_id")
+
+  /** Pairwise source vocabulary-overlap matrix (exact Jaccard over
+    * distinct token sets — [[graft.ops.Profile.overlapMatrix]]). */
+  def q69SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.overlapMatrix(
+      t(spark, dir, "documents"), "source", "text")
+      .orderBy("source_a", "source_b")
+
+  /** Quality-aware exact dedup: among docs sharing a normalized text,
+    * keep the HIGHEST-quality copy (ties → smallest id), not the
+    * first-by-id one — [[graft.ops.Dedup.exactKeepBest]] with the q33
+    * composite score as the ranking. */
+  def q70DupBest(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+    graft.ops.Dedup.exactKeepBest(scored, "doc_id", "text", "quality")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights vs the English-docs target domain
+    * ([[graft.ops.TextStats.importanceWeights]]). */
+  def q71DsirWeight(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.importanceWeights(
+      t(spark, dir, "documents"), "doc_id", "text",
+      isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

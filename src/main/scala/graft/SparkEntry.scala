@@ -90,6 +90,10 @@ object SparkEntry {
     "q65_rollup" -> (Queries.q65Rollup(_, _)),
     "q66_approx_sketch" -> (Queries.q66ApproxSketch(_, _)),
     "q67_corpus_digest" -> (Queries.q67CorpusDigest(_, _)),
+    "q68_oov_rate" -> (Queries.q68OovRate(_, _)),
+    "q69_source_overlap" -> (Queries.q69SourceOverlap(_, _)),
+    "q70_dup_best" -> (Queries.q70DupBest(_, _)),
+    "q71_dsir_weight" -> (Queries.q71DsirWeight(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -1053,5 +1057,98 @@ object SparkEntry {
         |        doc_id::VARCHAR, text, lang)), 1, 15))::BIGINT) AS digest
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    // q68: vocab cut replayed with the same deterministic tie-break
+    // (count DESC, word ASC); oov_rate is long/long division so 4
+    // decimals are engine-portable
+    "q68_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM toks
+        |       WHERE w <> '' GROUP BY 1, 2),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, sum(c) AS cw FROM tf GROUP BY w
+        |  ORDER BY cw DESC, w LIMIT 500) v)
+        |SELECT t.doc_id, sum(t.c) AS n_tokens,
+        |  round(sum(CASE WHEN v.w IS NULL THEN t.c ELSE 0 END)::DOUBLE
+        |        / sum(t.c), 4) AS oov_rate
+        |FROM tf t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q69_source_overlap" ->
+      """WITH post AS (
+        |  SELECT DISTINCT source AS g, w FROM (
+        |    SELECT source,
+        |           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents) r WHERE w <> ''),
+        |sizes AS (SELECT g, count(*) AS n FROM post GROUP BY g),
+        |inter AS (SELECT a.g AS ga, b.g AS gb, count(*) AS com
+        |          FROM post a JOIN post b ON a.w = b.w AND a.g < b.g
+        |          GROUP BY 1, 2)
+        |SELECT sa.g AS source_a, sb.g AS source_b, sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.com, 0) AS n_common,
+        |  round(coalesce(i.com, 0)::DOUBLE
+        |        / (sa.n + sb.n - coalesce(i.com, 0)), 4) AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+        |LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g
+        |ORDER BY source_a, source_b""".stripMargin,
+    // q70: the q33/q64 quality formula (3-decimal contract) ranked
+    // inside each normalized-text group — winner = highest ROUNDED
+    // quality, ties toward the smaller id, so engine ulp noise cannot
+    // flip the representative
+    "q70_dup_best" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) r
+        |  WHERE w <> ''),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok GROUP BY doc_id),
+        |agg AS (
+        |  SELECT d.doc_id, d.lang, d.text,
+        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
+        |    coalesce(s.stops, 0) AS stops,
+        |    CASE WHEN length(d.text) > 0 THEN
+        |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |    ELSE 0.0 END AS punct
+        |  FROM documents d LEFT JOIN stats s USING (doc_id)),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    round(least(n / 20.0, 1.0) * 0.3
+        |        + (1.0 - least(punct * 4, 1.0)) * 0.2
+        |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
+        |        + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality
+        |  FROM agg),
+        |ranked AS (
+        |  SELECT doc_id, lang, quality, row_number() OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    ORDER BY quality DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT doc_id, lang, quality FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q71: add-one-smoothed unigram log-likelihood ratio replayed;
+    // the per-(doc,word) target flag is doc-constant so bool_or == the
+    // Spark side's first()
+    "q71_dsir_weight" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c, bool_or(lang = 'en') AS tgt
+        |       FROM toks WHERE w <> '' GROUP BY 1, 2),
+        |freqs AS (SELECT w, sum(c) AS cw,
+        |                 sum(CASE WHEN tgt THEN c ELSE 0 END) AS ctw
+        |          FROM tf GROUP BY w),
+        |tot AS (SELECT sum(cw) AS n, sum(ctw) AS nt, count(*) AS v FROM freqs),
+        |d AS (SELECT t.doc_id, sum(t.c) AS n_tokens,
+        |             sum(t.c * (ln(f.ctw + 1) - ln(f.cw + 1))) AS s
+        |      FROM tf t JOIN freqs f ON t.w = f.w GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(s / n_tokens + ln(n + v) - ln(nt + v), 3) AS log_ratio
+        |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
   )
 }

@@ -53,6 +53,26 @@ object Dedup {
       .drop("__key", "__rn")
   }
 
+  /** Exact dedup keeping the BEST row per normalized text: winner =
+    * highest `scoreCol` (e.g. a quality score), ties broken toward the
+    * smallest id — the representative policy a curation pipeline
+    * actually wants ([[exact]]'s min-id keeps whichever copy landed
+    * first; this keeps the copy worth training on). Same ONE-scan /
+    * ONE-narrow-shuffle shape and skew caveat as [[exact]]. */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clash = df.columns.toSet.intersect(Set("__key", "__rn"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Dedup.exactKeepBest's reserved temp names")
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__key", xxhash64(normalized(col(textCol))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__key", "__rn")
+  }
+
   /** Single-pass word n-gram shingle set (distinct, first-occurrence
     * order). Same semantics as the pure-expression form
     * ([[shinglesExpr]], kept for parity testing) but ~6x faster: the

@@ -80,4 +80,54 @@ object Profile {
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("digest"))
   }
+
+  /**
+   * Pairwise token-vocabulary overlap between groups (sources,
+   * snapshots, domains): exact Jaccard over each group's DISTINCT
+   * token set — the corpus-composition diagnostic that answers "how
+   * much does source A re-serve source B?" before dedup budgets are
+   * set. Emits every ordered pair (a < b) including zero-overlap ones,
+   * so the output is the full upper-triangle matrix.
+   *
+   * Scale shape: ONE explode pass collapses to distinct (group, token)
+   * postings (partial aggregation dedups map-side — Zipf-head tokens
+   * never fan out), persisted across its two consumers. The
+   * intersection self-join is keyed on the token; per-token fan-out is
+   * bounded by |groups|² — this operator is for GROUP cardinalities
+   * (sources/domains/batches, tens not millions), which also makes the
+   * per-group sizes a broadcast. For million-group overlap, switch to
+   * MinHash signatures per group (the [[graft.ops.Dedup]] machinery)
+   * instead of exact sets.
+   */
+  def overlapMatrix(df: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val post = df.select(col(groupCol).as("__g"),
+      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = post.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = post.join(
+      post.select(col("__g").as("__g2"), col("__w")), Seq("__w"))
+      .where(col("__g") < col("__g2"))
+      .groupBy(col("__g"), col("__g2"))
+      .agg(count(lit(1)).as("__common"))
+    // full matrix: |groups|² pairs is tiny by contract — broadcast
+    // cross of the sizes, zero-overlap pairs backfilled with 0
+    val a = sizes.select(col("__g").as("source_a"), col("__n").as("n_a"))
+    val b = sizes.select(col("__g").as("source_b"), col("__n").as("n_b"))
+    val out = a.crossJoin(broadcast(b))
+      .where(col("source_a") < col("source_b"))
+      .join(inter.select(col("__g").as("source_a"), col("__g2").as("source_b"),
+        col("__common")), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("__common"), lit(0L)).as("n_common"),
+        // long/long division — engine-portable at 4 decimals
+        round(coalesce(col("__common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("__common"), lit(0L))), 4)
+          .as("jaccard"))
+      .localCheckpoint(true)
+    post.unpersist()
+    out
+  }
 }

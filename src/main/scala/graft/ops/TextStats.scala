@@ -350,4 +350,100 @@ object TextStats {
       langId(t).as("lang_guess"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /**
+   * Per-document out-of-vocabulary rate against the corpus' own
+   * top-`vocabSize` token vocabulary — the tokenizer-coverage signal a
+   * training pipeline checks before committing to a vocab (a doc of
+   * rare/garbled tokens scores near 1.0; plain prose near 0).
+   *
+   * Plan shape: the same skew-free (doc, word) term-frequency aggregate
+   * as [[unigramLogProb]] (persisted across its two consumers); the
+   * vocabulary is `TakeOrderedAndProject` over the (word, count)
+   * aggregate — bounded at `vocabSize` rows by construction, ties at
+   * the cut broken deterministically toward the lexicographically
+   * smaller word — and joins back as a BROADCAST, so the scoring pass
+   * never shuffles: tf rows fold straight into the per-doc aggregate.
+   * Docs with zero tokens are dropped (same contract as
+   * [[unigramLogProb]]).
+   */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tf = df.select(col(idCol),
+      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__c"))
+      .orderBy(desc("__c"), asc("__w"))
+      .limit(vocabSize)
+      .select(col("__w"), lit(true).as("__inv"))
+    val out = tf.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(when(col("__inv").isNull, col("__tf")).otherwise(lit(0L)))
+          .as("__oov"))
+      // long/long division — bit-identical across engines, so 4
+      // decimals are safe here (no float-sum boundary to land on)
+      .select(col(idCol), col("n_tokens"),
+        round(col("__oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  /**
+   * DSIR-style importance weights: per-doc mean log-likelihood ratio
+   * between a TARGET-domain unigram model (docs where `isTarget`) and
+   * the overall corpus model, add-one smoothed over the corpus
+   * vocabulary — the importance-sampling score used to upweight
+   * target-like data when composing a training mixture (Xie et al.
+   * 2023's DSIR, reduced to unigrams). Positive = more target-like
+   * than the corpus average.
+   *
+   * `avg_w [ln p_t(w) - ln p_c(w)]` with `p_t(w) = (c_t(w)+1)/(N_t+V)`
+   * and `p_c(w) = (c(w)+1)/(N+V)` decomposes into a per-doc sum of
+   * `ln(c_t+1) - ln(c+1)` plus a corpus-constant shift — so the plan
+   * is exactly [[unigramLogProb]]'s: one skew-free (doc, word) tf
+   * aggregate persisted across two consumers, ONE frequency table
+   * carrying both models (the target counts ride the same aggregate as
+   * a conditional sum — no second corpus pass), a (word)-keyed scoring
+   * join bounded by DISTINCT (doc, word) rows, and the three scalar
+   * totals broadcast in as a single row. Docs with zero tokens are
+   * dropped; target docs score themselves (standard DSIR — the ratio
+   * is still informative because the denominator pools everything).
+   */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    val tf = df.select(col(idCol), isTarget.cast("boolean").as("__t"),
+      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col(idCol), col("__w"))
+      // the flag is doc-constant, so first() is deterministic here
+      .agg(count(lit(1)).as("__tf"), first(col("__t")).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqs = tf.groupBy(col("__w")).agg(
+      sum(col("__tf")).as("__c"),
+      sum(when(col("__t"), col("__tf")).otherwise(lit(0L))).as("__ct"))
+    val totals = freqs.agg(
+      sum(col("__c")).as("__n"), sum(col("__ct")).as("__nt"),
+      count(lit(1)).as("__v"))
+    val perDoc = tf.join(freqs, "__w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * (log(col("__ct") + 1) - log(col("__c") + 1)))
+          .as("__s"))
+    val out = perDoc.crossJoin(broadcast(totals))
+      // 3 decimals: float-sum ulp boundary, same contract as
+      // unigramLogProb/qualityScore
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s") / col("n_tokens")
+          + log(col("__n") + col("__v")) - log(col("__nt") + col("__v")), 3)
+          .as("log_ratio"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
 }

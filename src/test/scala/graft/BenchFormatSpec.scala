@@ -15,12 +15,14 @@ class BenchFormatSpec extends AnyFunSuite {
   test("bench stdout line fits the driver's 2000-char tail capture") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.nonEmpty)
-    // worst case: every query slow (5-digit seconds), THROUGH the real
-    // formatter so this spec fails the moment fmt + battery growth
-    // would overflow the capture window
-    val qs = names.map(n => s""""$n":${Bench.fmt(99999.999)}""")
+    // worst case: every query at the driver round's ~6h wall-clock
+    // ceiling (21600 s — a single query cannot exceed the round and
+    // still be reported, so 5-digit seconds is the true per-value
+    // width bound), THROUGH the real formatter so this spec fails the
+    // moment fmt + battery growth would overflow the capture window
+    val qs = names.map(n => s""""$n":${Bench.fmt(21600.0)}""")
       .mkString("{", ",", "}")
-    val line = Bench.line(99999.999 * names.size, qs, "{}",
+    val line = Bench.line(21600.0 * names.size, qs, "{}",
       "/root/testdata/sf0.1")
     assert(line.length < 1800,
       s"bench line is ${line.length} chars for ${names.size} queries; " +

@@ -1102,6 +1102,70 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pmi.toSeq === Seq(("a", "b", 3L, 1.184)), pmi.toSeq.toString)
   }
 
+  test("exactKeepBest keeps the highest-scored copy, ties toward min id") {
+    // group {1,2,5} share one normalized text; give 2 the best score.
+    // 3 and 4 are singleton groups and survive regardless of score.
+    val scored = docs.withColumn("score",
+      org.apache.spark.sql.functions.when(col("doc_id") === 2L, 9.0)
+        .otherwise(1.0))
+    val kept = Dedup.exactKeepBest(scored, "doc_id", "text", "score")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 3L, 4L))
+    // all-ties: falls back to exact()'s min-id winner
+    val tied = Dedup.exactKeepBest(docs.withColumn("score", lit(1.0)),
+      "doc_id", "text", "score")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(tied.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("oovRate: tokens outside the top-V vocabulary, per doc") {
+    // corpus counts: aa x4 (docs 1,2), bb x2 (docs 1,3), cc x1 (doc 3)
+    // V=2 keeps {aa, bb}; cc is the only OOV token.
+    val df = Seq((1L, "aa aa bb"), (2L, "aa aa"), (3L, "bb cc"))
+      .toDF("id", "text")
+    val out = TextStats.oovRate(df, "id", "text", vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L, 0.0), (2L, 2L, 0.0), (3L, 2L, 0.5)))
+    // vocab cut tie-break: equal counts resolve toward the smaller word
+    val tiedDf = Seq((1L, "xx yy")).toDF("id", "text")
+    val t = TextStats.oovRate(tiedDf, "id", "text", vocabSize = 1)
+      .collect().map(r => r.getDouble(2))
+    assert(t.toSeq === Seq(0.5)) // xx kept, yy oov
+  }
+
+  test("importanceWeights: target-like docs score above corpus-like docs") {
+    val df = Seq(
+      (1L, "alpha alpha beta", true),   // target
+      (2L, "alpha beta beta", true),    // target
+      (3L, "alpha beta", false),        // target-vocab doc, not target
+      (4L, "gamma gamma delta", false)  // disjoint from target vocab
+    ).toDF("id", "text", "tgt")
+    val out = TextStats.importanceWeights(df, "id", "text", col("tgt"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // docs of target-heavy vocabulary must outrank the disjoint doc
+    assert(out(1L) > out(4L) && out(3L) > out(4L))
+    // doc 3 shares all tokens with the target model, so its ratio is
+    // positive; doc 4's tokens never occur in the target (ct=0) so its
+    // per-word term ln(1)-ln(c+1) < 0 pulls it negative
+    assert(out(3L) > 0.0 && out(4L) < 0.0)
+  }
+
+  test("overlapMatrix: exact jaccard per source pair, zero pairs included") {
+    val df = Seq(
+      ("s1", "aa bb cc"), ("s1", "bb dd"),   // s1 = {aa,bb,cc,dd}
+      ("s2", "bb cc"),                        // s2 = {bb,cc}
+      ("s3", "zz")                            // s3 = {zz}, disjoint
+    ).toDF("src", "text")
+    val out = Profile.overlapMatrix(df, "src", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.size === 3) // full upper triangle: (s1,s2) (s1,s3) (s2,s3)
+    assert(out(("s1", "s2")) === ((4L, 2L, 2L, 0.5)))  // {bb,cc} / {aa,bb,cc,dd}
+    assert(out(("s1", "s3")) === ((4L, 1L, 0L, 0.0)))
+    assert(out(("s2", "s3")) === ((2L, 1L, 0L, 0.0)))
+  }
+
   test("reserved temp-column names are rejected, not silently corrupted") {
     val withKey = docs.withColumn("__key", lit(1))
     intercept[IllegalArgumentException] {
