@@ -117,15 +117,20 @@ object Bench {
     * battery grows — BenchFormatSpec pins the budget with the REAL
     * registered names through this exact formatter. */
   private[graft] def fmt(d: Double): String = {
-    val abs = math.abs(d)
-    val pattern =
-      if (abs >= 1000) "%.0f" else if (abs >= 100) "%.2f" else "%.3f"
-    val s = String.format(java.util.Locale.ROOT, pattern, Double.box(d))
-    // numerically lossless trailing-zero strip (0.700 -> 0.7): with 70+
-    // queries on the line, the padding alone costs ~100 chars of the
-    // driver's capture window
-    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-    else s
+    // coarsen until the rendering fits 5 chars (ms under 10 s, cs under
+    // 100 s, ...): every per-query value below 99999.5 s renders in at
+    // most 5 chars, which is what keeps a 70+-query line inside the
+    // driver's capture window. The ladder (instead of fixed magnitude
+    // cutoffs) absorbs boundary round-ups like 99.999 -> "100.00".
+    val strip = (s: String) =>
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    Seq("%.3f", "%.2f", "%.1f", "%.0f").iterator
+      .map(p => strip(String.format(java.util.Locale.ROOT, p, Double.box(d))))
+      .find(_.length <= 5)
+      .getOrElse(strip(String.format(java.util.Locale.ROOT, "%.0f",
+        Double.box(d))))
   }
 
   private def escape(s: String): String =
@@ -149,7 +154,11 @@ object Bench {
 
   /** The single driver-facing JSON line (also built by BenchFormatSpec
     * to assert it stays well inside the 2000-char capture window).
-    */
-  def line(total: Double, qs: String, errs: String, sfDir: String): String =
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    * `sf` carries only the scale-factor directory NAME — the full path
+    * is in the `target/bench-runs.json` sidecar; on the width-budgeted
+    * stdout line the constant prefix was pure padding. */
+  def line(total: Double, qs: String, errs: String, sfDir: String): String = {
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
+  }
 }

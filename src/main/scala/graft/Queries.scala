@@ -896,6 +896,39 @@ object Queries {
       isTarget = col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Vocabulary coverage curve at candidate sizes (fraction of token
+    * instances the top-V words cover —
+    * [[graft.ops.TextStats.vocabCoverage]]). */
+  def q72VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.vocabCoverage(
+      t(spark, dir, "documents"), "text",
+      vocabSizes = Seq(100, 500, 1000, 5000))
+      .orderBy("vocab_size")
+
+  /** Per-source z-score standardization of the quality score
+    * ([[graft.ops.Sample.standardizeWithinGroup]]) — cross-source
+    * comparable quality. */
+  def q73QualityZscore(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+    graft.ops.Sample.standardizeWithinGroup(scored, "source", "quality")
+      .select(col("doc_id"), col("source"), col("quality"), col("z"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc 5-gram containment ratio vs the q37 benchmark slice
+    * ([[graft.ops.Decontaminate.containmentScores]]) — the graded
+    * novelty signal (clean docs at 0.0). */
+  def q74Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Decontaminate.containmentScores(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

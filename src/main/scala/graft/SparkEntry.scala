@@ -94,6 +94,9 @@ object SparkEntry {
     "q69_source_overlap" -> (Queries.q69SourceOverlap(_, _)),
     "q70_dup_best" -> (Queries.q70DupBest(_, _)),
     "q71_dsir_weight" -> (Queries.q71DsirWeight(_, _)),
+    "q72_vocab_curve" -> (Queries.q72VocabCoverage(_, _)),
+    "q73_quality_z" -> (Queries.q73QualityZscore(_, _)),
+    "q74_containment" -> (Queries.q74Containment(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -1150,5 +1153,80 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  round(s / n_tokens + ln(n + v) - ln(nt + v), 3) AS log_ratio
         |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+    // q72: the ranked cut replayed with the same (count DESC, word)
+    // tie-break; coverage is long/long division
+    "q72_vocab_curve" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT sum(c) AS total FROM wc),
+        |ranked AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn
+        |           FROM wc ORDER BY c DESC, w LIMIT 5000),
+        |sizes(vocab_size) AS (VALUES (100), (500), (1000), (5000))
+        |SELECT s.vocab_size, count(*) AS n_words,
+        |  round(sum(r.c)::DOUBLE / max(t.total), 4) AS coverage
+        |FROM sizes s JOIN ranked r ON r.rn <= s.vocab_size
+        |CROSS JOIN tot t
+        |GROUP BY s.vocab_size ORDER BY s.vocab_size""".stripMargin,
+    // q73: the q33 quality formula standardized per source; z compares
+    // on 3-decimal rounding so engine ulp in avg/stddev cannot flip it
+    "q73_quality_z" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) r
+        |  WHERE w <> ''),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok GROUP BY doc_id),
+        |agg AS (
+        |  SELECT d.doc_id, d.source,
+        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
+        |    coalesce(s.stops, 0) AS stops,
+        |    CASE WHEN length(d.text) > 0 THEN
+        |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |    ELSE 0.0 END AS punct
+        |  FROM documents d LEFT JOIN stats s USING (doc_id)),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    round(least(n / 20.0, 1.0) * 0.3
+        |        + (1.0 - least(punct * 4, 1.0)) * 0.2
+        |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
+        |        + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality
+        |  FROM agg),
+        |st AS (SELECT source, avg(quality) AS mu, stddev_pop(quality) AS sd
+        |       FROM scored GROUP BY source)
+        |SELECT s.doc_id, s.source, s.quality,
+        |  CASE WHEN st.sd > 0 THEN round((s.quality - st.mu) / st.sd, 3)
+        |       ELSE 0.0 END AS z
+        |FROM scored s JOIN st ON s.source = st.source
+        |ORDER BY s.doc_id""".stripMargin,
+    // q74: the q37 gram replay extended to a LEFT join so clean docs
+    // appear at 0.0; containment is long/long division
+    "q74_containment" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM norm WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm WHERE len(ws) < 5 AND array_to_string(ws, ' ') <> ''),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT gr.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+        |  round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 4) AS containment
+        |FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+        |WHERE gr.doc_id % 10 <> 0
+        |GROUP BY gr.doc_id
+        |ORDER BY gr.doc_id""".stripMargin,
   )
 }

@@ -114,4 +114,34 @@ object Decontaminate {
       .select(idCol)
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Per-document containment RATIO: the fraction of each doc's
+   * distinct n-grams present in the reference set — the graded form of
+   * [[contaminationReport]] (which only counts hits), usable as a
+   * novelty gate threshold ("drop docs more than X% already seen").
+   * Every doc with non-empty normalized text appears (clean docs at
+   * 0.0 — [[graft.ops.Dedup.shingles]] emits the whole text as one
+   * gram for docs shorter than n tokens).
+   *
+   * Same plan shape as [[contaminationReport]]: the reference gram set
+   * broadcasts into a LEFT join on the postings, hits fold into the
+   * per-doc aggregate — the corpus never shuffles. For a reference too
+   * big to broadcast, prefilter postings with the Bloom path
+   * ([[contaminationReportViaBloom]]'s shape) and left-join only the
+   * bloom-positive rows; the ratio denominator is unaffected.
+   */
+  def containmentScores(corpus: DataFrame, reference: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 5): DataFrame =
+    gramPostings(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams(reference, textCol, n)
+        .withColumn("__hit", lit(true))), Seq("__g"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+      // long/long division — engine-portable at 4 decimals
+      .select(col("__id").as(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 4)
+          .as("containment"))
 }

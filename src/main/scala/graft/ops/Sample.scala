@@ -101,6 +101,31 @@ object Sample {
       .drop("__thr")
   }
 
+  /** Within-group z-score standardization: `z = (x - μ_g) / σ_g`
+    * (population σ; a zero-variance group scores 0) — makes scores
+    * comparable ACROSS sources before a global gate, so one source's
+    * scale cannot dominate a mixed threshold. Same shape as
+    * [[aboveGroupQuantile]]: one narrow (group, μ, σ) aggregate
+    * broadcasts back, the standardization itself is map-side — no
+    * window, no corpus sort. 3-decimal rounding (float-sum ulp
+    * contract, as graft.ops.TextStats.qualityScore). */
+  def standardizeWithinGroup(df: DataFrame, groupCol: String,
+                             scoreCol: String,
+                             zCol: String = "z"): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("__mu", "__sd", zCol))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with standardizeWithinGroup's names")
+    val stats = df.groupBy(col(groupCol)).agg(
+      avg(col(scoreCol)).as("__mu"),
+      stddev_pop(col(scoreCol)).as("__sd"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(zCol,
+        when(col("__sd") > 0,
+          round((col(scoreCol) - col("__mu")) / col("__sd"), 3))
+          .otherwise(lit(0.0)))
+      .drop("__mu", "__sd")
+  }
+
   /** Rate-based source mixing: keep each row with its group's rate
     * (exactly the rows whose per-id hash bucket falls under
     * rate x 10000 — deterministic, not probabilistic). Groups absent

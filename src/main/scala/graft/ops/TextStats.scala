@@ -395,6 +395,55 @@ object TextStats {
   }
 
   /**
+   * Vocabulary coverage curve: for each candidate vocabulary size V,
+   * the fraction of all token INSTANCES covered by the top-V words —
+   * the sizing curve a tokenizer/vocab decision reads ("how much of
+   * the corpus does a 32k vocab cover?").
+   *
+   * Plan shape: one explode into a partial+final (word, count)
+   * aggregate (Zipf-head words collapse map-side), then everything
+   * downstream is BOUNDED: the ranked frame is `TakeOrderedAndProject`
+   * at max(V) rows, its rank/cumulative window runs over that bounded
+   * frame (never over the corpus — a global window over the raw
+   * frequency table would funnel everything through one task), and the
+   * per-V coverage is a broadcast cross of |sizes| × max(V) rows.
+   * Ties at each cut break deterministically toward the smaller word.
+   */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    vocabSizes: Seq[Int]): DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ > 0),
+      "vocabSizes must be non-empty and positive")
+    import org.apache.spark.sql.expressions.Window
+    val maxV = vocabSizes.max
+    val counts = df.select(
+      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("__c")).as("__total"))
+    // single-partition window is safe HERE ONLY: input is post-limit,
+    // bounded at maxV rows
+    val ranked = counts.orderBy(desc("__c"), asc("__w")).limit(maxV)
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(desc("__c"), asc("__w"))))
+    val ss = df.sparkSession
+    import ss.implicits._
+    val sizes = vocabSizes.distinct.sorted.toDF("vocab_size")
+    val out = ranked.crossJoin(broadcast(sizes))
+      .where(col("__rn") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__c")).as("__covered"))
+      .crossJoin(broadcast(total))
+      // long/long division — engine-portable at 4 decimals
+      .select(col("vocab_size"), col("n_words"),
+        round(col("__covered").cast("double") / col("__total"), 4)
+          .as("coverage"))
+      .localCheckpoint(true)
+    counts.unpersist()
+    out
+  }
+
+  /**
    * DSIR-style importance weights: per-doc mean log-likelihood ratio
    * between a TARGET-domain unigram model (docs where `isTarget`) and
    * the overall corpus model, add-one smoothed over the corpus

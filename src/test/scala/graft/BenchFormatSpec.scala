@@ -15,16 +15,19 @@ class BenchFormatSpec extends AnyFunSuite {
   test("bench stdout line fits the driver's 2000-char tail capture") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.nonEmpty)
-    // worst case: every query at the driver round's ~6h wall-clock
-    // ceiling (21600 s — a single query cannot exceed the round and
-    // still be reported, so 5-digit seconds is the true per-value
-    // width bound), THROUGH the real formatter so this spec fails the
-    // moment fmt + battery growth would overflow the capture window
-    val qs = names.map(n => s""""$n":${Bench.fmt(21600.0)}""")
-      .mkString("{", ",", "}")
-    val line = Bench.line(21600.0 * names.size, qs, "{}",
+    // worst case: every value at fmt's 5-char width ceiling (the
+    // ladder guarantees <= 5 chars for anything below 99999.5 s —
+    // 27 h, beyond the driver round's own wall-clock), THROUGH the
+    // real formatter so this spec fails the moment fmt + battery
+    // growth would overflow the capture window
+    val worst = Bench.fmt(9999.9)
+    assert(worst.length == 5, s"ladder ceiling regressed: '$worst'")
+    val qs = names.map(n => s""""$n":$worst""").mkString("{", ",", "}")
+    val line = Bench.line(9999.9 * names.size, qs, "{}",
       "/root/testdata/sf0.1")
-    assert(line.length < 1800,
+    // budget: 2000-char driver capture minus the ~80-char sbt trailer,
+    // minus safety margin
+    assert(line.length < 1900,
       s"bench line is ${line.length} chars for ${names.size} queries; " +
         "it must fit (with sbt trailer) in the 2000-char capture window")
     assert(line.startsWith("""{"metric":"total","value":"""))

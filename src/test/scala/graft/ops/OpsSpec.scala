@@ -1166,6 +1166,46 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(("s2", "s3")) === ((2L, 1L, 0L, 0.0)))
   }
 
+  test("vocabCoverage: cumulative instance coverage at each cut, ties to smaller word") {
+    // instances: aa x4, bb x2, cc x1 (total 7); rank aa, bb, cc
+    val df = Seq((1L, "aa aa bb"), (2L, "aa aa"), (3L, "bb cc"))
+      .toDF("id", "text")
+    val out = TextStats.vocabCoverage(df, "text", Seq(1, 2, 3))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1, 1L, math.rint(4.0 / 7 * 10000) / 10000),
+      (2, 2L, math.rint(6.0 / 7 * 10000) / 10000),
+      (3, 3L, 1.0)))
+    // V beyond the distinct-word count saturates at full coverage
+    val sat = TextStats.vocabCoverage(df, "text", Seq(100))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(sat.toSeq === Seq((3L, 1.0)))
+  }
+
+  test("standardizeWithinGroup: per-group z, zero-variance group scores 0") {
+    val df = Seq(
+      ("a", 1.0), ("a", 3.0),          // mu=2, sd_pop=1
+      ("b", 5.0), ("b", 5.0)           // sd=0 -> z=0
+    ).toDF("g", "x")
+    val out = Sample.standardizeWithinGroup(df, "g", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      ("a", 1.0, -1.0), ("a", 3.0, 1.0), ("b", 5.0, 0.0), ("b", 5.0, 0.0)))
+  }
+
+  test("containmentScores: ratio per doc, clean docs present at zero") {
+    // 1-grams: doc 1 {x,y}, doc 2 {y,z}, doc 3 {p,q}; reference = {y,z}
+    val corpus = Seq((1L, "x y"), (2L, "y z"), (3L, "p q")).toDF("id", "text")
+    val ref = Seq((9L, "y z")).toDF("id", "text")
+    val out = Decontaminate.containmentScores(corpus, ref, "id", "text", n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0), (3L, 2L, 0L, 0.0)))
+  }
+
   test("reserved temp-column names are rejected, not silently corrupted") {
     val withKey = docs.withColumn("__key", lit(1))
     intercept[IllegalArgumentException] {
