@@ -22,8 +22,10 @@ import org.apache.spark.sql.SparkSession
   * only the last ~2000 characters of output, and round 4's line (full-
   * precision runs arrays inline) overflowed that window, truncating the
   * `"metric":"total"` head out of the capture — the bench never parsed.
-  * The stdout line is therefore kept minimal (per-query min at ms
-  * precision) and asserted < 1800 chars by BenchFormatSpec.
+  * The stdout line is therefore kept minimal (per-query min through
+  * the 5-char [[fmt]] ladder: ms under 10 s, coarser above) and
+  * asserted < 1900 chars (2000-char capture minus the sbt trailer) by
+  * BenchFormatSpec.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -135,6 +135,43 @@ object SparkEntry {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** The q33 composite-quality formula as a WITH-clause prefix
+    * (tok/stats/agg/scored CTEs), shared by every oracle that replays
+    * the 3-decimal quality contract (q64, q70, q73) so a formula or
+    * rounding change cannot silently diverge between them. `carry`
+    * lists the documents columns threaded through to `scored` beside
+    * doc_id + quality. */
+  private def qualityScoredCtes(carry: Seq[String]): String = {
+    val carryAgg = carry.map(c => s"d.$c").mkString(", ")
+    val carrySel = carry.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents) r
+       |  WHERE w <> ''),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+       |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+       |      'is','are','was','it','that','this','for','on','with','as',
+       |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+       |  FROM tok GROUP BY doc_id),
+       |agg AS (
+       |  SELECT d.doc_id, $carryAgg,
+       |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
+       |    coalesce(s.stops, 0) AS stops,
+       |    CASE WHEN length(d.text) > 0 THEN
+       |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+       |    ELSE 0.0 END AS punct
+       |  FROM documents d LEFT JOIN stats s USING (doc_id)),
+       |scored AS (
+       |  SELECT doc_id, $carrySel,
+       |    round(least(n / 20.0, 1.0) * 0.3
+       |        + (1.0 - least(punct * 4, 1.0)) * 0.2
+       |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
+       |        + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality
+       |  FROM agg)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -997,40 +1034,15 @@ object SparkEntry {
     // each source's own median via quantile_cont == Spark's exact
     // interpolated `percentile`. The threshold compare runs on the
     // ROUNDED score, so engine ulp noise cannot flip the gate.
-    "q64_quality_gate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |    FROM documents) r
-        |  WHERE w <> ''),
-        |stats AS (
-        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
-        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
-        |      'is','are','was','it','that','this','for','on','with','as',
-        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
-        |  FROM tok GROUP BY doc_id),
-        |agg AS (
-        |  SELECT d.doc_id, d.source,
-        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
-        |    coalesce(s.stops, 0) AS stops,
-        |    CASE WHEN length(d.text) > 0 THEN
-        |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
-        |    ELSE 0.0 END AS punct
-        |  FROM documents d LEFT JOIN stats s USING (doc_id)),
-        |scored AS (
-        |  SELECT doc_id, source,
-        |    round(least(n / 20.0, 1.0) * 0.3
-        |        + (1.0 - least(punct * 4, 1.0)) * 0.2
-        |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
-        |        + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality
-        |  FROM agg),
+    "q64_quality_gate" -> (qualityScoredCtes(Seq("source")) +
+      """,
         |thr AS (
         |  SELECT source, quantile_cont(quality, 0.5) AS t
         |  FROM scored GROUP BY source)
         |SELECT s.doc_id, s.source, s.quality
         |FROM scored s JOIN thr ON s.source = thr.source
         |WHERE s.quality >= thr.t
-        |ORDER BY s.doc_id""".stripMargin,
+        |ORDER BY s.doc_id""".stripMargin),
     "q65_rollup" ->
       """SELECT CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS lvl,
         |  r_name, n_name, count(*) AS n_rows,
@@ -1099,40 +1111,15 @@ object SparkEntry {
     // inside each normalized-text group — winner = highest ROUNDED
     // quality, ties toward the smaller id, so engine ulp noise cannot
     // flip the representative
-    "q70_dup_best" ->
-      """WITH tok AS (
-        |  SELECT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |    FROM documents) r
-        |  WHERE w <> ''),
-        |stats AS (
-        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
-        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
-        |      'is','are','was','it','that','this','for','on','with','as',
-        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
-        |  FROM tok GROUP BY doc_id),
-        |agg AS (
-        |  SELECT d.doc_id, d.lang, d.text,
-        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
-        |    coalesce(s.stops, 0) AS stops,
-        |    CASE WHEN length(d.text) > 0 THEN
-        |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
-        |    ELSE 0.0 END AS punct
-        |  FROM documents d LEFT JOIN stats s USING (doc_id)),
-        |scored AS (
-        |  SELECT doc_id, lang, text,
-        |    round(least(n / 20.0, 1.0) * 0.3
-        |        + (1.0 - least(punct * 4, 1.0)) * 0.2
-        |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
-        |        + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality
-        |  FROM agg),
+    "q70_dup_best" -> (qualityScoredCtes(Seq("lang", "text")) +
+      """,
         |ranked AS (
         |  SELECT doc_id, lang, quality, row_number() OVER (
         |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |    ORDER BY quality DESC, doc_id) AS rn
         |  FROM scored)
         |SELECT doc_id, lang, quality FROM ranked
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     // q71: add-one-smoothed unigram log-likelihood ratio replayed;
     // the per-(doc,word) target flag is doc-constant so bool_or == the
     // Spark side's first()
@@ -1171,40 +1158,15 @@ object SparkEntry {
         |GROUP BY s.vocab_size ORDER BY s.vocab_size""".stripMargin,
     // q73: the q33 quality formula standardized per source; z compares
     // on 3-decimal rounding so engine ulp in avg/stddev cannot flip it
-    "q73_quality_z" ->
-      """WITH tok AS (
-        |  SELECT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |    FROM documents) r
-        |  WHERE w <> ''),
-        |stats AS (
-        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
-        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
-        |      'is','are','was','it','that','this','for','on','with','as',
-        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
-        |  FROM tok GROUP BY doc_id),
-        |agg AS (
-        |  SELECT d.doc_id, d.source,
-        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
-        |    coalesce(s.stops, 0) AS stops,
-        |    CASE WHEN length(d.text) > 0 THEN
-        |      (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
-        |    ELSE 0.0 END AS punct
-        |  FROM documents d LEFT JOIN stats s USING (doc_id)),
-        |scored AS (
-        |  SELECT doc_id, source,
-        |    round(least(n / 20.0, 1.0) * 0.3
-        |        + (1.0 - least(punct * 4, 1.0)) * 0.2
-        |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
-        |        + CASE WHEN mtl BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS quality
-        |  FROM agg),
+    "q73_quality_z" -> (qualityScoredCtes(Seq("source")) +
+      """,
         |st AS (SELECT source, avg(quality) AS mu, stddev_pop(quality) AS sd
         |       FROM scored GROUP BY source)
         |SELECT s.doc_id, s.source, s.quality,
         |  CASE WHEN st.sd > 0 THEN round((s.quality - st.mu) / st.sd, 3)
         |       ELSE 0.0 END AS z
-        |FROM scored s JOIN st ON s.source = st.source
-        |ORDER BY s.doc_id""".stripMargin,
+        |FROM scored s JOIN st ON s.source IS NOT DISTINCT FROM st.source
+        |ORDER BY s.doc_id""".stripMargin),
     // q74: the q37 gram replay extended to a LEFT join so clean docs
     // appear at 0.0; containment is long/long division
     "q74_containment" ->

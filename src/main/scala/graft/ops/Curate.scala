@@ -20,7 +20,13 @@ import org.apache.spark.storage.StorageLevel
  *   4. repetition gate   — [[TextStats.repetitionStats]] dup-2-gram cap
  *   5. LM gate           — [[TextStats.unigramLogProb]] cap (optional;
  *                          CCNet-style perplexity-proxy filter)
- *   6. exact dedup       — [[Dedup.exact]] (min-id winner)
+ *   6. exact dedup       — [[Dedup.exact]] (min-id winner), or
+ *                          [[Dedup.exactKeepBest]] ranked by the q33
+ *                          quality score (`keepBestByQuality = true`:
+ *                          among copies, keep the one worth training
+ *                          on — whitespace/case variants can differ in
+ *                          quality even when their normalized text
+ *                          matches)
  *   7. near dedup        — [[Dedup.dropNearDuplicates]] (MinHash LSH +
  *                          connected-components closure)
  *   8. semantic dedup    — [[SimSearch.dropSemanticDuplicates]]
@@ -69,7 +75,8 @@ object Curate {
                maxAvgNegLogp: Option[Double] = None,
                semanticVecCol: Option[String] = None,
                semanticThreshold: Double = 0.95,
-               semanticNlist: Int = 16): (DataFrame, Report) = {
+               semanticNlist: Int = 16,
+               keepBestByQuality: Boolean = false): (DataFrame, Report) = {
     val b = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var prev: Option[DataFrame] = None
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -117,7 +124,15 @@ object Curate {
         })
         case None => repetition
       }
-      val exact = stage("exact_dedup", Dedup.exact(lmGated, idCol, textCol))
+      val exact = stage("exact_dedup",
+        if (keepBestByQuality) {
+          require(!lmGated.columns.contains("__curate_q"),
+            "input column __curate_q collides with Curate's reserved name")
+          Dedup.exactKeepBest(
+            lmGated.withColumn("__curate_q",
+              TextStats.qualityScore(col(textCol))),
+            idCol, textCol, "__curate_q").drop("__curate_q")
+        } else Dedup.exact(lmGated, idCol, textCol))
       val near = stage("near_dedup",
         Dedup.dropNearDuplicates(exact, idCol, textCol,
           threshold = nearDupThreshold))

@@ -41,17 +41,8 @@ object Dedup {
     * in one window partition; the sort is spill-backed so it degrades
     * to disk speed, not OOM — pre-filter known boilerplate upstream if
     * that profile is expected. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val clash = df.columns.toSet.intersect(Set("__key", "__rn"))
-    require(clash.isEmpty,
-      s"input columns ${clash.mkString(", ")} collide with Dedup.exact's reserved temp names")
-    val w = Window.partitionBy(col("__key")).orderBy(col(idCol))
-    df.withColumn("__key", xxhash64(normalized(col(textCol))))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__key", "__rn")
-  }
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactByOrder(df, textCol, Seq(col(idCol).asc), "Dedup.exact")
 
   /** Exact dedup keeping the BEST row per normalized text: winner =
     * highest `scoreCol` (e.g. a quality score), ties broken toward the
@@ -60,13 +51,20 @@ object Dedup {
     * first; this keeps the copy worth training on). Same ONE-scan /
     * ONE-narrow-shuffle shape and skew caveat as [[exact]]. */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
-                    scoreCol: String): DataFrame = {
+                    scoreCol: String): DataFrame =
+    exactByOrder(df, textCol, Seq(col(scoreCol).desc, col(idCol).asc),
+      "Dedup.exactKeepBest")
+
+  /** Shared winner-per-normalized-text body for [[exact]] and
+    * [[exactKeepBest]] — ONE policy for the key, the shuffle shape,
+    * and the skew note, so the two survivor rules cannot diverge. */
+  private def exactByOrder(df: DataFrame, textCol: String,
+                           order: Seq[Column], opName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clash = df.columns.toSet.intersect(Set("__key", "__rn"))
     require(clash.isEmpty,
-      s"input columns ${clash.mkString(", ")} collide with Dedup.exactKeepBest's reserved temp names")
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      s"input columns ${clash.mkString(", ")} collide with $opName's reserved temp names")
+    val w = Window.partitionBy(col("__key")).orderBy(order: _*)
     df.withColumn("__key", xxhash64(normalized(col(textCol))))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

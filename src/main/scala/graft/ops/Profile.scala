@@ -106,7 +106,11 @@ object Profile {
       .where(col("__w") =!= "")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (|groups|-row) sizes once — deriving both matrix
+    // sides from the lazy aggregate would re-run the full aggregate
+    // scan of the cached postings per side
     val sizes = post.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val inter = post.join(
       post.select(col("__g").as("__g2"), col("__w")), Seq("__w"))
       .where(col("__g") < col("__g2"))

@@ -112,18 +112,22 @@ object Sample {
   def standardizeWithinGroup(df: DataFrame, groupCol: String,
                              scoreCol: String,
                              zCol: String = "z"): DataFrame = {
-    val clash = df.columns.toSet.intersect(Set("__mu", "__sd", zCol))
+    val clash = df.columns.toSet.intersect(Set("__grp", "__mu", "__sd", zCol))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with standardizeWithinGroup's names")
     val stats = df.groupBy(col(groupCol)).agg(
       avg(col(scoreCol)).as("__mu"),
       stddev_pop(col(scoreCol)).as("__sd"))
-    df.join(broadcast(stats), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__grp")
+    // null-safe join: a NULL group is a legitimate group (missing
+    // source tag) and its rows must come back ANNOTATED, not silently
+    // dropped by null-unsafe equality
+    df.join(broadcast(stats), col(groupCol) <=> col("__grp"), "left")
       .withColumn(zCol,
         when(col("__sd") > 0,
           round((col(scoreCol) - col("__mu")) / col("__sd"), 3))
           .otherwise(lit(0.0)))
-      .drop("__mu", "__sd")
+      .drop("__grp", "__mu", "__sd")
   }
 
   /** Rate-based source mixing: keep each row with its group's rate

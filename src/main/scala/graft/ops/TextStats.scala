@@ -233,13 +233,34 @@ object TextStats {
    * smoothing. Result is materialized eagerly so the persisted tf
    * frame releases instead of leaking per call.
    */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol),
-      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
-      .where(col("__w") =!= "")
+  /** The skew-free per-(doc, word) term-frequency aggregate shared by
+    * [[unigramLogProb]], [[oovRate]], and [[importanceWeights]] (which
+    * threads a doc-constant boolean flag through the same aggregate) —
+    * ONE definition of the token semantics, so the three operators that
+    * document themselves as "the same tf aggregate" cannot diverge.
+    * Returned PERSISTED (MEMORY_AND_DISK); the caller must unpersist. */
+  private def docTermFreq(df: DataFrame, idCol: String, textCol: String,
+                          flag: Option[Column] = None): DataFrame = {
+    val word = explode(split(Dedup.normalized(col(textCol)), " ")).as("__w")
+    val toks = flag match {
+      case Some(f) => df.select(col(idCol), f.cast("boolean").as("__t"), word)
+      case None => df.select(col(idCol), word)
+    }
+    val grouped = toks.where(col("__w") =!= "")
       .groupBy(col(idCol), col("__w"))
-      .agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agged = flag match {
+      // the flag is doc-constant, so first() is deterministic here
+      case Some(_) =>
+        grouped.agg(count(lit(1)).as("__tf"), first(col("__t")).as("__t"))
+      case None => grouped.agg(count(lit(1)).as("__tf"))
+    }
+    agged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!Set("__w", "__tf", "__c", "__total", "n_tokens").contains(idCol),
+      s"idCol '$idCol' collides with unigramLogProb's reserved names")
+    val tf = docTermFreq(df, idCol, textCol)
     val freqs = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__c"))
     val total = freqs.agg(sum(col("__c")).as("__total"))
     val perDoc = tf.join(freqs, "__w")
@@ -369,18 +390,29 @@ object TextStats {
    */
   def oovRate(df: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
+    val (tf, result) = oovRatePlan(df, idCol, textCol, vocabSize)
+    val out = result.localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  /** [[oovRate]] WITHOUT the eager checkpoint, returning the persisted
+    * tf frame too — for plan assertions (the checkpoint severs the
+    * lineage under inspection; same pattern as
+    * [[Dedup.minhashPairsPlan]]). Caller must unpersist the tf frame. */
+  private[graft] def oovRatePlan(df: DataFrame, idCol: String,
+                                 textCol: String, vocabSize: Int)
+      : (DataFrame, DataFrame) = {
     require(vocabSize > 0, "vocabSize must be positive")
-    val tf = df.select(col(idCol),
-      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
-      .where(col("__w") =!= "")
-      .groupBy(col(idCol), col("__w"))
-      .agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(!Set("__w", "__tf", "__c", "__inv", "__oov", "n_tokens",
+      "oov_rate").contains(idCol),
+      s"idCol '$idCol' collides with oovRate's reserved names")
+    val tf = docTermFreq(df, idCol, textCol)
     val vocab = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__c"))
       .orderBy(desc("__c"), asc("__w"))
       .limit(vocabSize)
       .select(col("__w"), lit(true).as("__inv"))
-    val out = tf.join(broadcast(vocab), Seq("__w"), "left")
+    val result = tf.join(broadcast(vocab), Seq("__w"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_tokens"),
         sum(when(col("__inv").isNull, col("__tf")).otherwise(lit(0L)))
@@ -389,9 +421,7 @@ object TextStats {
       // decimals are safe here (no float-sum boundary to land on)
       .select(col(idCol), col("n_tokens"),
         round(col("__oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
-      .localCheckpoint(true)
-    tf.unpersist()
-    out
+    (tf, result)
   }
 
   /**
@@ -466,13 +496,10 @@ object TextStats {
    */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         isTarget: Column): DataFrame = {
-    val tf = df.select(col(idCol), isTarget.cast("boolean").as("__t"),
-      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
-      .where(col("__w") =!= "")
-      .groupBy(col(idCol), col("__w"))
-      // the flag is doc-constant, so first() is deterministic here
-      .agg(count(lit(1)).as("__tf"), first(col("__t")).as("__t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(!Set("__w", "__tf", "__t", "__c", "__ct", "__n", "__nt", "__v",
+      "n_tokens", "log_ratio").contains(idCol),
+      s"idCol '$idCol' collides with importanceWeights's reserved names")
+    val tf = docTermFreq(df, idCol, textCol, flag = Some(isTarget))
     val freqs = tf.groupBy(col("__w")).agg(
       sum(col("__tf")).as("__c"),
       sum(when(col("__t"), col("__tf")).otherwise(lit(0L))).as("__ct"))

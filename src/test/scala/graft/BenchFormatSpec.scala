@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * (~80 chars) after our line. Round 4's bench line overflowed that
   * window and the driver recorded `parsed: null`. This spec pins the
   * budget: the driver-facing JSON line, built from the REAL registered
-  * query names with worst-case timing widths, must stay under 1800
-  * characters so the whole line always survives the capture.
+  * query names with every value at `Bench.fmt`'s 5-char width ceiling,
+  * must stay under 1900 characters (capture minus trailer) so the
+  * whole line always survives the capture.
   */
 class BenchFormatSpec extends AnyFunSuite {
 

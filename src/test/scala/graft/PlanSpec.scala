@@ -98,6 +98,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q70: keep-best dedup prunes groups BEFORE the exchange (WindowGroupLimit)") {
+    // Spark 4 compiles the rank-1 filter to partial+final
+    // WindowGroupLimit: each map task forwards only its local winner
+    // per normalized-text group, so a mega-duplicate cluster ships
+    // per-task winners, not every copy
+    val plan = planOf(Queries.q70DupBest(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q68 oovRate: vocab is TakeOrdered-bounded and joins back broadcast") {
+    // assert on the pre-checkpoint plan (the public query checkpoints
+    // eagerly, severing the lineage under inspection): TakeOrdered
+    // bounds the vocab at V rows, and the scoring join must be a
+    // BroadcastHashJoin — a shuffled join here would move the whole tf
+    // frame a second time
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (tf, result) = ops.TextStats.oovRatePlan(docs, "doc_id", "text", 100)
+    try {
+      val plan = planOf(result)
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("CartesianProduct"))
+    } finally tf.unpersist()
+  }
+
   test("q31/q32: temporal joins push event_type to the scan, no cartesian") {
     for (q <- Seq(
       Queries.q31AsofJoin(spark, dir),

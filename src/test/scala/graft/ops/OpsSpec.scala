@@ -1195,6 +1195,46 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       ("a", 1.0, -1.0), ("a", 3.0, 1.0), ("b", 5.0, 0.0), ("b", 5.0, 0.0)))
   }
 
+  test("curate keepBestByQuality: the exact-dedup stage keeps the best copy") {
+    // docs 1 and 2 normalize to the same text (whitespace squeeze) but
+    // score differently on the ORIGINAL: doc 2's extra whitespace
+    // dilutes its punctuation ratio, so its quality is strictly higher
+    val raw = Seq(
+      (1L, "the, quick brown fox jumps over the lazy dog", "s0"),
+      (2L, "the,   quick   brown   fox   jumps   over   the   lazy   dog", "s0"),
+      (3L, "completely different content about spark engines here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((999L, "benchmark text unrelated entirely", "s0"))
+      .toDF("doc_id", "text", "source")
+    // min-id policy keeps doc 1; keep-best must keep doc 2 instead
+    val (outBest, _) = Curate.standard(raw, bench,
+      minQuality = 0.0, maxDup2gramFrac = 1.0, keepBestByQuality = true)
+    val bestIds = outBest.select("doc_id").collect().map(_.getLong(0)).toSet
+    outBest.unpersist()
+    val (outMin, _) = Curate.standard(raw, bench,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    val minIds = outMin.select("doc_id").collect().map(_.getLong(0)).toSet
+    outMin.unpersist()
+    assert(minIds === Set(1L, 3L))
+    assert(bestIds === Set(2L, 3L))
+    // the helper column must not leak into the output
+    assert(!outBest.columns.contains("__curate_q"))
+  }
+
+  test("standardizeWithinGroup: NULL group rows come back annotated, not dropped") {
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 14.0)   // null group: mu=12, sd_pop=2
+    ).toDF("g", "x")
+    val out = Sample.standardizeWithinGroup(df, "g", "x")
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1),
+        r.getDouble(2))).sortBy(t => (t._1.getOrElse(""), t._2))
+    assert(out.length === 4) // null-group rows survive the stats join
+    assert(out.toSeq === Seq(
+      (None, 10.0, -1.0), (None, 14.0, 1.0),
+      (Some("a"), 1.0, -1.0), (Some("a"), 3.0, 1.0)))
+  }
+
   test("containmentScores: ratio per doc, clean docs present at zero") {
     // 1-grams: doc 1 {x,y}, doc 2 {y,z}, doc 3 {p,q}; reference = {y,z}
     val corpus = Seq((1L, "x y"), (2L, "y z"), (3L, "p q")).toDF("id", "text")
