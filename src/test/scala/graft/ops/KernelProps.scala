@@ -133,4 +133,17 @@ object KernelProps extends Properties("kernels") {
           math.abs(realized(g) / total - w / totalW) < 1e-9
         })
     }
+
+  property("Bench.fmt: <= 5 chars below the 99999.5 s ceiling, value preserved within the tier's precision") =
+    forAll(Gen.choose(0.0, 99999.4)) { d =>
+      val s = graft.Bench.fmt(d)
+      val parsed = s.toDouble
+      // precision tier: ms under 10 s, then one fewer decimal per
+      // magnitude decade — relative error bounded by the tier
+      val tol = if (d < 10) 0.0005 else if (d < 100) 0.005
+                else if (d < 1000) 0.05 else 0.5
+      Prop(s.length <= 5) :| s"'$s' too wide" &&
+        Prop(!s.contains('E') && !s.contains('e')) &&
+        Prop(math.abs(parsed - d) <= tol) :| s"'$s' lost $d"
+    }
 }
