@@ -1040,7 +1040,7 @@ object SparkEntry {
         |  SELECT source, quantile_cont(quality, 0.5) AS t
         |  FROM scored GROUP BY source)
         |SELECT s.doc_id, s.source, s.quality
-        |FROM scored s JOIN thr ON s.source = thr.source
+        |FROM scored s JOIN thr ON s.source IS NOT DISTINCT FROM thr.source
         |WHERE s.quality >= thr.t
         |ORDER BY s.doc_id""".stripMargin),
     "q65_rollup" ->

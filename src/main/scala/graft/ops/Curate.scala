@@ -101,8 +101,19 @@ object Curate {
           stage("near_novelty", Novelty.nearNovel(fresh, idx, textCol))
         case None => fresh
       }
+      // keep-best needs the quality value again at the dedup stage;
+      // compute it ONCE here, carry the column through the row-removing
+      // stages (cached with them), and drop it after dedup — scoring
+      // the corpus twice would repeat a multi-regex pass per row
       val quality = stage("quality",
-        nearFresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
+        if (keepBestByQuality) {
+          require(!nearFresh.columns.contains("__curate_q"),
+            "input column __curate_q collides with Curate's reserved name")
+          nearFresh.withColumn("__curate_q",
+            TextStats.qualityScore(col(textCol)))
+            .where(col("__curate_q") >= minQuality)
+        } else
+          nearFresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
       val repetition = stage("repetition", {
         val keep = TextStats.repetitionStats(quality, idCol, textCol)
           .where(col("dup_2gram_frac") <= maxDup2gramFrac)
@@ -125,14 +136,10 @@ object Curate {
         case None => repetition
       }
       val exact = stage("exact_dedup",
-        if (keepBestByQuality) {
-          require(!lmGated.columns.contains("__curate_q"),
-            "input column __curate_q collides with Curate's reserved name")
-          Dedup.exactKeepBest(
-            lmGated.withColumn("__curate_q",
-              TextStats.qualityScore(col(textCol))),
-            idCol, textCol, "__curate_q").drop("__curate_q")
-        } else Dedup.exact(lmGated, idCol, textCol))
+        if (keepBestByQuality)
+          Dedup.exactKeepBest(lmGated, idCol, textCol, "__curate_q")
+            .drop("__curate_q")
+        else Dedup.exact(lmGated, idCol, textCol))
       val near = stage("near_dedup",
         Dedup.dropNearDuplicates(exact, idCol, textCol,
           threshold = nearDupThreshold))

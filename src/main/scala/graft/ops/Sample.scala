@@ -92,13 +92,18 @@ object Sample {
   def aboveGroupQuantile(df: DataFrame, groupCol: String,
                          scoreCol: String, p: Double): DataFrame = {
     require(p > 0.0 && p < 1.0, "quantile must be in (0, 1)")
-    require(!df.columns.contains("__thr"),
-      "input column __thr collides with aboveGroupQuantile's reserved name")
+    val clash = df.columns.toSet.intersect(Set("__gq", "__thr"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with aboveGroupQuantile's reserved names")
     val thr = df.groupBy(col(groupCol))
       .agg(percentile(col(scoreCol), lit(p)).as("__thr"))
-    df.join(broadcast(thr), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__gq")
+    // null-safe join, same contract as standardizeWithinGroup: a NULL
+    // group is a legitimate group and gates against its own quantile
+    // instead of being silently dropped by null-unsafe equality
+    df.join(broadcast(thr), col(groupCol) <=> col("__gq"))
       .where(col(scoreCol) >= col("__thr"))
-      .drop("__thr")
+      .drop("__gq", "__thr")
   }
 
   /** Within-group z-score standardization: `z = (x - μ_g) / σ_g`

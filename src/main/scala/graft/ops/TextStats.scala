@@ -258,7 +258,8 @@ object TextStats {
   }
 
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    require(!Set("__w", "__tf", "__c", "__total", "n_tokens").contains(idCol),
+    require(!Set("__w", "__tf", "__c", "__total", "__slc", "n_tokens",
+      "avg_neg_logp").contains(idCol),
       s"idCol '$idCol' collides with unigramLogProb's reserved names")
     val tf = docTermFreq(df, idCol, textCol)
     val freqs = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__c"))
@@ -497,7 +498,7 @@ object TextStats {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         isTarget: Column): DataFrame = {
     require(!Set("__w", "__tf", "__t", "__c", "__ct", "__n", "__nt", "__v",
-      "n_tokens", "log_ratio").contains(idCol),
+      "__s", "n_tokens", "log_ratio").contains(idCol),
       s"idCol '$idCol' collides with importanceWeights's reserved names")
     val tf = docTermFreq(df, idCol, textCol, flag = Some(isTarget))
     val freqs = tf.groupBy(col("__w")).agg(

@@ -135,7 +135,10 @@ object KernelProps extends Properties("kernels") {
     }
 
   property("Bench.fmt: <= 5 chars below the 99999.5 s ceiling, value preserved within the tier's precision") =
-    forAll(Gen.choose(0.0, 99999.4)) { d =>
+    // log-uniform over [1 ms, ~99999 s]: a uniform generator would put
+    // ~0.01% of samples below 10 s, leaving the %.3f/%.2f rungs — the
+    // widths every real per-query time renders at — effectively untested
+    forAll(Gen.choose(-3.0, 4.99997).map(e => math.pow(10, e))) { d =>
       val s = graft.Bench.fmt(d)
       val parsed = s.toDouble
       // precision tier: ms under 10 s, then one fewer decimal per

@@ -1071,6 +1071,12 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       Sample.aboveGroupQuantile(df, "g", "s", 1.5)
     }
+    // NULL group rows gate against their own quantile, not vanish
+    val withNull = Seq((Option("a"), 1L, 1.0), (Option("a"), 2L, 2.0),
+      (None, 6L, 1.0), (None, 7L, 5.0)).toDF("g", "id", "s")
+    val keptN = Sample.aboveGroupQuantile(withNull, "g", "s", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptN === Set(2L, 7L), keptN.toString) // null-median = 3.0
   }
 
   test("corpus digest is order- and partition-independent, content-sensitive") {
