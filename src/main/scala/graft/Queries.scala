@@ -929,6 +929,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Ordered funnel conversion over the event stream
+    * ([[graft.streaming.EventStreams.funnel]] — sequential
+    * first-occurrence semantics, strict ordering). */
+  def q75Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.funnel(
+      events(spark, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("step")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

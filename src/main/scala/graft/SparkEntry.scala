@@ -97,6 +97,7 @@ object SparkEntry {
     "q72_vocab_curve" -> (Queries.q72VocabCoverage(_, _)),
     "q73_quality_z" -> (Queries.q73QualityZscore(_, _)),
     "q74_containment" -> (Queries.q74Containment(_, _)),
+    "q75_funnel" -> (Queries.q75Funnel(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -1190,5 +1191,31 @@ object SparkEntry {
         |WHERE gr.doc_id % 10 <> 0
         |GROUP BY gr.doc_id
         |ORDER BY gr.doc_id""".stripMargin,
+    // q75: sequential first-occurrence funnel replayed level by level
+    // (strict ts ordering; the events fixture has no sub-microsecond
+    // components, so the Spark side's nanos->micros conversion cannot
+    // create cross-engine ties)
+    "q75_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |         (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step""".stripMargin,
   )
 }

@@ -169,6 +169,46 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /**
+   * Funnel analysis: how many users complete each prefix of `steps`
+   * IN ORDER (sequential first-occurrence semantics — a user reaches
+   * step k when their earliest step-k event falls STRICTLY after the
+   * timestamp at which they reached step k-1). Returns one row per
+   * step: (step, event_type, n_users), n_users monotone non-increasing.
+   *
+   * Plan shape: one type-filtered scan per step (the equality predicate
+   * reaches the parquet scan; at scale, partition-by-type layouts prune
+   * whole files) collapsing straight to a (user, min ts) partial+final
+   * aggregate; each level joins the previous level's NARROW (user, ts)
+   * frame on the user key — never event x event. Levels are
+   * checkpointed eagerly (each feeds two consumers: the next level and
+   * its own count) so level k is computed once, not k times. Step
+   * count is bounded (funnels are 3-7 steps), so the join chain is
+   * bounded too.
+   */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(!events.columns.contains("__ts"),
+      "input column __ts collides with funnel's reserved name")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__ts"))
+      .localCheckpoint(true)
+    val levels = steps.tail.scanLeft(first) { (prev, st) =>
+      events.where(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("__ts").as("__prev")),
+          Seq(userCol))
+        .where(col(tsCol) > col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__ts"))
+        .localCheckpoint(true)
+    }
+    levels.zip(steps).zipWithIndex.map { case ((lvl, st), i) =>
+      lvl.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-user running state: event count + last seen timestamp via
     * mapGroupsWithState (custom stateful operator surface). */
   case class UserState(n: Long, lastTs: java.sql.Timestamp)

@@ -189,6 +189,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(outDir.toString).count() === n)
   }
 
+  test("funnel: sequential first-occurrence with strict ordering") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(1)), (2L, "click", ts(3)),           // no purchase
+      (3L, "click", ts(1)), (3L, "view", ts(2)),           // click BEFORE view only
+      (4L, "purchase", ts(1)),                             // never enters
+      (5L, "view", ts(1)), (5L, "click", ts(1))            // tie -> strict > rejects
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventStreams.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1, "view", 4L),      // users 1, 2, 3, 5
+      (2, "click", 2L),     // users 1, 2 (3's click precedes; 5 ties)
+      (3, "purchase", 1L))) // user 1
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
