@@ -209,6 +209,58 @@ object EventStreams {
     }.reduce(_.unionByName(_))
   }
 
+  /** Funnel state for [[funnelProgress]]: the number of steps the user
+    * has completed and the timestamp of the last completed step
+    * (epoch micros; Long.MinValue before the first step so the state
+    * round-trips the encoder without nullable boxing). */
+  case class FunnelState(step: Int, tsMicros: Long)
+  case class FunnelProgress(user_id: Long, step_reached: Int)
+
+  /**
+   * Per-user funnel progress as a STATEFUL operator — the streaming
+   * form of [[funnel]]: each user's state machine advances through
+   * `steps` on strictly-increasing timestamps, via mapGroupsWithState
+   * (bounded state: one (step, ts) pair per user). Runs on batch
+   * frames too (state starts empty per group), where it is exactly
+   * [[funnel]]'s greedy earliest-chain semantics — pinned by spec on
+   * the driver fixture.
+   *
+   * Events are sorted by timestamp WITHIN each trigger batch; across
+   * triggers the source must be time-ordered (the same contract as
+   * [[userRunningCounts]] — a late event cannot rewind a state
+   * machine). Output: one row per user with the step count reached
+   * (0 = never entered the funnel); aggregate downstream for the
+   * per-step conversion counts.
+   */
+  def funnelProgress(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          // full-microsecond key: getTime is millis-precise, and the
+          // fixture carries sub-millisecond components — sorting on
+          // millis would order same-millisecond events arbitrarily
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          rows.toSeq.sortBy(r => micros(r._3)).foreach { case (_, et, ts) =>
+            val tsMicros = micros(ts)
+            if (s.step < steps.length && et == steps(s.step) &&
+                (s.step == 0 || tsMicros > s.tsMicros))
+              s = FunnelState(s.step + 1, tsMicros)
+          }
+          state.update(s)
+          FunnelProgress(user, s.step)
+      }
+      .toDF()
+  }
+
   /** Per-user running state: event count + last seen timestamp via
     * mapGroupsWithState (custom stateful operator surface). */
   case class UserState(n: Long, lastTs: java.sql.Timestamp)

@@ -209,6 +209,22 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
       (3, "purchase", 1L))) // user 1
   }
 
+  test("funnelProgress (stateful) matches the level-join funnel on the fixture") {
+    val steps = Seq("view", "click", "purchase")
+    val prog = EventStreams.funnelProgress(events, steps)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val levels = EventStreams.funnel(events, "user_id", "event_type", "ts", steps)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    // two independent formulations of the same semantics (greedy
+    // earliest chain): users at step >= k must equal level k's count
+    (1 to steps.length).foreach { k =>
+      assert(prog.count(_._2 >= k).toLong === levels(k), s"step $k")
+    }
+    // every user appears exactly once, including never-entered ones
+    assert(prog.map(_._1).distinct.length === prog.length)
+    assert(prog.length === events.select("user_id").distinct.count().toInt)
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
