@@ -938,6 +938,20 @@ object Queries {
       Seq("view", "click", "purchase"))
       .orderBy("step")
 
+  /** Per-language top-3 docs by quality ([[graft.ops.Sample.topKPerGroup]]
+    * — grouped ranking, WindowGroupLimit-pruned before the exchange). */
+  def q76TopKLang(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+    graft.ops.Sample.topKPerGroup(scored, "lang", "quality", "doc_id", k = 3)
+      // long rank: DuckDB's row_number is BIGINT, Spark's is INT — the
+      // schema compare needs them to agree
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("quality"))
+      .orderBy("lang", "rank")
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

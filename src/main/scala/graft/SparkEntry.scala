@@ -98,6 +98,7 @@ object SparkEntry {
     "q73_quality_z" -> (Queries.q73QualityZscore(_, _)),
     "q74_containment" -> (Queries.q74Containment(_, _)),
     "q75_funnel" -> (Queries.q75Funnel(_, _)),
+    "q76_topk_lang" -> (Queries.q76TopKLang(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -1217,5 +1218,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step""".stripMargin,
+    // q76: grouped ranking replayed — rank inside each language by the
+    // shared 3-decimal quality contract, ties toward the smaller id
+    "q76_topk_lang" -> (qualityScoredCtes(Seq("lang")) +
+      """,
+        |ranked AS (
+        |  SELECT lang, doc_id, quality, row_number() OVER (
+        |    PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT lang, rank, doc_id, quality FROM ranked
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin),
   )
 }

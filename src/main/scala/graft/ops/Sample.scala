@@ -106,6 +106,25 @@ object Sample {
       .drop("__gq", "__thr")
   }
 
+  /** Top-k rows per group by a score (ties → smallest tiebreak value)
+    * — per-group ranking as an operator, vs the battery's global
+    * top-k. Spark 4 compiles the rank filter to partial+final
+    * `WindowGroupLimit`: each map task forwards at most k rows per
+    * group BEFORE the exchange, so a hot group ships per-task top-k
+    * candidates, never its full membership. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   tiebreakCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!df.columns.contains("__rank"),
+      "input column __rank collides with topKPerGroup's reserved name")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tiebreakCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .withColumnRenamed("__rank", "rank")
+  }
+
   /** Within-group z-score standardization: `z = (x - μ_g) / σ_g`
     * (population σ; a zero-variance group scores 0) — makes scores
     * comparable ACROSS sources before a global gate, so one source's

@@ -1189,6 +1189,18 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(sat.toSeq === Seq((3L, 1.0)))
   }
 
+  test("topKPerGroup: k best per group with deterministic ties, short groups whole") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)  // group smaller than k survives whole
+    ).toDF("g", "id", "s")
+    val out = Sample.topKPerGroup(df, "g", "s", "id", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    // ties at 9.0 resolve toward the smaller id: 2 then 3; 1 drops out
+    assert(out.toSeq === Seq(("a", 1, 2L), ("a", 2, 3L), ("b", 1, 5L)))
+  }
+
   test("standardizeWithinGroup: per-group z, zero-variance group scores 0") {
     val df = Seq(
       ("a", 1.0), ("a", 3.0),          // mu=2, sd_pop=1
