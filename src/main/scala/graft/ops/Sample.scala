@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -28,15 +28,26 @@ object Sample {
     * every group contributes at most `n` rows, chosen stably. */
   def stratifiedTopN(df: DataFrame, groupCol: String, idCol: String,
                      n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0, "sample size must be positive")
+    rankedWithinGroup(df, groupCol,
+      Seq(Splits.hashBucket(col(idCol), 1 << 30).asc, col(idCol).asc),
+      n, "stratifiedTopN").drop("__rank")
+  }
+
+  /** Shared k-per-group window body for [[stratifiedTopN]] and
+    * [[topKPerGroup]] — ONE policy for the reserved name, the window
+    * shape, and the WindowGroupLimit pruning, so the two quota rules
+    * cannot diverge. Returns the filtered frame WITH the `__rank`
+    * column (callers drop or rename it). */
+  private def rankedWithinGroup(df: DataFrame, groupCol: String,
+                                order: Seq[Column], k: Int,
+                                opName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(!df.columns.contains("__rank"),
-      "input column __rank collides with stratifiedTopN's reserved temp name")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(Splits.hashBucket(col(idCol), 1 << 30).asc, col(idCol).asc)
+      s"input column __rank collides with $opName's reserved temp name")
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     df.withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= n)
-      .drop("__rank")
+      .where(col("__rank") <= k)
   }
 
   /**
@@ -115,13 +126,10 @@ object Sample {
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    tiebreakCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    require(!df.columns.contains("__rank"),
-      "input column __rank collides with topKPerGroup's reserved name")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(tiebreakCol).asc)
-    df.withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
+    require(!df.columns.contains("rank"),
+      "input column rank collides with topKPerGroup's output column")
+    rankedWithinGroup(df, groupCol,
+      Seq(col(scoreCol).desc, col(tiebreakCol).asc), k, "topKPerGroup")
       .withColumnRenamed("__rank", "rank")
   }
 

@@ -189,8 +189,11 @@ object EventStreams {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    require(!events.columns.contains("__ts"),
-      "input column __ts collides with funnel's reserved name")
+    // __prev is the only reserved name that meets the raw event
+    // columns (each level's output is rebuilt by groupBy/agg, so __ts
+    // never joins against the input schema)
+    require(!events.columns.contains("__prev"),
+      "input column __prev collides with funnel's reserved name")
     val first = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__ts"))
       .localCheckpoint(true)
@@ -251,8 +254,10 @@ object EventStreams {
           var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
           rows.toSeq.sortBy(r => micros(r._3)).foreach { case (_, et, ts) =>
             val tsMicros = micros(ts)
+            // the Long.MinValue sentinel makes the strict comparison
+            // vacuously true for the first step — no special case
             if (s.step < steps.length && et == steps(s.step) &&
-                (s.step == 0 || tsMicros > s.tsMicros))
+                tsMicros > s.tsMicros)
               s = FunnelState(s.step + 1, tsMicros)
           }
           state.update(s)
