@@ -833,6 +833,10 @@ object Queries {
     graft.ops.Profile.corpusDigest(
       t(spark, dir, "documents"), "source",
       Seq("doc_id", "text", "lang"))
+      // digest as STRING for the verify boundary: the DECIMAL(38,0)
+      // sum is exact, but numeric transports that narrow to float64
+      // (pandas) drop the low digits — r7 hash-fail fix
+      .withColumn("digest", col("digest").cast("string"))
       .orderBy("source")
 
   /** Approximate-sketch contract: per event type, HLL distinct users

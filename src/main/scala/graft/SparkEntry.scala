@@ -992,7 +992,7 @@ object SparkEntry {
         |    count(*) AS n, sum(value) AS sv
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
-        |  sum(n) OVER w AS n_7d,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
         |  round(sum(sv) OVER w, 2) AS value_7d
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY d
@@ -1016,7 +1016,7 @@ object SparkEntry {
         |btot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS nbi FROM bi)
         |SELECT b.word_a, b.word_b, b.n_pair,
         |  round(ln((b.n_pair / bt.nbi) /
-        |        ((ua.c_w / t.ntok) * (ub.c_w / t.ntok))), 3) AS pmi
+        |        ((ua.c_w / t.ntok) * (ub.c_w / t.ntok))), 3) + 0.0 AS pmi
         |FROM bi b
         |JOIN uni ua ON ua.w = b.word_a
         |JOIN uni ub ON ub.w = b.word_b
@@ -1066,12 +1066,15 @@ object SparkEntry {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // q67: the commutative md5-prefix digest replayed — same
-    // '0x'||hex parse as q36; DuckDB's HUGEINT sum prints the same
-    // integer Spark's DECIMAL(38,0) sum does.
+    // '0x'||hex parse as q36. Both sides emit the digest as VARCHAR:
+    // the sum (~10^17..10^20) is exact in Spark DECIMAL(38,0) and
+    // DuckDB HUGEINT alike, but any numeric transport path that
+    // narrows to float64 (e.g. pandas) loses the low digits — the
+    // string form is representation-proof (r7 hash-fail fix).
     "q67_corpus_digest" ->
       """SELECT source, count(*) AS n_rows,
-        |  sum(('0x' || substr(md5(concat_ws(chr(1),
-        |        doc_id::VARCHAR, text, lang)), 1, 15))::BIGINT) AS digest
+        |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+        |        doc_id::VARCHAR, text, lang)), 1, 15))::BIGINT) AS VARCHAR) AS digest
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
     // q68: vocab cut replayed with the same deterministic tie-break
@@ -1087,7 +1090,7 @@ object SparkEntry {
         |vocab AS (SELECT w FROM (
         |  SELECT w, sum(c) AS cw FROM tf GROUP BY w
         |  ORDER BY cw DESC, w LIMIT 500) v)
-        |SELECT t.doc_id, sum(t.c) AS n_tokens,
+        |SELECT t.doc_id, CAST(sum(t.c) AS BIGINT) AS n_tokens,
         |  round(sum(CASE WHEN v.w IS NULL THEN t.c ELSE 0 END)::DOUBLE
         |        / sum(t.c), 4) AS oov_rate
         |FROM tf t LEFT JOIN vocab v ON t.w = v.w
@@ -1139,8 +1142,8 @@ object SparkEntry {
         |d AS (SELECT t.doc_id, sum(t.c) AS n_tokens,
         |             sum(t.c * (ln(f.ctw + 1) - ln(f.cw + 1))) AS s
         |      FROM tf t JOIN freqs f ON t.w = f.w GROUP BY t.doc_id)
-        |SELECT doc_id, n_tokens,
-        |  round(s / n_tokens + ln(n + v) - ln(nt + v), 3) AS log_ratio
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(s / n_tokens + ln(n + v) - ln(nt + v), 3) + 0.0 AS log_ratio
         |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
     // q72: the ranked cut replayed with the same (count DESC, word)
     // tie-break; coverage is long/long division
@@ -1185,7 +1188,7 @@ object SparkEntry {
         |  FROM norm WHERE len(ws) < 5 AND array_to_string(ws, ' ') <> ''),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
         |SELECT gr.doc_id, count(*) AS n_grams,
-        |  sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+        |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
         |        / count(*), 4) AS containment
         |FROM grams gr LEFT JOIN bench b ON gr.g = b.g

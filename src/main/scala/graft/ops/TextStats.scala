@@ -327,9 +327,11 @@ object TextStats {
       .join(uni.select(col("w").as("word_b"), col("c_w").as("__cb")), "word_b")
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
       .select(col("word_a"), col("word_b"), col("n_pair"),
-        round(log((col("n_pair") / col("__nbi")) /
+        // + 0.0 folds IEEE -0.0 (round of a tiny negative) to +0.0 —
+        // keeps the exact-hash contract engine-portable
+        (round(log((col("n_pair") / col("__nbi")) /
           ((col("__ca") / col("__ntok")) * (col("__cb") / col("__ntok")))), 3)
-          .as("pmi"))
+          + lit(0.0)).as("pmi"))
       .localCheckpoint(true)
     biAll.unpersist()
     out
@@ -516,9 +518,10 @@ object TextStats {
       // 3 decimals: float-sum ulp boundary, same contract as
       // unigramLogProb/qualityScore
       .select(col(idCol), col("n_tokens"),
-        round(col("__s") / col("n_tokens")
+        // + 0.0 folds IEEE -0.0 to +0.0 (exact-hash portability)
+        (round(col("__s") / col("n_tokens")
           + log(col("__n") + col("__v")) - log(col("__nt") + col("__v")), 3)
-          .as("log_ratio"))
+          + lit(0.0)).as("log_ratio"))
       .localCheckpoint(true)
     tf.unpersist()
     out

@@ -6,13 +6,24 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 SQL in DuckDB against the parquet tables in <sfDir>, and compares with the
 Spark result parquet at <verifyOutDir>/<name>/. Compares row count, column
-names (sorted), and values in result order (floats with tolerance,
-everything else exact). Order sensitivity is intentional: every query
-declares a deterministic ORDER BY on both sides, and Verify writes each
-result coalesce(1) so a single part file preserves it.
+names (sorted), and values in result order. Order sensitivity is
+intentional: every query declares a deterministic ORDER BY on both sides,
+and Verify writes each result coalesce(1) so a single part file preserves
+it.
+
+The compare is EXACT, matching the driver's hash gate: both sides go
+through pandas (so DuckDB HUGEINT/DECIMAL coerce to float64 exactly as the
+driver's path does) and values compare by string repr. That means
+int 78 != float 78.0, and 0.0 != -0.0 — deliberately. Round 7 shipped six
+hash-red rows because a float-tolerant branch here masked exactly those
+representation drifts; do not re-add tolerance.
 """
 import sys, json, glob, math
 import duckdb
+
+
+def nullish(v):
+    return v is None or (isinstance(v, float) and math.isnan(v))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -51,12 +62,12 @@ def main():
             for c in s_cols:
                 sv, ov = list(spark[c]), list(ora[c])
                 for i, (a, b) in enumerate(zip(sv, ov)):
-                    if isinstance(a, float) or isinstance(b, float):
-                        af, bf = float(a), float(b)
-                        ok = (math.isnan(af) and math.isnan(bf)) or \
-                             math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
+                    if nullish(a) or nullish(b):
+                        ok = nullish(a) and nullish(b)
                     else:
-                        ok = str(a) == str(b)
+                        # exact, type-sensitive: "78" != "78.0", "0.0" != "-0.0"
+                        ok = type(a).__name__ == type(b).__name__ and \
+                             str(a) == str(b)
                     if not ok:
                         errs.append(f"col {c} row {i}: spark={a!r} oracle={b!r}")
                         break
