@@ -691,7 +691,11 @@ object Queries {
     val input = docs.filter(col("doc_id") % 5 =!= 0)
       .join(emb, Seq("doc_id"))
     val benchmark = docs.filter(col("doc_id") % 101 === 0)
-    val bandIdx = graft.ops.Novelty.fitBandIndex(hist, "text")
+    // fpp tightened from the 1e-3 default so the oracle's exact band-
+    // collision replay holds: at 1e-6 the expected Bloom false-drop
+    // count across the fixture's ~1600 probes is ~4e-4 (the SQL replay
+    // has no Bloom, so a false positive would shift a stage count)
+    val bandIdx = graft.ops.Novelty.fitBandIndex(hist, "text", fpp = 1e-6)
     val (out, report) = graft.ops.Curate.standard(
       input, benchmark,
       historicalCorpus = Some(hist),
@@ -701,9 +705,9 @@ object Queries {
       semanticThreshold = 0.99,
       semanticNlist = 16)
     out.unpersist()
-    report.stages.zipWithIndex
-      .map { case ((name, n), i) => (i, name, n) }
-      .toDF("stage_idx", "stage", "n_rows")
+    report.stats.zipWithIndex
+      .map { case (s, i) => (i, s.name, s.rows, s.idsDigest) }
+      .toDF("stage_idx", "stage", "n_rows", "ids_digest")
       .orderBy("stage_idx")
   }
 

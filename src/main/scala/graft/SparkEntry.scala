@@ -451,6 +451,227 @@ object SparkEntry {
         |    min(o_orderpriority), max(o_orderpriority)
         |  FROM orders)
         |SELECT * FROM p ORDER BY "column"""".stripMargin,
+    // q57: full 10-stage curation replay — every Curate.standard stage
+    // recomputed in DuckDB (exact novelty, MinHash band collisions via
+    // the SQL-replayable kernel, q33/q38/q52 gates, min-id exact dedup,
+    // LSH-candidate + Jaccard-verified near dedup with recursive-CTE
+    // closure, brute-force semantic pairs, 5-gram decontamination, split
+    // assignment), each stage pinned by survivor count AND membership
+    // digest. MATERIALIZED hints keep DuckDB from inlining the stage
+    // chain exponentially.
+    "q57_curate" ->
+      """WITH RECURSIVE
+        |-- framing: ingest = docs with embeddings, not in the historical slice
+        |input AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text, d.source, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id % 5 <> 0),
+        |hist AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+        |-- stage 1 novelty: md5(normalized) anti-join vs hist
+        |s1 AS MATERIALIZED (
+        |  SELECT i.* FROM input i
+        |  WHERE md5(regexp_replace(lower(trim(i.text)), '\s+', ' ', 'g')) NOT IN
+        |    (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) FROM hist)),
+        |-- distinct word 3-gram shingles (whole-text gram for docs < 3 tokens)
+        |norm1 AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM s1),
+        |g_new AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM norm1 WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm1 WHERE len(ws) BETWEEN 1 AND 2),
+        |normh AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM hist),
+        |g_hist AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM normh WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM normh WHERE len(ws) BETWEEN 1 AND 2),
+        |-- MinHash replay: base = 60-bit md5 prefix of the gram; per seed s,
+        |-- h = (A*(2s+1) * base + B*(s+1)) mod 2^64; 12 seeds, 4 bands x 3 rows
+        |seeds AS MATERIALIZED (
+        |  SELECT s, (11400714819323198485::HUGEINT * (2*s+1)) % 18446744073709551616::HUGEINT AS a,
+        |         (2685821657736338717::HUGEINT * (s+1)) AS off
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS s)),
+        |band_new AS MATERIALIZED (
+        |  SELECT doc_id, s // 3 AS band, list(h ORDER BY s) AS slice FROM (
+        |    SELECT doc_id, s,
+        |      min((a * ('0x' || substr(md5(g), 1, 15))::BIGINT::HUGEINT + off)
+        |          % 18446744073709551616::HUGEINT) AS h
+        |    FROM g_new CROSS JOIN seeds GROUP BY doc_id, s)
+        |  GROUP BY doc_id, band),
+        |band_hist AS MATERIALIZED (
+        |  SELECT doc_id, s // 3 AS band, list(h ORDER BY s) AS slice FROM (
+        |    SELECT doc_id, s,
+        |      min((a * ('0x' || substr(md5(g), 1, 15))::BIGINT::HUGEINT + off)
+        |          % 18446744073709551616::HUGEINT) AS h
+        |    FROM g_hist CROSS JOIN seeds GROUP BY doc_id, s)
+        |  GROUP BY doc_id, band),
+        |-- stage 2 near novelty: drop docs with any band-slice collision vs hist
+        |s2 AS MATERIALIZED (
+        |  SELECT s1.* FROM s1
+        |  WHERE doc_id NOT IN (
+        |    SELECT DISTINCT n.doc_id FROM band_new n
+        |    JOIN band_hist h ON n.band = h.band AND n.slice = h.slice)),
+        |-- stage 3 quality gate (q33 formula, rounded to 3) >= 0.3
+        |tok3 AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM s2) r
+        |  WHERE w <> ''),
+        |stats3 AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok3 GROUP BY doc_id),
+        |s3 AS MATERIALIZED (
+        |  SELECT s2.* FROM s2 JOIN (
+        |    SELECT d.doc_id,
+        |      round(least(coalesce(s.n, 0) / 20.0, 1.0) * 0.3
+        |        + (1.0 - least((CASE WHEN length(d.text) > 0 THEN
+        |            (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |            ELSE 0.0 END) * 4, 1.0)) * 0.2
+        |        + least(CASE WHEN coalesce(s.n, 0) > 0 THEN coalesce(s.stops, 0)::DOUBLE / s.n ELSE 0.0 END * 4, 1.0) * 0.3
+        |        + CASE WHEN coalesce(s.mtl, 0) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS q
+        |    FROM s2 d LEFT JOIN stats3 s USING (doc_id)) qs USING (doc_id)
+        |  WHERE qs.q >= 0.3),
+        |-- stage 4 repetition gate (q38 formula) dup_2gram_frac <= 0.3
+        |norm4 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '') AS ws
+        |  FROM s3),
+        |ga4 AS MATERIALIZED (
+        |  SELECT doc_id, sum(c) AS tg, count(*) AS dg FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS g
+        |      FROM norm4 WHERE len(ws) >= 2) t GROUP BY doc_id, g) gc
+        |  GROUP BY doc_id),
+        |s4 AS MATERIALIZED (
+        |  SELECT s3.* FROM s3 JOIN (
+        |    SELECT n.doc_id, round(coalesce((ga4.tg - ga4.dg) / ga4.tg, 0), 4) AS dup2
+        |    FROM norm4 n LEFT JOIN ga4 ON n.doc_id = ga4.doc_id) r USING (doc_id)
+        |  WHERE r.dup2 <= 0.3),
+        |-- stage 5 LM gate: self-model unigram logprob over s4, drop > 9.0
+        |t5 AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM s4) r WHERE w <> ''),
+        |d5 AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(ln(c)) AS slc FROM (
+        |    SELECT doc_id, count(*) OVER (PARTITION BY w) AS c FROM t5) wc
+        |  GROUP BY doc_id),
+        |s5 AS MATERIALIZED (
+        |  SELECT s4.* FROM s4 WHERE doc_id NOT IN (
+        |    SELECT doc_id FROM d5 CROSS JOIN (SELECT sum(n_tokens) AS total FROM d5) t
+        |    WHERE round(ln(total) - slc / n_tokens, 3) > 9.0)),
+        |-- stage 6 exact dedup: min id per normalized text
+        |s6 AS MATERIALIZED (
+        |  SELECT s5.* FROM s5 JOIN (
+        |    SELECT min(doc_id) AS doc_id FROM (
+        |      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nk
+        |      FROM s5) t GROUP BY nk) keep USING (doc_id)),
+        |-- stage 7 near dedup: LSH candidates (band-slice collision within s6)
+        |-- verified at exact Jaccard >= 0.7, transitive closure, min-id keeper
+        |cand7 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band_new a JOIN band_new b
+        |    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM s6)
+        |    AND b.doc_id IN (SELECT doc_id FROM s6)),
+        |g6 AS MATERIALIZED (SELECT * FROM g_new WHERE doc_id IN (SELECT doc_id FROM s6)),
+        |sz6 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM g6 GROUP BY doc_id),
+        |pairs7 AS MATERIALIZED (
+        |  SELECT c.id_a, c.id_b FROM cand7 c
+        |  JOIN (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |        FROM g6 a JOIN g6 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2) j ON j.id_a = c.id_a AND j.id_b = c.id_b
+        |  JOIN sz6 sa ON sa.doc_id = c.id_a
+        |  JOIN sz6 sb ON sb.doc_id = c.id_b
+        |  WHERE j.i::DOUBLE / (sa.sz + sb.sz - j.i) >= 0.7),
+        |edges7 AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs7
+        |  UNION SELECT id_b, id_a FROM pairs7),
+        |reach7(node, r) AS (
+        |  SELECT src, src FROM edges7
+        |  UNION
+        |  SELECT e.src, r.r FROM edges7 e JOIN reach7 r ON e.dst = r.node),
+        |s7 AS MATERIALIZED (
+        |  SELECT s6.* FROM s6 WHERE doc_id NOT IN (
+        |    SELECT node FROM reach7 GROUP BY node HAVING min(r) <> node)),
+        |-- stage 8 semantic dedup: cosine >= 0.99 pairs, closure, min-id keeper
+        |pairs8 AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT doc_id, embedding::DOUBLE[] AS e FROM s7) a
+        |  JOIN (SELECT doc_id, embedding::DOUBLE[] AS e FROM s7) b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.99),
+        |edges8 AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs8
+        |  UNION SELECT id_b, id_a FROM pairs8),
+        |reach8(node, r) AS (
+        |  SELECT src, src FROM edges8
+        |  UNION
+        |  SELECT e.src, r.r FROM edges8 e JOIN reach8 r ON e.dst = r.node),
+        |s8 AS MATERIALIZED (
+        |  SELECT s7.* FROM s7 WHERE doc_id NOT IN (
+        |    SELECT node FROM reach8 GROUP BY node HAVING min(r) <> node)),
+        |-- stage 9 decontamination: drop docs sharing any 5-gram with bench
+        |norm9 AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM s8),
+        |g9 AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM norm9 WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm9 WHERE len(ws) BETWEEN 1 AND 4),
+        |normb AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM bench),
+        |gb AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM normb WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT array_to_string(ws, ' ') AS g
+        |  FROM normb WHERE len(ws) BETWEEN 1 AND 4),
+        |s9 AS MATERIALIZED (
+        |  SELECT s8.* FROM s8 WHERE doc_id NOT IN (
+        |    SELECT DISTINCT doc_id FROM g9 JOIN gb USING (g))),
+        |-- stage 10 split assignment: md5(source) bucket -> 8/1/1
+        |s10 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+        |         WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM s9),
+        |-- report: per-stage survivor count + membership digest (sum of 60-bit
+        |-- md5-prefix id hashes; the split stage digests (id, split))
+        |report AS (
+        |  SELECT 0 AS stage_idx, 'novelty' AS stage, count(*)::BIGINT AS n_rows,
+        |    coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR AS ids_digest FROM s1
+        |  UNION ALL SELECT 1, 'near_novelty', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s2
+        |  UNION ALL SELECT 2, 'quality', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s3
+        |  UNION ALL SELECT 3, 'repetition', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s4
+        |  UNION ALL SELECT 4, 'lm_gate', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s5
+        |  UNION ALL SELECT 5, 'exact_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s6
+        |  UNION ALL SELECT 6, 'near_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s7
+        |  UNION ALL SELECT 7, 'semantic_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s8
+        |  UNION ALL SELECT 8, 'decontaminate', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s9
+        |  UNION ALL SELECT 9, 'split', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || split), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s10)
+        |SELECT stage_idx, stage, n_rows, ids_digest FROM report ORDER BY stage_idx""".stripMargin,
     "q55_similar_docs" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (

@@ -49,8 +49,19 @@ import org.apache.spark.storage.StorageLevel
  */
 object Curate {
 
-  /** Per-stage surviving row counts, in pipeline order. */
-  final case class Report(stages: Seq[(String, Long)]) {
+  /** One pipeline stage's outcome: surviving row count plus an
+    * order-independent membership digest — the sum of each surviving
+    * row's 60-bit md5-prefix id hash ([[Profile.rowDigest]]), as a
+    * decimal string. The digest pins WHICH rows survived, not just how
+    * many, so an oracle replaying the gate chain catches a stage that
+    * drops the right count of the wrong rows. The split stage digests
+    * (id, split) so the assignment itself is pinned too. */
+  final case class StageStat(name: String, rows: Long, idsDigest: String)
+
+  /** Per-stage surviving row counts + membership digests, in pipeline
+    * order. */
+  final case class Report(stats: Seq[StageStat]) {
+    def stages: Seq[(String, Long)] = stats.map(s => (s.name, s.rows))
     def counts: Map[String, Long] = stages.toMap
   }
 
@@ -77,12 +88,21 @@ object Curate {
                semanticThreshold: Double = 0.95,
                semanticNlist: Int = 16,
                keepBestByQuality: Boolean = false): (DataFrame, Report) = {
-    val b = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val b = scala.collection.mutable.ArrayBuffer.empty[StageStat]
     var prev: Option[DataFrame] = None
-    def stage(name: String, df: DataFrame): DataFrame = {
+    // ONE agg job per stage materializes the cache AND yields both the
+    // count and the membership digest (sum of 60-bit md5-prefix id
+    // hashes; zero-row stages digest to "0" on both engines)
+    def stage(name: String, df: DataFrame,
+              digestCols: Seq[String] = Seq(idCol)): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      try b += name -> p.count() // materializes p from prev's cache
-      catch { case e: Throwable => p.unpersist(); throw e }
+      try {
+        val r = p.agg(
+          count(lit(1)),
+          coalesce(sum(Profile.rowDigest(digestCols.map(col))),
+            lit(0).cast("decimal(38,0)"))).head()
+        b += StageStat(name, r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+      } catch { case e: Throwable => p.unpersist(); throw e }
       prev.foreach(_.unpersist())
       prev = Some(p)
       p
@@ -152,7 +172,8 @@ object Curate {
       val clean = stage("decontaminate",
         Decontaminate.decontaminate(semantic, benchmark, idCol, textCol,
           contaminationN))
-      val split = stage("split", Splits.assign(clean, groupCol))
+      val split = stage("split", Splits.assign(clean, groupCol),
+        digestCols = Seq(idCol, "split"))
       (split, Report(b.toSeq))
     } catch { case e: Throwable => prev.foreach(_.unpersist()); throw e }
   }

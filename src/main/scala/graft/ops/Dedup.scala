@@ -111,23 +111,47 @@ object Dedup {
     array_distinct(filter(grams, g => g =!= ""))
   }
 
-  /** 64-bit FNV-1a + murmur-style seed mix for the signature hashes. */
-  private def mix64(h0: Long, seed: Int): Long = {
-    var h = h0 ^ (seed.toLong * 0x9E3779B97F4A7C15L)
-    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
-    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
-    h ^ (h >>> 33)
+  /** Golden-ratio odd constant (0x9E3779B97F4A7C15): seeds the per-hash
+    * multiplier family. Unsigned value 11400714819323198485. */
+  private val SeedA = 0x9E3779B97F4A7C15L
+  /** xorshift64* constant (0x2545F4914F6CDD1D): seeds the per-hash
+    * offsets. Unsigned value 2685821657736338717. */
+  private val SeedB = 0x2545F4914F6CDD1DL
+
+  /** 60-bit md5-prefix base hash of one shingle — the same
+    * `('0x' || substr(md5(g), 1, 15))` parse every other cross-engine
+    * contract in this library uses (corpus digest, split buckets), so
+    * any engine can replay it. First 15 hex chars = bytes 0..6 plus the
+    * high nibble of byte 7. */
+  private[ops] def md5Base60(md: java.security.MessageDigest,
+                             s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /** Per-seed hash: a multiply-add permutation of Z_2^64 applied to the
+    * 60-bit md5 base — `A_s * base + B_s (mod 2^64)` with odd `A_s`, the
+    * standard linear minhash family. Chosen over a murmur-style
+    * xor-shift mix because mod-2^64 multiply-add is exactly replayable
+    * in plain SQL (HUGEINT arithmetic), which is what lets the DuckDB
+    * oracle re-derive band collisions (q57's near-novelty stage)
+    * instead of trusting them. */
+  private[ops] def seedHash(base: Long, seed: Int): Long =
+    SeedA * (2L * seed + 1L) * base + SeedB * (seed + 1L)
+
   private[ops] def signatureOf(shingles: Array[String], k: Int): Array[Long] = {
-    val sig = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = Array.fill(k)(-1L) // unsigned max sentinel
     var i = 0
     while (i < shingles.length) {
-      val base = SimHash.fnv1a64(shingles(i))
+      val base = md5Base60(md, shingles(i))
       var s = 0
       while (s < k) {
-        val h = mix64(base, s)
-        if (h < sig(s)) sig(s) = h
+        val h = seedHash(base, s)
+        if (java.lang.Long.compareUnsigned(h, sig(s)) < 0) sig(s) = h
         s += 1
       }
       i += 1
@@ -135,12 +159,14 @@ object Dedup {
     sig
   }
 
-  /** MinHash signature: per seed i, min over shingles of a seed-mixed
-    * 64-bit hash. One pass per row (the per-shingle base hash is
-    * computed once and remixed per seed) — no shuffle. */
+  /** MinHash signature: per seed i, UNSIGNED min over shingles of a
+    * seed-mixed 64-bit hash. One pass per row (the per-shingle md5 base
+    * is computed once and remixed per seed) — no shuffle. Components
+    * are unsigned-min so the SQL replay is a plain `min` over the
+    * mod-2^64 residues. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     udf((sh: Seq[String]) =>
-      if (sh == null) Array.fill(numHashes)(Long.MaxValue)
+      if (sh == null) Array.fill(numHashes)(-1L)
       else signatureOf(sh.toArray, numHashes)).apply(shingleCol)
 
   /** Banded bucket keys: hash of each r-row slice of the signature. */

@@ -71,14 +71,21 @@ object Profile {
    * null-coalesced columns if that distinction matters.
    */
   def corpusDigest(df: DataFrame, groupCol: String,
-                   cols: Seq[String]): DataFrame = {
+                   cols: Seq[String]): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowDigest(cols.map(col))).as("digest"))
+
+  /** The per-row 60-bit md5-prefix hash behind [[corpusDigest]],
+    * exposed so other contracts (Curate's per-stage membership
+    * digests) sum the exact same kernel. SQL replay:
+    * `('0x' || substr(md5(concat_ws(chr(1), cols...)), 1, 15))::BIGINT`. */
+  def rowDigest(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "digest needs at least one content column")
     val rowKey = concat_ws("\u0001", // 0x01 separator so ("ab","c") != ("a","bc")
-      cols.map(c => col(c).cast("string")): _*)
-    val rowHash = conv(substring(md5(rowKey.cast("binary")), 1, 15), 16, 10)
+      cols.map(_.cast("string")): _*)
+    conv(substring(md5(rowKey.cast("binary")), 1, 15), 16, 10)
       .cast("decimal(38,0)")
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("digest"))
   }
 
   /**

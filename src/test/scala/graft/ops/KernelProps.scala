@@ -36,8 +36,27 @@ object KernelProps extends Properties("kernels") {
       val sa = Dedup.signatureOf(a.toArray, k)
       val sab = Dedup.signatureOf((a ++ b).toArray, k)
       Prop(sa.length == k) &&
-        Prop(sa.zip(sab).forall { case (x, y) => y <= x })
+        // components are UNSIGNED minima (sentinel -1L = unsigned max)
+        Prop(sa.zip(sab).forall { case (x, y) =>
+          java.lang.Long.compareUnsigned(y, x) <= 0 })
     }
+
+  property("signatureOf: matches the cross-engine replay model") = {
+    // pinned against the SQL/python model:
+    //   base  = ('0x' || substr(md5(g), 1, 15))  (60-bit)
+    //   h_s   = (A*(2s+1)*base + B*(s+1)) mod 2^64,
+    //   A = 11400714819323198485, B = 2685821657736338717
+    // If this pin breaks, every DuckDB oracle that re-derives MinHash
+    // band collisions (q57 near-novelty) silently diverges.
+    val expected = Map(
+      "the quick brown" -> Seq(-7144329888579615267L, -5672067249765632902L,
+        -4199804610951650537L),
+      "a" -> Seq(9142521914358854863L, 6295000011630674256L,
+        3447478108902493649L))
+    Prop.all(expected.toSeq.map { case (g, want) =>
+      Prop(Dedup.signatureOf(Array(g), 3).toSeq == want) :| s"gram '$g'"
+    }: _*)
+  }
 
   property("fnv1a64: deterministic and distinct-input sensitive") =
     forAll(word, word) { (a, b) =>

@@ -29,8 +29,12 @@ class NoveltySpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("near novelty drops band-colliding near dups, keeps novel docs") {
+    // fpp tightened: at the default 1e-3 this 12-key filter false-
+    // positived on one of the novel doc's band keys under the md5
+    // seed family — the novel doc was dropped by Bloom noise, not by
+    // a real band collision (the python replay model shows 0 hits)
     val idx = Novelty.fitBandIndex(corpus, "text",
-      shingleSize = 2, numHashes = 12, bands = 6)
+      shingleSize = 2, numHashes = 12, bands = 6, fpp = 1e-9)
     val out = Novelty.nearNovel(incoming, idx, "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(out === Seq(12L)) // 10 exact, 11 near — both collide
