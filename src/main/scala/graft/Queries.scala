@@ -625,7 +625,16 @@ object Queries {
   /** SemDeDup semantic near-dup pairs on the q30 planted-copy corpus:
     * KMeans cells + within-cell cosine — must recover exactly the
     * brute-force >= 0.99 pair set (copies share a cell by
-    * construction). */
+    * construction).
+    *
+    * Scale contract: `nlist = 16` is sized for THIS fixture (~1000
+    * vectors → ~60/cell). nlist must grow with the corpus — cells ≈
+    * n / per-cell comparison budget (SemDeDup uses ~100k cells at
+    * web scale), keeping the within-cell quadratic term constant per
+    * cell; at production sizes also pass `sampleFraction` so the
+    * KMeans fit trains on a sample instead of the full corpus. The
+    * per-cell load bound is asserted by OpsSpec ("ivfFit cells bound
+    * the per-cell quadratic on a clustered corpus"). */
   def q53SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val copies = emb.select(
@@ -958,6 +967,47 @@ object Queries {
       .select(col("lang"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("quality"))
       .orderBy("lang", "rank")
+  }
+
+  /** Column-role detection end to end (reference `utils/Detection`
+    * semantics, SURVEY §2 D2–D5 + D7/D8): resolve the text / index /
+    * categorical / value roles of three fixture schemas from one
+    * sampled aggregate each, then exercise category extraction (D7)
+    * and deterministic categorical encoding (D8) on the categorical
+    * column detection itself picked for `orders`. The role rows pin
+    * the resolution against a literal-VALUES oracle; the D7/D8 rows
+    * are independently derivable in SQL (sorted distinct categories;
+    * sum of sorted-order dense codes over the full table), so the
+    * encoding contract is replayed, not just trusted. */
+  def q77DetectRoles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.schema.Detection
+    val tables = Seq(
+      "documents" -> t(spark, dir, "documents"),
+      // nanos→timestamp first: detection must see ts as a timestamp
+      // (excluded from integer roles), not the raw nanos long
+      "events" -> events(spark, dir),
+      "orders" -> t(spark, dir, "orders"))
+    val roleRows = tables.flatMap { case (name, df) =>
+      val r = Detection.resolve(df)
+      Seq(
+        (name, "text", r.text.getOrElse("(none)")),
+        (name, "index", r.index.getOrElse("(none)")),
+        (name, "categorical", r.categorical.getOrElse("(none)")),
+        (name, "value", r.value.getOrElse("(none)")))
+    }
+    val orders = t(spark, dir, "orders")
+    val catCol = Detection.detectCategoricalColumn(orders)
+      .getOrElse(sys.error("orders categorical not detected"))
+    val cats = Detection.extractStringCategories(orders, catCol)
+      .getOrElse(sys.error(s"$catCol not a string column"))
+    val (encoded, encName) = Detection.convertCategoricalColumn(orders, catCol)
+    val codeSum = encoded.agg(sum(col(encName))).head.getLong(0)
+    val extraRows = Seq(
+      ("orders", s"categories:$catCol", cats.mkString("|")),
+      ("orders", s"encoded_sum:$catCol", codeSum.toString))
+    (roleRows ++ extraRows).toDF("tbl", "role", "col_name")
+      .orderBy("tbl", "role")
   }
 
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions

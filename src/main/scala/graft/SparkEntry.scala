@@ -99,6 +99,7 @@ object SparkEntry {
     "q74_containment" -> (Queries.q74Containment(_, _)),
     "q75_funnel" -> (Queries.q75Funnel(_, _)),
     "q76_topk_lang" -> (Queries.q76TopKLang(_, _)),
+    "q77_detect_roles" -> (Queries.q77DetectRoles(_, _)),
   )
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
@@ -1452,5 +1453,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT lang, rank, doc_id, quality FROM ranked
         |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin),
+    // q77: the role rows are a literal truth table (detection samples
+    // the first 100 rows of the fixed fixture — re-derived by hand from
+    // the documented D2–D5 semantics: max-avg-word-count text column,
+    // all-distinct integer index, reference "head = last in schema
+    // order" categorical tie-break, single-double value column). The
+    // D7/D8 rows are REPLAYED: sorted distinct categories, and the
+    // encoded-code sum where code = position in sorted category order
+    // (dense_rank - 1), over the full orders table.
+    "q77_detect_roles" ->
+      """WITH roles(tbl, role, col_name) AS (VALUES
+        |  ('documents', 'categorical', 'source'),
+        |  ('documents', 'index', 'doc_id'),
+        |  ('documents', 'text', 'text'),
+        |  ('documents', 'value', '(none)'),
+        |  ('events', 'categorical', 'event_type'),
+        |  ('events', 'index', 'event_id'),
+        |  ('events', 'text', '(none)'),
+        |  ('events', 'value', 'value'),
+        |  ('orders', 'categorical', 'o_orderpriority'),
+        |  ('orders', 'index', 'o_orderkey'),
+        |  ('orders', 'text', '(none)'),
+        |  ('orders', 'value', 'o_totalprice')),
+        |derived AS (
+        |  SELECT 'orders' AS tbl, 'categories:o_orderpriority' AS role,
+        |    string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS col_name
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'encoded_sum:o_orderpriority',
+        |    sum(code)::VARCHAR FROM (
+        |      SELECT dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS code
+        |      FROM orders))
+        |SELECT tbl, role, col_name FROM roles
+        |UNION ALL SELECT tbl, role, col_name FROM derived
+        |ORDER BY tbl, role""".stripMargin,
   )
 }

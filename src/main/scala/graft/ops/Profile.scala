@@ -108,8 +108,14 @@ object Profile {
    */
   def overlapMatrix(df: DataFrame, groupCol: String,
                     textCol: String): DataFrame = {
-    val post = df.select(col(groupCol).as("__g"),
-      explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
+    // NULL groups are excluded UP FRONT: every pair predicate below
+    // (`__g < __g2`, `source_a < source_b`) is NULL-eliminating, so a
+    // null group could never appear in a matrix row — dropping its
+    // postings here keeps the sizes side consistent with the pairs
+    // side instead of counting rows that no pair can reference
+    val post = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
       .where(col("__w") =!= "")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -435,45 +435,53 @@ object TextStats {
    *
    * Plan shape: one explode into a partial+final (word, count)
    * aggregate (Zipf-head words collapse map-side), then everything
-   * downstream is BOUNDED: the ranked frame is `TakeOrderedAndProject`
-   * at max(V) rows, its rank/cumulative window runs over that bounded
-   * frame (never over the corpus — a global window over the raw
-   * frequency table would funnel everything through one task), and the
-   * per-V coverage is a broadcast cross of |sizes| × max(V) rows.
+   * downstream is BOUNDED: the ranked head is `TakeOrderedAndProject`
+   * at max(V) rows, and the cumulative coverage is a driver-side
+   * prefix sum over those max(V) counts (never a window over the
+   * corpus — a global rank window over the raw frequency table would
+   * funnel everything through one task).
    * Ties at each cut break deterministically toward the smaller word.
    */
   def vocabCoverage(df: DataFrame, textCol: String,
                     vocabSizes: Seq[Int]): DataFrame = {
     require(vocabSizes.nonEmpty && vocabSizes.forall(_ > 0),
       "vocabSizes must be non-empty and positive")
-    import org.apache.spark.sql.expressions.Window
     val maxV = vocabSizes.max
     val counts = df.select(
       explode(split(Dedup.normalized(col(textCol)), " ")).as("__w"))
       .where(col("__w") =!= "")
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = counts.agg(sum(col("__c")).as("__total"))
-    // single-partition window is safe HERE ONLY: input is post-limit,
-    // bounded at maxV rows
+    val totalRow = counts.agg(sum(col("__c"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    // the ranked head is TakeOrderedAndProject (distributed top-maxV);
+    // pulling those maxV rows to the driver moves EXACTLY the rows a
+    // single-partition rank window would funnel through one task — but
+    // as a bounded collect instead of an unpartitioned WindowExec, so
+    // the bench tail stays free of the "No Partition Defined" warning
+    // and a REAL unpartitioned window can never hide behind an
+    // expected one. The prefix-sum over maxV longs is trivial driver
+    // work; maxV is the caller's vocabulary budget, not data-sized.
     val ranked = counts.orderBy(desc("__c"), asc("__w")).limit(maxV)
-      .withColumn("__rn",
-        row_number().over(Window.orderBy(desc("__c"), asc("__w"))))
+      .select(col("__c")).collect().map(_.getLong(0))
+    counts.unpersist()
     val ss = df.sparkSession
     import ss.implicits._
-    val sizes = vocabSizes.distinct.sorted.toDF("vocab_size")
-    val out = ranked.crossJoin(broadcast(sizes))
-      .where(col("__rn") <= col("vocab_size"))
-      .groupBy(col("vocab_size"))
-      .agg(count(lit(1)).as("n_words"), sum(col("__c")).as("__covered"))
-      .crossJoin(broadcast(total))
-      // long/long division — engine-portable at 4 decimals
-      .select(col("vocab_size"), col("n_words"),
-        round(col("__covered").cast("double") / col("__total"), 4)
-          .as("coverage"))
-      .localCheckpoint(true)
-    counts.unpersist()
-    out
+    if (total == 0L)
+      // empty corpus: no words to rank — zero rows, as the grouped
+      // formulation produced
+      return Seq.empty[(Int, Long, Double)]
+        .toDF("vocab_size", "n_words", "coverage")
+    val prefix = ranked.scanLeft(0L)(_ + _).tail
+    vocabSizes.distinct.sorted.map { v =>
+      val n = math.min(v, ranked.length)
+      val covered = if (n == 0) 0L else prefix(n - 1)
+      // same rounding as Spark's round(): HALF_UP at 4 decimals on the
+      // double quotient — keeps the DuckDB oracle compare bit-stable
+      val cov = BigDecimal(covered.toDouble / total)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      (v, n.toLong, cov)
+    }.toDF("vocab_size", "n_words", "coverage")
   }
 
   /**

@@ -32,10 +32,10 @@ object FormatIO {
   private def firstTwoLines(path: String, spark: SparkSession): Array[String] =
     spark.read.text(path).limit(2).collect().map(_.getString(0))
 
-  /** Intended S5 semantics: pick the first of `, | : \t` whose count is
-    * equal and non-zero across the first two lines; else ";". */
-  def findDelimiter(path: String, spark: SparkSession): String = {
-    val lines = firstTwoLines(path, spark)
+  /** Pure kernel of [[findDelimiter]] over the first two lines —
+    * exposed for property testing (the sniffers' logic is line-local;
+    * only the two-line read needs Spark). */
+  private[sources] def delimiterOf(lines: Array[String]): String = {
     if (lines.length < 2) return ","
     val (l1, l2) = (lines(0), lines(1))
     val candidates = Seq(',', '|', ':', '\t')
@@ -45,10 +45,13 @@ object FormatIO {
       .getOrElse(";")
   }
 
-  /** S6: quote char is `"` or `'` iff the longest multi-word field of
-    * the second line starts with it (reference algorithm, kept). */
-  def detectEscape(path: String, delim: String, spark: SparkSession): Option[String] = {
-    val lines = firstTwoLines(path, spark)
+  /** Intended S5 semantics: pick the first of `, | : \t` whose count is
+    * equal and non-zero across the first two lines; else ";". */
+  def findDelimiter(path: String, spark: SparkSession): String =
+    delimiterOf(firstTwoLines(path, spark))
+
+  /** Pure kernel of [[detectEscape]] (reference algorithm, kept). */
+  private[sources] def escapeOf(lines: Array[String], delim: String): Option[String] = {
     if (lines.length < 2) return None
     val parts = lines(1).split(java.util.regex.Pattern.quote(delim))
       .filter(_.split(" ").length > 3)
@@ -60,19 +63,27 @@ object FormatIO {
     }
   }
 
+  /** S6: quote char is `"` or `'` iff the longest multi-word field of
+    * the second line starts with it (reference algorithm, kept). */
+  def detectEscape(path: String, delim: String, spark: SparkSession): Option[String] =
+    escapeOf(firstTwoLines(path, spark), delim)
+
   private def looksNumeric(s: String): Boolean =
     s.nonEmpty && scala.util.Try(s.trim.toDouble).isSuccess
 
-  /** Intended S7 semantics: the first line is a header iff some field
-    * that is numeric on line 2 is non-numeric on line 1. */
-  def hasHeader(path: String, delim: String, spark: SparkSession): Boolean = {
-    val lines = firstTwoLines(path, spark)
+  /** Pure kernel of [[hasHeader]]. */
+  private[sources] def headerOf(lines: Array[String], delim: String): Boolean = {
     if (lines.length < 2) return false
     val q = java.util.regex.Pattern.quote(delim)
     val f1 = lines(0).split(q)
     val f2 = lines(1).split(q)
     f1.zip(f2).exists { case (a, b) => looksNumeric(b) && !looksNumeric(a) }
   }
+
+  /** Intended S7 semantics: the first line is a header iff some field
+    * that is numeric on line 2 is non-numeric on line 1. */
+  def hasHeader(path: String, delim: String, spark: SparkSession): Boolean =
+    headerOf(firstTwoLines(path, spark), delim)
 
   private def csvLoad(path: String, header: Boolean, delim: String,
                       spark: SparkSession): DataFrame = {

@@ -235,12 +235,18 @@ object EventStreams {
    * (0 = never entered the funnel); aggregate downstream for the
    * per-step conversion counts.
    */
-  def funnelProgress(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnelProgress(events: DataFrame, steps: Seq[String],
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     tsCol: String = "ts"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .selectExpr("user_id", "event_type", "ts")
+      // same calling convention as the level-join twin [[funnel]];
+      // types are part of the contract (long user key, string type,
+      // timestamp) — the typed state encoder needs them exact
+      .select(col(userCol), col(typeCol), col(tsCol))
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelState, FunnelProgress](

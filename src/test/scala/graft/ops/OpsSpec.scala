@@ -741,6 +741,39 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("ivfFit cells bound the per-cell quadratic on a clustered corpus") {
+    // the q53 scale contract: with nlist sized to the corpus (cells ~
+    // n / per-cell budget), the within-cell quadratic term must stay
+    // near the planted-cluster optimum even when cluster sizes are
+    // SKEWED — if KMeans collapsed the corpus into one cell, SemDeDup
+    // would silently degrade to the all-pairs product it exists to
+    // avoid. Skewed fixture: 6 well-separated clusters, 150..10 pts.
+    val sizes = Seq(150, 50, 40, 30, 20, 10)
+    val rows = sizes.zipWithIndex.flatMap { case (sz, c) =>
+      (0 until sz).map { i =>
+        val id = c * 1000L + i
+        // center = 10 * e_c, jitter << separation
+        val v = Array.tabulate(8)(j =>
+          (if (j == c) 10f else 0f) + 0.01f * math.cos(id * 8 + j).toFloat)
+        (id, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = SimSearch.ivfFit(df, "vec_id", "embedding",
+      nlist = sizes.length, seed = 42L)
+    val cellSizes = idx.assigned.groupBy("__cell").count()
+      .collect().map(_.getLong(1))
+    val n = sizes.sum.toLong
+    assert(cellSizes.sum == n) // every row assigned exactly once
+    def quad(cs: Seq[Long]): Long = cs.map(c => c * (c - 1) / 2).sum
+    val planted = quad(sizes.map(_.toLong))
+    val allPairs = n * (n - 1) / 2
+    val actual = quad(cellSizes.toSeq)
+    // within 1.5x of the planted-cluster optimum, far under all-pairs
+    assert(actual <= (1.5 * planted).toLong,
+      s"per-cell quadratic $actual vs planted $planted (all-pairs $allPairs)")
+  }
+
   test("random projection: hand-computed components, distances preserved") {
     val a = Array.tabulate(64)(j => math.sin(j + 1).toFloat)
     val vecs = Seq((1L, a), (2L, a.map(x => 2 * x))).toDF("vec_id", "embedding")
