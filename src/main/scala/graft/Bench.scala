@@ -79,7 +79,7 @@ object Bench {
         (name, ts, None: Option[String])
     }
     val ok = results.collect { case (k, ts, None) => (k, ts.min, ts) }
-    val qs = ok.map { case (k, m, _) => s""""$k":${fmt(m)}""" }
+    val qs = ok.map { case (k, m, _) => s""""${shortKey(k)}":${fmt(m)}""" }
       .mkString("{", ",", "}")
     val errEntries = results.collect { case (k, _, Some(m)) => (k, m) }
     val errsFull = errEntries.map { case (k, m) =>
@@ -147,12 +147,24 @@ object Bench {
   def boundedErrs(entries: Seq[(String, String)]): String = {
     val keep = 3
     val shown = entries.take(keep).map { case (k, m) =>
-      s""""$k":"${escape(m.take(60))}""""
+      s""""${shortKey(k)}":"${escape(m.take(60))}""""
     }
     val dropped = entries.size - shown.size
     val extra = if (dropped > 0) Seq(s""""__dropped":$dropped""") else Nil
     (shown ++ extra).mkString("{", ",", "}")
   }
+
+  /** Stdout key for one query: the unique numeric prefix ("q53" for
+    * "q53_semantic_dedup"). 82 full names at 5-char values overflow
+    * the driver's 2000-char capture window; the prefixes are unique by
+    * construction (BenchFormatSpec asserts it), BASELINE.md's per-query
+    * table matches rows by the same prefix, and the sidecar
+    * `target/bench-runs.json` keeps the full names. */
+  private[graft] def shortKey(name: String): String =
+    name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
 
   /** The single driver-facing JSON line (also built by BenchFormatSpec
     * to assert it stays well inside the 2000-char capture window).

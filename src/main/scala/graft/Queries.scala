@@ -81,6 +81,30 @@ import graft.text.TextClean
  *  - q54_project       JL random-projection digest (seeded Gaussian)
  *  - q55_similar_docs  cross-table "docs like this one" (ANN ⋈ metadata)
  *  - q56_schema_profile per-column null/distinct/range quality report
+ *  - q57_curate        ten-stage curation composition (per-stage counts
+ *                      + membership digests; full DuckDB replay)
+ *  - q58_span_mask     sub-document span dedup (Lee et al. masking)
+ *  - q59_retention     cohort retention curves over events
+ *  - q60-q63,q65       pivot / rolling window / collocation PMI /
+ *                      unpivot / rollup relational shapes
+ *  - q64_quality_gate  per-source median quality gate (broadcast thresholds)
+ *  - q66_approx_sketch HLL + t-digest sketch certification
+ *  - q67_corpus_digest commutative md5-prefix corpus checksum
+ *  - q68_oov_rate      tokenizer-coverage OOV rate vs top-V vocab
+ *  - q69_source_overlap pairwise source vocabulary Jaccard matrix
+ *  - q70_dup_best      exact dedup keeping the best-quality copy
+ *  - q71_dsir_weight   DSIR importance weights vs a target domain
+ *  - q72_vocab_curve   vocabulary coverage sizing curve
+ *  - q73_quality_z     within-source z-score standardization
+ *  - q74_containment   graded n-gram containment vs a benchmark
+ *  - q75_funnel        ordered multi-step funnel over events
+ *  - q76_topk_lang     per-group top-k (WindowGroupLimit pruning)
+ *  - q77_detect_roles  column-role detection end to end (D2-D5, D7/D8)
+ *  - q78_winnow_fingerprint winnowing (MOSS) fingerprint summary
+ *  - q79_tfidf_keywords top-k TF-IDF keywords per document
+ *  - q80_lexical_diversity TTR / hapax fraction / unigram entropy
+ *  - q81_dup_clusters  near-dup cluster assignment (LSH + closure)
+ *  - q82_csv_roundtrip sniffing CSV IO round-trip digest (S2/S5-S7/S11)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -1008,6 +1032,72 @@ object Queries {
       ("orders", s"encoded_sum:$catCol", codeSum.toString))
     (roleRows ++ extraRows).toDF("tbl", "role", "col_name")
       .orderBy("tbl", "role")
+  }
+
+  /** Winnowing fingerprint summary per document
+    * ([[graft.ops.Fingerprint.summary]], k=8-char grams, w=4 windows)
+    * — map-only selection, digest as a decimal string (the q67
+    * representation contract). */
+  def q78WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Fingerprint.summary(
+      t(spark, dir, "documents"), "doc_id", "text", k = 8, w = 4)
+      .orderBy("doc_id")
+
+  /** Top-3 TF-IDF keywords per document
+    * ([[graft.ops.TextStats.tfidfKeywords]]) — rounded-score ranking,
+    * word-ascending tie-break. */
+  def q79TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.tfidfKeywords(
+      t(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Per-document lexical diversity (type-token ratio, hapax fraction,
+    * unigram entropy — [[graft.ops.TextStats.lexicalDiversity]]). */
+  def q80LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.lexicalDiversity(
+      t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Near-dup cluster assignment for EVERY document
+    * ([[graft.ops.Dedup.nearDupClusters]] — q22's LSH pair machinery
+    * plus min-label closure; the oracle replays exact-Jaccard pairs
+    * and a recursive-CTE closure, the q22/q57 contract). */
+  def q81DupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.nearDupClusters(
+      t(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7)
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
+  /** CSV round-trip through the FULL sniffing IO path (SURVEY §2 S2 +
+    * S5–S7 + S11/S13 end to end): write documents with the
+    * format-preserving sink, load them back through extension dispatch
+    * + delimiter/escape/header sniffing + schema inference, and emit
+    * the q67 corpus digest of what came back. The oracle is the SAME
+    * digest computed from the parquet source — lossless round-trip is
+    * the contract (the fixture is CSV-clean: no embedded delimiters,
+    * quotes, edge whitespace, or nulls; a lossy sniff or a misread
+    * header shifts every row hash). Eagerly checkpointed so the temp
+    * directory can be deleted before the driver consumes the frame. */
+  def q82CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q82_")
+    val out = tmp.resolve("documents.csv").toString
+    try {
+      graft.sources.FormatIO.save("csv", t(spark, dir, "documents"), out,
+        overwrite = true)
+      val (back, tag) = graft.sources.FormatIO.loadFromPath(out, spark)
+        .getOrElse(sys.error("extension dispatch failed for " + out))
+      require(tag == "csv", s"dispatch resolved '$tag', expected csv")
+      graft.ops.Profile.corpusDigest(back, "source", Seq("doc_id", "text", "lang"))
+        .withColumn("digest", col("digest").cast("string"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    } finally {
+      // best-effort recursive cleanup of the temp round-trip dir
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions

@@ -100,7 +100,24 @@ object SparkEntry {
     "q75_funnel" -> (Queries.q75Funnel(_, _)),
     "q76_topk_lang" -> (Queries.q76TopKLang(_, _)),
     "q77_detect_roles" -> (Queries.q77DetectRoles(_, _)),
+    "q78_winnow_fingerprint" -> (Queries.q78WinnowFingerprint(_, _)),
+    "q79_tfidf_keywords" -> (Queries.q79TfidfKeywords(_, _)),
+    "q80_lexical_diversity" -> (Queries.q80LexicalDiversity(_, _)),
+    "q81_dup_clusters" -> (Queries.q81DupClusters(_, _)),
+    "q82_csv_roundtrip" -> (Queries.q82CsvRoundtrip(_, _)),
   )
+
+  /** q67 and q82 share one contract: the commutative md5-prefix corpus
+    * digest of documents, straight from parquet. q67 pins the digest
+    * operator itself; q82 computes the same digest AFTER a CSV
+    * write→sniff→read round-trip, so any loss in the IO path breaks
+    * the match against this parquet-side replay. */
+  private val corpusDigestSql: String =
+    """SELECT source, count(*) AS n_rows,
+      |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+      |        doc_id::VARCHAR, text, lang)), 1, 15))::BIGINT) AS VARCHAR) AS digest
+      |FROM documents GROUP BY source
+      |ORDER BY source""".stripMargin
 
   /** q30 and q53 share one contract: both near-dup paths (SRP
     * multi-probe, SemDeDup cells) must recover exactly the brute-force
@@ -1293,12 +1310,7 @@ object SparkEntry {
     // DuckDB HUGEINT alike, but any numeric transport path that
     // narrows to float64 (e.g. pandas) loses the low digits — the
     // string form is representation-proof (r7 hash-fail fix).
-    "q67_corpus_digest" ->
-      """SELECT source, count(*) AS n_rows,
-        |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
-        |        doc_id::VARCHAR, text, lang)), 1, 15))::BIGINT) AS VARCHAR) AS digest
-        |FROM documents GROUP BY source
-        |ORDER BY source""".stripMargin,
+    "q67_corpus_digest" -> corpusDigestSql,
     // q68: vocab cut replayed with the same deterministic tie-break
     // (count DESC, word ASC); oov_rate is long/long division so 4
     // decimals are engine-portable
@@ -1487,5 +1499,117 @@ object SparkEntry {
         |SELECT tbl, role, col_name FROM roles
         |UNION ALL SELECT tbl, role, col_name FROM derived
         |ORDER BY tbl, role""".stripMargin,
+    // q78: full winnowing replay — 8-char gram hashes via the shared
+    // 60-bit md5-prefix parse, window-of-4 minima, distinct set; the
+    // digest sums in HUGEINT and ships as VARCHAR (the q67 contract).
+    "q78_winnow_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CASE WHEN length(s) >= 8 THEN
+        |      list_transform(generate_series(1, length(s) - 7),
+        |        i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 15))::BIGINT)
+        |    ELSE [] END AS hs
+        |  FROM n),
+        |f AS (
+        |  SELECT doc_id, len(hs) AS ng,
+        |    CASE WHEN len(hs) >= 1 THEN
+        |      list_distinct(list_transform(
+        |        generate_series(1, greatest(len(hs) - 3, 1)),
+        |        j -> list_min(hs[j:j+3])))
+        |    ELSE [] END AS fps
+        |  FROM h),
+        |d AS (
+        |  SELECT doc_id, sum(fp::HUGEINT) AS dg
+        |  FROM (SELECT doc_id, unnest(fps) AS fp FROM f) t
+        |  GROUP BY doc_id)
+        |SELECT f.doc_id, CAST(f.ng AS BIGINT) AS n_grams,
+        |  CAST(len(f.fps) AS BIGINT) AS n_fingerprints,
+        |  CAST(coalesce(d.dg, 0) AS VARCHAR) AS fp_digest
+        |FROM f LEFT JOIN d USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
+    // q79: tf-idf with the corpus' own df; ranking on the ROUNDED
+    // score with word-ascending tie-break (the q64 rounded-gate
+    // contract), so an engine-ulp boundary cannot flip the top-3 cut.
+    "q79_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id, t.w AS word, t.tf,
+        |    round(t.tf * ln(nd.n / d.df), 4) + 0.0 AS score
+        |  FROM toks t JOIN dfreq d USING (w) CROSS JOIN nd)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word) AS BIGINT) AS rank,
+        |  word, tf, score
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    // q80: ttr/hapax are exact-integer quotients; entropy is the
+    // regrouped p·ln p sum (3 decimals, the float-sum contract);
+    // integer sums cast to BIGINT (the r7 HUGEINT lesson).
+    "q80_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  round(count(*)::DOUBLE / sum(tf), 4) AS ttr,
+        |  round(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |    AS hapax_frac,
+        |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 3) + 0.0 AS entropy
+        |FROM toks GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q81: the q22 exact-Jaccard pair contract (LSH output == the
+    // brute-force pair set at this fixture) extended to cluster
+    // assignment — recursive-CTE min-label closure (the q57 stage-7
+    // pattern), singletons mapping to themselves via the left join.
+    "q81_dup_clusters" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM norm WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) j
+        |  JOIN sizes sa ON sa.doc_id = j.id_a
+        |  JOIN sizes sb ON sb.doc_id = j.id_b
+        |  WHERE j.i::DOUBLE / (sa.sz + sb.sz - j.i) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q82: the q67 digest replayed from PARQUET while the query's
+    // frame went through CSV write → sniff → read — the oracle IS the
+    // round-trip losslessness check (S2/S5–S7/S11 end to end).
+    "q82_csv_roundtrip" -> corpusDigestSql,
   )
 }

@@ -403,6 +403,34 @@ object Dedup {
   }
 
   /**
+   * Cluster-assignment form of near dedup: EVERY row tagged with its
+   * duplicate-cluster representative (`cluster_id` = min id reachable
+   * through the verified near-dup pair graph; singletons map to
+   * themselves). [[dropNearDuplicates]] is this with a
+   * `cluster_id === id` filter — the assignment form is what an
+   * auditing pipeline keeps (cluster sizes, which copies were dropped
+   * and WHY) and what downstream weighted-sampling reads (sample one
+   * per cluster, weight by cluster size).
+   *
+   * Scale shape: same LSH candidate + exact-verify + min-label closure
+   * stages as [[dropNearDuplicates]]; the final tag-back is a
+   * BROADCAST left join — the component label frame only holds nodes
+   * that appear in some pair, tiny relative to a mostly-unique corpus.
+   */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 12,
+                      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    require(!df.columns.contains("cluster_id"),
+      "input column cluster_id collides with nearDupClusters's output column")
+    val pairs = minhashPairs(df, idCol, textCol, shingleSize, numHashes,
+      bands, threshold)
+    val comps = componentsOf(pairs).withColumnRenamed("node", idCol)
+    df.join(broadcast(comps), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+  }
+
+  /**
    * Exact n-gram Jaccard similarity join within a blocking key (e.g.
    * same source/lang), in the inverted-index formulation: explode the
    * shingle postings, equi-join on (block, shingle), aggregate shared

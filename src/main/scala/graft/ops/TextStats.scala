@@ -1,18 +1,18 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /**
  * Text-analysis operators for training-data pipelines: token counting,
  * quality scoring, language identification (n-gram/stopword heuristic),
- * and document fingerprinting (rolling-hash winnowing). Extension
- * surface beyond the reference (which only normalizes+scores text).
+ * and distribution-level diversity stats. Extension surface beyond the
+ * reference (which only normalizes+scores text). Document
+ * fingerprinting lives in [[graft.ops.Fingerprint]] (winnowing) and
+ * [[fingerprint]] (whole-doc hash).
  *
- * Everything except the winnowing fingerprint is pure Catalyst
- * expressions — whole-stage-codegen friendly, no shuffle, pushdown
- * preserved upstream.
+ * Nearly everything here is pure Catalyst expressions — whole-stage-
+ * codegen friendly, no shuffle, pushdown preserved upstream.
  */
 object TextStats {
 
@@ -116,35 +116,11 @@ object TextStats {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** 64-bit document fingerprint of the normalized text. */
+  /** 64-bit document fingerprint of the normalized text. For the
+    * position-robust fingerprint SET (winnowing), see
+    * [[graft.ops.Fingerprint]] — the expression-based, SQL-replayable
+    * form that superseded the per-row UDF that used to live here. */
   def fingerprint(text: Column): Column = xxhash64(Dedup.normalized(text))
-
-  /** Winnowing (Schleimer et al. 2003): k-gram rolling hashes, keep the
-    * minimum in each window of w — a position-robust fingerprint set
-    * for near-dup/plagiarism detection. Per-row UDF (single pass). */
-  private[ops] def winnow(text: String, k: Int, w: Int): Seq[Long] = {
-    if (text == null || text.length < k) return Seq.empty
-    val hashes = new Array[Long](text.length - k + 1)
-    var i = 0
-    while (i + k <= text.length) {
-      hashes(i) = SimHash.fnv1a64(text.substring(i, i + k))
-      i += 1
-    }
-    if (hashes.length <= w) return Seq(hashes.min).distinct
-    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-    var s = 0
-    while (s + w <= hashes.length) {
-      var m = hashes(s)
-      var j = s + 1
-      while (j < s + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      out += m
-      s += 1
-    }
-    out.toSeq
-  }
-
-  def winnowUdf(k: Int = 5, w: Int = 4): UserDefinedFunction =
-    udf((s: String) => winnow(s, k, w))
 
   /** Raw repetition signals of one document (single pass over the
     * normalized tokens — no shuffle; the Gopher-style repetition gate).
@@ -530,6 +506,88 @@ object TextStats {
         (round(col("__s") / col("n_tokens")
           + log(col("__n") + col("__v")) - log(col("__nt") + col("__v")), 3)
           + lit(0.0)).as("log_ratio"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  /**
+   * Top-k keywords per document by TF-IDF: `score = tf(w,d) *
+   * ln(N / df(w))` over the corpus' own document frequencies — the
+   * per-doc topical summary a curation pipeline attaches for
+   * clustering, routing, and domain labeling (and the cheap
+   * non-embedding baseline next to [[graft.ops.SimSearch]]'s vectors).
+   *
+   * Plan shape: the shared skew-free (doc, word) tf aggregate
+   * ([[unigramLogProb]]'s), a (word, df) aggregate joined back on the
+   * word key (rows bounded by DISTINCT (doc, word), never token
+   * instances), the scalar doc count broadcast in as a single row, and
+   * a per-DOC row_number window — partitioned on the id, so it prunes
+   * map-side via WindowGroupLimit and no key is hotter than one
+   * document's vocabulary. Ranking uses the ROUNDED score (ties broken
+   * toward the lexicographically smaller word) so an engine-ulp
+   * boundary cannot flip the cut — the q64 contract.
+   */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    require(!Set("__w", "__tf", "__df", "__nd", "word", "tf", "score",
+      "rank").contains(idCol),
+      s"idCol '$idCol' collides with tfidfKeywords's reserved names")
+    val tf = docTermFreq(df, idCol, textCol)
+    val dfreq = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val nDocs = tf.agg(countDistinct(col(idCol)).as("__nd"))
+    val scored = tf.join(dfreq, "__w")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("__w").as("word"), col("__tf").as("tf"),
+        // + 0.0 folds IEEE -0.0 to +0.0 (a word in every doc scores
+        // tf * ln(1) = 0 — keep the zero sign engine-portable)
+        (round(col("__tf") * log(col("__nd").cast("double") / col("__df")), 4)
+          + lit(0.0)).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("word"), col("tf"), col("score"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  /**
+   * Per-document lexical diversity: type-token ratio, hapax fraction
+   * (words occurring once / distinct words), and unigram Shannon
+   * entropy in nats — the vocabulary-richness signals that separate
+   * natural prose from templated or keyword-stuffed text (quality
+   * filtering's complement to [[repetitionStats]], which looks at
+   * n-gram repeats; these look at the word DISTRIBUTION).
+   *
+   * Entropy uses `H = ln(n) - (Σ tf·ln tf) / n` (the p·ln p sum
+   * regrouped over counts), so everything folds into ONE aggregate
+   * over the shared skew-free (doc, word) tf frame — no second pass,
+   * no window. ttr/hapax_frac are exact-integer quotients (4-decimal
+   * safe); entropy sums floats and rounds to 3 (the
+   * [[unigramLogProb]] contract). Docs with zero tokens are dropped
+   * (same contract as every tf-derived stat here).
+   */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!Set("__w", "__tf", "__hapax", "__slc", "n_tokens", "n_types",
+      "ttr", "hapax_frac", "entropy").contains(idCol),
+      s"idCol '$idCol' collides with lexicalDiversity's reserved names")
+    val tf = docTermFreq(df, idCol, textCol)
+    val out = tf.groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__tf") === 1, lit(1L)).otherwise(lit(0L))).as("__hapax"),
+        sum(col("__tf") * log(col("__tf"))).as("__slc"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("__hapax").cast("double") / col("n_types"), 4).as("hapax_frac"),
+        // + 0.0: a single-word doc hits H = 0 exactly; fold any -0.0
+        (round(log(col("n_tokens")) - col("__slc") / col("n_tokens"), 3)
+          + lit(0.0)).as("entropy"))
       .localCheckpoint(true)
     tf.unpersist()
     out

@@ -16,6 +16,12 @@ class BenchFormatSpec extends AnyFunSuite {
   test("bench stdout line fits the driver's 2000-char tail capture") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.nonEmpty)
+    // the stdout line keys each query by its numeric prefix (the
+    // sidecar keeps full names); the prefixes must stay unique or
+    // two queries would collapse into one JSON key
+    val keys = names.map(Bench.shortKey)
+    assert(keys.distinct.size == names.size,
+      s"duplicate bench short keys: ${keys.diff(keys.distinct).distinct}")
     // worst case: every value at fmt's 5-char width ceiling (the
     // ladder guarantees <= 5 chars for anything below 99999.5 s —
     // 27 h, beyond the driver round's own wall-clock), THROUGH the
@@ -23,7 +29,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // growth would overflow the capture window
     val worst = Bench.fmt(9999.9)
     assert(worst.length == 5, s"ladder ceiling regressed: '$worst'")
-    val qs = names.map(n => s""""$n":$worst""").mkString("{", ",", "}")
+    val qs = keys.map(k => s""""$k":$worst""").mkString("{", ",", "}")
     val line = Bench.line(9999.9 * names.size, qs, "{}",
       "/root/testdata/sf0.1")
     // budget: 2000-char driver capture minus the ~80-char sbt trailer,

@@ -93,15 +93,31 @@ object KernelProps extends Properties("kernels") {
       else Prop(got > max)
     }
 
+  // space-free lowercase strings: normalization is the identity, so
+  // these pin the pure winnowing selection, not the normalizer
+  private val flatText: Gen[String] =
+    Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
+
   property("winnow: fingerprints are a subset of all k-gram hashes, never empty for len >= k") =
-    forAll(Gen.choose(2, 8), Gen.alphaStr) { (k, t) =>
-      val fp = TextStats.winnow(t, k, 4)
+    forAll(Gen.choose(2, 8), flatText) { (k, t) =>
+      val fp = Fingerprint.winnowScalar(t, k, 4)
       if (t.length < k) Prop(fp.isEmpty)
       else {
+        val md = java.security.MessageDigest.getInstance("MD5")
         val all = (0 to t.length - k)
-          .map(i => SimHash.fnv1a64(t.substring(i, i + k))).toSet
+          .map(i => Dedup.md5Base60(md, t.substring(i, i + k))).toSet
         Prop(fp.nonEmpty) && Prop(fp.toSet.subsetOf(all))
       }
+    }
+
+  property("winnow guarantee: shared substring of len >= w+k-1 => shared fingerprint") =
+    forAll(Gen.choose(2, 6), Gen.choose(2, 6), flatText, flatText,
+      flatText) { (k, w, prefix, shared0, suffix) =>
+      // pad the shared span to the guarantee length w + k - 1
+      val shared = (shared0 + ("z" * (w + k - 1))).take(w + k - 1 + shared0.length)
+      val a = Fingerprint.winnowScalar(prefix + shared, k, w).toSet
+      val b = Fingerprint.winnowScalar(shared + suffix, k, w).toSet
+      Prop(a.intersect(b).nonEmpty) :| s"k=$k w=$w shared='$shared'"
     }
 
   private val maskCase: Gen[(List[String], Int, Set[String])] = for {

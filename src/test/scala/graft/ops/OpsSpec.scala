@@ -157,11 +157,111 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("winnowing fingerprints: deterministic, robust to prefix shift") {
-    val a = TextStats.winnow("abcdefghijklmnop", 5, 4)
-    assert(a === TextStats.winnow("abcdefghijklmnop", 5, 4))
-    val shifted = TextStats.winnow("XYabcdefghijklmnop", 5, 4)
+    val a = Fingerprint.winnowScalar("abcdefghijklmnop", 5, 4)
+    assert(a === Fingerprint.winnowScalar("abcdefghijklmnop", 5, 4))
+    val shifted = Fingerprint.winnowScalar("xyabcdefghijklmnop", 5, 4)
     // shared k-gram minima survive the shift (winnowing guarantee)
     assert(a.toSet.intersect(shifted.toSet).nonEmpty)
+  }
+
+  test("winnowing summary matches the scalar model, short docs digest to 0") {
+    val fx = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The  QUICK brown fox jumps over the lazy dog"), // dup mod case/ws
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "short"), // 5 chars < k: zero grams
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Fingerprint.summary(fx, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    for ((id, text) <- Seq(1L -> "the quick brown fox jumps over the lazy dog",
+                           3L -> "pack my box with five dozen liquor jugs")) {
+      val fps = Fingerprint.winnowScalar(text, 8, 4)
+      val (ng, nfp, dig) = out(id)
+      assert(ng === text.length - 7)
+      assert(nfp === fps.size.toLong)
+      assert(dig === fps.map(BigInt(_)).sum.toString)
+    }
+    // normalization folds case/double-space: doc 2 == doc 1
+    assert(out(2L) === out(1L))
+    assert(out(4L) === ((0L, 0L, "0")))
+    assert(out(5L) === ((0L, 0L, "0")))
+  }
+
+  test("shared-fingerprint pairs find the duplicate, maxDf prunes boilerplate") {
+    val fx = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated words about spark engines here")
+    ).toDF("doc_id", "text")
+    val pairs = Fingerprint.sharedFingerprintPairs(fx, "doc_id", "text",
+      k = 8, w = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // df=1 cap drops every fingerprint the dup pair shares
+    val capped = Fingerprint.sharedFingerprintPairs(fx, "doc_id", "text",
+      k = 8, w = 4, maxDf = 1)
+    assert(capped.isEmpty)
+  }
+
+  test("tfidf keywords: ubiquitous words score 0, rare words rank first") {
+    val fx = Seq(
+      (1L, "alpha alpha common"),
+      (2L, "beta common"),
+      (3L, "gamma common")
+    ).toDF("doc_id", "text")
+    val out = TextStats.tfidfKeywords(fx, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: alpha tf=2 df=1 -> 2*ln(3) ~ 2.1972 ranks over common (0.0)
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq === Seq("alpha", "common"))
+    assert(d1.head._4 === 2L)
+    assert(math.abs(d1.head._5 - 2 * math.log(3)) < 1e-3)
+    assert(d1(1)._5 === 0.0) // df == nDocs -> ln(1) = 0, sign-folded
+    // every doc gets at most k rows, ranks dense from 1
+    assert(byDoc.values.forall(rows =>
+      rows.map(_._2).sorted.toSeq == (1L to rows.size.toLong)))
+  }
+
+  test("lexical diversity: exact ttr/hapax/entropy on a known doc") {
+    val fx = Seq(
+      (1L, "a a a b"),       // n=4, types=2, hapax=1 (b)
+      (2L, "x x x x"),       // single type: entropy exactly 0
+      (3L, "u v w")          // all hapax: maximal diversity
+    ).toDF("doc_id", "text")
+    val out = TextStats.lexicalDiversity(fx, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val (n1, t1, ttr1, hx1, h1) = out(1L)
+    assert((n1, t1, ttr1, hx1) === ((4L, 2L, 0.5, 0.5)))
+    // H = ln(4) - (3 ln 3 + 1 ln 1)/4
+    val expected = math.log(4) - 3 * math.log(3) / 4
+    assert(math.abs(h1 - BigDecimal(expected).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L) === ((4L, 1L, 0.25, 0.0, 0.0)))
+    assert(out(3L)._5 === BigDecimal(math.log(3)).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("near-dup clusters: chain collapses to min id, singletons self-map") {
+    // 1~2 exact, 2~3 near (chain), 4 unrelated
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 12, bands = 6, threshold = 0.5)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(1L) === 1L)
+    assert(clusters(2L) === 1L)
+    assert(clusters(5L) === 1L)
+    assert(clusters(4L) === 4L) // singleton
+    // assignment form agrees with the drop form: survivors = fixpoints
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 12, bands = 6, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === clusters.filter { case (id, c) => id == c }.keySet)
   }
 
   test("cosineTopK: nearest is the most aligned vector") {
