@@ -91,7 +91,13 @@ object Bench {
     val runs = ok.map { case (k, _, ts) =>
       s""""$k":${ts.map(fmt).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
-    val stdoutLine = line(total, qs, boundedErrs(errEntries), sfDir)
+    // An explicit top-level error count: round 8's bench exited 0 with
+    // q32 erroring, so a gate keyed on the exit code read the round as
+    // clean. The rc stays 0 (a non-zero rc could make the driver drop
+    // the whole BENCH artifact, hiding the successful queries too);
+    // `nerr` on the line is the loud, machine-checkable signal.
+    val stdoutLine =
+      line(total, qs, boundedErrs(errEntries), sfDir, errEntries.size)
     // independent try blocks: a failure writing the (larger) samples
     // sidecar must not also lose the driver-facing line's disk copy
     try {
@@ -171,8 +177,9 @@ object Bench {
     * `sf` carries only the scale-factor directory NAME — the full path
     * is in the `target/bench-runs.json` sidecar; on the width-budgeted
     * stdout line the constant prefix was pure padding. */
-  def line(total: Double, qs: String, errs: String, sfDir: String): String = {
+  def line(total: Double, qs: String, errs: String, sfDir: String,
+           nerr: Int = 0): String = {
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nerr":$nerr,"queries":$qs,"errors":$errs,"sf":"$sfName"}"""
   }
 }

@@ -13,7 +13,20 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A broken query must never vanish from the scorecard (round 8:
+        // q32 errored at analysis and simply had no row in
+        // CORRECTNESS_r08.json). Write a one-row sentinel parquet whose
+        // schema can't match any oracle — the driver's compare then
+        // shows a RED row — plus a plain-text marker with the message.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg.take(500)).toDF("__verify_failed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          Files.writeString(Paths.get(s"$outDir/${name}._failed"),
+            msg.take(4000))
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -62,6 +62,13 @@ object EventStreams {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP_MICROS with isAdjustedToUTC=0 reads as TIMESTAMP_NTZ,
+      // which `unix_micros` and `withWatermark` reject. The session
+      // timezone is pinned to UTC (GraftSession/SparkTestSession), so
+      // casting to the instant type is wall-clock lossless.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

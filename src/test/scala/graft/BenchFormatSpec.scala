@@ -50,7 +50,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst case: all queries fail with max-length (120-char) messages
     val errs = Bench.boundedErrs(names.map(n => (n, "x" * 120)))
-    val line = Bench.line(0.0, "{}", errs, "/root/testdata/sf0.1")
+    val line = Bench.line(0.0, "{}", errs, "/root/testdata/sf0.1",
+      names.size)
+    assert(line.contains(s""""nerr":${names.size},"""),
+      "error count must be a loud top-level field")
     assert(line.length < 1800,
       s"all-failing bench line is ${line.length} chars; must fit the " +
         "2000-char capture window so diagnostics survive truncation")

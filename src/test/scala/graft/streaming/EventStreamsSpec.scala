@@ -225,6 +225,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(prog.length === events.select("user_id").distinct.count().toInt)
   }
 
+  test("loader normalizes the CURRENT fixture's ts to an instant type") {
+    // Regression pin for the round-8 break: the fixture regeneration
+    // flipped ts from LongType-nanos to TIMESTAMP_NTZ and both the
+    // code and the tests read it through the same (unprepared) loader,
+    // so nothing failed until the driver ran. This asserts the
+    // contract directly against whatever events.parquet ships today:
+    // after nanosToTimestamp, ts must be the instant TimestampType
+    // (what unix_micros and withWatermark require), for every scale
+    // factor present on disk.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val p = s"/root/testdata/$sf/events.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) {
+        val normalized = EventStreams.nanosToTimestamp(spark.read.parquet(p))
+        assert(normalized.schema("ts").dataType ===
+          org.apache.spark.sql.types.TimestampType, s"$sf ts type")
+        // and the watermark path actually accepts it (analysis only)
+        normalized.withWatermark("ts", "2 hours").queryExecution.analyzed
+      }
+    }
+  }
+
   test("mapGroupsWithState running counts match groupBy in batch") {
     val got = EventStreams.userRunningCounts(events)
       .select("user_id", "n")
