@@ -105,6 +105,9 @@ import graft.text.TextClean
  *  - q80_lexical_diversity TTR / hapax fraction / unigram entropy
  *  - q81_dup_clusters  near-dup cluster assignment (LSH + closure)
  *  - q82_csv_roundtrip sniffing CSV IO round-trip digest (S2/S5-S7/S11)
+ *  - q83_emoji_substitute emoji/emoticon -> word substitution (S9/U10u)
+ *  - q84_wordlist_sink word-list text sink round-trip (S3/S12)
+ *  - q85_json_roundtrip JSON IO round-trip digest (S1/S8/S11)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -1094,6 +1097,93 @@ object Queries {
         .localCheckpoint(true)
     } finally {
       // best-effort recursive cleanup of the temp round-trip dir
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Emoji/emoticon -> word substitution (S9 resource + U10u toWords,
+    * ref `utils/Emoji.scala:9-38`): each doc gets a deterministic base
+    * emoticon appended (doc_id-picked, so every doc exercises at least
+    * one substitution), then the full 914-entry table substitutes
+    * token-wise. Oracle replays the substitution in SQL against the
+    * FROZEN truth table in [[graft.text.EmojiOracle]] — independently
+    * generated from emojis.csv, so a parse regression turns the row
+    * red. Map-only at scale: the table rides the closure (a few KB),
+    * one narrow pass plus the final orderBy. */
+  def q83EmojiSubstitute(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.text.Emoji.fromResourceTable
+    val emoticons = graft.text.Emoji.base.keys.toSeq.sorted
+    require(emoticons.length == graft.text.EmojiOracle.pickCount,
+      s"base emoticon count drifted: ${emoticons.length}")
+    val pick = udf((id: Long) => emoticons((id % emoticons.length).toInt))
+    val sub = udf((s: String) => graft.text.Emoji.toWords(table)(s))
+    val nSub = udf((s: String) =>
+      s.split(" ").count(table.contains).toLong)
+    t(spark, dir, "documents")
+      .withColumn("t2", concat_ws(" ", col("text"), pick(col("doc_id"))))
+      .withColumn("subbed", sub(col("t2")))
+      .select(col("doc_id"),
+        nSub(col("t2")).as("n_subst"),
+        md5(col("subbed").cast("binary")).as("sub_digest"),
+        element_at(split(col("subbed"), " "), -1).as("appended_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Word-list sink round-trip (S12 saveWordList + S3 text scan): the
+    * distinct >=6-char English vocabulary goes to a one-file text sink
+    * and is read back through the format registry; output is the count
+    * and an order-canonical digest. The vocabulary collect is a
+    * driver-side dictionary by contract (the reference's word lists
+    * are in-memory `Seq[String]`, `CreateScoreList` shape) — bounded
+    * by vocabulary size, not corpus size. */
+  def q84WordlistSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q84_")
+    val dest = tmp.resolve("wordlist.txt").toString
+    try {
+      val words = t(spark, dir, "documents")
+        .where(col("lang") === "en")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) >= 6)
+        .distinct()
+        .orderBy("w")
+        .as[String].collect().toSeq
+      graft.sources.FormatIO.saveWordList(words, dest, spark)
+      val (back, tag) = graft.sources.FormatIO.loadFile(Some("txt"), dest, spark)
+        .getOrElse(sys.error("text load failed for " + dest))
+      require(tag == "txt", s"load resolved '$tag', expected txt")
+      back.agg(
+        count(lit(1)).as("n_words"),
+        md5(array_join(array_sort(collect_list(col("value"))), "\n")
+          .cast("binary")).as("wl_digest"))
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** JSON IO round-trip (S1 json scan + S8 dispatch + S11 sink), the
+    * q82 shape for the json leg: documents -> json sink -> extension
+    * dispatch -> per-source digest; same oracle as q67/q82 (the digest
+    * is over ROW CONTENT, so a lossy round-trip turns the row red). */
+  def q85JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q85_")
+    val out = tmp.resolve("documents.json").toString
+    try {
+      graft.sources.FormatIO.save("json", t(spark, dir, "documents"), out,
+        overwrite = true)
+      val (back, tag) = graft.sources.FormatIO.loadFromPath(out, spark)
+        .getOrElse(sys.error("extension dispatch failed for " + out))
+      require(tag == "json", s"dispatch resolved '$tag', expected json")
+      graft.ops.Profile.corpusDigest(back, "source", Seq("doc_id", "text", "lang"))
+        .withColumn("digest", col("digest").cast("string"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))

@@ -105,6 +105,9 @@ object SparkEntry {
     "q80_lexical_diversity" -> (Queries.q80LexicalDiversity(_, _)),
     "q81_dup_clusters" -> (Queries.q81DupClusters(_, _)),
     "q82_csv_roundtrip" -> (Queries.q82CsvRoundtrip(_, _)),
+    "q83_emoji_substitute" -> (Queries.q83EmojiSubstitute(_, _)),
+    "q84_wordlist_sink" -> (Queries.q84WordlistSink(_, _)),
+    "q85_json_roundtrip" -> (Queries.q85JsonRoundtrip(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -287,6 +290,11 @@ object SparkEntry {
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
     "q15_wordscore_exact" -> graft.wordscore.WordScore.exactScoreOracleSql,
+    // q16/q25: not SQL-expressible (fuzzy dictionary ladder / MLlib
+    // training) — pinned literal-VALUES truth tables, the q77 pattern.
+    // See PinnedOracles for the determinism + regeneration contract.
+    "q16_wordscore_full" -> PinnedOracles.q16Sql,
+    "q25_ml_train" -> PinnedOracles.q25Sql,
     "q17_dedup_exact_rows" ->
       """SELECT lang, count(*) AS n FROM (
         |  SELECT lang, row_number() OVER (
@@ -1611,5 +1619,47 @@ object SparkEntry {
     // frame went through CSV write → sniff → read — the oracle IS the
     // round-trip losslessness check (S2/S5–S7/S11 end to end).
     "q82_csv_roundtrip" -> corpusDigestSql,
+    // q83: token-wise emoji→word substitution replayed in SQL against
+    // the FROZEN 914-row truth table (EmojiOracle — independently
+    // generated from emojis.csv, NOT the runtime parse; a parse
+    // regression drifts Spark while this table stays put). Both sides
+    // split on the single space char, map tokens, reassemble.
+    "q83_emoji_substitute" ->
+      s"""WITH emo(native, word) AS (VALUES
+         |${graft.text.EmojiOracle.emoValues}),
+         |pick(idx, emoticon) AS (VALUES
+         |${graft.text.EmojiOracle.pickValues}),
+         |augmented AS (
+         |  SELECT d.doc_id, concat_ws(' ', d.text, p.emoticon) AS t2
+         |  FROM documents d
+         |  JOIN pick p ON (d.doc_id % ${graft.text.EmojiOracle.pickCount}) = p.idx),
+         |toks AS (
+         |  SELECT doc_id, generate_subscripts(l, 1) AS ord, unnest(l) AS tok
+         |  FROM (SELECT doc_id, string_split(t2, ' ') AS l FROM augmented) s),
+         |mapped AS (
+         |  SELECT t.doc_id, t.ord, coalesce(e.word, t.tok) AS tok2,
+         |    CASE WHEN e.word IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM toks t LEFT JOIN emo e ON t.tok = e.native)
+         |SELECT doc_id,
+         |  CAST(sum(hit) AS BIGINT) AS n_subst,
+         |  md5(string_agg(tok2, ' ' ORDER BY ord)) AS sub_digest,
+         |  (string_split(string_agg(tok2, ' ' ORDER BY ord), ' '))[-1]
+         |    AS appended_word
+         |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q84: the >=6-char English vocabulary, count + order-canonical
+    // digest — the oracle recomputes the SAME list straight from
+    // parquet, so the text sink + scan round-trip must be lossless.
+    "q84_wordlist_sink" ->
+      """WITH words AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |    FROM documents WHERE lang = 'en') u
+        |  WHERE length(w) >= 6)
+        |SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  md5(string_agg(w, chr(10) ORDER BY w)) AS wl_digest
+        |FROM words""".stripMargin,
+    // q85: q82's contract for the JSON leg — same parquet-side digest,
+    // computed after documents → json sink → extension dispatch → scan.
+    "q85_json_roundtrip" -> corpusDigestSql,
   )
 }
