@@ -108,6 +108,7 @@ import graft.text.TextClean
  *  - q83_emoji_substitute emoji/emoticon -> word substitution (S9/U10u)
  *  - q84_wordlist_sink word-list text sink round-trip (S3/S12)
  *  - q85_json_roundtrip JSON IO round-trip digest (S1/S8/S11)
+ *  - q86_sentence_sentiment per-sentence backend surface (U5u-U7u/U9u)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -1188,6 +1189,26 @@ object Queries {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  /** Per-sentence sentiment backend surface (U5u computeSentiment via
+    * the U9u `sentiment(col)` alias, U6u weighted sentiment, U7u
+    * textToLemmas) over documents with the default word-score backend.
+    * The per-row kernels ride the fuzzy dictionary ladder, so the
+    * oracle is a pinned-VALUES truth table (PinnedOracles.q86Sql) —
+    * per-row pure functions, parallelism-independent by construction.
+    * Map-only at scale: three UDFs, no shuffle before the final sort. */
+  def q86SentenceSentiment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.nlp.SentimentFunctions
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        SentimentFunctions.sentiment(col("text")).cast("long")
+          .as("sentiment"),
+        SentimentFunctions.weightedSentimentUdf()(col("text")).cast("long")
+          .as("weighted"),
+        md5(SentimentFunctions.lemmasUdf()(col("text")).cast("binary"))
+          .as("lemma_digest"))
+      .orderBy("doc_id")
   }
 
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions

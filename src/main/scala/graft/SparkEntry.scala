@@ -108,6 +108,7 @@ object SparkEntry {
     "q83_emoji_substitute" -> (Queries.q83EmojiSubstitute(_, _)),
     "q84_wordlist_sink" -> (Queries.q84WordlistSink(_, _)),
     "q85_json_roundtrip" -> (Queries.q85JsonRoundtrip(_, _)),
+    "q86_sentence_sentiment" -> (Queries.q86SentenceSentiment(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1661,5 +1662,8 @@ object SparkEntry {
     // q85: q82's contract for the JSON leg — same parquet-side digest,
     // computed after documents → json sink → extension dispatch → scan.
     "q85_json_roundtrip" -> corpusDigestSql,
+    // q86: pinned-VALUES truth table (per-row pure functions over the
+    // fuzzy dictionary ladder — not SQL-expressible; see PinnedOracles).
+    "q86_sentence_sentiment" -> PinnedOracles.q86Sql,
   )
 }
