@@ -109,6 +109,7 @@ import graft.text.TextClean
  *  - q84_wordlist_sink word-list text sink round-trip (S3/S12)
  *  - q85_json_roundtrip JSON IO round-trip digest (S1/S8/S11)
  *  - q86_sentence_sentiment per-sentence backend surface (U5u-U7u/U9u)
+ *  - q87_clean_stem    stem-then-clean chain digest (U2u)
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -1208,6 +1209,21 @@ object Queries {
           .as("weighted"),
         md5(SentimentFunctions.lemmasUdf()(col("text")).cast("binary"))
           .as("lemma_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** Stem-then-clean chain (U2u cleanTextAndStem, reference order:
+    * Porter stem on RAW text BEFORE cleaning, `utils/Helper.scala:34`)
+    * with the full emoji table, digested per doc. Porter stemming is
+    * not SQL-expressible → pinned-VALUES oracle; per-row pure
+    * function, parallelism-independent by construction. Map-only. */
+  def q87CleanStem(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.text.Emoji.fromResourceTable
+    val chain = udf((s: String) =>
+      if (s == null) null else TextClean.cleanTextAndStem(table)(s))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(chain(col("text")).cast("binary")).as("stemmed_digest"))
       .orderBy("doc_id")
   }
 

@@ -109,6 +109,7 @@ object SparkEntry {
     "q84_wordlist_sink" -> (Queries.q84WordlistSink(_, _)),
     "q85_json_roundtrip" -> (Queries.q85JsonRoundtrip(_, _)),
     "q86_sentence_sentiment" -> (Queries.q86SentenceSentiment(_, _)),
+    "q87_clean_stem" -> (Queries.q87CleanStem(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1665,5 +1666,8 @@ object SparkEntry {
     // q86: pinned-VALUES truth table (per-row pure functions over the
     // fuzzy dictionary ladder — not SQL-expressible; see PinnedOracles).
     "q86_sentence_sentiment" -> PinnedOracles.q86Sql,
+    // q87: pinned-VALUES truth table (Porter stemming chain — not
+    // SQL-expressible; per-row pure function, see PinnedOracles).
+    "q87_clean_stem" -> PinnedOracles.q87Sql,
   )
 }
