@@ -110,6 +110,7 @@ import graft.text.TextClean
  *  - q85_json_roundtrip JSON IO round-trip digest (S1/S8/S11)
  *  - q86_sentence_sentiment per-sentence backend surface (U5u-U7u/U9u)
  *  - q87_clean_stem    stem-then-clean chain digest (U2u)
+ *  - q88_shard_order   deterministic training-order sharding summary
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -1226,6 +1227,26 @@ object Queries {
         md5(chain(col("text")).cast("binary")).as("stemmed_digest"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic training-order sharding (Splits.shardOrder): each
+    * doc gets a layout-independent (shard, sort_key); the query
+    * summarizes per shard with an order-independent membership digest
+    * (commutative decimal sum — the q67 contract) so the oracle pins
+    * the full assignment without materializing a per-shard sort. The
+    * assignment itself is map-only; the summary is one narrow
+    * aggregate over (shard, key) rows. */
+  def q88ShardOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.shardOrder(
+      t(spark, dir, "documents").select("doc_id"), "doc_id",
+      shards = 8, seed = 42)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sort_key").cast("decimal(38,0)")).cast("string")
+          .as("key_digest"),
+        min("sort_key").as("min_key"),
+        max("sort_key").as("max_key"))
+      .orderBy("shard")
 
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */

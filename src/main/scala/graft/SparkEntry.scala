@@ -110,6 +110,7 @@ object SparkEntry {
     "q85_json_roundtrip" -> (Queries.q85JsonRoundtrip(_, _)),
     "q86_sentence_sentiment" -> (Queries.q86SentenceSentiment(_, _)),
     "q87_clean_stem" -> (Queries.q87CleanStem(_, _)),
+    "q88_shard_order" -> (Queries.q88ShardOrder(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1669,5 +1670,17 @@ object SparkEntry {
     // q87: pinned-VALUES truth table (Porter stemming chain — not
     // SQL-expressible; per-row pure function, see PinnedOracles).
     "q87_clean_stem" -> PinnedOracles.q87Sql,
+    // q88: full arithmetic replay of the seeded 60-bit md5 shard
+    // assignment; the commutative HUGEINT sum pins per-shard
+    // membership order-independently (q67 digest contract).
+    "q88_shard_order" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT AS sk
+        |  FROM documents)
+        |SELECT CAST(sk % 8 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(sk::HUGEINT) AS VARCHAR) AS key_digest,
+        |  min(sk) AS min_key, max(sk) AS max_key
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

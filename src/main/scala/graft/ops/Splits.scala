@@ -45,4 +45,31 @@ object Splits {
              weights: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1)),
              outCol: String = "split"): DataFrame =
     df.withColumn(outCol, assignment(col(groupCol), weights))
+
+  /**
+   * Deterministic training-order sharding: every row gets a
+   * reproducible (shard, sort_key) from a seeded 60-bit md5 hash of
+   * its key — the "global shuffle" a training run needs (reproducible
+   * example order across re-runs, resumable epochs, shard-parallel
+   * readers) WITHOUT a global sort. Assignment is a pure per-row
+   * codegen expression; a writer materializes the order as
+   * `repartition(shards, col(shardCol)).sortWithinPartitions(orderCol)`
+   * — one shuffle at write time, no single-task windows, no driver
+   * state. Stable across partition layout, cluster size, and run
+   * count, unlike `orderBy(rand(seed))` (layout-dependent) or
+   * `randomSplit` ordering. Same md5 rationale as [[hashBucket]]: the
+   * DuckDB oracle replays the arithmetic bit-for-bit.
+   */
+  def shardOrder(df: DataFrame, keyCol: String, shards: Int,
+                 seed: Long = 0, shardCol: String = "shard",
+                 orderCol: String = "sort_key"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    require(!df.columns.contains(shardCol) && !df.columns.contains(orderCol),
+      s"input already has a $shardCol/$orderCol column")
+    val h = conv(substring(md5(
+      concat_ws(":", lit(seed), col(keyCol).cast("string")).cast("binary")),
+      1, 15), 16, 10).cast("decimal(38,0)").cast("long")
+    df.withColumn(orderCol, h)
+      .withColumn(shardCol, pmod(col(orderCol), lit(shards)).cast("int"))
+  }
 }

@@ -770,6 +770,35 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assigned.unpersist()
   }
 
+  test("shardOrder: layout-independent, in-range, seed-sensitive") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 500L).map(i => (i, s"t$i")).toDF("id", "t")
+    val one = Splits.shardOrder(df.repartition(1), "id", 8, seed = 42)
+      .select("id", "shard", "sort_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val many = Splits.shardOrder(df.repartition(13), "id", 8, seed = 42)
+      .select("id", "shard", "sort_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    // the whole point: assignment ignores partition layout
+    assert(one.toSeq === many.toSeq)
+    assert(one.forall { case (_, s, k) => s >= 0 && s < 8 && k >= 0 })
+    // every shard gets members at this size; a different seed reshuffles
+    assert(one.map(_._2).distinct.length === 8)
+    val reseeded = Splits.shardOrder(df, "id", 8, seed = 43)
+      .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sorted
+    assert(reseeded.toSeq !== one.map(t => (t._1, t._2)).toSeq)
+    // reserved-name collision refused
+    intercept[IllegalArgumentException] {
+      Splits.shardOrder(df.withColumnRenamed("t", "shard"), "id", 8)
+    }
+    // map-only: no exchange before the assignment projection
+    val plan = Splits.shardOrder(df, "id", 8)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("repartition"),
+      "shard assignment must not shuffle")
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++

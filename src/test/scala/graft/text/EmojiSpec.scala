@@ -45,4 +45,27 @@ class EmojiSpec extends AnyFunSuite {
     assert(table("✈") === "AIRPLANE")
     assert(table(":)") === "happy")
   }
+
+  test("frozen q83 oracle truth table matches the runtime resource parse") {
+    // EmojiOracle was generated from emojis.csv by an INDEPENDENT
+    // parser and committed; if the Scala parse and the frozen table
+    // ever disagree, one of them regressed. Row ORDER is irrelevant
+    // to a SQL VALUES list (compare as sets — python sorts by code
+    // point, Scala by UTF-16 code unit), but the pick table's order
+    // IS load-bearing (the Spark side indexes it), so compare exact.
+    def escSql(s: String) = s.replace("'", "''")
+    val runtime = Emoji.fromResourceTable
+    val frozen = EmojiOracle.emoValues.split(",\n").toSet
+    val expected = runtime.map { case (n, w) =>
+      s"('${escSql(n)}', '${escSql(w)}')"
+    }.toSet
+    assert(frozen === expected)
+
+    val emoticons = Emoji.base.keys.toSeq.sorted
+    assert(emoticons.length === EmojiOracle.pickCount)
+    val expectedPick = emoticons.zipWithIndex.map { case (e, i) =>
+      s"($i, '${escSql(e)}')"
+    }.mkString(",\n")
+    assert(expectedPick === EmojiOracle.pickValues)
+  }
 }
