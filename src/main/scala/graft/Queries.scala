@@ -111,6 +111,7 @@ import graft.text.TextClean
  *  - q86_sentence_sentiment per-sentence backend surface (U5u-U7u/U9u)
  *  - q87_clean_stem    stem-then-clean chain digest (U2u)
  *  - q88_shard_order   deterministic training-order sharding summary
+ *  - q89_semantic_decon embedding-space benchmark decontamination
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -1247,6 +1248,19 @@ object Queries {
         min("sort_key").as("min_key"),
         max("sort_key").as("max_key"))
       .orderBy("shard")
+
+  /** Embedding-space benchmark decontamination: the first 50 vectors
+    * stand in for a leaked benchmark (they are in both the corpus and
+    * the benchmark side, so they flag at cosine ~1.0 — the true-leak
+    * shape); every corpus row reports its max benchmark cosine.
+    * Broadcast cross + map-side max fold; the corpus never shuffles. */
+  def q89SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val bench = emb.where(col("vec_id") < 50)
+    graft.ops.Decontaminate.semanticReport(
+      emb, bench, "vec_id", "embedding", threshold = 0.99)
+      .orderBy("vec_id")
+  }
 
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */

@@ -111,6 +111,7 @@ object SparkEntry {
     "q86_sentence_sentiment" -> (Queries.q86SentenceSentiment(_, _)),
     "q87_clean_stem" -> (Queries.q87CleanStem(_, _)),
     "q88_shard_order" -> (Queries.q88ShardOrder(_, _)),
+    "q89_semantic_decon" -> (Queries.q89SemanticDecon(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1682,5 +1683,15 @@ object SparkEntry {
         |  CAST(sum(sk::HUGEINT) AS VARCHAR) AS key_digest,
         |  min(sk) AS min_key, max(sk) AS max_key
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q89: brute-force max-cosine replay (the benchmark is the first
+    // 50 vectors, present in both sides — the true-leak shape).
+    "q89_semantic_decon" ->
+      """WITH b AS (
+        |  SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT c.vec_id,
+        |  round(max(list_cosine_similarity(c.e, b.e)), 4) AS max_benchmark_cosine,
+        |  max(list_cosine_similarity(c.e, b.e)) >= 0.99 AS contaminated
+        |FROM c, b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

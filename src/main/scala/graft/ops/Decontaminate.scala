@@ -144,4 +144,46 @@ object Decontaminate {
       .select(col("__id").as(idCol), col("n_grams"), col("n_hits"),
         round(col("n_hits").cast("double") / col("n_grams"), 4)
           .as("containment"))
+
+  /**
+   * SEMANTIC decontamination: flag corpus rows whose embedding is
+   * near-identical (cosine >= `threshold`) to ANY benchmark embedding
+   * — the embedding-space complement of the n-gram report above, which
+   * paraphrased benchmark leaks slip past (n-gram overlap misses a
+   * reworded test question; its embedding doesn't move).
+   *
+   * Scale shape (100 TB corpus, MB-scale benchmark): the benchmark
+   * side is small by definition, so it BROADCASTS into an intentional
+   * cross (the q50/q52 single-frame-broadcast pattern, |B| rows
+   * instead of one) and the per-row max folds MAP-SIDE in the partial
+   * aggregate — the corpus never shuffles; the only exchange is the
+   * final per-id hash-agg merge, carrying one (id, max) row per
+   * corpus row. For a benchmark too big to broadcast, prefilter with
+   * an SRP band index ([[Novelty.fitBandIndex]]'s shape) and
+   * brute-force only bucket-colliding candidates; the verify
+   * arithmetic stays this one.
+   */
+  def semanticReport(corpus: DataFrame, benchmark: DataFrame,
+                     idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(col(vecCol).cast("array<double>").as("__bv")))
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .crossJoin(bench)
+      .groupBy(col(idCol))
+      .agg(max(SimSearch.cosine(col("__cv"), col("__bv"))).as("__mc"))
+      .select(col(idCol),
+        round(col("__mc"), 4).as("max_benchmark_cosine"),
+        (col("__mc") >= threshold).as("contaminated"))
+  }
+
+  /** [[semanticReport]] as a corpus transform: drop flagged rows via
+    * an ids-only anti-join (same tail as [[decontaminate]]). */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val dirty = semanticReport(corpus, benchmark, idCol, vecCol, threshold)
+      .where(col("contaminated")).select(idCol)
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
 }

@@ -799,6 +799,35 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       "shard assignment must not shuffle")
   }
 
+  test("semantic decontamination flags benchmark copies, one exchange") {
+    import org.apache.spark.sql.functions.col
+    // orthonormal basis vectors: cosine 1.0 to self, 0.0 to any other
+    val corpus = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(10)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val bench = corpus.where(col("vec_id") < 2)
+    val report = Decontaminate.semanticReport(
+      corpus, bench, "vec_id", "embedding", threshold = 0.99)
+    val flagged = report.where(col("contaminated"))
+      .collect().map(_.getLong(0)).sorted
+    assert(flagged.toSeq === Seq(0L, 1L))
+    assert(report.count() === 10L)
+    val kept = Decontaminate.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", threshold = 0.99)
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq === (2L to 9L))
+    // scale contract: the corpus side must not shuffle — the only
+    // exchange in the report is the per-id aggregate merge
+    report.collect()
+    // read only the final AQE plan (the string repeats the initial one)
+    val executed = report.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastNestedLoopJoin"),
+      "benchmark must broadcast into an intentional cross")
+    assert("Exchange hashpartitioning".r.findAllIn(executed).length === 1,
+      s"corpus must shuffle exactly once (the per-id agg merge):\n$executed")
+    assert(!executed.contains("SortMergeJoin"))
+  }
+
   test("ann lsh finds an identical vector (same bucket) and no cartesian") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vecs = (Seq((0L, base), (1L, base)) ++
