@@ -55,8 +55,12 @@ object Curate {
     * decimal string. The digest pins WHICH rows survived, not just how
     * many, so an oracle replaying the gate chain catches a stage that
     * drops the right count of the wrong rows. The split stage digests
-    * (id, split) so the assignment itself is pinned too. */
-  final case class StageStat(name: String, rows: Long, idsDigest: String)
+    * (id, split) so the assignment itself is pinned too. `elapsedMs`
+    * is the stage's wall-clock materialization time (build + persist +
+    * count/digest agg) — the monitoring number a production run logs;
+    * NOT part of any oracle contract (it is nondeterministic). */
+  final case class StageStat(name: String, rows: Long, idsDigest: String,
+                             elapsedMs: Long = 0L)
 
   /** Per-stage surviving row counts + membership digests, in pipeline
     * order. */
@@ -95,13 +99,15 @@ object Curate {
     // hashes; zero-row stages digest to "0" on both engines)
     def stage(name: String, df: DataFrame,
               digestCols: Seq[String] = Seq(idCol)): DataFrame = {
+      val t0 = System.nanoTime()
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val r = p.agg(
           count(lit(1)),
           coalesce(sum(Profile.rowDigest(digestCols.map(col))),
             lit(0).cast("decimal(38,0)"))).head()
-        b += StageStat(name, r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+        b += StageStat(name, r.getLong(0), r.getDecimal(1).toBigInteger.toString,
+          (System.nanoTime() - t0) / 1000000L)
       } catch { case e: Throwable => p.unpersist(); throw e }
       prev.foreach(_.unpersist())
       prev = Some(p)
