@@ -61,9 +61,18 @@ object SimHash {
   def simhashOfText(s: String): Long =
     simhash64(s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).toSeq)
 
-  /** 64-bit SimHash of whitespace tokens of a (normalized) text. */
-  def simhashCol(text: Column): Column =
-    simhashUdf(split(Dedup.normalized(text), " "))
+  /** 64-bit SimHash of whitespace tokens of a (normalized) text.
+    * Backed by the codegen [[graft.plans.SimHashExpression]] (the UDF
+    * form would break whole-stage codegen at the hottest point of the
+    * signature scan); `coalesce` preserves the historical UDF null
+    * contract (null text → signature 0, so null docs still band
+    * together instead of silently dropping from candidates).
+    * GraftExtensionsSpec pins expression/UDF parity. */
+  def simhashCol(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    coalesce(ColumnBridge.column(graft.plans.SimHashExpression(
+      ColumnBridge.expression(text))), lit(0L))
+  }
 
   /** The four 16-bit chunk keys of a signature (for banding). */
   def chunkKeys(sig: Column): Column =

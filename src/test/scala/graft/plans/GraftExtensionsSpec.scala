@@ -33,11 +33,25 @@ class GraftExtensionsSpec extends AnyFunSuite with graft.SparkTestSession {
     val viaExpr = docs.select(col("doc_id"),
       GraftFunctions.graftSimhash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the UDF form EXPLICITLY (simhashCol itself is expression-backed
+    // since round 9, so comparing against it would be a tautology)
     val viaUdf = docs.select(col("doc_id"),
-      graft.ops.SimHash.simhashCol(col("text")).as("sig"))
+      graft.ops.SimHash.simhashUdf(
+        org.apache.spark.sql.functions.split(
+          graft.ops.Dedup.normalized(col("text")), " ")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr === viaUdf)
     assert(viaExpr.size === docs.count())
+    // and simhashCol (expression-backed + null coalesce) agrees too,
+    // including the null contract: null text -> signature 0
+    val viaCol = docs.select(col("doc_id"),
+      graft.ops.SimHash.simhashCol(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCol === viaUdf)
+    import spark.implicits._
+    val nullSig = Seq((1L, null: String)).toDF("id", "t")
+      .select(graft.ops.SimHash.simhashCol(col("t"))).head().getLong(0)
+    assert(nullSig === 0L)
     // empty text: one "" token, same on both paths
     assert(spark.sql("SELECT graft_simhash('')").head().getLong(0) ===
       graft.ops.SimHash.simhashOfText(""))
