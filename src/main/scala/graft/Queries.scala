@@ -112,6 +112,7 @@ import graft.text.TextClean
  *  - q87_clean_stem    stem-then-clean chain digest (U2u)
  *  - q88_shard_order   deterministic training-order sharding summary
  *  - q89_semantic_decon embedding-space benchmark decontamination
+ *  - q90_image_decode  REAL P6 decode/feature/resize under oracle
  *
  * Scale notes (100 TB design intent):
  *  - dimension sides (region/nation/supplier/customer at TPC-H ratios)
@@ -1260,6 +1261,52 @@ object Queries {
     graft.ops.Decontaminate.semanticReport(
       emb, bench, "vec_id", "embedding", threshold = 0.99)
       .orderBy("vec_id")
+  }
+
+  /** The REAL multimodal image path under oracle: deterministic 8x4
+    * P6 images are synthesized per embedding row (pixel RGB is integer
+    * arithmetic on (vec_id, x, y)), then travel the full pipeline —
+    * [[graft.ops.Multimodal.asBlobTable]] (real header dims),
+    * [[graft.ops.Multimodal.extractFeatures]] (real luminance
+    * histogram), [[graft.ops.Multimodal.resize]] (real nearest-
+    * neighbor, re-decoded) — and the oracle replays every step in SQL
+    * because the whole chain is integer arithmetic. Float-exactness:
+    * histogram fractions are i/32 and i/8 (exact in Float), so
+    * rescaling to counts is lossless. Map-only but for the final sort
+    * and the two feature-frame joins on blob_id. */
+  def q90ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val genPpm = udf((id: Long) => {
+      val (w, h) = (8, 4)
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        rgb(i) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+        rgb(i + 1) = ((id * 17 + x * 11 + y * 5) % 256).toByte
+        rgb(i + 2) = ((id * 29 + x * 3 + y * 19) % 256).toByte
+      }
+      graft.ops.Multimodal.encodePpm(w, h, rgb)
+    })
+    val imgs = t(spark, dir, "embeddings").select(col("vec_id"))
+      .withColumn("payload", genPpm(col("vec_id")))
+    val blobs = graft.ops.Multimodal.asBlobTable(
+      imgs, "vec_id", "payload", "image/x-ppm")
+    def countsOf(feats: DataFrame, pixels: Int, outCol: String): DataFrame =
+      feats.select(col("blob_id"),
+        concat_ws(",", transform(col("features"),
+          f => round(f * lit(pixels)).cast("int").cast("string"))).as(outCol))
+    val full = countsOf(
+      graft.ops.Multimodal.extractFeatures(blobs, bins = 16), 32, "lum_bins")
+    val resized = graft.ops.Multimodal.resize(blobs, maxWidth = 4)
+    val resizedDims = resized.select(col("blob_id"),
+      col("meta.width").as("r_width"), col("meta.height").as("r_height"))
+    val resizedBins = countsOf(
+      graft.ops.Multimodal.extractFeatures(resized, bins = 16), 8, "r_lum_bins")
+    blobs.select(col("blob_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .join(full, Seq("blob_id"))
+      .join(resizedDims, Seq("blob_id"))
+      .join(resizedBins, Seq("blob_id"))
+      .orderBy("blob_id")
   }
 
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions

@@ -112,6 +112,7 @@ object SparkEntry {
     "q87_clean_stem" -> (Queries.q87CleanStem(_, _)),
     "q88_shard_order" -> (Queries.q88ShardOrder(_, _)),
     "q89_semantic_decon" -> (Queries.q89SemanticDecon(_, _)),
+    "q90_image_decode" -> (Queries.q90ImageDecode(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1693,5 +1694,31 @@ object SparkEntry {
         |  round(max(list_cosine_similarity(c.e, b.e)), 4) AS max_benchmark_cosine,
         |  max(list_cosine_similarity(c.e, b.e)) >= 0.99 AS contaminated
         |FROM c, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q90: the whole P6 decode→features→resize chain is integer
+    // arithmetic on (vec_id, x, y), so the oracle replays it exactly:
+    // luminance = BT.601 integer weights // 1000, bin = lum*16 // 256,
+    // resize picks source pixel (2x', 2y').
+    "q90_image_decode" ->
+      """WITH pix AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 31), i ->
+        |      ((((299 * ((vec_id*31 + (i%8)*7 + (i//8)*13) % 256)
+        |        + 587 * ((vec_id*17 + (i%8)*11 + (i//8)*5) % 256)
+        |        + 114 * ((vec_id*29 + (i%8)*3 + (i//8)*19) % 256)) // 1000) * 16) // 256))
+        |      AS bins,
+        |    list_transform(generate_series(0, 7), j ->
+        |      ((((299 * ((vec_id*31 + (j%4)*2*7 + (j//4)*2*13) % 256)
+        |        + 587 * ((vec_id*17 + (j%4)*2*11 + (j//4)*2*5) % 256)
+        |        + 114 * ((vec_id*29 + (j%4)*2*3 + (j//4)*2*19) % 256)) // 1000) * 16) // 256))
+        |      AS rbins
+        |  FROM embeddings)
+        |SELECT vec_id AS blob_id, CAST(8 AS INT) AS width,
+        |  CAST(4 AS INT) AS height,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    b -> len(list_filter(bins, v -> v = b))), ',') AS lum_bins,
+        |  CAST(4 AS INT) AS r_width, CAST(2 AS INT) AS r_height,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    b -> len(list_filter(rbins, v -> v = b))), ',') AS r_lum_bins
+        |FROM pix ORDER BY blob_id""".stripMargin,
   )
 }

@@ -114,7 +114,7 @@ object Multimodal {
   }
 
   /** Re-encode raw RGB as a canonical P6 payload. */
-  private[ops] def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + rgb.length)
     System.arraycopy(header, 0, out, 0, header.length)
