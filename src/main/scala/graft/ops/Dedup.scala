@@ -478,19 +478,49 @@ object Dedup {
           .select(col("__blk"), col("__g"))
         rawPostings.join(hot, Seq("__blk", "__g"), "left_anti")
       }
-    val sizes = postings.groupBy(col("__id"))
-      .agg(count(lit(1)).as("__sz"))
-    val a = postings.select(col("__blk"), col("__g"), col("__id").as("id_a"))
-    val b = postings.select(col("__blk"), col("__g"), col("__id").as("id_b"))
-    val inter = a.join(b, Seq("__blk", "__g"))
+    // Exact PREFIX FILTERING (AllPairs/SSJoin, Bayardo et al. 2007 /
+    // Xiao et al. 2008): joining ALL postings makes every Zipf-head
+    // token fan out df^2 candidate rows — the round-6..9 benches spent
+    // ~90% of this operator aggregating those hot-token pairs. Instead,
+    // order each doc's tokens rarest-first (total order: per-block
+    // (df, gram)) and explode only the PREFIX of length
+    // |d| - ceil(t*|d|) + 1: two sets with J >= t MUST share a token
+    // inside both prefixes (if all shared tokens sat in a's suffix,
+    // the intersection would be < ceil(t*|a|) <= the minimum J >= t
+    // demands), so the candidate join over prefix postings loses no
+    // true pair — and hot tokens, being the COMMONEST, land in
+    // suffixes, collapsing the quadratic term. Candidates carry ids
+    // only; the exact intersection is verified per candidate from the
+    // full sorted token arrays. Same results, same oracle.
+    val dfs = postings.groupBy(col("__blk"), col("__g"))
+      .agg(count(lit(1)).as("__df"))
+    val docsArr = postings.join(dfs, Seq("__blk", "__g"))
+      .groupBy(col("__blk"), col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g"))))
+        .as("__s"))
+      .select(col("__blk"), col("__id"),
+        transform(col("__s"), s => s.getField("__g")).as("__toks"),
+        size(col("__s")).as("__sz"))
+    val prefLen = greatest(lit(1),
+      (col("__sz").cast("long") - ceil(lit(threshold) * col("__sz")) + 1)
+        .cast("int"))
+    val prefPost = docsArr.select(col("__blk"), col("__id"),
+      explode(slice(col("__toks"), lit(1), prefLen)).as("__g"))
+    val cands = prefPost.select(col("__blk"), col("__g"),
+        col("__id").as("id_a"))
+      .join(prefPost.select(col("__blk"), col("__g"),
+        col("__id").as("id_b")), Seq("__blk", "__g"))
       .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__i"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
     val j = col("__i").cast("double") /
       (col("__sza") + col("__szb") - col("__i")).cast("double")
-    inter
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
+    cands
+      .join(docsArr.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__sz").as("__sza")), "id_a")
+      .join(docsArr.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__sz").as("__szb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
       .where(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
   }
