@@ -298,7 +298,8 @@ object SimSearch {
     * assignment still covers every row. */
   def ivfFit(df: DataFrame, idCol: String, vecCol: String,
              nlist: Int = 16, seed: Long = 42L,
-             sampleFraction: Double = 1.0): IvfIndex = {
+             sampleFraction: Double = 1.0,
+             maxIter: Int = 20): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = df.withColumn("__feat",
@@ -307,7 +308,7 @@ object SimSearch {
       if (sampleFraction >= 1.0) featured
       else featured.where(Splits.hashBucket(col(idCol), 10000) <
         math.round(math.max(0.0, math.min(1.0, sampleFraction)) * 10000).toInt)
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(fitOn)
     val assigned = model.transform(featured).drop("__feat")
@@ -380,6 +381,7 @@ object SimSearch {
     val bucketed = df.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"),
       bucketOf(col(vecCol)).as("__b"))
+      .withColumn("__n", norm(col("__v"))) // hoisted: once per row, not per pair
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each vector also probes its single-bit-flip buckets so pairs
     // split across one differing hyperplane sign are still candidates.
@@ -399,9 +401,12 @@ object SimSearch {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val verified = candidates
-      .join(bucketed.select(col("__id").as("id_a"), col("__v").as("v_a")), "id_a")
-      .join(bucketed.select(col("__id").as("id_b"), col("__v").as("v_b")), "id_b")
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .join(bucketed.select(col("__id").as("id_a"), col("__v").as("v_a"),
+        col("__n").as("n_a")), "id_a")
+      .join(bucketed.select(col("__id").as("id_b"), col("__v").as("v_b"),
+        col("__n").as("n_b")), "id_b")
+      .withColumn("cosine",
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     (bucketed, verified)
@@ -426,17 +431,31 @@ object SimSearch {
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nlist: Int = 16,
                          seed: Long = 42L,
-                         sampleFraction: Double = 1.0): DataFrame = {
-    val index = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction)
+                         sampleFraction: Double = 1.0,
+                         maxIter: Int = 8): DataFrame = {
+    // maxIter default is LOWER than ivfFit's search-path default:
+    // dedup recall only needs near-identical vectors to share a cell,
+    // which holds for ANY centroid set (same nearest center), so the
+    // extra KMeans refinement buys nothing for dedup — a production
+    // tuning knob (measured neutral at bench scale, where the pair
+    // stage, not the fit, dominates).
+    val index = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction,
+      maxIter)
+    // norms precomputed ONCE PER ROW: the interpreted higher-order
+    // folds behind cosine() are the pair stage's real cost, and
+    // dot/(n_a*n_b) with hoisted norms is the same scalar expression
+    // tree (bit-identical results) at a third of the per-pair eval.
     val cells = index.assigned.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"), col("__cell"))
+      .withColumn("__n", norm(col("__v")))
     val a = cells.select(col("__cell"), col("__id").as("id_a"),
-      col("__v").as("v_a"))
+      col("__v").as("v_a"), col("__n").as("n_a"))
     val b = cells.select(col("__cell"), col("__id").as("id_b"),
-      col("__v").as("v_b"))
+      col("__v").as("v_b"), col("__n").as("n_b"))
     a.join(b, Seq("__cell"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine",
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
@@ -451,9 +470,10 @@ object SimSearch {
   def dropSemanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, nlist: Int = 16,
                              seed: Long = 42L,
-                             sampleFraction: Double = 1.0): DataFrame = {
+                             sampleFraction: Double = 1.0,
+                             maxIter: Int = 8): DataFrame = {
     val pairs = semanticDedupPairs(df, idCol, vecCol, threshold, nlist,
-      seed, sampleFraction)
+      seed, sampleFraction, maxIter)
     val losers = Dedup.componentsOf(pairs)
       .where(col("comp") =!= col("node"))
       .select(col("node").as(idCol))
