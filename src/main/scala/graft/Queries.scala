@@ -1309,6 +1309,42 @@ object Queries {
       .orderBy("blob_id")
   }
 
+  /** The REAL multimodal audio path under oracle — the q90 pattern
+    * for sound: deterministic mono PCM-16 WAV payloads are synthesized
+    * per embedding row (sample i is integer arithmetic on (vec_id, i)),
+    * then travel the full audio pipeline —
+    * [[graft.ops.Multimodal.decodeWav]] via `extractAudioFeatures`
+    * (real RIFF parse, integer-exact peak/zero-crossing/energy stats)
+    * and [[graft.ops.Multimodal.decimateAudio]] (real every-2nd-frame
+    * resample, re-encoded and re-decoded) — and the oracle replays
+    * every step in DuckDB list arithmetic. Map-only but for the final
+    * sort and the two narrow feature joins on blob_id. */
+  def q91AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val genWav = udf((id: Long) => {
+      val n = 64
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (((id * 7919 + i * 4451) % 65536) - 32768).toShort
+        i += 1
+      }
+      graft.ops.Multimodal.encodeWav(
+        graft.ops.Multimodal.PcmAudio(8000, 1, samples))
+    })
+    val blobs = t(spark, dir, "embeddings")
+      .select(col("vec_id").as("blob_id"), genWav(col("vec_id")).as("data"))
+    val full = graft.ops.Multimodal.extractAudioFeatures(blobs)
+      .select(col("blob_id"), col("sample_rate"), col("n_samples"),
+        col("peak_abs"), col("zero_crossings"), col("sum_sq"))
+    val half = graft.ops.Multimodal.extractAudioFeatures(
+        graft.ops.Multimodal.decimateAudio(blobs, factor = 2))
+      .select(col("blob_id"), col("sample_rate").as("d_sample_rate"),
+        col("n_samples").as("d_n_samples"), col("peak_abs").as("d_peak_abs"),
+        col("zero_crossings").as("d_zero_crossings"),
+        col("sum_sq").as("d_sum_sq"))
+    full.join(half, Seq("blob_id")).orderBy("blob_id")
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

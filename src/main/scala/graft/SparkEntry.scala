@@ -113,6 +113,7 @@ object SparkEntry {
     "q88_shard_order" -> (Queries.q88ShardOrder(_, _)),
     "q89_semantic_decon" -> (Queries.q89SemanticDecon(_, _)),
     "q90_image_decode" -> (Queries.q90ImageDecode(_, _)),
+    "q91_audio_decode" -> (Queries.q91AudioDecode(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1720,5 +1721,31 @@ object SparkEntry {
         |  array_to_string(list_transform(generate_series(0, 15),
         |    b -> len(list_filter(rbins, v -> v = b))), ',') AS r_lum_bins
         |FROM pix ORDER BY blob_id""".stripMargin,
+    // q91: the WAV synth→decode→features→decimate chain is integer
+    // arithmetic on (vec_id, i): sample_i = ((vec_id*7919 + i*4451)
+    // % 65536) - 32768, 64 mono samples at 8 kHz; decimation keeps
+    // even i and halves the declared rate. DuckDB lists are
+    // 1-indexed, so the zero-crossing probe at series index i
+    // compares original samples (i-1, i).
+    "q91_audio_decode" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      ((vec_id*7919 + i*4451) % 65536) - 32768) AS smp,
+        |    list_transform(generate_series(0, 31), j ->
+        |      ((vec_id*7919 + j*2*4451) % 65536) - 32768) AS dsmp
+        |  FROM embeddings)
+        |SELECT vec_id AS blob_id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(64 AS INT) AS n_samples,
+        |  CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak_abs,
+        |  CAST(len(list_filter(generate_series(1, 63),
+        |    i -> (smp[i] < 0) <> (smp[i+1] < 0))) AS INT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(smp, v -> v*v)) AS BIGINT) AS sum_sq,
+        |  CAST(4000 AS INT) AS d_sample_rate, CAST(32 AS INT) AS d_n_samples,
+        |  CAST(list_max(list_transform(dsmp, v -> abs(v))) AS INT) AS d_peak_abs,
+        |  CAST(len(list_filter(generate_series(1, 31),
+        |    j -> (dsmp[j] < 0) <> (dsmp[j+1] < 0))) AS INT) AS d_zero_crossings,
+        |  CAST(list_sum(list_transform(dsmp, v -> v*v)) AS BIGINT) AS d_sum_sq
+        |FROM s ORDER BY blob_id""".stripMargin,
   )
 }

@@ -250,4 +250,157 @@ object Multimodal {
   def metadataOnly(blobs: DataFrame): DataFrame =
     blobs.select(col("blob_id"), col("meta.*"),
       length(col("data")).cast("long").as("payload_bytes"))
+
+  // ---------------------------------------------------------------
+  // Audio: RIFF/WAVE PCM-16 — decoded FOR REAL in pure JVM, the
+  // audio counterpart of the P6 image path. No codec dependency:
+  // canonical WAV is a 44-byte header + raw little-endian samples.
+  // ---------------------------------------------------------------
+
+  /** Decoded PCM audio: sample rate, channel count, interleaved
+    * 16-bit samples. */
+  final case class PcmAudio(sampleRate: Int, channels: Int,
+                            samples: Array[Short])
+
+  private def le32(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8) |
+      ((d(i + 2) & 0xFF) << 16) | ((d(i + 3) & 0xFF) << 24)
+
+  private def le16(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8)
+
+  /** REAL decode for RIFF/WAVE, PCM format 1, 16-bit — pure JVM.
+    * Walks the chunk list (so writers that emit LIST/fact chunks
+    * still parse), requires a well-formed fmt chunk before data, and
+    * STRICTLY bounds the data chunk to the payload, so arbitrary
+    * bytes starting with "RIFF" never false-positive. Returns None
+    * for anything not PCM-16 — those fall back to the stubs, exactly
+    * like non-P6 images. */
+  private[ops] def decodeWav(data: Array[Byte]): Option[PcmAudio] = {
+    if (data == null || data.length < 44) return None
+    if (data(0) != 'R' || data(1) != 'I' || data(2) != 'F' || data(3) != 'F' ||
+        data(8) != 'W' || data(9) != 'A' || data(10) != 'V' || data(11) != 'E')
+      return None
+    var i = 12
+    var rate = -1; var channels = -1; var bits = -1
+    while (i + 8 <= data.length) {
+      val size = le32(data, i + 4)
+      if (size < 0 || i + 8 + size > data.length) return None
+      val tag = new String(data, i, 4, "US-ASCII")
+      if (tag == "fmt ") {
+        if (size < 16) return None
+        if (le16(data, i + 8) != 1) return None // PCM only
+        channels = le16(data, i + 10)
+        rate = le32(data, i + 12)
+        bits = le16(data, i + 22)
+      } else if (tag == "data") {
+        if (rate <= 0 || channels <= 0 || bits != 16) return None
+        if (size % 2 != 0) return None
+        val n = size / 2
+        val out = new Array[Short](n)
+        var s = 0
+        while (s < n) { out(s) = le16(data, i + 8 + 2 * s).toShort; s += 1 }
+        return Some(PcmAudio(rate, channels, out))
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Re-encode PCM-16 as a canonical 44-byte-header WAV payload. */
+  def encodeWav(a: PcmAudio): Array[Byte] = {
+    val dataBytes = a.samples.length * 2
+    val out = new Array[Byte](44 + dataBytes)
+    def w32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def w16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    def tag(i: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, i, 4)
+    }
+    tag(0, "RIFF"); w32(4, 36 + dataBytes); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, a.channels)
+    w32(24, a.sampleRate); w32(28, a.sampleRate * a.channels * 2)
+    w16(32, a.channels * 2); w16(34, 16)
+    tag(36, "data"); w32(40, dataBytes)
+    var s = 0
+    while (s < a.samples.length) {
+      w16(44 + 2 * s, a.samples(s) & 0xFFFF); s += 1
+    }
+    out
+  }
+
+  private[ops] final case class AudioFeatures(
+    sampleRate: Int, channels: Int, nSamples: Int,
+    peakAbs: Int, zeroCrossings: Int, sumSq: Long)
+
+  /** Integer-exact audio statistics (SQL-replayable, like the q90
+    * luminance path): peak |amplitude|, sign-change count, energy
+    * (sum of squared samples). */
+  private[ops] def audioFeatureKernel(a: PcmAudio): AudioFeatures = {
+    var peak = 0; var zc = 0; var sumSq = 0L
+    var i = 0
+    val s = a.samples
+    while (i < s.length) {
+      val v = s(i).toInt
+      val av = if (v < 0) -v else v
+      if (av > peak) peak = av
+      if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+      sumSq += v.toLong * v
+      i += 1
+    }
+    AudioFeatures(a.sampleRate, a.channels, s.length, peak, zc, sumSq)
+  }
+
+  /** Decode + audio feature-extract: one narrow map stage, payloads
+    * never shuffled. Non-WAV payloads emit nulls (feature columns)
+    * rather than fake numbers — audio has no honest byte-level stub. */
+  def extractAudioFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("blob_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        decodeWav(data) match {
+          case Some(a) =>
+            val f = audioFeatureKernel(a)
+            (id, Some(f.sampleRate), Some(f.channels), Some(f.nSamples),
+              Some(f.peakAbs), Some(f.zeroCrossings), Some(f.sumSq))
+          case None =>
+            (id, None, None, None, None, None, None)
+        }
+      })
+      .toDF("blob_id", "sample_rate", "channels", "n_samples",
+        "peak_abs", "zero_crossings", "sum_sq")
+  }
+
+  /** REAL decimating resample for WAV payloads: keep every
+    * `factor`-th frame (all channels of it), divide the declared
+    * sample rate — nearest-neighbor in time, the audio analogue of
+    * [[resize]]. Non-WAV payloads pass through untouched. */
+  def decimateAudio(blobs: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    val dec = udf((data: Array[Byte]) =>
+      decodeWav(data) match {
+        case Some(a) if factor > 1 =>
+          val frames = a.samples.length / a.channels
+          val keptFrames = (frames + factor - 1) / factor
+          val out = new Array[Short](keptFrames * a.channels)
+          var f = 0
+          while (f < keptFrames) {
+            var c = 0
+            while (c < a.channels) {
+              out(f * a.channels + c) = a.samples(f * factor * a.channels + c)
+              c += 1
+            }
+            f += 1
+          }
+          encodeWav(PcmAudio(a.sampleRate / factor, a.channels, out))
+        case _ => data
+      })
+    blobs.withColumn("data", dec(col("data")))
+  }
 }

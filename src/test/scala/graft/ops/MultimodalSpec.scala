@@ -121,4 +121,77 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(m.columns.contains("payload_bytes"))
     assert(m.count() === 3)
   }
+
+  /** A 3-sample stereo + a mono ramp for the WAV tests. */
+  private def wav(samples: Array[Short], rate: Int = 8000,
+                  channels: Int = 1): Array[Byte] =
+    Multimodal.encodeWav(Multimodal.PcmAudio(rate, channels, samples))
+
+  test("WAV decode is real: round-trip, chunk walk, strict rejects") {
+    val s = Array[Short](0, 100, -200, 32767, -32768, 5)
+    val Some(a) = Multimodal.decodeWav(wav(s, rate = 44100, channels = 2))
+    assert(a.sampleRate === 44100 && a.channels === 2)
+    assert(a.samples.toSeq === s.toSeq)
+    // an extra chunk between fmt and data still parses (chunk walk)
+    val extra = {
+      val base = wav(s)
+      val head = base.take(36) // RIFF..fmt
+      val tail = base.drop(36) // data chunk
+      val junk = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+      val out = head ++ junk ++ tail
+      // fix RIFF size
+      val riffSize = out.length - 8
+      out(4) = riffSize.toByte; out(5) = (riffSize >> 8).toByte
+      out
+    }
+    assert(Multimodal.decodeWav(extra).map(_.samples.toSeq) === Some(s.toSeq))
+    // strict: truncated data chunk, non-PCM, bytes starting RIFF
+    assert(Multimodal.decodeWav(wav(s).dropRight(1)) === None)
+    assert(Multimodal.decodeWav("RIFF but not audio at all".getBytes) === None)
+    assert(Multimodal.decodeWav(null) === None)
+    val notPcm = wav(s); notPcm(20) = 3 // format code != 1
+    assert(Multimodal.decodeWav(notPcm) === None)
+  }
+
+  test("audio feature kernel: peak, zero crossings, energy") {
+    val f = Multimodal.audioFeatureKernel(
+      Multimodal.PcmAudio(8000, 1, Array[Short](10, -20, 30, -32768)))
+    assert(f.peakAbs === 32768) // |-32768| doesn't overflow
+    assert(f.zeroCrossings === 3)
+    assert(f.sumSq === 10L * 10 + 20L * 20 + 30L * 30 + 32768L * 32768)
+    // sign(0) counts as non-negative: 0 -> -1 crosses, -1 -> 0 crosses
+    assert(Multimodal.audioFeatureKernel(
+      Multimodal.PcmAudio(8000, 1, Array[Short](0, -1, 0))).zeroCrossings === 2)
+  }
+
+  test("extractAudioFeatures: real stats for WAV, nulls for opaque") {
+    val raw = Seq(
+      (1L, wav(Array[Short](1000, -1000, 1000, -1000))),
+      (2L, "not audio".getBytes))
+      .toDF("blob_id", "data")
+    val rows = Multimodal.extractAudioFeatures(raw)
+      .orderBy("blob_id").collect()
+    assert(rows(0).getInt(1) === 8000 && rows(0).getInt(4) === 1000)
+    assert(rows(0).getInt(5) === 3) // three sign changes
+    assert(rows(0).getLong(6) === 4L * 1000 * 1000)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(6)) // honest nulls
+  }
+
+  test("decimateAudio keeps every k-th frame per channel, halves rate") {
+    // stereo: frames (L,R) = (1,2),(3,4),(5,6),(7,8); factor 2 keeps
+    // frames 0 and 2 -> samples 1,2,5,6
+    val raw = Seq((1L,
+      wav(Array[Short](1, 2, 3, 4, 5, 6, 7, 8), rate = 8000, channels = 2)))
+      .toDF("blob_id", "data")
+    val out = Multimodal.decimateAudio(raw, 2).collect()(0)
+      .getAs[Array[Byte]]("data")
+    val Some(a) = Multimodal.decodeWav(out)
+    assert(a.sampleRate === 4000 && a.channels === 2)
+    assert(a.samples.toSeq === Seq[Short](1, 2, 5, 6))
+    // factor 1 is identity; opaque payloads pass through
+    val opaque = Seq((1L, "zzz".getBytes)).toDF("blob_id", "data")
+    assert(Multimodal.decimateAudio(opaque, 3).collect()(0)
+      .getAs[Array[Byte]]("data").toSeq === "zzz".getBytes.toSeq)
+  }
 }
