@@ -1345,6 +1345,97 @@ object Queries {
     full.join(half, Seq("blob_id")).orderBy("blob_id")
   }
 
+  /** Bucketed co-located join under the driver oracle: both fact
+    * sides are written as 8-bucket parquet tables on the join key
+    * ([[graft.ops.Layout.writeBucketed]], external path in a temp dir),
+    * re-read through the catalog, and merge-joined WITHOUT either side
+    * shuffling — the query itself REQUIRES the join sub-plan to be
+    * Exchange-free and bucketed, so the scale claim is enforced on
+    * every driver run, not just in LayoutSpec. The oracle checks the
+    * join+aggregate RESULT against a plain DuckDB join — bucketing
+    * must be a pure layout change, invisible in the data.
+    *
+    * 100 TB shape: this is the pay-once-shuffle-never-again layout for
+    * fact-fact joins — each re-join on the bucket key reads co-located
+    * buckets; only the tiny post-join aggregate exchanges. */
+  def q92BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q92_")
+    try {
+      graft.ops.Layout.writeBucketed(
+        t(spark, dir, "orders").select(
+          col("o_orderkey").as("orderkey"), col("o_orderstatus")),
+        "graft_b_orders", "orderkey", buckets = 8,
+        path = tmp.resolve("b_orders").toString)
+      graft.ops.Layout.writeBucketed(
+        t(spark, dir, "lineitem").select(
+          col("l_orderkey").as("orderkey"), col("l_extendedprice")),
+        "graft_b_lineitem", "orderkey", buckets = 8,
+        path = tmp.resolve("b_lineitem").toString)
+      // force SMJ (at fixture scale AQE would broadcast, which skips
+      // the bucketed read; production fact-fact sizes always take SMJ)
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lineitem").hint("merge"), "orderkey")
+      // executedPlan (pre-execution: AQE initial plan), AFTER
+      // EnsureRequirements — sparkPlan has no exchanges inserted yet,
+      // which would make the no-shuffle require vacuous
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + joinPlan.take(2000))
+      require(joinPlan.contains("Bucketed: true"),
+        "join did not take the bucketed read:\n" + joinPlan.take(2000))
+      joined
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint(true)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Changelog merge ([[graft.ops.Upsert.merge]]) under the driver
+    * oracle: a deterministic changelog is synthesized from the
+    * documents snapshot — updates (doc_id % 5 == 0 at version 1),
+    * a same-version re-delivery (doc_id % 11 == 1 at version 0, which
+    * must supersede the snapshot by the change-wins tie rule), and
+    * tombstones (doc_id % 7 == 3 at version 2) — and the merged
+    * corpus is emitted row-wise with text digests. The oracle replays
+    * union + window latest-wins in SQL. One key shuffle. */
+  def q93UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text", "source")
+    val snap = docs.withColumn("version", lit(0))
+    val upd = docs.where(col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" [rev2]")))
+      .withColumn("version", lit(1))
+    val redeliver = docs.where(col("doc_id") % 11 === 1)
+      .withColumn("text", concat(col("text"), lit(" [v0-redelivery]")))
+      .withColumn("version", lit(0))
+    val tomb = docs.where(col("doc_id") % 7 === 3)
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("version", lit(2))
+      .withColumn("is_deleted", lit(true))
+    val changes = upd.unionByName(redeliver)
+      .unionByName(tomb, allowMissingColumns = true)
+    graft.ops.Upsert.merge(snap, changes, "doc_id", "version", "is_deleted")
+      .select(col("doc_id"), col("version"), col("source"),
+        md5(col("text").cast("binary")).as("text_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 keyword retrieval ([[graft.ops.Bm25.topDocs]]): top-15
+    * documents for a three-term query, Lucene-variant idf, scores
+    * rounded to 4 decimals BEFORE ranking so the ordering replays
+    * across engines. The oracle re-derives tf/df/avgdl and the full
+    * scoring formula in DuckDB with IEEE-identical operation order. */
+  def q94Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bm25.topDocs(t(spark, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("hash", "join", "spark"), topK = 15)
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -114,6 +114,9 @@ object SparkEntry {
     "q89_semantic_decon" -> (Queries.q89SemanticDecon(_, _)),
     "q90_image_decode" -> (Queries.q90ImageDecode(_, _)),
     "q91_audio_decode" -> (Queries.q91AudioDecode(_, _)),
+    "q92_bucketed_join" -> (Queries.q92BucketedJoin(_, _)),
+    "q93_upsert_merge" -> (Queries.q93UpsertMerge(_, _)),
+    "q94_bm25" -> (Queries.q94Bm25(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1747,5 +1750,68 @@ object SparkEntry {
         |    j -> (dsmp[j] < 0) <> (dsmp[j+1] < 0))) AS INT) AS d_zero_crossings,
         |  CAST(list_sum(list_transform(dsmp, v -> v*v)) AS BIGINT) AS d_sum_sq
         |FROM s ORDER BY blob_id""".stripMargin,
+    // q92: bucketing is a pure physical-layout change — the oracle is
+    // the plain logical join+aggregate; any data drift introduced by
+    // the bucketed write/read round-trip turns the row red.
+    "q92_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q93: union + window latest-wins replay of the changelog merge.
+    // Ranking needs only (version DESC, src DESC): each (key, version,
+    // src) combination is unique by construction — updates are v1,
+    // re-deliveries v0, tombstones v2, all on the change side — so the
+    // deeper column tie-breaks never bind on either engine.
+    "q93_upsert_merge" ->
+      """WITH snap AS (
+        |  SELECT doc_id, text, source, 0 AS version, false AS del,
+        |    0 AS src FROM documents),
+        |upd AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text, source, 1 AS version,
+        |    false AS del, 1 AS src FROM documents WHERE doc_id % 5 = 0),
+        |redeliver AS (
+        |  SELECT doc_id, text || ' [v0-redelivery]' AS text, source,
+        |    0 AS version, false AS del, 1 AS src
+        |  FROM documents WHERE doc_id % 11 = 1),
+        |tomb AS (
+        |  SELECT doc_id, NULL AS text, source, 2 AS version, true AS del,
+        |    1 AS src FROM documents WHERE doc_id % 7 = 3),
+        |allr AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM redeliver UNION ALL SELECT * FROM tomb),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY version DESC, src DESC) AS rn
+        |  FROM allr)
+        |SELECT doc_id, version, source, md5(text) AS text_digest
+        |FROM ranked WHERE rn = 1 AND NOT del ORDER BY doc_id""".stripMargin,
+    // q94: full BM25 replay — tf/df/avgdl re-derived, the scoring
+    // expression written with the SAME operation order as the Scala
+    // side ((1.2 + 1.0) stays a sum; 0.75 * dl / avgdl stays
+    // left-associative) so both engines run identical IEEE doubles,
+    // and scores round to 4 decimals BEFORE the ORDER BY on both
+    // sides. Ranking ties break by doc_id.
+    "q94_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '') AS ws
+        |  FROM documents),
+        |sized AS (SELECT doc_id, ws, len(ws) AS dl FROM base),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(ws) AS t FROM sized) u
+        |  WHERE t IN ('hash', 'join', 'spark') GROUP BY 1, 2, 3),
+        |dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN dfs USING (t) CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms_matched,
+        |  round(sum(s), 4) AS score
+        |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
   )
 }

@@ -21,14 +21,19 @@ object Layout {
 
   /** Write `df` as a bucketed+sorted table (requires a table catalog;
     * bucket layout is what lets later same-key joins skip their
-    * shuffles). */
+    * shuffles). With `path` set the table is EXTERNAL — data lands at
+    * the given location instead of the session warehouse, so callers
+    * (e.g. the q92 round-trip query) can bucket into a temp dir they
+    * own and clean up. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+                    buckets: Int, path: String = ""): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    (if (path.nonEmpty) w.option("path", path) else w).saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. With matching
     * bucket counts neither side shuffles (asserted in LayoutSpec). */
