@@ -1436,6 +1436,38 @@ object Queries {
     graft.ops.Bm25.topDocs(t(spark, dir, "documents"), "doc_id", "text",
       queryTerms = Seq("hash", "join", "spark"), topK = 15)
 
+  /** BPE merges learned at each query site — cheap enough to relearn
+    * (the corpus census is one pass; iteration is vocab-sized) and it
+    * keeps q95/q96 self-contained for the driver. */
+  private def bpeMerges(spark: SparkSession, dir: String): Seq[graft.ops.Bpe.Merge] =
+    graft.ops.Bpe.learnMerges(
+      t(spark, dir, "documents"), "text", numMerges = 16)
+
+  /** BPE tokenizer TRAINING ([[graft.ops.Bpe.learnMerges]]): the
+    * 16-merge table learned from the documents corpus. Iterative
+    * merging is not SQL-expressible → pinned-VALUES oracle (the
+    * q16/q25 pattern); BpeSpec pins the hand-worked Sennrich example
+    * independently. Deterministic: exact integer pair counts with a
+    * total (count desc, pair asc) tie order — parallelism-independent
+    * by construction. */
+  def q95BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir)
+      .map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** BPE tokenizer APPLICATION ([[graft.ops.Bpe.tokenize]]): per-doc
+    * subword counts + order-sensitive token digests under the q95
+    * merge table. Map-only over the corpus (the merge table rides the
+    * closure); pinned-VALUES oracle, same contract as q95. */
+  def q96BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.tokenize(
+      t(spark, dir, "documents"), "doc_id", "text",
+      bpeMerges(spark, dir))
+      .orderBy("doc_id")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

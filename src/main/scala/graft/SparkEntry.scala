@@ -117,6 +117,8 @@ object SparkEntry {
     "q92_bucketed_join" -> (Queries.q92BucketedJoin(_, _)),
     "q93_upsert_merge" -> (Queries.q93UpsertMerge(_, _)),
     "q94_bm25" -> (Queries.q94Bm25(_, _)),
+    "q95_bpe_merges" -> (Queries.q95BpeMerges(_, _)),
+    "q96_bpe_tokens" -> (Queries.q96BpeTokens(_, _)),
   )
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
@@ -1813,5 +1815,10 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_terms_matched,
         |  round(sum(s), 4) AS score
         |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // q95/q96: iterative BPE training is not SQL-expressible →
+    // pinned-VALUES oracles (the q16/q25 contract; regenerated from a
+    // fresh Verify run, verified identical across 8/32 threads).
+    "q95_bpe_merges" -> PinnedOracles.q95Sql,
+    "q96_bpe_tokens" -> PinnedOracles.q96Sql,
   )
 }
