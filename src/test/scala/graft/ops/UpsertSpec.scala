@@ -61,6 +61,66 @@ class UpsertSpec extends AnyFunSuite with SparkTestSession {
       .findAllMatchIn(plan).size === 1, plan.take(2000))
   }
 
+  test("keepTombstones retains the marker and suppresses late old versions") {
+    val tomb = Seq((3L, null: String, 2, true))
+      .toDF("id", "text", "version", "del")
+    val kept = Upsert.merge(snapshot, tomb, "id", "version", "del",
+      keepTombstones = true)
+    val r3 = kept.where($"id" === 3L).collect()
+    assert(r3.length === 1 && r3.head.getAs[Boolean]("del"))
+    // a later merge delivering an OLDER version of key 3 stays deleted
+    val late = Seq((3L, "three-v1", 1, false))
+      .toDF("id", "text", "version", "del")
+    val after = Upsert.merge(kept, late, "id", "version", "del",
+      keepTombstones = true)
+    val r3b = after.where($"id" === 3L).collect()
+    assert(r3b.length === 1 && r3b.head.getAs[Boolean]("del"))
+    // ...where the dropped-tombstone form would have resurrected it
+    val dropped = Upsert.merge(snapshot, tomb, "id", "version", "del")
+    val resurrect = Upsert.merge(dropped, late, "id", "version", "del")
+    assert(resurrect.where($"id" === 3L).count() === 1)
+  }
+
+  test("streamMerge: incremental CDC equals one-shot merge; tombstones persist") {
+    import org.apache.spark.sql.functions.{col, not}
+    val dir = java.nio.file.Files.createTempDirectory("upsert_stream_")
+    val changesDir = dir.resolve("changes").toString
+    val targetDir = dir.resolve("target").toString
+    val cpDir = dir.resolve("cp").toString
+    def drop(rows: Seq[(Long, String, Int, Boolean)]): Unit =
+      rows.toDF("id", "text", "version", "del")
+        .coalesce(1).write.mode("append").parquet(changesDir)
+    drop(Seq((1L, "one-v0", 0, false), (2L, "two-v0", 0, false),
+      (3L, "three-v0", 0, false)))
+    drop(Seq((2L, "two-v2", 2, false), (3L, null: String, 3, true),
+      (4L, "four-v1", 1, false)))
+    drop(Seq((3L, "three-v1", 1, false))) // late, older than the tombstone
+    val schema = spark.read.parquet(changesDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(changesDir)
+    Upsert.streamMerge(stream, targetDir, cpDir, "id", "version", "del")
+      .awaitTermination()
+    val clean = spark.read.parquet(targetDir).where(not(col("del")))
+      .select("id", "text", "version").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(clean.toSeq === Seq(
+      (1L, "one-v0", 0), (2L, "two-v2", 2), (4L, "four-v1", 1)))
+    // one-shot merge of the whole changelog agrees
+    val all = spark.read.parquet(changesDir)
+    val oneShot = Upsert.merge(all.limit(0).drop("del"), all,
+      "id", "version", "del")
+      .select("id", "text", "version").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(oneShot.toSeq === clean.toSeq)
+    // restart with the same checkpoint and no new files: a no-op
+    val before = spark.read.parquet(targetDir).collect().toSet
+    Upsert.streamMerge(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(changesDir),
+      targetDir, cpDir, "id", "version", "del").awaitTermination()
+    assert(spark.read.parquet(targetDir).collect().toSet === before)
+  }
+
   test("exact duplicate deliveries are a no-op (deterministic ties)") {
     val changes = Seq(
       (1L, "dup", 5, false),
