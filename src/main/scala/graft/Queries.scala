@@ -1468,6 +1468,28 @@ object Queries {
       bpeMerges(spark, dir))
       .orderBy("doc_id")
 
+  /** PageRank ([[graft.ops.Graph.pageRank]]) over the part–supplier
+    * co-occurrence graph (distinct lineitem (partkey, suppkey) pairs,
+    * part keys bounded so the filter pushes to the scan): 10 power
+    * iterations, damping 0.85, top-20 nodes by N-scaled rank. The
+    * oracle unrolls the same 10 iterations as chained CTEs with
+    * IEEE-identical arithmetic. */
+  def q97PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "lineitem")
+      .where(col("l_partkey") <= 2000)
+      .select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val pr = graft.ops.Graph.pageRank(edges, iterations = 10,
+      damping = 0.85)
+    val n = pr.count()
+    pr.select(col("node"),
+        round(col("rank") * lit(n), 4).as("score"))
+      .orderBy(desc("score"), col("node"))
+      .limit(20)
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -119,7 +119,37 @@ object SparkEntry {
     "q94_bm25" -> (Queries.q94Bm25(_, _)),
     "q95_bpe_merges" -> (Queries.q95BpeMerges(_, _)),
     "q96_bpe_tokens" -> (Queries.q96BpeTokens(_, _)),
+    "q97_pagerank" -> (Queries.q97PageRank(_, _)),
   )
+
+  /** q97 oracle: the 10 PageRank power iterations unrolled as chained
+    * CTEs (recursive-CTE aggregation is non-portable), arithmetic in
+    * the same IEEE operation order as [[graft.ops.Graph.pageRank]] —
+    * (1.0 - 0.85) stays a subtraction, teleport + 0.85 * sum stays
+    * that shape — with scores rounded to 4 decimals before ranking. */
+  private def pagerankSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""pr$k AS (
+         |  SELECT d.dst AS node,
+         |    (1.0 - 0.85) / n.c + 0.85 * sum(p.rank / d.deg) AS rank
+         |  FROM und d JOIN pr${k - 1} p ON p.node = d.src CROSS JOIN n
+         |  GROUP BY d.dst, n.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem WHERE l_partkey <= 2000),
+       |und AS (
+       |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM (
+       |    SELECT src, dst FROM e UNION SELECT dst, src FROM e) u),
+       |n AS (SELECT count(DISTINCT src) AS c FROM und),
+       |pr0 AS (SELECT DISTINCT src AS node, 1.0 / n.c AS rank
+       |        FROM und CROSS JOIN n),
+       |$steps
+       |SELECT node, round(rank * n.c, 4) AS score
+       |FROM pr$iterations CROSS JOIN n
+       |ORDER BY score DESC, node LIMIT 20""".stripMargin
+  }
 
   /** q67 and q82 share one contract: the commutative md5-prefix corpus
     * digest of documents, straight from parquet. q67 pins the digest
@@ -1820,5 +1850,6 @@ object SparkEntry {
     // fresh Verify run, verified identical across 8/32 threads).
     "q95_bpe_merges" -> PinnedOracles.q95Sql,
     "q96_bpe_tokens" -> PinnedOracles.q96Sql,
+    "q97_pagerank" -> pagerankSql(10),
   )
 }
