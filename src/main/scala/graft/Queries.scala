@@ -1490,6 +1490,17 @@ object Queries {
       .limit(20)
   }
 
+  /** Blocklist scan ([[graft.ops.Blocklist.annotate]]): Aho–Corasick
+    * over a pattern set chosen to exercise overlapping and nested
+    * matches ("scan" contains "can" contains "an"). Map-only; the
+    * oracle recounts every overlapping occurrence per (doc, pattern)
+    * with a substr probe at each position. */
+  def q98Blocklist(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Blocklist.annotate(
+      t(spark, dir, "documents"), "doc_id", "text",
+      patterns = Seq("scan", "can", "an", "row"))
+      .orderBy("doc_id")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

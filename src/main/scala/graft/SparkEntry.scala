@@ -120,6 +120,7 @@ object SparkEntry {
     "q95_bpe_merges" -> (Queries.q95BpeMerges(_, _)),
     "q96_bpe_tokens" -> (Queries.q96BpeTokens(_, _)),
     "q97_pagerank" -> (Queries.q97PageRank(_, _)),
+    "q98_blocklist" -> (Queries.q98Blocklist(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -1851,5 +1852,21 @@ object SparkEntry {
     "q95_bpe_merges" -> PinnedOracles.q95Sql,
     "q96_bpe_tokens" -> PinnedOracles.q96Sql,
     "q97_pagerank" -> pagerankSql(10),
+    // q98: every overlapping occurrence recounted with a substr probe
+    // at each start position (the Aho–Corasick contract: "aa" occurs
+    // twice in "aaa"); distinct patterns via a count filter.
+    "q98_blocklist" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |pats(p) AS (VALUES ('scan'), ('can'), ('an'), ('row')),
+        |cnts AS (
+        |  SELECT doc_id, p,
+        |    len(list_filter(
+        |      generate_series(1, greatest(len(t) - len(p) + 1, 0)),
+        |      i -> substr(t, CAST(i AS INT), len(p)) = p)) AS c
+        |  FROM t CROSS JOIN pats)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+        |  CAST(count(*) FILTER (WHERE c > 0) AS INT) AS n_patterns_hit,
+        |  sum(c) > 0 AS flagged
+        |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
