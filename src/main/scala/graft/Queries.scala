@@ -1501,6 +1501,22 @@ object Queries {
       patterns = Seq("scan", "can", "an", "row"))
       .orderBy("doc_id")
 
+  /** Per-group winsorization ([[graft.ops.Sample.winsorizeWithinGroup]]):
+    * event values clipped into each event_type's exact [p5, p95] band,
+    * summarized per type. Oracle replays the clip against
+    * quantile_cont (exact-interpolation parity, the q64 contract). */
+  def q99Winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sample.winsorizeWithinGroup(
+      t(spark, dir, "events").select("event_type", "value")
+        .where(col("value").isNotNull),
+      "event_type", "value", pLo = 0.05, pHi = 0.95)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value_winsorized"), 2).as("sum_winsorized"),
+        round(min("value_winsorized"), 4).as("lo_clip"),
+        round(max("value_winsorized"), 4).as("hi_clip"))
+      .orderBy("event_type")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -121,6 +121,7 @@ object SparkEntry {
     "q96_bpe_tokens" -> (Queries.q96BpeTokens(_, _)),
     "q97_pagerank" -> (Queries.q97PageRank(_, _)),
     "q98_blocklist" -> (Queries.q98Blocklist(_, _)),
+    "q99_winsorize" -> (Queries.q99Winsorize(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -1868,5 +1869,22 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE c > 0) AS INT) AS n_patterns_hit,
         |  sum(c) > 0 AS flagged
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q99: Spark's exact `percentile` and DuckDB's quantile_cont share
+    // the linear-interpolation definition (q64 parity); the clip is
+    // least(greatest(...)) on both sides.
+    "q99_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |thr AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  round(sum(least(greatest(e.value, t.lo), t.hi)), 2)
+        |    AS sum_winsorized,
+        |  round(min(least(greatest(e.value, t.lo), t.hi)), 4) AS lo_clip,
+        |  round(max(least(greatest(e.value, t.lo), t.hi)), 4) AS hi_clip
+        |FROM e JOIN thr t USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
   )
 }

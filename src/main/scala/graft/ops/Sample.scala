@@ -162,6 +162,36 @@ object Sample {
       .drop("__grp", "__mu", "__sd")
   }
 
+  /** Within-group winsorization: clip `valueCol` into its group's
+    * exact [pLo, pHi] percentile band — the outlier treatment for
+    * quality/length/score columns before aggregate statistics, so a
+    * handful of pathological rows can't drag a source's profile. Same
+    * shape as [[aboveGroupQuantile]]: one narrow (group, lo, hi)
+    * aggregate broadcasts back, the clip itself is map-side
+    * `least(greatest(...))` — no window, no corpus sort. Exact
+    * percentiles (linear interpolation, quantile_cont parity); at
+    * 100 TB swap in `approx_percentile` at a documented error bound.
+    * Output adds `<valueCol>_winsorized`; other columns pass through. */
+  def winsorizeWithinGroup(df: DataFrame, groupCol: String,
+                           valueCol: String, pLo: Double,
+                           pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val outCol = s"${valueCol}_winsorized"
+    val clash = df.columns.toSet.intersect(Set("__wg", "__lo", "__hi", outCol))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with winsorizeWithinGroup's names")
+    val thr = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(pLo)).as("__lo"),
+      percentile(col(valueCol), lit(pHi)).as("__hi"))
+      .withColumnRenamed(groupCol, "__wg")
+    // null-safe join, same contract as standardizeWithinGroup
+    df.join(broadcast(thr), col(groupCol) <=> col("__wg"), "left")
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__wg", "__lo", "__hi")
+  }
+
   /** Rate-based source mixing: keep each row with its group's rate
     * (exactly the rows whose per-id hash bucket falls under
     * rate x 10000 — deterministic, not probabilistic). Groups absent

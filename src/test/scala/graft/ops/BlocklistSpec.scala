@@ -62,4 +62,27 @@ class BlocklistSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1000))
   }
+
+  test("annotate is streaming-safe: streamed result equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("blocklist_stream_")
+    val docsDir = dir.resolve("docs").toString
+    val docs = Seq((1L, "a scanner can scan"), (2L, "nothing here"),
+      (3L, "row row row"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val annotated = Blocklist.annotate(stream, "doc_id", "text",
+      Seq("scan", "can", "an", "row"))
+    assert(annotated.isStreaming) // map-only: no state, no watermark
+    val name = "blocklist_stream_out"
+    annotated.writeStream.format("memory").queryName(name)
+      .outputMode("append") // map-only stream: append, not complete
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.table(name).orderBy("doc_id").collect().toSeq
+    val batch = Blocklist.annotate(docs, "doc_id", "text",
+      Seq("scan", "can", "an", "row")).orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+  }
 }

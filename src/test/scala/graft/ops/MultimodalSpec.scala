@@ -77,7 +77,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(blobs.schema("data").dataType.typeName === "binary")
     val meta = blobs.schema("meta").dataType
     assert(meta.isInstanceOf[org.apache.spark.sql.types.StructType])
-    assert(blobs.select("meta.mime").distinct().head.getString(0) === "image/fake")
+    assert(blobs.select("meta.mime").distinct().head().getString(0) === "image/fake")
     assert(blobs.count() === 3)
   }
 

@@ -1412,6 +1412,28 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       ("a", 1.0, -1.0), ("a", 3.0, 1.0), ("b", 5.0, 0.0), ("b", 5.0, 0.0)))
   }
 
+  test("winsorizeWithinGroup: clips into the exact per-group percentile band") {
+    // group a: 1..10 -> p10 = 1.9, p90 = 9.1 (linear interpolation);
+    // group b: constant -> band is degenerate, values unchanged
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 5.0))).toDF("g", "x")
+    val out = Sample.winsorizeWithinGroup(df, "g", "x", 0.10, 0.90)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val a = out.filter(_._1 == "a").map(_._3)
+    assert(a.head === 1.9 && a.last === 9.1)     // tails clipped
+    assert(a(4) === 5.0)                          // interior untouched
+    assert(out.filter(_._1 == "b").forall(t => t._3 === 5.0))
+    // reserved-name and bounds guards
+    intercept[IllegalArgumentException] {
+      Sample.winsorizeWithinGroup(df, "g", "x", 0.9, 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Sample.winsorizeWithinGroup(
+        df.withColumn("x_winsorized", $"x"), "g", "x", 0.1, 0.9)
+    }
+  }
+
   test("curate keepBestByQuality: the exact-dedup stage keeps the best copy") {
     // docs 1 and 2 normalize to the same text (whitespace squeeze) but
     // score differently on the ORIGINAL: doc 2's extra whitespace
