@@ -1517,6 +1517,28 @@ object Queries {
         round(max("value_winsorized"), 4).as("hi_clip"))
       .orderBy("event_type")
 
+  /** Corpus-version diff ([[graft.ops.Diff.diffSummary]]): a second
+    * snapshot is synthesized deterministically from documents —
+    * removals (doc_id % 13 == 0), edits (% 7 == 1 on the survivors),
+    * additions (offset re-keyed % 11 == 0 rows) — and the diff
+    * classifies every key as added/removed/changed/same, summarized
+    * with commutative key digests. Each side shrinks to (key, digest)
+    * map-side; ONE full-outer key join. */
+  def q100CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = t(spark, dir, "documents")
+      .select("doc_id", "text", "source", "lang")
+    val newer = old.where(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 1, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")))
+      .unionByName(old.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          col("source"), col("lang")))
+    graft.ops.Diff.diffSummary(old, newer, "doc_id",
+      Seq("text", "source", "lang"))
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -122,6 +122,7 @@ object SparkEntry {
     "q97_pagerank" -> (Queries.q97PageRank(_, _)),
     "q98_blocklist" -> (Queries.q98Blocklist(_, _)),
     "q99_winsorize" -> (Queries.q99Winsorize(_, _)),
+    "q100_corpus_diff" -> (Queries.q100CorpusDiff(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -1886,5 +1887,34 @@ object SparkEntry {
         |  round(max(least(greatest(e.value, t.lo), t.hi)), 4) AS hi_clip
         |FROM e JOIN thr t USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // q100: the synthesized second snapshot and the full-outer digest
+    // compare replayed row for row; key digests are commutative
+    // decimal sums (the q67/q88 contract).
+    "q100_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text, source, lang FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN text || ' [edited]'
+        |         ELSE text END AS text, source, lang
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+        |    source, lang
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |od AS (SELECT doc_id,
+        |  md5(concat_ws(chr(1), text, source, lang)) AS d FROM old),
+        |nd AS (SELECT doc_id,
+        |  md5(concat_ws(chr(1), text, source, lang)) AS d FROM newer),
+        |j AS (
+        |  SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+        |    CASE WHEN od.d IS NULL THEN 'added'
+        |         WHEN nd.d IS NULL THEN 'removed'
+        |         WHEN od.d = nd.d THEN 'same'
+        |         ELSE 'changed' END AS status
+        |  FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id)
+        |SELECT status, count(*) AS n_keys,
+        |  CAST(sum(doc_id::DECIMAL(38,0)) AS VARCHAR) AS key_digest
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
