@@ -1539,6 +1539,43 @@ object Queries {
       Seq("text", "source", "lang"))
   }
 
+  /** ORC IO round-trip (S4b orc scan/sink + S8 `.orc` dispatch), the
+    * q85 shape for the orc leg: documents -> orc sink -> extension
+    * dispatch -> per-source digest; same content-digest oracle as
+    * q67/q82/q85, so a lossy round-trip turns the row red. */
+  def q101OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q101_")
+    val out = tmp.resolve("documents.orc").toString
+    try {
+      graft.sources.FormatIO.save("orc", t(spark, dir, "documents"), out,
+        overwrite = true)
+      val (back, tag) = graft.sources.FormatIO.loadFromPath(out, spark)
+        .getOrElse(sys.error("extension dispatch failed for " + out))
+      require(tag == "orc", s"dispatch resolved '$tag', expected orc")
+      graft.ops.Profile.corpusDigest(back, "source", Seq("doc_id", "text", "lang"))
+        .withColumn("digest", col("digest").cast("string"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Time-series gap-fill ([[graft.ops.TimeSeries.gapFill]]): the
+    * event stream regularized onto each event_type's hourly grid with
+    * forward-filled gaps. The oracle rebuilds the grid with
+    * generate_series and replays the fill with an IGNORE NULLS
+    * last_value window — bucket indexes are integer epoch-hour slots
+    * on both sides, so no timestamp formatting is compared. */
+  def q102GapFill(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.gapFill(
+      events(spark, dir), "event_type", "ts", "value",
+      stepSeconds = 3600L)
+      .withColumnRenamed("slot", "slot_hour")
+      .orderBy("event_type", "slot_hour")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

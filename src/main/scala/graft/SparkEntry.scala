@@ -123,6 +123,8 @@ object SparkEntry {
     "q98_blocklist" -> (Queries.q98Blocklist(_, _)),
     "q99_winsorize" -> (Queries.q99Winsorize(_, _)),
     "q100_corpus_diff" -> (Queries.q100CorpusDiff(_, _)),
+    "q101_orc_roundtrip" -> (Queries.q101OrcRoundtrip(_, _)),
+    "q102_gap_fill" -> (Queries.q102GapFill(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -1916,5 +1918,35 @@ object SparkEntry {
         |SELECT status, count(*) AS n_keys,
         |  CAST(sum(doc_id::DECIMAL(38,0)) AS VARCHAR) AS key_digest
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q101: the ORC sink/scan leg of the IO round-trip family; the
+    // oracle reads the ORIGINAL parquet, so any loss in the orc
+    // write->dispatch->read path breaks the content digest.
+    "q101_orc_roundtrip" -> corpusDigestSql,
+    // q102: integer epoch-hour slots on both sides (no timestamp
+    // formatting compared); the forward fill is last_value IGNORE
+    // NULLS over the same per-key slot order, rounded once at the end.
+    "q102_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+        |    count(*) AS n_obs, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(slot) AS lo, max(slot) AS hi
+        |  FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS slot
+        |  FROM spans),
+        |j AS (
+        |  SELECT g.event_type, g.slot, e.n_obs, e.v
+        |  FROM grid g LEFT JOIN e USING (event_type, slot))
+        |SELECT event_type, slot AS slot_hour,
+        |  coalesce(n_obs, 0) AS n_obs,
+        |  round(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS value_filled,
+        |  n_obs IS NULL AS was_gap
+        |FROM j ORDER BY event_type, slot""".stripMargin,
   )
 }
