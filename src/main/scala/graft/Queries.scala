@@ -1576,6 +1576,32 @@ object Queries {
       .withColumnRenamed("slot", "slot_hour")
       .orderBy("event_type", "slot_hour")
 
+  /** Z-order data-skipping report ([[graft.ops.ZOrder.skippingReport]]):
+    * lineitem rows laid out under a linear (l_partkey-sorted) and a
+    * Morton-curve (l_partkey x l_suppkey) file assignment; the report
+    * counts min/max-prunable files for an x-probe and a y-probe. All
+    * arithmetic is exact integer quantize/shift/mask, replayed
+    * term-for-term by the DuckDB oracle. */
+  def q103ZorderSkipping(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ZOrder.skippingReport(
+      t(spark, dir, "lineitem"), "l_partkey", "l_suppkey",
+      bits = 8, fileBits = 4, probeLoPct = 40, probeHiPct = 45)
+
+  /** Small-file compaction plan ([[graft.ops.Layout.compactionPlan]]):
+    * a synthetic per-(source, lang, shard) file inventory derived from
+    * documents, bin-packed to 4000-byte targets per source in file-name
+    * order. The oracle replays the exclusive-prefix-sum bin assignment
+    * with the same window. */
+  def q104CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val inv = t(spark, dir, "documents")
+      .groupBy(col("source"),
+        concat_ws("_", col("lang"), (col("doc_id") % 8).cast("string"))
+          .as("file"))
+      .agg(sum("n_chars").as("bytes"))
+    graft.ops.Layout.compactionPlan(inv, "source", "file", "bytes",
+      targetBytes = 4000L)
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -125,6 +125,8 @@ object SparkEntry {
     "q100_corpus_diff" -> (Queries.q100CorpusDiff(_, _)),
     "q101_orc_roundtrip" -> (Queries.q101OrcRoundtrip(_, _)),
     "q102_gap_fill" -> (Queries.q102GapFill(_, _)),
+    "q103_zorder_skipping" -> (Queries.q103ZorderSkipping(_, _)),
+    "q104_compaction_plan" -> (Queries.q104CompactionPlan(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -1948,5 +1950,69 @@ object SparkEntry {
         |    AS value_filled,
         |  n_obs IS NULL AS was_gap
         |FROM j ORDER BY event_type, slot""".stripMargin,
+    // q103: the Morton interleave is replayed bit-for-bit with a
+    // generate_series lambda; quantization is exact integer floor
+    // division (`//`) matching the pmod form on the Spark side.
+    "q103_zorder_skipping" ->
+      """WITH stats AS (
+        |  SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+        |         min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+        |  FROM lineitem),
+        |q AS (
+        |  SELECT ((l_partkey - xmin) * 255) // (xmax - xmin) AS xq,
+        |         ((l_suppkey - ymin) * 255) // (ymax - ymin) AS yq
+        |  FROM lineitem CROSS JOIN stats),
+        |f AS (
+        |  SELECT xq, yq,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), i ->
+        |      (((xq >> i) & 1) << (2*i)) + (((yq >> i) & 1) << (2*i+1))))
+        |      AS BIGINT) >> 12 AS zfile,
+        |    xq >> 4 AS lfile
+        |  FROM q),
+        |probe AS (SELECT (255 * 40) // 100 AS lo, (255 * 45) // 100 AS hi),
+        |lstats AS (
+        |  SELECT lfile, min(xq) AS mnx, max(xq) AS mxx,
+        |         min(yq) AS mny, max(yq) AS mxy, count(*) AS n
+        |  FROM f GROUP BY 1),
+        |zstats AS (
+        |  SELECT zfile, min(xq) AS mnx, max(xq) AS mxx,
+        |         min(yq) AS mny, max(yq) AS mxy, count(*) AS n
+        |  FROM f GROUP BY 1),
+        |rep AS (
+        |  SELECT 'linear' AS layout, count(*) AS n_files,
+        |    CAST(sum(CASE WHEN mnx <= hi AND mxx >= lo THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS files_hit_x,
+        |    CAST(sum(CASE WHEN mny <= hi AND mxy >= lo THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS files_hit_y,
+        |    CAST(sum(n) AS BIGINT) AS n_rows
+        |  FROM lstats CROSS JOIN probe
+        |  UNION ALL
+        |  SELECT 'zorder', count(*),
+        |    CAST(sum(CASE WHEN mnx <= hi AND mxx >= lo THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN mny <= hi AND mxy >= lo THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(n) AS BIGINT)
+        |  FROM zstats CROSS JOIN probe)
+        |SELECT layout, n_files, files_hit_x, files_hit_y, n_rows
+        |FROM rep ORDER BY layout""".stripMargin,
+    // q104: the bin is floor(exclusive-prefix-bytes / target) in
+    // file-name order per source — replayed with the same window;
+    // file names are unique per partition so the order is total.
+    "q104_compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT source, lang || '_' || CAST(doc_id % 8 AS VARCHAR) AS f,
+        |         sum(n_chars) AS b
+        |  FROM documents GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT source, f, b,
+        |    CAST(coalesce(sum(b) OVER (PARTITION BY source ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 4000 AS BIGINT) AS bin
+        |  FROM inv)
+        |SELECT source, bin, count(*) AS n_files,
+        |  CAST(sum(b) AS BIGINT) AS bytes,
+        |  min(f) AS first_file, max(f) AS last_file
+        |FROM binned GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
   )
 }

@@ -96,4 +96,44 @@ object Layout {
       .orderBy(desc("n_rows"), col(keyCol).asc_nulls_last)
       .limit(k)
   }
+
+  /** Small-file compaction plan: pack a file inventory into target-size
+    * bins, per table partition, in deterministic file-name order — the
+    * lakehouse `OPTIMIZE`/bin-packing shape. A file lands in bin
+    * `floor(exclusive-prefix-bytes / targetBytes)`, so bins fill
+    * sequentially and a file larger than the target gets a bin of its
+    * own (plus spillover, the standard behavior).
+    *
+    * The input is a file INVENTORY (one metadata row per file), so the
+    * per-partition window is metadata-sized — millions of files is
+    * still trivial next to the data they describe. Returns the
+    * inventory with a `bin` column appended.
+    */
+  def compactionBins(files: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(fileCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = coalesce(sum(col(bytesCol)).over(w), lit(0L))
+    // exact integer division (the ZOrder.quantized contract): values
+    // stay below 2^53 for any real inventory, so the IEEE quotient of
+    // the pmod-adjusted numerator is the exact integer result
+    val bin = ((cum - pmod(cum, lit(targetBytes))) / targetBytes)
+      .cast("long")
+    files.withColumn("bin", bin)
+  }
+
+  /** Per-bin summary of [[compactionBins]]: file count, total bytes,
+    * and the name range each merged output would cover. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame =
+    compactionBins(files, partCol, fileCol, bytesCol, targetBytes)
+      .groupBy(col(partCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+      .orderBy(partCol, "bin")
 }

@@ -96,4 +96,32 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     // exactly the two explicit repartitions; the join itself adds none
     assert(exchanges <= 2, s"found $exchanges exchanges:\n" + plan.take(2000))
   }
+
+  test("compaction bins fill sequentially and isolate oversized files") {
+    import spark.implicits._
+    val inv = Seq(
+      // partition p: 30+30 fill bin 0 (target 100 -> cum 0, 30);
+      // 70 starts at cum 60 -> bin 0 (spillover allowed); 80 at cum
+      // 130 -> bin 1; the 500 giant at cum 210 -> bin 2; next file at
+      // cum 710 -> bin 7 (giant consumed bins 2-6)
+      ("p", "a", 30L), ("p", "b", 30L), ("p", "c", 70L), ("p", "d", 80L),
+      ("p", "e", 500L), ("p", "f", 10L),
+      // partition q is independent
+      ("q", "a", 10L))
+      .toDF("part", "file", "bytes")
+    val bins = Layout.compactionBins(inv, "part", "file", "bytes", 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(bins === Map(
+      ("p", "a") -> 0L, ("p", "b") -> 0L, ("p", "c") -> 0L,
+      ("p", "d") -> 1L, ("p", "e") -> 2L, ("p", "f") -> 7L,
+      ("q", "a") -> 0L))
+    val plan = Layout.compactionPlan(inv, "part", "file", "bytes", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(plan.toSeq === Seq(
+      ("p", 0L, 3L, 130L, "a", "c"), ("p", 1L, 1L, 80L, "d", "d"),
+      ("p", 2L, 1L, 500L, "e", "e"), ("p", 7L, 1L, 10L, "f", "f"),
+      ("q", 0L, 1L, 10L, "a", "a")))
+  }
 }
