@@ -1602,6 +1602,50 @@ object Queries {
       targetBytes = 4000L)
   }
 
+  /** Token-budget corpus selection ([[graft.ops.Budget]]): keep the
+    * highest-quality documents whose cumulative token count fits a
+    * 10k-token training budget. The global running sum is decomposed
+    * into per-quality prefix sums (bounded driver collect over the
+    * 3-decimal score domain) plus within-quality windows — no
+    * single-partition window; the oracle replays the equivalent
+    * global `SUM OVER (ORDER BY quality DESC, doc_id)`. */
+  def q105TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.ops.TextStats.qualityScore(col("text")).as("quality"),
+      graft.ops.TextStats.tokenCount(col("text")).cast("long").as("tokens"))
+    graft.ops.Budget.selectByTokenBudget(
+      scored, "doc_id", "quality", "tokens", budget = 10000L)
+      .select(col("doc_id"), col("quality"), col("tokens"),
+        col("cum_tokens"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  /** Per-source document cap ([[graft.ops.Sample.capPerGroupSummary]]):
+    * at most 10 docs per source by quality, reported as per-source
+    * kept/dropped accounting with the induced quality floor — the
+    * per-domain cap rule of crawl curation. */
+  def q106SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      graft.ops.TextStats.qualityScore(col("text")).as("quality"),
+      graft.ops.TextStats.tokenCount(col("text")).cast("long").as("tokens"))
+    graft.ops.Sample.capPerGroupSummary(
+      scored, "source", "quality", "doc_id", "tokens", k = 10)
+      .orderBy("source")
+  }
+
+  /** Exact-size deterministic global sample
+    * ([[graft.ops.Sample.exactGlobalSample]]): the 100 docs with the
+    * smallest md5 rank — TakeOrderedAndProject (bounded per-partition
+    * heap), never a corpus sort; the oracle replays the same md5
+    * arithmetic with ORDER BY … LIMIT. */
+  def q107ExactSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sample.exactGlobalSample(
+      t(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", n = 100)
+      .orderBy(col("rnk").asc, col("doc_id").asc)
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

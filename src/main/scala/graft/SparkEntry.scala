@@ -127,6 +127,9 @@ object SparkEntry {
     "q102_gap_fill" -> (Queries.q102GapFill(_, _)),
     "q103_zorder_skipping" -> (Queries.q103ZorderSkipping(_, _)),
     "q104_compaction_plan" -> (Queries.q104CompactionPlan(_, _)),
+    "q105_token_budget" -> (Queries.q105TokenBudget(_, _)),
+    "q106_source_cap" -> (Queries.q106SourceCap(_, _)),
+    "q107_exact_sample" -> (Queries.q107ExactSample(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -213,8 +216,12 @@ object SparkEntry {
     * lists the documents columns threaded through to `scored` beside
     * doc_id + quality. */
   private def qualityScoredCtes(carry: Seq[String]): String = {
-    val carryAgg = carry.map(c => s"d.$c").mkString(", ")
-    val carrySel = carry.mkString(", ")
+    // trailing-comma form so an EMPTY carry list is legal SQL; `scored`
+    // also exposes the token count (n AS tokens) for the budget/cap
+    // oracles — existing consumers select columns by name, so the
+    // extra CTE column is invisible to them
+    val carryAgg = carry.map(c => s"d.$c, ").mkString
+    val carrySel = carry.map(c => s"$c, ").mkString
     s"""WITH tok AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -227,7 +234,7 @@ object SparkEntry {
        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
        |  FROM tok GROUP BY doc_id),
        |agg AS (
-       |  SELECT d.doc_id, $carryAgg,
+       |  SELECT d.doc_id, ${carryAgg}
        |    coalesce(s.n, 0) AS n, coalesce(s.mtl, 0) AS mtl,
        |    coalesce(s.stops, 0) AS stops,
        |    CASE WHEN length(d.text) > 0 THEN
@@ -235,7 +242,7 @@ object SparkEntry {
        |    ELSE 0.0 END AS punct
        |  FROM documents d LEFT JOIN stats s USING (doc_id)),
        |scored AS (
-       |  SELECT doc_id, $carrySel,
+       |  SELECT doc_id, ${carrySel}n AS tokens,
        |    round(least(n / 20.0, 1.0) * 0.3
        |        + (1.0 - least(punct * 4, 1.0)) * 0.2
        |        + least(CASE WHEN n > 0 THEN stops::DOUBLE / n ELSE 0.0 END * 4, 1.0) * 0.3
@@ -2014,5 +2021,42 @@ object SparkEntry {
         |  CAST(sum(b) AS BIGINT) AS bytes,
         |  min(f) AS first_file, max(f) AS last_file
         |FROM binned GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    // q105: the DECOMPOSED cumsum (per-quality prefixes + within-quality
+    // windows) must equal the textbook global running sum — which is
+    // exactly what this window replays
+    "q105_token_budget" -> (qualityScoredCtes(Seq.empty) +
+      """,
+        |cum AS (
+        |  SELECT doc_id, quality, tokens,
+        |    CAST(SUM(tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, quality, tokens, cum_tokens FROM cum
+        |WHERE cum_tokens <= 10000
+        |ORDER BY quality DESC, doc_id""".stripMargin),
+    "q106_source_cap" -> (qualityScoredCtes(Seq("source")) +
+      """,
+        |ranked AS (
+        |  SELECT source, doc_id, quality, tokens, row_number() OVER (
+        |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+        |  FROM scored),
+        |tot AS (SELECT source, count(*) AS n_total FROM scored GROUP BY source),
+        |kept AS (
+        |  SELECT source, count(*) AS n_kept,
+        |    CAST(sum(tokens) AS BIGINT) AS kept_tokens,
+        |    round(min(quality), 3) AS quality_floor
+        |  FROM ranked WHERE rank <= 10 GROUP BY source)
+        |SELECT t.source, n_total, n_kept, n_total - n_kept AS n_dropped,
+        |  kept_tokens, quality_floor
+        |FROM tot t JOIN kept k ON t.source = k.source
+        |ORDER BY t.source""".stripMargin),
+    // q107: Splits.hashBucket's md5 arithmetic (same replay as q42/q43)
+    "q107_exact_sample" ->
+      """SELECT doc_id, source, rnk FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 1073741824 AS rnk
+        |  FROM documents)
+        |ORDER BY rnk, doc_id LIMIT 100""".stripMargin,
   )
 }

@@ -192,6 +192,62 @@ object Sample {
       .drop("__wg", "__lo", "__hi")
   }
 
+  /** Exact-size deterministic global sample: the `n` rows with the
+    * smallest engine-portable hash rank ([[Splits.hashBucket]] md5
+    * form; ties broken by id). Unlike `df.sample(fraction)` this
+    * yields EXACTLY n rows and the same n rows regardless of
+    * partitioning, cluster size, or run — the "take exactly N docs
+    * uniformly" request a pipeline makes when sizing an eval slice.
+    *
+    * Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    * a bounded size-n heap per partition and a driver merge of
+    * n·partitions candidates. The corpus is never exchanged and never
+    * globally sorted; contrast with a rank window, which would
+    * shuffle everything to order it. */
+  def exactGlobalSample(df: DataFrame, idCol: String, n: Int,
+                        rankCol: String = "rnk"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    require(!df.columns.contains(rankCol),
+      s"input column $rankCol collides with exactGlobalSample's rank column")
+    df.withColumn(rankCol, Splits.hashBucket(col(idCol), 1 << 30))
+      .orderBy(col(rankCol).asc, col(idCol).asc)
+      .limit(n)
+  }
+
+  /** Per-group cap with overflow accounting — the "at most k documents
+    * per domain" rule crawl curation applies before mixing, reported as
+    * a per-group summary: total seen, kept, dropped, kept token volume,
+    * and the quality floor the cap induced (min kept score — what a
+    * document now needs to beat to enter that group).
+    *
+    * Scale shape: the kept side is [[topKPerGroup]]'s window (ONE
+    * shuffle keyed by the group; WindowGroupLimit prunes to k rows per
+    * group map-side before the exchange), the totals side is a narrow
+    * count aggregate, and both summaries join on the (small) group
+    * domain — broadcast-sized by construction. The corpus is scanned
+    * twice but never leaves its executors unranked.
+    */
+  def capPerGroupSummary(df: DataFrame, groupCol: String, scoreCol: String,
+                         tiebreakCol: String, tokenCol: String,
+                         k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val kept = rankedWithinGroup(df, groupCol,
+      Seq(col(scoreCol).desc, col(tiebreakCol).asc), k, "capPerGroupSummary")
+    val keptAgg = kept.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_kept"),
+      sum(col(tokenCol).cast("long")).as("kept_tokens"),
+      round(min(col(scoreCol)), 3).as("quality_floor"))
+    val totalAgg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumnRenamed(groupCol, "__cg")
+    // null-safe: a NULL group is a legitimate group and must be
+    // accounted, same contract as standardizeWithinGroup
+    totalAgg.join(keptAgg, col("__cg") <=> col(groupCol), "left")
+      .select(col("__cg").as(groupCol), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        col("kept_tokens"), col("quality_floor"))
+  }
+
   /** Rate-based source mixing: keep each row with its group's rate
     * (exactly the rows whose per-id hash bucket falls under
     * rate x 10000 — deterministic, not probabilistic). Groups absent

@@ -86,13 +86,31 @@ object EventStreams {
     * return the result table. Used by tests; in production the same
     * query writes to a real sink with a periodic trigger. */
   def runOnce(spark: SparkSession, streamed: DataFrame,
-              tableName: String): StreamingQuery = {
+              tableName: String,
+              mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
     streamed.writeStream
       .format("memory")
       .queryName(tableName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** File-source stream wired through [[sessions]]. Session windows
+    * stream in APPEND mode only (a session's membership is open until
+    * the watermark passes its gap, so there is no meaningful complete
+    * mode): a session emits exactly once, when `session_end + delay`
+    * falls behind the advancing watermark. The trailing open session
+    * per user therefore stays in state until later data (or a no-data
+    * micro-batch after the final file batch) closes it — by design;
+    * tests compare against the batch [[sessions]] filtered to windows
+    * the final watermark could have closed. */
+  def streamSessions(spark: SparkSession, dir: String,
+                     watermark: String = "0 seconds",
+                     gap: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    sessions(nanosToTimestamp(raw).withWatermark("ts", watermark), gap)
   }
 
   /** Streaming exact dedup on `keyCols`: first arrival wins, later

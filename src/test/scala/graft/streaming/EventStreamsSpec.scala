@@ -89,6 +89,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.size === 500)
   }
 
+  test("streamed session windows (append) equal the batch sessions the final watermark closed") {
+    val streamDir = stageDir("graft-session-stream")
+    val q = EventStreams.runOnce(spark,
+      EventStreams.streamSessions(spark, streamDir, watermark = "0 seconds"),
+      "stream_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_sessions")
+      .collect().map(_.toSeq).toSet
+    // append emits exactly the sessions whose window closed behind the
+    // final watermark (= max event ts, delay 0); the trailing open
+    // session per user stays in state. The formatted output truncates
+    // to seconds, so the closed-session count is recomputed from the
+    // EXACT (micros) session_window ends instead of parsed strings.
+    val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
+    val maxTs = norm.agg(max("ts")).head.getTimestamp(0)
+    val nClosed = norm
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .count()
+      .where(col("w.end") < lit(maxTs)).count()
+    val batch = EventStreams.sessions(events)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.size.toLong === nClosed)
+    // every emitted session is byte-identical to its batch counterpart
+    assert(streamed.subsetOf(batch))
+  }
+
   test("streaming dedup (watermarked) equals batch distinct key count") {
     val streamDir = stageDir("graft-dedup-stream")
     val keys = Seq("user_id", "event_type")
