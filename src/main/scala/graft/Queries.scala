@@ -1646,6 +1646,41 @@ object Queries {
       "doc_id", n = 100)
       .orderBy(col("rnk").asc, col("doc_id").asc)
 
+  /** Encoding-corruption gate
+    * ([[graft.ops.TextStats.replacementCharCount]] /
+    * [[graft.ops.TextStats.controlCharCount]]): plant deterministic
+    * corruption (a BEL control char on doc_id % 50, a U+FFFD
+    * replacement char on doc_id % 70 — the fixture text itself is
+    * clean, so the gate needs planted positives to be exercised),
+    * then report per-source corruption accounting and the clean count
+    * the gate would pass. Map-only profile + one narrow aggregate. */
+  def q108EncodingGate(spark: SparkSession, dir: String): DataFrame = {
+    val corrupted = t(spark, dir, "documents").withColumn("t2",
+      concat(col("text"),
+        when(col("doc_id") % 50 === 0, lit("\u0007")).otherwise(lit("")),
+        when(col("doc_id") % 70 === 0, lit("\uFFFD")).otherwise(lit(""))))
+    corrupted.select(col("source"),
+      graft.ops.TextStats.replacementCharCount(col("t2")).as("n_repl"),
+      graft.ops.TextStats.controlCharCount(col("t2")).as("n_ctl"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_ctl") > 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("n_replacement"),
+        sum(when(col("n_ctl") === 0 && col("n_repl") === 0, 1L)
+          .otherwise(0L)).as("n_clean"))
+      .orderBy("source")
+  }
+
+  /** MinHash estimate-vs-exact calibration
+    * ([[graft.ops.Dedup.minhashCalibration]]): candidate pairs
+    * bucketed by signature-estimate decile with mean estimate and
+    * mean exact Jaccard per bucket — the bands×rows tuning harness.
+    * The oracle replays the full mod-2^64 signature family, band
+    * collisions, and integer-sum means in SQL. */
+  def q109MinhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashCalibration(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -130,6 +130,8 @@ object SparkEntry {
     "q105_token_budget" -> (Queries.q105TokenBudget(_, _)),
     "q106_source_cap" -> (Queries.q106SourceCap(_, _)),
     "q107_exact_sample" -> (Queries.q107ExactSample(_, _)),
+    "q108_encoding_gate" -> (Queries.q108EncodingGate(_, _)),
+    "q109_minhash_calibration" -> (Queries.q109MinhashCalibration(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2058,5 +2060,81 @@ object SparkEntry {
         |      % 1073741824 AS rnk
         |  FROM documents)
         |ORDER BY rnk, doc_id LIMIT 100""".stripMargin,
+    // q108: same planted corruption (chr(7)=BEL, chr(65533)=U+FFFD),
+    // counts via the identical length-difference arithmetic
+    "q108_encoding_gate" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    text || CASE WHEN doc_id % 50 = 0 THEN chr(7) ELSE '' END
+        |         || CASE WHEN doc_id % 70 = 0 THEN chr(65533) ELSE '' END AS t2
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    length(t2) - length(replace(t2, chr(65533), '')) AS n_repl,
+        |    length(t2) - length(regexp_replace(t2,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctl
+        |  FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_ctl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |  CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+        |  CAST(sum(CASE WHEN n_ctl = 0 AND n_repl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // q109: full MinHash replay (the q57 seeds/band arithmetic) over the
+    // q22 gram CTEs; per-bucket means from INTEGER sums so float
+    // reduction order can't flip the last ulp cross-engine
+    "q109_minhash_calibration" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM norm WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |seeds AS (
+        |  SELECT s, (11400714819323198485::HUGEINT * (2*s+1)) % 18446744073709551616::HUGEINT AS a,
+        |         (2685821657736338717::HUGEINT * (s+1)) AS off
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS s)),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    min((a * ('0x' || substr(md5(g), 1, 15))::BIGINT::HUGEINT + off)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |  FROM grams CROSS JOIN seeds GROUP BY doc_id, s),
+        |slices AS (
+        |  SELECT doc_id, s // 3 AS band, list(h ORDER BY s) AS slice
+        |  FROM sig GROUP BY doc_id, s // 3),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM slices a JOIN slices b
+        |    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id),
+        |m AS (
+        |  SELECT c.id_a, c.id_b,
+        |    sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS mm
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT m.id_a, m.id_b, m.mm,
+        |    CAST(round(coalesce(i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i, 0)) * 10000) AS BIGINT) AS e4
+        |  FROM m
+        |  LEFT JOIN inter ON inter.id_a = m.id_a AND inter.id_b = m.id_b
+        |  JOIN sizes sa ON sa.doc_id = m.id_a
+        |  JOIN sizes sb ON sb.doc_id = m.id_b),
+        |bk AS (
+        |  SELECT floor((mm::DOUBLE / 12) * 10) / 10 AS bucket, count(*) AS n_pairs,
+        |    CAST(sum(mm) AS BIGINT) AS sm, CAST(sum(e4) AS BIGINT) AS se
+        |  FROM pairs GROUP BY 1)
+        |SELECT bucket, n_pairs, round(sm / (n_pairs * 12.0), 4) AS avg_est,
+        |  round(se / (n_pairs * 10000.0), 4) AS avg_exact
+        |FROM bk ORDER BY bucket""".stripMargin,
   )
 }

@@ -60,7 +60,13 @@ object Budget {
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with selectByTokenBudget's names")
     val spark = df.sparkSession
+    // the scored projection is read twice (totals pass + selection
+    // pass) — persist it so the quality/token expressions evaluate
+    // once; it is the NARROW (id, quality, tokens) frame, not the
+    // corpus text, so this is the "persist the scored projection"
+    // production shape, not a corpus cache
     val eligible = df.filter(col(qualityCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1. narrow per-quality totals (key domain = score granularity)
     val totals: Array[(Double, Long)] = eligible
       .groupBy(col(qualityCol).cast(DoubleType).as("__q"))
@@ -81,7 +87,11 @@ object Budget {
     //    The join key is the exact double produced by the same column
     //    expression on both sides, so equality is bit-stable.
     val w = Window.partitionBy(col(qualityCol)).orderBy(col(idCol).asc)
-    eligible
+    // the kept set is budget-bounded (≤ budget tokens, plus any
+    // zero-token rows at the cut), so the eager localCheckpoint that
+    // lets the persisted projection release immediately is safe —
+    // same contract as Dedup's verified-pairs checkpoint
+    val out = eligible
       .join(broadcast(prefixDf),
         col(qualityCol).cast(DoubleType) === col("__q"))
       .withColumn(cumCol,
@@ -89,5 +99,8 @@ object Budget {
           .cast(LongType))
       .where(col(cumCol) <= budget)
       .drop("__q", "__prefix")
+      .localCheckpoint(true)
+    eligible.unpersist()
+    out
   }
 }

@@ -260,6 +260,75 @@ object Dedup {
   }
 
   /**
+   * MinHash calibration report: over the LSH candidate set, how well
+   * does the signature ESTIMATE (matching-component fraction) track
+   * EXACT Jaccard? Buckets candidates by estimate decile and reports
+   * per-bucket pair counts plus mean estimate / mean exact — the
+   * tuning harness for choosing bands × rows against a target
+   * threshold (a bucket whose mean exact sits far from its mean
+   * estimate means the signature is too short; pairs piling up in
+   * low-estimate buckets mean the banding is too permissive).
+   *
+   * Plan shape: identical to [[minhashPairs]] up to the candidate
+   * set (banded postings, ids-only shuffle, no cartesian); the
+   * verification join carries signatures alongside shingle sets, and
+   * the report is one tiny (≤11-bucket) aggregate.
+   *
+   * Cross-engine contract: per-bucket means are derived from INTEGER
+   * sums (matching-component counts; exact Jaccard rounded to e4 and
+   * summed as longs) — a float sum's value depends on reduction
+   * order, so averaging doubles directly could differ between engines
+   * in the last ulp; integer sums are order-independent and the
+   * single final division is deterministic.
+   */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 12,
+                         bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = shingleFrame(df, idCol, textCol, shingleSize)
+    // signature computed once, feeds banding AND both pair sides
+    val sig = sh.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("__id"),
+      posexplode(bandHashes(col("__sig"), bands, r)).as(Seq("__band", "__bh")))
+    val a = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    val candidates = a.join(b, Seq("__band", "__bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val pairs = candidates
+      .join(sig.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+        col("__sig").as("sig_a")), "id_a")
+      .join(sig.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+        col("__sig").as("sig_b")), "id_b")
+      .withColumn("__m", size(filter(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+        v => v === 1)))
+      .withColumn("__e4",
+        round(jaccard(col("sh_a"), col("sh_b")) * 10000, 0).cast("long"))
+    val report = pairs
+      .withColumn("bucket",
+        floor(col("__m").cast("double") / numHashes * 10) / lit(10))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__m").cast("long")).as("__sm"),
+        sum(col("__e4")).as("__se"))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("__sm") / (col("n_pairs") * lit(numHashes.toDouble)), 4)
+          .as("avg_est"),
+        round(col("__se") / (col("n_pairs") * lit(10000.0)), 4)
+          .as("avg_exact"))
+      .orderBy("bucket")
+      .localCheckpoint(true)
+    sig.unpersist()
+    sh.unpersist()
+    report
+  }
+
+  /**
    * Connected components over an undirected pair set (columns
    * `id_a`/`id_b`): min-label propagation to fixpoint — each node's
    * component label is the minimum id reachable from it. Returns

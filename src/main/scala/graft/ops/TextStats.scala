@@ -21,6 +21,20 @@ object TextStats {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
 
+  /** Count of U+FFFD replacement characters — the scar a lossy
+    * decode leaves behind; any occurrence means the upstream bytes
+    * were not valid in the claimed encoding. Pure codegen
+    * (length-difference form, no UDF). */
+  def replacementCharCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\uFFFD", ""))
+
+  /** Count of C0 control characters excluding tab/newline/carriage
+    * return — mojibake, binary bleed-through, or terminal escapes;
+    * prose never contains them. Same codegen length-difference form. */
+  def controlCharCount(text: Column): Column =
+    length(text) -
+      length(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+
   /** BPE-ish subword count: word-pieces + digits + punctuation runs —
     * a deterministic proxy for tokenizer-cost estimation. */
   def subwordCount(text: Column): Column =

@@ -156,6 +156,41 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(4L) === "und")
   }
 
+  test("minhash calibration: identical docs land in the 1.0 bucket at exact 1.0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words about entirely unrelated topics here now"),
+      (4L, "completely different words about entirely unrelated topics here soon")
+    ).toDF("id", "text")
+    val rows = Dedup.minhashCalibration(df, "id", "text")
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    // the identical pair must surface as a full-agreement bucket
+    val top = rows.find(_._1 === 1.0).get
+    assert(top._2 >= 1L && top._3 === 1.0 && top._4 === 1.0)
+    // every bucket's mean estimate sits inside the bucket's decile
+    rows.foreach { case (b, _, est, _) =>
+      assert(est >= b - 1e-9 && est < b + 0.1 + 1e-9)
+    }
+  }
+
+  test("encoding-corruption counters: U+FFFD and C0 controls, tab/newline exempt") {
+    val df = Seq(
+      (1L, "clean prose here"),
+      (2L, "bad\uFFFDbytes\uFFFD"),
+      (3L, "bell\u0007 and null\u0000 x"),
+      (4L, "tabs\tand\nnewlines\rare fine")).toDF("id", "text")
+    val got = df.select($"id",
+      TextStats.replacementCharCount($"text").as("r"),
+      TextStats.controlCharCount($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) === ((0, 0)))
+    assert(got(2L) === ((2, 0)))
+    assert(got(3L) === ((0, 2)))
+    assert(got(4L) === ((0, 0)))
+  }
+
   test("winnowing fingerprints: deterministic, robust to prefix shift") {
     val a = Fingerprint.winnowScalar("abcdefghijklmnop", 5, 4)
     assert(a === Fingerprint.winnowScalar("abcdefghijklmnop", 5, 4))
