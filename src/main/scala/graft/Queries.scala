@@ -1681,6 +1681,94 @@ object Queries {
     graft.ops.Dedup.minhashCalibration(
       t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Content-defined chunking report ([[graft.ops.Chunk.cdcExplode]]):
+    * hash-break chunks (boundary after every token whose md5 bucket is
+    * 0; expected length 8 tokens) with per-source chunk-level dedup
+    * accounting — the storage-dedup complement to q34's fixed-size
+    * chunking; boundaries survive insertions, so chunk hashes are
+    * stable dedup keys across corpus versions. */
+  def q110CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunk.cdcExplode(
+      t(spark, dir, "documents"), "doc_id", "text",
+      buckets = 8, carryCols = Seq("source"))
+      .select(col("source"), md5(col("chunk_text")).as("h"),
+        size(split(col("chunk_text"), " ")).cast("long").as("w"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct_chunks"),
+        round(lit(1.0) - countDistinct(col("h")) / count(lit(1)), 4)
+          .as("dup_chunk_ratio"),
+        round(sum(col("w")) / count(lit(1)), 4).as("avg_chunk_words"))
+      .orderBy("source")
+
+  /** Unicode-script mix report
+    * ([[graft.ops.TextStats.scriptCharCount]]): plant deterministic
+    * non-Latin snippets (Cyrillic on doc_id % 30, Han on doc_id % 40 —
+    * the fixture is pure Latin, so the detector needs planted
+    * positives), then report per-source script accounting: docs
+    * containing each script and total foreign chars. Map-only
+    * counters + one narrow aggregate. */
+  def q111ScriptMix(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").withColumn("t2",
+      concat(col("text"),
+        when(col("doc_id") % 30 === 0, lit(" привет мир")).otherwise(lit("")),
+        when(col("doc_id") % 40 === 0, lit(" 你好世界")).otherwise(lit(""))))
+    planted.select(col("source"),
+      graft.ops.TextStats.scriptCharCount(col("t2"), "Cyrillic").as("cyr"),
+      graft.ops.TextStats.scriptCharCount(col("t2"), "Han").as("han"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cyr") > 0, 1L).otherwise(0L)).as("n_cyrillic_docs"),
+        sum(when(col("han") > 0, 1L).otherwise(0L)).as("n_han_docs"),
+        sum(col("cyr").cast("long")).as("cyrillic_chars"),
+        sum(col("han").cast("long")).as("han_chars"))
+      .orderBy("source")
+  }
+
+  /** Equi-depth length histogram
+    * ([[graft.ops.Profile.equiDepthHistogram]]): 10 equal-count bins
+    * of documents.n_chars cut at exact interpolated deciles — the
+    * skew-readable distribution profile; oracle replays quantile_cont
+    * boundaries and the strict-> bin rule. */
+  def q112LengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.equiDepthHistogram(
+      t(spark, dir, "documents").select("n_chars"), "n_chars", bins = 10)
+
+  /** Surgical decontamination
+    * ([[graft.ops.Decontaminate.maskContaminatedSpans]]): mask the
+    * benchmark-overlapping 5-gram spans out of the corpus text
+    * instead of dropping whole documents — q37's split (doc_id % 10
+    * as the eval set), q58's positional masking contract. */
+  def q113MaskDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    graft.ops.Decontaminate.maskContaminatedSpans(
+      corpus, benchmark, "text", n = 5)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** NFC normalization gate ([[graft.ops.TextStats.nfcNormalize]]):
+    * plant decomposed sequences (e + combining acute on doc_id % 25 —
+    * the fixture is already composed), then report per-source
+    * denormalized-doc counts and the codepoints NFC composition
+    * saves. Map-only kernel + one narrow aggregate. */
+  def q114NfcGate(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").withColumn("t2",
+      concat(col("text"),
+        when(col("doc_id") % 25 === 0, lit(" cafe\u0301 releve\u0301"))
+          .otherwise(lit(""))))
+      .withColumn("nm", graft.ops.TextStats.nfcNormalize(col("t2")))
+    planted.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("nm") =!= col("t2"), 1L).otherwise(0L))
+        .as("n_denormalized"),
+      sum((length(col("t2")) - length(col("nm"))).cast("long"))
+        .as("chars_delta"))
+      .orderBy("source")
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -132,6 +132,11 @@ object SparkEntry {
     "q107_exact_sample" -> (Queries.q107ExactSample(_, _)),
     "q108_encoding_gate" -> (Queries.q108EncodingGate(_, _)),
     "q109_minhash_calibration" -> (Queries.q109MinhashCalibration(_, _)),
+    "q110_cdc_chunks" -> (Queries.q110CdcChunks(_, _)),
+    "q111_script_mix" -> (Queries.q111ScriptMix(_, _)),
+    "q112_length_histogram" -> (Queries.q112LengthHistogram(_, _)),
+    "q113_mask_decontaminate" -> (Queries.q113MaskDecontaminate(_, _)),
+    "q114_nfc_gate" -> (Queries.q114NfcGate(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2136,5 +2141,136 @@ object SparkEntry {
         |SELECT bucket, n_pairs, round(sm / (n_pairs * 12.0), 4) AS avg_est,
         |  round(se / (n_pairs * 10000.0), 4) AS avg_exact
         |FROM bk ORDER BY bucket""".stripMargin,
+    // q110: hash-break boundaries replayed via the hashBucket md5
+    // arithmetic; chunk ids from a per-doc prefix-count window
+    "q110_cdc_chunks" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, len(ws)), i -> i)) AS pos,
+        |    unnest(ws) AS w
+        |  FROM norm WHERE len(ws) >= 1),
+        |b AS (
+        |  SELECT doc_id, source, pos, w,
+        |    CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT % 8 = 0
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM tok),
+        |cid AS (
+        |  SELECT doc_id, source, pos, w,
+        |    coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id, source, chunk,
+        |    string_agg(w, ' ' ORDER BY pos) AS ctext
+        |  FROM cid GROUP BY doc_id, source, chunk),
+        |h AS (
+        |  SELECT source, md5(ctext) AS h,
+        |    len(string_split(ctext, ' ')) AS wds
+        |  FROM chunks)
+        |SELECT source, count(*) AS n_chunks,
+        |  count(DISTINCT h) AS n_distinct_chunks,
+        |  round(1.0 - (count(DISTINCT h)::DOUBLE / count(*)), 4) AS dup_chunk_ratio,
+        |  round(CAST(sum(wds) AS BIGINT) / (count(*) * 1.0), 4) AS avg_chunk_words
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    // q111: same planted snippets; RE2 spells the script property
+    // \p{Cyrillic}/\p{Han} where Java says \p{IsCyrillic}/\p{IsHan}
+    "q111_script_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    text || CASE WHEN doc_id % 30 = 0 THEN ' привет мир' ELSE '' END
+        |         || CASE WHEN doc_id % 40 = 0 THEN ' 你好世界' ELSE '' END AS t2
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    length(t2) - length(regexp_replace(t2, '\p{Cyrillic}', '', 'g')) AS cyr,
+        |    length(t2) - length(regexp_replace(t2, '\p{Han}', '', 'g')) AS han
+        |  FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cyr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cyrillic_docs,
+        |  CAST(sum(CASE WHEN han > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_han_docs,
+        |  CAST(sum(cyr) AS BIGINT) AS cyrillic_chars,
+        |  CAST(sum(han) AS BIGINT) AS han_chars
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // q112: quantile_cont boundaries (the q64/q99-proven exact
+    // percentile parity) + the same strict-> bin rule
+    "q112_length_histogram" ->
+      """WITH v AS (SELECT n_chars AS v FROM documents),
+        |b AS (
+        |  SELECT quantile_cont(v, 0.1) AS q1, quantile_cont(v, 0.2) AS q2,
+        |    quantile_cont(v, 0.3) AS q3, quantile_cont(v, 0.4) AS q4,
+        |    quantile_cont(v, 0.5) AS q5, quantile_cont(v, 0.6) AS q6,
+        |    quantile_cont(v, 0.7) AS q7, quantile_cont(v, 0.8) AS q8,
+        |    quantile_cont(v, 0.9) AS q9
+        |  FROM v),
+        |binned AS (
+        |  SELECT v,
+        |    (CASE WHEN v > q1 THEN 1 ELSE 0 END + CASE WHEN v > q2 THEN 1 ELSE 0 END
+        |   + CASE WHEN v > q3 THEN 1 ELSE 0 END + CASE WHEN v > q4 THEN 1 ELSE 0 END
+        |   + CASE WHEN v > q5 THEN 1 ELSE 0 END + CASE WHEN v > q6 THEN 1 ELSE 0 END
+        |   + CASE WHEN v > q7 THEN 1 ELSE 0 END + CASE WHEN v > q8 THEN 1 ELSE 0 END
+        |   + CASE WHEN v > q9 THEN 1 ELSE 0 END) AS bin
+        |  FROM v CROSS JOIN b)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
+        |  min(v) AS lo, max(v) AS hi
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+    // q113: the q58 positional-masking replay with the hot set swapped
+    // for the benchmark's distinct 5-grams (q37's doc_id % 10 split)
+    "q113_mask_decontaminate" ->
+      """WITH normc AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |normb AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |hot AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS g
+        |  FROM normb WHERE len(ws) >= 5),
+        |pos_grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4), i -> i)) AS p,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS g
+        |  FROM normc WHERE len(ws) >= 5),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT pg.doc_id, unnest(generate_series(pg.p, pg.p + 4)) AS cp
+        |    FROM pos_grams pg JOIN hot h ON pg.g = h.g)),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |    unnest(list_transform(generate_series(1, len(ws)), i -> i)) AS p
+        |  FROM normc),
+        |kept AS (
+        |  SELECT w.doc_id, w.w, w.p
+        |  FROM words w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.cp
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(a.text, '') END AS text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |WHERE d.doc_id % 10 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    // q114: same planted decomposed sequences (chr(769) = U+0301
+    // combining acute); utf8proc NFC == JDK Normalizer NFC
+    "q114_nfc_gate" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    text || CASE WHEN doc_id % 25 = 0
+        |      THEN ' cafe' || chr(769) || ' releve' || chr(769)
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |p AS (SELECT source, t2, nfc_normalize(t2) AS nm FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nm <> t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
+        |  CAST(sum(length(t2) - length(nm)) AS BIGINT) AS chars_delta
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -66,4 +66,74 @@ object Chunk {
           col("chunk_text"),
           org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))
             .cast("long").as("n_chunk_tokens")): _*)
+
+  /** md5 bucket of one token — EXACTLY [[Splits.hashBucket]]'s
+    * arithmetic (first 8 hex chars of the md5 = first 4 digest bytes,
+    * unsigned, mod `buckets`), so any engine replays boundaries with
+    * `('0x' || substr(md5(w), 1, 8))::BIGINT % buckets`. */
+  private def tokenBucket(md: java.security.MessageDigest, w: String,
+                          buckets: Int): Long = {
+    val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h % buckets
+  }
+
+  /** Content-defined chunks of one document: a chunk boundary falls
+    * AFTER every token whose md5 bucket is 0, so the expected chunk
+    * length is `buckets` tokens. Boundaries depend only on the token
+    * at the break — unlike fixed-size chunking ([[chunksOf]]), an
+    * insertion or deletion re-chunks ONLY the chunk it touches; every
+    * other chunk hash survives, which is what makes chunk-level dedup
+    * between corpus versions work (the LBFS/CDC recipe, word-level).
+    * Tokens are the library's canonical normalized form (lowercased,
+    * whitespace-split) so chunk hashes are dedup keys. */
+  private[ops] def cdcChunksOf(tokens: Array[String],
+                               buckets: Int): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var n = 0
+    var i = 0
+    while (i < tokens.length) {
+      if (n > 0) sb.append(' ')
+      sb.append(tokens(i))
+      n += 1
+      if (tokenBucket(md, tokens(i), buckets) == 0L) {
+        out += sb.toString
+        sb.setLength(0)
+        n = 0
+      }
+      i += 1
+    }
+    if (n > 0) out += sb.toString
+    out.toArray
+  }
+
+  def cdcChunkUdf(buckets: Int): UserDefinedFunction = {
+    require(buckets > 1, "expected chunk length must exceed one token")
+    udf((text: String) => {
+      if (text == null) Array.empty[String]
+      else {
+        val tokens = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        if (tokens.isEmpty) Array.empty[String]
+        else cdcChunksOf(tokens, buckets)
+      }
+    })
+  }
+
+  /** Explode documents into content-defined chunks:
+    * (id, [carry...], chunk_id, chunk_text) rows, expected chunk
+    * length `buckets` tokens. Same map-only single-pass-UDF +
+    * posexplode shape as [[explodeChunks]]. */
+  def cdcExplode(df: DataFrame, idCol: String, textCol: String,
+                 buckets: Int, carryCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: carryCols.map(col) :+
+      posexplode(cdcChunkUdf(buckets)(col(textCol)))
+        .as(Seq("chunk_id", "chunk_text")): _*)
+      .select(
+        (col(idCol) +: carryCols.map(col)) ++ Seq(
+          col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text")): _*)
 }

@@ -55,6 +55,40 @@ object Decontaminate {
       .select(col("__id").as(idCol), col("n_hits"))
 
   /**
+   * SURGICAL decontamination: instead of dropping every document that
+   * shares an n-gram with the benchmark ([[decontaminate]] — which
+   * throws away the whole document for one quoted sentence), mask
+   * only the contaminated SPANS out of the text, keeping the
+   * surrounding novel content. The benchmark's distinct n-grams
+   * become a [[SpanDedup.SpanIndex]] hot set and masking is
+   * [[SpanDedup.maskWithIndex]]'s map-only kernel — broadcast set,
+   * no join, no shuffle, streaming-safe; the returned text is the
+   * library's canonical normalized form ("" when a doc was pure
+   * benchmark overlap). `maxGrams` guards the driver the same way
+   * [[SpanDedup.fitSpanIndex]] does — an eval set is small by
+   * definition; a "benchmark" that isn't should use the distributed
+   * join form instead.
+   */
+  def maskContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                            textCol: String, n: Int,
+                            maxGrams: Int = 1000000): DataFrame = {
+    // ≥n-token guard: Dedup.shingles emits a whole-text pseudo-gram
+    // for shorter docs (MinHash wants that; a span hot set must not —
+    // though a sub-n gram can never equal an n-token slice, keeping
+    // it out makes the census match the oracle's len >= n guard)
+    val grams = benchmark
+      .where(size(split(Dedup.normalized(col(textCol)), " ")) >= n)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val hot = grams.take(maxGrams + 1).map(_.getString(0))
+    require(hot.length <= maxGrams,
+      s"benchmark gram census exceeds maxGrams=$maxGrams — not an " +
+        "eval-set-sized benchmark; use a distributed-join masking form")
+    SpanDedup.maskWithIndex(corpus, SpanDedup.SpanIndex(hot.toSet, n),
+      textCol)
+  }
+
+  /**
    * Per-document contamination report: corpus docs sharing at least one
    * word n-gram with the benchmark, with the count of distinct shared
    * grams. Docs absent from the output are clean.

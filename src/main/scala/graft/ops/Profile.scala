@@ -21,6 +21,39 @@ import org.apache.spark.sql.functions._
  */
 object Profile {
 
+  /** Equi-depth histogram of a numeric column: `bins` buckets holding
+    * (approximately) equal row counts, cut at the exact interpolated
+    * k/bins percentiles — the distribution profile that stays readable
+    * when the data is skewed (an equi-WIDTH histogram of a Zipf
+    * column puts everything in bin 0). Returns
+    * (bin, n_rows, lo, hi) — lo/hi are the bin's observed min/max.
+    *
+    * Scale shape: one exact multi-percentile aggregate (single row)
+    * collects the bins-1 boundaries to the driver — a bounded collect
+    * of doubles; bin assignment is a literal codegen CASE chain
+    * (count of boundaries strictly below the value), map-side; the
+    * report is one hash aggregate on the ≤bins-key domain. Ties at a
+    * boundary all land on the same side (strict `>`), so discrete
+    * columns may leave some bins empty rather than split a value. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         bins: Int): DataFrame = {
+    require(bins > 1, "need at least two bins")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val bounds: Seq[Double] = df
+      .agg(percentile(col(valueCol),
+        array(qs.map(lit): _*)).as("__b"))
+      .head.getSeq[Double](0)
+    val binCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(valueCol) > lit(b), 1).otherwise(0)
+    }
+    df.withColumn("bin", binCol.cast("long"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+      .orderBy("bin")
+  }
+
   /** One row per profiled column: (column, n_rows, n_nulls,
     * n_distinct, min_value, max_value) — min/max rendered as strings
     * so the report is schema-stable across column types. */

@@ -35,6 +35,28 @@ object TextStats {
     length(text) -
       length(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
 
+  /** Per-script character count (Unicode script property, e.g.
+    * "Cyrillic", "Han", "Latin") — the script-mix signal multilingual
+    * curation filters on (a "en"-tagged doc that is 40% Han is a
+    * mislabel; a Latin doc with scattered Cyrillic is usually
+    * mojibake or spam). Java regex `\p{IsScript}` here; the RE2/
+    * DuckDB replay spells it `\p{Script}` — same property. Codegen
+    * length-difference form, no UDF. */
+  def scriptCharCount(text: Column, script: String): Column =
+    length(text) - length(regexp_replace(text, s"\\p{Is$script}", ""))
+
+  /** Unicode NFC normalization — canonical composition (e + combining
+    * acute → é), the text-canonicalization step that must run BEFORE
+    * hashing/dedup: two byte-different encodings of the same visible
+    * string otherwise hash apart. JDK Normalizer implements the same
+    * Unicode NFC as DuckDB's utf8proc `nfc_normalize`, so the oracle
+    * replays it directly. Per-row kernel (no Catalyst normalizer
+    * exists); map-only. */
+  val nfcNormalize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** BPE-ish subword count: word-pieces + digits + punctuation runs —
     * a deterministic proxy for tokenizer-cost estimation. */
   def subwordCount(text: Column): Column =

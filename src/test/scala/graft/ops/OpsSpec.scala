@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, desc, lit}
+import org.apache.spark.sql.functions.{col, desc, length, lit}
 
 import graft.SparkTestSession
 
@@ -154,6 +154,52 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L) === "es")
     assert(got(3L) === "de")
     assert(got(4L) === "und")
+  }
+
+  test("surgical decontamination masks the benchmark span, keeps novel text") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and novel tail"),
+      (2L, "completely unrelated prose with no benchmark overlap at all today"))
+      .toDF("id", "text")
+    val got = Decontaminate.maskContaminatedSpans(corpus, bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every 5-gram of the quoted sentence is hot -> the whole quote
+    // masks out; surrounding novel words survive in order
+    assert(got(1L) === "intro words then and novel tail")
+    assert(got(2L) === "completely unrelated prose with no benchmark overlap at all today")
+  }
+
+  test("nfc normalization composes combining sequences and is a no-op on composed text") {
+    val df = Seq((1L, "cafe\u0301"), (2L, "caf\u00e9"), (3L, "plain"))
+      .toDF("id", "text")
+    val got = df.select($"id", TextStats.nfcNormalize($"text").as("n"),
+      length($"text").as("lb"), length(TextStats.nfcNormalize($"text")).as("la"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L)._1 === "caf\u00e9" && got(1L)._2 === 5 && got(1L)._3 === 4)
+    assert(got(2L) === (("caf\u00e9", 4, 4)))
+    assert(got(3L) === (("plain", 5, 5)))
+  }
+
+  test("cdc chunks: lossless, deterministic, insertion re-chunks only the touched chunk") {
+    val words = (1 to 200).map(i => s"w$i").toArray
+    val chunks = Chunk.cdcChunksOf(words, 8)
+    // lossless round-trip and determinism
+    assert(chunks.mkString(" ") === words.mkString(" "))
+    assert(Chunk.cdcChunksOf(words, 8).toSeq === chunks.toSeq)
+    assert(chunks.length > 5) // 1/8 break probability over 200 tokens
+    // insert one word mid-document: every chunk except the touched one
+    // (and possibly its split successors) survives with the same text
+    val inserted = (words.take(100) :+ "INSERTED") ++ words.drop(100)
+    val chunks2 = Chunk.cdcChunksOf(inserted.map(_.toLowerCase), 8)
+    val shared = chunks.toSet.intersect(chunks2.toSet)
+    assert(shared.size >= chunks.length - 2)
+    // fixed-size chunking, by contrast, shifts every chunk after the
+    // insertion point — that asymmetry is the operator's reason to exist
+    val fixedA = Chunk.chunksOf(words, 8, 0)
+    val fixedB = Chunk.chunksOf(inserted.map(_.toLowerCase), 8, 0)
+    assert(fixedA.toSet.intersect(fixedB.toSet).size < shared.size)
   }
 
   test("minhash calibration: identical docs land in the 1.0 bucket at exact 1.0") {
