@@ -1769,6 +1769,105 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Tokenizer-fertility report: per-language chars-per-token and
+    * tokens-per-doc — the cost model for tokenizer/budget planning
+    * (how many training tokens a TB of each language buys). One
+    * narrow aggregate; means derived from integer sums. */
+  def q115Fertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("lang"), col("n_chars"),
+      graft.ops.TextStats.tokenCount(col("text")).cast("long").as("toks"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        round(sum(col("n_chars")) / sum(col("toks")), 4)
+          .as("chars_per_token"),
+        round(sum(col("toks")) / count(lit(1)), 4).as("tokens_per_doc"))
+      .orderBy("lang")
+
+  /** Hash-shard balance validation ([[graft.ops.Splits.hashBucket]]
+    * over 16 shards): per-shard row/byte volume and byte share — the
+    * writer-side uniformity check before committing to a shard count.
+    * The share rides a window over the 16-row AGGREGATE (metadata,
+    * never the corpus — the q104 pattern). */
+  def q116ShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(spark, dir, "documents")
+      .select(graft.ops.Splits.hashBucket(col("doc_id"), 16).as("shard"),
+        col("n_chars"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes"))
+      .withColumn("share",
+        round(col("bytes") / sum(col("bytes")).over(Window.partitionBy()), 4))
+      .orderBy("shard")
+  }
+
+  /** Pseudonymization invariance ([[graft.ops.Redact.pseudonymize]]):
+    * per-event-type distinct-user counts computed over the RAW ids
+    * and over their salted pseudonyms in one pass — equal counts in
+    * every row are the "still joinable, no longer identifying"
+    * contract, and the oracle replays the md5 pseudonym itself. */
+  def q117Pseudonymize(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        graft.ops.Redact.pseudonymize(col("user_id"), "graft-salt-v1")
+          .as("pseudo"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users_raw"),
+        countDistinct(col("pseudo")).as("n_users_pseudo"))
+      .orderBy("event_type")
+
+  /** Corpus datacard: the one-row summary a datasheet/data-card
+    * records per corpus release — sizes, language/source cardinality,
+    * token volume, mean quality, exact-dup ratio, token percentiles —
+    * all riding ONE multi-aggregate pass (mean quality via integer e3
+    * sums; the dup ratio via countDistinct of the normalized-text
+    * md5). */
+  def q118Datacard(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("lang"), col("source"),
+      graft.ops.TextStats.tokenCount(col("text")).cast("long").as("toks"),
+      round(graft.ops.TextStats.qualityScore(col("text")) * 1000, 0)
+        .cast("long").as("q3"),
+      md5(graft.ops.Dedup.normalized(col("text"))).as("nh"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("toks")).as("total_tokens"),
+        round(sum(col("q3")) / (count(lit(1)) * lit(1000.0)), 4)
+          .as("mean_quality"),
+        round(lit(1.0) - countDistinct(col("nh")) / count(lit(1)), 4)
+          .as("dup_ratio"),
+        percentile(col("toks"), lit(0.5)).as("p50_tokens"),
+        percentile(col("toks"), lit(0.9)).as("p90_tokens"))
+
+  /** Score-weighted (soft) quality sampling
+    * ([[graft.ops.Sample.byScore]]): keep each doc with probability
+    * equal to its quality score; report per-source kept counts vs the
+    * expected rate (mean quality) — the calibration check that the
+    * soft filter samples at its advertised rate. */
+  def q119WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+    val kept = graft.ops.Sample.byScore(scored, "doc_id", "quality")
+      .groupBy("source").agg(count(lit(1)).as("__k"))
+    scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(round(col("quality") * 10000, 0).cast("long"))
+        / (count(lit(1)) * lit(10000.0)), 4).as("expected_rate"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("__k"), lit(0L)).as("n_kept"),
+        col("expected_rate"),
+        round(coalesce(col("__k"), lit(0L)) / (col("n_docs") * lit(1.0)), 4)
+          .as("actual_rate"))
+      .orderBy("source")
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

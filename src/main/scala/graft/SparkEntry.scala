@@ -137,6 +137,11 @@ object SparkEntry {
     "q112_length_histogram" -> (Queries.q112LengthHistogram(_, _)),
     "q113_mask_decontaminate" -> (Queries.q113MaskDecontaminate(_, _)),
     "q114_nfc_gate" -> (Queries.q114NfcGate(_, _)),
+    "q115_fertility" -> (Queries.q115Fertility(_, _)),
+    "q116_shard_balance" -> (Queries.q116ShardBalance(_, _)),
+    "q117_pseudonymize" -> (Queries.q117Pseudonymize(_, _)),
+    "q118_datacard" -> (Queries.q118Datacard(_, _)),
+    "q119_weighted_sample" -> (Queries.q119WeightedSample(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2272,5 +2277,68 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN nm <> t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
         |  CAST(sum(length(t2) - length(nm)) AS BIGINT) AS chars_delta
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "q115_fertility" ->
+      """WITH tk AS (
+        |  SELECT lang, n_chars,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '')) AS toks
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_chars) AS BIGINT) / (CAST(sum(toks) AS BIGINT) * 1.0), 4) AS chars_per_token,
+        |  round(CAST(sum(toks) AS BIGINT) / (count(*) * 1.0), 4) AS tokens_per_doc
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+    // q116: hashBucket md5 arithmetic over 16 shards; the share's
+    // denominator is the corpus byte total
+    "q116_shard_balance" ->
+      """WITH s AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+        |    n_chars
+        |  FROM documents),
+        |a AS (
+        |  SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM s GROUP BY shard)
+        |SELECT shard, n_docs, bytes,
+        |  round(bytes / (CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) * 1.0), 4) AS share
+        |FROM a ORDER BY shard""".stripMargin,
+    "q117_pseudonymize" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users_raw,
+        |  count(DISTINCT substr(md5('graft-salt-v1' || user_id::VARCHAR), 1, 16)) AS n_users_pseudo
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q118: one-row datacard; quality rides the scored CTE, the dup
+    // ratio the normalized-text md5, percentiles quantile_cont
+    "q118_datacard" -> (qualityScoredCtes(Seq.empty) +
+      """,
+        |nh AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nh
+        |  FROM documents),
+        |j AS (
+        |  SELECT s.doc_id, s.quality, s.tokens, n.nh, n.lang, n.source
+        |  FROM scored s JOIN nh n USING (doc_id))
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(CAST(round(quality * 1000) AS BIGINT)) AS BIGINT)
+        |    / (count(*) * 1000.0), 4) AS mean_quality,
+        |  round(1.0 - (count(DISTINCT nh)::DOUBLE / count(*)), 4) AS dup_ratio,
+        |  quantile_cont(tokens, 0.5) AS p50_tokens,
+        |  quantile_cont(tokens, 0.9) AS p90_tokens
+        |FROM j""".stripMargin),
+    "q119_weighted_sample" -> (qualityScoredCtes(Seq("source")) +
+      """,
+        |w AS (
+        |  SELECT source, quality,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b,
+        |    CAST(round(quality * 10000) AS BIGINT) AS cut
+        |  FROM scored)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN b < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(cut) AS BIGINT) / (count(*) * 10000.0), 4) AS expected_rate,
+        |  round(CAST(sum(CASE WHEN b < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    / (count(*) * 1.0), 4) AS actual_rate
+        |FROM w GROUP BY source ORDER BY source""".stripMargin),
   )
 }

@@ -39,6 +39,18 @@ object Redact {
   /** The text with every pattern match replaced (sequential, in
     * pattern order). `Token` contains no regex metacharacter captures,
     * so later patterns cannot re-match earlier replacements. */
+  /** Keyed pseudonymization: a stable 64-bit (16-hex-char) pseudonym
+    * `md5(salt || value)` — the PII-handling transform that keeps a
+    * column JOINABLE (equal values map to equal pseudonyms, so
+    * retention/funnel/dedup results are invariant) while the original
+    * identifier never leaves the cluster. Deterministic given the
+    * salt; rotate the salt to break linkability between releases.
+    * Engine-portable (md5), so an oracle can replay it. Collision
+    * note: 64 bits ≈ birthday bound at ~4e9 distinct keys — widen the
+    * prefix for larger identity spaces. Codegen expressions, no UDF. */
+  def pseudonymize(value: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), value.cast("string"))), 1, 16)
+
   def redactText(text: Column,
                  patterns: Seq[(String, String)] = Defaults): Column =
     patterns.foldLeft(text) { case (c, (_, p)) =>

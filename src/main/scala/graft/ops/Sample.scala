@@ -248,6 +248,20 @@ object Sample {
         col("kept_tokens"), col("quality_floor"))
   }
 
+  /** Score-weighted deterministic sampling: keep each row with
+    * probability equal to its score in [0, 1] — the SOFT quality
+    * filter (a 0.9 doc almost always survives, a 0.3 doc rarely does)
+    * that preserves distribution tails a hard threshold would
+    * truncate. Same engine-portable md5 buckets as [[byRates]], so
+    * the sample is stable across runs/partitioning and an oracle can
+    * replay membership row by row. Pure codegen filter — no shuffle,
+    * pushdown-friendly. Scores are effectively quantized to 1e-4
+    * (bucket granularity); null or negative scores keep nothing,
+    * scores ≥ 1 keep everything. */
+  def byScore(df: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    df.where(Splits.hashBucket(col(idCol), 10000) <
+      round(col(scoreCol) * 10000, 0).cast("long"))
+
   /** Rate-based source mixing: keep each row with its group's rate
     * (exactly the rows whose per-id hash bucket falls under
     * rate x 10000 — deterministic, not probabilistic). Groups absent
