@@ -1868,6 +1868,33 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Inter-event gap percentiles
+    * ([[graft.streaming.EventStreams.interEventGaps]]): time since
+    * the user's previous action, summarized per action type — dwell/
+    * inactivity telemetry. Gaps attribute to the LATER event; the
+    * user's first event contributes none. */
+  def q120GapStats(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.interEventGaps(
+      events(spark, dir), "user_id", "event_id")
+      .where(col("gap_us").isNotNull)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_us"), lit(0.5)) / lit(1000000.0), 4)
+          .as("p50_gap_s"),
+        round(percentile(col("gap_us"), lit(0.9)) / lit(1000000.0), 4)
+          .as("p90_gap_s"),
+        round(max(col("gap_us")) / lit(1000000.0), 4).as("max_gap_s"))
+      .orderBy("event_type")
+
+  /** Event transition matrix
+    * ([[graft.streaming.EventStreams.transitionMatrix]]): first-order
+    * (prev → next) counts and conditional probabilities over per-user
+    * sequences. */
+  def q121TransitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.transitionMatrix(
+      events(spark, dir), "user_id", "event_type", "event_id")
+      .orderBy("prev_type", "next_type")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -142,6 +142,8 @@ object SparkEntry {
     "q117_pseudonymize" -> (Queries.q117Pseudonymize(_, _)),
     "q118_datacard" -> (Queries.q118Datacard(_, _)),
     "q119_weighted_sample" -> (Queries.q119WeightedSample(_, _)),
+    "q120_gap_stats" -> (Queries.q120GapStats(_, _)),
+    "q121_transition_matrix" -> (Queries.q121TransitionMatrix(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2340,5 +2342,37 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN b < cut THEN 1 ELSE 0 END) AS BIGINT)
         |    / (count(*) * 1.0), 4) AS actual_rate
         |FROM w GROUP BY source ORDER BY source""".stripMargin),
+    // q120/q121: per-user lag windows with (us, event_id) tie-break —
+    // identical deterministic order on both engines
+    "q120_gap_stats" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5) / 1000000.0, 4) AS p50_gap_s,
+        |  round(quantile_cont(gap, 0.9) / 1000000.0, 4) AS p90_gap_s,
+        |  round(max(gap) / 1000000.0, 4) AS max_gap_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q121_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |    event_type AS nxt
+        |  FROM e),
+        |c AS (
+        |  SELECT prev, nxt, count(*) AS n FROM p
+        |  WHERE prev IS NOT NULL GROUP BY prev, nxt),
+        |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY prev)
+        |SELECT c.prev AS prev_type, c.nxt AS next_type, n,
+        |  round(n / (tot * 1.0), 4) AS prob
+        |FROM c JOIN t ON c.prev = t.prev
+        |ORDER BY prev_type, next_type""".stripMargin,
   )
 }

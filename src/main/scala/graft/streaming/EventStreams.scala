@@ -113,6 +113,49 @@ object EventStreams {
     sessions(nanosToTimestamp(raw).withWatermark("ts", watermark), gap)
   }
 
+  /** Per-user inter-event gaps: each event annotated with the
+    * microseconds since the same user's PREVIOUS event (null for the
+    * user's first). The behavioral-telemetry primitive under dwell
+    * time, churn-risk inactivity, and bot detection (impossibly
+    * regular gaps). One window PARTITIONED BY user — distributed
+    * across the user domain, never a global sort; ties at equal ts
+    * break on `idCol` so the lag is deterministic. */
+  def interEventGaps(events: DataFrame, userCol: String,
+                     idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!events.columns.contains("__us") && !events.columns.contains("gap_us"),
+      "input columns __us/gap_us collide with interEventGaps' names")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    events.withColumn("__us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("__us") - lag(col("__us"), 1).over(w))
+      .drop("__us")
+  }
+
+  /** First-order transition matrix over per-user event sequences:
+    * (prev_type, next_type, count, row-conditional probability) — the
+    * Markov summary behind "what do users do after X" and sequence
+    * anomaly detection. The lag window distributes by user; counts
+    * aggregate to the |types|² domain and the probability join is
+    * broadcast-sized by construction. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val pairs = events.withColumn("__us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select(col("prev_type"), col(typeCol).as("next_type"))
+    val counts = pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type").as("__pt"))
+      .agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), col("prev_type") === col("__pt"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") / (col("__tot") * lit(1.0)), 4).as("prob"))
+  }
+
   /** Streaming exact dedup on `keyCols`: first arrival wins, later
     * duplicates within the watermark horizon drop. State is bounded by
     * the watermark (keys older than the horizon are evicted — the only

@@ -117,6 +117,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.subsetOf(batch))
   }
 
+  test("inter-event gaps and transition matrix are consistent with event counts") {
+    val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
+    val gaps = EventStreams.interEventGaps(norm, "user_id", "event_id")
+    assert(gaps.count() === norm.count())
+    // gaps are non-negative and exactly the per-user firsts are null
+    assert(gaps.where(col("gap_us") < 0).count() === 0)
+    val firsts = norm.select("user_id").distinct().count()
+    assert(gaps.where(col("gap_us").isNull).count() === firsts)
+    val tm = EventStreams.transitionMatrix(norm, "user_id", "event_type",
+      "event_id")
+    // every observed transition is counted exactly once
+    assert(tm.agg(sum("n")).head.getLong(0) === norm.count() - firsts)
+    // conditional probabilities sum to ~1 per prev (4-decimal rounding)
+    tm.groupBy("prev_type").agg(sum("prob").as("s")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 0.02, r.toString)
+    }
+  }
+
   test("streaming dedup (watermarked) equals batch distinct key count") {
     val streamDir = stageDir("graft-dedup-stream")
     val keys = Seq("user_id", "event_type")
