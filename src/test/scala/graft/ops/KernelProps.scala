@@ -169,6 +169,34 @@ object KernelProps extends Properties("kernels") {
         })
     }
 
+  property("cdcChunksOf: lossless partition, boundary tokens end chunks") =
+    forAll(Gen.listOf(word), Gen.choose(2, 16)) { (ws, b) =>
+      val tokens = ws.toArray
+      val chunks = Chunk.cdcChunksOf(tokens, b)
+      // concatenating the chunks reproduces the token stream exactly
+      Prop(chunks.flatMap(_.split(" ")).filter(_.nonEmpty).toSeq ==
+        tokens.toSeq) &&
+        // chunking again yields the same partition (determinism)
+        Prop(Chunk.cdcChunksOf(tokens, b).toSeq == chunks.toSeq)
+    }
+
+  property("cdcChunksOf: a shared suffix after any prefix edit re-chunks identically past the first boundary") =
+    forAll(Gen.nonEmptyListOf(word), Gen.nonEmptyListOf(word),
+      Gen.nonEmptyListOf(word)) { (p1, p2, suffix) =>
+      // two documents that differ only in their prefixes: every chunk
+      // that starts after the suffix's first internal boundary is
+      // byte-identical — the content-defined guarantee (fixed-size
+      // chunking shifts everything instead)
+      val a = Chunk.cdcChunksOf((p1 ++ suffix).toArray, 4)
+      val b = Chunk.cdcChunksOf((p2 ++ suffix).toArray, 4)
+      val sharedTail = a.toSet.intersect(b.toSet)
+      // every chunk of the suffix's own chunking except the first
+      // (which may merge into the prefix's trailing chunk) must appear
+      // verbatim in both documents' chunk sets
+      val s = Chunk.cdcChunksOf(suffix.toArray, 4)
+      Prop(s.drop(1).forall(sharedTail.contains)) :| "suffix tail shared"
+    }
+
   property("Bench.fmt: <= 5 chars below the 99999.5 s ceiling, value preserved within the tier's precision") =
     // log-uniform over [1 ms, ~99999 s]: a uniform generator would put
     // ~0.01% of samples below 10 s, leaving the %.3f/%.2f rungs — the
