@@ -1895,6 +1895,25 @@ object Queries {
       events(spark, dir), "user_id", "event_type", "event_id")
       .orderBy("prev_type", "next_type")
 
+  /** Staleness-bounded as-of attribution
+    * ([[graft.ops.AsofJoin.asofWithin]]): q31's purchase↔view
+    * point-in-time lookup, but the prior view only attributes when it
+    * happened within 2 hours of the purchase — the "don't enrich from
+    * a stale dimension" guard. The oracle is DuckDB's native ASOF
+    * JOIN plus the staleness CASE. */
+  def q122AsofWithin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val left = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val right = ev.filter(col("event_type") === "view")
+      .select("user_id", "us", "value")
+    graft.ops.AsofJoin.asofWithin(left, right, "user_id", "us", "value",
+      "attr_value", tolerance = 7200000000L) // 2 h in micros
+      .select(col("event_id"), col("user_id"),
+        round(col("attr_value"), 2).as("attr_value"))
+      .orderBy("event_id")
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

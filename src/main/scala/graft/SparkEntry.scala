@@ -144,6 +144,7 @@ object SparkEntry {
     "q119_weighted_sample" -> (Queries.q119WeightedSample(_, _)),
     "q120_gap_stats" -> (Queries.q120GapStats(_, _)),
     "q121_transition_matrix" -> (Queries.q121TransitionMatrix(_, _)),
+    "q122_asof_within" -> (Queries.q122AsofWithin(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2374,5 +2375,18 @@ object SparkEntry {
         |  round(n / (tot * 1.0), 4) AS prob
         |FROM c JOIN t ON c.prev = t.prev
         |ORDER BY prev_type, next_type""".stripMargin,
+    // q122: native ASOF JOIN (the q31 contract) + the staleness CASE
+    "q122_asof_within" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS us, max(value) AS v FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN r.us IS NOT NULL AND l.us - r.us <= 7200000000
+        |    THEN round(r.v, 2) END AS attr_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

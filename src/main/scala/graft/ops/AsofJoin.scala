@@ -60,4 +60,54 @@ object AsofJoin {
       .where(col("__r") === 0)
       .drop("__p", "__r")
   }
+
+  /**
+   * [[asof]] with a STALENESS BOUND: the match only counts when the
+   * right row's ordering value is within `tolerance` of the left
+   * row's (`left.ord - right.ord <= tolerance`), else null — the
+   * "don't enrich from a dimension older than X" guard every
+   * point-in-time feature lookup eventually needs (an unbounded as-of
+   * happily attaches a year-old price to today's trade). `ordCol`
+   * must be numeric (e.g. epoch micros) so the staleness subtraction
+   * is well-defined; same one-shuffle union + running-last shape as
+   * [[asof]], with the matched ordering value carried through the
+   * merge inside a (ord, payload) struct.
+   */
+  def asofWithin(left: DataFrame, right: DataFrame, keyCol: String,
+                 ordCol: String, payloadCol: String, outCol: String,
+                 tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "staleness tolerance must be non-negative")
+    require(!left.columns.contains(outCol),
+      s"output column $outCol already exists on the left side")
+    val clash = (left.columns ++ right.columns).toSet
+      .intersect(Set("__p", "__r"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with AsofJoin's reserved temp names")
+    val ordType = right.schema(ordCol).dataType
+    require(ordType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"asofWithin needs a numeric ordCol (got $ordType) — pass epoch micros for timestamps")
+    val payloadType = right.schema(payloadCol).dataType
+    val structType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o", ordType),
+      org.apache.spark.sql.types.StructField("v", payloadType)))
+    val r = right.groupBy(col(keyCol), col(ordCol))
+      .agg(max(col(payloadCol)).as("__pv"))
+      .select(col(keyCol), col(ordCol),
+        struct(col(ordCol).as("o"), col("__pv").as("v")).as("__p"))
+      .withColumn("__r", lit(1))
+    val l = left
+      .withColumn("__p", lit(null).cast(structType))
+      .withColumn("__r", lit(0))
+    val merged = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(ordCol).asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__r") === 0)
+      .withColumn(outCol,
+        when(col("__last").isNotNull &&
+          col(ordCol) - col("__last.o") <= tolerance, col("__last.v")))
+      .drop("__p", "__r", "__last")
+  }
 }

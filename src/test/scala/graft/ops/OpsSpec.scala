@@ -156,6 +156,26 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(4L) === "und")
   }
 
+  test("asofWithin nulls out stale matches, keeps fresh and inclusive ones") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 1000L), (3L, "v", 50L))
+      .toDF("id", "k", "o")
+    val right = Seq(("u", 90L, 9.0), ("u", 100L, 1.0)).toDF("k", "o", "v")
+    val got = AsofJoin
+      .asofWithin(left, right, "k", "o", "v", "out", tolerance = 50L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) === Some(1.0)) // inclusive equal-ord match, gap 0
+    assert(got(2L) === None) // latest match is 900 behind — stale
+    assert(got(3L) === None) // key has no right rows at all
+    // unbounded asof on the same frames DOES attach the stale value —
+    // the tolerance is the only difference
+    val unbounded = AsofJoin.asof(left, right, "k", "o", "v", "out")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(unbounded(2L) === Some(1.0))
+  }
+
   test("surgical decontamination masks the benchmark span, keeps novel text") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("id", "text")
