@@ -113,6 +113,36 @@ object EventStreams {
     sessions(nanosToTimestamp(raw).withWatermark("ts", watermark), gap)
   }
 
+  /** Stream-stream interval self-join: views paired with the same
+    * user's purchases that follow within `window` — the conversion-
+    * attribution join running fully ON STREAMS. Both branches carry
+    * watermarks and the join condition bounds both event times, which
+    * is exactly what lets Spark EVICT join state (a view older than
+    * watermark + window can never match again); without the interval
+    * bound the state grows forever. Inner-join matches emit as soon
+    * as both sides arrive, so an availableNow drain produces the
+    * complete batch-equivalent result. */
+  def streamIntervalJoin(spark: SparkSession, dir: String,
+                         watermark: String = "2 hours",
+                         window: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = nanosToTimestamp(spark.readStream.schema(schema).parquet(dir))
+    val views = raw.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      .withWatermark("v_ts", watermark)
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"))
+      .select(col("v_user").as("user_id"),
+        unix_micros(col("v_ts")).as("v_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** Per-user inter-event gaps: each event annotated with the
     * microseconds since the same user's PREVIOUS event (null for the
     * user's first). The behavioral-telemetry primitive under dwell

@@ -139,4 +139,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       assert(!plan.contains("props"), "scan reads unneeded props column")
     }
   }
+
+  test("q107: exact global sample is TakeOrderedAndProject with zero exchanges") {
+    val plan = planOf(Queries.q107ExactSample(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange"), "exact-N sample must not shuffle")
+  }
+
+  test("q106: per-source cap prunes groups before the exchange (WindowGroupLimit)") {
+    val plan = planOf(Queries.q106SourceCap(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "summary joins over the source domain must broadcast")
+  }
+
+  test("q122: staleness-bounded asof keeps the one-shuffle window shape") {
+    val plan = planOf(Queries.q122AsofWithin(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      plan.take(2000))
+  }
+
+  test("q113: surgical decontamination is map-only after the gram census") {
+    val plan = planOf(Queries.q113MaskDecontaminate(spark, dir))
+    // the masking side adds only the final orderBy exchange; the hot
+    // set rides the closure, so no join appears in the apply plan
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }

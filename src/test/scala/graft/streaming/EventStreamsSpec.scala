@@ -117,6 +117,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.subsetOf(batch))
   }
 
+  test("stream-stream interval self-join equals the batch theta join") {
+    val streamDir = stageDir("graft-ssjoin")
+    val q = EventStreams.streamIntervalJoin(spark, streamDir)
+      .writeStream.format("memory").queryName("ssjoin_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssjoin_stream")
+      .collect().map(_.toSeq).toSet
+    val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
+    val v = norm.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+    val p = norm.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_us"))
+    val want = v.join(p,
+      col("user_id") === col("pu") &&
+        col("p_us") >= col("v_us") &&
+        col("p_us") <= col("v_us") + 3600000000L)
+      .select(col("user_id"), col("v_us"), col("p_us"))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("inter-event gaps and transition matrix are consistent with event counts") {
     val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
     val gaps = EventStreams.interEventGaps(norm, "user_id", "event_id")
