@@ -315,6 +315,35 @@ object SimSearch {
     IvfIndex(model.clusterCenters.map(_.toArray), assigned, idCol, vecCol)
   }
 
+  /** Persist a fitted [[IvfIndex]]: the assigned corpus goes to
+    * parquet PARTITIONED BY its cell (so a served probe of nprobe
+    * cells prunes to nprobe directories at the scan — the file-level
+    * pruning the ivfSearch scaladoc promises), the (tiny) centers to
+    * a (cell, pos, w) side table. This is the missing half of "fit
+    * once per corpus version": the index outlives the session and
+    * every serving job loads it instead of re-running KMeans. */
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$dir/assigned")
+    index.centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, p) => (i, p, w) }
+    }.toSeq.toDF("cell", "pos", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+  }
+
+  /** Load an [[IvfIndex]] persisted by [[ivfSave]]. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+              idCol: String, vecCol: String): IvfIndex = {
+    val centers = spark.read.parquet(s"$dir/centers")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+      .toArray
+    IvfIndex(centers, spark.read.parquet(s"$dir/assigned"), idCol, vecCol)
+  }
+
   /** Serve one query from a prebuilt [[IvfIndex]]: pick the `nprobe`
     * nearest cells driver-side (centers are tiny), scan only those
     * cells, rerank exactly. Each query touches ~nprobe/nlist of the

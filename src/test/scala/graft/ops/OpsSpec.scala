@@ -411,6 +411,28 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     } finally index.assigned.unpersist()
   }
 
+  test("ivf index save/load round-trip serves identical results, cell-partitioned layout") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
+      nlist = 4, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    SimSearch.ivfSave(index, dir)
+    // the assigned corpus is laid out one directory per cell — the
+    // physical pruning unit a served probe reads
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("__cell=")).map(_.getName).sorted
+    assert(cellDirs.length === 4, cellDirs.mkString(","))
+    val loaded = SimSearch.ivfLoad(spark, dir, "vec_id", "embedding")
+    assert(loaded.centers.map(_.toSeq).toSeq === index.centers.map(_.toSeq).toSeq)
+    Seq(0L, 7L).foreach { qid =>
+      val fromLoaded = SimSearch.ivfSearch(loaded, qid, 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      val fromMem = SimSearch.ivfSearch(index, qid, 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(fromLoaded === fromMem, s"query $qid diverged after reload")
+    }
+  }
+
   test("ivf sample-fit still assigns every row and serves queries") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
