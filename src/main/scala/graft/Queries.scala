@@ -1850,12 +1850,16 @@ object Queries {
     * expected rate (mean quality) — the calibration check that the
     * soft filter samples at its advertised rate. */
   def q119WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    // persist the scored projection: it feeds both the kept branch and
+    // the expected-rate branch, and the quality expressions are the
+    // expensive part (the q105/Budget two-consumer pattern)
     val scored = t(spark, dir, "documents").select(
       col("doc_id"), col("source"),
       graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = graft.ops.Sample.byScore(scored, "doc_id", "quality")
       .groupBy("source").agg(count(lit(1)).as("__k"))
-    scored.groupBy("source").agg(
+    val out = scored.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       round(sum(round(col("quality") * 10000, 0).cast("long"))
         / (count(lit(1)) * lit(10000.0)), 4).as("expected_rate"))
@@ -1866,6 +1870,9 @@ object Queries {
         round(coalesce(col("__k"), lit(0L)) / (col("n_docs") * lit(1.0)), 4)
           .as("actual_rate"))
       .orderBy("source")
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
   }
 
   /** Inter-event gap percentiles

@@ -80,7 +80,7 @@ object AsofJoin {
     require(!left.columns.contains(outCol),
       s"output column $outCol already exists on the left side")
     val clash = (left.columns ++ right.columns).toSet
-      .intersect(Set("__p", "__r"))
+      .intersect(Set("__p", "__r", "__last"))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with AsofJoin's reserved temp names")
     val ordType = right.schema(ordCol).dataType

@@ -54,7 +54,8 @@ object Budget {
     */
   def selectByTokenBudget(df: DataFrame, idCol: String, qualityCol: String,
                           tokenCol: String, budget: Long,
-                          cumCol: String = "cum_tokens"): DataFrame = {
+                          cumCol: String = "cum_tokens",
+                          maxQualityKeys: Int = 100000): DataFrame = {
     require(budget > 0, "token budget must be positive")
     val clash = df.columns.toSet.intersect(Set("__q", "__prefix", cumCol))
     require(clash.isEmpty,
@@ -67,12 +68,22 @@ object Budget {
     // production shape, not a corpus cache
     val eligible = df.filter(col(qualityCol).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 1. narrow per-quality totals (key domain = score granularity)
+    // 1. narrow per-quality totals (key domain = score granularity).
+    //    The collect is bounded by maxQualityKeys and FAILS FAST past
+    //    it (the SpanDedup.fitSpanIndex/maskContaminatedSpans guard
+    //    convention): a non-quantized score column — raw model logits
+    //    — would otherwise collect one row per document and OOM the
+    //    driver. Quantize the score first (the 3-decimal qualityScore
+    //    has ≤1001 keys) or raise the bound deliberately.
     val totals: Array[(Double, Long)] = eligible
       .groupBy(col(qualityCol).cast(DoubleType).as("__q"))
       .agg(sum(col(tokenCol).cast(LongType)).as("__qtot"))
-      .collect()
+      .take(maxQualityKeys + 1)
       .map(r => (r.getDouble(0), r.getLong(1)))
+    require(totals.length <= maxQualityKeys,
+      s"quality domain exceeds maxQualityKeys=$maxQualityKeys — the score " +
+        "column is not quantized; quantize it (e.g. round to 3 decimals) " +
+        "before budget selection")
     // 2. driver prefix sums, highest quality first
     val sorted = totals.sortBy(-_._1)
     val prefixes = sorted.scanLeft(0L)(_ + _._2).init

@@ -36,9 +36,6 @@ object Redact {
 
   val Token = "[REDACTED]"
 
-  /** The text with every pattern match replaced (sequential, in
-    * pattern order). `Token` contains no regex metacharacter captures,
-    * so later patterns cannot re-match earlier replacements. */
   /** Keyed pseudonymization: a stable 64-bit (16-hex-char) pseudonym
     * `md5(salt || value)` — the PII-handling transform that keeps a
     * column JOINABLE (equal values map to equal pseudonyms, so
@@ -51,6 +48,9 @@ object Redact {
   def pseudonymize(value: Column, salt: String): Column =
     substring(md5(concat(lit(salt), value.cast("string"))), 1, 16)
 
+  /** The text with every pattern match replaced (sequential, in
+    * pattern order). `Token` contains no regex metacharacter captures,
+    * so later patterns cannot re-match earlier replacements. */
   def redactText(text: Column,
                  patterns: Seq[(String, String)] = Defaults): Column =
     patterns.foldLeft(text) { case (c, (_, p)) =>

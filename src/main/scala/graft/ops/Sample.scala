@@ -231,6 +231,8 @@ object Sample {
                          tiebreakCol: String, tokenCol: String,
                          k: Int): DataFrame = {
     require(k > 0, "cap must be positive")
+    require(!df.columns.contains("__cg"),
+      "input column __cg collides with capPerGroupSummary's reserved temp name")
     val kept = rankedWithinGroup(df, groupCol,
       Seq(col(scoreCol).desc, col(tiebreakCol).asc), k, "capPerGroupSummary")
     val keptAgg = kept.groupBy(col(groupCol)).agg(

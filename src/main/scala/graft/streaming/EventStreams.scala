@@ -149,7 +149,10 @@ object EventStreams {
     * time, churn-risk inactivity, and bot detection (impossibly
     * regular gaps). One window PARTITIONED BY user — distributed
     * across the user domain, never a global sort; ties at equal ts
-    * break on `idCol` so the lag is deterministic. */
+    * break on `idCol` so the lag is deterministic. Like every
+    * operator in this object, the event-time column is the `ts`
+    * contract column (see the object doc) — only the identity
+    * columns are parameterized. */
   def interEventGaps(events: DataFrame, userCol: String,
                      idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -167,10 +170,15 @@ object EventStreams {
     * Markov summary behind "what do users do after X" and sequence
     * anomaly detection. The lag window distributes by user; counts
     * aggregate to the |types|² domain and the probability join is
-    * broadcast-sized by construction. */
+    * broadcast-sized by construction. Event time is the object's `ts`
+    * contract column, as in [[interEventGaps]]. */
   def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
                        idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val clash = events.columns.toSet
+      .intersect(Set("__us", "prev_type", "next_type", "__pt", "__tot"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with transitionMatrix's names")
     val w = Window.partitionBy(col(userCol))
       .orderBy(col("__us").asc, col(idCol).asc)
     val pairs = events.withColumn("__us", unix_micros(col("ts")))
