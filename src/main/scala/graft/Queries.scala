@@ -1921,6 +1921,22 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** SCD Type-2 history build ([[graft.ops.Upsert.scd2]]): each
+    * user's event-type state history as half-open validity intervals
+    * with consecutive repeats collapsed — the queryable-history
+    * counterpart to q93's latest-wins merge. */
+  def q123Scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Upsert.scd2(
+      events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id")),
+      "user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_type")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -145,6 +145,7 @@ object SparkEntry {
     "q120_gap_stats" -> (Queries.q120GapStats(_, _)),
     "q121_transition_matrix" -> (Queries.q121TransitionMatrix(_, _)),
     "q122_asof_within" -> (Queries.q122AsofWithin(_, _)),
+    "q123_scd2" -> (Queries.q123Scd2(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2388,5 +2389,26 @@ object SparkEntry {
         |    THEN round(r.v, 2) END AS attr_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
         |ORDER BY l.event_id""".stripMargin,
+    // q123: run collapse via lag + row_number, intervals via lead —
+    // the same two-window spec on both engines
+    "q123_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |d AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, event_type, us, event_id FROM d
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |v AS (
+        |  SELECT user_id, event_type, us AS valid_from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, event_type""".stripMargin,
   )
 }

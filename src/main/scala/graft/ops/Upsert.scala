@@ -43,6 +43,42 @@ object Upsert {
     * suppressing late-arriving older versions in subsequent merges,
     * where a dropped one would let them resurrect. Filter
     * `NOT deleteCol` for the clean view. */
+  /** SCD Type-2 history build: turn a changelog into validity
+    * intervals — one row per RUN of an unchanged tracked value per
+    * key, with `valid_from`/`valid_to` (null = still current) and an
+    * `is_current` flag. [[merge]] is Type 1 (latest wins, history
+    * discarded); this keeps the history queryable, which is what a
+    * point-in-time training-set join needs on the dimension side.
+    *
+    * Semantics: rows order per key by (`ordCol`, `tiebreakCol`);
+    * consecutive rows whose `trackCol` is unchanged (null-safe
+    * compare) collapse into the run's FIRST row; `valid_to` is the
+    * next run's `valid_from` (half-open intervals — an as-of probe at
+    * exactly valid_to reads the next run).
+    *
+    * Scale shape: two stacked lag/lead windows PARTITIONED BY the key
+    * over the same sort — one shuffle total, the second window reuses
+    * the first's ordering; no self-join, no global sort. */
+  def scd2(changes: DataFrame, keyCol: String, trackCol: String,
+           ordCol: String, tiebreakCol: String): DataFrame = {
+    val clash = changes.columns.toSet
+      .intersect(Set("__prev", "__rn", "valid_from", "valid_to", "is_current"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with scd2's output/temp names")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(ordCol).asc, col(tiebreakCol).asc)
+    changes
+      // row_number distinguishes "no previous row" from "previous
+      // tracked value is null" — a run of nulls must still collapse
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(trackCol), 1).over(w))
+      .where(col("__rn") === 1 || !(col(trackCol) <=> col("__prev")))
+      .withColumn("valid_from", col(ordCol))
+      .withColumn("valid_to", lead(col(ordCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev", "__rn")
+  }
+
   def merge(snapshot: DataFrame, changes: DataFrame, key: String,
             versionCol: String, deleteCol: String = "",
             keepTombstones: Boolean = false): DataFrame = {

@@ -130,4 +130,25 @@ class UpsertSpec extends AnyFunSuite with SparkTestSession {
       .where($"id" === 1L).collect()
     assert(out.length === 1 && out.head.getString(1) === "dup")
   }
+
+  test("scd2: runs collapse (including null runs), half-open intervals, current flag") {
+    val log = Seq(
+      (1L, Some("a"), 10L, 1L), (1L, Some("a"), 20L, 2L), // run of a
+      (1L, Some("b"), 30L, 3L),
+      (1L, None, 40L, 4L), (1L, None, 50L, 5L), // run of nulls
+      (1L, Some("a"), 60L, 6L), // back to a — a NEW run, not merged
+      (2L, Some("x"), 5L, 7L))
+      .toDF("k", "v", "o", "id")
+    val got = Upsert.scd2(log, "k", "v", "o", "id")
+      .select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).toSet
+    assert(got === Set(
+      (1L, Some("a"), 10L, Some(30L), false),
+      (1L, Some("b"), 30L, Some(40L), false),
+      (1L, None, 40L, Some(60L), false),
+      (1L, Some("a"), 60L, None, true),
+      (2L, Some("x"), 5L, None, true)))
+  }
 }
