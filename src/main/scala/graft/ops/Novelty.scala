@@ -93,6 +93,33 @@ object Novelty {
   /** Documents with NO banded-MinHash band collision against the
     * indexed corpus — near-dup novelty as a map-only filter (streaming-
     * safe: per-row expressions plus a broadcast sketch, no state). */
+  /** Persist a fitted [[BandIndex]]: the Bloom filter's bitset via a
+    * Hadoop-FS stream (works on HDFS/S3A paths, not just local disk)
+    * plus a one-row parquet of the banding parameters — the durable
+    * half of "fit once per corpus version, gate every ingest batch":
+    * serving jobs load the index instead of re-reading the corpus. */
+  def saveBandIndex(spark: SparkSession, index: BandIndex,
+                    dir: String): Unit = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try index.bloom.writeTo(out) finally out.close()
+    Seq((index.shingleSize, index.numHashes, index.bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[BandIndex]] persisted by [[saveBandIndex]]. */
+  def loadBandIndex(spark: SparkSession, dir: String): BandIndex = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val bloom = try BloomFilter.readFrom(in) finally in.close()
+    BandIndex(bloom, m.getInt(0), m.getInt(1), m.getInt(2))
+  }
+
   def nearNovel(docs: DataFrame, index: BandIndex,
                 textCol: String): DataFrame = {
     val r = index.numHashes / index.bands

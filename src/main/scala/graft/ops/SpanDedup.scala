@@ -111,6 +111,29 @@ object SpanDedup {
     SpanIndex(hot.toSet, n)
   }
 
+  /** Persist a fitted [[SpanIndex]]: the hot-span set as parquet, the
+    * gram arity in a one-row meta table — same durable fit/apply
+    * split as [[Novelty.saveBandIndex]] and `SimSearch.ivfSave`. */
+  def saveSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                    index: SpanIndex, dir: String): Unit = {
+    import spark.implicits._
+    index.hot.toSeq.toDF("gram")
+      .write.mode("overwrite").parquet(s"$dir/hot")
+    Seq(index.n).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[SpanIndex]] persisted by [[saveSpanIndex]]. The hot set
+    * collects back to the driver — by the [[fitSpanIndex]] contract it
+    * is boilerplate-sized. */
+  def loadSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): SpanIndex = {
+    val n = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val hot = spark.read.parquet(s"$dir/hot")
+      .collect().map(_.getString(0)).toSet
+    SpanIndex(hot, n)
+  }
+
   /** Map-only masking against a prebuilt [[SpanIndex]]: per-row kernel
     * + broadcast set, no join, no shuffle, no state — streaming-safe,
     * and the production serving shape (the census is NOT recomputed

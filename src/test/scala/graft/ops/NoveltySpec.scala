@@ -40,6 +40,21 @@ class NoveltySpec extends AnyFunSuite with SparkTestSession {
     assert(out === Seq(12L)) // 10 exact, 11 near — both collide
   }
 
+  test("band index save/load round-trip gates identically") {
+    val idx = Novelty.fitBandIndex(corpus, "text",
+      shingleSize = 2, numHashes = 12, bands = 6, fpp = 1e-9)
+    val d = java.nio.file.Files.createTempDirectory("bandidx").toString
+    Novelty.saveBandIndex(spark, idx, d)
+    val loaded = Novelty.loadBandIndex(spark, d)
+    assert(loaded.shingleSize === 2 && loaded.numHashes === 12 &&
+      loaded.bands === 6)
+    val fromLoaded = Novelty.nearNovel(incoming, loaded, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val fromFit = Novelty.nearNovel(incoming, idx, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fromLoaded === fromFit)
+  }
+
   test("streamed exact novelty (stream-static left_anti) equals batch") {
     val d = java.nio.file.Files.createTempDirectory("novelty").toString
     incoming.write.mode("overwrite").parquet(s"$d/in")

@@ -1365,6 +1365,14 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     val viaJoin = SpanDedup.maskRepeatedSpans(c, "doc_id", "text", 5, 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaIndex === viaJoin)
+    // save/load round-trip masks identically
+    val idxDir = java.nio.file.Files.createTempDirectory("spanidx").toString
+    SpanDedup.saveSpanIndex(spark, idx, idxDir)
+    val loaded = SpanDedup.loadSpanIndex(spark, idxDir)
+    assert(loaded === idx)
+    val viaLoaded = SpanDedup.maskWithIndex(c, loaded, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaLoaded === viaIndex)
     // the index applies map-only on a stream (no state, no join)
     val d = java.nio.file.Files.createTempDirectory("spanmask").toString
     c.write.mode("overwrite").parquet(s"$d/in")
