@@ -1937,6 +1937,46 @@ object Queries {
         col("is_current"))
       .orderBy("user_id", "valid_from_us", "event_type")
 
+  /** Training-order decorrelation report
+    * ([[graft.ops.Layout.adjacencyRate]]): adjacent-pair same-source
+    * rates of the raw id-block layout vs q88's shuffled shards,
+    * against the independence baseline Σ share² — the diagnostic that
+    * says whether the shuffle actually decorrelated sources. The
+    * fixture's modulo source assignment makes the id order
+    * pathologically anti-correlated (rate 0), while the shuffled
+    * shards sit at the ~0.05 independence expectation. */
+  def q124OrderDecorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "source")
+    val natural = graft.ops.Layout.adjacencyRate(
+      docs.withColumn("file", expr("doc_id div 25")),
+      "source", "file", "doc_id", "by_id_blocks")
+    val sharded = graft.ops.Layout.adjacencyRate(
+      graft.ops.Splits.shardOrder(docs, "doc_id", shards = 8, seed = 42),
+      "source", "shard", "sort_key", "shuffled_shards")
+    val expected = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .as("__ss"),
+        sum(col("n")).as("__N"))
+      .select(round(col("__ss").cast("double") /
+        (col("__N").cast("double") * col("__N").cast("double")), 4)
+        .as("expected_rate"))
+    natural.unionByName(sharded)
+      .crossJoin(broadcast(expected))
+      .orderBy("layout")
+  }
+
+  /** Unigram-distribution drift between corpus versions
+    * ([[graft.ops.Profile.unigramDrift]]): smoothed KL(v2 ‖ v1) where
+    * v2 drops every seventh document — the release-gate metric
+    * row-level diffing can't see. Integer e12 contribution sums keep
+    * the float reduction order out of the contract. */
+  def q125UnigramDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Profile.unigramDrift(
+      docs, docs.filter(col("doc_id") % 7 =!= 0), "text")
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -146,6 +146,8 @@ object SparkEntry {
     "q121_transition_matrix" -> (Queries.q121TransitionMatrix(_, _)),
     "q122_asof_within" -> (Queries.q122AsofWithin(_, _)),
     "q123_scd2" -> (Queries.q123Scd2(_, _)),
+    "q124_order_decorrelation" -> (Queries.q124OrderDecorrelation(_, _)),
+    "q125_unigram_drift" -> (Queries.q125UnigramDrift(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2410,5 +2412,59 @@ object SparkEntry {
         |SELECT user_id, event_type, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
         |FROM v ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+    // q124: q88's md5 sort-key replay + per-file lag windows; the
+    // expectation is exact Σ n² / N² from integer sums
+    "q124_order_decorrelation" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |exp_r AS (
+        |  SELECT round(CAST(sum(n::HUGEINT * n) AS DOUBLE)
+        |    / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 4) AS expected_rate
+        |  FROM (SELECT count(*) AS n FROM docs GROUP BY source)),
+        |nat AS (
+        |  SELECT 'by_id_blocks' AS layout, count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN source = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |  FROM (
+        |    SELECT source,
+        |      lag(source) OVER (PARTITION BY doc_id // 25 ORDER BY doc_id) AS prev
+        |    FROM docs) x WHERE prev IS NOT NULL),
+        |sh AS (
+        |  SELECT 'shuffled_shards' AS layout, count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN source = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |  FROM (
+        |    SELECT source, lag(source) OVER (PARTITION BY sk % 8 ORDER BY sk) AS prev
+        |    FROM (
+        |      SELECT source,
+        |        ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT AS sk
+        |      FROM docs) z) y WHERE prev IS NOT NULL)
+        |SELECT layout, n_pairs, n_same,
+        |  round(n_same / (n_pairs * 1.0), 4) AS rate, expected_rate
+        |FROM (SELECT * FROM nat UNION ALL SELECT * FROM sh) u CROSS JOIN exp_r
+        |ORDER BY layout""".stripMargin,
+    // q125: add-one-smoothed KL over the union vocab; e12 fixed-point
+    // contribution sums (integer, order-independent), ln == log
+    "q125_unigram_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents) r WHERE w <> ''),
+        |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |c2 AS (SELECT w, count(*) AS c FROM tok WHERE doc_id % 7 <> 0 GROUP BY w),
+        |j AS (
+        |  SELECT coalesce(c1.c, 0) AS a, coalesce(c2.c, 0) AS b
+        |  FROM c1 FULL JOIN c2 ON c1.w = c2.w),
+        |v AS (SELECT count(*) AS vs FROM j),
+        |t1 AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM j),
+        |t2 AS (SELECT CAST(sum(b) AS BIGINT) AS n FROM j),
+        |kl AS (
+        |  SELECT CAST(sum(e) AS BIGINT) AS s FROM (
+        |    SELECT CAST(round(
+        |      ((b + 1.0) / (t2.n + v.vs))
+        |        * ln(((b + 1.0) / (t2.n + v.vs)) / ((a + 1.0) / (t1.n + v.vs)))
+        |        * 1e12) AS BIGINT) AS e
+        |    FROM j CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN v))
+        |SELECT v.vs AS vocab, t1.n AS tokens_v1, t2.n AS tokens_v2,
+        |  round(kl.s / 1e12, 6) AS kl_nats
+        |FROM v CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN kl""".stripMargin,
   )
 }

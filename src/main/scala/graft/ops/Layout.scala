@@ -136,4 +136,28 @@ object Layout {
         min(col(fileCol)).as("first_file"),
         max(col(fileCol)).as("last_file"))
       .orderBy(partCol, "bin")
+
+  /** Adjacent-pair same-group rate of a layout: within each training
+    * file (`fileCol`), read rows in `orderCol` order and count how
+    * often consecutive rows share `groupCol` — the decorrelation
+    * diagnostic that says whether a "shuffled" training order actually
+    * decorrelated sources (compare against the independence baseline
+    * Σ share² from [[Queries]]' q124, and against the raw layout). One
+    * lag window PARTITIONED BY file — boundaries between files are
+    * deliberately not pairs (a reader never sees them adjacent). */
+  def adjacencyRate(df: DataFrame, groupCol: String, fileCol: String,
+                    orderCol: String, label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__prev"),
+      "input column __prev collides with adjacencyRate's temp name")
+    val w = Window.partitionBy(col(fileCol)).orderBy(col(orderCol).asc)
+    df.withColumn("__prev", lag(col(groupCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col(groupCol) === col("__prev"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(lit(label).as("layout"), col("n_pairs"), col("n_same"),
+        round(col("n_same") / (col("n_pairs") * lit(1.0)), 4).as("rate"))
+  }
 }

@@ -54,6 +54,54 @@ object Profile {
       .orderBy("bin")
   }
 
+  /** Unigram-distribution drift between two corpus versions: add-one-
+    * smoothed KL(v2 ‖ v1) over the union vocabulary, plus the sizes
+    * that contextualize it — the release-gate metric that catches a
+    * DISTRIBUTION shift (one source's crawl broke, a language
+    * vanished) that row-level diffing ([[graft.ops.Diff]]) cannot see.
+    *
+    * Cross-engine contract: per-term contributions round to e12
+    * fixed-point longs and SUM AS INTEGERS — a float sum's value
+    * depends on reduction order; ln() ulp wobble (~1e-16 relative) is
+    * far below the e12 grain, so both engines produce identical
+    * sums. The three scalar totals (vocab size, token counts) are
+    * bounded driver collects baked into the expression as literals so
+    * the arithmetic matches the SQL replay operation for operation.
+    *
+    * Scale shape: two (word, count) hash aggregates + ONE full-outer
+    * join on the word key + one scalar aggregate; nothing else
+    * shuffles. */
+  def unigramDrift(v1: DataFrame, v2: DataFrame,
+                   textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(split(Dedup.normalized(col(textCol)), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val c1 = counts(v1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = counts(v2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joined = c1.select(col("w"), col("c").as("a"))
+      .join(c2.select(col("w"), col("c").as("b")), Seq("w"), "full_outer")
+      .select(coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vs = joined.count()
+    val n1 = c1.agg(sum(col("c"))).head.getLong(0)
+    val n2 = c2.agg(sum(col("c"))).head.getLong(0)
+    val q = (col("b") + lit(1.0)) / lit((n2 + vs).toDouble)
+    val p = (col("a") + lit(1.0)) / lit((n1 + vs).toDouble)
+    val out = joined
+      .select(round(q * log(q / p) * lit(1e12), 0).cast("long").as("e"))
+      .agg(sum(col("e")).as("__s"))
+      .select(lit(vs).as("vocab"), lit(n1).as("tokens_v1"),
+        lit(n2).as("tokens_v2"),
+        round(col("__s") / lit(1e12), 6).as("kl_nats"))
+      .localCheckpoint(true)
+    joined.unpersist(); c1.unpersist(); c2.unpersist()
+    out
+  }
+
   /** One row per profiled column: (column, n_rows, n_nulls,
     * n_distinct, min_value, max_value) — min/max rendered as strings
     * so the report is schema-stable across column types. */
