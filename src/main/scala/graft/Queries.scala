@@ -1977,6 +1977,48 @@ object Queries {
       docs, docs.filter(col("doc_id") % 7 =!= 0), "text")
   }
 
+  /** Exact proportional stratified sampling
+    * ([[graft.ops.Sample.proportionalQuotas]] +
+    * [[graft.ops.Sample.stratifiedByQuotas]]): allocate a fixed
+    * 1000-row budget across order priorities by largest-remainder
+    * (quotas sum EXACTLY to the budget), then sample each stratum to
+    * its quota deterministically. The report shows available/quota/
+    * sampled per stratum; the oracle replays the allocation and the
+    * md5-ranked sample. */
+  def q126ProportionalSample(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("grp"))
+    val counts = orders.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = graft.ops.Sample.proportionalQuotas(counts, total = 1000L)
+    val sampled = graft.ops.Sample
+      .stratifiedByQuotas(orders, "grp", "o_orderkey", quotas)
+      .groupBy("grp").agg(count(lit(1)).as("n_sampled"))
+    val quotaExpr = quotas.toSeq.sortBy(_._1)
+      .foldRight(lit(0L)) { case ((g, q), rest) =>
+        when(col("grp") === g, lit(q)).otherwise(rest)
+      }
+    orders.groupBy("grp").agg(count(lit(1)).as("n_available"))
+      .withColumn("quota", quotaExpr)
+      .join(sampled, Seq("grp"), "left")
+      .select(col("grp"), col("n_available"), col("quota"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("grp")
+  }
+
+  /** Declared-vs-detected language confusion matrix
+    * ([[graft.ops.TextStats.langId]] against the documents table's
+    * `lang` column) — the label-noise measurement a multilingual
+    * corpus release records; the oracle replays the full profile-hit
+    * argmax. */
+  def q127LangConfusion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang").as("declared"),
+        graft.ops.TextStats.langId(col("text")).as("detected"))
+      .groupBy("declared", "detected")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("declared", "detected")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -148,6 +148,8 @@ object SparkEntry {
     "q123_scd2" -> (Queries.q123Scd2(_, _)),
     "q124_order_decorrelation" -> (Queries.q124OrderDecorrelation(_, _)),
     "q125_unigram_drift" -> (Queries.q125UnigramDrift(_, _)),
+    "q126_proportional_sample" -> (Queries.q126ProportionalSample(_, _)),
+    "q127_lang_confusion" -> (Queries.q127LangConfusion(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2466,5 +2468,65 @@ object SparkEntry {
         |SELECT v.vs AS vocab, t1.n AS tokens_v1, t2.n AS tokens_v2,
         |  round(kl.s / 1e12, 6) AS kl_nats
         |FROM v CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN kl""".stripMargin,
+    // q126: largest-remainder allocation (floors + top remainders,
+    // name tie-break) and the md5-ranked per-stratum sample
+    "q126_proportional_sample" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS grp, count(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |q AS (
+        |  SELECT grp, n, CAST((1000 * n) // nn AS BIGINT) AS fl,
+        |    row_number() OVER (ORDER BY (1000 * n) % nn DESC, grp) AS rk
+        |  FROM c CROSS JOIN t),
+        |lo AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS l FROM q),
+        |alloc AS (
+        |  SELECT grp, n, fl + CASE WHEN rk <= l THEN 1 ELSE 0 END AS quota
+        |  FROM q CROSS JOIN lo),
+        |ranked AS (
+        |  SELECT o_orderpriority AS grp, row_number() OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+        |      % 1073741824, o_orderkey) AS rn
+        |  FROM orders),
+        |sampled AS (
+        |  SELECT r.grp, count(*) AS n_sampled
+        |  FROM ranked r JOIN alloc a ON r.grp = a.grp
+        |  WHERE r.rn <= a.quota GROUP BY r.grp)
+        |SELECT a.grp, a.n AS n_available, CAST(a.quota AS BIGINT) AS quota,
+        |  coalesce(s.n_sampled, 0) AS n_sampled
+        |FROM alloc a LEFT JOIN sampled s ON a.grp = s.grp
+        |ORDER BY a.grp""".stripMargin,
+    // q127: the q33 profile-hit argmax replay, cross-tabbed against
+    // the declared lang column
+    "q127_lang_confusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) r
+        |  WHERE w <> ''),
+        |hits AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN w IN ('der','die','und','in','den','von','zu',
+        |      'das','mit','sich','des','auf','ist','nicht','ein')
+        |      THEN 1 ELSE 0 END) AS h_de,
+        |    sum(CASE WHEN w IN ('the','be','to','of','and','a','in','that',
+        |      'have','i','it','is','was','for','on') THEN 1 ELSE 0 END) AS h_en,
+        |    sum(CASE WHEN w IN ('de','la','que','el','en','y','a','los',
+        |      'se','del','las','un','por','con','no') THEN 1 ELSE 0 END) AS h_es,
+        |    sum(CASE WHEN w IN ('de','la','le','et','les','des','en','un',
+        |      'du','une','que','est','pour','qui','dans') THEN 1 ELSE 0 END) AS h_fr
+        |  FROM tok GROUP BY doc_id),
+        |det AS (
+        |  SELECT d.doc_id, d.lang AS declared,
+        |    CASE WHEN greatest(coalesce(h_de,0), coalesce(h_en,0),
+        |                       coalesce(h_es,0), coalesce(h_fr,0)) = 0 THEN 'und'
+        |         WHEN coalesce(h_fr,0) = greatest(coalesce(h_de,0), coalesce(h_en,0), coalesce(h_es,0), coalesce(h_fr,0)) THEN 'fr'
+        |         WHEN coalesce(h_es,0) = greatest(coalesce(h_de,0), coalesce(h_en,0), coalesce(h_es,0), coalesce(h_fr,0)) THEN 'es'
+        |         WHEN coalesce(h_en,0) = greatest(coalesce(h_de,0), coalesce(h_en,0), coalesce(h_es,0), coalesce(h_fr,0)) THEN 'en'
+        |         ELSE 'de' END AS detected
+        |  FROM documents d LEFT JOIN hits USING (doc_id))
+        |SELECT declared, detected, count(*) AS n_docs
+        |FROM det GROUP BY declared, detected
+        |ORDER BY declared, detected""".stripMargin,
   )
 }

@@ -250,6 +250,56 @@ object Sample {
         col("kept_tokens"), col("quality_floor"))
   }
 
+  /** Largest-remainder proportional allocation: integer per-group
+    * quotas that sum EXACTLY to `total` and track each group's share
+    * as closely as integers allow — the allocation [[byRates]]'
+    * per-row rate cutoffs cannot give (rates keep proportions only in
+    * expectation; a fixed eval budget needs exact counts). Floors of
+    * the ideal shares first, then the leftover units go to the
+    * largest fractional remainders (ties break on the group name, so
+    * the allocation is deterministic and SQL-replayable). Driver
+    * arithmetic over the (small) group domain, like
+    * [[ratesForMixture]]. */
+  def proportionalQuotas(counts: Map[String, Long],
+                         total: Long): Map[String, Long] = {
+    require(counts.nonEmpty && counts.values.forall(_ >= 0),
+      "counts must be non-negative")
+    val n = counts.values.sum
+    require(total >= 0 && total <= n,
+      s"total $total outside [0, $n] — cannot allocate more than exists")
+    if (n == 0) return counts.map { case (g, _) => g -> 0L }
+    val floors = counts.map { case (g, c) => g -> (total * c / n) }
+    val leftover = (total - floors.values.sum).toInt
+    val byRemainder = counts.toSeq
+      .map { case (g, c) => (g, total * c % n) }
+      .sortBy { case (g, rem) => (-rem, g) }
+      .take(leftover).map(_._1).toSet
+    floors.map { case (g, f) =>
+      g -> (f + (if (byRemainder.contains(g)) 1L else 0L))
+    }
+  }
+
+  /** Deterministic stratified sample hitting EXACT per-group quotas
+    * (md5-ranked within group, ties by id — [[stratifiedTopN]]'s rule
+    * with a per-group k). The quota lookup is a literal CASE over the
+    * group domain — broadcast-free, codegen; groups absent from
+    * `quotas` contribute nothing. */
+  def stratifiedByQuotas(df: DataFrame, groupCol: String, idCol: String,
+                         quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty, "quotas must be non-empty")
+    val maxQ = quotas.values.max
+    if (maxQ == 0) return df.limit(0)
+    val quotaExpr = quotas.toSeq.sortBy(_._1)
+      .foldRight(lit(0L)) { case ((g, q), rest) =>
+        when(col(groupCol) === g, lit(q)).otherwise(rest)
+      }
+    rankedWithinGroup(df, groupCol,
+      Seq(Splits.hashBucket(col(idCol), 1 << 30).asc, col(idCol).asc),
+      maxQ.toInt, "stratifiedByQuotas")
+      .where(col("__rank") <= quotaExpr)
+      .drop("__rank")
+  }
+
   /** Score-weighted deterministic sampling: keep each row with
     * probability equal to its score in [0, 1] — the SOFT quality
     * filter (a 0.9 doc almost always survives, a 0.3 doc rarely does)

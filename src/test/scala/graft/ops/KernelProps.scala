@@ -197,6 +197,21 @@ object KernelProps extends Properties("kernels") {
       Prop(s.drop(1).forall(sharedTail.contains)) :| "suffix tail shared"
     }
 
+  property("proportionalQuotas: exact total, within one of ideal, never over-allocates a group") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000L)), Gen.choose(0.0, 1.0)) {
+      (cs, frac) =>
+        val counts = cs.zipWithIndex.map { case (c, i) => f"g$i%03d" -> c }.toMap
+        val n = counts.values.sum
+        val total = math.round(n * frac)
+        val quotas = Sample.proportionalQuotas(counts, total)
+        val ideal = counts.map { case (g, c) =>
+          g -> (if (n == 0) 0.0 else total.toDouble * c / n) }
+        Prop(quotas.values.sum == total) :| "sums to total" &&
+          Prop(quotas.forall { case (g, q) => q <= counts(g) }) :| "within group" &&
+          Prop(quotas.forall { case (g, q) =>
+            math.abs(q - ideal(g)) <= 1.0 + 1e-9 }) :| "within one of ideal"
+    }
+
   property("Bench.fmt: <= 5 chars below the 99999.5 s ceiling, value preserved within the tier's precision") =
     // log-uniform over [1 ms, ~99999 s]: a uniform generator would put
     // ~0.01% of samples below 10 s, leaving the %.3f/%.2f rungs — the
