@@ -40,6 +40,37 @@ class NoveltySpec extends AnyFunSuite with SparkTestSession {
     assert(out === Seq(12L)) // 10 exact, 11 near — both collide
   }
 
+  test("streaming curation chain: novelty gate -> span mask -> blocklist, streamed == batch") {
+    // the streaming-safe ops COMPOSE on one stream: each stage is a
+    // map-only (or stream-static) transform, so the whole chain runs
+    // as a single streaming query — the ingest-side curation shape
+    val docs = Seq(
+      (10L, "old doc body", "x"), // exact dup of corpus -> gated out
+      (20L, "shared license header words here plus alpha unique tail", "x"),
+      (21L, "shared license header words here plus beta ending", "x"),
+      (22L, "fresh text mentioning forbidden things", "x"))
+      .toDF("doc_id", "text", "src")
+    val hist = Seq((1L, "old doc body")).toDF("doc_id", "text")
+    val spanIdx = SpanDedup.fitSpanIndex(docs, "doc_id", "text", 5, 2)
+    val d = java.nio.file.Files.createTempDirectory("curate-stream").toString
+    docs.write.mode("overwrite").parquet(s"$d/in")
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val gated = Novelty.exactNovel(df, hist, "text")
+      val masked = SpanDedup.maskWithIndex(gated, spanIdx, "text")
+      Blocklist.annotate(masked, "doc_id", "text", Seq("forbidden"))
+    }
+    val schema = spark.read.parquet(s"$d/in").schema
+    val q = chain(spark.readStream.schema(schema).parquet(s"$d/in"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("curate_stream").collect().map(_.toSeq).toSet
+    val want = chain(spark.read.parquet(s"$d/in"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.size === 3) // doc 10 gated; 20/21 masked; 22 flagged
+  }
+
   test("band index save/load round-trip gates identically") {
     val idx = Novelty.fitBandIndex(corpus, "text",
       shingleSize = 2, numHashes = 12, bands = 6, fpp = 1e-9)
