@@ -2019,6 +2019,16 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("declared", "detected")
 
+  /** Session concurrency curve
+    * ([[graft.streaming.EventStreams.sessionConcurrency]]): active
+    * sessions per 10-minute slot — peak-concurrency capacity
+    * planning; a session covers its whole interval, not just the
+    * slots it emitted events in. The oracle replays the q29
+    * sessionization plus interval→slot coverage. */
+  def q128SessionConcurrency(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionConcurrency(
+      events(spark, dir), "user_id")
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -150,6 +150,7 @@ object SparkEntry {
     "q125_unigram_drift" -> (Queries.q125UnigramDrift(_, _)),
     "q126_proportional_sample" -> (Queries.q126ProportionalSample(_, _)),
     "q127_lang_confusion" -> (Queries.q127LangConfusion(_, _)),
+    "q128_session_concurrency" -> (Queries.q128SessionConcurrency(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2528,5 +2529,30 @@ object SparkEntry {
         |SELECT declared, detected, count(*) AS n_docs
         |FROM det GROUP BY declared, detected
         |ORDER BY declared, detected""".stripMargin,
+    // q128: q29's gap sessionization + [start, last+gap) interval →
+    // slot coverage; 600 s slots
+    "q128_session_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) AS st,
+        |    max(ts) + INTERVAL 10 MINUTE AS en
+        |  FROM s GROUP BY user_id, sid),
+        |slots AS (
+        |  SELECT unnest(list_transform(generate_series(
+        |      epoch_us(st) // 600000000,
+        |      (epoch_us(en) - 1) // 600000000), x -> x)) AS slot
+        |  FROM sess)
+        |SELECT CAST(slot AS BIGINT) AS slot,
+        |  strftime(make_timestamp(slot * 600000000), '%Y-%m-%d %H:%M') AS slot_start,
+        |  count(*) AS n_active
+        |FROM slots GROUP BY slot ORDER BY slot""".stripMargin,
   )
 }

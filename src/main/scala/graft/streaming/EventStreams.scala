@@ -52,6 +52,35 @@ object EventStreams {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Session concurrency curve: how many sessions are ACTIVE in each
+    * fixed time slot — the capacity-planning view (peak concurrency)
+    * that per-slot event counts get wrong (a session spans its whole
+    * [start, end) interval even through slots where it emitted no
+    * event). Sessions come from [[sessions]]' gap rule; each explodes
+    * into the slots its interval covers (fan-out bounded by session
+    * length / slot width), and the aggregate's key domain is the time
+    * range / slot width — bounded by wall-clock span, not event
+    * volume. */
+  def sessionConcurrency(events: DataFrame, userCol: String,
+                         gap: String = "10 minutes",
+                         slotSeconds: Long = 600L): DataFrame = {
+    require(slotSeconds > 0, "slot width must be positive")
+    val w = slotSeconds * 1000000L
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col(userCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(unix_micros(col("w.start")).as("__st"),
+        unix_micros(col("w.end")).as("__en"))
+      .select(explode(sequence(
+        expr(s"__st div $w"), expr(s"(__en - 1) div $w"))).as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("n_active"))
+      .select(col("slot"),
+        date_format(timestamp_micros(col("slot") * w), "yyyy-MM-dd HH:mm")
+          .as("slot_start"),
+        col("n_active"))
+      .orderBy("slot")
+  }
+
   /** Convert a long-nanos `ts` column (from
     * `spark.sql.legacy.parquet.nanosAsLong` reads) back to a timestamp.
     * MUST be integer division: `/` on columns is double division, and a
