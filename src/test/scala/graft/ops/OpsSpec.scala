@@ -156,6 +156,22 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(4L) === "und")
   }
 
+  test("stratifiedByQuotas hits each quota exactly; quotas sum to the budget") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val counts = Map("g0" -> 25L, "g1" -> 25L, "g2" -> 25L, "g3" -> 25L)
+    val quotas = Sample.proportionalQuotas(counts, total = 37L)
+    assert(quotas.values.sum === 37L)
+    val sampled = Sample.stratifiedByQuotas(df, "g", "id", quotas)
+    val perGroup = sampled.groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup === quotas.filter(_._2 > 0))
+    assert(sampled.count() === 37L)
+    // determinism: same quotas -> same rows
+    val again = Sample.stratifiedByQuotas(df, "g", "id", quotas)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === sampled.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("asofWithin nulls out stale matches, keeps fresh and inclusive ones") {
     val left = Seq((1L, "u", 100L), (2L, "u", 1000L), (3L, "v", 50L))
       .toDF("id", "k", "o")

@@ -142,6 +142,18 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
+  test("session concurrency curve: covers every session slot, bounded by session count") {
+    val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
+    val curve = EventStreams.sessionConcurrency(norm, "user_id").cache()
+    val nSessions = EventStreams.sessions(norm).count()
+    // every session covers >= 1 slot and activity sums count coverage
+    assert(curve.agg(sum("n_active")).head.getLong(0) >= nSessions)
+    // no slot can host more concurrent sessions than there are sessions
+    assert(curve.agg(max("n_active")).head.getLong(0) <= nSessions)
+    // slots are unique and ordered
+    assert(curve.select("slot").distinct().count() === curve.count())
+  }
+
   test("inter-event gaps and transition matrix are consistent with event counts") {
     val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
     val gaps = EventStreams.interEventGaps(norm, "user_id", "event_id")
