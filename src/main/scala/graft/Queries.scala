@@ -2029,6 +2029,22 @@ object Queries {
     graft.streaming.EventStreams.sessionConcurrency(
       events(spark, dir), "user_id")
 
+  /** Top behavioral paths ([[graft.streaming.EventStreams.topPaths]]):
+    * the 20 most common 3-step event sequences — second-order
+    * sequence mining over q121's first-order transitions. */
+  def q129TopPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.topPaths(
+      events(spark, dir), "user_id", "event_type", "event_id", k = 20)
+
+  /** Funnel conversion latency
+    * ([[graft.streaming.EventStreams.funnelLatency]]): q75's strict
+    * view→click→purchase funnel with per-transition p50/p90 latency —
+    * each transition measured over the users who completed it. */
+  def q130FunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.funnelLatency(
+      events(spark, dir), "user_id", "event_type",
+      Seq("view", "click", "purchase"))
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -151,6 +151,8 @@ object SparkEntry {
     "q126_proportional_sample" -> (Queries.q126ProportionalSample(_, _)),
     "q127_lang_confusion" -> (Queries.q127LangConfusion(_, _)),
     "q128_session_concurrency" -> (Queries.q128SessionConcurrency(_, _)),
+    "q129_top_paths" -> (Queries.q129TopPaths(_, _)),
+    "q130_funnel_latency" -> (Queries.q130FunnelLatency(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2554,5 +2556,51 @@ object SparkEntry {
         |  strftime(make_timestamp(slot * 600000000), '%Y-%m-%d %H:%M') AS slot_start,
         |  count(*) AS n_active
         |FROM slots GROUP BY slot ORDER BY slot""".stripMargin,
+    // q129: two lags on the q120/q121 per-user window; top-20 with a
+    // full path tie-break so the cut is deterministic
+    "q129_top_paths" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS step1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS step2,
+        |    event_type AS step3
+        |  FROM e)
+        |SELECT step1, step2, step3, count(*) AS n
+        |FROM p WHERE step1 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+    // q130: the q75 level joins + quantile_cont latencies, each
+    // transition over its own completers
+    "q130_funnel_latency" ->
+      """WITH l1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |l2 AS (
+        |  SELECT e.user_id, l1.t1, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN l1 ON e.user_id = l1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= l1.t1
+        |  GROUP BY e.user_id, l1.t1),
+        |l3 AS (
+        |  SELECT e.user_id, l2.t2, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN l2 ON e.user_id = l2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= l2.t2
+        |  GROUP BY e.user_id, l2.t2),
+        |a1 AS (SELECT count(*) AS n_step1 FROM l1),
+        |a2 AS (
+        |  SELECT count(*) AS n_step2,
+        |    round(quantile_cont(t2 - t1, 0.5) / 1000000.0, 4) AS p50_s1_to_s2_s,
+        |    round(quantile_cont(t2 - t1, 0.9) / 1000000.0, 4) AS p90_s1_to_s2_s
+        |  FROM l2),
+        |a3 AS (
+        |  SELECT count(*) AS n_step3,
+        |    round(quantile_cont(t3 - t2, 0.5) / 1000000.0, 4) AS p50_s2_to_s3_s,
+        |    round(quantile_cont(t3 - t2, 0.9) / 1000000.0, 4) AS p90_s2_to_s3_s
+        |  FROM l3)
+        |SELECT n_step1, n_step2, n_step3,
+        |  p50_s1_to_s2_s, p90_s1_to_s2_s, p50_s2_to_s3_s, p90_s2_to_s3_s
+        |FROM a1 CROSS JOIN a2 CROSS JOIN a3""".stripMargin,
   )
 }

@@ -172,6 +172,81 @@ object EventStreams {
         unix_micros(col("p_ts")).as("p_us"))
   }
 
+  /** Top-k behavioral paths: the most common (step1, step2, step3)
+    * trigrams over per-user event sequences — second-order sequence
+    * mining on top of [[transitionMatrix]]'s first-order view. Two
+    * stacked lags ride ONE per-user window; the trigram census
+    * aggregates to the ≤|types|³ domain and the top-k compiles to
+    * TakeOrderedAndProject (ties break on the path for determinism). */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               idCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val clash = events.columns.toSet
+      .intersect(Set("__us", "step1", "step2", "step3"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with topPaths' names")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    events.withColumn("__us", unix_micros(col("ts")))
+      .withColumn("step1", lag(col(typeCol), 2).over(w))
+      .withColumn("step2", lag(col(typeCol), 1).over(w))
+      .where(col("step1").isNotNull)
+      .select(col("step1"), col("step2"), col(typeCol).as("step3"))
+      .groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(k)
+  }
+
+  /** Funnel conversion latency: for the strict-order funnel semantics
+    * of [[funnel]] (first occurrence of each step AFTER the previous
+    * step's time), the per-user step timestamps and the percentiles
+    * of the step-to-step deltas — "users convert, but how fast?".
+    * Each level is one pushed-filter scan joined to the previous
+    * level's (user, t) frame (the q75 level-join shape); the deltas
+    * aggregate to one row. Returns (n_step1, n_step2, n_step3,
+    * p50/p90 seconds for both transitions, 4 decimals). */
+  def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
+                    steps: Seq[String]): DataFrame = {
+    require(steps.length == 3, "funnelLatency reports a 3-step funnel")
+    val us = unix_micros(col("ts"))
+    val l1 = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(us).as("t1"))
+    val l2 = events.where(col(typeCol) === steps(1))
+      .select(col(userCol), us.as("__u2"))
+      .join(l1, Seq(userCol))
+      .where(col("__u2") >= col("t1"))
+      .groupBy(col(userCol), col("t1")).agg(min(col("__u2")).as("t2"))
+    val l3 = events.where(col(typeCol) === steps(2))
+      .select(col(userCol), us.as("__u3"))
+      .join(l2, Seq(userCol))
+      .where(col("__u3") >= col("t2"))
+      .groupBy(col(userCol), col("t1"), col("t2"))
+      .agg(min(col("__u3")).as("t3"))
+    // each transition's latency is measured over the users who
+    // COMPLETED that transition (not only fully-converted users) —
+    // two single-row aggregates crossed, the q50/q52 pattern
+    val n1 = l1.count()
+    val a2 = l2.agg(
+      count(lit(1)).as("n_step2"),
+      round(percentile(col("t2") - col("t1"), lit(0.5)) / lit(1000000.0), 4)
+        .as("p50_s1_to_s2_s"),
+      round(percentile(col("t2") - col("t1"), lit(0.9)) / lit(1000000.0), 4)
+        .as("p90_s1_to_s2_s"))
+    val a3 = l3.agg(
+      count(lit(1)).as("n_step3"),
+      round(percentile(col("t3") - col("t2"), lit(0.5)) / lit(1000000.0), 4)
+        .as("p50_s2_to_s3_s"),
+      round(percentile(col("t3") - col("t2"), lit(0.9)) / lit(1000000.0), 4)
+        .as("p90_s2_to_s3_s"))
+    a2.crossJoin(a3)
+      .select(lit(n1).as("n_step1"), col("n_step2"), col("n_step3"),
+        col("p50_s1_to_s2_s"), col("p90_s1_to_s2_s"),
+        col("p50_s2_to_s3_s"), col("p90_s2_to_s3_s"))
+  }
+
   /** Per-user inter-event gaps: each event annotated with the
     * microseconds since the same user's PREVIOUS event (null for the
     * user's first). The behavioral-telemetry primitive under dwell
