@@ -1935,7 +1935,10 @@ object Queries {
         col("valid_from").as("valid_from_us"),
         col("valid_to").as("valid_to_us"),
         col("is_current"))
-      .orderBy("user_id", "valid_from_us", "event_type")
+      // valid_to_us completes the total order: same-microsecond events
+      // of alternating types create runs tied on (user, type, from)
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_type"),
+        col("valid_to_us").asc_nulls_last)
 
   /** Training-order decorrelation report
     * ([[graft.ops.Layout.adjacencyRate]]): adjacent-pair same-source
@@ -1994,12 +1997,8 @@ object Queries {
     val sampled = graft.ops.Sample
       .stratifiedByQuotas(orders, "grp", "o_orderkey", quotas)
       .groupBy("grp").agg(count(lit(1)).as("n_sampled"))
-    val quotaExpr = quotas.toSeq.sortBy(_._1)
-      .foldRight(lit(0L)) { case ((g, q), rest) =>
-        when(col("grp") === g, lit(q)).otherwise(rest)
-      }
     orders.groupBy("grp").agg(count(lit(1)).as("n_available"))
-      .withColumn("quota", quotaExpr)
+      .withColumn("quota", graft.ops.Sample.quotaCase("grp", quotas))
       .join(sampled, Seq("grp"), "left")
       .select(col("grp"), col("n_available"), col("quota"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))

@@ -2416,7 +2416,9 @@ object SparkEntry {
         |  FROM c)
         |SELECT user_id, event_type, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
-        |FROM v ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+        |FROM v
+        |ORDER BY user_id, valid_from_us, event_type,
+        |  valid_to_us ASC NULLS LAST""".stripMargin,
     // q124: q88's md5 sort-key replay + per-file lag windows; the
     // expectation is exact Σ n² / N² from integer sums
     "q124_order_decorrelation" ->

@@ -90,9 +90,6 @@ object Novelty {
     BandIndex(bloom, shingleSize, numHashes, bands)
   }
 
-  /** Documents with NO banded-MinHash band collision against the
-    * indexed corpus — near-dup novelty as a map-only filter (streaming-
-    * safe: per-row expressions plus a broadcast sketch, no state). */
   /** Persist a fitted [[BandIndex]]: the Bloom filter's bitset via a
     * Hadoop-FS stream (works on HDFS/S3A paths, not just local disk)
     * plus a one-row parquet of the banding parameters — the durable
@@ -120,6 +117,9 @@ object Novelty {
     BandIndex(bloom, m.getInt(0), m.getInt(1), m.getInt(2))
   }
 
+  /** Documents with NO banded-MinHash band collision against the
+    * indexed corpus — near-dup novelty as a map-only filter (streaming-
+    * safe: per-row expressions plus a broadcast sketch, no state). */
   def nearNovel(docs: DataFrame, index: BandIndex,
                 textCol: String): DataFrame = {
     val r = index.numHashes / index.bands

@@ -87,8 +87,11 @@ object Profile {
         coalesce(col("b"), lit(0L)).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vs = joined.count()
-    val n1 = c1.agg(sum(col("c"))).head.getLong(0)
-    val n2 = c2.agg(sum(col("c"))).head.getLong(0)
+    // coalesce: sum() over an EMPTY count frame is null (an empty or
+    // all-whitespace corpus version is legal input — smoothing handles
+    // a zero-token side fine)
+    val n1 = c1.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val n2 = c2.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
     val q = (col("b") + lit(1.0)) / lit((n2 + vs).toDouble)
     val p = (col("a") + lit(1.0)) / lit((n1 + vs).toDouble)
     val out = joined

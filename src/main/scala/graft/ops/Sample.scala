@@ -279,20 +279,30 @@ object Sample {
     }
   }
 
+  /** The quota lookup as a literal CASE over the group domain —
+    * broadcast-free, codegen; groups absent from `quotas` get 0. ONE
+    * implementation so the sampler and any report replaying the
+    * allocation (q126) cannot diverge. */
+  def quotaCase(groupCol: String, quotas: Map[String, Long]): Column =
+    quotas.toSeq.sortBy(_._1)
+      .foldRight(lit(0L)) { case ((g, q), rest) =>
+        when(col(groupCol) === g, lit(q)).otherwise(rest)
+      }
+
   /** Deterministic stratified sample hitting EXACT per-group quotas
     * (md5-ranked within group, ties by id — [[stratifiedTopN]]'s rule
     * with a per-group k). The quota lookup is a literal CASE over the
-    * group domain — broadcast-free, codegen; groups absent from
-    * `quotas` contribute nothing. */
+    * group domain ([[quotaCase]]); groups absent from `quotas`
+    * contribute nothing. */
   def stratifiedByQuotas(df: DataFrame, groupCol: String, idCol: String,
                          quotas: Map[String, Long]): DataFrame = {
     require(quotas.nonEmpty, "quotas must be non-empty")
     val maxQ = quotas.values.max
+    require(maxQ <= Int.MaxValue,
+      s"per-group quota $maxQ exceeds Int.MaxValue — the rank filter " +
+        "would silently truncate; split the stratum or raise the rank type")
     if (maxQ == 0) return df.limit(0)
-    val quotaExpr = quotas.toSeq.sortBy(_._1)
-      .foldRight(lit(0L)) { case ((g, q), rest) =>
-        when(col(groupCol) === g, lit(q)).otherwise(rest)
-      }
+    val quotaExpr = quotaCase(groupCol, quotas)
     rankedWithinGroup(df, groupCol,
       Seq(Splits.hashBucket(col(idCol), 1 << 30).asc, col(idCol).asc),
       maxQ.toInt, "stratifiedByQuotas")
