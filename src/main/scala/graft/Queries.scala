@@ -2044,6 +2044,44 @@ object Queries {
       events(spark, dir), "user_id", "event_type",
       Seq("view", "click", "purchase"))
 
+  /** Token-weighted mixture plan
+    * ([[graft.ops.Sample.ratesForMixture]] + [[graft.ops.Sample.byRates]]
+    * end-to-end): solve the per-source sampling rates that realize a
+    * 4:3:2:1 token mixture over four sources without upsampling (the
+    * binding source samples at 1.0), apply them, and report solved
+    * rate vs achieved volume per source. Puts the driver-side solver
+    * under the oracle — the SQL replays the scale/min arithmetic and
+    * the md5 cutoff exactly. */
+  def q131MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val weights = Map("src0" -> 4.0, "src1" -> 3.0,
+      "src2" -> 2.0, "src3" -> 1.0)
+    val tk = t(spark, dir, "documents")
+      .where(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextStats.tokenCount(col("text")).cast("long").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val avail = tk.groupBy("source").agg(sum(col("toks")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = graft.ops.Sample.ratesForMixture(avail, weights)
+    val kept = graft.ops.Sample
+      .byRates(tk, "source", "doc_id", rates, defaultRate = 0.0)
+      .groupBy("source").agg(count(lit(1)).as("__nk"),
+        sum(col("toks")).as("__kt"))
+    import spark.implicits._
+    val plan = weights.keys.toSeq.sorted
+      .map(g => (g, avail(g), weights(g), rates(g)))
+      .toDF("source", "avail_tokens", "weight", "rate")
+    val out = plan.join(kept, Seq("source"), "left")
+      .select(col("source"), col("avail_tokens"), col("weight"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__kt"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+      .localCheckpoint(true)
+    tk.unpersist()
+    out
+  }
+
   /** The lineitem ⋈ supplier ⋈ nation ⋈ region star (all dimensions
     * broadcast) shared by q14 and q65. */
   private def starFrame(spark: SparkSession, dir: String): DataFrame =

@@ -153,6 +153,7 @@ object SparkEntry {
     "q128_session_concurrency" -> (Queries.q128SessionConcurrency(_, _)),
     "q129_top_paths" -> (Queries.q129TopPaths(_, _)),
     "q130_funnel_latency" -> (Queries.q130FunnelLatency(_, _)),
+    "q131_mixture_plan" -> (Queries.q131MixturePlan(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2604,5 +2605,38 @@ object SparkEntry {
         |SELECT n_step1, n_step2, n_step3,
         |  p50_s1_to_s2_s, p90_s1_to_s2_s, p50_s2_to_s3_s, p90_s2_to_s3_s
         |FROM a1 CROSS JOIN a2 CROSS JOIN a3""".stripMargin,
+    // q131: ratesForMixture's scale/min arithmetic and byRates'
+    // round(rate*10000) md5 cutoff, operation for operation
+    "q131_mixture_plan" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '')) AS toks
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |avail AS (
+        |  SELECT source, CAST(sum(toks) AS BIGINT) AS a
+        |  FROM tk GROUP BY source),
+        |wts AS (SELECT * FROM (VALUES ('src0', 4.0), ('src1', 3.0),
+        |  ('src2', 2.0), ('src3', 1.0)) w(source, wt)),
+        |j AS (SELECT avail.source, a, wt FROM avail JOIN wts USING (source)),
+        |sc AS (SELECT min(a / (wt / 10.0)) AS scale FROM j),
+        |r AS (
+        |  SELECT source, a, wt,
+        |    least(1.0, (wt / 10.0) * scale / a) AS rate
+        |  FROM j CROSS JOIN sc),
+        |cut AS (
+        |  SELECT source, a, wt, rate,
+        |    CAST(round(rate * 10000) AS BIGINT) AS cutoff FROM r),
+        |kept AS (
+        |  SELECT tk.source, count(*) AS nk, CAST(sum(toks) AS BIGINT) AS kt
+        |  FROM tk JOIN cut ON tk.source = cut.source
+        |  WHERE ('0x' || substr(md5(tk.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        |        < cutoff
+        |  GROUP BY tk.source)
+        |SELECT c.source, c.a AS avail_tokens, c.wt AS weight,
+        |  round(c.rate, 6) AS rate,
+        |  coalesce(k.nk, 0) AS n_kept, coalesce(k.kt, 0) AS kept_tokens
+        |FROM cut c LEFT JOIN kept k ON c.source = k.source
+        |ORDER BY c.source""".stripMargin,
   )
 }
