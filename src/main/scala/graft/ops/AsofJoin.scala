@@ -86,6 +86,15 @@ object AsofJoin {
     val ordType = right.schema(ordCol).dataType
     require(ordType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"asofWithin needs a numeric ordCol (got $ordType) — pass epoch micros for timestamps")
+    // BOTH sides: a left ordCol of a different (or non-numeric) type
+    // would pass a right-only check and then either fail late inside
+    // unionByName or coerce silently, making the staleness
+    // subtraction's type (and its overflow/precision behavior) depend
+    // on which side happened to widen
+    val leftOrdType = left.schema(ordCol).dataType
+    require(leftOrdType == ordType,
+      s"asofWithin needs the same numeric ordCol type on both sides " +
+        s"(left: $leftOrdType, right: $ordType)")
     val payloadType = right.schema(payloadCol).dataType
     val structType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("o", ordType),

@@ -38,15 +38,31 @@ object Profile {
   def equiDepthHistogram(df: DataFrame, valueCol: String,
                          bins: Int): DataFrame = {
     require(bins > 1, "need at least two bins")
+    // nulls out up front: percentile() already ignores them when
+    // cutting boundaries, but `v > bound` is null for a null v, so
+    // without this filter every null row would silently land in bin 0
+    // — inflating its count while the boundaries never saw the nulls
+    val vals = df.where(col(valueCol).isNotNull)
     val qs = (1 until bins).map(_.toDouble / bins)
-    val bounds: Seq[Double] = df
+    val boundsRow = vals
       .agg(percentile(col(valueCol),
         array(qs.map(lit): _*)).as("__b"))
-      .head.getSeq[Double](0)
+      .head
+    // empty / all-null input: no boundaries — an empty report, not an NPE
+    if (boundsRow.isNullAt(0)) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("bin", "n_rows", "lo", "hi")
+        .select(col("bin"), col("n_rows"),
+          col("lo").cast(df.schema(valueCol).dataType),
+          col("hi").cast(df.schema(valueCol).dataType))
+    }
+    val bounds: Seq[Double] = boundsRow.getSeq[Double](0)
     val binCol = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(valueCol) > lit(b), 1).otherwise(0)
     }
-    df.withColumn("bin", binCol.cast("long"))
+    vals.withColumn("bin", binCol.cast("long"))
       .groupBy("bin").agg(
         count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"),

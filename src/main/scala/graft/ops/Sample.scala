@@ -268,10 +268,15 @@ object Sample {
     require(total >= 0 && total <= n,
       s"total $total outside [0, $n] — cannot allocate more than exists")
     if (n == 0) return counts.map { case (g, _) => g -> 0L }
-    val floors = counts.map { case (g, c) => g -> (total * c / n) }
+    // ideal shares in BigInt: total * c overflows a Long once both
+    // total and the group counts are corpus-sized (billions x
+    // billions), silently corrupting floors AND the remainder ranking
+    val floors = counts.map { case (g, c) =>
+      g -> (BigInt(total) * BigInt(c) / BigInt(n)).toLong
+    }
     val leftover = (total - floors.values.sum).toInt
     val byRemainder = counts.toSeq
-      .map { case (g, c) => (g, total * c % n) }
+      .map { case (g, c) => (g, BigInt(total) * BigInt(c) % BigInt(n)) }
       .sortBy { case (g, rem) => (-rem, g) }
       .take(leftover).map(_._1).toSet
     floors.map { case (g, f) =>

@@ -461,7 +461,23 @@ object SimSearch {
                          threshold: Double, nlist: Int = 16,
                          seed: Long = 42L,
                          sampleFraction: Double = 1.0,
-                         maxIter: Int = 8): DataFrame = {
+                         maxIter: Int = 8,
+                         maxPairsPerCell: Long = DefaultMaxPairsPerCell): DataFrame = {
+    val (cells, verified) = semanticDedupPlan(df, idCol, vecCol, threshold,
+      nlist, seed, sampleFraction, maxIter, maxPairsPerCell)
+    val out = verified.localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
+  /** Un-checkpointed plan behind [[semanticDedupPairs]] (testable),
+    * mirroring [[cosineNearDupPlan]]: returns the persisted cell
+    * frame (caller unpersists) and the lazy verified-pair frame. */
+  private[ops] def semanticDedupPlan(df: DataFrame, idCol: String,
+                                     vecCol: String, threshold: Double,
+                                     nlist: Int, seed: Long,
+                                     sampleFraction: Double, maxIter: Int,
+                                     maxPairsPerCell: Long): (DataFrame, DataFrame) = {
     // maxIter default is LOWER than ivfFit's search-path default:
     // dedup recall only needs near-identical vectors to share a cell,
     // which holds for ANY centroid set (same nearest center), so the
@@ -477,16 +493,59 @@ object SimSearch {
     val cells = index.assigned.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"), col("__cell"))
       .withColumn("__n", norm(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Cell-size census BEFORE the quadratic stage: KMeans cells carry
+    // no balance guarantee, and one degenerate cell (a collapsed
+    // embedder mapping everything near zero) turns the within-cell
+    // equi-join into an effective cartesian. The census is a bounded
+    // (<= nlist rows) aggregate over the already-persisted frame; an
+    // oversized cell is reported LOUDLY, mirroring componentsOf's
+    // non-convergence policy (Dedup.scala) — the fix is raising
+    // `nlist` (more, smaller cells), not silently grinding.
+    val offenders = oversizedCells(cellCensus(cells), maxPairsPerCell)
+    if (offenders.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticDedupPairs: ${offenders.length} cell(s) exceed the " +
+          s"per-cell comparison budget of $maxPairsPerCell pairs " +
+          s"(worst: cell ${offenders.head._1} with ${offenders.head._2} " +
+          "rows) — the within-cell self-join is quadratic in cell size; " +
+          "raise nlist (or check the embedder for collapse) before " +
+          "running this at scale")
     val a = cells.select(col("__cell"), col("__id").as("id_a"),
       col("__v").as("v_a"), col("__n").as("n_a"))
     val b = cells.select(col("__cell"), col("__id").as("id_b"),
       col("__v").as("v_b"), col("__n").as("n_b"))
-    a.join(b, Seq("__cell"))
+    val verified = a.join(b, Seq("__cell"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine",
         dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    (cells, verified)
+  }
+
+  /** Pair-budget guard default for [[semanticDedupPairs]]: 10^8
+    * within-cell comparisons per cell (~minutes of one core on
+    * hoisted-norm cosine) — generous enough that a sanely-sized
+    * `nlist` never trips it, small enough to catch a collapsed cell
+    * long before it wedges a stage. */
+  val DefaultMaxPairsPerCell: Long = 100000000L
+
+  /** Per-cell row counts of an assigned frame — bounded at the cell
+    * domain (<= nlist rows), sorted by cell id. */
+  private[ops] def cellCensus(assigned: DataFrame): Array[(Int, Long)] =
+    assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__cn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+
+  /** Cells whose within-cell pair count n*(n-1)/2 exceeds the budget,
+    * worst first. BigInt so billion-row cells don't overflow the
+    * product. */
+  private[ops] def oversizedCells(census: Array[(Int, Long)],
+                                  maxPairsPerCell: Long): Array[(Int, Long)] = {
+    require(maxPairsPerCell > 0, "maxPairsPerCell must be positive")
+    census.filter { case (_, n) =>
+      n > 1 && BigInt(n) * BigInt(n - 1) / 2 > BigInt(maxPairsPerCell)
+    }.sortBy { case (_, n) => -n }
   }
 
   /** SemDeDup semantic dedup as a corpus transform: keep exactly the

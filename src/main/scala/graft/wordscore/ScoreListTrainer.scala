@@ -27,9 +27,33 @@ import graft.schema.Detection
  */
 object ScoreListTrainer {
 
-  /** Per-category vocabulary with overlap removed. */
+  /** CountVectorizer's default vocabulary cap (2^18) — the bound the
+    * reference inherits implicitly at `CreateScoreList.scala:41`. */
+  val DefaultVocabSize: Int = 1 << 18
+
+  /** Hard ceiling on `vocabSize`: the per-category head is collected
+    * to the driver, so the bound must stay driver-sized no matter
+    * what a caller passes. */
+  val MaxVocabSize: Int = 1 << 22
+
+  /** Per-category vocabulary with overlap removed.
+    *
+    * The driver-side collect is BOUNDED at `vocabSize` words per
+    * category: each category's vocabulary is the top-`vocabSize`
+    * df>=5 terms ranked by total term frequency (ties toward the
+    * smaller word — deterministic), fetched via a distributed
+    * `TakeOrderedAndProject` per category. This is exactly
+    * `CountVectorizer(vocabSize)`'s selection rule (rank by corpus
+    * term count after the minDF filter), so the cap is reference
+    * parity, not a deviation — an UNcapped df>=5 vocabulary grows
+    * with corpus size and would eventually flood the driver at 100x
+    * data. */
   def train(source: DataFrame, textColumn: String,
-            limit: Int = Detection.defaultSampleSize): Map[String, Seq[String]] = {
+            limit: Int = Detection.defaultSampleSize,
+            vocabSize: Int = DefaultVocabSize): Map[String, Seq[String]] = {
+    require(vocabSize > 0 && vocabSize <= MaxVocabSize,
+      s"vocabSize $vocabSize outside (0, $MaxVocabSize] — the per-category " +
+        "head is collected to the driver and must stay bounded")
     val spark = source.sparkSession
     import spark.implicits._
 
@@ -54,28 +78,46 @@ object ScoreListTrainer {
     // categories: a term is in a category's vocabulary iff it appears
     // in >= minDF (5) of that category's documents — exactly
     // CountVectorizer(minDF=5) semantics (minTF only affects the
-    // transform counts, not vocabulary selection). The reference runs
-    // one CountVectorizer.fit job per category (ACTION per category,
+    // transform counts, not vocabulary selection). The aggregate also
+    // carries the total term count (__tf) so the vocabSize cap can
+    // rank exactly as CountVectorizer does. Per-row the tf of each
+    // DISTINCT word is counted with a higher-order `filter` over the
+    // token array (O(len * distinct) per row — tweets, not books), so
+    // the shuffle still moves only (category, word) keys with
+    // map-side combine, never per-token rows. The reference runs one
+    // CountVectorizer.fit job per category (ACTION per category,
     // `CreateScoreList.scala:39-43`); this is a single shuffle on
     // (category, word) regardless of category count.
     val perCategoryDf = t
       .select(col(labelColumn).cast("string").as("__cat"),
-        // per-doc distinct first, so count(*) below = doc frequency
-        explode(array_distinct(split(col(textColumn), " "))).as("__w"))
+        split(col(textColumn), " ").as("__toks"))
+      // per-doc distinct first, so count(*) below = doc frequency
+      .select(col("__cat"), col("__toks"),
+        explode(array_distinct(col("__toks"))).as("__w"))
       .where(col("__w") =!= "")
+      .select(col("__cat"), col("__w"),
+        size(filter(col("__toks"), x => x === col("__w"))).as("__n"))
       .groupBy(col("__cat"), col("__w"))
-      .agg(count(lit(1)).as("__df"))
+      .agg(count(lit(1)).as("__df"), sum(col("__n")).as("__tf"))
       .where(col("__df") >= 5)
       .cache()
 
+    // BOUNDED driver collect: top-vocabSize per category by total
+    // term frequency (CountVectorizer's selection order), ties toward
+    // the smaller word. One TakeOrderedAndProject job per category
+    // over the cached aggregate — the same per-category job structure
+    // as the reference, each moving <= vocabSize rows.
     val vocabularies: Map[String, Seq[String]] =
       try {
-        val rows = perCategoryDf.collect()
-          .map(r => (r.getString(0), r.getString(1)))
-        val grouped = rows.groupBy(_._1).map { case (c, ws) =>
-          c -> ws.map(_._2).toSeq
-        }
-        categories.map(c => c -> grouped.getOrElse(c, Seq.empty)).toMap
+        categories.map { c =>
+          val head = perCategoryDf
+            .where(col("__cat") === lit(c))
+            .orderBy(desc("__tf"), asc("__w"))
+            .limit(vocabSize)
+            .select(col("__w"))
+            .collect().map(_.getString(0)).toSeq
+          c -> head
+        }.toMap
       } finally perCategoryDf.unpersist()
 
     // overlap: words present in > 2 category vocabularies (Q15 parity)

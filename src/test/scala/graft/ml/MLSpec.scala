@@ -113,4 +113,31 @@ class MLSpec extends AnyFunSuite with SparkTestSession {
     // synthetic vocabulary is removed, so lists are small
     assert(lists.values.forall(_.size < 40))
   }
+
+  test("score-list driver collect is bounded by vocabSize") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text", "lang")
+    // tiny cap: every category's list (pre-overlap top-k by term
+    // frequency, then overlap removal) can never exceed the cap
+    val capped = graft.wordscore.ScoreListTrainer.train(
+      docs, "text", vocabSize = 3)
+    assert(capped.keySet === Set("0", "1", "2", "3", "4"))
+    assert(capped.values.forall(_.size <= 3), capped.toString)
+    // deterministic: tf-desc, word-asc tie-break — two runs agree
+    val again = graft.wordscore.ScoreListTrainer.train(
+      docs, "text", vocabSize = 3)
+    assert(capped === again)
+    // default cap (2^18, CountVectorizer parity) is a no-op at this
+    // scale: identical to a cap comfortably above the df>=5 vocab
+    val default = graft.wordscore.ScoreListTrainer.train(docs, "text")
+    val wide = graft.wordscore.ScoreListTrainer.train(
+      docs, "text", vocabSize = 1 << 20)
+    assert(default.view.mapValues(_.sorted).toMap ===
+      wide.view.mapValues(_.sorted).toMap)
+    // fail fast on an unbounded/invalid cap
+    intercept[IllegalArgumentException] {
+      graft.wordscore.ScoreListTrainer.train(docs, "text", vocabSize = 0)
+    }
+  }
 }

@@ -1031,11 +1031,45 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.map(p => (p._1, p._2)).toSet === expected)
     assert(pairs.forall(_._3 === 1.0))
-    // the pair stage is an equi-join on the cell key — no global product
-    val plan = SimSearch.semanticDedupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.99, nlist = 4).queryExecution.executedPlan.toString
+    // the pair stage is an equi-join on the cell key — no global
+    // product (assert on the un-checkpointed plan, like the
+    // cosineNearDupPlan assertion: the public method checkpoints)
+    val (cellsDf, verified) = SimSearch.semanticDedupPlan(vecs, "vec_id",
+      "embedding", threshold = 0.99, nlist = 4, seed = 42L,
+      sampleFraction = 1.0, maxIter = 8,
+      maxPairsPerCell = SimSearch.DefaultMaxPairsPerCell)
+    val plan = verified.queryExecution.executedPlan.toString
+    cellsDf.unpersist()
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("semanticDedup cell-skew guard fires on a degenerate cluster") {
+    // a collapsed embedder: 60 of 64 vectors identical (all land in
+    // ONE KMeans cell), so the within-cell pair count 60*59/2 = 1770
+    // blows a 1000-pair budget — the guard must report it
+    val rows = (0 until 64).map { i =>
+      val v =
+        if (i < 60) Array.fill(8)(1.0f)
+        else Array.tabulate(8)(j => if (j == i - 60) 50f else 0f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = SimSearch.ivfFit(df, "vec_id", "embedding", nlist = 4,
+      seed = 42L)
+    val census = SimSearch.cellCensus(
+      idx.assigned.select(col("vec_id"), col("__cell")))
+    assert(census.map(_._2).sum === 64L)
+    val offenders = SimSearch.oversizedCells(census, maxPairsPerCell = 1000L)
+    assert(offenders.nonEmpty, census.mkString(","))
+    assert(offenders.head._2 >= 60L) // the degenerate cell leads
+    // a generous budget stays quiet — bench-scale runs never warn
+    assert(SimSearch.oversizedCells(census,
+      SimSearch.DefaultMaxPairsPerCell).isEmpty)
+    // overflow-safety: a billion-row cell must not wrap negative
+    val big = Array((0, 3000000000L), (1, 10L))
+    assert(SimSearch.oversizedCells(big, Long.MaxValue).isEmpty)
+    assert(SimSearch.oversizedCells(big, 1000L).map(_._1).toSeq === Seq(0))
   }
 
   test("ivfFit cells bound the per-cell quadratic on a clustered corpus") {
