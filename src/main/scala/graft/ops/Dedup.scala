@@ -97,8 +97,21 @@ object Dedup {
     out.toArray(new Array[String](out.size))
   }
 
-  /** Word n-gram shingle set of a text column. */
-  def shingles(text: Column, n: Int): Column =
+  /** Word n-gram shingle set of a text column. Codegen-backed
+    * ([[graft.plans.ShinglesExpression]] calling [[shingleSet]]
+    * statically — no UDF boxing, stays in the WholeStageCodegen
+    * span); the coalesce preserves the UDF null contract (null text
+    * -> empty set). */
+  def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    coalesce(ColumnBridge.column(graft.plans.ShinglesExpression(
+      ColumnBridge.expression(text), n)),
+      lit(Array.empty[String]))
+  }
+
+  /** The Scala-UDF form (parity oracle for the codegen [[shingles]]
+    * path — GraftExtensionsSpec pins them identical). */
+  private[graft] def shinglesUdf(text: Column, n: Int): Column =
     udf((s: String) => shingleSet(s, n)).apply(text)
 
   /** The original pure-expression formulation (parity oracle for
@@ -124,8 +137,16 @@ object Dedup {
     * any engine can replay it. First 15 hex chars = bytes 0..6 plus the
     * high nibble of byte 7. */
   private[ops] def md5Base60(md: java.security.MessageDigest,
-                             s: String): Long = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                             s: String): Long =
+    md5Base60Bytes(md,
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Byte-level form of [[md5Base60]] — the codegen kernel
+    * ([[Kernels.minhashUtf8]]) hashes UTF8String bytes without a
+    * String round-trip; same digest, same 60-bit prefix. */
+  private[ops] def md5Base60Bytes(md: java.security.MessageDigest,
+                                  bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -164,7 +185,21 @@ object Dedup {
     * is computed once and remixed per seed) — no shuffle. Components
     * are unsigned-min so the SQL replay is a plain `min` over the
     * mod-2^64 residues. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // codegen-backed ([[graft.plans.MinhashExpression]]): the kernel
+    // hashes shingle bytes straight off the UTF8String backing array;
+    // the coalesce preserves the UDF null contract (null array ->
+    // all--1L sentinel signature)
+    coalesce(ColumnBridge.column(graft.plans.MinhashExpression(
+      ColumnBridge.expression(shingleCol), numHashes)),
+      lit(Array.fill(numHashes)(-1L)))
+  }
+
+  /** The Scala-UDF form (parity oracle for the codegen
+    * [[minhashSignature]] path). */
+  private[graft] def minhashSignatureUdf(shingleCol: Column,
+                                       numHashes: Int): Column =
     udf((sh: Seq[String]) =>
       if (sh == null) Array.fill(numHashes)(-1L)
       else signatureOf(sh.toArray, numHashes)).apply(shingleCol)

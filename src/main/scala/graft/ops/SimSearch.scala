@@ -463,21 +463,6 @@ object SimSearch {
                          sampleFraction: Double = 1.0,
                          maxIter: Int = 8,
                          maxPairsPerCell: Long = DefaultMaxPairsPerCell): DataFrame = {
-    val (cells, verified) = semanticDedupPlan(df, idCol, vecCol, threshold,
-      nlist, seed, sampleFraction, maxIter, maxPairsPerCell)
-    val out = verified.localCheckpoint(true)
-    cells.unpersist()
-    out
-  }
-
-  /** Un-checkpointed plan behind [[semanticDedupPairs]] (testable),
-    * mirroring [[cosineNearDupPlan]]: returns the persisted cell
-    * frame (caller unpersists) and the lazy verified-pair frame. */
-  private[ops] def semanticDedupPlan(df: DataFrame, idCol: String,
-                                     vecCol: String, threshold: Double,
-                                     nlist: Int, seed: Long,
-                                     sampleFraction: Double, maxIter: Int,
-                                     maxPairsPerCell: Long): (DataFrame, DataFrame) = {
     // maxIter default is LOWER than ivfFit's search-path default:
     // dedup recall only needs near-identical vectors to share a cell,
     // which holds for ANY centroid set (same nearest center), so the
@@ -486,23 +471,19 @@ object SimSearch {
     // stage, not the fit, dominates).
     val index = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction,
       maxIter)
-    // norms precomputed ONCE PER ROW: the interpreted higher-order
-    // folds behind cosine() are the pair stage's real cost, and
-    // dot/(n_a*n_b) with hoisted norms is the same scalar expression
-    // tree (bit-identical results) at a third of the per-pair eval.
-    val cells = index.assigned.select(col(idCol).as("__id"),
-      asDouble(col(vecCol)).as("__v"), col("__cell"))
-      .withColumn("__n", norm(col("__v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Cell-size census BEFORE the quadratic stage: KMeans cells carry
     // no balance guarantee, and one degenerate cell (a collapsed
     // embedder mapping everything near zero) turns the within-cell
-    // equi-join into an effective cartesian. The census is a bounded
-    // (<= nlist rows) aggregate over the already-persisted frame; an
+    // equi-join into an effective cartesian. The census is ONE
+    // cells-only aggregate (bounded <= nlist-row collect); an
     // oversized cell is reported LOUDLY, mirroring componentsOf's
     // non-convergence policy (Dedup.scala) — the fix is raising
-    // `nlist` (more, smaller cells), not silently grinding.
-    val offenders = oversizedCells(cellCensus(cells), maxPairsPerCell)
+    // `nlist` (more, smaller cells), not silently grinding. Run as a
+    // separate narrow job rather than persisting the cell frame: a
+    // persist+checkpoint variant measured +43% on the q57 curation
+    // chain, while the self-join below already reuses its exchange.
+    val offenders = oversizedCells(
+      cellCensus(index.assigned.select(col("__cell"))), maxPairsPerCell)
     if (offenders.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"semanticDedupPairs: ${offenders.length} cell(s) exceed the " +
@@ -511,17 +492,23 @@ object SimSearch {
           "rows) — the within-cell self-join is quadratic in cell size; " +
           "raise nlist (or check the embedder for collapse) before " +
           "running this at scale")
+    // norms precomputed ONCE PER ROW: the interpreted higher-order
+    // folds behind cosine() are the pair stage's real cost, and
+    // dot/(n_a*n_b) with hoisted norms is the same scalar expression
+    // tree (bit-identical results) at a third of the per-pair eval.
+    val cells = index.assigned.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"), col("__cell"))
+      .withColumn("__n", norm(col("__v")))
     val a = cells.select(col("__cell"), col("__id").as("id_a"),
       col("__v").as("v_a"), col("__n").as("n_a"))
     val b = cells.select(col("__cell"), col("__id").as("id_b"),
       col("__v").as("v_b"), col("__n").as("n_b"))
-    val verified = a.join(b, Seq("__cell"))
+    a.join(b, Seq("__cell"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine",
         dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-    (cells, verified)
   }
 
   /** Pair-budget guard default for [[semanticDedupPairs]]: 10^8

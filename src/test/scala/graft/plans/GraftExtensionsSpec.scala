@@ -76,6 +76,74 @@ class GraftExtensionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got.toSeq === Seq("plaster", "motor", "sky"))
   }
 
+  test("graft_shingles matches the UDF path bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 3, 5)) {
+      val viaExpr = docs.select(col("doc_id"),
+        graft.ops.Dedup.shingles(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val viaUdf = docs.select(col("doc_id"),
+        graft.ops.Dedup.shinglesUdf(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(viaExpr === viaUdf, s"n=$n")
+    }
+    // null contract preserved by the coalesce wrapper: empty set
+    import spark.implicits._
+    val nullRow = Seq((1L, null: String)).toDF("id", "t")
+      .select(graft.ops.Dedup.shingles(col("t"), 3)).head()
+    assert(nullRow.getSeq[String](0) === Seq.empty)
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_shingles('a b c d', 3)").head().getSeq[String](0)
+    assert(viaSql === Seq("a b c", "b c d"))
+  }
+
+  test("graft_minhash matches the UDF path bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+    val viaExpr = sh.select(col("doc_id"),
+      graft.ops.Dedup.minhashSignature(col("sh"), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaUdf = sh.select(col("doc_id"),
+      graft.ops.Dedup.minhashSignatureUdf(col("sh"), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr === viaUdf)
+    assert(viaExpr.size === docs.count())
+    // null contract: null array -> all--1L sentinel (UDF rule)
+    import spark.implicits._
+    val nullSig = Seq((1L, null: Seq[String])).toDF("id", "sh")
+      .select(graft.ops.Dedup.minhashSignature(col("sh"), 4)).head()
+      .getSeq[Long](0)
+    assert(nullSig === Seq.fill(4)(-1L))
+    // empty set degenerates to the same sentinel on both paths
+    val emptySig = spark.sql(
+      "SELECT graft_minhash(array_remove(array('x'), 'x'), 4)")
+      .head().getSeq[Long](0)
+    assert(emptySig === Seq.fill(4)(-1L))
+    // the size argument is plan-shape: non-literal k is rejected
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_minhash(graft_shingles(text, 3), CAST(doc_id AS INT)) " +
+          "FROM parquet.`/root/testdata/sf0.001/documents.parquet`").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("shingle+minhash chain stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.ops.Dedup.minhashSignature(
+        graft.ops.Dedup.shingles(col("text"), 3), 12).as("sig"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(1000))
+    assert(plan.contains("graft_shingles"), plan.take(1000))
+    assert(plan.contains("graft_minhash"), plan.take(1000))
+  }
+
   test("expression executes inside whole-stage codegen") {
     // a file scan prevents the optimizer collapsing everything into a
     // LocalRelation (which would leave no codegen stage to observe)
