@@ -361,8 +361,11 @@ object Queries {
 
   /** Gap-based session windows per user (10 min), oracle-checked
     * against a lag-over-window SQL formulation. (Boundary note: a gap
-    * of exactly 10:00.000000 splits in SQL but merges in Spark's
-    * overlap rule — unobservable with microsecond-random fixtures.) */
+    * of exactly 10:00.000000 MERGES in both engines — session_window
+    * coalesces touching intervals, and the oracle's strict
+    * `delta > gap` split rule keeps equality in-session; pinned by
+    * EventStreamsSpec's exact-gap fixture rather than left to the
+    * microsecond-random fixtures to dodge.) */
   def q29UserSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.sessions(events(spark, dir), "10 minutes")
       .select(col("user_id"), col("session_start"), col("n_events"))
@@ -2103,4 +2106,46 @@ object Queries {
       .groupBy("r_name", "n_name")
       .agg(revenue)
       .orderBy("r_name", "n_name")
+
+  /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
+    * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
+    * staged from the documents table, [[graft.cli.SentimentCli.run]]
+    * scores it through the real CLI path — format sniffing (S2/S5-S7),
+    * text-column DETECTION (D2, not an override), clean+stem (U1/U2),
+    * word-score incl. the fuzzy dictionary ladder (U3/U4), display,
+    * format-preserving save (S11) — and the SAVED CSV is read back and
+    * digested. Every piece is oracle-checked elsewhere (q77, q82, q15,
+    * q16, q87); this row pins their COMPOSITION through the CLI wiring.
+    * Oracle: pinned truth table (PinnedOracles.q132Sql) — the stemmed
+    * fuzzy-ladder scores are not SQL-expressible, q16-pin contract. */
+  def q132CliScore(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q132_")
+    val in = tmp.resolve("tweets.csv").toString
+    val outPath = tmp.resolve("scored.csv").toString
+    try {
+      // Sentiment140 shape: polarity, id, date, query, user, text —
+      // the reference's primary corpus layout (SURVEY §1.1)
+      val s140 = t(spark, dir, "documents").select(
+        (col("doc_id") % 5 * 4 % 5).cast("int").as("polarity"),
+        col("doc_id").as("id"),
+        lit("Mon Jan 01 00:00:00 UTC 2024").as("date"),
+        lit("NO_QUERY").as("query"),
+        concat(lit("user"), col("doc_id") % 10).as("user"),
+        col("text"))
+      graft.sources.FormatIO.save("csv", s140, in, overwrite = true)
+      graft.cli.SentimentCli.run(graft.cli.SentimentCli.Config(
+        inputs = Seq(in), output = Some(outPath), limit = 100), spark)
+      val (back, tag) = graft.sources.FormatIO.loadFromPath(outPath, spark)
+        .getOrElse(sys.error("extension dispatch failed for " + outPath))
+      require(tag == "csv", s"output format not preserved: got '$tag'")
+      back.select(col("id").cast("long").as("doc_id"),
+        round(col("computed").cast("double"), 4).as("computed"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

@@ -154,6 +154,7 @@ object SparkEntry {
     "q129_top_paths" -> (Queries.q129TopPaths(_, _)),
     "q130_funnel_latency" -> (Queries.q130FunnelLatency(_, _)),
     "q131_mixture_plan" -> (Queries.q131MixturePlan(_, _)),
+    "q132_cli_score" -> (Queries.q132CliScore(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2638,5 +2639,9 @@ object SparkEntry {
         |  coalesce(k.nk, 0) AS n_kept, coalesce(k.kt, 0) AS kept_tokens
         |FROM cut c LEFT JOIN kept k ON c.source = k.source
         |ORDER BY c.source""".stripMargin,
+    // q132: pinned-VALUES truth table (full §3.1 CLI lifecycle; the
+    // stemmed word-score fuzzy ladder is not SQL-expressible — q16-pin
+    // contract, see PinnedOracles).
+    "q132_cli_score" -> PinnedOracles.q132Sql,
   )
 }

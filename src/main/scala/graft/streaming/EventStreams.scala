@@ -153,7 +153,33 @@ object EventStreams {
     * complete batch-equivalent result. */
   def streamIntervalJoin(spark: SparkSession, dir: String,
                          watermark: String = "2 hours",
-                         window: String = "1 hour"): DataFrame = {
+                         window: String = "1 hour"): DataFrame =
+    streamIntervalJoinOfType(spark, dir, watermark, window, "inner")
+
+  /** [[streamIntervalJoin]] with LEFT OUTER semantics: views that see
+    * NO purchase within `window` are ALSO emitted (null `p_us`) — the
+    * "non-converting impressions" side a production funnel needs and
+    * the inner form silently drops. An unmatched view cannot emit
+    * eagerly (a matching purchase may still arrive), so Spark holds it
+    * in join state and emits the null-extended row only when the
+    * watermark guarantees no future purchase can match it — the same
+    * state-eviction bound the interval condition already provides for
+    * the inner form; the outer form adds NO state beyond it. The
+    * trailing views the final watermark never strictly passed stay
+    * unemitted (same contract as [[streamSessions]]' open tail); tests
+    * compare against the batch left join restricted to what the final
+    * watermark could have closed. */
+  def streamIntervalJoinLeftOuter(spark: SparkSession, dir: String,
+                                  watermark: String = "2 hours",
+                                  window: String = "1 hour"): DataFrame =
+    streamIntervalJoinOfType(spark, dir, watermark, window, "leftOuter")
+
+  /** Shared plan behind the inner and left-outer interval joins — one
+    * definition of the watermarks, the interval bound, and the output
+    * shape, so the two join types cannot drift. */
+  private def streamIntervalJoinOfType(spark: SparkSession, dir: String,
+                                       watermark: String, window: String,
+                                       joinType: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = nanosToTimestamp(spark.readStream.schema(schema).parquet(dir))
     val views = raw.filter(col("event_type") === "view")
@@ -166,7 +192,8 @@ object EventStreams {
     views.join(purchases,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"))
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"),
+      joinType)
       .select(col("v_user").as("user_id"),
         unix_micros(col("v_ts")).as("v_us"),
         unix_micros(col("p_ts")).as("p_us"))

@@ -142,6 +142,107 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
+  test("stream-stream LEFT OUTER interval join equals watermark-closable batch left join") {
+    val streamDir = stageDir("graft-ssljoin")
+    // zero-delay watermark: the final watermark lands on the max event
+    // ts, making "which unmatched views could the stream have closed"
+    // exactly computable for the pin
+    val q = EventStreams.streamIntervalJoinLeftOuter(
+      spark, streamDir, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ssljoin_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssljoin_stream")
+      .collect().map(_.toSeq).toSet
+    val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
+    val v = norm.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+    val p = norm.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_us"))
+    // the GLOBAL watermark is the min over both watermarked branches'
+    // max event times (each branch tracks its own; the query takes the
+    // min) — on this fixture the view side trails the purchase side
+    val maxUs = math.min(
+      v.agg(max(col("v_us"))).head.getLong(0),
+      p.agg(max(col("p_us"))).head.getLong(0))
+    val winUs = 3600000000L
+    val batchLeft = v.join(p,
+      col("user_id") === col("pu") &&
+        col("p_us") >= col("v_us") &&
+        col("p_us") <= col("v_us") + winUs,
+      "left")
+      .select(col("user_id"), col("v_us"), col("p_us"))
+    val wantMatched = batchLeft.where(col("p_us").isNotNull)
+      .collect().map(_.toSeq).toSet
+    // an unmatched view emits null-extended once the final watermark
+    // strictly passes it (a view AT the watermark stays in state —
+    // observed on this fixture: the globally-latest view is the one
+    // unmatched row that never flushes). The pin allows a 1 s
+    // boundary band for the state-watermark solver's coarse-grain
+    // arithmetic and is exact everywhere else.
+    val wmUs = maxUs / 1000L * 1000L
+    val batchUnmatched = batchLeft.where(col("p_us").isNull)
+      .collect().map(_.toSeq).toSet
+    val mustEmit = batchLeft.where(col("p_us").isNull &&
+      col("v_us") < wmUs - 1000000L)
+      .collect().map(_.toSeq).toSet
+    val mustNotEmit = batchLeft.where(col("p_us").isNull &&
+      col("v_us") >= wmUs)
+      .collect().map(_.toSeq).toSet
+    assert(wantMatched.nonEmpty && mustEmit.nonEmpty)
+    // matched rows are the inner result, complete
+    assert(got.filter(_(2) != null) === wantMatched)
+    val gotUnmatched = got.filter(_(2) == null)
+    // every null-extended row is a genuine batch non-match
+    assert(gotUnmatched.subsetOf(batchUnmatched))
+    // everything safely behind the watermark was flushed
+    assert(mustEmit.subsetOf(gotUnmatched),
+      mustEmit.diff(gotUnmatched).mkString(";"))
+    // nothing the watermark could not yet close leaked out
+    assert(gotUnmatched.intersect(mustNotEmit).isEmpty,
+      gotUnmatched.intersect(mustNotEmit).mkString(";"))
+  }
+
+  test("session gap boundary: an exact-gap successor MERGES (both engines)") {
+    // the q29/q128 boundary contract, pinned empirically: Spark's
+    // session_window MERGES an event arriving exactly `gap` after its
+    // predecessor (touching [ts, ts+gap) intervals coalesce — the
+    // merge rule is start <= previous end, not strict overlap), and
+    // one second past the gap splits. The DuckDB oracles encode the
+    // identical rule as `delta > gap => new session` (equality
+    // merges). This fixture makes the convention load-bearing instead
+    // of fixture-accidental — if either engine's boundary rule ever
+    // drifts, this test or the q29/q128 oracle rows go red.
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, "u1", at(0), 1.0),
+      (2L, "u1", at(600), 1.0), // exactly 10 min after event 1: merges
+      (3L, "u1", at(700), 1.0),
+      (4L, "u2", at(0), 1.0),
+      (5L, "u2", at(601), 1.0)  // 1 s PAST the gap: new session
+    ).toDF("event_id", "user_id", "ts", "value")
+    val sess = EventStreams.sessions(ev).orderBy("user_id", "session_start")
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(sess.toSeq === Seq(("u1", 3L), ("u2", 1L), ("u2", 1L)),
+      sess.mkString(";"))
+    // and the SQL-side rule on the same fixture: delta > gap splits
+    // u2 only — replicated with a Spark window so the pin is
+    // self-contained (the DuckDB replay runs in the driver gate)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = ev.withColumn("__new",
+      when(col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w)
+        > 600L, 1).otherwise(0))
+    val nSessionsSql = marked.groupBy("user_id")
+      .agg((sum("__new") + 1).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nSessionsSql === Map("u1" -> 1L, "u2" -> 2L))
+  }
+
   test("session concurrency curve: covers every session slot, bounded by session count") {
     val norm = EventStreams.nanosToTimestamp(spark.read.parquet(dir))
     val curve = EventStreams.sessionConcurrency(norm, "user_id").cache()
