@@ -2107,6 +2107,83 @@ object Queries {
       .agg(revenue)
       .orderBy("r_name", "n_name")
 
+  /** S5/S6/S7/S8 driver-visible: five CSV dialects staged from the
+    * documents head (bounded 50-row driver fixture), each sniffed
+    * with the real kernels (delimiter / quote-escape / header) and
+    * then ROUND-TRIP parsed through `FormatIO.load("csv")` with the
+    * sniffed dialect — n_rows/id_sum prove the parse, not just the
+    * sniff. The expected dialect columns are hand-derived from the
+    * intended S5-S7 semantics (first of `, | : \t` with equal nonzero
+    * counts on both probe lines, else ';'; quote iff the longest
+    * multi-word field of line 2 starts with it; header iff a field
+    * flips non-numeric → numeric), so the oracle is a REAL contract,
+    * not a replay. */
+  def q133SniffDialects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val head = t(spark, dir, "documents").select("doc_id", "lang")
+      .orderBy("doc_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q133_")
+    def stage(name: String, lines: Seq[String]): String = {
+      val p = tmp.resolve(name)
+      java.nio.file.Files.write(p, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    }
+    try {
+      val cases: Seq[(String, String)] = Seq(
+        "comma_header" -> stage("a.csv", "doc_id,lang,toks" +:
+          head.map { case (id, l) => s"$id,$l,${id % 97}" }),
+        "pipe_noheader" -> stage("b.csv",
+          head.map { case (id, l) => s"$id|$l|${id % 97}" }),
+        "quoted_text" -> stage("c.csv", "doc_id,txt" +:
+          head.map { case (id, l) => s"""$id,"graft sniff case $l"""" }),
+        "semicolon_fallback" -> stage("d.csv", "doc_id;lang;toks" +:
+          head.map { case (id, l) => s"$id;$l;${id % 97}" }),
+        "tab_header" -> stage("e.csv", "doc_id\tlang\ttoks" +:
+          head.map { case (id, l) => s"$id\t$l\t${id % 97}" }))
+      val rows = cases.map { case (dialect, path) =>
+        val delim = graft.sources.FormatIO.findDelimiter(path, spark)
+        val quote = graft.sources.FormatIO
+          .detectEscape(path, delim, spark).orNull
+        val hdr = graft.sources.FormatIO.hasHeader(path, delim, spark)
+        val (df, _) = graft.sources.FormatIO.load("csv", path, spark)
+          .getOrElse(sys.error(s"csv load failed for $path"))
+        val idCol = df.columns.head
+        val agg = df.agg(count(lit(1)).cast("long").as("n"),
+          sum(col(idCol).cast("long")).as("s")).head()
+        (dialect, delim, quote, hdr, agg.getLong(0), agg.getLong(1))
+      }
+      rows.toDF("dialect", "delimiter", "quote_char", "has_header",
+        "n_rows", "id_sum")
+        .orderBy("dialect")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** M8/M9/M11 driver-visible: the three classifier families fit at
+    * their STATIC reference hyperparameters on ONE featurization
+    * (trainStaticAll), plus the reference's max-by-precision selection
+    * row (W5, first-wins ties in declaration order). Seed-pinned
+    * (split seed 0, RF seed 5043) and parallelism-independent; oracle
+    * is a pinned truth table (PinnedOracles.q134Sql, q25 contract). */
+  def q134MlClassifiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select("text", "lang")
+    val rs = graft.ml.SentimentML.trainStaticAll(docs, "text")
+    val selected = rs.maxBy(_.precision)
+    val rows = rs.map(r =>
+      (r.name, r.labelColumn, math.rint(r.precision * 10000) / 10000)) :+
+      (("selected:" + selected.name, selected.labelColumn,
+        math.rint(selected.precision * 10000) / 10000))
+    rows.toDF("classifier", "label_column", "precision")
+      .orderBy("classifier")
+  }
+
   /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
     * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
     * staged from the documents table, [[graft.cli.SentimentCli.run]]

@@ -155,6 +155,8 @@ object SparkEntry {
     "q130_funnel_latency" -> (Queries.q130FunnelLatency(_, _)),
     "q131_mixture_plan" -> (Queries.q131MixturePlan(_, _)),
     "q132_cli_score" -> (Queries.q132CliScore(_, _)),
+    "q133_sniff_dialects" -> (Queries.q133SniffDialects(_, _)),
+    "q134_ml_classifiers" -> (Queries.q134MlClassifiers(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2643,5 +2645,26 @@ object SparkEntry {
     // stemmed word-score fuzzy ladder is not SQL-expressible — q16-pin
     // contract, see PinnedOracles).
     "q132_cli_score" -> PinnedOracles.q132Sql,
+    // q133: the dialect columns are HAND-DERIVED from the intended
+    // S5-S7 sniffing semantics (a real contract, not a replay); the
+    // row stats come from the same documents head both engines read.
+    "q133_sniff_dialects" ->
+      """WITH hd AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(doc_id) AS BIGINT) AS s FROM hd)
+        |SELECT d.dialect, d.delimiter, d.quote_char, d.has_header,
+        |       agg.n AS n_rows, agg.s AS id_sum
+        |FROM (VALUES
+        |  ('comma_header', ',', CAST(NULL AS VARCHAR), true),
+        |  ('pipe_noheader', '|', CAST(NULL AS VARCHAR), false),
+        |  ('quoted_text', ',', '"', true),
+        |  ('semicolon_fallback', ';', CAST(NULL AS VARCHAR), true),
+        |  ('tab_header', chr(9), CAST(NULL AS VARCHAR), true)
+        | ) d(dialect, delimiter, quote_char, has_header)
+        |CROSS JOIN agg
+        |ORDER BY d.dialect""".stripMargin,
+    // q134: pinned-VALUES truth table (MLlib training metrics — q25
+    // contract, see PinnedOracles).
+    "q134_ml_classifiers" -> PinnedOracles.q134Sql,
   )
 }

@@ -110,11 +110,26 @@ object SentimentML {
                        train: DataFrame): PipelineModel =
     new Pipeline().setStages(Array(features, clf)).fit(train)
 
-  /** M7 + M10: LogisticRegression, λ=0.02 α=0.3 static; 3x3 grid. */
-  def logistic(p: Prepared): (PipelineModel, Double) = {
-    val lr = new LogisticRegression().setLabelCol(ScoreCol)
+  /** The reference's STATIC hyperparameters, one builder per family —
+    * shared by the gridded sweeps and [[trainStaticAll]] so the
+    * static points cannot drift between the two paths. */
+  private def staticLr: LogisticRegression =
+    new LogisticRegression().setLabelCol(ScoreCol)
       .setFeaturesCol(TfIdfCol).setRegParam(0.02).setMaxIter(100)
       .setElasticNetParam(0.3)
+
+  private def staticNb: NaiveBayes =
+    new NaiveBayes().setLabelCol(ScoreCol).setFeaturesCol(TfIdfCol)
+      .setSmoothing(1.0).setModelType("multinomial")
+
+  private def staticRf: RandomForestClassifier =
+    new RandomForestClassifier().setLabelCol(ScoreCol)
+      .setFeaturesCol(TfIdfCol).setImpurity("gini").setMaxDepth(3)
+      .setNumTrees(20).setFeatureSubsetStrategy("auto").setSeed(5043)
+
+  /** M7 + M10: LogisticRegression, λ=0.02 α=0.3 static; 3x3 grid. */
+  def logistic(p: Prepared): (PipelineModel, Double) = {
+    val lr = staticLr
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.0, 0.01, 0.02))
       .addGrid(lr.elasticNetParam, Array(0.0, 0.2, 0.4)).build()
@@ -123,8 +138,7 @@ object SentimentML {
 
   /** M8: multinomial NaiveBayes, smoothing 1.0 static; 6-point grid. */
   def naiveBayes(p: Prepared): (PipelineModel, Double) = {
-    val nb = new NaiveBayes().setLabelCol(ScoreCol).setFeaturesCol(TfIdfCol)
-      .setSmoothing(1.0).setModelType("multinomial")
+    val nb = staticNb
     val grid = new ParamGridBuilder()
       .addGrid(nb.smoothing, Array(0.85, 0.90, 0.95, 1.05, 1.1, 1.15)).build()
     run(p, nb, grid)
@@ -133,14 +147,33 @@ object SentimentML {
   /** M9: RandomForest ("maximum entropy", Q13), gini/depth3/20 trees
     * seed 5043 static; 3x3x2 grid. */
   def randomForest(p: Prepared): (PipelineModel, Double) = {
-    val rf = new RandomForestClassifier().setLabelCol(ScoreCol)
-      .setFeaturesCol(TfIdfCol).setImpurity("gini").setMaxDepth(3)
-      .setNumTrees(20).setFeatureSubsetStrategy("auto").setSeed(5043)
+    val rf = staticRf
     val grid = new ParamGridBuilder()
       .addGrid(rf.maxBins, Array(25, 28, 31))
       .addGrid(rf.maxDepth, Array(4, 6, 8))
       .addGrid(rf.impurity, Array("entropy", "gini")).build()
     run(p, rf, grid)
+  }
+
+  /** M11 in bounded-cost form: featurize ONCE (the M10 contract), fit
+    * the three STATIC classifiers with no sweeps, and return all
+    * three results in declaration order (logistic, naive bayes,
+    * maximum entropy) — the driver-benchable slice of the
+    * all-classifiers mode (the sweeping form behind `train(_, _,
+    * "all")` runs 27+6+18 grid fits and is priced for offline
+    * training jobs, not a query battery). Selection rule is the
+    * reference's max-by precision with first-wins ties. */
+  def trainStaticAll(training: DataFrame, textColumn: String,
+                     limit: Int = Detection.defaultSampleSize): Seq[TrainResult] = {
+    val p = prepare(training, textColumn, limit,
+      fitFeaturesOnTrainOnly = false)
+    Seq(("logistic regression", staticLr: org.apache.spark.ml.Estimator[_ <: Transformer]),
+      ("naive bayes", staticNb),
+      ("maximum entropy", staticRf))
+      .map { case (name, est) =>
+        val (m, pr) = run(p, est, Array.empty)
+        TrainResult(m, name, pr, p.labelColumn)
+      }
   }
 
   private def run(p: Prepared,
