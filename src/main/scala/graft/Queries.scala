@@ -2176,10 +2176,29 @@ object Queries {
     val docs = t(spark, dir, "documents").select("text", "lang")
     val rs = graft.ml.SentimentML.trainStaticAll(docs, "text")
     val selected = rs.maxBy(_.precision)
+    // M12 driver-visible: persist the winner, RELOAD it, and score the
+    // corpus with the reloaded pipeline — the mean prediction must
+    // reproduce exactly, pinning the save/load round-trip (not just
+    // the in-memory model) under the oracle
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q134_")
+    val reloadedMean =
+      try {
+        graft.ml.SentimentML.save(selected.model, tmp.resolve("m").toString)
+        val loaded = graft.ml.SentimentML.load(tmp.resolve("m").toString)
+        val row = loaded.transform(docs)
+          .agg(avg(col("prediction"))).head()
+        if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     val rows = rs.map(r =>
       (r.name, r.labelColumn, math.rint(r.precision * 10000) / 10000)) :+
       (("selected:" + selected.name, selected.labelColumn,
-        math.rint(selected.precision * 10000) / 10000))
+        math.rint(selected.precision * 10000) / 10000)) :+
+      (("reloaded:" + selected.name, selected.labelColumn,
+        math.rint(reloadedMean * 10000) / 10000))
     rows.toDF("classifier", "label_column", "precision")
       .orderBy("classifier")
   }
