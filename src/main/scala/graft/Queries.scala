@@ -2144,11 +2144,13 @@ object Queries {
           head.map { case (id, l) => s"$id\t$l\t${id % 97}" }))
       val rows = cases.map { case (dialect, path) =>
         val delim = graft.sources.FormatIO.findDelimiter(path, spark)
-        val quote = graft.sources.FormatIO
-          .detectEscape(path, delim, spark).orNull
+        val quoteOpt = graft.sources.FormatIO.detectEscape(path, delim, spark)
+        val quote = quoteOpt.orNull
         val hdr = graft.sources.FormatIO.hasHeader(path, delim, spark)
-        val (df, _) = graft.sources.FormatIO.load("csv", path, spark)
-          .getOrElse(sys.error(s"csv load failed for $path"))
+        // parse with the ALREADY-sniffed dialect (loadCsvWithDialect)
+        // so each file pays the two-line probes once, not twice
+        val df = graft.sources.FormatIO.loadCsvWithDialect(
+          path, spark, delim, hdr, quoteOpt)
         val idCol = df.columns.head
         val agg = df.agg(count(lit(1)).cast("long").as("n"),
           sum(col(idCol).cast("long")).as("s")).head()
@@ -2220,14 +2222,23 @@ object Queries {
     val outPath = tmp.resolve("scored.csv").toString
     try {
       // Sentiment140 shape: polarity, id, date, query, user, text —
-      // the reference's primary corpus layout (SURVEY §1.1)
+      // the reference's primary corpus layout (SURVEY §1.1). The text
+      // is normalized to single-line, delimiter/quote-free form at
+      // staging: the S5-S7 sniffers are raw line-count kernels (the
+      // reference's intended semantics), so a comma/quote/newline in
+      // the free text would flip the sniffed dialect and fail the
+      // lifecycle for a fixture reason, not a code reason. A no-op on
+      // the current synthetic corpus (verified: zero matches at
+      // sf0.001/sf0.01), so the pinned truth table is unaffected;
+      // word-scoring strips punctuation anyway, so scores are
+      // insensitive to the substitution.
       val s140 = t(spark, dir, "documents").select(
         (col("doc_id") % 5 * 4 % 5).cast("int").as("polarity"),
         col("doc_id").as("id"),
         lit("Mon Jan 01 00:00:00 UTC 2024").as("date"),
         lit("NO_QUERY").as("query"),
         concat(lit("user"), col("doc_id") % 10).as("user"),
-        col("text"))
+        regexp_replace(col("text"), "[,|:;\\t\"'\\n\\r]", " ").as("text"))
       graft.sources.FormatIO.save("csv", s140, in, overwrite = true)
       graft.cli.SentimentCli.run(graft.cli.SentimentCli.Config(
         inputs = Seq(in), output = Some(outPath), limit = 100), spark)

@@ -163,17 +163,23 @@ object Dedup {
   private[ops] def seedHash(base: Long, seed: Int): Long =
     SeedA * (2L * seed + 1L) * base + SeedB * (seed + 1L)
 
+  /** Null elements contribute nothing — the same skip contract as the
+    * codegen kernel ([[Kernels.minhashUtf8]]), so the two paths cannot
+    * fork on a caller-supplied `array<string>` with nulls (the
+    * pipeline's own [[shingles]] output is containsNull=false). */
   private[ops] def signatureOf(shingles: Array[String], k: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val sig = Array.fill(k)(-1L) // unsigned max sentinel
     var i = 0
     while (i < shingles.length) {
-      val base = md5Base60(md, shingles(i))
-      var s = 0
-      while (s < k) {
-        val h = seedHash(base, s)
-        if (java.lang.Long.compareUnsigned(h, sig(s)) < 0) sig(s) = h
-        s += 1
+      if (shingles(i) != null) {
+        val base = md5Base60(md, shingles(i))
+        var s = 0
+        while (s < k) {
+          val h = seedHash(base, s)
+          if (java.lang.Long.compareUnsigned(h, sig(s)) < 0) sig(s) = h
+          s += 1
+        }
       }
       i += 1
     }

@@ -69,11 +69,19 @@ object Graph {
    * bytes at scale, never re-shuffles (GraphSpec asserts the join
    * plan adds no Exchange over the bucketed scan). Results are the
    * same ranks as [[pageRank]] up to float summation order.
+   *
+   * The bucketed table is a PERSISTED ARTIFACT (like the IVF/Band
+   * index saves): it stays registered after the call so later runs
+   * can reuse the layout. A name collision with an existing catalog
+   * table fails loudly unless `overwrite = true` — `table` is a
+   * destructive sink name, not a scratch name.
    */
   def pageRankBucketed(edges: DataFrame, table: String, path: String,
                        iterations: Int = 10, damping: Double = 0.85,
-                       buckets: Int = 8): DataFrame = {
+                       buckets: Int = 8, overwrite: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
+    require(overwrite || !spark.catalog.tableExists(table),
+      s"table $table already exists; pass overwrite = true to replace it")
     Layout.writeBucketed(degreeEdges(edges), table, "src", buckets, path)
     iterate(spark.table(table), iterations, damping, mergeHint = true)
   }

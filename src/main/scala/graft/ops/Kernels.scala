@@ -39,11 +39,16 @@ object Kernels {
   /** MinHash signature of a shingle array — [[Dedup.signatureOf]]
     * lifted to Catalyst types. The md5 base hashes the element's UTF-8
     * bytes directly from the UTF8String (identical bytes to
-    * `String.getBytes(UTF_8)`, no String materialization). Null-safe:
-    * a null array (or null elements) contributes nothing, so the
-    * signature degenerates to the all--1L (unsigned max) sentinel the
-    * UDF returns. Output is an UnsafeArrayData over a primitive long
-    * array — no boxing on the write side either. */
+    * `String.getBytes(UTF_8)` for any well-formed string — all Spark
+    * string expressions produce well-formed UTF-8; on ill-formed bytes
+    * smuggled in via a binary cast this raw-byte view is canonical,
+    * matching what a parquet-reading oracle like DuckDB hashes, where
+    * a String round-trip would substitute replacement chars). No
+    * String materialization. Null-safe: a null array (or null
+    * elements — same skip contract as the UDF) contributes nothing, so
+    * the signature degenerates to the all--1L (unsigned max) sentinel
+    * the UDF returns. Output is an UnsafeArrayData over a primitive
+    * long array — no boxing on the write side either. */
   def minhashUtf8(shingles: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(-1L) // unsigned max sentinel
     if (shingles != null) {

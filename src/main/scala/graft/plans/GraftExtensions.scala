@@ -186,12 +186,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHashExpression(children.head)),
     (new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpression].getName, "graft_shingles"),
-      (children: Seq[Expression]) =>
-        ShinglesExpression(children.head, intLiteral(children(1), "graft_shingles"))),
+      (children: Seq[Expression]) => {
+        requireArity(children, 2, "graft_shingles")
+        ShinglesExpression(children.head, intLiteral(children(1), "graft_shingles"))
+      }),
     (new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashExpression].getName, "graft_minhash"),
-      (children: Seq[Expression]) =>
-        MinhashExpression(children.head, intLiteral(children(1), "graft_minhash"))))
+      (children: Seq[Expression]) => {
+        requireArity(children, 2, "graft_minhash")
+        MinhashExpression(children.head, intLiteral(children(1), "graft_minhash"))
+      }))
+
+  private def requireArity(children: Seq[Expression], n: Int, fn: String): Unit =
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$fn requires exactly $n arguments, got ${children.length}")
 
   /** The size argument is part of the expression's SHAPE (output
     * width / gram length), so SQL callers must pass a literal — a

@@ -85,17 +85,26 @@ object FormatIO {
   def hasHeader(path: String, delim: String, spark: SparkSession): Boolean =
     headerOf(firstTwoLines(path, spark), delim)
 
-  private def csvLoad(path: String, header: Boolean, delim: String,
-                      spark: SparkSession): DataFrame = {
+  /** CSV load with a KNOWN dialect — the entry point for callers that
+    * already ran the sniffers (or know the dialect out of band), so
+    * the two-line probe jobs are not re-run per file. `load("csv")`
+    * is sniff-then-this. */
+  def loadCsvWithDialect(path: String, spark: SparkSession, delim: String,
+                         header: Boolean, quote: Option[String]): DataFrame = {
     val base = spark.read
       .option("delimiter", delim)
       .option("header", header)
       .option("inferSchema", "true")
-    detectEscape(path, delim, spark) match {
+    quote match {
       case Some(q) => base.option("quote", q).option("escape", q).csv(path)
       case None    => base.csv(path)
     }
   }
+
+  private def csvLoad(path: String, header: Boolean, delim: String,
+                      spark: SparkSession): DataFrame =
+    loadCsvWithDialect(path, spark, delim, header,
+      detectEscape(path, delim, spark))
 
   /** S1-S4 + sniffing: load `path` as `format`, returning the DataFrame
     * and the canonical format tag (usable directly by [[save]]). */

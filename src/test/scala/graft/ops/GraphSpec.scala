@@ -40,9 +40,17 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     try {
       val plain = Graph.pageRank(edges, iterations = 5)
         .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      // overwrite = true: a crashed prior run may have left the table
       val bucketed = Graph.pageRankBucketed(edges, "graft_pr_edges",
-        tmp.resolve("e").toString, iterations = 5)
+        tmp.resolve("e").toString, iterations = 5, overwrite = true)
         .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      // name collision without overwrite fails loudly instead of
+      // clobbering the existing table
+      val e = intercept[IllegalArgumentException] {
+        Graph.pageRankBucketed(edges, "graft_pr_edges",
+          tmp.resolve("e2").toString, iterations = 1)
+      }
+      assert(e.getMessage.contains("already exists"))
       assert(plain.keySet === bucketed.keySet)
       for (k <- plain.keySet)
         assert(math.abs(plain(k) - bucketed(k)) < 1e-12, k)

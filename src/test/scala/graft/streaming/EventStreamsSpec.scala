@@ -176,20 +176,20 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
       .select(col("user_id"), col("v_us"), col("p_us"))
     val wantMatched = batchLeft.where(col("p_us").isNotNull)
       .collect().map(_.toSeq).toSet
-    // an unmatched view emits null-extended once the final watermark
-    // strictly passes it (a view AT the watermark stays in state —
-    // observed on this fixture: the globally-latest view is the one
-    // unmatched row that never flushes). The pin allows a 1 s
-    // boundary band for the state-watermark solver's coarse-grain
-    // arithmetic and is exact everywhere else.
+    // an unmatched view emits null-extended only once the watermark
+    // passes the END of its join window (v_us + window): until then a
+    // future purchase could still match, so Spark's left-side state
+    // watermark is `watermark - window`, NOT the watermark itself.
+    // The pin brackets that rule with a 1 s band on each side for the
+    // state-watermark solver's coarse-grain arithmetic.
     val wmUs = maxUs / 1000L * 1000L
     val batchUnmatched = batchLeft.where(col("p_us").isNull)
       .collect().map(_.toSeq).toSet
     val mustEmit = batchLeft.where(col("p_us").isNull &&
-      col("v_us") < wmUs - 1000000L)
+      col("v_us") + winUs < wmUs - 1000000L)
       .collect().map(_.toSeq).toSet
     val mustNotEmit = batchLeft.where(col("p_us").isNull &&
-      col("v_us") >= wmUs)
+      col("v_us") + winUs >= wmUs + 1000000L)
       .collect().map(_.toSeq).toSet
     assert(wantMatched.nonEmpty && mustEmit.nonEmpty)
     // matched rows are the inner result, complete
