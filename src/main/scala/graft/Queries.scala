@@ -2205,6 +2205,21 @@ object Queries {
       .orderBy("classifier")
   }
 
+  /** Interpolated bigram LM perplexity filter (CCNet shape): the
+    * even-id half of the corpus is the reference model, every odd-id
+    * doc is scored by its average negative bigram log-probability
+    * under it. lambda = 0.75 keeps BOTH interpolation constants exact
+    * binary fractions, so the DuckDB replay's arithmetic is
+    * bit-identical. */
+  def q135BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.TextStats.bigramLmScore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      docs.filter(col("doc_id") % 2 === 0), "text",
+      minBigramCount = 2, lambda = 0.75)
+      .orderBy("doc_id")
+  }
+
   /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
     * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
     * staged from the documents table, [[graft.cli.SentimentCli.run]]

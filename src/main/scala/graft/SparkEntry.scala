@@ -157,6 +157,7 @@ object SparkEntry {
     "q132_cli_score" -> (Queries.q132CliScore(_, _)),
     "q133_sniff_dialects" -> (Queries.q133SniffDialects(_, _)),
     "q134_ml_classifiers" -> (Queries.q134MlClassifiers(_, _)),
+    "q135_bigram_lm" -> (Queries.q135BigramLm(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2666,5 +2667,38 @@ object SparkEntry {
     // q134: pinned-VALUES truth table (MLlib training metrics — q25
     // contract, see PinnedOracles).
     "q134_ml_classifiers" -> PinnedOracles.q134Sql,
+    // q135: full interpolated-bigram-LM replay — model counts, add-one
+    // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
+    "q135_bigram_lm" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(
+        |           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |           w -> w <> '') AS ws
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM (
+        |          SELECT unnest(ws) AS w FROM norm WHERE doc_id % 2 = 0)
+        |        GROUP BY w),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        |bi AS (SELECT a, b, count(*) AS cab FROM (
+        |         SELECT unnest(ws[1:len(ws)-1]) AS a,
+        |                unnest(ws[2:len(ws)]) AS b
+        |         FROM norm WHERE doc_id % 2 = 0 AND len(ws) >= 2)
+        |       GROUP BY a, b HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id,
+        |              unnest(ws[1:len(ws)-1]) AS a,
+        |              unnest(ws[2:len(ws)]) AS b
+        |       FROM norm WHERE doc_id % 2 = 1 AND len(ws) >= 2),
+        |j AS (SELECT dp.doc_id,
+        |        CASE WHEN bi.cab IS NOT NULL AND ua.c IS NOT NULL
+        |             THEN bi.cab / ua.c ELSE 0.0 END AS pbi,
+        |        (coalesce(ub.c, 0) + 1) / (tot.n + tot.v) AS puni
+        |      FROM dp LEFT JOIN bi ON dp.a = bi.a AND dp.b = bi.b
+        |      LEFT JOIN uni ua ON dp.a = ua.w
+        |      LEFT JOIN uni ub ON dp.b = ub.w
+        |      CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(0.75 * pbi + 0.25 * puni)), 3) AS avg_neg_logp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -293,6 +293,86 @@ object TextStats {
   }
 
   /**
+   * CCNet-style interpolated bigram language-model scoring: fit
+   * unigram/bigram counts on a REFERENCE corpus (the "good text"
+   * model — e.g. a curated subset), then score every document by its
+   * average negative log-probability under
+   * `p(b|a) = lambda * c(ab)/c(a) + (1-lambda) * (c(b)+1)/(N+V)`
+   * (maximum-likelihood bigram interpolated with add-one unigram; an
+   * unseen bigram or unseen left word contributes only the unigram
+   * term, so the score is total for OOV text). High `avg_neg_logp`
+   * marks text unlike the reference — the perplexity filter of the
+   * CCNet/LLaMA data pipelines, with the LM kept exactly
+   * SQL-replayable instead of a KenLM binary.
+   *
+   * Scale shape: the model is two hash aggregates over the exploded
+   * reference (Zipf-head words partial-aggregate map-side); bigram
+   * counts below `minBigramCount` are pruned BEFORE the score join
+   * (the long tail is the bulk of distinct bigrams, and dropping a
+   * tail count only moves a score toward its unigram floor — the
+   * documented smoothing, not an approximation knob). Scoring joins
+   * ship only (word-pair, count) model rows against the documents'
+   * exploded bigrams — three narrow equi-joins keyed on words, then
+   * one per-doc aggregate; the two scalar totals ride in as
+   * single-row broadcast crosses. Nothing collects to the driver.
+   * Docs with fewer than two (non-empty, normalized) tokens have no
+   * bigram positions and are excluded — callers route them to a
+   * length gate, not a perplexity gate. 3-decimal rounding for the
+   * cross-engine float boundary (same reason as [[unigramLogProb]]).
+   */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, refTextCol: String,
+                    minBigramCount: Int = 2,
+                    lambda: Double = 0.9): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    require(minBigramCount >= 1, "minBigramCount must be >= 1")
+    require(!Set("__a", "__b", "__cab", "__ca", "__cb", "__n", "__v",
+      "n_bigrams", "avg_neg_logp").contains(idCol),
+      s"idCol '$idCol' collides with bigramLmScore's reserved names")
+    def toks(c: Column) = filter(
+      split(Dedup.normalized(c), " "), w => w =!= "")
+    def pairs(df: DataFrame, cols: Seq[Column], textCol: String) = {
+      val ws = toks(col(textCol))
+      df.select(cols :+ ws.as("__ws"): _*)
+        .where(size(col("__ws")) >= 2)
+        .select(cols :+ explode(zip_with(
+          slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("__p"): _*)
+        .select(cols :+ col("__p.a").as("__a") :+ col("__p.b").as("__b"): _*)
+    }
+    // model: unigram counts feed THREE consumers (totals + two score
+    // joins) — persist so the reference explode runs once
+    val uni = ref.select(explode(toks(col(refTextCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = uni.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v"))
+    val bi = pairs(ref, Seq.empty, refTextCol)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cab"))
+      .where(col("__cab") >= minBigramCount)
+    val scored = pairs(docs, Seq(col(idCol)), textCol)
+      .join(bi, Seq("__a", "__b"), "left")
+      .join(uni.select(col("__w").as("__a"), col("__c").as("__ca")),
+        Seq("__a"), "left")
+      .join(uni.select(col("__w").as("__b"), col("__c").as("__cb")),
+        Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+    val pBi = when(col("__cab").isNotNull && col("__ca").isNotNull,
+      col("__cab") / col("__ca")).otherwise(lit(0.0))
+    val pUni = (coalesce(col("__cb"), lit(0L)) + 1) / (col("__n") + col("__v"))
+    val out = scored
+      .select(col(idCol),
+        (-log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 3).as("avg_neg_logp"))
+      .localCheckpoint(true)
+    uni.unpersist()
+    out
+  }
+
+  /**
    * Collocation mining via pointwise mutual information: adjacent
    * word pairs scored by `PMI = ln(p(ab) / (p(a) p(b)))` with
    * `p(ab) = c_ab / N_bigrams` and `p(w) = c_w / N_tokens` — the

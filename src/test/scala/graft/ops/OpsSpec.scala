@@ -707,6 +707,30 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L)._2 > got(1L)._2)
   }
 
+  test("bigram LM score: hand-computed interpolation, unseen text floors at unigram") {
+    // reference model: "a b" x2 + "a c" => c(a)=3, c(b)=2, c(c)=1;
+    // N=6, V=3; bigrams with count >= 2: only (a,b) with c(ab)=2
+    val ref = Seq((10L, "a b"), (11L, "a b"), (12L, "a c"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),     // seen bigram: p = .75*(2/3) + .25*(2+1)/9
+      (2L, "a c"),     // pruned bigram (count 1 < 2): unigram floor of c
+      (3L, "z z"),     // fully OOV: p = .25*(0+1)/9
+      (4L, "a"),       // one token: no bigram position -> no row
+      (5L, ""))        // empty -> no row
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramLmScore(docs, "doc_id", "text",
+      ref, "text", minBigramCount = 2, lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r3(x: Double) = math.rint(x * 1e3) / 1e3
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((1L, r3(-math.log(0.75 * 2.0 / 3 + 0.25 * 3.0 / 9)))))
+    assert(got(2L) === ((1L, r3(-math.log(0.25 * 2.0 / 9)))))
+    assert(got(3L) === ((1L, r3(-math.log(0.25 * 1.0 / 9)))))
+    // the OOV doc is least like the reference
+    assert(got(3L)._2 > got(2L)._2 && got(2L)._2 > got(1L)._2)
+  }
+
   test("top grams by doc frequency: counts distinct per doc, ordered") {
     val df = Seq(
       (1L, "x y z x y z"),     // gram "x y z" counted once for this doc
