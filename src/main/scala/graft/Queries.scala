@@ -2220,6 +2220,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Tokens-per-doc column shared by the packing queries: size of the
+    * normalized whitespace split, empty tokens dropped — the same
+    * count every text-stats oracle replays. */
+  private def packTokens: Column =
+    size(filter(split(graft.ops.Dedup.normalized(col("text")), " "),
+      w => w =!= ""))
+
+  /** Sequence-packing plan (concat-and-chunk): every doc's place in a
+    * 4-shard, 512-token-window training layout — deterministic md5
+    * order, integer offsets, window span. The full per-doc plan is
+    * the oracle contract (exact integers, no floats). */
+  def q136PackPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Pack.packPlan(t(spark, dir, "documents"), "doc_id",
+      packTokens, shards = 4, seqLen = 512)
+      .orderBy("doc_id")
+
+  /** Packing economics per shard: windows, padding, boundary-crossing
+    * docs — the report that prices a seqLen/shards choice. */
+  def q137PackSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Pack.packSummary(
+      graft.ops.Pack.packPlan(t(spark, dir, "documents"), "doc_id",
+        packTokens, shards = 4, seqLen = 512),
+      seqLen = 512)
+      .orderBy("shard")
+
   /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
     * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
     * staged from the documents table, [[graft.cli.SentimentCli.run]]

@@ -158,6 +158,8 @@ object SparkEntry {
     "q133_sniff_dialects" -> (Queries.q133SniffDialects(_, _)),
     "q134_ml_classifiers" -> (Queries.q134MlClassifiers(_, _)),
     "q135_bigram_lm" -> (Queries.q135BigramLm(_, _)),
+    "q136_pack_plan" -> (Queries.q136PackPlan(_, _)),
+    "q137_pack_summary" -> (Queries.q137PackSummary(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -243,6 +245,29 @@ object SparkEntry {
     * rounding change cannot silently diverge between them. `carry`
     * lists the documents columns threaded through to `scored` beside
     * doc_id + quality. */
+  /** Shared CTE prefix for the q136/q137 packing oracles: token
+    * counts, the seeded 60-bit md5 order key (seed 0 — the '0:'
+    * prefix), 4-shard assignment, and the per-shard running-sum
+    * offset. The window sum is CAST back to BIGINT (DuckDB sums
+    * BIGINT into HUGEINT, which pandas would coerce to float). */
+  private def packPlanSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |      w -> w <> '')) AS n_tokens
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, n_tokens,
+      |    ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS sort_key
+      |  FROM tk WHERE n_tokens >= 1),
+      |c AS (
+      |  SELECT doc_id, n_tokens, sort_key, sort_key % 4 AS shard,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY sort_key % 4
+      |      ORDER BY sort_key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      - n_tokens AS start_off
+      |  FROM k)""".stripMargin
+
   private def qualityScoredCtes(carry: Seq[String]): String = {
     // trailing-comma form so an EMPTY carry list is legal SQL; `scored`
     // also exposes the token count (n AS tokens) for the budget/cap
@@ -2700,5 +2725,25 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |       round(avg(-ln(0.75 * pbi + 0.25 * puni)), 3) AS avg_neg_logp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q136/q137: full packing replay — the seeded 60-bit md5 order key,
+    // shard assignment, and running-sum offsets re-derived in SQL;
+    // all-integer arithmetic (DuckDB // is integral division)
+    "q136_pack_plan" -> (packPlanSql +
+      """
+        |SELECT doc_id, shard, sort_key, n_tokens, start_off,
+        |  start_off // 512 AS first_seq,
+        |  (start_off + n_tokens - 1) // 512 AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin),
+    "q137_pack_summary" -> (packPlanSql +
+      """
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  (CAST(sum(n_tokens) AS BIGINT) + 511) // 512 AS n_seqs,
+        |  (CAST(sum(n_tokens) AS BIGINT) + 511) // 512 * 512
+        |    - CAST(sum(n_tokens) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(CASE WHEN start_off // 512
+        |                  <> (start_off + n_tokens - 1) // 512
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin),
   )
 }

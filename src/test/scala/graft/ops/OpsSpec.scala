@@ -731,6 +731,44 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L)._2 > got(2L)._2 && got(2L)._2 > got(1L)._2)
   }
 
+  test("pack plan: independent md5-order model reproduces offsets; summary consistent") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Seq((1L, 3), (2L, 7), (3L, 0), (4L, 5), (5L, 2), (6L, 9))
+      .toDF("doc_id", "n")
+    val plan = Pack.packPlan(docs, "doc_id", c("n"), shards = 2, seqLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // independent model of Splits.shardOrder: 60-bit md5 of "0:<id>"
+    def key(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"0:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = Seq(1L -> 3, 2L -> 7, 4L -> 5, 5L -> 2, 6L -> 9)
+      .map { case (id, n) => (id, key(id), (key(id) % 2).toInt, n.toLong) }
+      .groupBy(_._3).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._2, r._1))
+          .scanLeft((0L, 0L, 0, 0L, 0L)) { case ((_, _, _, _, acc), r) =>
+            (r._1, r._2, r._3, r._4, acc + r._4) }.tail
+          .map { case (id, k, sh, n, cum) =>
+            id -> ((sh, k, n, cum - n, (cum - n) / 5, (cum - 1) / 5)) }
+      }
+    assert(plan.keySet === Set(1L, 2L, 4L, 5L, 6L)) // zero-token doc 3 excluded
+    assert(plan === want)
+    val summary = Pack.packSummary(
+      Pack.packPlan(docs, "doc_id", c("n"), shards = 2, seqLen = 5), 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(summary.map(_._3).sum === 26L) // total tokens over shards
+    for ((_, nDocs, total, nSeqs, pad, boundary) <- summary) {
+      assert(nSeqs === (total + 4) / 5)
+      assert(pad === nSeqs * 5 - total)
+      assert(nDocs >= 1 && boundary <= nDocs)
+    }
+  }
+
   test("top grams by doc frequency: counts distinct per doc, ordered") {
     val df = Seq(
       (1L, "x y z x y z"),     // gram "x y z" counted once for this doc
