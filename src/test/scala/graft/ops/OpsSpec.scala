@@ -769,6 +769,32 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("pack plan invariants: contiguous lossless stream per shard, layout-invariant") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 200L).map(id => (id, rnd.nextInt(21)))
+      .toDF("doc_id", "n")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      Pack.packPlan(df, "doc_id", c("n"), shards = 3, seqLen = 7)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val plan = planOf(docs)
+    // per shard: ordered by (sort_key, id) the intervals
+    // [start_off, start_off + n) tile [0, total) with no gap/overlap
+    for ((_, rows) <- plan.groupBy(_._2)) {
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      val expectedStarts = ordered.map(_._4).scanLeft(0L)(_ + _).init
+      assert(ordered.map(_._5).toSeq === expectedStarts.toSeq)
+      for ((_, _, _, n, start, first, last) <- ordered) {
+        assert(first === start / 7)
+        assert(last === (start + n - 1) / 7)
+      }
+    }
+    // the physical input layout must not matter
+    assert(planOf(docs.repartition(13)).sortBy(_._1).toSeq
+      === plan.sortBy(_._1).toSeq)
+  }
+
   test("top grams by doc frequency: counts distinct per doc, ordered") {
     val df = Seq(
       (1L, "x y z x y z"),     // gram "x y z" counted once for this doc
