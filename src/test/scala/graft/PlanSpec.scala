@@ -167,4 +167,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // set rides the closure, so no join appears in the apply plan
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("q136: pack plan's window partitions by shard, never a global window") {
+    // the running-sum window must hash-partition on shard (the scale
+    // knob) — an empty partition spec would serialize the whole corpus
+    // through one task
+    val plan = planOf(Queries.q136PackPlan(spark, dir))
+    assert(plan.contains("hashpartitioning(shard"), plan.take(2500))
+    assert("windowspecdefinition\\(shard".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
+    assert(!plan.contains("SinglePartition"), plan.take(2500))
+    assert(!plan.contains("Join"), "pack plan is join-free")
+  }
 }

@@ -144,6 +144,19 @@ class GraftExtensionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(plan.contains("graft_minhash"), plan.take(1000))
   }
 
+  test("wrong arity or non-literal size fails with a clear message") {
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c') AS s").collect()
+    }
+    assert(wrongArity.getMessage.contains("exactly 2 arguments"),
+      wrongArity.getMessage.take(300))
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), length('xx')) AS s").collect()
+    }
+    assert(nonLiteral.getMessage.contains("literal integer"),
+      nonLiteral.getMessage.take(300))
+  }
+
   test("expression executes inside whole-stage codegen") {
     // a file scan prevents the optimizer collapsing everything into a
     // LocalRelation (which would leave no codegen stage to observe)
