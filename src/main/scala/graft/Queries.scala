@@ -2245,6 +2245,15 @@ object Queries {
       seqLen = 512)
       .orderBy("shard")
 
+  /** Cross-source contamination matrix: shared trigram-shingle types
+    * and containment per source pair — the provenance report that
+    * finds mirrored/scraped sources. Zero-overlap pairs are absent
+    * (the matrix is sparse by construction). */
+  def q138SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Diff.sourceOverlapMatrix(
+      t(spark, dir, "documents"), "source", "text", n = 3)
+      .orderBy("source_a", "source_b")
+
   /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
     * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
     * staged from the documents table, [[graft.cli.SentimentCli.run]]

@@ -160,6 +160,7 @@ object SparkEntry {
     "q135_bigram_lm" -> (Queries.q135BigramLm(_, _)),
     "q136_pack_plan" -> (Queries.q136PackPlan(_, _)),
     "q137_pack_summary" -> (Queries.q137PackSummary(_, _)),
+    "q138_source_overlap" -> (Queries.q138SourceOverlap(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2745,5 +2746,33 @@ object SparkEntry {
         |                  <> (start_off + n_tokens - 1) // 512
         |                THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin),
+    // q138: source-pair shingle overlap — the q22 trigram+short-doc
+    // gram replay lifted to (source, gram) types
+    "q138_source_overlap" ->
+      """WITH norm AS (
+        |  SELECT source, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM norm WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT source, array_to_string(ws, ' ') AS g
+        |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
+        |sizes AS (SELECT source, count(*) AS types FROM grams GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared_types
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_types,
+        |  sa.types AS types_a, sb.types AS types_b,
+        |  round(shared_types / least(sa.types, sb.types), 4) AS overlap
+        |FROM pairs
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 }

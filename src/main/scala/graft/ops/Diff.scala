@@ -51,4 +51,51 @@ object Diff {
       .agg(count(lit(1)).as("n_keys"),
         sum(col(key).cast("decimal(38,0)")).cast("string").as("key_digest"))
       .orderBy("status")
+
+  /**
+   * Cross-source contamination matrix: for every source pair, how
+   * many distinct word n-gram shingle TYPES they share, and the
+   * containment ratio `shared / min(|A|, |B|)` — the provenance
+   * report that finds mirrored/scraped source pairs so the mixture
+   * solver can de-weight them (a pair near 1.0 is the same corpus
+   * twice). Type-level (each shingle counts once per source), so a
+   * boilerplate phrase repeated within one source does not inflate
+   * its overlaps.
+   *
+   * Scale shape: the corpus reduces map-side to distinct
+   * (source, shingle) TYPE rows — one narrow shuffle keyed on the
+   * pair, after which corpus text is gone. The shingle self-join's
+   * fan-out is bounded by the SOURCE count per shingle (≤ |sources|,
+   * typically dozens), not document frequency, so there is no hot-key
+   * quadratic: a stopword gram shared by every source contributes at
+   * most |sources|² pair rows. Pair aggregation output is |sources|²
+   * rows — driver-safe for any realistic source census. Shingling
+   * rides the codegen kernel ([[Dedup.shingles]]).
+   */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    // type rows feed both the per-source sizes and the pair join —
+    // persist so the shingle explode+distinct runs once
+    val types = df.select(col(srcCol).as("src"),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = types.groupBy(col("src")).agg(count(lit(1)).as("types"))
+    val out = types.as("a")
+      .join(types.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("shared_types"))
+      .join(broadcast(sizes.select(col("src").as("source_a"),
+        col("types").as("types_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("src").as("source_b"),
+        col("types").as("types_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_types"),
+        col("types_a"), col("types_b"),
+        round(col("shared_types") / least(col("types_a"), col("types_b")), 4)
+          .as("overlap"))
+      .localCheckpoint(true)
+    types.unpersist()
+    out
+  }
 }

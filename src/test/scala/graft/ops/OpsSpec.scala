@@ -795,6 +795,21 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       === plan.sortBy(_._1).toSeq)
   }
 
+  test("source overlap matrix: type-level sharing, short-doc grams, sparse zero pairs") {
+    val df = Seq(
+      ("X", "a b c d"),     // trigram types: "a b c", "b c d"
+      ("X", "a b c d"),     // duplicate doc: types count ONCE
+      ("Y", "b c d e"),     // types: "b c d", "c d e" -> shares 1 with X
+      ("Z", "zz"))          // short doc: whole-text gram "zz"
+      .toDF("source", "text")
+    val m = Diff.sourceOverlapMatrix(df, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only the X-Y pair overlaps; Z's gram is disjoint -> sparse
+    assert(m.keySet === Set(("X", "Y")))
+    assert(m(("X", "Y")) === ((1L, 2L, 2L, 0.5)))
+  }
+
   test("top grams by doc frequency: counts distinct per doc, ordered") {
     val df = Seq(
       (1L, "x y z x y z"),     // gram "x y z" counted once for this doc
