@@ -2254,6 +2254,21 @@ object Queries {
       t(spark, dir, "documents"), "source", "text", n = 3)
       .orderBy("source_a", "source_b")
 
+  /** Hourly event-type mix drift vs the corpus-global mix (add-one KL,
+    * [[graft.streaming.EventStreams.typeMixDrift]]): the
+    * distribution-shift monitor, batch form. The reference collect is
+    * a type CENSUS (one row per distinct event type — 4 here, bounded
+    * by schema not volume). */
+  def q139TypeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val rows = ev.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+    val n = rows.map(_.getLong(1)).sum
+    val ref = rows.map(r => (r.getString(0), r.getLong(1).toDouble / n))
+      .sortBy(_._1).toSeq
+    graft.streaming.EventStreams.typeMixDrift(ev, ref, "1 hour")
+      .orderBy("window_start")
+  }
+
   /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
     * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
     * staged from the documents table, [[graft.cli.SentimentCli.run]]

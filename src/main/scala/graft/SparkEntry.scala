@@ -161,6 +161,7 @@ object SparkEntry {
     "q136_pack_plan" -> (Queries.q136PackPlan(_, _)),
     "q137_pack_summary" -> (Queries.q137PackSummary(_, _)),
     "q138_source_overlap" -> (Queries.q138SourceOverlap(_, _)),
+    "q139_type_drift" -> (Queries.q139TypeDrift(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2774,5 +2775,35 @@ object SparkEntry {
         |JOIN sizes sa ON sa.source = source_a
         |JOIN sizes sb ON sb.source = source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    // q139: the add-one-KL drift replay; the zero-fill cross join
+    // gives absent (window, type) cells their +1 smoothing mass
+    "q139_type_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
+        |wc AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT h.window_start, r.event_type, r.c, coalesce(w.n, 0) AS n
+        |  FROM (SELECT DISTINCT window_start FROM wc) h
+        |  CROSS JOIN ref r
+        |  LEFT JOIN wc w ON w.window_start = h.window_start
+        |                AND w.event_type = r.event_type),
+        |tw AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS nw
+        |       FROM uni GROUP BY 1),
+        |terms AS (
+        |  SELECT u.window_start,
+        |    ((u.n + 1.0) / (tw.nw + tot.v))
+        |      * ln(((u.n + 1.0) / (tw.nw + tot.v)) / (u.c / tot.n)) AS term
+        |  FROM uni u
+        |  JOIN tw ON tw.window_start = u.window_start
+        |  CROSS JOIN tot)
+        |SELECT t.window_start, tw.nw AS n_events,
+        |  round(sum(t.term), 3) + 0.0 AS kl_drift
+        |FROM terms t JOIN tw ON tw.window_start = t.window_start
+        |GROUP BY 1, tw.nw
+        |ORDER BY t.window_start""".stripMargin,
   )
 }

@@ -81,6 +81,60 @@ object EventStreams {
       .orderBy("slot")
   }
 
+  /** Windowed distribution-shift monitor: per tumbling window, the
+    * event-type mix scored against a STATIC reference distribution by
+    * add-one-smoothed KL divergence — the live "has the traffic mix
+    * drifted" gauge (reference = last release's mix; alert when
+    * `kl_drift` jumps). The reference rides the plan as literals, so
+    * the whole thing is ONE stateful windowed aggregate (conditional
+    * count per reference type + a map-side KL expression): it streams
+    * in append mode with a watermark, state bounded by window count —
+    * a per-type groupBy then a second per-window fold would be two
+    * chained stateful aggregates, which append-mode streaming
+    * forbids. Events outside the reference's type universe are
+    * excluded (route them to a schema alert, not a drift score).
+    * 3-decimal rounding: the KL term sum order differs across
+    * engines. */
+  def typeMixDrift(events: DataFrame, ref: Seq[(String, Double)],
+                   width: String = "1 hour"): DataFrame = {
+    require(ref.nonEmpty, "reference distribution must be non-empty")
+    require(ref.forall(_._2 > 0), "reference shares must be positive")
+    require(ref.map(_._1).distinct.length == ref.length,
+      "reference types must be unique")
+    val v = ref.length
+    val counts = ref.map { case (t, _) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__n_$t") }
+    val total = ref.map { case (t, _) => col(s"__n_$t") }.reduce(_ + _)
+    val windowed = events
+      .where(col("event_type").isin(ref.map(_._1): _*))
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("__total", total)
+    val kl = ref.map { case (t, q) =>
+      val p = (col(s"__n_$t") + 1) / (col("__total") + v)
+      p * log(p / q)
+    }.reduce(_ + _)
+    windowed.select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+      col("__total").as("n_events"),
+      // + 0.0 folds IEEE -0.0 (a zero-drift window rounds to -0.0
+      // from below) to +0.0 for the cross-engine hash contract
+      (round(kl, 3) + lit(0.0)).as("kl_drift"))
+  }
+
+  /** File-source stream wired through [[typeMixDrift]] — same single
+    * stateful aggregate, so append mode emits each window's drift
+    * once, when the watermark closes it. */
+  def streamTypeMixDrift(spark: SparkSession, dir: String,
+                         ref: Seq[(String, Double)],
+                         watermark: String = "2 hours",
+                         width: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    typeMixDrift(nanosToTimestamp(raw).withWatermark("ts", watermark),
+      ref, width)
+  }
+
   /** Convert a long-nanos `ts` column (from
     * `spark.sql.legacy.parquet.nanosAsLong` reads) back to a timestamp.
     * MUST be integer division: `/` on columns is double division, and a

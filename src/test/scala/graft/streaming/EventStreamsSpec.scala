@@ -64,6 +64,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed === batch)
   }
 
+  test("type-mix drift: hand-computed KL; streamed (complete) equals batch") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    // window 1: 3 a + 1 b; window 2: 2 b; ref = uniform (0.5, 0.5)
+    val ev = Seq(
+      ("a", at(0), 1.0), ("a", at(1), 1.0), ("a", at(2), 1.0),
+      ("b", at(3), 1.0),
+      ("b", at(61), 1.0), ("b", at(62), 1.0))
+      .toDF("event_type", "ts", "value")
+    val ref = Seq("a" -> 0.5, "b" -> 0.5)
+    val got = EventStreams.typeMixDrift(ev, ref)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def kl(na: Long, nb: Long): Double = {
+      val tot = (na + nb + 2).toDouble
+      val terms = Seq((na + 1) / tot, (nb + 1) / tot)
+        .map(p => p * math.log(p / 0.5)).sum
+      math.rint(terms * 1e3) / 1e3 + 0.0
+    }
+    assert(got === Map(
+      "2024-01-01 00:00" -> ((4L, kl(3, 1))),
+      "2024-01-01 01:00" -> ((2L, kl(0, 2)))))
+    // the one-off mix (window 1) drifts more than... both drift; the
+    // pure-b window is farther from uniform than 3:1
+    assert(got("2024-01-01 01:00")._2 > got("2024-01-01 00:00")._2)
+    // streamed complete-mode result is identical on the events fixture
+    val streamDir = stageDir("graft-drift-stream")
+    val fixtureRef = Seq("click" -> 0.4, "purchase" -> 0.1,
+      "signup" -> 0.1, "view" -> 0.4)
+    val q = EventStreams.runOnce(spark,
+      EventStreams.streamTypeMixDrift(spark, streamDir, fixtureRef),
+      "stream_drift")
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_drift")
+      .orderBy("window_start").collect().map(_.toSeq).toSeq
+    val batch = EventStreams.typeMixDrift(events, fixtureRef)
+      .orderBy("window_start").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("word-score scoring runs identically on a text stream") {
     // the reference's scoring flow (§3.1) applied through readStream:
     // same column transforms, streamed vs batch results must agree
