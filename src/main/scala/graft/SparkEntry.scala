@@ -2748,20 +2748,26 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin),
     // q138: source-pair shingle overlap — the q22 trigram+short-doc
-    // gram replay lifted to (source, gram) types
+    // gram replay lifted to (source, gram) types, keyed by the 60-bit
+    // md5 prefix exactly like the Spark side (string grams never
+    // shuffle there; the hash IS the contract)
     "q138_source_overlap" ->
       """WITH norm AS (
         |  SELECT source, string_split(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
         |  FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT source,
+        |raw AS (
+        |  SELECT source,
         |    unnest(list_transform(generate_series(1, len(ws)-2),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
         |  FROM norm WHERE len(ws) >= 3
-        |  UNION
-        |  SELECT DISTINCT source, array_to_string(ws, ' ') AS g
+        |  UNION ALL
+        |  SELECT source, array_to_string(ws, ' ') AS g
         |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
+        |grams AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+        |  FROM raw),
         |sizes AS (SELECT source, count(*) AS types FROM grams GROUP BY source),
         |pairs AS (
         |  SELECT a.source AS source_a, b.source AS source_b,

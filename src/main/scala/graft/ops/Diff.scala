@@ -62,11 +62,16 @@ object Diff {
    * boilerplate phrase repeated within one source does not inflate
    * its overlaps.
    *
-   * Scale shape: the corpus reduces map-side to distinct
-   * (source, shingle) TYPE rows — one narrow shuffle keyed on the
-   * pair, after which corpus text is gone. The shingle self-join's
-   * fan-out is bounded by the SOURCE count per shingle (≤ |sources|,
-   * typically dozens), not document frequency, so there is no hot-key
+   * Scale shape: each shingle is reduced MAP-SIDE to its 60-bit
+   * md5-prefix key (the library's standard cross-engine hash — the
+   * oracle replays it), so the distinct/type shuffle moves
+   * (source, int64) rows, not gram strings — ~10× fewer bytes at
+   * web-corpus shingle lengths. Key collisions under-count shared
+   * types by ~|grams|²/2⁶¹ — vanishing at any real scale, identical
+   * in every engine (the hash is deterministic), and irrelevant to
+   * the mirrored-source signal this feeds. The pair join's fan-out is
+   * bounded by the SOURCE count per key (≤ |sources|, typically
+   * dozens), not document frequency, so there is no hot-key
    * quadratic: a stopword gram shared by every source contributes at
    * most |sources|² pair rows. Pair aggregation output is |sources|²
    * rows — driver-safe for any realistic source census. Shingling
@@ -76,8 +81,11 @@ object Diff {
                           n: Int = 3): DataFrame = {
     // type rows feed both the per-source sizes and the pair join —
     // persist so the shingle explode+distinct runs once
+    val gramKey = conv(substring(md5(col("__g").cast("binary")), 1, 15),
+      16, 10).cast("decimal(38,0)").cast("long")
     val types = df.select(col(srcCol).as("src"),
-      explode(Dedup.shingles(col(textCol), n)).as("g"))
+      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .select(col("src"), gramKey.as("g"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = types.groupBy(col("src")).agg(count(lit(1)).as("types"))

@@ -102,16 +102,18 @@ object EventStreams {
     require(ref.map(_._1).distinct.length == ref.length,
       "reference types must be unique")
     val v = ref.length
-    val counts = ref.map { case (t, _) =>
-      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__n_$t") }
-    val total = ref.map { case (t, _) => col(s"__n_$t") }.reduce(_ + _)
+    // intermediate columns are named by INDEX, not by the type value —
+    // a type containing '.' or '`' must not break column resolution
+    val counts = ref.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__n_$i") }
+    val total = ref.indices.map(i => col(s"__n_$i")).reduce(_ + _)
     val windowed = events
       .where(col("event_type").isin(ref.map(_._1): _*))
       .groupBy(window(col("ts"), width).as("w"))
       .agg(counts.head, counts.tail: _*)
       .withColumn("__total", total)
-    val kl = ref.map { case (t, q) =>
-      val p = (col(s"__n_$t") + 1) / (col("__total") + v)
+    val kl = ref.zipWithIndex.map { case ((_, q), i) =>
+      val p = (col(s"__n_$i") + 1) / (col("__total") + v)
       p * log(p / q)
     }.reduce(_ + _)
     windowed.select(
