@@ -2269,6 +2269,20 @@ object Queries {
       .orderBy("window_start")
   }
 
+  /** Split-leakage audit: the q22 near-dup pair set joined against the
+    * standard 80/10/10 per-document hash split — every returned pair
+    * is a train/eval contamination (near-identical docs on opposite
+    * sides of a split boundary). Map-only over the pair frame; the
+    * fix it prescribes is cluster-keyed assignment, which q81's
+    * components feed. */
+  def q140SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.nearDupLeakage(
+      graft.ops.Dedup.minhashPairs(
+        t(spark, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7),
+      "id_a", "id_b")
+      .orderBy("id_a", "id_b")
+
   /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
     * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
     * staged from the documents table, [[graft.cli.SentimentCli.run]]

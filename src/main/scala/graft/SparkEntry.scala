@@ -162,6 +162,7 @@ object SparkEntry {
     "q137_pack_summary" -> (Queries.q137PackSummary(_, _)),
     "q138_source_overlap" -> (Queries.q138SourceOverlap(_, _)),
     "q139_type_drift" -> (Queries.q139TypeDrift(_, _)),
+    "q140_split_leakage" -> (Queries.q140SplitLeakage(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -247,6 +248,32 @@ object SparkEntry {
     * rounding change cannot silently diverge between them. `carry`
     * lists the documents columns threaded through to `scored` beside
     * doc_id + quality. */
+  /** The q22 near-dup pair replay (trigram shingles, exact jaccard at
+    * the 0.7 threshold) WITHOUT its ORDER BY — shared by q22 and the
+    * q140 split-leakage audit, which wraps it. */
+  private def minhashPairsSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws)-2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      |  FROM norm WHERE len(ws) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+      |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.7""".stripMargin
+
   /** Shared CTE prefix for the q136/q137 packing oracles: token
     * counts, the seeded 60-bit md5 order key (seed 0 — the '0:'
     * prefix), 4-shard assignment, and the per-shard running-sum
@@ -862,29 +889,7 @@ object SparkEntry {
     // makes the final set threshold-exact). The CTE mirrors
     // Dedup.shingleSet: normalized tokens, distinct trigrams, and the
     // whole-text shingle for docs shorter than n tokens.
-    "q22_minhash_pairs" ->
-      """WITH norm AS (
-        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-        |  FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(generate_series(1, len(ws)-2),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
-        |  FROM norm WHERE len(ws) >= 3
-        |  UNION
-        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
-        |  FROM norm WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q22_minhash_pairs" -> (minhashPairsSql + "\nORDER BY id_a, id_b"),
     // q23: the banded candidate generation is an implementation detail;
     // the OUTPUT contract — every pair within Hamming distance 3, which
     // the 4x16-bit banding guarantees complete by pigeonhole — is fully
@@ -2811,5 +2816,26 @@ object SparkEntry {
         |FROM terms t JOIN tw ON tw.window_start = t.window_start
         |GROUP BY 1, tw.nw
         |ORDER BY t.window_start""".stripMargin,
+    // q140: the q22 pair replay wrapped with the 80/10/10 md5 split
+    // (the q116 hashBucket arithmetic) on each side, keeping only
+    // boundary-straddling pairs
+    "q140_split_leakage" -> (s"""WITH pairs AS (
+${minhashPairsSql.linesIterator.map("  " + _).mkString("\n")}
+)
+SELECT id_a, id_b, jaccard,
+  CASE WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+       WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+       ELSE 'test' END AS split_a,
+  CASE WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+       WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+       ELSE 'test' END AS split_b
+FROM pairs
+WHERE CASE WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+           WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+           ELSE 'test' END
+   <> CASE WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+           WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+           ELSE 'test' END
+ORDER BY id_a, id_b"""),
   )
 }

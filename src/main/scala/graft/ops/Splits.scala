@@ -72,4 +72,31 @@ object Splits {
     df.withColumn(orderCol, h)
       .withColumn(shardCol, pmod(col(orderCol), lit(shards)).cast("int"))
   }
+
+  /**
+   * Split-leakage audit: which near-duplicate pairs STRADDLE a split
+   * boundary — the eval-contamination check a per-document hash split
+   * cannot make on its own (two near-identical documents have
+   * different ids, hash independently, and can land one in train and
+   * one in test; a model then "generalizes" to text it effectively
+   * saw). Feed it a near-dup pair frame (MinHash/SimHash/semantic —
+   * any (id_a, id_b) output) and the same `weights` the split used;
+   * the assignment is recomputed as the pure [[assignment]]
+   * expression, so the audit is MAP-ONLY over the (already small)
+   * pair frame — no join against the corpus, no shuffle. Returns the
+   * leaking pairs; an empty result certifies the split. The fix for a
+   * non-empty result is group-keyed assignment by near-dup CLUSTER
+   * ([[graft.ops.Dedup.componentsOf]] → [[assign]] on the component
+   * id), which this audit then certifies.
+   */
+  def nearDupLeakage(pairs: DataFrame, idColA: String, idColB: String,
+                     weights: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1)))
+      : DataFrame = {
+    require(!pairs.columns.contains("split_a") && !pairs.columns.contains("split_b"),
+      "input already has a split_a/split_b column")
+    pairs
+      .withColumn("split_a", assignment(col(idColA), weights))
+      .withColumn("split_b", assignment(col(idColB), weights))
+      .where(col("split_a") =!= col("split_b"))
+  }
 }

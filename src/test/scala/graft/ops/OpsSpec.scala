@@ -810,6 +810,37 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(m(("X", "Y")) === ((1L, 2L, 2L, 0.5)))
   }
 
+  test("near-dup split leakage: straddling pairs flagged, cluster-keyed split certifies clean") {
+    import org.apache.spark.sql.functions.{col => c}
+    // independent model of Splits.hashBucket: first 8 md5 hex chars % 10
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    def split(id: Long): String =
+      if (bucket(id) < 8) "train" else if (bucket(id) < 9) "val" else "test"
+    // pick a pair that straddles and one that doesn't, from the model
+    val ids = (1L to 200L)
+    val straddle = ids.flatMap(a => ids.filter(b => b > a)
+      .find(b => split(a) != split(b)).map(b => (a, b))).head
+    val same = ids.flatMap(a => ids.filter(b => b > a)
+      .find(b => split(a) == split(b)).map(b => (a, b))).head
+    val pairs = Seq(straddle, same).toDF("id_a", "id_b")
+    val leak = Splits.nearDupLeakage(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(leak.map(t => (t._1, t._2)).toSeq === Seq(straddle))
+    assert(leak.head._3 === split(straddle._1) && leak.head._4 === split(straddle._2))
+    // the prescribed fix: assign by near-dup CLUSTER id — both members
+    // share the key, so the audit over the cluster-keyed split is empty
+    val clusterKeyed = pairs.withColumn("cluster", c("id_a"))
+    val certified = Splits.nearDupLeakage(
+      clusterKeyed.withColumn("id_a", c("cluster"))
+        .withColumn("id_b", c("cluster")), "id_a", "id_b")
+    assert(certified.count() === 0L)
+  }
+
   test("top grams by doc frequency: counts distinct per doc, ordered") {
     val df = Seq(
       (1L, "x y z x y z"),     // gram "x y z" counted once for this doc
