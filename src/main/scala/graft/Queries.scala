@@ -2221,11 +2221,10 @@ object Queries {
   }
 
   /** Tokens-per-doc column shared by the packing queries: size of the
-    * normalized whitespace split, empty tokens dropped — the same
-    * count every text-stats oracle replays. */
+    * shared normalized-token contract
+    * ([[graft.ops.Dedup.normalizedTokens]]). */
   private def packTokens: Column =
-    size(filter(split(graft.ops.Dedup.normalized(col("text")), " "),
-      w => w =!= ""))
+    size(graft.ops.Dedup.normalizedTokens(col("text")))
 
   /** Sequence-packing plan (concat-and-chunk): every doc's place in a
     * 4-shard, 512-token-window training layout — deterministic md5

@@ -242,12 +242,6 @@ object SparkEntry {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
-  /** The q33 composite-quality formula as a WITH-clause prefix
-    * (tok/stats/agg/scored CTEs), shared by every oracle that replays
-    * the 3-decimal quality contract (q64, q70, q73) so a formula or
-    * rounding change cannot silently diverge between them. `carry`
-    * lists the documents columns threaded through to `scored` beside
-    * doc_id + quality. */
   /** The q22 near-dup pair replay (trigram shingles, exact jaccard at
     * the 0.7 threshold) WITHOUT its ORDER BY — shared by q22 and the
     * q140 split-leakage audit, which wraps it. */
@@ -297,6 +291,12 @@ object SparkEntry {
       |      - n_tokens AS start_off
       |  FROM k)""".stripMargin
 
+  /** The q33 composite-quality formula as a WITH-clause prefix
+    * (tok/stats/agg/scored CTEs), shared by every oracle that replays
+    * the 3-decimal quality contract (q64, q70, q73) so a formula or
+    * rounding change cannot silently diverge between them. `carry`
+    * lists the documents columns threaded through to `scored` beside
+    * doc_id + quality. */
   private def qualityScoredCtes(carry: Seq[String]): String = {
     // trailing-comma form so an EMPTY carry list is legal SQL; `scored`
     // also exposes the token count (n AS tokens) for the budget/cap
@@ -2821,21 +2821,19 @@ object SparkEntry {
     // boundary-straddling pairs
     "q140_split_leakage" -> (s"""WITH pairs AS (
 ${minhashPairsSql.linesIterator.map("  " + _).mkString("\n")}
-)
-SELECT id_a, id_b, jaccard,
-  CASE WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
-       WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
-       ELSE 'test' END AS split_a,
-  CASE WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
-       WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
-       ELSE 'test' END AS split_b
-FROM pairs
-WHERE CASE WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
-           WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
-           ELSE 'test' END
-   <> CASE WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
-           WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
-           ELSE 'test' END
+),
+labeled AS (
+  SELECT id_a, id_b, jaccard,
+    CASE WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+         WHEN ('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+         ELSE 'test' END AS split_a,
+    CASE WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+         WHEN ('0x' || substr(md5(id_b::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+         ELSE 'test' END AS split_b
+  FROM pairs)
+SELECT id_a, id_b, jaccard, split_a, split_b
+FROM labeled
+WHERE split_a <> split_b
 ORDER BY id_a, id_b"""),
   )
 }

@@ -26,6 +26,15 @@ object Dedup {
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** The [[normalized]] whitespace split with empty tokens dropped —
+    * THE cross-engine token contract (DuckDB replays it as
+    * `list_filter(string_split(regexp_replace(lower(trim(text)),
+    * '\s+', ' ', 'g'), ' '), w -> w <> '')`). Shared so the q135 LM,
+    * q136/q137 packing, and any future token-count oracle cannot
+    * silently diverge on the empty-token rule. */
+  def normalizedTokens(text: Column): Column =
+    filter(split(normalized(text), " "), w => w =!= "")
+
   /** Exact dedup: keep the smallest id per normalized text —
     * deterministic winner (min id), unlike `dropDuplicates` whose
     * survivor is partition-order-dependent.

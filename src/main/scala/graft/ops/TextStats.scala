@@ -327,10 +327,10 @@ object TextStats {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
     require(minBigramCount >= 1, "minBigramCount must be >= 1")
     require(!Set("__a", "__b", "__cab", "__ca", "__cb", "__n", "__v",
+      "__ws", "__p", "__nll", "__w", "__c",
       "n_bigrams", "avg_neg_logp").contains(idCol),
       s"idCol '$idCol' collides with bigramLmScore's reserved names")
-    def toks(c: Column) = filter(
-      split(Dedup.normalized(c), " "), w => w =!= "")
+    def toks(c: Column) = Dedup.normalizedTokens(c)
     def pairs(df: DataFrame, cols: Seq[Column], textCol: String) = {
       val ws = toks(col(textCol))
       df.select(cols :+ ws.as("__ws"): _*)
