@@ -2282,6 +2282,53 @@ object Queries {
       "id_a", "id_b")
       .orderBy("id_a", "id_b")
 
+  /** §3.3 CLI word-score TRAINING lifecycle END-TO-END: a labeled CSV
+    * is staged from the documents table,
+    * [[graft.cli.SentimentCli.trainWordScore]] runs the real CLI path —
+    * format sniffing, text-column detection (D2), clean+STEM (U1/U2),
+    * per-category vocabulary training with overlap removal (A5/J2/U2set),
+    * distinct outputs (set-U1), word-list file sink (S12) — and the
+    * EMITTED FILES are read back and digested (sorted-word md5 per
+    * category, so the digest is storage-order-independent). Pieces are
+    * oracle-checked elsewhere (q26, q82, q87); this row pins their
+    * composition through the CLI wiring, closing the third lifecycle
+    * next to q132 (§3.1) and q134 (§3.2 training semantics). Oracle:
+    * pinned truth table (stemmed vocabulary is not SQL-expressible —
+    * q16-pin contract). */
+  def q141CliTrainWordScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q141_")
+    val in = tmp.resolve("train.csv").toString
+    val dest = tmp.resolve("wl").toString
+    try {
+      // same sanitized staging contract as q132 (sniffers are raw
+      // line kernels; a no-op on the synthetic corpus)
+      val staged = t(spark, dir, "documents").select(
+        col("doc_id").as("id"),
+        col("lang"),
+        regexp_replace(col("text"), "[,|:;\\t\"'\\n\\r]", " ").as("text"))
+      graft.sources.FormatIO.save("csv", staged, in, overwrite = true)
+      graft.cli.SentimentCli.trainWordScore(graft.cli.SentimentCli.Config(
+        inputs = Seq(in), output = Some(dest), limit = 1000), spark)
+      val nCats = staged.select("lang").distinct().count().toInt
+      val rows = (0 until nCats).map { c =>
+        val words = spark.read.text(dest + c)
+          .collect().map(_.getString(0)).sorted
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(words.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (c.toString, words.length.toLong, digest)
+      }
+      rows.toDF("category", "n_words", "words_digest")
+        .orderBy("category")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** §3.1 CLI scoring lifecycle END-TO-END (the driver-visible form of
     * SentimentCliSpec's e2e tests): a Sentiment140-shaped CSV is
     * staged from the documents table, [[graft.cli.SentimentCli.run]]

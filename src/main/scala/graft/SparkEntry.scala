@@ -163,6 +163,7 @@ object SparkEntry {
     "q138_source_overlap" -> (Queries.q138SourceOverlap(_, _)),
     "q139_type_drift" -> (Queries.q139TypeDrift(_, _)),
     "q140_split_leakage" -> (Queries.q140SplitLeakage(_, _)),
+    "q141_cli_train_wordscore" -> (Queries.q141CliTrainWordScore(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2699,6 +2700,9 @@ object SparkEntry {
     // q134: pinned-VALUES truth table (MLlib training metrics — q25
     // contract, see PinnedOracles).
     "q134_ml_classifiers" -> PinnedOracles.q134Sql,
+    // q141: pinned truth table (stemmed per-category vocabulary — the
+    // q16/q132 non-SQL-expressible contract)
+    "q141_cli_train_wordscore" -> PinnedOracles.q141Sql,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->
