@@ -1246,6 +1246,38 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got(2L)._2 - 2 * got(1L)._2) < 2e-4)
   }
 
+  test("degenerate inputs: core operators return empty frames, never throw") {
+    // empty sources/partitions are routine at corpus scale (an idle
+    // ingest tick, a filtered-out shard) — every pipeline stage must
+    // pass them through as empty, not crash
+    import org.apache.spark.sql.functions.{col => c}
+    val noDocs = Seq((1L, "a b c", "src0")).toDF("doc_id", "text", "source")
+      .where(c("doc_id") < 0)
+    val someDocs = Seq((1L, "a b c d e", "src0"), (2L, "a b c d e", "src1"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashPairs(noDocs, "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7).count() === 0)
+    assert(Diff.sourceOverlapMatrix(noDocs, "source", "text").count() === 0)
+    assert(Pack.packPlan(noDocs, "doc_id",
+      org.apache.spark.sql.functions.size(
+        Dedup.normalizedTokens(c("text"))), 4, 512).count() === 0)
+    assert(Sample.stratifiedTopN(noDocs, "source", "doc_id", 5).count() === 0)
+    assert(Splits.nearDupLeakage(
+      noDocs.select(c("doc_id").as("id_a"), c("doc_id").as("id_b")),
+      "id_a", "id_b").count() === 0)
+    assert(TextStats.repetitionStats(noDocs, "doc_id", "text").count() === 0)
+    // empty SCORED side and empty REFERENCE side of the bigram LM
+    assert(TextStats.bigramLmScore(noDocs, "doc_id", "text",
+      someDocs, "text").count() === 0)
+    assert(TextStats.bigramLmScore(someDocs, "doc_id", "text",
+      noDocs, "text").count() === 2) // unigram floor of an empty model
+    val noEvents = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("event_type", "ts", "value").where(c("value") < 0)
+    assert(graft.streaming.EventStreams.tumbling(noEvents).count() === 0)
+    assert(graft.streaming.EventStreams.typeMixDrift(noEvents, Seq("a" -> 1.0)).count() === 0)
+  }
+
   test("ann paths tolerate empty frames (empty ingest/query tick)") {
     val vecs = (1L to 5L).map(i =>
       (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
