@@ -2282,6 +2282,47 @@ object Queries {
       "id_a", "id_b")
       .orderBy("id_a", "id_b")
 
+  /** Entity-resolution staging shared by q142/q143: each part gets a
+    * distinctive name (`p_name + md5-prefix tag`, so organic rows are
+    * far apart in edit distance), and every 7th part plants a
+    * typo'd duplicate record (id + 1e6, last char -> 'x') the
+    * resolver must link. */
+  private def entityStage(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "part").select(
+      col("p_partkey").as("id"),
+      concat(col("p_name"), lit(" "),
+        substring(md5(col("p_partkey").cast("string").cast("binary")), 1, 6))
+        .as("name"))
+    val typos = base.filter(col("id") % 7 === 0).select(
+      (col("id") + 1000000L).as("id"),
+      concat(expr("substring(name, 1, length(name) - 1)"), lit("x"))
+        .as("name"))
+    base.unionByName(typos)
+  }
+
+  /** Record linkage, pair stage: blocked fuzzy matching over the
+    * staged part records — every planted typo pair (and nothing
+    * else at this threshold, by construction of the md5 tags) comes
+    * back with its edit similarity. */
+  def q142EntityPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Entity.matchPairs(entityStage(spark, dir), "id", "name",
+      blockChars = 3, minSim = 0.9)
+      .orderBy("id_a", "id_b")
+
+  /** Record linkage, closure stage: transitive entity ids over the
+    * q142 pairs — every record labeled with its component's smallest
+    * id (its own if unmatched). The oracle replays the closure with a
+    * recursive reachability CTE, so the contract covers transitivity,
+    * not just the planted two-record shape. */
+  def q143EntityIds(spark: SparkSession, dir: String): DataFrame = {
+    val staged = entityStage(spark, dir)
+    graft.ops.Entity.entityIds(staged, "id",
+      graft.ops.Entity.matchPairs(staged, "id", "name",
+        blockChars = 3, minSim = 0.9))
+      .select(col("id"), col("entity_id"))
+      .orderBy("id")
+  }
+
   /** §3.3 CLI word-score TRAINING lifecycle END-TO-END: a labeled CSV
     * is staged from the documents table,
     * [[graft.cli.SentimentCli.trainWordScore]] runs the real CLI path —

@@ -164,6 +164,8 @@ object SparkEntry {
     "q139_type_drift" -> (Queries.q139TypeDrift(_, _)),
     "q140_split_leakage" -> (Queries.q140SplitLeakage(_, _)),
     "q141_cli_train_wordscore" -> (Queries.q141CliTrainWordScore(_, _)),
+    "q142_entity_pairs" -> (Queries.q142EntityPairs(_, _)),
+    "q143_entity_ids" -> (Queries.q143EntityIds(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -242,6 +244,37 @@ object SparkEntry {
       |WHERE doc_id % 10 <> 0
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE prefix for the q142/q143 entity-resolution oracles:
+    * the md5-tagged + planted-typo staging, name normalization,
+    * 3-char blocking, and the Levenshtein-ratio pair stage (threshold
+    * applied on the ROUNDED sim, matching `Entity.matchPairs`).
+    * Declared `WITH RECURSIVE` so q143 can append its reachability
+    * CTE; the keyword is inert for q142's non-recursive use. */
+  private def entityPairsSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT p_partkey AS id,
+      |    p_name || ' ' || substr(md5(p_partkey::VARCHAR), 1, 6) AS name
+      |  FROM part),
+      |staged AS (
+      |  SELECT id, name FROM base
+      |  UNION ALL
+      |  SELECT id + 1000000, substr(name, 1, length(name) - 1) || 'x'
+      |  FROM base WHERE id % 7 = 0),
+      |kk AS (
+      |  SELECT id, nm, substr(nm, 1, 3) AS blk FROM (
+      |    SELECT id,
+      |      regexp_replace(regexp_replace(lower(trim(name)),
+      |        '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g') AS nm
+      |    FROM staged)
+      |  WHERE nm <> ''),
+      |pairs AS (
+      |  SELECT * FROM (
+      |    SELECT a.id AS id_a, b.id AS id_b,
+      |      round(1.0 - levenshtein(a.nm, b.nm)::DOUBLE
+      |        / greatest(length(a.nm), length(b.nm)), 4) AS sim
+      |    FROM kk a JOIN kk b ON a.blk = b.blk AND a.id < b.id)
+      |  WHERE sim >= 0.9)""".stripMargin
 
   /** The q22 near-dup pair replay (trigram shingles, exact jaccard at
     * the 0.7 threshold) WITHOUT its ORDER BY — shared by q22 and the
@@ -2703,6 +2736,24 @@ object SparkEntry {
     // q141: pinned truth table (stemmed per-category vocabulary — the
     // q16/q132 non-SQL-expressible contract)
     "q141_cli_train_wordscore" -> PinnedOracles.q141Sql,
+    // q142/q143: full record-linkage replay — staging, normalization,
+    // blocking, Levenshtein ratio, and (for q143) the transitive
+    // closure via a recursive reachability CTE
+    "q142_entity_pairs" -> (entityPairsSql +
+      "\nSELECT id_a, id_b, sim FROM pairs ORDER BY id_a, id_b"),
+    "q143_entity_ids" -> (entityPairsSql +
+      """,
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT k.id,
+        |  CAST(least(k.id,
+        |    coalesce((SELECT min(b) FROM reach WHERE a = k.id), k.id))
+        |    AS BIGINT) AS entity_id
+        |FROM kk k ORDER BY k.id""".stripMargin),
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

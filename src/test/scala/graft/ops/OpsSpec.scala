@@ -1246,6 +1246,35 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got(2L)._2 - 2 * got(1L)._2) < 2e-4)
   }
 
+  test("entity resolution: typo pairs matched within blocks, block guard fires, transitive ids") {
+    import org.apache.spark.sql.functions.{col => c}
+    val recs = Seq(
+      (1L, "Acme Widgets Inc"),
+      (2L, "acme widgets inc."),   // normalizes to the same name: sim 1.0
+      (3L, "Acme Widgets Incx"),   // one edit from 1/2: chains the component
+      (4L, "Beta Metals Ltd"),     // different block, unmatched
+      (5L, "zz"))                  // short but valid record
+      .toDF("id", "name")
+    val pairs = Entity.matchPairs(recs, "id", "name", blockChars = 3,
+      minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq ===
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 === 1.0) // exact after normalization
+    // transitive closure: 1-2-3 collapse to entity 1; 4 and 5 stay solo
+    val ents = Entity.entityIds(recs, "id",
+      Entity.matchPairs(recs, "id", "name", blockChars = 3, minSim = 0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ents === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    // degenerate blocking fails loudly instead of going quadratic
+    val hot = (1L to 50L).map(i => (i, s"same prefix $i")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Entity.matchPairs(hot, "id", "name", blockChars = 3, maxBlockSize = 10)
+    }
+    assert(e.getMessage.contains("maxBlockSize"))
+  }
+
   test("degenerate inputs: core operators return empty frames, never throw") {
     // empty sources/partitions are routine at corpus scale (an idle
     // ingest tick, a filtered-out shard) — every pipeline stage must
