@@ -254,7 +254,7 @@ object SparkEntry {
   private def entityPairsSql: String =
     """WITH RECURSIVE base AS (
       |  SELECT p_partkey AS id,
-      |    p_name || ' ' || substr(md5(p_partkey::VARCHAR), 1, 6) AS name
+      |    substr(md5(p_partkey::VARCHAR), 1, 6) || ' ' || p_name AS name
       |  FROM part),
       |staged AS (
       |  SELECT id, name FROM base
@@ -262,7 +262,7 @@ object SparkEntry {
       |  SELECT id + 1000000, substr(name, 1, length(name) - 1) || 'x'
       |  FROM base WHERE id % 7 = 0),
       |kk AS (
-      |  SELECT id, nm, substr(nm, 1, 3) AS blk FROM (
+      |  SELECT id, nm, substr(nm, 1, 6) AS blk FROM (
       |    SELECT id,
       |      regexp_replace(regexp_replace(lower(trim(name)),
       |        '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g') AS nm

@@ -73,10 +73,19 @@ object Entity {
       col("__nm").as("__nb") +: exactCols.map(c => col(c).as(s"__xb_$c")): _*)
     val joinCond = exactCols.foldLeft(col("id_a") < col("id_b")) {
       case (cond, c) => cond && col(s"__xa_$c") === col(s"__xb_$c") }
-    val sim = lit(1.0) - levenshtein(col("__na"), col("__nb")) /
-      greatest(length(col("__na")), length(col("__nb")))
+    val maxLen = greatest(length(col("__na")), length(col("__nb")))
+    // LOSSLESS length prefilter ahead of the Levenshtein call:
+    // lev(a,b) >= |len(a)-len(b)|, so any pair whose length gap
+    // exceeds the edit budget maxLen*(1-minSim) cannot reach minSim
+    // (+1 edit of slack absorbs the 4-decimal rounding boundary).
+    // Within a hot block this prunes most candidates for pennies —
+    // one abs/compare versus an O(len²) edit-distance kernel.
+    val lenGate =
+      abs(length(col("__na")) - length(col("__nb"))) <=
+        maxLen * (1.0 - minSim) + 1.0
+    val sim = lit(1.0) - levenshtein(col("__na"), col("__nb")) / maxLen
     val out = a.join(bSide, Seq("__blk"))
-      .where(joinCond)
+      .where(joinCond && lenGate)
       .select(col("id_a"), col("id_b"), round(sim, 4).as("sim"))
       .where(col("sim") >= minSim)
       .localCheckpoint(true)

@@ -1275,6 +1275,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("maxBlockSize"))
   }
 
+  test("entity resolution: length prefilter is lossless at the exact sim boundary") {
+    // lev("abcdefghij","abcdefgh") = 2, maxLen = 10 → sim = 0.8000
+    // exactly minSim, and the length gap (2) equals the full edit
+    // budget maxLen*(1-minSim) — the worst case for the length
+    // prefilter (every edit is an insertion/deletion). The pair MUST
+    // survive: the gate may only drop pairs that cannot reach minSim.
+    val recs = Seq((1L, "abcdefghij"), (2L, "abcdefgh")).toDF("id", "name")
+    val pairs = Entity.matchPairs(recs, "id", "name", blockChars = 3,
+      minSim = 0.8).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getDouble(2) === 0.8)
+  }
+
   test("degenerate inputs: core operators return empty frames, never throw") {
     // empty sources/partitions are routine at corpus scale (an idle
     // ingest tick, a filtered-out shard) — every pipeline stage must
