@@ -2427,4 +2427,89 @@ object Queries {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  /** Semi-structured staging shared by q144/q146: the raw
+    * `events.props` JSON ('{"k": N}') reshaped into the three payload
+    * states an ingest actually sees — every 13th event TRUNCATED to
+    * malformed JSON, every other remaining even event ENRICHED with a
+    * second key (`"u"`, the user id spliced in by string surgery so
+    * both engines build byte-identical payloads), the rest raw. */
+  private def propsStage(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).withColumn("props",
+      when(col("event_id") % 13 === 0, substring(col("props"), 1, 3))
+        .when(col("event_id") % 2 === 0,
+          concat(expr("substring(props, 1, length(props) - 1)"),
+            lit(", \"u\": "), col("user_id"), lit("}")))
+        .otherwise(col("props")))
+
+  /** Typed JSON extraction (map-only `get_json_object` projection) over
+    * the staged payloads, rolled up per event type: row counts, the
+    * malformed count (k is on every valid payload, so a null k IS the
+    * corrupt-row detector), the enriched count, and the two field
+    * sums. Pins the null-for-corrupt and null-for-missing contracts of
+    * [[graft.ops.Semistructured.extractJson]] cross-engine. */
+  def q144JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Semistructured.extractJson(propsStage(spark, dir), "props",
+      Seq(graft.ops.Semistructured.JsonField("k", "$.k", "bigint"),
+        graft.ops.Semistructured.JsonField("u", "$.u", "bigint")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("u").isNotNull, 1L).otherwise(0L)).as("n_enriched"),
+        sum("k").as("sum_k"),
+        sum("u").as("sum_u"))
+      .orderBy("event_type")
+
+  /** Payload schema inference over the same staged column: per key,
+    * presence count, integer-shaped value count, and distinct-value
+    * count — [[graft.ops.Semistructured.jsonKeyCensus]], with the
+    * malformed rows proven to drop out (k's n_rows excludes exactly
+    * the truncated payloads). */
+  def q146JsonKeyCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Semistructured.jsonKeyCensus(propsStage(spark, dir), "props")
+      .orderBy("key")
+
+  /** Cluster-keyed (leakage-free) dataset split, certified: q140's
+    * near-dup pairs are closed into components, documents are split
+    * 80/10/10 by COMPONENT id ([[graft.ops.Splits.assignByCluster]]),
+    * and the same pair frame is audited against the new assignment —
+    * `leaked_pairs` must be 0 in every split, the certificate q140's
+    * non-empty straddle list says a per-document split cannot give. */
+  def q145ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.7)
+    val assigned = graft.ops.Splits.assignByCluster(
+      docs.select("doc_id"), "doc_id", pairs)
+    val sums = assigned.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("cluster_id").as("n_clusters"))
+    val leaks = pairs
+      .join(assigned.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), "id_b")
+      .where(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a").as("split"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    sums.join(leaks, Seq("split"), "left")
+      .na.fill(0L, Seq("leaked_pairs"))
+      .orderBy("split")
+  }
+
+  /** KMV distinct-count sketch vs exact, per event type: the k=64
+    * sketch estimate of distinct users beside the true
+    * `count(DISTINCT)` — the validation harness for
+    * [[graft.ops.Sketch.kmvDistinct]]'s O(k)-state cardinality
+    * telemetry (at sf0.01+ every type exceeds k, so the (k-1)/u_k
+    * estimation path is what's pinned, not the exact fallback). */
+  def q147KmvUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val ex = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    ex.join(graft.ops.Sketch.kmvDistinct(ev, "event_type", "user_id", 64),
+        Seq("event_type"))
+      .orderBy("event_type")
+  }
 }

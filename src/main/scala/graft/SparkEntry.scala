@@ -166,6 +166,10 @@ object SparkEntry {
     "q141_cli_train_wordscore" -> (Queries.q141CliTrainWordScore(_, _)),
     "q142_entity_pairs" -> (Queries.q142EntityPairs(_, _)),
     "q143_entity_ids" -> (Queries.q143EntityIds(_, _)),
+    "q144_json_extract" -> (Queries.q144JsonExtract(_, _)),
+    "q145_cluster_split" -> (Queries.q145ClusterSplit(_, _)),
+    "q146_json_key_census" -> (Queries.q146JsonKeyCensus(_, _)),
+    "q147_kmv_users" -> (Queries.q147KmvUsers(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -275,6 +279,21 @@ object SparkEntry {
       |        / greatest(length(a.nm), length(b.nm)), 4) AS sim
       |    FROM kk a JOIN kk b ON a.blk = b.blk AND a.id < b.id)
       |  WHERE sim >= 0.9)""".stripMargin
+
+  /** Shared staging for the q144/q146 semi-structured oracles: the
+    * same three-way payload reshape as `Queries.propsStage` — every
+    * 13th event truncated to malformed JSON, every other remaining
+    * even event enriched with a spliced-in `"u"` key, the rest raw.
+    * Pure string surgery on both engines, so payloads are
+    * byte-identical cross-engine. */
+  private def propsStageSql: String =
+    """SELECT event_id, event_type, user_id,
+      |  CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3)
+      |       WHEN event_id % 2 = 0 THEN
+      |         substr(props, 1, length(props) - 1)
+      |           || ', "u": ' || user_id::VARCHAR || '}'
+      |       ELSE props END AS props
+      |FROM events""".stripMargin
 
   /** The q22 near-dup pair replay (trigram shingles, exact jaccard at
     * the 0.7 threshold) WITHOUT its ORDER BY — shared by q22 and the
@@ -2754,6 +2773,97 @@ object SparkEntry {
         |    coalesce((SELECT min(b) FROM reach WHERE a = k.id), k.id))
         |    AS BIGINT) AS entity_id
         |FROM kk k ORDER BY k.id""".stripMargin),
+    // q144: typed JSON extraction over the three-way staged payloads —
+    // json_valid gates replicate Spark's null-for-corrupt contract,
+    // missing paths null out on both engines
+    "q144_json_extract" -> s"""WITH staged AS (
+${propsStageSql.linesIterator.map("  " + _).mkString("\n")}
+),
+ex AS (
+  SELECT event_type,
+    CASE WHEN json_valid(props)
+         THEN TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS k,
+    CASE WHEN json_valid(props)
+         THEN TRY_CAST(json_extract_string(props, '$$.u') AS BIGINT) END AS u
+  FROM staged)
+SELECT event_type, count(*) AS n_rows,
+  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+  CAST(sum(CASE WHEN u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_enriched,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  CAST(sum(u) AS BIGINT) AS sum_u
+FROM ex GROUP BY event_type ORDER BY event_type""",
+    // q146: payload key census — json_keys unnest + per-key string
+    // extraction, malformed rows dropped by the same json_valid gate
+    // Spark's null-map from_json drop implements
+    "q146_json_key_census" -> s"""WITH staged AS (
+${propsStageSql.linesIterator.map("  " + _).mkString("\n")}
+),
+kv AS (
+  SELECT unnest(json_keys(props)) AS key, props
+  FROM staged WHERE props IS NOT NULL AND json_valid(props)),
+v AS (SELECT key, json_extract_string(props, key) AS value FROM kv)
+SELECT key, count(*) AS n_rows,
+  CAST(sum(CASE WHEN regexp_matches(value, '^-?\\d+$$') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_int,
+  count(DISTINCT value) AS n_values
+FROM v GROUP BY key ORDER BY key""",
+    // q145: the q22 pair replay, closed into components (q143's
+    // recursive reachability), split 80/10/10 by COMPONENT id with the
+    // q140 md5 bucket arithmetic, then the pair frame re-audited
+    // against the cluster-keyed assignment
+    "q145_cluster_split" -> s"""WITH RECURSIVE pairs AS (
+${minhashPairsSql.linesIterator.map("  " + _).mkString("\n")}
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+lab AS (
+  SELECT d.doc_id,
+    CAST(least(d.doc_id,
+      coalesce((SELECT min(b) FROM reach WHERE a = d.doc_id), d.doc_id))
+      AS BIGINT) AS cluster_id
+  FROM documents d),
+sp AS (
+  SELECT doc_id, cluster_id,
+    CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+         WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+         ELSE 'test' END AS split
+  FROM lab),
+leaks AS (
+  SELECT sa.split AS split, count(*) AS leaked
+  FROM pairs p
+  JOIN sp sa ON sa.doc_id = p.id_a
+  JOIN sp sb ON sb.doc_id = p.id_b
+  WHERE sa.split <> sb.split
+  GROUP BY 1)
+SELECT s.split, count(*) AS n_docs,
+  count(DISTINCT s.cluster_id) AS n_clusters,
+  CAST(coalesce(max(k.leaked), 0) AS BIGINT) AS leaked_pairs
+FROM sp s LEFT JOIN leaks k ON k.split = s.split
+GROUP BY s.split ORDER BY s.split""",
+    // q147: full KMV replay — 60-bit md5 fractions, per-group rank-k
+    // prune, and the (k-1)/u_k estimate beside the exact distinct
+    "q147_kmv_users" ->
+      """WITH hd AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |      / power(16, 15) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, u,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+        |      FROM hd),
+        |s AS (SELECT event_type, count(*) AS n_kept, max(u) AS u_k
+        |      FROM r WHERE rk <= 64 GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |       FROM events GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_exact, s.n_kept,
+        |  CASE WHEN s.n_kept < 64 THEN s.n_kept::DOUBLE
+        |       ELSE round(63.0 / s.u_k, 4) END AS est_distinct
+        |FROM ex JOIN s USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

@@ -99,4 +99,36 @@ object Splits {
       .withColumn("split_b", assignment(col(idColB), weights))
       .where(col("split_a") =!= col("split_b"))
   }
+
+  /**
+   * Cluster-keyed split assignment — the fix [[nearDupLeakage]]
+   * prescribes, as an operator: close the near-dup pair graph into
+   * components ([[graft.ops.Dedup]]'s min-label propagation), key
+   * every row by its component representative (singletons by their
+   * own id), and assign splits by THAT key. Two near-duplicates then
+   * share a cluster id by construction, so no near-dup pair can
+   * straddle a split boundary — [[nearDupLeakage]] on the output
+   * assignment is empty, certifiably.
+   *
+   * Scale shape: the component label frame only holds ids that appear
+   * in some pair — tiny against a mostly-unique corpus — so the
+   * tag-back is a BROADCAST left join (same argument as
+   * `Dedup.nearDupClusters`); the assignment itself stays the pure
+   * codegen md5 expression of [[assignment]].
+   */
+  def assignByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                      idColA: String = "id_a", idColB: String = "id_b",
+                      weights: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1)),
+                      outCol: String = "split",
+                      clusterCol: String = "cluster_id"): DataFrame = {
+    require(!df.columns.contains(clusterCol) && !df.columns.contains(outCol),
+      s"input already has a $clusterCol/$outCol column")
+    val comps = Dedup.componentsOf(
+        pairs.select(col(idColA).as("id_a"), col(idColB).as("id_b")))
+      .withColumnRenamed("node", idCol)
+    df.join(org.apache.spark.sql.functions.broadcast(comps), Seq(idCol), "left")
+      .withColumn(clusterCol, coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn(outCol, assignment(col(clusterCol), weights))
+  }
 }

@@ -1883,4 +1883,110 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       AsofJoin.asof(ts, ts.withColumn("__p", lit(0)), "k", "ts", "v", "out")
     }
   }
+
+  test("extractJson: typed fields, null for malformed JSON and missing paths") {
+    val payloads = Seq(
+      (1L, """{"k": 87}"""),
+      (2L, """{"k": 5, "u": 42}"""),
+      (3L, """{"k"""),        // truncated — malformed
+      (4L, null: String))
+      .toDF("id", "props")
+    val out = Semistructured.extractJson(payloads, "props", Seq(
+        Semistructured.JsonField("k", "$.k", "bigint"),
+        Semistructured.JsonField("u", "$.u", "bigint")))
+      .select("id", "k", "u").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, Some(87L), None),
+      (2L, Some(5L), Some(42L)),
+      (3L, None, None),
+      (4L, None, None)))
+    // map-only: no shuffle anywhere in the extraction plan
+    val plan = planOf(Semistructured.extractJson(payloads, "props",
+      Seq(Semistructured.JsonField("k", "$.k", "bigint"))))
+    assert(!plan.contains("Exchange"), plan)
+    // output-name collision fails loudly
+    intercept[IllegalArgumentException] {
+      Semistructured.extractJson(payloads, "props",
+        Seq(Semistructured.JsonField("id", "$.k", "bigint")))
+    }
+  }
+
+  test("jsonKeyCensus: per-key presence, int shape, distinct values; corrupt rows drop") {
+    val payloads = Seq(
+      (1L, """{"k": 87, "s": "x"}"""),
+      (2L, """{"k": 87}"""),
+      (3L, """{"k": -1, "s": "y"}"""),
+      (4L, """{"k"""),        // malformed: contributes nothing
+      (5L, null: String))
+      .toDF("id", "props")
+    val out = Semistructured.jsonKeyCensus(payloads, "props")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("k", 3L, 3L, 2L),   // 87, 87, -1 — all int-shaped, 2 distinct
+      ("s", 2L, 0L, 2L)))  // "x", "y" — none int-shaped
+  }
+
+  test("assignByCluster: near-dup pairs never straddle a split; singletons keyed by id") {
+    // pairs 1-2 and 2-3 chain into one component {1,2,3}; 4 and 5 solo
+    val corpus = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Splits.assignByCluster(corpus, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    // whole component shares cluster id 1 AND the split assigned to it
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).forall(_ == 1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size === 1)
+    // singletons cluster to themselves, split by their own id
+    assert(byId(4L)._2 === 4L && byId(5L)._2 === 5L)
+    // the certificate: zero leakage under the cluster-keyed assignment
+    val assigned = Splits.assignByCluster(corpus, "doc_id", pairs)
+    val leaks = pairs
+      .join(assigned.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), "id_b")
+      .where(col("split_a") =!= col("split_b"))
+    assert(leaks.count() === 0)
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Splits.assignByCluster(corpus.withColumn("split", lit("x")),
+        "doc_id", pairs)
+    }
+  }
+
+  test("kmvDistinct: exact under k, estimate within bounds above k, layout-invariant") {
+    // exact path: fewer distinct values than k → the sketch IS the set
+    val small = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L))
+      .toDF("g", "v")
+    val exact = Sketch.kmvDistinct(small, "g", "v", k = 8).collect()
+    assert(exact.length === 1)
+    assert(exact.head.getLong(1) === 3L)        // n_kept
+    assert(exact.head.getDouble(2) === 3.0)     // est_distinct, exact
+    // estimation path: 500 distinct values, k=32 → (k-1)/u_k within a
+    // loose 2x band (KMV relative error ~ 1/sqrt(k-2) ≈ 18%)
+    val big = (1L to 500L).map(i => ("a", i)).toDF("g", "v")
+    val est = Sketch.kmvDistinct(big, "g", "v", k = 32).collect().head
+    assert(est.getLong(1) === 32L)
+    assert(est.getDouble(2) > 250.0 && est.getDouble(2) < 1000.0,
+      est.getDouble(2))
+    // layout invariance: same result bit-for-bit across partitionings
+    val re = Sketch.kmvDistinct(big.repartition(7), "g", "v", k = 32)
+      .collect().head
+    assert(re.getDouble(2) === est.getDouble(2))
+    // nulls ignored, matching count(DISTINCT)
+    val withNull = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)))
+      .toDF("g", "v")
+    assert(Sketch.kmvDistinct(withNull, "g", "v", k = 8)
+      .collect().head.getLong(1) === 2L)
+    // scale contract: the rank-k prune runs as WindowGroupLimit (each
+    // map task forwards at most k rows per group to the exchange)
+    val plan = planOf(Sketch.kmvDistinct(big, "g", "v", k = 32))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
