@@ -160,17 +160,24 @@ object Bench {
     (shown ++ extra).mkString("{", ",", "}")
   }
 
-  /** Stdout key for one query: the unique numeric prefix ("q53" for
+  /** Stdout key for one query: the unique numeric id ("53" for
     * "q53_semantic_dedup"). 82 full names at 5-char values overflow
-    * the driver's 2000-char capture window; the prefixes are unique by
-    * construction (BenchFormatSpec asserts it), BASELINE.md's per-query
-    * table matches rows by the same prefix, and the sidecar
+    * the driver's 2000-char capture window, and at 150 queries even
+    * the "q53"-style prefix form brushes the window's ceiling in the
+    * worst case (BenchFormatSpec's budget), so the stdout key drops
+    * the constant 'q' too. The ids are unique by construction
+    * (BenchFormatSpec asserts it), BASELINE.md's per-query table
+    * matches rows by the same id, and the sidecar
     * `target/bench-runs.json` keeps the full names. */
-  private[graft] def shortKey(name: String): String =
-    name.indexOf('_') match {
+  private[graft] def shortKey(name: String): String = {
+    val prefix = name.indexOf('_') match {
       case -1 => name
       case i  => name.substring(0, i)
     }
+    if (prefix.length > 1 && prefix.charAt(0) == 'q' &&
+        prefix.drop(1).forall(_.isDigit)) prefix.drop(1)
+    else prefix
+  }
 
   /** The single driver-facing JSON line (also built by BenchFormatSpec
     * to assert it stays well inside the 2000-char capture window).

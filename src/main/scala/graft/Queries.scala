@@ -2512,4 +2512,79 @@ object Queries {
         Seq("event_type"))
       .orderBy("event_type")
   }
+
+  /** Per-user behavioral transcript assembly
+    * ([[graft.ops.Assemble.transcripts]]): each user's first 20 events
+    * in (time, event_id) order joined into one sequence string — the
+    * event-log → training-example layout step — with the full event
+    * count and a truncation flag. Order is microsecond time with the
+    * event id as the unique tiebreak (the q120 determinism
+    * convention). */
+  def q148Transcripts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Assemble.transcripts(
+      events(spark, dir)
+        .where(col("user_id").isNotNull)
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "event_type", maxItems = 20)
+      .orderBy("user_id")
+
+  /** Temperature-flattened language mixing
+    * ([[graft.ops.Sample.ratesForTemperature]] at alpha = 0.5 +
+    * [[graft.ops.Sample.byRates]]): rebalance the skewed per-language
+    * document counts toward sqrt-share targets without upsampling (the
+    * rarest language keeps rate 1.0), apply the deterministic md5
+    * filter, and report available/rate/kept per language. The oracle
+    * replays the exact pow/min/multiply arithmetic (order-free by
+    * construction) and the 10^4-bucket cutoff. */
+  def q149TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val avail = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // language domain: bounded by construction; fail fast if a schema
+    // mistake points this at a high-cardinality column
+    require(avail.size <= 1000,
+      s"q149 grouped ${avail.size} languages — not a language column?")
+    val rates = graft.ops.Sample.ratesForTemperature(avail, alpha = 0.5)
+    val kept = graft.ops.Sample
+      .byRates(docs, "lang", "doc_id", rates, defaultRate = 0.0)
+      .groupBy("lang").agg(count(lit(1)).as("__nk"))
+    import spark.implicits._
+    val plan = avail.keys.toSeq.sorted
+      .map(g => (g, avail(g), rates(g)))
+      .toDF("lang", "n_available", "rate")
+    plan.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_available"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** KMV sketch mergeability, certified: sketch the two halves of the
+    * event log separately ([[graft.ops.Sketch.kmvState]] — the
+    * incremental-ingest shape: yesterday's persisted state + today's
+    * delta), merge the states ([[graft.ops.Sketch.kmvMergeStates]]),
+    * and compare against sketching the whole log in one pass. The
+    * merge is EXACT (k smallest of a union come from the per-side k
+    * smallest), so `states_equal` must be true and the estimates
+    * identical in every group — re-deriving that invariant on both
+    * engines. */
+  def q150KmvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val k = 64
+    val merged = graft.ops.Sketch.kmvMergeStates(
+      graft.ops.Sketch.kmvState(
+        ev.where(col("event_id") % 2 === 0), "event_type", "user_id", k),
+      graft.ops.Sketch.kmvState(
+        ev.where(col("event_id") % 2 === 1), "event_type", "user_id", k),
+      "event_type", k)
+      .withColumnRenamed("kmv", "kmv_m")
+    val whole = graft.ops.Sketch.kmvState(ev, "event_type", "user_id", k)
+    merged.join(whole, Seq("event_type"))
+      .select(col("event_type"),
+        size(col("kmv_m")).cast("long").as("k_state"),
+        graft.ops.Sketch.estimateFrom(col("kmv_m"), k).as("est_merged"),
+        graft.ops.Sketch.estimateFrom(col("kmv"), k).as("est_whole"),
+        (col("kmv_m") === col("kmv")).as("states_equal"))
+      .orderBy("event_type")
+  }
 }

@@ -170,6 +170,9 @@ object SparkEntry {
     "q145_cluster_split" -> (Queries.q145ClusterSplit(_, _)),
     "q146_json_key_census" -> (Queries.q146JsonKeyCensus(_, _)),
     "q147_kmv_users" -> (Queries.q147KmvUsers(_, _)),
+    "q148_transcripts" -> (Queries.q148Transcripts(_, _)),
+    "q149_temperature_mix" -> (Queries.q149TemperatureMix(_, _)),
+    "q150_kmv_merge" -> (Queries.q150KmvMerge(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2864,6 +2867,84 @@ GROUP BY s.split ORDER BY s.split""",
         |       ELSE round(63.0 / s.u_k, 4) END AS est_distinct
         |FROM ex JOIN s USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q148: ordered transcript assembly replay — microsecond time +
+    // event_id rank, string_agg over the first 20, full count beside
+    "q148_transcripts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS rk
+        |      FROM e),
+        |n AS (SELECT user_id, count(*) AS n_items FROM e GROUP BY user_id),
+        |t AS (SELECT user_id,
+        |        string_agg(event_type, '>' ORDER BY rk) AS transcript
+        |      FROM r WHERE rk <= 20 GROUP BY user_id)
+        |SELECT n.user_id, n.n_items, n.n_items > 20 AS truncated,
+        |  t.transcript
+        |FROM n JOIN t USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // q149: temperature-mix replay — the exact order-free
+    // pow/min-ratio/clamp arithmetic of ratesForTemperature (alpha
+    // 0.5) and the byRates 10^4-bucket md5 cutoff
+    "q149_temperature_mix" ->
+      """WITH avail AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM avail),
+        |w AS (SELECT lang, n, power(n::DOUBLE / t, 0.5) AS w
+        |      FROM avail CROSS JOIN tot),
+        |mr AS (SELECT min(n / w) AS m FROM w),
+        |r AS (SELECT lang, n, least(1.0, w * m / n) AS rate
+        |      FROM w CROSS JOIN mr),
+        |cut AS (SELECT lang, n, rate,
+        |          CAST(round(rate * 10000) AS BIGINT) AS cutoff FROM r),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS nk
+        |  FROM documents d JOIN cut ON d.lang = cut.lang
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        |        < cutoff
+        |  GROUP BY d.lang)
+        |SELECT c.lang, c.n AS n_available, round(c.rate, 6) AS rate,
+        |  coalesce(k.nk, 0) AS n_kept
+        |FROM cut c LEFT JOIN kept k ON c.lang = k.lang
+        |ORDER BY c.lang""".stripMargin,
+    // q150: the KMV merge invariant re-derived — per-half prune to 64,
+    // union + re-prune (merged path) vs one-pass prune (whole path),
+    // list-compared states and both estimates
+    "q150_kmv_merge" ->
+      """WITH hd AS (
+        |  SELECT DISTINCT event_type, event_id % 2 AS half,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |      / power(16, 15) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |hr AS (SELECT event_type, u,
+        |         row_number() OVER (PARTITION BY event_type, half
+        |           ORDER BY u) AS rk
+        |       FROM hd),
+        |pruned AS (SELECT DISTINCT event_type, u FROM hr WHERE rk <= 64),
+        |m AS (SELECT event_type, u,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+        |      FROM pruned),
+        |ms AS (SELECT event_type, count(*) AS kc, max(u) AS uk,
+        |         list(u ORDER BY u) AS st
+        |       FROM m WHERE rk <= 64 GROUP BY event_type),
+        |wh AS (SELECT DISTINCT event_type, u FROM hd),
+        |wr AS (SELECT event_type, u,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+        |       FROM wh),
+        |ws AS (SELECT event_type, count(*) AS kc, max(u) AS uk,
+        |         list(u ORDER BY u) AS st
+        |       FROM wr WHERE rk <= 64 GROUP BY event_type)
+        |SELECT ms.event_type, ms.kc AS k_state,
+        |  CASE WHEN ms.kc < 64 THEN ms.kc::DOUBLE
+        |       ELSE round(63.0 / ms.uk, 4) END AS est_merged,
+        |  CASE WHEN ws.kc < 64 THEN ws.kc::DOUBLE
+        |       ELSE round(63.0 / ws.uk, 4) END AS est_whole,
+        |  ms.st = ws.st AS states_equal
+        |FROM ms JOIN ws USING (event_type)
+        |ORDER BY ms.event_type""".stripMargin,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

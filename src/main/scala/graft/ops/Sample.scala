@@ -89,6 +89,35 @@ object Sample {
     }
   }
 
+  /**
+   * Temperature-flattened source mixing — the multilingual/multi-source
+   * rebalancing standard (exponents 0.3–0.7 in practice): target share
+   * of source i ∝ share_i^alpha, realized as the largest feasible
+   * mixture with no upsampling (the binding source keeps rate 1.0).
+   * alpha < 1 flattens toward uniform (rare sources keep more), 1 is
+   * the identity (every rate 1.0), > 1 sharpens toward the head.
+   *
+   * Arithmetic is deliberately ORDER-FREE — rate_i = min(1, w_i *
+   * min_j(n_j / w_j) / n_i) with w_i = (n_i / total)^alpha — so no
+   * floating-point summation of weights whose order could differ
+   * between engines or runs; `total` is an exact integer sum. Same
+   * driver-side tiny-domain contract as [[ratesForMixture]]; compose
+   * with [[byRates]] for the actual filter.
+   */
+  def ratesForTemperature(available: Map[String, Long],
+                          alpha: Double): Map[String, Double] = {
+    require(alpha > 0, "alpha must be positive")
+    require(available.nonEmpty, "available must be non-empty")
+    available.foreach { case (g, n) =>
+      require(n > 0, s"available count for '$g' must be positive") }
+    val total = available.values.sum
+    val w = available.map { case (g, n) =>
+      g -> math.pow(n.toDouble / total, alpha) }
+    val minRatio = available.map { case (g, n) => n / w(g) }.min
+    available.map { case (g, n) =>
+      g -> math.min(1.0, w(g) * minRatio / n) }
+  }
+
   /** Keep each group's rows at or above the group's own `p`-quantile
     * of `scoreCol` — the "top X% by quality per source" gate
     * (FineWeb-style percentile filtering), generalized to any score.

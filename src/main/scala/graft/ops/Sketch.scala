@@ -52,6 +52,20 @@ object Sketch {
    */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int): DataFrame = {
+    prunedHashes(df, groupCol, valueCol, k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"), max(col("__u")).as("__uk"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) / col("__uk"), 4)))
+      .drop("__uk")
+  }
+
+  /** Per-group (group, __u) hash fractions pruned to each group's k
+    * smallest distinct values — the shared front stage of the
+    * estimate and state forms. */
+  private def prunedHashes(df: DataFrame, groupCol: String,
+                           valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
     Seq("__u", "__rk", "n_kept", "est_distinct").foreach { c =>
       require(!df.columns.contains(c) || c == groupCol,
@@ -65,11 +79,46 @@ object Sketch {
     hashed
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= k)
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("n_kept"), max(col("__u")).as("__uk"))
-      .withColumn("est_distinct",
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) / col("__uk"), 4)))
-      .drop("__uk")
+      .drop("__rk")
   }
+
+  /**
+   * Sketch STATE form: one row per group holding the sorted array of
+   * its ≤k smallest distinct hash fractions — the persistable,
+   * MERGEABLE artifact (write it as parquet beside a corpus snapshot;
+   * union new data's state in with [[kmvMergeStates]] instead of
+   * re-scanning history). Same pruned pipeline as [[kmvDistinct]];
+   * the array is ≤k doubles per group.
+   */
+  def kmvState(df: DataFrame, groupCol: String, valueCol: String,
+               k: Int, stateCol: String = "kmv"): DataFrame =
+    prunedHashes(df, groupCol, valueCol, k)
+      .groupBy(groupCol)
+      .agg(sort_array(collect_list(col("__u"))).as(stateCol))
+
+  /**
+   * Merge two state frames (built with the same hash and k): per
+   * group, the k smallest of the UNION of hash sets. Exact, not
+   * approximate — the k smallest of A ∪ B are all within the k
+   * smallest of A plus the k smallest of B, so merging states loses
+   * nothing vs sketching the combined data. Groups present on one
+   * side only pass through. Aggregate state is ≤2k doubles per group.
+   */
+  def kmvMergeStates(a: DataFrame, b: DataFrame, groupCol: String,
+                     k: Int, stateCol: String = "kmv"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    Seq(a, b).foreach(df => require(df.columns.contains(stateCol),
+      s"state frames must carry a $stateCol column"))
+    a.unionByName(b)
+      .groupBy(groupCol)
+      .agg(slice(array_sort(array_distinct(
+        flatten(collect_list(col(stateCol))))), 1, k).as(stateCol))
+  }
+
+  /** Distinct-count estimate from a state array: exact (its size)
+    * under k, else (k-1)/u_k rounded to 4 decimals — the same
+    * contract as [[kmvDistinct]]'s `est_distinct`. */
+  def estimateFrom(state: Column, k: Int): Column =
+    when(size(state) < k, size(state).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) / element_at(state, k), 4))
 }

@@ -16,8 +16,8 @@ class BenchFormatSpec extends AnyFunSuite {
   test("bench stdout line fits the driver's 2000-char tail capture") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.nonEmpty)
-    // the stdout line keys each query by its numeric prefix (the
-    // sidecar keeps full names); the prefixes must stay unique or
+    // the stdout line keys each query by its bare numeric id (the
+    // sidecar keeps full names); the ids must stay unique or
     // two queries would collapse into one JSON key
     val keys = names.map(Bench.shortKey)
     assert(keys.distinct.size == names.size,
@@ -62,8 +62,8 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("boundedErrs escapes and truncates messages, keeps small sets whole") {
     val errs = Bench.boundedErrs(Seq(("q1", "a\"b\\c\nd"), ("q2", "ok")))
-    assert(errs == """{"q1":"a b c d","q2":"ok"}""")
+    assert(errs == """{"1":"a b c d","2":"ok"}""")
     val one = Bench.boundedErrs(Seq(("q1", "y" * 200)))
-    assert(one == s"""{"q1":"${"y" * 60}"}""")
+    assert(one == s"""{"1":"${"y" * 60}"}""")
   }
 }

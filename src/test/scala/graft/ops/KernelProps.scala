@@ -169,6 +169,29 @@ object KernelProps extends Properties("kernels") {
         })
     }
 
+  property("ratesForTemperature: rates in (0,1], a source binds, realized ∝ share^alpha") =
+    forAll(
+      Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(1L, 1000000L))
+          .map(cs => (1 to n).map(i => s"s$i").zip(cs).toMap)),
+      Gen.choose(0.1, 3.0)) { (avail, alpha) =>
+      val rates = Sample.ratesForTemperature(avail, alpha)
+      val total = avail.values.sum.toDouble
+      val w = avail.map { case (g, n) => g -> math.pow(n / total, alpha) }
+      val realized = rates.map { case (g, r) => g -> avail(g) * r }
+      // some source saturates (no upsampling → the binder keeps 1.0)
+      Prop(rates.values.forall(r => r > 0.0 && r <= 1.0)) &&
+        Prop(rates.values.exists(r => math.abs(r - 1.0) < 1e-9)) &&
+        // realized counts proportional to temperature-flattened shares
+        Prop {
+          val ref = avail.keys.head
+          avail.keys.forall { g =>
+            math.abs(realized(g) / realized(ref) - w(g) / w(ref)) <
+              1e-6 * (w(g) / w(ref))
+          }
+        }
+    }
+
   property("cdcChunksOf: lossless partition, boundary tokens end chunks") =
     forAll(Gen.listOf(word), Gen.choose(2, 16)) { (ws, b) =>
       val tokens = ws.toArray

@@ -1365,6 +1365,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("temperature rates: alpha=1 identity, rarest source binds, realized ∝ share^alpha") {
+    val avail = Map("en" -> 1000L, "fr" -> 100L, "de" -> 10L)
+    // alpha = 1 keeps the natural mixture: every rate 1.0
+    val id = Sample.ratesForTemperature(avail, alpha = 1.0)
+    assert(id.values.forall(r => math.abs(r - 1.0) < 1e-12))
+    // alpha = 0.5 flattens: the rarest source keeps everything...
+    val r = Sample.ratesForTemperature(avail, alpha = 0.5)
+    assert(r("de") === 1.0)
+    assert(r.values.forall(x => x > 0.0 && x <= 1.0))
+    // ...and realized counts are proportional to sqrt-shares
+    val w = avail.map { case (g, n) => g -> math.sqrt(n / 1110.0) }
+    val realized = r.map { case (g, x) => g -> avail(g) * x }
+    assert(math.abs(realized("en") / realized("de") - w("en") / w("de")) < 1e-9)
+    assert(math.abs(realized("fr") / realized("de") - w("fr") / w("de")) < 1e-9)
+    // head share shrinks toward uniform
+    assert(realized("en") / realized.values.sum < 1000.0 / 1110.0)
+    intercept[IllegalArgumentException] {
+      Sample.ratesForTemperature(avail, alpha = 0.0)
+    }
+  }
+
   test("curate lm gate has no opinion on zero-token docs") {
     val docs = Seq(
       (1L, "real content words in this document", "s"),
@@ -1988,5 +2009,67 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // map task forwards at most k rows per group to the exchange)
     val plan = planOf(Sketch.kmvDistinct(big, "g", "v", k = 32))
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("kmv state merge is exact: merged overlapping halves == whole-corpus sketch") {
+    val df = ((1L to 300L).map(i => ("a", i)) ++ (1L to 10L).map(i => ("b", i)))
+      .toDF("g", "v")
+    // overlapping halves: values 100-200 live in BOTH states — the
+    // merge must dedupe them (set union), not double-count
+    val h1 = df.where(col("v") <= 200L)
+    val h2 = df.where(col("v") >= 100L)
+    val merged = Sketch.kmvMergeStates(
+      Sketch.kmvState(h1, "g", "v", 16),
+      Sketch.kmvState(h2, "g", "v", 16), "g", 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val whole = Sketch.kmvState(df, "g", "v", 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(merged === whole)
+    assert(merged("a").size === 16)
+    assert(merged("b").size === 10) // under k: the state IS the set
+    // estimateFrom agrees with kmvDistinct's est_distinct column
+    val viaState = Sketch.kmvState(df, "g", "v", 16)
+      .select(col("g"), Sketch.estimateFrom(col("kmv"), 16).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = Sketch.kmvDistinct(df, "g", "v", 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(viaState === direct)
+    assert(viaState("b") === 10.0)
+  }
+
+  test("transcripts: ordered assembly, truncation, null items skipped but counted") {
+    // shuffled input order must not matter: order is (ord, id)
+    val ev = Seq(
+      ("u1", 3L, 30L, "c"), ("u1", 1L, 10L, "a"), ("u1", 2L, 20L, "b"),
+      ("u2", 1L, 10L, "x"), ("u2", 2L, 20L, null: String),
+      ("u2", 3L, 30L, "z"))
+      .toDF("u", "ord", "id", "item")
+    val two = Assemble.transcripts(ev, "u", Seq("ord", "id"), "item",
+      maxItems = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getString(3))).sortBy(_._1)
+    assert(two.toSeq === Seq(
+      ("u1", 3L, true, "a>b"),
+      ("u2", 3L, true, "x")))   // null item ranks 2nd but is skipped
+    val all = Assemble.transcripts(ev, "u", Seq("ord", "id"), "item",
+      maxItems = 10)
+      .collect().map(r => (r.getString(0), r.getBoolean(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(all.toSeq === Seq(
+      ("u1", false, "a>b>c"), ("u2", false, "x>z")))
+    // layout invariance: repartitioned input assembles identically
+    val re = Assemble.transcripts(ev.repartition(5), "u", Seq("ord", "id"),
+      "item", maxItems = 2)
+      .collect().map(r => (r.getString(0), r.getString(3))).sortBy(_._1)
+    assert(re.toSeq === two.map(t => (t._1, t._4)).toSeq)
+    // scale contract: the rank prune runs as WindowGroupLimit
+    val plan = planOf(Assemble.transcripts(ev, "u", Seq("ord", "id"),
+      "item", maxItems = 2))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Assemble.transcripts(ev.withColumn("transcript", lit("x")), "u",
+        Seq("ord"), "item", maxItems = 2)
+    }
   }
 }
