@@ -2896,7 +2896,7 @@ GROUP BY s.split ORDER BY s.split""",
         |w AS (SELECT lang, n, power(n::DOUBLE / t, 0.5) AS w
         |      FROM avail CROSS JOIN tot),
         |mr AS (SELECT min(n / w) AS m FROM w),
-        |r AS (SELECT lang, n, least(1.0, w * m / n) AS rate
+        |r AS (SELECT lang, n, least(1.0, round(w * m / n, 12)) AS rate
         |      FROM w CROSS JOIN mr),
         |cut AS (SELECT lang, n, rate,
         |          CAST(round(rate * 10000) AS BIGINT) AS cutoff FROM r),

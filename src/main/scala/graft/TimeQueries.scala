@@ -31,12 +31,19 @@ object TimeQueries {
     } catch { case _: Throwable => () }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      // time a noop-sink write, NOT count(): count() lets the optimizer
+      // prune unused columns, windows, and sorts, so a count()-timed
+      // plan can be much cheaper than the plan verify actually
+      // executes — misleading exactly the single-operator plan work
+      // this harness exists for. The noop v2 sink materializes every
+      // output column of every row and discards them executor-side.
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val rows = fn(spark, sfDir).count()
-        (rows, (System.nanoTime() - t0) / 1e9)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"TIME $n%s rows=${ts.head._1}%d min=${ts.map(_._2).min}%.3f s runs=[${ts.map(t => f"${t._2}%.3f").mkString(",")}]")
+      val rows = fn(spark, sfDir).count() // untimed, display only
+      println(f"TIME $n%s rows=$rows%d min=${ts.min}%.3f s runs=[${ts.map(t => f"$t%.3f").mkString(",")}]")
     }
     spark.stop()
   }

@@ -40,7 +40,7 @@ object Assemble {
                   sep: String = ">"): DataFrame = {
     require(maxItems > 0, "maxItems must be positive")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
-    Seq("__rk", "n_items", "truncated", "transcript").foreach { c =>
+    Seq("__rk", "__ag", "n_items", "truncated", "transcript").foreach { c =>
       require(!df.columns.contains(c),
         s"input already has a $c column")
     }
@@ -53,9 +53,13 @@ object Assemble {
       .agg(array_join(transform(
           array_sort(collect_list(struct(col("__rk"), col(itemCol).as("__it")))),
           x => x.getField("__it")), sep).as("transcript"))
+      .withColumnRenamed(groupCol, "__ag")
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_items"))
-    counts.join(assembled, Seq(groupCol))
+    // null-safe equality: a NULL group key is a legitimate group (both
+    // groupBys emit it) — a null-unsafe inner join would silently drop
+    // that group's whole row instead of assembling it
+    counts.join(assembled, col(groupCol) <=> col("__ag"))
       .withColumn("truncated", col("n_items") > maxItems)
       .select(col(groupCol), col("n_items"), col("truncated"),
         col("transcript"))

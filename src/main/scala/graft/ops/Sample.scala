@@ -103,6 +103,16 @@ object Sample {
    * between engines or runs; `total` is an exact integer sum. Same
    * driver-side tiny-domain contract as [[ratesForMixture]]; compose
    * with [[byRates]] for the actual filter.
+   *
+   * Rates are rounded to 12 decimals (half-up, the same rule SQL
+   * engines apply in `round(x, 12)`) before the final clamp: JVM
+   * `math.pow` and a SQL engine's `power()` may disagree in the last
+   * ulp, and an unrounded rate sitting within an ulp of a
+   * `byRates` 10^4-bucket boundary would let that ulp flip the
+   * cutoff — desyncing n_kept between engines. 12 decimals is far
+   * below any meaningful rate resolution and far above double noise,
+   * so both engines land on the same bucket count; an oracle replay
+   * must apply the same `round(rate, 12)` before deriving its cutoff.
    */
   def ratesForTemperature(available: Map[String, Long],
                           alpha: Double): Map[String, Double] = {
@@ -114,8 +124,11 @@ object Sample {
     val w = available.map { case (g, n) =>
       g -> math.pow(n.toDouble / total, alpha) }
     val minRatio = available.map { case (g, n) => n / w(g) }.min
+    // floor(x*1e12 + 0.5)/1e12 = round-half-away for positive x, the
+    // same rule as DuckDB/Spark round(x, 12)
+    def r12(v: Double): Double = math.floor(v * 1e12 + 0.5) / 1e12
     available.map { case (g, n) =>
-      g -> math.min(1.0, w(g) * minRatio / n) }
+      g -> math.min(1.0, r12(w(g) * minRatio / n)) }
   }
 
   /** Keep each group's rows at or above the group's own `p`-quantile

@@ -67,9 +67,14 @@ object Sketch {
   private def prunedHashes(df: DataFrame, groupCol: String,
                            valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    // no groupCol exemption: a group column NAMED __u/__rk/n_kept/
+    // est_distinct would collide with the select/agg outputs and
+    // produce a duplicate or ambiguous column instead of this loud
+    // failure — rename the group column first
     Seq("__u", "__rk", "n_kept", "est_distinct").foreach { c =>
-      require(!df.columns.contains(c) || c == groupCol,
-        s"input already has a $c column")
+      require(!df.columns.contains(c),
+        s"input already has a $c column (rename it — including the " +
+          "group column — before sketching)")
     }
     val hashed = df
       .where(col(valueCol).isNotNull)

@@ -206,6 +206,17 @@ object TextStats {
         round(col("__r.dup_2gram_frac"), 4).as("dup_2gram_frac"))
   }
 
+  /** [[repetitionStats]]' `dup_2gram_frac` as a row-local Column (same
+    * kernel, same 4-decimal rounding) — for composing the repetition
+    * gate into a projection instead of joining the stats frame back by
+    * id: the value is per-row arithmetic, so a pipeline gating on it
+    * should pay a column, not an id shuffle. Null text scores 0.0
+    * ([[repetitionOf]]'s zero-token contract). */
+  def dup2gramFrac(text: Column): Column = {
+    val rep = udf((s: String) => repetitionOf(s))
+    round(rep(text).getField("dup_2gram_frac"), 4)
+  }
+
   /** Corpus-level top-k word n-grams by document frequency (distinct
     * per doc — [[Dedup.shingleSet]] semantics) — the vocabulary/
     * boilerplate-discovery aggregate. Partial+final hash aggregate on
@@ -324,7 +335,11 @@ object TextStats {
                     ref: DataFrame, refTextCol: String,
                     minBigramCount: Int = 2,
                     lambda: Double = 0.9): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    // strictly below 1: at lambda == 1.0 the unigram floor vanishes and
+    // an unseen bigram scores -log(0) = Infinity, poisoning the
+    // document's avg_neg_logp (and any downstream rounding/compare)
+    require(lambda >= 0.0 && lambda < 1.0,
+      "lambda must be in [0, 1) — 1.0 gives unseen bigrams -log(0) = Infinity")
     require(minBigramCount >= 1, "minBigramCount must be >= 1")
     require(!Set("__a", "__b", "__cab", "__ca", "__cb", "__n", "__v",
       "__ws", "__p", "__nll", "__w", "__c",

@@ -178,10 +178,20 @@ object KernelProps extends Properties("kernels") {
       val rates = Sample.ratesForTemperature(avail, alpha)
       val total = avail.values.sum.toDouble
       val w = avail.map { case (g, n) => g -> math.pow(n / total, alpha) }
-      val realized = rates.map { case (g, r) => g -> avail(g) * r }
+      val minRatio = avail.map { case (g, n) => n / w(g) }.min
+      // the unrounded arithmetic the operator quantizes to 12 decimals
+      // (cross-engine cutoff stability); proportionality is asserted on
+      // THIS, and each returned rate must sit within half a quantum of
+      // it — in this generator domain (count ratio ≥ 1e-6, alpha ≤ 3)
+      // the smallest raw rate is (1e-6)^(3-1) = 1e-12, so quantization
+      // never rounds a live source to zero
+      val raw = avail.map { case (g, n) =>
+        g -> math.min(1.0, w(g) * minRatio / n) }
+      val realized = raw.map { case (g, r) => g -> avail(g) * r }
       // some source saturates (no upsampling → the binder keeps 1.0)
       Prop(rates.values.forall(r => r > 0.0 && r <= 1.0)) &&
         Prop(rates.values.exists(r => math.abs(r - 1.0) < 1e-9)) &&
+        Prop(avail.keys.forall(g => math.abs(rates(g) - raw(g)) <= 5e-13)) &&
         // realized counts proportional to temperature-flattened shares
         Prop {
           val ref = avail.keys.head

@@ -1314,6 +1314,12 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       someDocs, "text").count() === 0)
     assert(TextStats.bigramLmScore(someDocs, "doc_id", "text",
       noDocs, "text").count() === 2) // unigram floor of an empty model
+    // lambda == 1.0 is rejected: it erases the unigram floor, so an
+    // unseen bigram would score -log(0) = Infinity
+    intercept[IllegalArgumentException] {
+      TextStats.bigramLmScore(someDocs, "doc_id", "text",
+        someDocs, "text", lambda = 1.0)
+    }
     val noEvents = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("event_type", "ts", "value").where(c("value") < 0)
     assert(graft.streaming.EventStreams.tumbling(noEvents).count() === 0)
@@ -1383,6 +1389,14 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(realized("en") / realized.values.sum < 1000.0 / 1110.0)
     intercept[IllegalArgumentException] {
       Sample.ratesForTemperature(avail, alpha = 0.0)
+    }
+    // cross-engine contract: every rate is exactly representable at 12
+    // decimals (pre-rounded), so an oracle replaying the arithmetic
+    // with its own libm pow + round(x, 12) lands on the identical
+    // byRates bucket cutoff — a raw pow product an ulp off a 10^4
+    // boundary could otherwise flip n_kept between engines
+    r.values.foreach { x =>
+      assert(math.floor(x * 1e12 + 0.5) / 1e12 === x)
     }
   }
 
@@ -2009,6 +2023,13 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // map task forwards at most k rows per group to the exchange)
     val plan = planOf(Sketch.kmvDistinct(big, "g", "v", k = 32))
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // reserved-name guard rejects a GROUP column named after an output
+    // (previously exempted — it then produced a duplicate/ambiguous
+    // column downstream instead of a loud failure)
+    intercept[IllegalArgumentException] {
+      Sketch.kmvDistinct(small.withColumnRenamed("g", "n_kept"),
+        "n_kept", "v", k = 8)
+    }
   }
 
   test("kmv state merge is exact: merged overlapping halves == whole-corpus sketch") {
@@ -2071,5 +2092,20 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       Assemble.transcripts(ev.withColumn("transcript", lit("x")), "u",
         Seq("ord"), "item", maxItems = 2)
     }
+  }
+
+  test("transcripts: a NULL group key is assembled, not silently dropped") {
+    val ev = Seq(
+      (null: String, 1L, 10L, "a"), (null: String, 2L, 20L, "b"),
+      ("u1", 1L, 10L, "x"))
+      .toDF("u", "ord", "id", "item")
+    val got = Assemble.transcripts(ev, "u", Seq("ord", "id"), "item",
+      maxItems = 10)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getString(3))).sortBy(_._1)
+    // the null-keyed group comes back as one assembled row (null-safe
+    // join), with the same count/transcript contract as any group
+    assert(got.toSeq === Seq(
+      (None, 2L, "a>b"), (Some("u1"), 1L, "x")))
   }
 }
