@@ -3,9 +3,12 @@ package graft
 /** Diagnostic main: runs the q57 curation pipeline against a scale-
   * factor dir and prints per-stage wall-clock (the `StageStat.elapsedMs`
   * monitoring surface) — the tool for attributing q57 bench drift to a
-  * stage. Round-9 profile at sf0.1/32 threads: no stage exceeds ~30%
-  * of the total; cost is the composition (10 persist+agg jobs) plus
-  * the band-index build, not any one operator.
+  * stage. Round-11 profile at sf0.1/32 threads: the four row-local
+  * gates are fused into one materialization (logged on the novelty
+  * row), leaving 7 persist+agg jobs; the fused front is the largest
+  * single cost (it pays the source scan + embedding join), the rest
+  * is the composition plus the band-index build, not any one
+  * operator.
   *
   * Usage: runMain graft.CurateTiming [sfDir]
   */

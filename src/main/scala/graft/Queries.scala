@@ -2300,17 +2300,27 @@ object Queries {
         substring(md5(col("p_partkey").cast("string").cast("binary")), 1, 6),
         lit(" "), col("p_name"))
         .as("name"))
-    val typos = base.filter(col("id") % 7 === 0).select(
+    // two planted typo families: every 7th part duplicates with its
+    // LAST char flipped (prefix blocks catch it), every 11th with its
+    // FIRST char flipped (only the suffix blocking pass can see it —
+    // the recall case a single prefix key provably misses)
+    val tailTypos = base.filter(col("id") % 7 === 0).select(
       (col("id") + 1000000L).as("id"),
       concat(expr("substring(name, 1, length(name) - 1)"), lit("x"))
         .as("name"))
-    base.unionByName(typos)
+    val headTypos = base.filter(col("id") % 11 === 0).select(
+      (col("id") + 2000000L).as("id"),
+      concat(lit("x"), expr("substring(name, 2)")).as("name"))
+    base.unionByName(tailTypos).unionByName(headTypos)
   }
 
   /** Record linkage, pair stage: blocked fuzzy matching over the
     * staged part records — every planted typo pair (and nothing
     * else at this threshold, by construction of the md5 tags) comes
-    * back with its edit similarity. */
+    * back with its edit similarity. The tail-typo family exercises
+    * the prefix blocking pass; the HEAD-typo family (first char
+    * flipped) is invisible to prefix blocking and pins the suffix
+    * pass's recall. */
   def q142EntityPairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Entity.matchPairs(entityStage(spark, dir), "id", "name",
       blockChars = 6, minSim = 0.9)
@@ -2585,6 +2595,26 @@ object Queries {
         graft.ops.Sketch.estimateFrom(col("kmv_m"), k).as("est_merged"),
         graft.ops.Sketch.estimateFrom(col("kmv"), k).as("est_whole"),
         (col("kmv_m") === col("kmv")).as("states_equal"))
+      .orderBy("event_type")
+  }
+
+  /** q147's cardinality contract replayed through the MERGEABLE
+    * aggregate form ([[graft.ops.KmvAggregator]]): per-event-type KMV
+    * states from ONE hash aggregate (partial map-side, no distinct
+    * pre-pass, no rank window), composed with `rollup` for the
+    * grand-total row — the grouping-set composition the window form
+    * cannot express. The oracle re-derives each sketch (and the
+    * rollup total over the distinct union) with the rank-k replay,
+    * certifying UDAF ≡ window-form semantics on a second engine. */
+  def q151KmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    events(spark, dir)
+      .rollup("event_type")
+      .agg(graft.ops.KmvAggregator.kmvStateAgg(col("user_id"), k).as("kmv"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        graft.ops.Sketch.estimateFrom(col("kmv"), k).as("est_distinct"))
       .orderBy("event_type")
   }
 }

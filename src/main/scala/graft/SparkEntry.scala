@@ -173,6 +173,7 @@ object SparkEntry {
     "q148_transcripts" -> (Queries.q148Transcripts(_, _)),
     "q149_temperature_mix" -> (Queries.q149TemperatureMix(_, _)),
     "q150_kmv_merge" -> (Queries.q150KmvMerge(_, _)),
+    "q151_kmv_rollup" -> (Queries.q151KmvRollup(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -267,20 +268,34 @@ object SparkEntry {
       |  SELECT id, name FROM base
       |  UNION ALL
       |  SELECT id + 1000000, substr(name, 1, length(name) - 1) || 'x'
-      |  FROM base WHERE id % 7 = 0),
+      |  FROM base WHERE id % 7 = 0
+      |  UNION ALL
+      |  SELECT id + 2000000, 'x' || substr(name, 2)
+      |  FROM base WHERE id % 11 = 0),
       |kk AS (
-      |  SELECT id, nm, substr(nm, 1, 6) AS blk FROM (
+      |  SELECT id, nm, substr(nm, 1, 6) AS bp,
+      |    substr(nm, greatest(length(nm) - 5, 1), 6) AS bs FROM (
       |    SELECT id,
       |      regexp_replace(regexp_replace(lower(trim(name)),
       |        '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g') AS nm
       |    FROM staged)
       |  WHERE nm <> ''),
+      |bsn AS (SELECT bs, count(*) AS n FROM kk GROUP BY bs),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb
+      |  FROM kk a JOIN kk b ON a.bp = b.bp AND a.id < b.id
+      |  UNION ALL
+      |  SELECT a.id, b.id, a.nm, b.nm
+      |  FROM kk a JOIN kk b
+      |    ON a.bs = b.bs AND a.id < b.id AND a.bp <> b.bp
+      |  JOIN bsn ON bsn.bs = a.bs
+      |  WHERE bsn.n <= 64),
       |pairs AS (
       |  SELECT * FROM (
-      |    SELECT a.id AS id_a, b.id AS id_b,
-      |      round(1.0 - levenshtein(a.nm, b.nm)::DOUBLE
-      |        / greatest(length(a.nm), length(b.nm)), 4) AS sim
-      |    FROM kk a JOIN kk b ON a.blk = b.blk AND a.id < b.id)
+      |    SELECT id_a, id_b,
+      |      round(1.0 - levenshtein(na, nb)::DOUBLE
+      |        / greatest(length(na), length(nb)), 4) AS sim
+      |    FROM cand)
       |  WHERE sim >= 0.9)""".stripMargin
 
   /** Shared staging for the q144/q146 semi-structured oracles: the
@@ -2945,6 +2960,33 @@ GROUP BY s.split ORDER BY s.split""",
         |  ms.st = ws.st AS states_equal
         |FROM ms JOIN ws USING (event_type)
         |ORDER BY ms.event_type""".stripMargin,
+    // q151: the UDAF form re-derived — per-type rank-64 prune, plus
+    // the ROLLUP total row as the rank-64 prune over the distinct
+    // union of all fractions (what merging every group buffer yields)
+    "q151_kmv_rollup" ->
+      """WITH hd AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |      / power(16, 15) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, u,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+        |      FROM hd),
+        |s AS (SELECT event_type, count(*) AS n_kept, max(u) AS u_k
+        |      FROM r WHERE rk <= 64 GROUP BY event_type),
+        |au AS (SELECT DISTINCT u FROM hd),
+        |ar AS (SELECT u, row_number() OVER (ORDER BY u) AS rk FROM au),
+        |asx AS (SELECT count(*) AS n_kept, max(u) AS u_k
+        |        FROM ar WHERE rk <= 64),
+        |unioned AS (
+        |  SELECT event_type, n_kept, u_k FROM s
+        |  UNION ALL
+        |  SELECT 'ALL', n_kept, u_k FROM asx)
+        |SELECT event_type, n_kept,
+        |  CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+        |       ELSE round(63.0 / u_k, 4) END AS est_distinct
+        |FROM unioned
+        |ORDER BY event_type""".stripMargin,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

@@ -44,8 +44,12 @@ import org.apache.spark.storage.StorageLevel
  * count and its predecessor released right after, so stage N's count
  * reads stage N-1's cache instead of recomputing stages 1..N-1 from
  * the source — at 100 TB the difference between one scan and a scan
- * per stage. The RETURNED frame is still persisted (it is the last
- * stage's cache); the caller writes it out or unpersists it.
+ * per stage. The four ROW-LOCAL gates (1-4) go further: they share
+ * ONE annotated cache and ONE conditional-aggregate job that emits
+ * all four report rows, so the front of the pipeline costs one
+ * materialization, not four. The RETURNED frame is still persisted
+ * (it is the last stage's cache); the caller writes it out or
+ * unpersists it.
  */
 object Curate {
 
@@ -117,35 +121,70 @@ object Curate {
     // rest of the session (a bench harness catches the exception and
     // keeps running) — release the live stage cache and rethrow
     try {
-      val fresh = historicalCorpus match {
-        case Some(hist) =>
-          stage("novelty", Novelty.exactNovel(docs, hist, textCol))
-        case None => docs
+      // the four ROW-LOCAL gates — novelty (left join against the
+      // distinct corpus key set), near-novelty (broadcast-sketch
+      // probe), quality (regex kernel), repetition (dup-2-gram UDF) —
+      // are FUSED into one annotated, persisted frame and ONE
+      // aggregate job that emits every fused stage's (count, digest)
+      // row via conditional aggregation over the cumulative gates. The
+      // monotone per-stage report is unchanged, but the pipeline pays
+      // one persist+scan where it used to pay up to four, and the old
+      // repetition keep-list semi-join (an id shuffle) disappears: the
+      // gate value rides the row. The quality value is computed ONCE
+      // and carried as a column because keep-best dedup needs it again
+      // (scoring the corpus twice would repeat the regex pass per row).
+      Seq("__curate_novel", "__curate_nearnovel", "__curate_q",
+        "__curate_rfrac").foreach { c =>
+        require(!docs.columns.contains(c),
+          s"input column $c collides with Curate's reserved name") }
+      val tq0 = System.nanoTime()
+      var flagged = docs
+      // (stage name, this stage's OWN gate) in pipeline order; the agg
+      // below folds them cumulatively so each stage's survivors are
+      // "every gate so far", exactly as the unfused pipeline filtered
+      val gates = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.spark.sql.Column)]
+      historicalCorpus.foreach { hist =>
+        flagged = Novelty.exactNovelFlag(flagged, hist, textCol,
+          "__curate_novel")
+        gates += (("novelty", col("__curate_novel")))
       }
-      val nearFresh = bandIndex match {
-        case Some(idx) =>
-          stage("near_novelty", Novelty.nearNovel(fresh, idx, textCol))
-        case None => fresh
+      bandIndex.foreach { idx =>
+        flagged = Novelty.nearNovelFlag(flagged, idx, textCol,
+          "__curate_nearnovel")
+        gates += (("near_novelty", col("__curate_nearnovel")))
       }
-      // keep-best needs the quality value again at the dedup stage;
-      // compute it ONCE here, carry the column through the row-removing
-      // stages (cached with them), and drop it after dedup — scoring
-      // the corpus twice would repeat a multi-regex pass per row
-      val quality = stage("quality",
-        if (keepBestByQuality) {
-          require(!nearFresh.columns.contains("__curate_q"),
-            "input column __curate_q collides with Curate's reserved name")
-          nearFresh.withColumn("__curate_q",
-            TextStats.qualityScore(col(textCol)))
-            .where(col("__curate_q") >= minQuality)
-        } else
-          nearFresh.where(TextStats.qualityScore(col(textCol)) >= minQuality))
-      val repetition = stage("repetition", {
-        val keep = TextStats.repetitionStats(quality, idCol, textCol)
-          .where(col("dup_2gram_frac") <= maxDup2gramFrac)
-          .select(idCol)
-        quality.join(keep, Seq(idCol), "left_semi")
-      })
+      flagged = flagged
+        .withColumn("__curate_q", TextStats.qualityScore(col(textCol)))
+        .withColumn("__curate_rfrac", TextStats.dup2gramFrac(col(textCol)))
+      gates += (("quality", col("__curate_q") >= minQuality))
+      gates += (("repetition", col("__curate_rfrac") <= maxDup2gramFrac))
+      val cumulative = gates.scanLeft(lit(true)) {
+        case (acc, (_, g)) => acc && g }.drop(1)
+      val allOk = cumulative.last
+      val annot = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dig = Profile.rowDigest(Seq(col(idCol)))
+        val zero = lit(0).cast("decimal(38,0)")
+        val aggs = cumulative.flatMap { g =>
+          Seq(count(when(g, 1)), coalesce(sum(when(g, dig)), zero)) }
+        val r = annot.agg(aggs.head, aggs.tail.toSeq: _*).head()
+        // one materialization backs all fused report rows; its wall
+        // time is logged on the first row (the rest ride the same
+        // conditional agg, marginal cost ~0)
+        val ms = (System.nanoTime() - tq0) / 1000000L
+        gates.zipWithIndex.foreach { case ((name, _), i) =>
+          b += StageStat(name, r.getLong(2 * i),
+            r.getDecimal(2 * i + 1).toBigInteger.toString,
+            if (i == 0) ms else 0L)
+        }
+      } catch { case e: Throwable => annot.unpersist(); throw e }
+      prev.foreach(_.unpersist())
+      prev = Some(annot)
+      val repetition = {
+        val gated = annot.where(allOk)
+          .drop("__curate_novel", "__curate_nearnovel", "__curate_rfrac")
+        if (keepBestByQuality) gated else gated.drop("__curate_q")
+      }
       val lmGated = maxAvgNegLogp match {
         case Some(cap) => stage("lm_gate", {
           // scored under the SURVIVORS' own unigram model (the corpus at

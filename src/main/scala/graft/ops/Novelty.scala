@@ -47,6 +47,24 @@ object Novelty {
       exactKey(textCol) === corpusKeys("__nk"), "left_anti")
   }
 
+  /** [[exactNovel]] as an ANNOTATION instead of a filter: docs plus a
+    * boolean `flagCol` (true = novel). Lets a multi-gate pipeline fold
+    * the novelty decision into one shared projection/cache instead of
+    * materializing a filtered frame per gate; same key arithmetic, and
+    * the corpus key set is distinct so the left join cannot fan rows
+    * out. */
+  def exactNovelFlag(docs: DataFrame, corpus: DataFrame, textCol: String,
+                     flagCol: String): DataFrame = {
+    require(!docs.columns.contains("__nk"),
+      "input column __nk collides with exactNovelFlag's reserved name")
+    require(!docs.columns.contains(flagCol),
+      s"input column $flagCol already exists")
+    val corpusKeys = corpus.select(exactKey(textCol).as("__nk")).distinct()
+    docs.join(corpusKeys, exactKey(textCol) === corpusKeys("__nk"), "left")
+      .withColumn(flagCol, col("__nk").isNull)
+      .drop("__nk")
+  }
+
   /** File-source stream wired through [[exactNovel]]. */
   def streamExactNovel(spark: SparkSession, dir: String, corpus: DataFrame,
                        textCol: String): DataFrame = {
@@ -136,6 +154,30 @@ object Novelty {
       .withColumn("__sig", Dedup.minhashSignature(col("__sh"), index.numHashes))
       .withColumn("__bhs", Dedup.bandHashes(col("__sig"), index.bands, r))
       .where(size(col("__sh")) === 0 || !anyHit(col("__bhs")))
+      .drop("__sh", "__sig", "__bhs")
+  }
+
+  /** [[nearNovel]] as an ANNOTATION instead of a filter: docs plus a
+    * boolean `flagCol` (true = no band collision against the indexed
+    * corpus). Same map-only shape — per-row expressions plus the
+    * broadcast sketch; the shingle/signature intermediates are
+    * projected and dropped, so the optimizer computes each once. */
+  def nearNovelFlag(docs: DataFrame, index: BandIndex, textCol: String,
+                    flagCol: String): DataFrame = {
+    val r = index.numHashes / index.bands
+    val sc = docs.sparkSession.sparkContext
+    val bloomB = sc.broadcast(index.bloom)
+    val anyHit = udf((bhs: Seq[Long]) =>
+      bhs != null && bhs.exists(bloomB.value.mightContain))
+    val clash = docs.columns.toSet
+      .intersect(Set("__sh", "__sig", "__bhs", flagCol))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with nearNovelFlag's names")
+    docs
+      .withColumn("__sh", Dedup.shingles(col(textCol), index.shingleSize))
+      .withColumn("__sig", Dedup.minhashSignature(col("__sh"), index.numHashes))
+      .withColumn("__bhs", Dedup.bandHashes(col("__sig"), index.bands, r))
+      .withColumn(flagCol, size(col("__sh")) === 0 || !anyHit(col("__bhs")))
       .drop("__sh", "__sig", "__bhs")
   }
 

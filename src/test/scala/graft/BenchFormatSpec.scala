@@ -30,8 +30,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val worst = Bench.fmt(9999.9)
     assert(worst.length == 5, s"ladder ceiling regressed: '$worst'")
     val qs = keys.map(k => s""""$k":$worst""").mkString("{", ",", "}")
+    // include the optional vsb field at its widest so the budget holds
+    // on the provenance-carrying sf0.1 line too
     val line = Bench.line(9999.9 * names.size, qs, "{}",
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", 0, Some(9999.9))
     // budget: 2000-char driver capture minus the ~80-char sbt trailer,
     // minus safety margin
     assert(line.length < 1900,
@@ -65,5 +67,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(errs == """{"1":"a b c d","2":"ok"}""")
     val one = Bench.boundedErrs(Seq(("q1", "y" * 200)))
     assert(one == s"""{"1":"${"y" * 60}"}""")
+  }
+
+  test("baselineRows parses BASELINE.md's per-query table") {
+    val rows = Bench.baselineRows()
+    // the table exists in this repo and covers (nearly) the whole
+    // battery; a parse regression would silently drop the vsb
+    // provenance field, so pin a floor and a couple of known rows
+    assert(rows.size > 100, s"only ${rows.size} baseline rows parsed")
+    assert(rows.contains("q57_curate"))
+    assert(rows("q1_agg") > 0.0)
+    assert(rows.values.forall(v => v > 0.0 && v < 1000.0))
+  }
+
+  test("vsb rides the line only when provided") {
+    val withV = Bench.line(1.0, "{}", "{}", "/x/sf0.1", 0, Some(0.743))
+    assert(withV.contains(""""vsb":0.743,"queries""""))
+    val without = Bench.line(1.0, "{}", "{}", "/x/sf0.001")
+    assert(!without.contains("vsb"))
   }
 }

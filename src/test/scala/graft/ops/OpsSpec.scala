@@ -1288,6 +1288,39 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.head.getDouble(2) === 0.8)
   }
 
+  test("entity resolution: a LEADING-chars typo is caught by the suffix blocking pass") {
+    // "jonh" vs "john" diverge inside the first 3 chars, so the two
+    // records never share a prefix block — the exact recall hole a
+    // single-key blocker has. The suffix pass blocks both on "ith"
+    // and the pair verifies at sim = 1 - 2/10 = 0.8.
+    val recs = Seq(
+      (1L, "John Smith"),
+      (2L, "Jonh Smith"),
+      (3L, "Mary Jones"))
+      .toDF("id", "name")
+    val pairs = Entity.matchPairs(recs, "id", "name", blockChars = 3,
+      minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0.8)))
+    // disjointness: a pair sharing BOTH keys is emitted exactly once
+    val dup = Seq((1L, "Acme Inc"), (2L, "Acme Inc")).toDF("id", "name")
+    assert(Entity.matchPairs(dup, "id", "name", blockChars = 3,
+      minSim = 0.8).count() === 1)
+    // block purging: an oversized suffix block (everyone ends in
+    // "corp") sits out the secondary pass instead of going quadratic —
+    // the head-typo pair inside it is NOT found at cap 2, found again
+    // once the cap admits the block
+    val crowd = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf").zipWithIndex.map { case (w, i) =>
+      (i + 3L, s"$w corp") }
+    val hotSuffix = (Seq((1L, "John Wincorp"), (2L, "Jonh Wincorp")) ++
+      crowd).toDF("id", "name")
+    assert(Entity.matchPairs(hotSuffix, "id", "name", blockChars = 4,
+      minSim = 0.8, maxSuffixBlock = 2).count() === 0)
+    assert(Entity.matchPairs(hotSuffix, "id", "name", blockChars = 4,
+      minSim = 0.8, maxSuffixBlock = 64).count() === 1)
+  }
+
   test("degenerate inputs: core operators return empty frames, never throw") {
     // empty sources/partitions are routine at corpus scale (an idle
     // ingest tick, a filtered-out shard) — every pipeline stage must
@@ -2030,6 +2063,44 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       Sketch.kmvDistinct(small.withColumnRenamed("g", "n_kept"),
         "n_kept", "v", k = 8)
     }
+  }
+
+  test("kmv UDAF == window form bit-identically; rollup total == whole-corpus state") {
+    import org.apache.spark.sql.functions.{coalesce => co, col => c, lit, size => sz}
+    val k = 16
+    val df = ((1L to 300L).map(i => ("a", Some(i))) ++
+      (1L to 10L).map(i => ("b", Some(i))) ++
+      Seq(("a", None: Option[Long]))) // null value: ignored by both forms
+      .toDF("g", "v")
+    val viaUdaf = df.groupBy("g")
+      .agg(KmvAggregator.kmvStateAgg(c("v"), k).as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val viaWindow = Sketch.kmvState(df, "g", "v", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(viaUdaf === viaWindow) // exact doubles, both groups
+    // layout invariance: partial buffers merge to the same state
+    val re = df.repartition(7).groupBy("g")
+      .agg(KmvAggregator.kmvStateAgg(c("v"), k).as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(re === viaUdaf)
+    // rollup composes: the total row equals sketching the whole frame
+    // under one group — the merge of every per-group buffer
+    val roll = df.rollup("g")
+      .agg(KmvAggregator.kmvStateAgg(c("v"), k).as("kmv"))
+      .select(co(c("g"), lit("ALL")).as("g"), c("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val whole = Sketch.kmvState(df.withColumn("g", lit("ALL")), "g", "v", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(roll("ALL") === whole("ALL"))
+    assert(roll("a") === viaUdaf("a") && roll("b") === viaUdaf("b"))
+    // estimate contract rides estimateFrom unchanged: exact under k
+    val est = df.groupBy("g")
+      .agg(KmvAggregator.kmvStateAgg(c("v"), k).as("kmv"))
+      .select(c("g"), sz(c("kmv")).as("n"),
+        Sketch.estimateFrom(c("kmv"), k).as("e"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(est("b") === ((10, 10.0)))
+    assert(est("a")._1 === k)
   }
 
   test("kmv state merge is exact: merged overlapping halves == whole-corpus sketch") {
