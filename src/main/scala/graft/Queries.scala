@@ -2617,4 +2617,33 @@ object Queries {
         graft.ops.Sketch.estimateFrom(col("kmv"), k).as("est_distinct"))
       .orderBy("event_type")
   }
+
+  /** The STREAMING ingest gate ([[graft.ops.Curate.streamingGate]])
+    * run in its batch form (same code path batch/stream — the
+    * streamed≡batch equivalence is a spec; THIS row pins the gate
+    * arithmetic against the oracle): exact novelty vs the historical
+    * slice, quality >= 0.3, repetition <= 0.3, LM gate against a
+    * PRE-FITTED top-4096 unigram reference model (fit on the
+    * historical slice — the fit/apply split an ingest edge needs),
+    * and exact-gram decontamination vs the benchmark slice. Output is
+    * each admitted doc with its reference-model score (NULL = the
+    * no-opinion tokenless case). The band-index stage is deliberately
+    * absent: a Bloom filter is not SQL-replayable (its plumbing is
+    * pinned by q57 and the streamed≡batch spec instead). */
+  def q152StreamGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val hist = docs.filter(col("doc_id") % 5 === 0)
+    val input = docs.filter(col("doc_id") % 5 =!= 0)
+    val benchmark = docs.filter(col("doc_id") % 101 === 0)
+    val model = graft.ops.TextStats.fitUnigramRef(hist, "text", 4096)
+    val grams = graft.ops.Decontaminate.fitBenchGrams(benchmark, "text", 5)
+    val kept = graft.ops.Curate.streamingGate(input,
+      minQuality = 0.3, maxDup2gramFrac = 0.3,
+      historicalCorpus = Some(hist),
+      unigramRef = Some((model, 9.0)),
+      benchGrams = Some(grams))
+    graft.ops.TextStats.unigramRefScore(kept, "text", model, "lm_ref")
+      .select(col("doc_id"), col("lm_ref"))
+      .orderBy("doc_id")
+  }
 }

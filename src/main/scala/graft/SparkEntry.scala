@@ -174,6 +174,7 @@ object SparkEntry {
     "q149_temperature_mix" -> (Queries.q149TemperatureMix(_, _)),
     "q150_kmv_merge" -> (Queries.q150KmvMerge(_, _)),
     "q151_kmv_rollup" -> (Queries.q151KmvRollup(_, _)),
+    "q152_stream_gate" -> (Queries.q152StreamGate(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2987,6 +2988,110 @@ GROUP BY s.split ORDER BY s.split""",
         |       ELSE round(63.0 / u_k, 4) END AS est_distinct
         |FROM unioned
         |ORDER BY event_type""".stripMargin,
+    // q152: the streaming ingest gate's batch form re-derived — md5
+    // novelty anti-join, q33 quality, dup-2-gram repetition, the
+    // top-4096 add-one unigram REFERENCE model (fit on hist, scored on
+    // survivors), and exact 5-gram benchmark decontamination
+    "q152_stream_gate" ->
+      """WITH input AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |hist AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |bench AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+        |s1 AS MATERIALIZED (
+        |  SELECT i.* FROM input i
+        |  WHERE md5(regexp_replace(lower(trim(i.text)), '\s+', ' ', 'g')) NOT IN
+        |    (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) FROM hist)),
+        |tok3 AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM s1) r
+        |  WHERE w <> ''),
+        |stats3 AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok3 GROUP BY doc_id),
+        |s3 AS MATERIALIZED (
+        |  SELECT s1.* FROM s1 JOIN (
+        |    SELECT d.doc_id,
+        |      round(least(coalesce(s.n, 0) / 20.0, 1.0) * 0.3
+        |        + (1.0 - least((CASE WHEN length(d.text) > 0 THEN
+        |            (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |            ELSE 0.0 END) * 4, 1.0)) * 0.2
+        |        + least(CASE WHEN coalesce(s.n, 0) > 0 THEN coalesce(s.stops, 0)::DOUBLE / s.n ELSE 0.0 END * 4, 1.0) * 0.3
+        |        + CASE WHEN coalesce(s.mtl, 0) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS q
+        |    FROM s1 d LEFT JOIN stats3 s USING (doc_id)) qs USING (doc_id)
+        |  WHERE qs.q >= 0.3),
+        |norm4 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '') AS ws
+        |  FROM s3),
+        |ga4 AS MATERIALIZED (
+        |  SELECT doc_id, sum(c) AS tg, count(*) AS dg FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS g
+        |      FROM norm4 WHERE len(ws) >= 2) t GROUP BY doc_id, g) gc
+        |  GROUP BY doc_id),
+        |s4 AS MATERIALIZED (
+        |  SELECT s3.* FROM s3 JOIN (
+        |    SELECT n.doc_id, round(coalesce((ga4.tg - ga4.dg) / ga4.tg, 0), 4) AS dup2
+        |    FROM norm4 n LEFT JOIN ga4 ON n.doc_id = ga4.doc_id) r USING (doc_id)
+        |  WHERE r.dup2 <= 0.3),
+        |toksh AS MATERIALIZED (
+        |  SELECT w FROM (
+        |    SELECT unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS w
+        |    FROM hist) r),
+        |vocab AS MATERIALIZED (
+        |  SELECT w, c FROM (SELECT w, count(*) AS c FROM toksh GROUP BY w)
+        |  ORDER BY c DESC, w ASC LIMIT 4096),
+        |mt AS MATERIALIZED (
+        |  SELECT coalesce(sum(c), 0) AS total, count(*) + 1 AS v FROM vocab),
+        |t5 AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS w
+        |    FROM s4) r),
+        |sc AS MATERIALIZED (
+        |  SELECT t5.doc_id,
+        |    round(avg(-ln((coalesce(vocab.c, 0) + 1) / (mt.total + mt.v))), 3) AS lm
+        |  FROM t5 LEFT JOIN vocab USING (w) CROSS JOIN mt
+        |  GROUP BY t5.doc_id),
+        |s5 AS MATERIALIZED (
+        |  SELECT s4.* FROM s4 LEFT JOIN sc USING (doc_id)
+        |  WHERE sc.lm IS NULL OR sc.lm <= 9.0),
+        |norm6 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM s5),
+        |g_new AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM norm6 WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm6 WHERE len(ws) BETWEEN 1 AND 4),
+        |normb AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM bench),
+        |g_b AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM normb WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT array_to_string(ws, ' ') AS g
+        |  FROM normb WHERE len(ws) BETWEEN 1 AND 4),
+        |s6 AS MATERIALIZED (
+        |  SELECT s5.* FROM s5 WHERE doc_id NOT IN (
+        |    SELECT DISTINCT n.doc_id FROM g_new n JOIN g_b b ON n.g = b.g))
+        |SELECT s6.doc_id, sc.lm AS lm_ref
+        |FROM s6 LEFT JOIN sc USING (doc_id)
+        |ORDER BY s6.doc_id""".stripMargin,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

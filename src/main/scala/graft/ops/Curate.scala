@@ -222,4 +222,89 @@ object Curate {
       (split, Report(b.toSeq))
     } catch { case e: Throwable => prev.foreach(_.unpersist()); throw e }
   }
+
+  /**
+   * STREAMING ingest gate — the stateless prefix of [[standard]] as
+   * one transformation that works on a streaming OR batch frame (the
+   * same code path, so the streamed≡batch equivalence is structural):
+   *
+   *   [exact novelty]  — stream-static left-anti vs a STATIC
+   *                      historical corpus ([[Novelty.exactNovel]])
+   *   [near novelty]   — broadcast [[Novelty.BandIndex]] probe, map-only
+   *   quality          — [[TextStats.qualityScore]] >= minQuality
+   *   repetition       — [[TextStats.dup2gramFrac]] <= maxDup2gramFrac
+   *   [LM gate]        — [[TextStats.unigramRefScore]] vs a PRE-FITTED
+   *                      [[TextStats.UnigramRef]] (an ingest stream
+   *                      cannot self-score the way [[standard]]'s
+   *                      batch LM stage does; tokenless docs pass —
+   *                      same no-opinion contract)
+   *   decontamination  — [[Decontaminate.cleanFlag]] vs a pre-fitted
+   *                      EXACT [[Decontaminate.BenchGrams]] set
+   *
+   * Everything here is a per-row expression plus broadcast fit
+   * artifacts (or a supported stream-static anti-join), so the gate
+   * runs in APPEND mode with no watermark and no state — the shape an
+   * ingest edge wants: documents are accepted/rejected the moment
+   * they arrive. The STATEFUL tail (exact/near/semantic dedup, split
+   * assignment) cannot be a per-row decision; land gated micro-batches
+   * via `foreachBatch` and run [[standard]] (or
+   * [[Dedup.incrementalNearDupPairs]] against the accumulated corpus)
+   * there — the fit/apply split this library uses everywhere.
+   */
+  def streamingGate(docs: DataFrame, textCol: String = "text",
+                    minQuality: Double = 0.3,
+                    maxDup2gramFrac: Double = 0.3,
+                    historicalCorpus: Option[DataFrame] = None,
+                    bandIndex: Option[Novelty.BandIndex] = None,
+                    unigramRef: Option[(TextStats.UnigramRef, Double)] = None,
+                    benchGrams: Option[Decontaminate.BenchGrams] = None)
+      : DataFrame = {
+    Seq("__gate_nn", "__gate_lm", "__gate_cl").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input column $c collides with streamingGate's reserved names") }
+    val fresh = historicalCorpus match {
+      case Some(hist) => Novelty.exactNovel(docs, hist, textCol)
+      case None => docs
+    }
+    val nearFresh = bandIndex match {
+      case Some(idx) =>
+        Novelty.nearNovelFlag(fresh, idx, textCol, "__gate_nn")
+          .where(col("__gate_nn")).drop("__gate_nn")
+      case None => fresh
+    }
+    val gated = nearFresh
+      .where(TextStats.qualityScore(col(textCol)) >= minQuality)
+      .where(TextStats.dup2gramFrac(col(textCol)) <= maxDup2gramFrac)
+    val lmGated = unigramRef match {
+      case Some((model, cap)) =>
+        // tokenless docs score NULL and pass (no-opinion contract)
+        TextStats.unigramRefScore(gated, textCol, model, "__gate_lm")
+          .where(col("__gate_lm").isNull || col("__gate_lm") <= cap)
+          .drop("__gate_lm")
+      case None => gated
+    }
+    benchGrams match {
+      case Some(bg) =>
+        Decontaminate.cleanFlag(lmGated, textCol, bg, "__gate_cl")
+          .where(col("__gate_cl")).drop("__gate_cl")
+      case None => lmGated
+    }
+  }
+
+  /** File-source stream wired through [[streamingGate]] — the test /
+    * quick-start entry (schema from a batch peek, then readStream). */
+  def streamGate(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 textCol: String = "text",
+                 minQuality: Double = 0.3,
+                 maxDup2gramFrac: Double = 0.3,
+                 historicalCorpus: Option[DataFrame] = None,
+                 bandIndex: Option[Novelty.BandIndex] = None,
+                 unigramRef: Option[(TextStats.UnigramRef, Double)] = None,
+                 benchGrams: Option[Decontaminate.BenchGrams] = None)
+      : DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    streamingGate(spark.readStream.schema(schema).parquet(dir), textCol,
+      minQuality, maxDup2gramFrac, historicalCorpus, bandIndex,
+      unigramRef, benchGrams)
+  }
 }

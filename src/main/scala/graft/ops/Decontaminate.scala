@@ -149,6 +149,43 @@ object Decontaminate {
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
 
+  /** The benchmark's EXACT distinct gram set as a broadcastable fit
+    * artifact — the streaming-gate form of decontamination: fit once
+    * per benchmark version, probe per row with [[cleanFlag]] (no join,
+    * no shuffle, no state — works inside a streaming micro-batch).
+    * Exact, not a Bloom sketch: the gate must not drop clean docs to
+    * false positives. Driver-bounded by `maxGrams` with a loud
+    * failure (an eval set is small by definition; a "benchmark" that
+    * is not should use the distributed [[decontaminate]] join). */
+  final case class BenchGrams(grams: Set[String], n: Int)
+    extends Serializable
+
+  def fitBenchGrams(benchmark: DataFrame, textCol: String, n: Int = 5,
+                    maxGrams: Int = 1000000): BenchGrams = {
+    val rows = benchGrams(benchmark, textCol, n)
+      .limit(maxGrams + 1).collect()
+    require(rows.length <= maxGrams,
+      s"benchmark has more than $maxGrams distinct $n-grams — not an " +
+        "eval set; use the distributed decontaminate join instead")
+    BenchGrams(rows.map(_.getString(0)).toSet, n)
+  }
+
+  /** Docs plus a boolean `flagCol`: true = shares NO n-gram with the
+    * fitted benchmark set — exactly [[decontaminate]]'s keep rule
+    * ([[Dedup.shingleSet]] gram semantics incl. the whole-text
+    * pseudo-gram for short docs), as a map-only broadcast probe. */
+  def cleanFlag(docs: DataFrame, textCol: String, bench: BenchGrams,
+                flagCol: String): DataFrame = {
+    require(!docs.columns.contains(flagCol),
+      s"input column $flagCol already exists")
+    val sc = docs.sparkSession.sparkContext
+    val bc = sc.broadcast(bench.grams)
+    val hit = udf((gs: Seq[String]) =>
+      gs != null && gs.exists(bc.value.contains))
+    docs.withColumn(flagCol,
+      !hit(Dedup.shingles(col(textCol), bench.n)))
+  }
+
   /**
    * Per-document containment RATIO: the fraction of each doc's
    * distinct n-grams present in the reference set — the graded form of

@@ -303,6 +303,67 @@ object TextStats {
     out
   }
 
+  /** Bounded unigram reference model — the FIT artifact for streaming-
+    * side LM gating ([[graft.ops.Curate.streamingGate]]): an ingest
+    * stream cannot self-score ([[unigramLogProb]] needs the whole
+    * corpus), so the model is fitted ONCE on a reference ("good text")
+    * corpus and broadcast. Vocabulary truncates to the top `vocabSize`
+    * words by (count desc, word asc) — deterministic, SQL-replayable —
+    * and scoring is add-one smoothed over the kept vocabulary:
+    * p(w) = (c(w)+1) / (total+V), total = kept-count sum, V = |vocab|+1
+    * (the +1 is the out-of-vocabulary bucket). Driver state is bounded
+    * by vocabSize (a TakeOrderedAndProject collect). */
+  final case class UnigramRef(counts: Map[String, Long], total: Long,
+                              vocab: Long) extends Serializable
+
+  def fitUnigramRef(ref: DataFrame, textCol: String,
+                    vocabSize: Int = 65536): UnigramRef = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val rows = ref
+      .select(explode(Dedup.normalizedTokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(vocabSize)
+      .collect()
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    UnigramRef(counts, counts.values.sum, counts.size + 1L)
+  }
+
+  /** Per-row negative-log-probability under a fitted [[UnigramRef]] —
+    * the map-only APPLY path (broadcast model + one UDF; no join, no
+    * shuffle, no state — streaming-safe). Contract matches
+    * [[unigramLogProb]]'s score column: mean over token INSTANCES,
+    * 3-decimal half-up rounding; docs with zero normalized tokens get
+    * NULL — a perplexity gate has no opinion on tokenless docs (route
+    * them to a length gate), mirroring the batch LM gate's anti-join
+    * semantics. */
+  def unigramRefScore(docs: DataFrame, textCol: String,
+                      model: UnigramRef, outCol: String): DataFrame = {
+    require(!docs.columns.contains(outCol),
+      s"input column $outCol already exists")
+    val sc = docs.sparkSession.sparkContext
+    val bc = sc.broadcast(model)
+    val score = udf((s: String) => {
+      val m = bc.value
+      val ws =
+        if (s == null) Array.empty[String]
+        else s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val denom = (m.total + m.vocab).toDouble
+        var acc = 0.0
+        var i = 0
+        while (i < ws.length) {
+          acc += -math.log((m.counts.getOrElse(ws(i), 0L) + 1L) / denom)
+          i += 1
+        }
+        // same half-up 3-decimal rule as unigramLogProb's round(.., 3)
+        Some(math.floor(acc / ws.length * 1000 + 0.5) / 1000)
+      }
+    })
+    docs.withColumn(outCol, score(col(textCol)))
+  }
+
   /**
    * CCNet-style interpolated bigram language-model scoring: fit
    * unigram/bigram counts on a REFERENCE corpus (the "good text"

@@ -2065,6 +2065,54 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("unigram reference model: bounded deterministic fit, hand-checked scoring, null contract") {
+    val ref = Seq((1L, "a a b c"), (2L, "a b")).toDF("id", "text")
+    val m = TextStats.fitUnigramRef(ref, "text", vocabSize = 2)
+    // counts a->3 b->2 c->1; top-2 by (count desc, word asc) = a, b;
+    // total = 5 kept instances, vocab = 2 + 1 OOV bucket
+    assert(m.counts === Map("a" -> 3L, "b" -> 2L))
+    assert(m.total === 5L)
+    assert(m.vocab === 3L)
+    val docs = Seq((1L, "a c"), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = TextStats.unigramRefScore(docs, "text", m, "s")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    // p(a) = (3+1)/(5+3), p(c OOV) = (0+1)/(5+3); mean of -ln, half-up e3
+    val expected = math.floor(
+      (-math.log(4.0 / 8) - math.log(1.0 / 8)) / 2 * 1000 + 0.5) / 1000
+    assert(got(1L) === Some(expected))
+    // tokenless and null docs: NULL score (the gate's no-opinion case)
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+    intercept[IllegalArgumentException] {
+      TextStats.fitUnigramRef(ref, "text", vocabSize = 0)
+    }
+  }
+
+  test("benchmark gram set: cleanFlag keeps exactly decontaminate's survivors; fit guard fires") {
+    import org.apache.spark.sql.functions.{col => c}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares a 5-gram
+      (2L, "totally different words over here indeed"),
+      (3L, "tiny")) // whole-text pseudo-gram, shared
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (9L, "beta gamma delta epsilon zeta eta"),
+      (8L, "tiny")).toDF("doc_id", "text")
+    val bg = Decontaminate.fitBenchGrams(bench, "text", 5)
+    val viaFlag = Decontaminate.cleanFlag(corpus, "text", bg, "ok")
+      .where(c("ok")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val viaJoin = Decontaminate.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaFlag === Set(2L))
+    assert(viaFlag === viaJoin)
+    // a "benchmark" too big for the driver fails loudly
+    intercept[IllegalArgumentException] {
+      Decontaminate.fitBenchGrams(bench, "text", 5, maxGrams = 1)
+    }
+  }
+
   test("kmv UDAF == window form bit-identically; rollup total == whole-corpus state") {
     import org.apache.spark.sql.functions.{coalesce => co, col => c, lit, size => sz}
     val k = 16
