@@ -2646,4 +2646,18 @@ object Queries {
       .select(col("doc_id"), col("lm_ref"))
       .orderBy("doc_id")
   }
+
+  /** Exact heavy-hitter TOKENS over the corpus
+    * ([[graft.ops.Frequent.heavyHitters]]): every token exceeding 1%
+    * of all token instances, with its exact count — stopword/
+    * boilerplate discovery with O(k) aggregate state (Misra–Gries
+    * candidates, k=100) instead of a billion-key hash aggregate. The
+    * oracle replays the full GROUP BY / HAVING — exactly what the
+    * two-pass construction guarantees to equal. */
+  def q153HeavyTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Frequent.heavyHitters(
+      t(spark, dir, "documents")
+        .select(explode(graft.ops.Dedup.normalizedTokens(col("text")))
+          .as("token")),
+      "token", phi = 0.01)
 }

@@ -175,6 +175,7 @@ object SparkEntry {
     "q150_kmv_merge" -> (Queries.q150KmvMerge(_, _)),
     "q151_kmv_rollup" -> (Queries.q151KmvRollup(_, _)),
     "q152_stream_gate" -> (Queries.q152StreamGate(_, _)),
+    "q153_heavy_tokens" -> (Queries.q153HeavyTokens(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3092,6 +3093,20 @@ GROUP BY s.split ORDER BY s.split""",
         |SELECT s6.doc_id, sc.lm AS lm_ref
         |FROM s6 LEFT JOIN sc USING (doc_id)
         |ORDER BY s6.doc_id""".stripMargin,
+    // q153: heavy hitters replayed as the full GROUP BY / HAVING the
+    // bounded-state two-pass construction guarantees to equal
+    "q153_heavy_tokens" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    w -> w <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT token, count(*) AS n_occurrences
+        |FROM t CROSS JOIN tot
+        |GROUP BY token, tot.n
+        |HAVING count(*) > 0.01 * tot.n
+        |ORDER BY n_occurrences DESC, token ASC""".stripMargin,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

@@ -2065,6 +2065,37 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("misra-gries heavy hitters: exact vs full groupBy, layout-invariant, null-safe") {
+    import org.apache.spark.sql.functions.{col => c}
+    // zipf-ish stream: "a" 50, "b" 30, "c" 12, 20 singletons → n=112
+    val values = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(12)("c") ++ (1 to 20).map(i => s"x$i") ++
+      Seq(null.asInstanceOf[String])
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v")
+    val got = Frequent.heavyHitters(df, "v", phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // > 11.2 occurrences: a (50), b (30), c (12); nulls excluded from n
+    assert(got.toSeq === Seq(("a", 50L), ("b", 30L), ("c", 12L)))
+    // exact == the full groupBy/having it replaces
+    val full = df.where(c("v").isNotNull).groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .where(c("n") > 0.1 * 112).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(-_._2)
+    assert(got.toSeq === full.toSeq)
+    // layout invariance: partial MG buffers merge to a candidate
+    // SUPERSET regardless of partitioning, so the exact pass agrees
+    val re = Frequent.heavyHitters(df.repartition(13), "v", phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(re.toSeq === got.toSeq)
+    // a phi no value reaches → empty, not an error
+    assert(Frequent.heavyHitters(df, "v", phi = 0.6).count() === 0)
+    intercept[IllegalArgumentException] {
+      Frequent.heavyHitters(df, "v", phi = 1.0)
+    }
+  }
+
   test("unigram reference model: bounded deterministic fit, hand-checked scoring, null contract") {
     val ref = Seq((1L, "a a b c"), (2L, "a b")).toDF("id", "text")
     val m = TextStats.fitUnigramRef(ref, "text", vocabSize = 2)
