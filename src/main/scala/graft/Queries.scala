@@ -2660,4 +2660,51 @@ object Queries {
         .select(explode(graft.ops.Dedup.normalizedTokens(col("text")))
           .as("token")),
       "token", phi = 0.01)
+
+  /** HTML → text extraction ([[graft.ops.Web.htmlToText]]): each doc's
+    * text is wrapped in a synthetic HTML page exercising every rule —
+    * script/style subtrees (whose CONTENT must vanish), comments,
+    * attribute-bearing tags, the six named entities incl. the
+    * double-escape case — and the extractor must recover the body text
+    * plus the decoded footer. The oracle replays the identical
+    * RE2-compatible regex chain. */
+  def q154HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><script type=\"text/js\">var x = 1 < 2;</script>" +
+        "<style>p { color: red }</style></head><body><!-- nav --><p>"),
+      col("text"),
+      lit("</p><DIV class=\"f\">&amp;lt; &lt;tag&gt; &nbsp;&#39;q&quot;</DIV></body></html>"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.Web.htmlToText(page).as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** URL → host/registrable-domain parsing
+    * ([[graft.ops.Web.host]]/[[graft.ops.Web.apexDomain]]) over
+    * synthesized crawl URLs exercising credentials, ports, multi-part
+    * public suffixes, and unparseable relative URLs — rolled up to the
+    * per-apex (n_docs, n_hosts) census that feeds per-domain caps and
+    * leakage-safe splits. Relative URLs land in the explicit '(none)'
+    * bucket (host() returns NULL, never ""). */
+  def q155DomainCensus(spark: SparkSession, dir: String): DataFrame = {
+    val url = when(col("doc_id") % 17 === 0,
+      concat(lit("/rel/"), col("doc_id").cast("string")))
+      .otherwise(concat(
+        lit("https://"),
+        when(col("doc_id") % 11 === 0, lit("u:p@")).otherwise(lit("")),
+        lit("sub"), (col("doc_id") % 7).cast("string"),
+        lit(".dom"), (col("doc_id") % 13).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string")))
+    t(spark, dir, "documents")
+      .select(graft.ops.Web.host(url).as("host"))
+      .select(col("host"),
+        graft.ops.Web.apexDomain(col("host")).as("apex"))
+      .groupBy(coalesce(col("apex"), lit("(none)")).as("apex"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy("apex")
+  }
 }

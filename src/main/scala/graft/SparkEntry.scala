@@ -176,6 +176,8 @@ object SparkEntry {
     "q151_kmv_rollup" -> (Queries.q151KmvRollup(_, _)),
     "q152_stream_gate" -> (Queries.q152StreamGate(_, _)),
     "q153_heavy_tokens" -> (Queries.q153HeavyTokens(_, _)),
+    "q154_html_extract" -> (Queries.q154HtmlExtract(_, _)),
+    "q155_domain_census" -> (Queries.q155DomainCensus(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3107,6 +3109,59 @@ GROUP BY s.split ORDER BY s.split""",
         |GROUP BY token, tot.n
         |HAVING count(*) > 0.01 * tot.n
         |ORDER BY n_occurrences DESC, token ASC""".stripMargin,
+    // q154: the HTML → text regex chain replayed verbatim (RE2 inline
+    // flags; same pattern strings, same order, ending with the
+    // double-escape-correct &amp; decode)
+    "q154_html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/js">var x = 1 < 2;</script><style>p { color: red }</style></head><body><!-- nav --><p>'
+        |    || text ||
+        |    '</p><DIV class="f">&amp;lt; &lt;tag&gt; &nbsp;&#39;q&quot;</DIV></body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<(script|style|noscript)\b[^>]*>.*?</(script|style|noscript)>',
+        |  ' ', 'g') AS h FROM page),
+        |s2 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(h,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS h
+        |  FROM s3)
+        |SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS text
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    // q155: host + approximate-PSL apex replayed with the same regex
+    // and the same multi-part suffix set (interpolated from the ONE
+    // Scala definition so the two engines cannot drift)
+    "q155_domain_census" -> {
+      val suffixes = graft.ops.Web.DefaultMultiPartSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (
+         |  SELECT CASE WHEN doc_id % 17 = 0 THEN '/rel/' || doc_id::VARCHAR
+         |    ELSE 'https://'
+         |      || CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END
+         |      || 'sub' || (doc_id % 7)::VARCHAR
+         |      || '.dom' || (doc_id % 13)::VARCHAR
+         |      || CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+         |      || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+         |      || '/p/' || doc_id::VARCHAR END AS url
+         |  FROM documents),
+         |h AS (SELECT nullif(regexp_extract(lower(trim(url)),
+         |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), '') AS host
+         |  FROM u),
+         |a AS (SELECT host, CASE
+         |    WHEN host IS NULL THEN NULL
+         |    WHEN len(ls) <= 2 THEN host
+         |    WHEN (ls[-2] || '.' || ls[-1]) IN ($suffixes)
+         |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |    ELSE ls[-2] || '.' || ls[-1] END AS apex
+         |  FROM (SELECT host, string_split(host, '.') AS ls FROM h))
+         |SELECT coalesce(apex, '(none)') AS apex,
+         |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts
+         |FROM a GROUP BY 1 ORDER BY apex""".stripMargin
+    },
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

@@ -2065,6 +2065,46 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("htmlToText: subtrees vanish, tags separate, entities decode, double-escape correct") {
+    import org.apache.spark.sql.functions.{col => c}
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      // script/style CONTENT must vanish, not just the tags
+      (2L, "<script>var a = '<p>sneaky</p>';</script>text<style>p{}</style>", "text"),
+      (3L, "a<!-- hidden <b>x</b> -->b", "a b"),
+      // entities, incl. the double-escape: &amp;lt; is literal "&lt;"
+      (4L, "x &amp; y &lt;z&gt; &quot;&#39; &amp;lt;", "x & y <z> \"' &lt;"),
+      // tags become separators: adjacent cells don't fuse
+      (5L, "<td>one</td><td>two</td>", "one two"),
+      (6L, "<SCRIPT SRC=\"x.js\">ignored</SCRIPT>kept", "kept"),
+      (7L, "", ""))
+      .toDF("id", "html", "expected")
+    val got = cases.select(c("id"), Web.htmlToText(c("html")).as("t"),
+      c("expected")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"case ${r.getLong(0)}"))
+  }
+
+  test("url host + apex domain: credentials/ports stripped, multi-part suffixes, relative -> null") {
+    import org.apache.spark.sql.functions.{col => c}
+    val cases = Seq(
+      ("https://www.example.com/p?q=1", "www.example.com", "example.com"),
+      ("http://u:p@deep.sub.host.co.uk:8080/x", "deep.sub.host.co.uk", "host.co.uk"),
+      ("https://example.com", "example.com", "example.com"),
+      ("ftp://localhost/file", "localhost", "localhost"),
+      ("HTTPS://MiXeD.CaSe.ORG/Z", "mixed.case.org", "case.org"),
+      ("/relative/path", null, null),
+      ("not a url", null, null))
+      .toDF("url", "eh", "ea")
+    val got = cases.select(Web.host(c("url")).as("h"), c("eh"), c("ea"))
+      .withColumn("a", Web.apexDomain(c("h")))
+      .collect()
+    got.foreach { r =>
+      assert(Option(r.getString(0)) === Option(r.getString(1)), r.toString)
+      assert(Option(r.getString(3)) === Option(r.getString(2)), r.toString)
+    }
+  }
+
   test("misra-gries heavy hitters: exact vs full groupBy, layout-invariant, null-safe") {
     import org.apache.spark.sql.functions.{col => c}
     // zipf-ish stream: "a" 50, "b" 30, "c" 12, 20 singletons → n=112
