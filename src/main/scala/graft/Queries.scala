@@ -2707,4 +2707,27 @@ object Queries {
         countDistinct(col("host")).as("n_hosts"))
       .orderBy("apex")
   }
+
+  /** The Gopher/MassiveText rule bundle
+    * ([[graft.ops.GopherRules.qualityFlags]]) over documents with
+    * synthesized STRUCTURE (bullet lines, ellipsis endings, #-runs,
+    * numeric-only lines layered on by doc_id residue classes) so every
+    * rule fires somewhere — per-doc rule columns plus the combined
+    * pass flag, all replayed verbatim by the oracle. minWords lowered
+    * to 10 for the short synthetic docs (the band is the documented
+    * corpus-dependent knob). */
+  def q156GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val structured = concat_ws("\n",
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit("• a bullet item")),
+      when(col("doc_id") % 6 === 0, lit("- another list line")),
+      when(col("doc_id") % 5 === 0, lit("a trailing thought...")),
+      when(col("doc_id") % 9 === 0, lit("#### #tags remain ####")),
+      when(col("doc_id") % 7 === 0, lit("42 17 99 31 55 0 8 13 21 34")))
+    graft.ops.GopherRules.qualityFlags(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), structured.as("text")),
+      "doc_id", "text", minWords = 10)
+      .orderBy("doc_id")
+  }
 }

@@ -178,6 +178,7 @@ object SparkEntry {
     "q153_heavy_tokens" -> (Queries.q153HeavyTokens(_, _)),
     "q154_html_extract" -> (Queries.q154HtmlExtract(_, _)),
     "q155_domain_census" -> (Queries.q155DomainCensus(_, _)),
+    "q156_gopher_rules" -> (Queries.q156GopherRules(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3162,6 +3163,48 @@ GROUP BY s.split ORDER BY s.split""",
          |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts
          |FROM a GROUP BY 1 ORDER BY apex""".stripMargin
     },
+    // q156: every Gopher rule re-derived over the same synthesized
+    // structure — token HOFs as list_* calls, unrounded ratios in the
+    // pass flag exactly as the operator compares them
+    "q156_gopher_rules" ->
+      """WITH st AS (
+        |  SELECT doc_id, concat_ws(chr(10), text,
+        |    CASE WHEN doc_id % 4 = 0 THEN '• a bullet item' END,
+        |    CASE WHEN doc_id % 6 = 0 THEN '- another list line' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'a trailing thought...' END,
+        |    CASE WHEN doc_id % 9 = 0 THEN '#### #tags remain ####' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN '42 17 99 31 55 0 8 13 21 34' END) AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, text,
+        |  list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws,
+        |  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+        |  FROM st),
+        |m AS (SELECT doc_id, text, ws, ls,
+        |  len(ws) AS n, len(ls) AS nl,
+        |  list_sum(list_transform(ws, x -> length(x))) AS tc,
+        |  length(text) - length(regexp_replace(text, '#', '', 'g')) AS hc,
+        |  (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS ec,
+        |  len(list_filter(ls, l -> regexp_matches(l, '^\s*[•\-\*]'))) AS bl,
+        |  len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS el,
+        |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS aw,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    s -> list_contains(ws, s))) AS sp
+        |  FROM w)
+        |SELECT doc_id,
+        |  coalesce(n, 0) AS n_words,
+        |  CASE WHEN n > 0 THEN round(tc::DOUBLE / n, 3) END AS mean_word_len,
+        |  CASE WHEN n > 0 THEN round((hc + ec)::DOUBLE / n, 4) END AS symbol_word_ratio,
+        |  CASE WHEN n > 0 AND nl > 0 THEN round(bl::DOUBLE / nl, 4) END AS bullet_line_frac,
+        |  CASE WHEN n > 0 AND nl > 0 THEN round(el::DOUBLE / nl, 4) END AS ellipsis_line_frac,
+        |  CASE WHEN n > 0 THEN round(aw::DOUBLE / n, 4) END AS alpha_word_frac,
+        |  CASE WHEN n > 0 THEN sp ELSE 0 END AS n_stop_present,
+        |  coalesce(CASE WHEN n > 0 THEN
+        |    n >= 10 AND n <= 100000
+        |    AND tc::DOUBLE / n >= 3.0 AND tc::DOUBLE / n <= 10.0
+        |    AND (hc + ec)::DOUBLE / n <= 0.1
+        |    AND (nl = 0 OR (bl::DOUBLE / nl <= 0.9 AND el::DOUBLE / nl <= 0.3))
+        |    AND aw::DOUBLE / n >= 0.8 AND sp >= 2 END, false) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

@@ -2065,6 +2065,41 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("gopher rules: hand-checked flags per rule, zero-token fail contract") {
+    import org.apache.spark.sql.functions.{col => c}
+    val good = "the quick brown fox jumps over and over with great energy " +
+      "that nobody can have or be close to of late" // 21 words, stops, alpha
+    val docs = Seq(
+      (1L, good),
+      (2L, "• one\n• two\n• three"), // all bullet lines, few words
+      (3L, good + "\nwait for it..."), // one of two lines ends ...
+      (4L, "#### " + good), // symbol ratio pushed up
+      (5L, "   "),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = GopherRules.qualityFlags(docs, "id", "text", minWords = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8) === true)
+    assert(got(1L).getLong(1) === 21L)
+    assert(got(1L).getLong(7) >= 2L) // stop words present
+    // doc 2: bullet_line_frac = 1.0 > 0.9 → fail
+    assert(got(2L).getDouble(4) === 1.0)
+    assert(got(2L).getBoolean(8) === false)
+    // doc 3: ellipsis_line_frac = 0.5 > 0.3 → fail, and the '...' also
+    // counts into the symbol ratio numerator
+    assert(got(3L).getDouble(5) === 0.5)
+    assert(got(3L).getBoolean(8) === false)
+    // doc 4: 4 hashes + 22 words → ratio > 0.1 → fail
+    assert(got(4L).getDouble(3) > 0.1)
+    assert(got(4L).getBoolean(8) === false)
+    // blank/null docs: zero words, ratios NULL, pass false (not null)
+    Seq(5L, 6L).foreach { id =>
+      assert(got(id).getLong(1) === 0L)
+      assert(got(id).isNullAt(2))
+      assert(got(id).getBoolean(8) === false)
+    }
+  }
+
   test("htmlToText: subtrees vanish, tags separate, entities decode, double-escape correct") {
     import org.apache.spark.sql.functions.{col => c}
     val cases = Seq(
