@@ -2730,4 +2730,45 @@ object Queries {
       "doc_id", "text", minWords = 10)
       .orderBy("doc_id")
   }
+
+  /** Multi-epoch data recipe end-to-end
+    * ([[graft.ops.Sample.epochPlan]] + materializeEpochs): a 1.8x-of-
+    * available token budget at 4:3:2:1 weights forces every source to
+    * a different epoch count (≈2.88/2.16/1.44/0.72 — full passes plus
+    * a deterministic fractional sample), the fan-out materializes via
+    * map-side explode, and the realized row/token/epoch counts land
+    * beside the plan. The oracle re-derives the whole recipe: exact
+    * integer budget, the plan arithmetic in the same operation order,
+    * the 10^4 md5 cutoff, and the materialization counts. */
+  def q157EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val weights = Map("src0" -> 4.0, "src1" -> 3.0,
+      "src2" -> 2.0, "src3" -> 1.0)
+    val tk = t(spark, dir, "documents")
+      .where(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextStats.tokenCount(col("text")).cast("long").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val avail = tk.groupBy("source").agg(sum(col("toks")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = avail.values.sum * 9L / 5L // exact integer 1.8x
+    val plan = graft.ops.Sample.epochPlan(avail, weights, budget)
+    val mat = graft.ops.Sample
+      .materializeEpochs(tk, "source", "doc_id", plan)
+      .groupBy("source").agg(count(lit(1)).as("__nr"),
+        sum(col("toks")).as("__ot"), max(col("epoch")).as("__me"))
+    import spark.implicits._
+    val planDf = weights.keys.toSeq.sorted
+      .map { g => (g, avail(g), plan(g).full.toLong, plan(g).fracRate) }
+      .toDF("source", "avail_tokens", "full_epochs", "frac_rate")
+    val out = planDf.join(mat, Seq("source"), "left")
+      .select(col("source"), col("avail_tokens"), col("full_epochs"),
+        round(col("frac_rate"), 6).as("frac_rate"),
+        coalesce(col("__nr"), lit(0L)).as("n_rows_out"),
+        coalesce(col("__ot"), lit(0L)).as("out_tokens"),
+        coalesce(col("__me"), lit(0)).cast("long").as("max_epoch"))
+      .orderBy("source")
+      .localCheckpoint(true)
+    tk.unpersist()
+    out
+  }
 }

@@ -179,6 +179,7 @@ object SparkEntry {
     "q154_html_extract" -> (Queries.q154HtmlExtract(_, _)),
     "q155_domain_census" -> (Queries.q155DomainCensus(_, _)),
     "q156_gopher_rules" -> (Queries.q156GopherRules(_, _)),
+    "q157_epoch_plan" -> (Queries.q157EpochPlan(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3205,6 +3206,51 @@ GROUP BY s.split ORDER BY s.split""",
         |    AND (nl = 0 OR (bl::DOUBLE / nl <= 0.9 AND el::DOUBLE / nl <= 0.3))
         |    AND aw::DOUBLE / n >= 0.8 AND sp >= 2 END, false) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q157: the whole epoch recipe re-derived — exact integer budget,
+    // plan arithmetic in the same IEEE operation order (budget*w/10
+    // then /avail), 12-decimal frac quantization, md5 cutoff, and the
+    // materialization counts as full·n + |{hash < cutoff}|
+    "q157_epoch_plan" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '')) AS toks
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |avail AS (
+        |  SELECT source, CAST(sum(toks) AS BIGINT) AS a
+        |  FROM tk GROUP BY source),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM avail),
+        |wts AS (SELECT * FROM (VALUES ('src0', 4.0), ('src1', 3.0),
+        |  ('src2', 2.0), ('src3', 1.0)) w(source, wt)),
+        |p AS (
+        |  SELECT source, a,
+        |    least(4.0, (((t * 9) // 5)::DOUBLE * wt / 10.0) / a) AS epochs
+        |  FROM avail JOIN wts USING (source) CROSS JOIN tot),
+        |p2 AS (
+        |  SELECT source, a,
+        |    CAST(floor(epochs) AS BIGINT) AS fe,
+        |    floor((epochs - floor(epochs)) * 1e12 + 0.5) / 1e12 AS fr
+        |  FROM p),
+        |p3 AS (SELECT source, a, fe, fr,
+        |    CAST(round(fr * 10000) AS BIGINT) AS cutoff FROM p2),
+        |hits AS (
+        |  SELECT tk.source, p3.fe, count(*) AS n, CAST(sum(toks) AS BIGINT) AS st,
+        |    sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        |          < p3.cutoff THEN 1 ELSE 0 END) AS nh,
+        |    CAST(sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        |          < p3.cutoff THEN toks ELSE 0 END) AS BIGINT) AS th,
+        |    max(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        |          < p3.cutoff THEN 1 ELSE 0 END) AS anyhit
+        |  FROM tk JOIN p3 ON tk.source = p3.source
+        |  GROUP BY tk.source, p3.fe)
+        |SELECT p3.source, p3.a AS avail_tokens, p3.fe AS full_epochs,
+        |  round(p3.fr, 6) AS frac_rate,
+        |  CAST(coalesce(h.fe * h.n + h.nh, 0) AS BIGINT) AS n_rows_out,
+        |  CAST(coalesce(h.fe * h.st + h.th, 0) AS BIGINT) AS out_tokens,
+        |  CAST(coalesce(CASE WHEN h.fe * h.n + h.nh > 0
+        |    THEN h.fe + h.anyhit ELSE 0 END, 0) AS BIGINT) AS max_epoch
+        |FROM p3 LEFT JOIN hits h ON p3.source = h.source
+        |ORDER BY p3.source""".stripMargin,
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

@@ -131,6 +131,94 @@ object Sample {
       g -> math.min(1.0, r12(w(g) * minRatio / n)) }
   }
 
+  /** One source's share of a multi-epoch plan: `full` whole passes
+    * over the source plus a deterministic `fracRate` sample for the
+    * fractional remainder. */
+  final case class EpochSpec(full: Int, fracRate: Double)
+
+  /**
+   * Multi-epoch data recipe — the REPETITION-aware complement to
+   * [[ratesForMixture]] (which forbids upsampling): given per-source
+   * available token counts, mixture weights, and a TOTAL token
+   * budget, how many times does each source repeat? Data-constrained
+   * scaling (Muennighoff et al. 2023) shows a few epochs of a scarce
+   * source are near-as-good as fresh data, so production recipes
+   * repeat small high-value sources rather than shrink the budget —
+   * bounded by `maxEpochs`, past which repetition stops paying.
+   *
+   *   target_i = budget · w_i / Σw
+   *   epochs_i = min(maxEpochs, target_i / avail_i)
+   *   full_i   = ⌊epochs_i⌋;  fracRate_i = epochs_i − full_i
+   *
+   * Driver arithmetic over the (tiny) source domain, like
+   * [[ratesForMixture]]. The fractional rate is quantized to 12
+   * decimals ([[ratesForTemperature]]'s cross-engine cutoff contract).
+   * A budget whose per-source target exceeds maxEpochs·avail simply
+   * caps (the plan under-delivers, visibly — epochs_i == maxEpochs);
+   * choosing a feasible budget is the caller's call, not a hidden
+   * renormalization. Compose with [[materializeEpochs]].
+   */
+  def epochPlan(available: Map[String, Long], weights: Map[String, Double],
+                budgetTokens: Long, maxEpochs: Double = 4.0)
+      : Map[String, EpochSpec] = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    weights.foreach { case (g, w) =>
+      require(w > 0, s"weight for '$g' must be positive")
+      require(available.get(g).exists(_ > 0),
+        s"mixture weights name source '$g' with no available tokens")
+    }
+    // deterministic summation order: the oracle replays this exact
+    // fold, and float addition is order-sensitive
+    val totalW = weights.toSeq.sortBy(_._1).map(_._2).sum
+    def r12(v: Double): Double = math.floor(v * 1e12 + 0.5) / 1e12
+    weights.map { case (g, w) =>
+      val target = budgetTokens.toDouble * w / totalW
+      val epochs = math.min(maxEpochs, target / available(g))
+      val full = math.floor(epochs).toInt
+      g -> EpochSpec(full, r12(epochs - full))
+    }
+  }
+
+  /**
+   * Apply an epoch plan: every row of source g appears
+   * `full_g` times plus once more when its md5 bucket falls under the
+   * fractional-rate cutoff ([[byRates]]' 10^4-bucket rule — the SAME
+   * rows repeat in every run, so two trainings of the same recipe see
+   * the same corpus). Output adds an `epoch` column (1-based copy
+   * index) so downstream shard assignment can decorrelate the copies
+   * ([[Splits.shardOrder]] keyed on (id, epoch)); sources absent from
+   * the plan are dropped.
+   *
+   * Scale shape: a literal CASE over the source domain picks each
+   * row's copy count, `explode(sequence(...))` fans it out map-side —
+   * no shuffle, no join; a count(*) downstream sees exactly
+   * Σ_g (full_g·n_g + |{hash<frac_g}|) rows.
+   */
+  def materializeEpochs(df: DataFrame, groupCol: String, idCol: String,
+                        plan: Map[String, EpochSpec]): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "input column epoch collides with materializeEpochs' output column")
+    plan.foreach { case (g, s) =>
+      require(s.full >= 0 && s.fracRate >= 0.0 && s.fracRate <= 1.0,
+        s"invalid epoch spec for '$g': $s") }
+    def cut(r: Double): Int =
+      math.round(math.max(0.0, math.min(1.0, r)) * 10000).toInt
+    val bucket = Splits.hashBucket(col(idCol), 10000)
+    val copies = plan.toSeq.sortBy(_._1).foldRight(lit(0): Column) {
+      case ((g, s), rest) =>
+        when(col(groupCol) === g,
+          lit(s.full) + when(bucket < cut(s.fracRate), 1).otherwise(0))
+          .otherwise(rest)
+    }
+    // sequence(1, 0) would DESCEND to [1, 0] — rows with zero copies
+    // must explode an empty array, not a backwards range
+    df.withColumn("epoch", explode(
+      when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Keep each group's rows at or above the group's own `p`-quantile
     * of `scoreCol` — the "top X% by quality per source" gate
     * (FineWeb-style percentile filtering), generalized to any score.

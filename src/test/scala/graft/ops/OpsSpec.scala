@@ -2065,6 +2065,49 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("epoch plan: budget split, cap binds, fractional materialization is deterministic") {
+    import org.apache.spark.sql.functions.{col => c}
+    val avail = Map("a" -> 1000L, "b" -> 1000L)
+    // budget 3000 at 2:1 → targets 2000/1000 → exactly 2.0 / 1.0 epochs
+    val p = Sample.epochPlan(avail, Map("a" -> 2.0, "b" -> 1.0), 3000L)
+    assert(p("a") === Sample.EpochSpec(2, 0.0))
+    assert(p("b") === Sample.EpochSpec(1, 0.0))
+    // an infeasible budget caps visibly instead of renormalizing
+    val pc = Sample.epochPlan(avail, Map("a" -> 2.0, "b" -> 1.0), 30000L)
+    assert(pc("a") === Sample.EpochSpec(4, 0.0))
+    intercept[IllegalArgumentException] {
+      Sample.epochPlan(avail, Map("missing" -> 1.0), 100L)
+    }
+    // materialization: full copies + deterministic fractional extras,
+    // 1-based epoch index, zero-copy sources dropped (not [1,0] rows —
+    // the descending-sequence trap)
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b"))).toDF("id", "source")
+    val plan = Map("a" -> Sample.EpochSpec(2, 0.5),
+      "b" -> Sample.EpochSpec(0, 0.0))
+    val mat = Sample.materializeEpochs(df, "source", "id", plan)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(!mat.exists(_._2 == "b"))
+    assert(!mat.exists(_._3 == 0))
+    val aRows = mat.filter(_._2 == "a")
+    val extras = aRows.count(_._3 == 3)
+    assert(aRows.length === 200 + extras)
+    assert(extras > 20 && extras < 80, s"frac 0.5 kept $extras of 100")
+    // every id appears in epochs 1..copies contiguously
+    aRows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+    // layout invariance
+    val re = Sample.materializeEpochs(df.repartition(7), "source", "id", plan)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(re.toSet === mat.toSet)
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Sample.materializeEpochs(df.withColumn("epoch",
+        org.apache.spark.sql.functions.lit(1)), "source", "id", plan)
+    }
+  }
+
   test("gopher rules: hand-checked flags per rule, zero-token fail contract") {
     import org.apache.spark.sql.functions.{col => c}
     val good = "the quick brown fox jumps over and over with great energy " +
