@@ -2771,4 +2771,22 @@ object Queries {
     tk.unpersist()
     out
   }
+
+  /** Hard-negative mining for contrastive training
+    * ([[graft.ops.SimSearch.hardNegatives]]): for each of the first 8
+    * embeddings, the 5 most-similar corpus vectors with a DIFFERENT
+    * language label, banded into [0, 0.999] on the rounded cosine (the
+    * false-negative cap). Labels ride from the documents table; the
+    * oracle replays the full SRP pipeline + label-mismatch rule +
+    * similarity band. */
+  def q158HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = t(spark, dir, "embeddings")
+      .join(t(spark, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    graft.ops.SimSearch.hardNegatives(
+      labeled.where(col("vec_id") >= 8),
+      labeled.where(col("vec_id") < 8),
+      "vec_id", "embedding", "lang", m = 5)
+      .orderBy(col("query_id"), desc("cosine"), col("vec_id"))
+  }
 }

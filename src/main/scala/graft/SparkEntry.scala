@@ -180,6 +180,7 @@ object SparkEntry {
     "q155_domain_census" -> (Queries.q155DomainCensus(_, _)),
     "q156_gopher_rules" -> (Queries.q156GopherRules(_, _)),
     "q157_epoch_plan" -> (Queries.q157EpochPlan(_, _)),
+    "q158_hard_negatives" -> (Queries.q158HardNegatives(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3251,6 +3252,11 @@ GROUP BY s.split ORDER BY s.split""",
         |    THEN h.fe + h.anyhit ELSE 0 END, 0) AS BIGINT) AS max_epoch
         |FROM p3 LEFT JOIN hits h ON p3.source = h.source
         |ORDER BY p3.source""".stripMargin,
+    // q158: the full SRP replay + label-mismatch + rounded-cosine band
+    "q158_hard_negatives" -> graft.ops.SimSearch.hardNegativesOracleSql(
+      "embeddings", "vec_id", "embedding", "documents", "doc_id", "lang",
+      queryPred = "vid < 8", corpusPred = "vid >= 8",
+      m = 5, bits = 8, dim = 64, seed = 42L, minSim = 0.0, maxSim = 0.999),
     // q135: full interpolated-bigram-LM replay — model counts, add-one
     // unigram floor, and the 0.75/0.25 mix all re-derived in SQL
     "q135_bigram_lm" ->

@@ -180,6 +180,112 @@ object SimSearch {
   }
 
   /**
+   * Hard-negative mining for contrastive training: per query, the `m`
+   * most-similar corpus items with a DIFFERENT label — the negatives
+   * that actually move an embedding model (random negatives are too
+   * easy). Similarity is capped above by `maxSim` (an item nearly
+   * identical to the query is likelier a mislabeled POSITIVE than a
+   * useful negative — the standard false-negative guard) and floored
+   * by `minSim`; both bounds compare on the 4-decimal-rounded cosine
+   * the ranking uses, so the gate is cross-engine exact.
+   *
+   * Same scale shape as [[annLshTopKBatch]] (one SRP bucket equi-join,
+   * query side broadcast with multi-probe, per-query rank over narrow
+   * rows); the label rides each side's row, so the mismatch filter
+   * applies at candidate time — filtering AFTER a label-blind top-k
+   * would starve queries whose neighborhoods are same-label.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, m: Int,
+                    bits: Int = 8, seed: Long = 42L,
+                    minSim: Double = 0.0,
+                    maxSim: Double = 0.999): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0, "m must be positive")
+    require(minSim < maxSim, "need minSim < maxSim")
+    require(!corpus.columns.contains("__bucket") &&
+      !queries.columns.contains("__bucket"),
+      "input column __bucket collides with hardNegatives' reserved name")
+    val dim = dimOf(corpus, vecCol)
+    val qDim = dimOf(queries, vecCol)
+    require(qDim == 0 || dim == 0 || qDim == dim,
+      s"query embedding width $qDim != corpus width $dim")
+    val bucketOf = srpBucketUdf(bits, dim, seed)
+    val indexed = corpus.withColumn("__bucket", bucketOf(col(vecCol)))
+    val probes = queries.withColumn("__bucket", bucketOf(col(vecCol)))
+      .select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__q"),
+        col(labelCol).as("__ql"), col("__bucket").as("__qb"))
+      .select(col("__qid"), col("__q"), col("__ql"),
+        explode(multiProbe(col("__qb"), bits)).as("__bucket"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(desc("cosine"), col(idCol))
+    indexed.join(broadcast(probes), Seq("__bucket"))
+      // null-safe inequality: an unlabeled item is NOT a certified
+      // negative for anything — both nulls and label matches drop
+      .where(!(col(labelCol) <=> col("__ql")) &&
+        col(labelCol).isNotNull && col("__ql").isNotNull)
+      .select(col("__qid"), col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("__q")), 4).as("cosine"))
+      .where(col("cosine") >= minSim && col("cosine") <= maxSim)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= m)
+      .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
+  }
+
+  /** DuckDB oracle for [[hardNegatives]]: [[annLshBatchOracleSql]]'s
+    * replay plus the label join (`labelTable`/`labelId`/`labelCol`),
+    * the null-safe mismatch rule, and the rounded-cosine band. */
+  def hardNegativesOracleSql(table: String, idCol: String, vecCol: String,
+                             labelTable: String, labelId: String,
+                             labelCol: String,
+                             queryPred: String, corpusPred: String,
+                             m: Int, bits: Int, dim: Int, seed: Long,
+                             minSim: Double, maxSim: Double): String = {
+    val planes = hyperplanes(bits, dim, seed)
+    val planeRows = planes.zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(b, p) AS (VALUES
+       |    $planeRows),
+       |emb AS (SELECT e.$idCol AS vid, CAST(e.$vecCol AS DOUBLE[]) AS v,
+       |               l.$labelCol AS lab
+       |        FROM $table e JOIN $labelTable l ON l.$labelId = e.$idCol),
+       |sig AS (
+       |  SELECT e.vid,
+       |         CAST(sum(CASE WHEN list_dot_product(pl.p, e.v) > 0
+       |                       THEN 1 << pl.b ELSE 0 END) AS INT) AS bucket
+       |  FROM emb e CROSS JOIN planes pl GROUP BY e.vid),
+       |probes AS (
+       |  SELECT vid AS qid, bucket FROM sig WHERE $queryPred
+       |  UNION
+       |  SELECT vid AS qid, xor(bucket, 1 << f.i)
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS i) f
+       |  WHERE $queryPred),
+       |cand AS (
+       |  SELECT p.qid, s.vid
+       |  FROM sig s JOIN probes p ON s.bucket = p.bucket
+       |  WHERE $corpusPred),
+       |scored AS (
+       |  SELECT c.qid, c.vid,
+       |         round(list_dot_product(e.v, q.v) /
+       |               (sqrt(list_dot_product(e.v, e.v)) *
+       |                sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+       |  FROM cand c
+       |  JOIN emb e ON e.vid = c.vid
+       |  JOIN emb q ON q.vid = c.qid
+       |  WHERE e.lab IS NOT NULL AND q.lab IS NOT NULL
+       |    AND e.lab <> q.lab),
+       |ranked AS (
+       |  SELECT qid, vid, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cosine DESC, vid) AS rn
+       |  FROM scored WHERE cosine >= $minSim AND cosine <= $maxSim)
+       |SELECT qid AS query_id, vid AS $idCol, cosine
+       |FROM ranked WHERE rn <= $m
+       |ORDER BY query_id, cosine DESC, $idCol""".stripMargin
+  }
+
+  /**
    * DuckDB oracle for [[annLshTopKBatch]]: the [[annLshOracleSql]]
    * replay generalized to a query SET — signatures for both sides,
    * per-query multi-probe, and a row_number window for the per-query

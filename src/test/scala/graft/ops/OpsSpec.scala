@@ -2065,6 +2065,35 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("hard negatives: same-label and null-label excluded, near-dup capped, floor applied") {
+    import org.apache.spark.sql.functions.{col => c}
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0), "en"),        // the query
+      (10L, v(0.99, 0.1, 0, 0), "en"),  // same label: excluded
+      (11L, v(0.9, 0.3, 0, 0), "fr"),   // hard negative
+      (12L, v(1, 0, 0, 0), "fr"),       // cosine 1.0 > maxSim: capped
+      (13L, v(0.8, 0.2, 0, 0), "de"),   // hard negative
+      (14L, v(-1, 0, 0, 0), "fr"),      // cosine -1 < minSim: floored
+      (15L, v(0.95, 0.05, 0, 0), null.asInstanceOf[String])) // unlabeled
+      .toDF("id", "vec", "lang")
+    val got = SimSearch.hardNegatives(
+      rows.where(c("id") >= 10), rows.where(c("id") < 10),
+      "id", "vec", "lang", m = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSet === Set(11L, 13L),
+      s"got ${got.mkString(",")}")
+    // ranked by cosine desc: 11 (0.9487) above 13 (0.9701)? recompute:
+    // cos(q,11)=0.9/sqrt(0.9^2+0.3^2)=0.9487; cos(q,13)=0.8/sqrt(0.68)=0.9701
+    assert(got.head._2 === 13L)
+    // m truncates
+    val one = SimSearch.hardNegatives(
+      rows.where(c("id") >= 10), rows.where(c("id") < 10),
+      "id", "vec", "lang", m = 1)
+      .collect()
+    assert(one.length === 1 && one.head.getLong(1) === 13L)
+  }
+
   test("epoch plan: budget split, cap binds, fractional materialization is deterministic") {
     import org.apache.spark.sql.functions.{col => c}
     val avail = Map("a" -> 1000L, "b" -> 1000L)
