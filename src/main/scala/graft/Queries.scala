@@ -2789,4 +2789,14 @@ object Queries {
       "vec_id", "embedding", "lang", m = 5)
       .orderBy(col("query_id"), desc("cosine"), col("vec_id"))
   }
+
+  /** Daily PSI drift series over the event-type mix
+    * ([[graft.ops.TimeSeries.psiByPeriod]]): day-over-day population
+    * stability of the 5-type distribution across the fixture's 30
+    * days — the when-did-it-shift monitor beside q125's two-corpus KL
+    * and q139's fixed-reference drift. The oracle re-derives the
+    * add-one-smoothed shares on the global type domain and the
+    * adjacent-day sum. */
+  def q159PsiDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.psiByPeriod(events(spark, dir), "ts", "event_type")
 }

@@ -181,6 +181,7 @@ object SparkEntry {
     "q156_gopher_rules" -> (Queries.q156GopherRules(_, _)),
     "q157_epoch_plan" -> (Queries.q157EpochPlan(_, _)),
     "q158_hard_negatives" -> (Queries.q158HardNegatives(_, _)),
+    "q159_psi_drift" -> (Queries.q159PsiDrift(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3252,6 +3253,31 @@ GROUP BY s.split ORDER BY s.split""",
         |    THEN h.fe + h.anyhit ELSE 0 END, 0) AS BIGINT) AS max_epoch
         |FROM p3 LEFT JOIN hits h ON p3.source = h.source
         |ORDER BY p3.source""".stripMargin,
+    // q159: add-one-smoothed day-over-day PSI re-derived — the dense
+    // (day, type) grid over the global domain, p=(n+1)/(N+C), and the
+    // adjacent-day (p−q)·ln(p/q) sum
+    "q159_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS pd, event_type AS cat
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT pd, cat, count(*) AS n FROM ev GROUP BY pd, cat),
+        |cats AS (SELECT DISTINCT cat FROM c),
+        |nc AS (SELECT count(*) AS k FROM cats),
+        |tot AS (SELECT pd, CAST(sum(n) AS BIGINT) AS nn FROM c GROUP BY pd),
+        |shares AS (
+        |  SELECT t.pd, cats.cat,
+        |    (coalesce(c.n, 0) + 1)::DOUBLE / (t.nn + nc.k) AS p
+        |  FROM tot t CROSS JOIN cats CROSS JOIN nc
+        |  LEFT JOIN c ON c.pd = t.pd AND c.cat = cats.cat),
+        |psi AS (
+        |  SELECT cur.pd,
+        |    round(sum((cur.p - prv.p) * ln(cur.p / prv.p)), 6) AS psi
+        |  FROM shares cur JOIN shares prv
+        |    ON prv.pd = cur.pd - 1 AND prv.cat = cur.cat
+        |  GROUP BY cur.pd)
+        |SELECT psi.pd AS period, tot.nn AS n_events, psi.psi
+        |FROM psi JOIN tot ON tot.pd = psi.pd
+        |ORDER BY period""".stripMargin,
     // q158: the full SRP replay + label-mismatch + rounded-cosine band
     "q158_hard_negatives" -> graft.ops.SimSearch.hardNegativesOracleSql(
       "embeddings", "vec_id", "embedding", "documents", "doc_id", "lang",

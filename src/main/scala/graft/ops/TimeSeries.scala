@@ -21,6 +21,88 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /**
+   * Population Stability Index time series — the categorical-drift
+   * monitor release gates run per period: for each period (default
+   * daily), `psi = Σ_cat (p − q)·ln(p/q)` between this period's and
+   * the PREVIOUS period's category shares, add-one smoothed over the
+   * GLOBAL category domain (so a category absent one period
+   * contributes its smoothed floor instead of tearing a hole in the
+   * sum; p = (n+1)/(N+C)). Complements the two-corpus KL drift
+   * ([[Profile]]'s unigram form) and the fixed-reference mix drift
+   * ([[graft.streaming.EventStreams.typeMixDrift]]) with the
+   * consecutive-period form that catches WHEN a shift happened.
+   * Standard alert bands: psi < 0.1 stable, 0.1–0.25 moderate,
+   * > 0.25 investigate.
+   *
+   * Scale shape: the corpus-sized work is ONE (period, category) hash
+   * aggregate (partial map-side); everything after — the tiny
+   * period×category grid (synthesized by a broadcast cross join),
+   * the adjacent-period self-join, the per-period sum — is
+   * metadata-sized. The category domain is CHECKED (`maxCategories`,
+   * loud failure), not assumed: a high-cardinality column here means
+   * someone pointed the monitor at the wrong field.
+   *
+   * Output: (period, n_events, psi) for every period with a
+   * predecessor, ordered by period; `period` = floor(epoch_seconds /
+   * stepSeconds); psi rounds to 6 (its smoothed terms are exact
+   * integer ratios, so only the final libm-log sum needs a boundary).
+   */
+  def psiByPeriod(df: DataFrame, tsCol: String, catCol: String,
+                  stepSeconds: Long = 86400L,
+                  maxCategories: Int = 10000): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val clash = df.columns.toSet.intersect(Set(
+      "__pd", "__cat", "__n", "__N", "__p2", "__c2", "__n2", "__p",
+      "__q", "__gcat", "__tpd", "__tpd2", "__ppd", "__pcat",
+      "period", "n_events", "psi"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with psiByPeriod's names")
+    val counts = df
+      .where(col(tsCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(
+        floor(unix_micros(col(tsCol)) / lit(stepSeconds * 1000000L))
+          .as("__pd"),
+        col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every frame below derives from `counts`, so each join side
+    // renames its columns uniquely — self-join name resolution over a
+    // shared lineage is ambiguous otherwise
+    val cats = counts.select(col("__cat").as("__gcat")).distinct()
+    val nCats = cats.count()
+    require(nCats <= maxCategories,
+      s"$nCats categories exceed maxCategories=$maxCategories — " +
+        s"'$catCol' is not a categorical column")
+    val totals = counts.groupBy(col("__pd").as("__tpd"))
+      .agg(sum(col("__n")).as("__N"))
+    val cnt = counts.select(col("__pd").as("__p2"),
+      col("__cat").as("__c2"), col("__n").as("__n2"))
+    // dense (period, category) shares over the GLOBAL domain
+    val shares = totals.crossJoin(broadcast(cats))
+      .join(cnt,
+        col("__tpd") === col("__p2") && col("__gcat") === col("__c2"),
+        "left")
+      .select(col("__tpd").as("__pd"), col("__gcat").as("__cat"),
+        ((coalesce(col("__n2"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__N") + lit(nCats)).cast("double")).as("__p"))
+    val prev = shares.select((col("__pd") + 1).as("__ppd"),
+      col("__cat").as("__pcat"), col("__p").as("__q"))
+    val out = shares.join(prev,
+        col("__pd") === col("__ppd") && col("__cat") === col("__pcat"))
+      .groupBy(col("__pd"))
+      .agg(round(sum((col("__p") - col("__q")) *
+        log(col("__p") / col("__q"))), 6).as("psi"))
+      .join(totals.select(col("__tpd").as("__tpd2"), col("__N")),
+        col("__pd") === col("__tpd2"))
+      .select(col("__pd").as("period"), col("__N").as("n_events"),
+        col("psi"))
+      .orderBy("period")
+      .localCheckpoint(true)
+    counts.unpersist()
+    out
+  }
+
   /** Dense per-key grid at `stepSeconds` resolution with gaps
     * forward-filled from the last observed slot aggregate.
     *

@@ -2065,6 +2065,34 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("psi drift: hand-computed day pair, absent category smoothed not torn") {
+    import org.apache.spark.sql.functions.{col => c}
+    def ts(day: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400L + i))
+    // day0: a,a,a,b — day1: a,b,b,b; C=2 → psi = (2/3)·ln2 = 0.462098
+    val ev = (Seq.fill(3)("a") ++ Seq("b")).zipWithIndex.map {
+      case (t, i) => (ts(0, i), t) } ++
+      (Seq("a") ++ Seq.fill(3)("b")).zipWithIndex.map {
+        case (t, i) => (ts(1, i), t) }
+    val df = ev.toDF("ts", "cat")
+    val got = TimeSeries.psiByPeriod(df, "ts", "cat")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 4L, 0.462098)))
+    // a category absent one day contributes its smoothed floor — psi
+    // stays finite, no hole in the sum
+    val gap = Seq((ts(0, 0), "a"), (ts(0, 1), "a"),
+      (ts(1, 0), "b")).toDF("ts", "cat")
+    val g = TimeSeries.psiByPeriod(gap, "ts", "cat").collect()
+    assert(g.length === 1)
+    assert(!g.head.isNullAt(2) && !g.head.getDouble(2).isNaN)
+    assert(g.head.getDouble(2) > 0.0)
+    // loud guard on a non-categorical column
+    val wide = (1 to 50).map(i => (ts(0, i), s"u$i")).toDF("ts", "cat")
+    intercept[IllegalArgumentException] {
+      TimeSeries.psiByPeriod(wide, "ts", "cat", maxCategories = 10)
+    }
+  }
+
   test("hard negatives: same-label and null-label excluded, near-dup capped, floor applied") {
     import org.apache.spark.sql.functions.{col => c}
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
