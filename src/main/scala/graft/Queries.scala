@@ -2799,4 +2799,29 @@ object Queries {
     * adjacent-day sum. */
   def q159PsiDrift(spark: SparkSession, dir: String): DataFrame =
     graft.ops.TimeSeries.psiByPeriod(events(spark, dir), "ts", "event_type")
+
+  /** Homoglyph-evasion dedup ([[graft.ops.Confusables]]): every 13th
+    * doc is duplicated with its a/e/o substituted by Cyrillic
+    * lookalikes — byte-level exact dedup ([[graft.ops.Dedup.exact]])
+    * provably cannot collapse those copies, the confusable-skeleton
+    * dedup must collapse ALL of them. One summary row pins the three
+    * survivor counts; the oracle re-derives them as distinct-key
+    * counts with the same translate fold (mapping interpolated from
+    * the one Scala table). */
+  def q160ConfusableDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        translate(col("text"), "aeo", "аео").as("text"))
+    val staged = base.unionByName(planted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIn = staged.count()
+    val nEx = graft.ops.Dedup.exact(staged, "doc_id", "text").count()
+    val nCf = graft.ops.Confusables
+      .dropConfusableDuplicates(staged, "doc_id", "text").count()
+    staged.unpersist()
+    import spark.implicits._
+    Seq((nIn, nEx, nCf, nEx - nCf))
+      .toDF("n_input", "n_exact", "n_confusable", "n_homoglyph_only")
+  }
 }

@@ -182,6 +182,7 @@ object SparkEntry {
     "q157_epoch_plan" -> (Queries.q157EpochPlan(_, _)),
     "q158_hard_negatives" -> (Queries.q158HardNegatives(_, _)),
     "q159_psi_drift" -> (Queries.q159PsiDrift(_, _)),
+    "q160_confusable_dedup" -> (Queries.q160ConfusableDedup(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3278,6 +3279,27 @@ GROUP BY s.split ORDER BY s.split""",
         |SELECT psi.pd AS period, tot.nn AS n_events, psi.psi
         |FROM psi JOIN tot ON tot.pd = psi.pd
         |ORDER BY period""".stripMargin,
+    // q160: distinct-key survivor counts with the same translate fold
+    // (mapping interpolated from Confusables.Mapping — one source)
+    "q160_confusable_dedup" -> {
+      val sk = graft.ops.Confusables.skeletonSql("nm")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |planted AS (
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    translate(text, 'aeo', 'аео') AS text
+         |  FROM base WHERE doc_id % 13 = 0),
+         |staged AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |norm AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
+         |  FROM staged)
+         |SELECT CAST(count(*) AS BIGINT) AS n_input,
+         |  CAST(count(DISTINCT nm) AS BIGINT) AS n_exact,
+         |  CAST(count(DISTINCT $sk) AS BIGINT) AS n_confusable,
+         |  CAST(count(DISTINCT nm) - count(DISTINCT $sk) AS BIGINT)
+         |    AS n_homoglyph_only
+         |FROM norm""".stripMargin
+    },
     // q158: the full SRP replay + label-mismatch + rounded-cosine band
     "q158_hard_negatives" -> graft.ops.SimSearch.hardNegativesOracleSql(
       "embeddings", "vec_id", "embedding", "documents", "doc_id", "lang",

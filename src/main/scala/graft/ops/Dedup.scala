@@ -68,13 +68,21 @@ object Dedup {
     * [[exactKeepBest]] — ONE policy for the key, the shuffle shape,
     * and the skew note, so the two survivor rules cannot diverge. */
   private def exactByOrder(df: DataFrame, textCol: String,
-                           order: Seq[Column], opName: String): DataFrame = {
+                           order: Seq[Column], opName: String): DataFrame =
+    winnerByKey(df, xxhash64(normalized(col(textCol))), order, opName)
+
+  /** The ONE winner-per-key window shared by the exact-dedup family
+    * (and key-generalized forms like
+    * [[Confusables.dropConfusableDuplicates]]): one scan, one narrow
+    * shuffle on the 64-bit key, row 1 by `order` survives. */
+  private[ops] def winnerByKey(df: DataFrame, key: Column,
+                               order: Seq[Column], opName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clash = df.columns.toSet.intersect(Set("__key", "__rn"))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with $opName's reserved temp names")
     val w = Window.partitionBy(col("__key")).orderBy(order: _*)
-    df.withColumn("__key", xxhash64(normalized(col(textCol))))
+    df.withColumn("__key", key)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__key", "__rn")

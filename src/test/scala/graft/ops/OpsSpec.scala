@@ -2065,6 +2065,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("confusable skeleton: homoglyph dups collapse, byte dedup can't see them") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Seq(
+      (1L, "paypal secure login"),
+      (2L, "pаypаl secure login"),   // Cyrillic а twice
+      (3L, "ｐａｙｐａｌ secure login"), // fullwidth — wait: 'ｐ' maps? p is in fullwidthLetters ✓
+      (4L, "different text entirely"))
+      .toDF("doc_id", "text")
+    // byte-exact dedup sees four distinct texts
+    assert(Dedup.exact(docs, "doc_id", "text").count() === 4)
+    // the skeleton collapses 1/2/3 to the min id
+    val kept = Confusables.dropConfusableDuplicates(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+    // folded-char telemetry counts exactly the touched positions
+    val folded = docs.select(c("doc_id"),
+      Confusables.foldedCharCount(c("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(folded === Map(1L -> 0, 2L -> 2, 3L -> 6, 4L -> 0))
+  }
+
   test("psi drift: hand-computed day pair, absent category smoothed not torn") {
     import org.apache.spark.sql.functions.{col => c}
     def ts(day: Int, i: Int) = java.sql.Timestamp.from(
