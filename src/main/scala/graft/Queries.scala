@@ -2824,4 +2824,29 @@ object Queries {
     Seq((nIn, nEx, nCf, nEx - nCf))
       .toDF("n_input", "n_exact", "n_confusable", "n_homoglyph_only")
   }
+
+  /** C4 line-level cleaning ([[graft.ops.Lines.c4LineFilter]]) over
+    * documents with synthesized boilerplate chrome — a navigation stub
+    * (no terminal punctuation), a javascript warning (marker), a
+    * too-short exclamation, and a second real sentence layered on by
+    * residue class. The cleaned text, kept/dropped counts, and C4's
+    * at-least-2-kept-lines page rule are all replayed by the oracle. */
+  def q161C4Lines(spark: SparkSession, dir: String): DataFrame = {
+    val structured = concat_ws("\n",
+      concat(col("text"), lit(".")),
+      lit("Home | Products | About"),
+      when(col("doc_id") % 3 === 0,
+        lit("Please enable JavaScript to view this page.")),
+      when(col("doc_id") % 4 === 0, lit("Wow!")),
+      when(col("doc_id") % 5 === 0,
+        lit("A second real sentence with actual words?")))
+    graft.ops.Lines.c4LineFilter(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), structured.as("text")),
+      "text", minLineWords = 3)
+      .where(col("n_lines_kept") >= 2)
+      .select(col("doc_id"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -183,6 +183,7 @@ object SparkEntry {
     "q158_hard_negatives" -> (Queries.q158HardNegatives(_, _)),
     "q159_psi_drift" -> (Queries.q159PsiDrift(_, _)),
     "q160_confusable_dedup" -> (Queries.q160ConfusableDedup(_, _)),
+    "q161_c4_lines" -> (Queries.q161C4Lines(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3279,6 +3280,32 @@ GROUP BY s.split ORDER BY s.split""",
         |SELECT psi.pd AS period, tot.nn AS n_events, psi.psi
         |FROM psi JOIN tot ON tot.pd = psi.pd
         |ORDER BY period""".stripMargin,
+    // q161: the per-line keep rule (terminal punctuation + word floor
+    // + marker substrings) and the reassembly replayed verbatim
+    "q161_c4_lines" ->
+      """WITH st AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    text || '.',
+        |    'Home | Products | About',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Please enable JavaScript to view this page.' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Wow!' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'A second real sentence with actual words?' END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+        |  FROM st),
+        |k AS (SELECT doc_id, ls,
+        |  list_filter(ls, x ->
+        |    regexp_matches(trim(x), '[.!?"”]$')
+        |    AND len(list_filter(string_split(regexp_replace(trim(x), '\s+', ' ', 'g'), ' '), w -> w <> '')) >= 3
+        |    AND NOT (contains(lower(x), 'javascript')
+        |      OR contains(lower(x), 'cookie policy')
+        |      OR contains(lower(x), 'lorem ipsum'))) AS ks
+        |  FROM l)
+        |SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(ls) - len(ks) AS BIGINT) AS n_lines_dropped,
+        |  array_to_string(list_transform(ks, x -> trim(x)), chr(10)) AS clean_text
+        |FROM k WHERE len(ks) >= 2 ORDER BY doc_id""".stripMargin,
     // q160: distinct-key survivor counts with the same translate fold
     // (mapping interpolated from Confusables.Mapping — one source)
     "q160_confusable_dedup" -> {

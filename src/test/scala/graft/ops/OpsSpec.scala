@@ -2065,6 +2065,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("c4 line filter: terminal punct, word floor, markers, reassembly, empty/null safe") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Seq(
+      (1L, "A real sentence here.\nHome | About\nAnother good line!\nPlease enable JavaScript now.\nOk."),
+      (2L, "no terminal punctuation at all\nstill none"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = Lines.c4LineFilter(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    // doc 1: kept = the two real sentences; dropped = nav stub (no
+    // terminal punct), javascript marker line, "Ok." (< 3 words)
+    assert(got(1L) === ((2L, 3L,
+      "A real sentence here.\nAnother good line!")))
+    assert(got(2L) === ((0L, 2L, "")))
+    assert(got(3L) === ((0L, 0L, "")))
+    assert(got(4L) === ((0L, 0L, "")))
+  }
+
   test("confusable skeleton: homoglyph dups collapse, byte dedup can't see them") {
     import org.apache.spark.sql.functions.{col => c}
     val docs = Seq(
