@@ -260,4 +260,45 @@ object KernelProps extends Properties("kernels") {
         Prop(!s.contains('E') && !s.contains('e')) &&
         Prop(math.abs(parsed - d) <= tol) :| s"'$s' lost $d"
     }
+
+  property("misra-gries: candidates ⊇ every value with freq > n/(k+1), any partitioning") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"v$i")),
+      Gen.choose(1, 8),
+      Gen.choose(1, 5)) { (stream, k, parts) =>
+      val agg = new Frequent.MisraGries(k)
+      // simulate Spark's partial/final shape: split the stream into
+      // `parts` runs, reduce each into its own buffer, merge buffers
+      val buffers = stream.grouped(math.max(1, (stream.size + parts - 1) / parts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = buffers.reduce(agg.merge)
+      val cand = agg.finish(merged).toSet
+      val n = stream.size
+      val freqs = stream.groupBy(identity).view.mapValues(_.size)
+      val mustSurvive = freqs.collect {
+        case (v, f) if f.toDouble > n.toDouble / (k + 1) => v }.toSet
+      Prop(cand.size <= k) :| s"buffer overflow: ${cand.size} > $k" &&
+        Prop(mustSurvive.subsetOf(cand)) :|
+          s"lost heavy values ${mustSurvive.diff(cand)} (n=$n k=$k)"
+    }
+
+  property("epochPlan: full+frac == min(cap, target/avail) to quantization; frac in [0,1)") =
+    forAll(
+      Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(100L, 1000000L))
+          .map(cs => (1 to n).map(i => s"s$i").zip(cs).toMap)),
+      Gen.choose(1L, 10000000L),
+      Gen.choose(0.5, 8.0)) { (avail, budget, cap) =>
+      val weights = avail.keys.map(_ -> 1.0).toMap
+      val plan = Sample.epochPlan(avail, weights, budget, cap)
+      val totalW = weights.values.sum
+      Prop(plan.values.forall(s =>
+        s.full >= 0 && s.fracRate >= 0.0 && s.fracRate < 1.0)) &&
+        Prop(avail.keys.forall { g =>
+          val target = budget.toDouble * 1.0 / totalW
+          val epochs = math.min(cap, target / avail(g))
+          val s = plan(g)
+          math.abs((s.full + s.fracRate) - epochs) <= 5e-13 + 1e-12 * epochs
+        })
+    }
 }
