@@ -60,10 +60,10 @@ object Bench {
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(2000))
       }
     }
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     // pass 1 times every query and decides erroring ones (a
     // deterministic failure is not retried in later passes)
-    val firstPass = queries.map { case (name, fn) => (name, fn, sample(fn)) }
+    val firstPass = queryFns.map { case (name, fn) => (name, fn, sample(fn)) }
     val extraPasses: Seq[Map[String, Double]] = (2 to reps).map { _ =>
       firstPass.collect { case (name, fn, Right(_)) =>
         sample(fn) match {
@@ -79,8 +79,7 @@ object Bench {
         (name, ts, None: Option[String])
     }
     val ok = results.collect { case (k, ts, None) => (k, ts.min, ts) }
-    val qs = ok.map { case (k, m, _) => s""""${shortKey(k)}":${fmt(m)}""" }
-      .mkString("{", ",", "}")
+    val qs = adaptiveQs(ok.map { case (k, m, _) => (k, m) })
     val errEntries = results.collect { case (k, _, Some(m)) => (k, m) }
     val errsFull = errEntries.map { case (k, m) =>
       s""""$k":"${escape(m)}""""
@@ -139,21 +138,41 @@ object Bench {
     * worst-case line width stays inside the capture budget as the
     * battery grows — BenchFormatSpec pins the budget with the REAL
     * registered names through this exact formatter. */
-  private[graft] def fmt(d: Double): String = {
-    // coarsen until the rendering fits 5 chars (ms under 10 s, cs under
-    // 100 s, ...): every per-query value below 99999.5 s renders in at
-    // most 5 chars, which is what keeps a 70+-query line inside the
-    // driver's capture window. The ladder (instead of fixed magnitude
-    // cutoffs) absorbs boundary round-ups like 99.999 -> "100.00".
+  private[graft] def fmt(d: Double): String = fmtW(d, 5)
+
+  /** Width-bounded decimal with an explicit ceiling — the precision
+    * ladder stops at the first rendering within `maxChars` (ms under
+    * 10 s at the 5-char ceiling, cs at 4, ...); values too large for
+    * ANY precision at that width fall back to the integer form (the
+    * line-level adaptive retry handles the aggregate budget). 36
+    * queries at full ns precision is what overflowed the driver's
+    * 2000-char output capture in round 4. */
+  private[graft] def fmtW(d: Double, maxChars: Int): String = {
     val strip = (s: String) =>
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     Seq("%.3f", "%.2f", "%.1f", "%.0f").iterator
       .map(p => strip(String.format(java.util.Locale.ROOT, p, Double.box(d))))
-      .find(_.length <= 5)
+      .find(_.length <= maxChars)
       .getOrElse(strip(String.format(java.util.Locale.ROOT, "%.0f",
         Double.box(d))))
+  }
+
+  /** Per-query map at the WIDEST value precision whose rendering fits
+    * the capture budget: the battery keeps ms resolution until it
+    * outgrows the window, then degrades to cs, then ds — adaptive, so
+    * battery growth can't silently truncate the driver-facing line
+    * (the `target/bench-runs.json` sidecar always keeps full
+    * precision). 1700 chars leaves room for the fixed fields and a
+    * bounded error summary inside the 1900-char line budget. */
+  private[graft] def adaptiveQs(entries: Seq[(String, Double)],
+                                budget: Int = 1700): String = {
+    def render(w: Int) = entries
+      .map { case (k, v) => s""""${shortKey(k)}":${fmtW(v, w)}""" }
+      .mkString("{", ",", "}")
+    Seq(5, 4, 3).view.map(render).find(_.length <= budget)
+      .getOrElse(render(3))
   }
 
   private def escape(s: String): String =

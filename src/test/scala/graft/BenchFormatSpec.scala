@@ -22,17 +22,16 @@ class BenchFormatSpec extends AnyFunSuite {
     val keys = names.map(Bench.shortKey)
     assert(keys.distinct.size == names.size,
       s"duplicate bench short keys: ${keys.diff(keys.distinct).distinct}")
-    // worst case: every value at fmt's 5-char width ceiling (the
-    // ladder guarantees <= 5 chars for anything below 99999.5 s —
-    // 27 h, beyond the driver round's own wall-clock), THROUGH the
-    // real formatter so this spec fails the moment fmt + battery
-    // growth would overflow the capture window
-    val worst = Bench.fmt(9999.9)
-    assert(worst.length == 5, s"ladder ceiling regressed: '$worst'")
-    val qs = keys.map(k => s""""$k":$worst""").mkString("{", ",", "}")
+    // worst case: every value at fmt's 5-char width ceiling (9.999 s —
+    // ms-resolution sub-10s values, the widest realistic rendering),
+    // THROUGH the real adaptive renderer: when the battery outgrows
+    // the window at full precision, the values degrade a decimal
+    // instead of overflowing the capture
+    assert(Bench.fmt(9.999).length == 5)
+    val qs = Bench.adaptiveQs(names.map(n => (n, 9.999)))
     // include the optional vsb field at its widest so the budget holds
     // on the provenance-carrying sf0.1 line too
-    val line = Bench.line(9999.9 * names.size, qs, "{}",
+    val line = Bench.line(9.999 * names.size, qs, "{}",
       "/root/testdata/sf0.1", 0, Some(9999.9))
     // budget: 2000-char driver capture minus the ~80-char sbt trailer,
     // minus safety margin
@@ -40,6 +39,11 @@ class BenchFormatSpec extends AnyFunSuite {
       s"bench line is ${line.length} chars for ${names.size} queries; " +
         "it must fit (with sbt trailer) in the 2000-char capture window")
     assert(line.startsWith("""{"metric":"total","value":"""))
+    // while the battery is SMALL the renderer must keep ms precision —
+    // degradation is a last resort, not a default
+    val small = Bench.adaptiveQs((1 to 50).map(i => (s"q${i}_x", 9.999)))
+    assert(small.contains(""":9.999"""),
+      "adaptive renderer degraded precision without budget pressure")
   }
 
   test("fmt keeps ms precision without scientific notation") {
