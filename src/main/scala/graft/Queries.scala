@@ -2849,4 +2849,21 @@ object Queries {
         col("n_lines_dropped"), col("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** The embedding produce→consume loop END-TO-END
+    * ([[graft.ml.Embeddings]]): train Word2Vec over the corpus
+    * (deterministic 1-partition fit, seed 7), average-embed every
+    * document, and run the library's own
+    * [[graft.ops.SimSearch.cosineTopK]] over the TRAINED vectors —
+    * doc 0's top-5 neighbors. Rows-only oracle (skip-gram training is
+    * not SQL-expressible); determinism and the ANN handoff are pinned
+    * in MLSpec. */
+  def q162W2vAnn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.ml.Embeddings.trainWord2Vec(
+      docs, "text", dim = 16, minCount = 5, maxIter = 1, seed = 7L)
+    graft.ops.SimSearch.cosineTopK(
+      graft.ml.Embeddings.docVectors(model, docs, "doc_id", "text"),
+      "doc_id", "embedding", queryId = 0L, k = 5)
+  }
 }

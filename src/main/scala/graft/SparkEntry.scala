@@ -184,6 +184,7 @@ object SparkEntry {
     "q159_psi_drift" -> (Queries.q159PsiDrift(_, _)),
     "q160_confusable_dedup" -> (Queries.q160ConfusableDedup(_, _)),
     "q161_c4_lines" -> (Queries.q161C4Lines(_, _)),
+    "q162_w2v_ann" -> (Queries.q162W2vAnn(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained

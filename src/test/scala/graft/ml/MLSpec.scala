@@ -140,4 +140,47 @@ class MLSpec extends AnyFunSuite with SparkTestSession {
       graft.wordscore.ScoreListTrainer.train(docs, "text", vocabSize = 0)
     }
   }
+
+  test("word2vec embeddings: deterministic fit at 1 partition, doc vectors feed the ANN family") {
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      val topic = if (i % 2 == 0) "spark rdd shuffle executor task"
+                  else "cat dog bird fish horse"
+      (i, s"$topic item$i common filler words here")
+    }.toDF("doc_id", "text")
+    val m1 = Embeddings.trainWord2Vec(docs, "text", dim = 8, minCount = 2,
+      maxIter = 2, seed = 7L)
+    val m2 = Embeddings.trainWord2Vec(docs, "text", dim = 8, minCount = 2,
+      maxIter = 2, seed = 7L)
+    // numPartitions=1 + seed => bit-identical vectors run-to-run
+    val v1 = m1.getVectors.collect().map(r =>
+      r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    val v2 = m2.getVectors.collect().map(r =>
+      r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    assert(v1 === v2)
+    assert(v1.contains("spark") && v1.contains("cat"))
+    // doc vectors: Array[Float] column the SimSearch family consumes;
+    // a no-vocab doc embeds as the zero vector
+    val probe = docs.unionByName(Seq((99L, "zzz qqq")).toDF("doc_id", "text"))
+    val dv = Embeddings.docVectors(m1, probe, "doc_id", "text")
+    assert(dv.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.FloatType)
+    val zero = dv.where(c("doc_id") === 99L)
+      .collect().head.getSeq[Float](1)
+    assert(zero.forall(_ == 0.0f))
+    // consumption loop: trained vectors drive cosineTopK — same-topic
+    // docs rank above cross-topic ones for an even-id query
+    val top = graft.ops.SimSearch.cosineTopK(
+      dv.where(c("doc_id") =!= 99L), "doc_id", "embedding",
+      queryId = 2L, k = 5)
+      .collect().map(_.getLong(0))
+    assert(top.nonEmpty)
+    assert(top.count(_ % 2 == 0) >= 4,
+      s"expected same-topic neighbors, got ${top.mkString(",")}")
+    // synonym probe: k rows, deterministic ordering
+    val syn = Embeddings.synonyms(m1, "spark", 3).collect()
+    assert(syn.length === 3)
+  }
 }
