@@ -2866,4 +2866,55 @@ object Queries {
       graft.ml.Embeddings.docVectors(model, docs, "doc_id", "text"),
       "doc_id", "embedding", queryId = 0L, k = 5)
   }
+
+  /** Split-assignment stratification QA: assign doc-level iid splits
+    * ([[graft.ops.Splits.assign]] keyed on the doc id) and measure how
+    * far each split's language mix drifts from the corpus mix — the
+    * sanity report every split ships with (a hash split SHOULD be
+    * language-balanced; a big deviation means the hash or the key is
+    * broken). Exact-integer share arithmetic; the oracle replays the
+    * md5 split rule and the max-deviation fold. */
+  def q163SplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("doc_key", col("doc_id").cast("string"))
+    val s = graft.ops.Splits.assign(docs, "doc_key")
+    val bySplitLang = s.groupBy(col("split").as("__s1"), col("lang").as("__l1"))
+      .agg(count(lit(1)).as("__nsl"))
+    val bySplit = s.groupBy(col("split").as("__s2"))
+      .agg(count(lit(1)).as("__ns"))
+    val byLang = s.groupBy(col("lang").as("__l2"))
+      .agg(count(lit(1)).as("__nl"))
+    val total = s.count()
+    bySplitLang
+      .join(bySplit, col("__s1") === col("__s2"))
+      .join(byLang, col("__l1") === col("__l2"))
+      .groupBy(col("__s1").as("split"))
+      .agg(max(col("__ns")).as("n_docs"),
+        round(max(abs(col("__nsl").cast("double") / col("__ns") -
+          col("__nl").cast("double") / lit(total.toDouble))), 6)
+          .as("max_lang_dev"))
+      .orderBy("split")
+  }
+
+  /** Embedding-space outliers: each vector's cosine to its own
+    * language's centroid ([[graft.ops.VectorAgg.centroids]] +
+    * [[graft.ops.SimSearch.cosine]]), bottom-10 — the embedding-
+    * quality QA that surfaces mislabeled or garbage vectors (a doc far
+    * from every same-label neighbor is suspicious whatever the
+    * labeler said). Centroids are a narrow (label, pos) aggregate that
+    * broadcasts back; the scoring is map-side. */
+  def q164EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = t(spark, dir, "embeddings")
+      .join(t(spark, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    val cents = graft.ops.VectorAgg.centroids(labeled, "lang", "embedding")
+      .select(col("cluster"), col("centroid"))
+    labeled.join(broadcast(cents), col("lang") === col("cluster"))
+      .select(col("vec_id"), col("lang"),
+        round(graft.ops.SimSearch.cosine(
+          col("embedding").cast("array<double>"), col("centroid")), 4)
+          .as("cos_centroid"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+      .limit(10)
+  }
 }

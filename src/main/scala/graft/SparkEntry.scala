@@ -185,6 +185,8 @@ object SparkEntry {
     "q160_confusable_dedup" -> (Queries.q160ConfusableDedup(_, _)),
     "q161_c4_lines" -> (Queries.q161C4Lines(_, _)),
     "q162_w2v_ann" -> (Queries.q162W2vAnn(_, _)),
+    "q163_split_balance" -> (Queries.q163SplitBalance(_, _)),
+    "q164_embedding_outliers" -> (Queries.q164EmbeddingOutliers(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3281,6 +3283,46 @@ GROUP BY s.split ORDER BY s.split""",
         |SELECT psi.pd AS period, tot.nn AS n_events, psi.psi
         |FROM psi JOIN tot ON tot.pd = psi.pd
         |ORDER BY period""".stripMargin,
+    // q163: the doc-keyed md5 split rule + exact-share deviation fold
+    "q163_split_balance" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bucket < 8 THEN 'train'
+        |              WHEN bucket < 9 THEN 'val'
+        |              ELSE 'test' END AS split, lang
+        |  FROM b),
+        |sl AS (SELECT split, lang, count(*) AS nsl FROM s GROUP BY 1, 2),
+        |sp AS (SELECT split, count(*) AS ns FROM s GROUP BY 1),
+        |lg AS (SELECT lang, count(*) AS nl FROM s GROUP BY 1),
+        |tt AS (SELECT count(*) AS n FROM s)
+        |SELECT sl.split, CAST(max(sp.ns) AS BIGINT) AS n_docs,
+        |  round(max(abs(sl.nsl::DOUBLE / sp.ns - lg.nl::DOUBLE / tt.n)), 6)
+        |    AS max_lang_dev
+        |FROM sl JOIN sp USING (split) JOIN lg USING (lang) CROSS JOIN tt
+        |GROUP BY sl.split ORDER BY sl.split""".stripMargin,
+    // q164: per-language positional-mean centroids + cosine-to-own-
+    // centroid, bottom-10 (q40's unnest-zip pattern for positions)
+    "q164_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT e.vec_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |x AS (
+        |  SELECT lang, unnest(v)::DOUBLE AS xv,
+        |    unnest(generate_series(1, len(v))) AS pos
+        |  FROM e),
+        |m AS (SELECT lang, pos, avg(xv) AS m FROM x GROUP BY 1, 2),
+        |c AS (SELECT lang, list(m ORDER BY pos) AS cent FROM m GROUP BY lang),
+        |sc AS (
+        |  SELECT e.vec_id, e.lang,
+        |    round(list_dot_product(e.v, c.cent) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(c.cent, c.cent))), 4) AS cos_centroid
+        |  FROM e JOIN c USING (lang))
+        |SELECT vec_id, lang, cos_centroid
+        |FROM sc ORDER BY cos_centroid ASC, vec_id ASC LIMIT 10""".stripMargin,
     // q161: the per-line keep rule (terminal punctuation + word floor
     // + marker substrings) and the reassembly replayed verbatim
     "q161_c4_lines" ->
