@@ -3283,6 +3283,18 @@ GROUP BY s.split ORDER BY s.split""",
         |SELECT psi.pd AS period, tot.nn AS n_events, psi.psi
         |FROM psi JOIN tot ON tot.pd = psi.pd
         |ORDER BY period""".stripMargin,
+    // q162: PINNED truth table (q132/q141 contract — skip-gram
+    // training is not SQL-expressible; the output IS deterministic:
+    // 1-partition seeded fit, bit-identical refit pinned in MLSpec).
+    // Values frozen from the sf0.01 fixture; a tokenization or
+    // training change that moves ANY neighbor or 4-decimal cosine
+    // breaks this row on purpose.
+    "q162_w2v_ann" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(cosine AS DOUBLE) AS cosine
+        |FROM (VALUES (222, 0.9998), (335, 0.9997), (414, 0.9997),
+        |  (130, 0.9996), (137, 0.9996)) t(doc_id, cosine)
+        |ORDER BY cosine DESC, doc_id""".stripMargin,
     // q163: the doc-keyed md5 split rule + exact-share deviation fold
     "q163_split_balance" ->
       """WITH b AS (

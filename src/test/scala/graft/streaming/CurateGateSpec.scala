@@ -53,4 +53,33 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet
     assert(streamed === batch)
   }
+
+  test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
+    // the UDAF is a TypedImperativeAggregate, so it runs as a normal
+    // streaming aggregation — the heavy-hitter candidate sketch over
+    // an unbounded source with O(k) state, exactly the monitoring
+    // shape the operator exists for
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")
+    val d = java.nio.file.Files.createTempDirectory("graft-mg-stream")
+    java.nio.file.Files.copy(src, d.resolve(src.getFileName))
+    val docs = spark.read.parquet(d.toString)
+    def tokensOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.ops.Dedup.normalizedTokens(col("text")))
+        .as("token"))
+    def mg(df: org.apache.spark.sql.DataFrame) =
+      tokensOf(df).agg(
+        graft.ops.Frequent.candidatesAgg(col("token"), 50).as("cand"))
+    val batch = mg(docs).collect().head.getSeq[String](0)
+    assert(batch.nonEmpty)
+    val q = EventStreams.runOnce(spark,
+      mg(spark.readStream.schema(docs.schema).parquet(d.toString)),
+      "mg_stream", OutputMode.Complete())
+    q.awaitTermination(120000)
+    val streamed = spark.table("mg_stream")
+      .collect().head.getSeq[String](0)
+    // single micro-batch => identical update sequence => identical
+    // candidate set (across many micro-batches the sets could differ
+    // within the MG guarantee; availableNow over one file is one batch)
+    assert(streamed === batch)
+  }
 }
