@@ -2917,4 +2917,34 @@ object Queries {
       .orderBy(col("cos_centroid").asc, col("vec_id").asc)
       .limit(10)
   }
+
+  /** Incremental corpus ledger certified mergeable
+    * ([[graft.ops.Ledger]]): snapshot the two doc_id-parity halves
+    * separately (yesterday's ledger + today's delta), merge, and
+    * compare against the one-pass whole-corpus snapshot — counts,
+    * token volume, sketch states, and the distinct-text estimate must
+    * all agree per source. The oracle re-derives both paths (sums +
+    * the q150-style rank-k union replay). */
+  def q165Ledger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val k = 64
+    val merged = graft.ops.Ledger.merge(
+      graft.ops.Ledger.snapshot(
+        docs.where(col("doc_id") % 2 === 0), "source", "text", k),
+      graft.ops.Ledger.snapshot(
+        docs.where(col("doc_id") % 2 === 1), "source", "text", k),
+      "source", k)
+    val whole = graft.ops.Ledger.snapshot(docs, "source", "text", k)
+      .select(col("source").as("__ws"), col("n_docs").as("__wn"),
+        col("n_tokens").as("__wt"), col("kmv").as("__wk"))
+    graft.ops.Ledger.report(merged, "source", k)
+      .join(merged.select(col("source").as("__ms"), col("kmv")),
+        col("source") === col("__ms"))
+      .join(whole, col("source") === col("__ws"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("est_distinct_texts"), col("dup_ratio"),
+        (col("n_docs") === col("__wn") && col("n_tokens") === col("__wt") &&
+          col("kmv") === col("__wk")).as("merge_exact"))
+      .orderBy("source")
+  }
 }

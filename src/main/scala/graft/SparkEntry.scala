@@ -187,6 +187,7 @@ object SparkEntry {
     "q162_w2v_ann" -> (Queries.q162W2vAnn(_, _)),
     "q163_split_balance" -> (Queries.q163SplitBalance(_, _)),
     "q164_embedding_outliers" -> (Queries.q164EmbeddingOutliers(_, _)),
+    "q165_ledger" -> (Queries.q165Ledger(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3295,6 +3296,46 @@ GROUP BY s.split ORDER BY s.split""",
         |FROM (VALUES (222, 0.9998), (335, 0.9997), (414, 0.9997),
         |  (130, 0.9996), (137, 0.9996)) t(doc_id, cosine)
         |ORDER BY cosine DESC, doc_id""".stripMargin,
+    // q165: both ledger paths re-derived — per-half rank-64 prune +
+    // union re-prune (merged) vs one-pass prune (whole), plus the
+    // count/token sums and the estimate/dup-ratio arithmetic
+    "q165_ledger" ->
+      """WITH d AS (
+        |  SELECT source, doc_id % 2 AS half,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nm,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '')) AS toks
+        |  FROM documents),
+        |hd AS (SELECT DISTINCT source, half,
+        |         ('0x' || substr(md5(nm), 1, 15))::BIGINT / power(16, 15) AS u
+        |       FROM d),
+        |hr AS (SELECT source, u,
+        |         row_number() OVER (PARTITION BY source, half ORDER BY u) AS rk
+        |       FROM hd),
+        |pruned AS (SELECT DISTINCT source, u FROM hr WHERE rk <= 64),
+        |m AS (SELECT source, u,
+        |        row_number() OVER (PARTITION BY source ORDER BY u) AS rk
+        |      FROM pruned),
+        |ms AS (SELECT source, count(*) AS kc, max(u) AS uk,
+        |         list(u ORDER BY u) AS st
+        |       FROM m WHERE rk <= 64 GROUP BY source),
+        |wd AS (SELECT DISTINCT source, u FROM hd),
+        |wr AS (SELECT source, u,
+        |         row_number() OVER (PARTITION BY source ORDER BY u) AS rk
+        |       FROM wd),
+        |ws AS (SELECT source, count(*) AS kc, max(u) AS uk,
+        |         list(u ORDER BY u) AS st
+        |       FROM wr WHERE rk <= 64 GROUP BY source),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(toks) AS BIGINT) AS n_tokens
+        |        FROM d GROUP BY source)
+        |SELECT a.source, a.n_docs, a.n_tokens,
+        |  CASE WHEN ms.kc < 64 THEN ms.kc::DOUBLE
+        |       ELSE round(63.0 / ms.uk, 4) END AS est_distinct_texts,
+        |  round(a.n_docs / CASE WHEN ms.kc < 64 THEN ms.kc::DOUBLE
+        |       ELSE round(63.0 / ms.uk, 4) END, 4) AS dup_ratio,
+        |  ms.st = ws.st AS merge_exact
+        |FROM agg a JOIN ms USING (source) JOIN ws USING (source)
+        |ORDER BY a.source""".stripMargin,
     // q163: the doc-keyed md5 split rule + exact-share deviation fold
     "q163_split_balance" ->
       """WITH b AS (

@@ -2065,6 +2065,31 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ledger: snapshot(A ∪ B) == merge(snapshot(A), snapshot(B)); report arithmetic") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = ((1L to 40L).map(i => (i, "s1", s"text number ${i % 10}")) ++
+      (41L to 50L).map(i => (i, "s2", s"unique text $i here")))
+      .toDF("doc_id", "source", "text")
+    val whole = Ledger.snapshot(docs, "source", "text", k = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Double](3)))).toMap
+    val merged = Ledger.merge(
+      Ledger.snapshot(docs.where(c("doc_id") % 2 === 0), "source", "text", 8),
+      Ledger.snapshot(docs.where(c("doc_id") % 2 === 1), "source", "text", 8),
+      "source", 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Double](3)))).toMap
+    assert(merged === whole)
+    // report: s1 has 10 distinct texts over 40 rows -> dup_ratio 4.0
+    // (k=8 < 10 -> estimation path; use exact k=16 for the hand value)
+    val rep = Ledger.report(
+      Ledger.snapshot(docs, "source", "text", k = 16), "source", k = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rep("s1") === ((40L, 10.0, 4.0)))
+    assert(rep("s2") === ((10L, 10.0, 1.0)))
+  }
+
   test("c4 line filter: terminal punct, word floor, markers, reassembly, empty/null safe") {
     import org.apache.spark.sql.functions.{col => c}
     val docs = Seq(
