@@ -2947,4 +2947,19 @@ object Queries {
           col("kmv") === col("__wk")).as("merge_exact"))
       .orderBy("source")
   }
+
+  /** Rank-percentile score calibration per language
+    * ([[graft.ops.Sample.percentileRankWithinGroup]]): every doc's
+    * quality score becomes its within-language percentile — the
+    * shape-free normalization for mixing heterogeneously-scored
+    * sources, beside q73's z-score form. Deterministic tie-break on
+    * doc_id; the oracle replays the identical window. */
+  def q166RankCalibrate(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sample.percentileRankWithinGroup(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.ops.TextStats.qualityScore(col("text")).as("quality")),
+      "lang", "quality", "doc_id")
+      .orderBy("doc_id")
+
 }

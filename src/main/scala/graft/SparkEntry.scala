@@ -188,6 +188,7 @@ object SparkEntry {
     "q163_split_balance" -> (Queries.q163SplitBalance(_, _)),
     "q164_embedding_outliers" -> (Queries.q164EmbeddingOutliers(_, _)),
     "q165_ledger" -> (Queries.q165Ledger(_, _)),
+    "q166_rank_calibrate" -> (Queries.q166RankCalibrate(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3296,6 +3297,14 @@ GROUP BY s.split ORDER BY s.split""",
         |FROM (VALUES (222, 0.9998), (335, 0.9997), (414, 0.9997),
         |  (130, 0.9996), (137, 0.9996)) t(doc_id, cosine)
         |ORDER BY cosine DESC, doc_id""".stripMargin,
+    // q166: the q33 quality formula percentile-ranked per language —
+    // the identical deterministic window on both engines
+    "q166_rank_calibrate" -> (qualityScoredCtes(Seq("lang")) +
+      """
+        |SELECT doc_id, lang, quality,
+        |  round(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY quality ASC, doc_id ASC), 6) AS pct_rank
+        |FROM scored ORDER BY doc_id""".stripMargin),
     // q165: both ledger paths re-derived — per-half rank-64 prune +
     // union re-prune (merged) vs one-pass prune (whole), plus the
     // count/token sums and the estimate/dup-ratio arithmetic

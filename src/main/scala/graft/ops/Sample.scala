@@ -263,6 +263,30 @@ object Sample {
       .withColumnRenamed("__rank", "rank")
   }
 
+  /** Rank-based score calibration within group: `percent_rank` over
+    * the deterministic total order (scoreCol asc, tiebreak asc) — the
+    * robust complement to [[standardizeWithinGroup]] when score
+    * distributions differ in SHAPE, not just scale, across sources
+    * (z-scores assume comparable spread; rank percentiles do not).
+    * Ties rank DISTINCTLY via the tiebreak — a fractional tie-average
+    * would depend on group-internal layout and desync cross-engine.
+    *
+    * Scale note: calibration needs every row ranked, so this is one
+    * full window shuffle keyed by the group — unlike the gate family
+    * ([[aboveGroupQuantile]]), which broadcasts one threshold back.
+    * At mega-group scale use the decomposed prefix-sum shape
+    * ([[Budget]]'s pattern) over a bucketed score domain instead. */
+  def percentileRankWithinGroup(df: DataFrame, groupCol: String,
+                                scoreCol: String, tiebreakCol: String,
+                                outCol: String = "pct_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(outCol),
+      s"input column $outCol collides with percentileRankWithinGroup's output")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(tiebreakCol).asc)
+    df.withColumn(outCol, round(percent_rank().over(w), 6))
+  }
+
   /** Within-group z-score standardization: `z = (x - μ_g) / σ_g`
     * (population σ; a zero-variance group scores 0) — makes scores
     * comparable ACROSS sources before a global gate, so one source's
