@@ -50,10 +50,20 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     // One timed sample of a query: elapsed seconds or an error message.
+    // Times a noop-sink write, NOT count(), so Bench and TimeQueries
+    // share one evaluation contract: count() lets the optimizer prune
+    // unused columns, windows, and sorts, under-timing any query whose
+    // plan tail isn't already an aggregate relative to what Verify
+    // executes. The noop v2 sink materializes every output column of
+    // every row and discards them executor-side. (Eval-mode switch is
+    // a round-12 re-baseline event — BASELINE.md rows note it.)
     def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      }
       catch { case e: Throwable =>
         // keep the (nearly) full message: the sidecar promises complete
         // diagnostics; only the stdout line truncates (boundedErrs)
@@ -215,16 +225,35 @@ object Bench {
 
   /** BASELINE.md's per-query rows (name -> idle-host seconds), parsed
     * from the markdown table; empty on any parse/read failure — the
-    * bench line must never die on a docs edit. */
-  private[graft] def baselineRows(): Map[String, Double] =
-    try {
-      val re = """^\|\s*(q\d+[a-z0-9_]*)\s*\|\s*([0-9][0-9.]*)\s*\|""".r
-      val src = scala.io.Source.fromFile("BASELINE.md")(scala.io.Codec.UTF8)
-      try src.getLines().flatMap { l =>
-        re.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble)
-      }.toMap
-      finally src.close()
-    } catch { case _: Throwable => Map.empty }
+    * bench line must never die on a docs edit. The file is resolved
+    * from SPARK_GRAFT_REPO, then the CWD, then the CWD's ancestors
+    * (sbt subproject launches), so launching the bench from outside
+    * the repo root doesn't silently drop the `vsb` provenance field;
+    * an unresolvable file is reported on stderr rather than swallowed. */
+  private[graft] def baselineRows(): Map[String, Double] = {
+    val candidates =
+      sys.env.get("SPARK_GRAFT_REPO").map(r => java.nio.file.Paths.get(r, "BASELINE.md")).toSeq ++
+        Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null).take(5).map(_.resolve("BASELINE.md")).toSeq
+    candidates.find(java.nio.file.Files.isReadable) match {
+      case None =>
+        System.err.println(
+          s"Bench: BASELINE.md not found (tried ${candidates.mkString(", ")}); vsb omitted")
+        Map.empty
+      case Some(p) =>
+        try {
+          val re = """^\|\s*(q\d+[a-z0-9_]*)\s*\|\s*([0-9][0-9.]*)\s*\|""".r
+          val src = scala.io.Source.fromFile(p.toFile)(scala.io.Codec.UTF8)
+          try src.getLines().flatMap { l =>
+            re.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble)
+          }.toMap
+          finally src.close()
+        } catch { case e: Throwable =>
+          System.err.println(s"Bench: failed parsing $p (${e.getMessage}); vsb omitted")
+          Map.empty
+        }
+    }
+  }
 
   /** The single driver-facing JSON line (also built by BenchFormatSpec
     * to assert it stays well inside the 2000-char capture window).

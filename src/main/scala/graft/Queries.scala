@@ -2610,9 +2610,15 @@ object Queries {
     val k = 64
     events(spark, dir)
       .rollup("event_type")
-      .agg(graft.ops.KmvAggregator.kmvStateAgg(col("user_id"), k).as("kmv"))
+      // the rollup total row is identified by grouping() (computed in
+      // the agg, where grouping bits are in scope), not by a NULL
+      // value coalesce — a genuinely NULL event_type group must stay
+      // distinct from the grand total, not collide with it
+      .agg(graft.ops.KmvAggregator.kmvStateAgg(col("user_id"), k).as("kmv"),
+        grouping(col("event_type")).as("__is_total"))
       .select(
-        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        when(col("__is_total") === 1, lit("ALL"))
+          .otherwise(col("event_type")).as("event_type"),
         size(col("kmv")).cast("long").as("n_kept"),
         graft.ops.Sketch.estimateFrom(col("kmv"), k).as("est_distinct"))
       .orderBy("event_type")
@@ -2691,17 +2697,26 @@ object Queries {
     val url = when(col("doc_id") % 17 === 0,
       concat(lit("/rel/"), col("doc_id").cast("string")))
       .otherwise(concat(
-        lit("https://"),
+        // protocol-relative "//host/path" (crawled src/href attributes)
+        // must parse to the same host as the schemed form
+        when(col("doc_id") % 19 === 0, lit("//")).otherwise(lit("https://")),
         when(col("doc_id") % 11 === 0, lit("u:p@")).otherwise(lit("")),
         lit("sub"), (col("doc_id") % 7).cast("string"),
         lit(".dom"), (col("doc_id") % 13).cast("string"),
-        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        when(col("doc_id") % 3 === 0, lit(".co.uk"))
+          .when(col("doc_id") % 23 === 0, lit(".web.zz"))
+          .otherwise(lit(".com")),
         when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
         lit("/p/"), col("doc_id").cast("string")))
-    t(spark, dir, "documents")
-      .select(graft.ops.Web.host(url).as("host"))
-      .select(col("host"),
-        graft.ops.Web.apexDomain(col("host")).as("apex"))
+    // USER-EXTENDED suffix table (the built-in set plus a synthetic
+    // "web.zz" multi-part suffix), applied via the broadcast-joined
+    // form — the 100-TB path for the full ~9k-entry PSL. OpsSpec pins
+    // withApexDomain ≡ the apexDomain column form.
+    val table = graft.ops.Web.DefaultMultiPartSuffixes :+ "web.zz"
+    graft.ops.Web.withApexDomain(
+        t(spark, dir, "documents")
+          .select(graft.ops.Web.host(url).as("host")),
+        "host", "apex", table)
       .groupBy(coalesce(col("apex"), lit("(none)")).as("apex"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("host")).as("n_hosts"))

@@ -3147,20 +3147,21 @@ GROUP BY s.split ORDER BY s.split""",
     // and the same multi-part suffix set (interpolated from the ONE
     // Scala definition so the two engines cannot drift)
     "q155_domain_census" -> {
-      val suffixes = graft.ops.Web.DefaultMultiPartSuffixes
+      val suffixes = (graft.ops.Web.DefaultMultiPartSuffixes :+ "web.zz")
         .map(s => s"'$s'").mkString(", ")
       s"""WITH u AS (
          |  SELECT CASE WHEN doc_id % 17 = 0 THEN '/rel/' || doc_id::VARCHAR
-         |    ELSE 'https://'
+         |    ELSE CASE WHEN doc_id % 19 = 0 THEN '//' ELSE 'https://' END
          |      || CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END
          |      || 'sub' || (doc_id % 7)::VARCHAR
          |      || '.dom' || (doc_id % 13)::VARCHAR
-         |      || CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+         |      || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+         |           WHEN doc_id % 23 = 0 THEN '.web.zz' ELSE '.com' END
          |      || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
          |      || '/p/' || doc_id::VARCHAR END AS url
          |  FROM documents),
          |h AS (SELECT nullif(regexp_extract(lower(trim(url)),
-         |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), '') AS host
+         |    '^(?:[a-z][a-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)', 1), '') AS host
          |  FROM u),
          |a AS (SELECT host, CASE
          |    WHEN host IS NULL THEN NULL

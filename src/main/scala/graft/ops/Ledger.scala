@@ -28,9 +28,12 @@ object Ledger {
   def snapshot(df: DataFrame, groupCol: String, textCol: String,
                k: Int = 64): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    // no groupCol exemption (mirrors Sketch.prunedHashes' hardened
+    // guard): a group column named n_docs/n_tokens/kmv would collide
+    // with the ledger's output columns — callers rename it first
     Seq("n_docs", "n_tokens", "kmv").foreach(c =>
-      require(!df.columns.contains(c) || c == groupCol,
-        s"input already has a $c column"))
+      require(!df.columns.contains(c),
+        s"input already has a $c column (reserved ledger name; rename it first)"))
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(TextStats.tokenCount(col(textCol)).cast("long")),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,8 +55,11 @@ object Web {
     * default bucket explicitly rather than silently grouping them
     * under "". */
   def host(url: Column): Column = {
+    // the scheme is optional so protocol-relative "//host/path" URLs
+    // (common in crawled HTML attributes) parse too; the "//" itself
+    // is mandatory — a bare "host/path" has no authority marker
     val h = regexp_extract(lower(trim(url)),
-      "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+      "^(?:[a-z][a-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)", 1)
     when(h =!= "", h)
   }
 
@@ -82,8 +85,44 @@ object Web {
       .otherwise(last2)
   }
 
+  /** [[apexDomain]] for LARGE suffix tables: the full Public Suffix
+    * List is ~9k entries, and an `isin` of that many string literals
+    * builds a pathological expression tree (one branch per literal in
+    * codegen). This form instead LEFT-joins each host's candidate
+    * last-two-label suffix against a BROADCAST suffix frame — O(1)
+    * per row via the broadcast hash table, no shuffle of `df`, and the
+    * table is a runtime artifact (load the real PSL file into a Seq
+    * and pass it) rather than compiled code. Appends `outCol` to `df`;
+    * semantics are exactly [[apexDomain]]'s (OpsSpec pins the two
+    * forms equal on shared inputs). */
+  def withApexDomain(df: DataFrame, hostCol: String, outCol: String,
+                     suffixes: Seq[String] = DefaultMultiPartSuffixes)
+      : DataFrame = {
+    require(suffixes.nonEmpty, "suffix table must be non-empty")
+    Seq("__graft_last2", "__graft_psl").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a $c column"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val suf = broadcast(suffixes.distinct.toDF("__graft_psl"))
+    val labels = split(col(hostCol), "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    df.withColumn("__graft_last2",
+        when(col(hostCol).isNotNull && n > 2, last2))
+      .join(suf, col("__graft_last2") === col("__graft_psl"), "left")
+      .withColumn(outCol,
+        when(col(hostCol).isNull, lit(null))
+          .when(n <= 2, col(hostCol))
+          .when(col("__graft_psl").isNotNull, last3)
+          .otherwise(last2))
+      .drop("__graft_last2", "__graft_psl")
+  }
+
   /** High-traffic multi-part public suffixes — the approximation set
-    * behind [[apexDomain]]. Swap in the full PSL where available. */
+    * behind [[apexDomain]]. Swap in the full PSL where available
+    * (pass it to [[apexDomain]] for small custom sets, or
+    * [[withApexDomain]] for the full broadcast-joined list). */
   val DefaultMultiPartSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",

@@ -2295,6 +2295,10 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       ("https://example.com", "example.com", "example.com"),
       ("ftp://localhost/file", "localhost", "localhost"),
       ("HTTPS://MiXeD.CaSe.ORG/Z", "mixed.case.org", "case.org"),
+      // protocol-relative URLs (crawled src/href attributes) carry an
+      // authority — they must parse, not fall to the relative bucket
+      ("//cdn.example.com/lib.js", "cdn.example.com", "example.com"),
+      ("//u@plain.org:443/x", "plain.org", "plain.org"),
       ("/relative/path", null, null),
       ("not a url", null, null))
       .toDF("url", "eh", "ea")
@@ -2304,6 +2308,34 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     got.foreach { r =>
       assert(Option(r.getString(0)) === Option(r.getString(1)), r.toString)
       assert(Option(r.getString(3)) === Option(r.getString(2)), r.toString)
+    }
+  }
+
+  test("withApexDomain: broadcast-joined form == column form; user table extends") {
+    import org.apache.spark.sql.functions.{col => c}
+    val hosts = Seq("www.example.com", "deep.sub.host.co.uk", "example.com",
+      "localhost", "a.b.web.zz", "x.web.zz", null)
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("i", "host")
+    // default table: the two forms agree row for row
+    val joined = Web.withApexDomain(hosts, "host", "apex")
+      .orderBy("i").collect().map(r => Option(r.getString(2)))
+    val column = hosts.select(c("i"), Web.apexDomain(c("host")).as("apex"))
+      .orderBy("i").collect().map(r => Option(r.getString(1)))
+    assert(joined.toSeq === column.toSeq)
+    // extended table: web.zz becomes a multi-part suffix in both forms
+    val ext = Web.DefaultMultiPartSuffixes :+ "web.zz"
+    val je = Web.withApexDomain(hosts, "host", "apex", ext)
+      .orderBy("i").collect().map(r => Option(r.getString(2)))
+    val ce = hosts.select(c("i"),
+      Web.apexDomain(c("host"), ext).as("apex"))
+      .orderBy("i").collect().map(r => Option(r.getString(1)))
+    assert(je.toSeq === ce.toSeq)
+    assert(je(4) === Some("b.web.zz")) // three labels kept
+    assert(je(5) === Some("x.web.zz")) // two labels pass through
+    // reserved working-column names are rejected loudly
+    intercept[IllegalArgumentException] {
+      Web.withApexDomain(hosts.withColumn("__graft_psl",
+        org.apache.spark.sql.functions.lit(1)), "host", "apex")
     }
   }
 
