@@ -895,22 +895,35 @@ object Queries {
     * booleans (within 2% / 5%) because no other engine reproduces
     * Spark's sketch internals bit-for-bit — same style as q27's
     * recall-1.0 contract. */
-  def q66ApproxSketch(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def q66ApproxSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    // TWO aggregations joined on the tiny type domain, NOT one agg
+    // mixing countDistinct with plain aggs: the mixed form compiles to
+    // an Expand that doubles every event row through the shuffle. The
+    // user side pre-dedupes (event_type, user_id) — partial map-side,
+    // so mostly-repeat users collapse before shuffling — and the HLL
+    // runs on the deduped frame (HLL sketch state is EXACTLY duplicate-
+    // insensitive, so the estimate is bit-identical to the multiset
+    // form). The value side keeps the percentile pair over raw rows.
+    val users = ev.select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("n_exact"),
+        count(lit(1)).as("n_exact"),
         // rsd 0.5% so the 2% contract bound is a 4-sigma margin at any
         // cardinality (the default 5% rsd would make 2% a coin flip)
-        approx_count_distinct(col("user_id"), 0.005).as("__hll"),
+        approx_count_distinct(col("user_id"), 0.005).as("__hll"))
+    val vals = ev.groupBy(col("event_type"))
+      .agg(
         percentile(col("value"), lit(0.5)).as("__p50x"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50a"))
+    users.join(vals, Seq("event_type"))
       .select(col("event_type"), col("n_exact"),
         (abs(col("__hll") - col("n_exact")) <=
           col("n_exact") * lit(0.02)).as("hll_ok"),
         (abs(col("__p50a") - col("__p50x")) <=
           abs(col("__p50x")) * lit(0.05)).as("p50_ok"))
       .orderBy("event_type")
+  }
 
   /** Per-doc out-of-vocabulary rate vs the corpus' own top-500 token
     * vocabulary (see [[graft.ops.TextStats.oovRate]] for the broadcast
@@ -2963,18 +2976,40 @@ object Queries {
       .orderBy("source")
   }
 
-  /** Rank-percentile score calibration per language
-    * ([[graft.ops.Sample.percentileRankWithinGroup]]): every doc's
-    * quality score becomes its within-language percentile — the
+  /** Rank-percentile score calibration per language through the
+    * SCALE-SAFE prefix-sum form ([[graft.ops.Sample
+    * .percentileRankByBucket]]): every doc's quality score becomes
+    * its within-language percentile (tie-min semantics) — the
     * shape-free normalization for mixing heterogeneously-scored
-    * sources, beside q73's z-score form. Deterministic tie-break on
-    * doc_id; the oracle replays the identical window. */
+    * sources, beside q73's z-score form. No per-language corpus
+    * window: one (lang, bucket) hash aggregate + a prefix sum over
+    * the <=1001-bucket domain + a broadcast lookup, so a majority-
+    * language corpus cannot pile into one sort task. scale=1000 is
+    * LOSSLESS for the 3-decimal quality score, so the oracle replays
+    * it as plain `percent_rank() OVER (PARTITION BY lang ORDER BY
+    * quality)`. */
+  /** Per-language quality-score quantile panel through the bucketed
+    * prefix-sum form ([[graft.ops.Sample.groupQuantilesByBucket]]):
+    * p25/p50/p75/p95 per language with aggregate state bounded by
+    * langs x 1001 buckets — the corpus-scale alternative to the exact
+    * `percentile` aggregate (which buffers every group value). Rank
+    * thresholds compare in pure integer arithmetic
+    * (cum*10000 >= bp*n), so the oracle replays the construction
+    * verbatim with zero float-boundary risk. */
+  def q167GroupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sample.groupQuantilesByBucket(
+      t(spark, dir, "documents")
+        .select(col("lang"),
+          graft.ops.TextStats.qualityScore(col("text")).as("quality")),
+      "lang", "quality", Seq(0.25, 0.5, 0.75, 0.95), scale = 1000)
+      .orderBy("lang", "q")
+
   def q166RankCalibrate(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Sample.percentileRankWithinGroup(
+    graft.ops.Sample.percentileRankByBucket(
       t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           graft.ops.TextStats.qualityScore(col("text")).as("quality")),
-      "lang", "quality", "doc_id")
+      "lang", "quality", "pct_rank", scale = 1000)
       .orderBy("doc_id")
 
 }

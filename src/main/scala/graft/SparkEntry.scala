@@ -189,6 +189,7 @@ object SparkEntry {
     "q164_embedding_outliers" -> (Queries.q164EmbeddingOutliers(_, _)),
     "q165_ledger" -> (Queries.q165Ledger(_, _)),
     "q166_rank_calibrate" -> (Queries.q166RankCalibrate(_, _)),
+    "q167_group_quantiles" -> (Queries.q167GroupQuantiles(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3298,13 +3299,33 @@ GROUP BY s.split ORDER BY s.split""",
         |FROM (VALUES (222, 0.9998), (335, 0.9997), (414, 0.9997),
         |  (130, 0.9996), (137, 0.9996)) t(doc_id, cosine)
         |ORDER BY cosine DESC, doc_id""".stripMargin,
-    // q166: the q33 quality formula percentile-ranked per language —
-    // the identical deterministic window on both engines
+    // q167: the bucketed quantile panel replayed construction-for-
+    // construction — (lang, bucket) counts, running sum, and the
+    // division-free integer rank compare (cum*10000 >= bp*n)
+    "q167_group_quantiles" -> (qualityScoredCtes(Seq("lang")) +
+      """,
+        |bk AS (SELECT lang, CAST(round(quality * 1000, 0) AS BIGINT) AS b,
+        |  count(*) AS cnt FROM scored GROUP BY 1, 2),
+        |cm AS (SELECT lang, b,
+        |  sum(cnt) OVER (PARTITION BY lang ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM bk),
+        |qs AS (SELECT unnest([2500, 5000, 7500, 9500]) AS bp)
+        |SELECT cm.lang, qs.bp / 10000.0 AS q,
+        |  round(min(cm.b) / 1000.0, 4) AS value
+        |FROM cm, qs WHERE cm.cum * 10000 >= qs.bp * cm.n
+        |GROUP BY cm.lang, qs.bp ORDER BY lang, q""".stripMargin),
+    // q166: the q33 quality formula percentile-ranked per language.
+    // Spark runs the decomposed prefix-sum form (no corpus window);
+    // its tie-min contract over the lossless 1e-3 bucket domain IS
+    // percent_rank ordered by the 3-decimal score, so the oracle stays
+    // the plain window — two different algorithms, one answer.
     "q166_rank_calibrate" -> (qualityScoredCtes(Seq("lang")) +
       """
         |SELECT doc_id, lang, quality,
         |  round(percent_rank() OVER (PARTITION BY lang
-        |    ORDER BY quality ASC, doc_id ASC), 6) AS pct_rank
+        |    ORDER BY quality ASC), 6) AS pct_rank
         |FROM scored ORDER BY doc_id""".stripMargin),
     // q165: both ledger paths re-derived — per-half rank-64 prune +
     // union re-prune (merged) vs one-pass prune (whole), plus the

@@ -32,7 +32,20 @@ object Embeddings {
 
   /** Train a Word2Vec model over `textCol`. `minCount` prunes the
     * vocabulary tail; `maxVocabSize` is the loud driver-memory guard
-    * (vectorSize × vocab floats live on the driver and broadcast). */
+    * (vectorSize × vocab floats live on the driver and broadcast).
+    *
+    * Choosing `numPartitions`: 1 is bit-deterministic per seed (the
+    * fixture/oracle contract — q162 depends on it); >1 applies
+    * gradient updates Hogwild-style, so only AGGREGATE properties are
+    * stable (the vocabulary set, which is count-derived and exact at
+    * any parallelism, and the neighbor topology of well-separated
+    * topics — MLSpec pins both at numPartitions=3). Rule of thumb:
+    * stay serial while one iteration's token stream fits your wall
+    * budget (~10M tokens/min/core order of magnitude); past that —
+    * any real corpus — set numPartitions ≈ executor cores, pin the
+    * seed for experiment bookkeeping, and treat vectors as
+    * statistically, not byte-, reproducible. Never gate a dedup or
+    * split decision on byte-identity of parallel-trained vectors. */
   def trainWord2Vec(df: DataFrame, textCol: String, dim: Int = 32,
                     minCount: Int = 5, maxIter: Int = 1,
                     windowSize: Int = 5, seed: Long = 7L,

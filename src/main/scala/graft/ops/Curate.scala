@@ -291,6 +291,122 @@ object Curate {
     }
   }
 
+  /**
+   * The STATEFUL streaming curation tail, composed for `foreachBatch`:
+   * per micro-batch, [[streamingGate]] (every stateless row gate,
+   * including decontamination) → exact dedup (intra-batch min-id via
+   * [[Dedup.exact]] PLUS cross-batch novelty vs everything already
+   * admitted) → near dedup ([[Dedup.minhashPairsIncremental]] against
+   * the admitted corpus — new x corpus and new x new candidates only,
+   * never corpus x corpus) → append the admitted docs to `outDir`.
+   *
+   * THE ADMITTED OUTPUT IS THE STATE: each batch reads the accumulated
+   * parquet under `outDir` as the dedup corpus, so there is no second
+   * state store to keep consistent, and a restart resumes from
+   * whatever was durably admitted. Replay safety: batches land in a
+   * `__batch_id=<id>` partition via DYNAMIC partition overwrite, so a
+   * foreachBatch retry of the same micro-batch overwrites its own
+   * partition instead of double-appending (the standard exactly-once
+   * recipe for idempotent sinks).
+   *
+   * Cross-batch semantics are FIRST-ARRIVAL (the only semantics a
+   * stream can have): a doc near-duplicate to an already-admitted doc
+   * is dropped; intra-batch near-dup groups collapse to their min-id
+   * representative through the same pair-closure as
+   * [[Dedup.dropNearDuplicates]], restricted to pairs whose BOTH ends
+   * survived the cross-batch check (a doc whose only near-witness was
+   * itself rejected stays — the admitted corpus already carries that
+   * cluster's representative). Equal to the batch pipeline whenever
+   * arrival order follows id order and no near-dup CHAIN straddles a
+   * batch boundary through a dropped middle element — the
+   * streamed≡batch equivalence CurateGateSpec pins on the fixture;
+   * at production scale the divergence is the usual greedy-vs-closure
+   * epsilon, not a correctness bug.
+   *
+   * Scale shape per batch: gate is map-side; exact novelty shuffles
+   * only 16-byte keys; the incremental pair pass shingles the BATCH
+   * plus re-shingles the admitted corpus — at large corpus:batch
+   * ratios, keep the corpus-side (band, hash, id) postings and
+   * (id, shingles) frames PRECOMPUTED/bucketed as
+   * [[Dedup.minhashPairsIncremental]]'s scaladoc describes, and pass
+   * a pre-read corpus via `corpusOverride` (e.g. the bucketed tables)
+   * so per-batch cost is proportional to the batch.
+   *
+   * Ids must be globally unique across the stream (one id space —
+   * the pair normalization depends on it).
+   */
+  def streamingTail(spark: org.apache.spark.sql.SparkSession,
+                    outDir: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    minQuality: Double = 0.3,
+                    maxDup2gramFrac: Double = 0.3,
+                    historicalCorpus: Option[DataFrame] = None,
+                    bandIndex: Option[Novelty.BandIndex] = None,
+                    unigramRef: Option[(TextStats.UnigramRef, Double)] = None,
+                    benchGrams: Option[Decontaminate.BenchGrams] = None,
+                    shingleSize: Int = 3, numHashes: Int = 12,
+                    bands: Int = 4, threshold: Double = 0.7)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    require(!batch.columns.contains("__batch_id"),
+      "input column __batch_id collides with streamingTail's partition column")
+    // 1. stateless row gates — identical code path to the pure gate
+    val gated = streamingGate(batch, textCol, minQuality, maxDup2gramFrac,
+      historicalCorpus, bandIndex, unigramRef, benchGrams)
+    // 2. the accumulated admitted corpus IS the dedup state. The
+    //    CURRENT batch's own partition is excluded: on a foreachBatch
+    //    retry after a partial write, including it would dedup the
+    //    batch against its own partial output and the dynamic
+    //    overwrite below would then drop the previously-landed rows —
+    //    excluding it makes the retry a clean from-scratch recompute
+    //    of exactly this partition.
+    val corpus =
+      try spark.read.parquet(outDir)
+        .where(col("__batch_id") =!= lit(batchId))
+        .drop("__batch_id")
+        .select(batch.columns.map(col).toSeq: _*)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        batch.limit(0) }
+    // 3. exact: cross-batch novelty (16-byte-key anti-join), then
+    //    intra-batch min-id winner
+    val exact = Dedup.exact(Novelty.exactNovel(gated, corpus, textCol),
+      idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 4. near: one incremental pair pass (new x corpus + new x new,
+      //    exact-Jaccard verified), split by which side each end is on
+      val pairs = Dedup.minhashPairsIncremental(exact, corpus, idCol,
+        textCol, shingleSize, numHashes, bands, threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val oldIds = corpus.select(col(idCol).as("__old_id")).distinct()
+      val flagged = pairs
+        .join(oldIds, pairs("id_a") === col("__old_id"), "left")
+        .withColumn("__a_old", col("__old_id").isNotNull).drop("__old_id")
+        .join(oldIds, pairs("id_b") === col("__old_id"), "left")
+        .withColumn("__b_old", col("__old_id").isNotNull).drop("__old_id")
+      // a pair touching the corpus drops its NEW side (first-arrival)
+      val crossDropped = flagged.where(col("__a_old") =!= col("__b_old"))
+        .select(when(col("__a_old"), col("id_b")).otherwise(col("id_a"))
+          .as(idCol)).distinct()
+      val afterCross = exact.join(crossDropped, Seq(idCol), "left_anti")
+      // intra-batch closure over pairs whose both ends survived
+      val survivorIds = afterCross.select(col(idCol).as("__sid"))
+      val newPairs = flagged.where(!col("__a_old") && !col("__b_old"))
+        .join(survivorIds, col("id_a") === col("__sid"), "left_semi")
+        .join(survivorIds, col("id_b") === col("__sid"), "left_semi")
+      val losers = Dedup.componentsOf(newPairs.select("id_a", "id_b"))
+        .where(col("comp") =!= col("node"))
+        .select(col("node").as(idCol))
+      val admitted = afterCross.join(losers, Seq(idCol), "left_anti")
+      // 5. land the batch in its own partition; a foreachBatch retry
+      //    overwrites it (idempotent replay) instead of duplicating
+      admitted.withColumn("__batch_id", lit(batchId))
+        .write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(outDir)
+      pairs.unpersist()
+    } finally exact.unpersist()
+  }
+
   /** File-source stream wired through [[streamingGate]] — the test /
     * quick-start entry (schema from a batch peek, then readStream). */
   def streamGate(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -272,10 +272,12 @@ object Sample {
     * would depend on group-internal layout and desync cross-engine.
     *
     * Scale note: calibration needs every row ranked, so this is one
-    * full window shuffle keyed by the group — unlike the gate family
-    * ([[aboveGroupQuantile]]), which broadcasts one threshold back.
-    * At mega-group scale use the decomposed prefix-sum shape
-    * ([[Budget]]'s pattern) over a bucketed score domain instead. */
+    * full window shuffle keyed by the group — one task sorts the
+    * LARGEST group (a majority-English corpus puts half the rows in
+    * one task at 100x). Reach for this form only when distinct
+    * per-row ranks are contractually required; the corpus-scale
+    * calibration is [[percentileRankByBucket]], which never sorts
+    * rows at all. */
   def percentileRankWithinGroup(df: DataFrame, groupCol: String,
                                 scoreCol: String, tiebreakCol: String,
                                 outCol: String = "pct_rank"): DataFrame = {
@@ -285,6 +287,130 @@ object Sample {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).asc, col(tiebreakCol).asc)
     df.withColumn(outCol, round(percent_rank().over(w), 6))
+  }
+
+  /** Rank-percentile calibration that SCALES: `percent_rank()` with
+    * RANK (tie-min) semantics over the score quantized to an integer
+    * bucket domain — `pct = #{rows in group with strictly smaller
+    * bucket} / (n_group - 1)` — computed as a decomposed prefix sum
+    * ([[Budget]]'s pattern) instead of a per-group corpus window:
+    *
+    *  1. ONE hash aggregate to per-(group, bucket) counts — partial
+    *     map-side, state bounded by groups x (scale+1) buckets;
+    *  2. a running sum ordered by bucket over that AGGREGATED frame
+    *     (tiny — the window sorts bucket counts, never corpus rows);
+    *  3. the cumulative table broadcasts back and every row looks its
+    *     percentile up map-side.
+    *
+    * No corpus shuffle, no skewed-key sort: a majority-English corpus
+    * costs the same as a uniform one. Bit-equal to
+    * `round(percent_rank() OVER (PARTITION BY group ORDER BY bucket),
+    * 6)` (OpsSpec pins it against the window form), and engine-
+    * portable — an oracle replays it as that exact window. Ties share
+    * the tie-min percentile (the shape-free calibration contract;
+    * [[percentileRankWithinGroup]] is the distinct-ties variant when a
+    * total order matters more than scale). Quantization is LOSSLESS
+    * whenever the score is already rounded coarser than `1/scale`
+    * (e.g. the 3-decimal [[graft.ops.TextStats.qualityScore]] at
+    * scale=1000); otherwise it is the documented granularity floor. A
+    * NULL score calibrates to NULL (explicitly, rather than
+    * inheriting either engine's null-ordering convention); a NULL
+    * group is a legitimate group (null-safe join back). Single-row
+    * (and single-bucket) groups score 0.0, matching percent_rank.
+    *
+    * Cost note: the input projection is evaluated on BOTH branches
+    * (bucket counts and the map-side probe) — if the score is an
+    * expensive expression (regex kernels), persist the scored frame
+    * upstream; at small scale the single-sort window form can be
+    * faster, the crossover is where one group's sort stops fitting
+    * one task. */
+  def percentileRankByBucket(df: DataFrame, groupCol: String,
+                             scoreCol: String, outCol: String = "pct_rank",
+                             scale: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale >= 1, "scale must be >= 1")
+    val clash = df.columns.toSet
+      .intersect(Set("__b", "__bg", "__cb", "__below", "__n", outCol))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with percentileRankByBucket's names")
+    val rows = df.withColumn("__b",
+      round(col(scoreCol) * scale, 0).cast("long"))
+    val counts = rows.where(col("__b").isNotNull)
+      .groupBy(col(groupCol).as("__bg"), col("__b").as("__cb"))
+      .agg(count(lit(1)).as("__cnt"))
+    // both windows run over the (group x bucket) COUNT frame, whose
+    // row count is bounded by the bucket domain — not the corpus
+    val below = Window.partitionBy(col("__bg")).orderBy(col("__cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts
+      .select(col("__bg"), col("__cb"),
+        coalesce(sum(col("__cnt")).over(below), lit(0L)).as("__below"),
+        sum(col("__cnt")).over(Window.partitionBy(col("__bg"))).as("__n"))
+    rows.join(broadcast(cum),
+        col(groupCol) <=> col("__bg") && col("__b") === col("__cb"), "left")
+      .withColumn(outCol,
+        when(col("__b").isNull, lit(null).cast("double"))
+          .when(col("__n") <= 1, lit(0.0))
+          .otherwise(round(col("__below").cast("double") / (col("__n") - lit(1L)), 6)))
+      .drop("__b", "__bg", "__cb", "__below", "__n")
+  }
+
+  /** Per-group quantile SUMMARY on the quantized score domain — the
+    * monitoring panel (p25/p50/p75/p95 per source/language) at corpus
+    * scale. Spark's exact `percentile` aggregate buffers every value
+    * of a group in one aggregation state (fine for the gate family's
+    * single threshold at moderate groups, a driver/executor-memory
+    * cliff on a billion-row group); this form reuses
+    * [[percentileRankByBucket]]'s decomposition — ONE
+    * (group, bucket) hash aggregate with state bounded by
+    * groups x (scale+1), a prefix sum over the tiny bucket frame,
+    * then `quantile q = smallest bucket value whose cumulative count
+    * reaches ceil(q·n)` (percentile_disc semantics on the bucketed
+    * score). The rank comparison is PURE INTEGER arithmetic — with q
+    * quantized to basis points, `cum >= ceil(q_bp·n/10000)` rewrites
+    * division-free as `cum·10000 >= q_bp·n` (longs; no float ulp can
+    * flip a rank cross-engine, no integer-division dialect quirks)
+    * and an oracle replays the whole construction verbatim. Output is long-form
+    * `(group, q, value)`, value = bucket/scale (quantization floor =
+    * 1/scale; LOSSLESS when the score is pre-rounded coarser). NULL
+    * scores are ignored (they carry no rank); an all-NULL group
+    * vanishes — same contract as an aggregate over no rows. */
+  def groupQuantilesByBucket(df: DataFrame, groupCol: String,
+                             scoreCol: String,
+                             qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                             scale: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale >= 1, "scale must be >= 1")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val clash = df.columns.toSet
+      .intersect(Set("__b", "__qg", "__cnt", "__cum", "__n", "q", "value"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with groupQuantilesByBucket's names")
+    val qBps = qs.map(q => math.round(q * 10000).toInt).distinct.sorted
+    val counts = df
+      .withColumn("__b", round(col(scoreCol) * scale, 0).cast("long"))
+      .where(col("__b").isNotNull)
+      .groupBy(col(groupCol).as("__qg"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    // both windows run over the bucket-count frame, never corpus rows
+    val cum = counts
+      .select(col("__qg"), col("__b"),
+        sum(col("__cnt")).over(Window.partitionBy(col("__qg"))
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, 0)).as("__cum"),
+        sum(col("__cnt")).over(Window.partitionBy(col("__qg"))).as("__n"))
+    val perQ = qBps.map { bp =>
+      // cum >= ceil(bp*n/10000)  <=>  cum*10000 >= bp*n  (integers)
+      cum.where(col("__cum") * lit(10000L) >= lit(bp.toLong) * col("__n"))
+        .groupBy(col("__qg"))
+        .agg(min(col("__b")).as("__qb"))
+        .select(col("__qg").as(groupCol),
+          lit(bp / 10000.0).as("q"),
+          round(col("__qb").cast("double") / scale,
+            math.ceil(math.log10(scale)).toInt + 1).as("value"))
+    }
+    perQ.reduce(_.unionByName(_))
   }
 
   /** Within-group z-score standardization: `z = (x - μ_g) / σ_g`

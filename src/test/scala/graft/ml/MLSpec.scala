@@ -183,4 +183,40 @@ class MLSpec extends AnyFunSuite with SparkTestSession {
     val syn = Embeddings.synonyms(m1, "spark", 3).collect()
     assert(syn.length === 3)
   }
+
+  test("word2vec parallel fit (numPartitions=3): vocab set and topic topology stable, not byte-pinned") {
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    // same planted-topic fixture as the serial test: two disjoint
+    // vocabularies, so topic separation is a property of the DATA that
+    // any correct fit must recover — parallelism-independent
+    val docs = (1L to 60L).map { i =>
+      val topic = if (i % 2 == 0) "spark rdd shuffle executor task"
+                  else "cat dog bird fish horse"
+      (i, s"$topic item$i common filler words here")
+    }.toDF("doc_id", "text").repartition(3)
+    val serial = Embeddings.trainWord2Vec(docs, "text", dim = 8,
+      minCount = 2, maxIter = 2, seed = 7L)
+    val par = Embeddings.trainWord2Vec(docs, "text", dim = 8,
+      minCount = 2, maxIter = 2, seed = 7L, numPartitions = 3)
+    // STABLE under parallelism: the vocabulary SET (count-derived,
+    // exact at any partitioning — the racy part is vector values only)
+    val vs = serial.getVectors.select("word")
+      .collect().map(_.getString(0)).toSet
+    val vp = par.getVectors.select("word")
+      .collect().map(_.getString(0)).toSet
+    assert(vp === vs)
+    // STABLE: neighbor topology of the planted topics — an even-id
+    // query's top-4 neighbors stay majority same-topic
+    val dv = Embeddings.docVectors(par, docs, "doc_id", "text")
+    val top = graft.ops.SimSearch.cosineTopK(dv, "doc_id", "embedding",
+      queryId = 2L, k = 4)
+      .collect().map(_.getLong(0))
+    assert(top.length === 4)
+    assert(top.count(_ % 2 == 0) >= 3,
+      s"parallel fit lost topic separation: ${top.mkString(",")}")
+    // NOT pinned: byte-identity of vectors (Hogwild updates race by
+    // design — the scaladoc contract); no assertion either way, the
+    // absence is the documentation
+  }
 }

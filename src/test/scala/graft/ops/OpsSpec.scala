@@ -1925,6 +1925,104 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       (Some("a"), 1.0, -1.0), (Some("a"), 3.0, 1.0)))
   }
 
+  test("percentileRankByBucket: prefix-sum form == window percent_rank on the bucket domain") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col => c, round => rnd, percent_rank}
+    // ties within a group, a single-row group, a NULL group, and
+    // scores that quantize together at scale=10 (0.11 and 0.14 -> 1)
+    val df = Seq(
+      (1L, Some("en"), Some(0.11)), (2L, Some("en"), Some(0.14)),
+      (3L, Some("en"), Some(0.5)), (4L, Some("en"), Some(0.5)),
+      (5L, Some("en"), Some(0.9)),
+      (6L, Some("de"), Some(0.7)),                    // single-row group
+      (7L, None, Some(0.2)), (8L, None, Some(0.8)),   // NULL group
+      (9L, Some("fr"), None)                          // NULL score
+    ).toDF("id", "g", "s")
+    val got = Sample.percentileRankByBucket(df, "g", "s", "pct", scale = 10)
+      .select("id", "pct").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    // reference: the window form over the identical bucket domain
+    val w = Window.partitionBy(c("g"))
+      .orderBy(rnd(c("s") * 10, 0).cast("long"))
+    val exp = df.where(c("s").isNotNull)
+      .withColumn("pct", rnd(percent_rank().over(w), 6))
+      .select("id", "pct").collect()
+      .map(r => (r.getLong(0), Some(r.getDouble(1)))).sortBy(_._1)
+    assert(got.filter(_._2.isDefined).toSeq === exp.toSeq)
+    // NULL score calibrates to NULL explicitly
+    assert(got.find(_._1 == 9L).get._2 === None)
+    // spot values: en buckets 1,1,5,5,9 -> below counts 0,0,2,2,4 of n=5
+    val en = got.filter(t => Seq(1L, 2L, 3L, 4L, 5L).contains(t._1)).map(_._2.get)
+    assert(en.toSeq === Seq(0.0, 0.0, 0.5, 0.5, 1.0))
+    assert(got.find(_._1 == 6L).get._2 === Some(0.0)) // single-row group
+    // no corpus-keyed window in the plan: the only Window node runs
+    // over the aggregated bucket frame (its child is an Aggregate)
+    val plan = Sample.percentileRankByBucket(df, "g", "s", "pct", scale = 10)
+      .queryExecution.optimizedPlan
+    plan.foreach {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        assert(wn.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty, "window must sit above the bucket-count aggregate")
+      case _ => ()
+    }
+  }
+
+  test("percentileRankWithinGroup: distinct ranks via tiebreak; ties differ from the bucket form by contract") {
+    val df = Seq(
+      (1L, "en", 0.2), (2L, "en", 0.5), (3L, "en", 0.5), (4L, "en", 0.9),
+      (5L, "de", 0.7)
+    ).toDF("id", "g", "s")
+    val got = Sample.percentileRankWithinGroup(df, "g", "s", "id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    // en: total order (0.2,1) (0.5,2) (0.5,3) (0.9,4) -> 0, 1/3, 2/3, 1
+    assert(got.toSeq === Seq((1L, 0.0), (2L, round6(1.0 / 3)),
+      (3L, round6(2.0 / 3)), (4L, 1.0), (5L, 0.0)))
+    // the bucket form gives the TIED rows the shared tie-min rank —
+    // the documented contract difference between the two calibrators
+    val bucketed = Sample.percentileRankByBucket(df, "g", "s", "pct", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(bucketed.find(_._1 == 2L).get._2 ===
+      bucketed.find(_._1 == 3L).get._2)
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("groupQuantilesByBucket: disc quantiles from bucket counts; ties, nulls, single rows") {
+    val df = Seq(
+      (Some("a"), Some(0.1)), (Some("a"), Some(0.2)),
+      (Some("a"), Some(0.3)), (Some("a"), Some(0.4)),
+      (Some("b"), Some(0.5)), (Some("b"), Some(0.5)), (Some("b"), Some(0.9)),
+      (Some("c"), None),                       // all-NULL group vanishes
+      (None, Some(0.7))                        // NULL group is a group
+    ).toDF("g", "s")
+    val got = Sample.groupQuantilesByBucket(df, "g", "s",
+      Seq(0.25, 0.5, 0.75, 0.95), scale = 10)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1),
+        r.getDouble(2)))
+      .sortBy(t => (t._1.getOrElse(""), t._2))
+    // a: n=4, ranks ceil(1,2,3,3.8)=(1,2,3,4) -> 0.1,0.2,0.3,0.4
+    assert(got.filter(_._1 === Some("a")).map(t => (t._2, t._3)).toSeq ===
+      Seq((0.25, 0.1), (0.5, 0.2), (0.75, 0.3), (0.95, 0.4)))
+    // b: ties share a bucket; n=3, ranks ceil(.75,1.5,2.25,2.85) =
+    // (1,2,3,3) -> values 0.5, 0.5 (cum 2 >= 2), 0.9, 0.9
+    assert(got.filter(_._1 === Some("b")).map(_._3).toSeq ===
+      Seq(0.5, 0.5, 0.9, 0.9))
+    // all-NULL group absent; NULL group present with its own quantiles
+    assert(!got.exists(_._1 === Some("c")))
+    assert(got.filter(_._1 === None).map(_._3).toSeq ===
+      Seq(0.7, 0.7, 0.7, 0.7))
+    // guards
+    intercept[IllegalArgumentException] {
+      Sample.groupQuantilesByBucket(df, "g", "s", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sample.groupQuantilesByBucket(df.withColumn("q", lit(1)), "g", "s")
+    }
+  }
+
   test("containmentScores: ratio per doc, clean docs present at zero") {
     // 1-grams: doc 1 {x,y}, doc 2 {y,z}, doc 3 {p,q}; reference = {y,z}
     val corpus = Seq((1L, "x y"), (2L, "y z"), (3L, "p q")).toDF("id", "text")

@@ -54,6 +54,85 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed === batch)
   }
 
+  test("streaming tail (foreachBatch): 3 micro-batches == 1 batch == Curate.standard prefix; replay idempotent") {
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val hist = docs.filter(col("doc_id") % 5 === 0)
+    val input = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 101 === 0)
+    val grams = Decontaminate.fitBenchGrams(bench, "text", 5)
+    val maxId = input.agg(max("doc_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val batches = Seq(
+      input.where(col("doc_id") <= cut1),
+      input.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      input.where(col("doc_id") > cut2))
+
+    def admitted(outDir: String): Set[Long] =
+      spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    def tail(outDir: String) = Curate.streamingTail(spark, outDir,
+      minQuality = 0.3, maxDup2gramFrac = 0.3,
+      historicalCorpus = Some(hist), benchGrams = Some(grams))
+
+    // streamed: three id-ordered micro-batches through the tail
+    val d3 = java.nio.file.Files.createTempDirectory("graft-tail-3").toString
+    val fn3 = tail(d3)
+    batches.zipWithIndex.foreach { case (b, i) => fn3(b, i.toLong) }
+    val streamed = admitted(d3)
+    assert(streamed.nonEmpty)
+
+    // one-batch run: same tail, all rows in micro-batch 0
+    val d1 = java.nio.file.Files.createTempDirectory("graft-tail-1").toString
+    tail(d1)(input, 0L)
+    val oneBatch = admitted(d1)
+    assert(streamed === oneBatch)
+
+    // Curate.standard's equivalent stage prefix (novelty + quality +
+    // repetition gates, exact dedup, near dedup, decontaminate; no LM
+    // stage, no semantic stage) — the batch pipeline the stream chases.
+    // standard decontaminates AFTER dedup where the gate runs it
+    // BEFORE; both remove the same text-determined rows, so the id
+    // sets agree (pinned here, on real data).
+    val (out, _) = Curate.standard(input, bench,
+      historicalCorpus = Some(hist))
+    val std = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    out.unpersist()
+    assert(streamed === std)
+
+    // replay the LAST micro-batch (the only batch a foreachBatch
+    // retry re-runs): its partition is recomputed against the earlier
+    // partitions only and dynamically overwritten — admitted set
+    // unchanged
+    fn3(batches(2), 2L)
+    assert(admitted(d3) === streamed)
+
+    // plumbing: the tail actually runs as a foreachBatch sink
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-tail-src")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$srcDir/f$i.parquet")
+      // file order drives batch order: pin strictly increasing mtimes
+      java.nio.file.Files.walk(srcDir.resolve(s"f$i.parquet")).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L)))
+    }
+    val dS = java.nio.file.Files.createTempDirectory("graft-tail-s").toString
+    val q = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+      .writeStream
+      .foreachBatch(tail(dS))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-tail-ckpt").toString)
+      .start()
+    q.awaitTermination(180000)
+    assert(admitted(dS) === streamed)
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
