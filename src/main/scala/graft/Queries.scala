@@ -3004,6 +3004,71 @@ object Queries {
       "lang", "quality", Seq(0.25, 0.5, 0.75, 0.95), scale = 1000)
       .orderBy("lang", "q")
 
+  /** Per-registrable-domain CAP — the Common-Crawl downsampling step:
+    * parse each doc's URL to its apex domain ([[graft.ops.Web.host]] /
+    * [[graft.ops.Web.apexDomain]]), keep the k=5 best docs per apex by
+    * the q33 quality score ([[graft.ops.Sample.topKPerGroup]] —
+    * WindowGroupLimit prunes per-task before the shuffle, so a
+    * boilerplate mega-domain ships k rows per task, never its full
+    * membership), and report the cap census per apex: total docs,
+    * docs kept, and the admission quality floor. Unparseable URLs
+    * land in the explicit '(none)' bucket and are capped like any
+    * domain. */
+  def q168DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val url = when(col("doc_id") % 17 === 0,
+      concat(lit("/rel/"), col("doc_id").cast("string")))
+      .otherwise(concat(
+        lit("https://"),
+        lit("sub"), (col("doc_id") % 7).cast("string"),
+        lit(".dom"), (col("doc_id") % 13).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), col("doc_id").cast("string")))
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.Web.host(url).as("host"),
+        graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("quality"),
+        coalesce(graft.ops.Web.apexDomain(col("host")), lit("(none)"))
+          .as("apex"))
+    val kept = graft.ops.Sample.topKPerGroup(
+      scored, "apex", "quality", "doc_id", k = 5)
+    val totals = scored.groupBy(col("apex"))
+      .agg(count(lit(1)).as("n_total"))
+    val keptAgg = kept.groupBy(col("apex").as("__ka"))
+      .agg(count(lit(1)).as("n_kept"), min(col("quality")).as("q_floor"))
+    totals.join(keptAgg, col("apex") === col("__ka"))
+      .select(col("apex"), col("n_total"), col("n_kept"), col("q_floor"))
+      .orderBy("apex")
+  }
+
+  /** Compression-ratio repetitiveness signal
+    * ([[graft.ops.TextStats.compressionRatio]], zlib level 6):
+    * documents with SYNTHESIZED 4x repetition (doc_id % 4 == 0) vs
+    * plain, summarized per class (count, avg/min/max ratio at 4
+    * decimals) over docs past the 200-char floor — certifying the
+    * signal's separating power: the repeated class must compress far
+    * below natural prose. zlib output is not SQL-replayable, so the
+    * oracle is a pinned-VALUES truth table frozen at sf0.01 from a
+    * determinism-proved run (the q86/q87 contract style). */
+  def q169CompressionSignal(spark: SparkSession, dir: String): DataFrame = {
+    val layered = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat_ws(" ", col("text"), col("text"), col("text"), col("text")))
+          .otherwise(col("text")).as("t2"),
+        (col("doc_id") % 4 === 0).as("repeated"))
+      .where(length(col("t2")) >= 200)
+    layered
+      .select(col("repeated"),
+        graft.ops.TextStats.compressionRatio(col("t2")).as("r"))
+      .groupBy(col("repeated"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("r")), 4).as("avg_ratio"),
+        round(min(col("r")), 4).as("min_ratio"),
+        round(max(col("r")), 4).as("max_ratio"))
+      .orderBy("repeated")
+  }
+
   def q166RankCalibrate(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sample.percentileRankByBucket(
       t(spark, dir, "documents")

@@ -190,6 +190,8 @@ object SparkEntry {
     "q165_ledger" -> (Queries.q165Ledger(_, _)),
     "q166_rank_calibrate" -> (Queries.q166RankCalibrate(_, _)),
     "q167_group_quantiles" -> (Queries.q167GroupQuantiles(_, _)),
+    "q168_domain_cap" -> (Queries.q168DomainCap(_, _)),
+    "q169_compression_signal" -> (Queries.q169CompressionSignal(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3299,6 +3301,55 @@ GROUP BY s.split ORDER BY s.split""",
         |FROM (VALUES (222, 0.9998), (335, 0.9997), (414, 0.9997),
         |  (130, 0.9996), (137, 0.9996)) t(doc_id, cosine)
         |ORDER BY cosine DESC, doc_id""".stripMargin,
+    // q169: zlib output is not SQL-replayable — pinned-VALUES truth
+    // table frozen at sf0.01 (2026-08-15, determinism spec-proved;
+    // fixed JDK zlib level 6), the q86/q87 contract style. Regenerate
+    // by re-running the query if the container JDK ever changes.
+    "q169_compression_signal" ->
+      """SELECT CAST(repeated AS BOOLEAN) AS repeated,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(avg_ratio AS DOUBLE) AS avg_ratio,
+        |  CAST(min_ratio AS DOUBLE) AS min_ratio,
+        |  CAST(max_ratio AS DOUBLE) AS max_ratio
+        |FROM (VALUES
+        |  (false, 264, 0.479, 0.3981, 0.6018),
+        |  (true, 125, 0.1537, 0.1097, 0.259))
+        |  t(repeated, n_docs, avg_ratio, min_ratio, max_ratio)
+        |ORDER BY repeated""".stripMargin,
+    // q168: the per-apex cap census — URL synth, host/apex parse, and
+    // the row_number cap replayed verbatim (quality DESC, doc_id ASC)
+    "q168_domain_cap" -> {
+      val suffixes = graft.ops.Web.DefaultMultiPartSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      qualityScoredCtes(Seq()) +
+      s""",
+         |u AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 17 = 0
+         |    THEN '/rel/' || doc_id::VARCHAR
+         |    ELSE 'https://sub' || (doc_id % 7)::VARCHAR
+         |      || '.dom' || (doc_id % 13)::VARCHAR
+         |      || CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+         |      || '/p/' || doc_id::VARCHAR END AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id, nullif(regexp_extract(lower(trim(url)),
+         |    '^(?:[a-z][a-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)', 1), '') AS host
+         |  FROM u),
+         |a AS (SELECT doc_id, coalesce(CASE
+         |    WHEN host IS NULL THEN NULL
+         |    WHEN len(ls) <= 2 THEN host
+         |    WHEN (ls[-2] || '.' || ls[-1]) IN ($suffixes)
+         |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |    ELSE ls[-2] || '.' || ls[-1] END, '(none)') AS apex
+         |  FROM (SELECT doc_id, host, string_split(host, '.') AS ls FROM h)),
+         |r AS (SELECT a.apex, s.quality,
+         |    row_number() OVER (PARTITION BY a.apex
+         |      ORDER BY s.quality DESC, s.doc_id ASC) AS rk
+         |  FROM a JOIN scored s USING (doc_id))
+         |SELECT apex, count(*) AS n_total,
+         |  count(*) FILTER (WHERE rk <= 5) AS n_kept,
+         |  min(quality) FILTER (WHERE rk <= 5) AS q_floor
+         |FROM r GROUP BY apex ORDER BY apex""".stripMargin
+    },
     // q167: the bucketed quantile panel replayed construction-for-
     // construction — (lang, bucket) counts, running sum, and the
     // division-free integer rank compare (cum*10000 >= bp*n)

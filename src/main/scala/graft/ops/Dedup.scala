@@ -237,6 +237,78 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Probability a pair at Jaccard similarity `s` becomes an LSH
+    * candidate under (bands x rowsPerBand) banding: `1 - (1 - s^r)^b`
+    * — the S-curve every banding discussion hand-waves, as a checked
+    * function. */
+  def lshCollisionProb(s: Double, bands: Int, rowsPerBand: Int): Double = {
+    require(s >= 0.0 && s <= 1.0, "similarity must be in [0, 1]")
+    require(bands >= 1 && rowsPerBand >= 1, "bands/rowsPerBand must be >= 1")
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+  }
+
+  /** A chosen MinHash banding: pass `numHashes`/`bands` straight into
+    * [[minhashPairs]]/[[dropNearDuplicates]]/[[minhashPairsIncremental]].
+    * `recallAtThreshold` / `probAtLowSim` are the S-curve values the
+    * plan was selected for — log them with the run. */
+  final case class BandPlan(numHashes: Int, bands: Int, rowsPerBand: Int,
+                            recallAtThreshold: Double, probAtLowSim: Double)
+
+  /**
+   * Banding PLANNER: the smallest signature meeting a recall floor at
+   * the dedup threshold and a candidate-rate ceiling at a low
+   * similarity — the two knobs that actually matter at 100 TB, where
+   * every extra hash is a full corpus map pass and every false
+   * candidate is a shuffled pair row plus an exact-Jaccard verify.
+   *
+   * Search: all (r, b) with r*b <= maxHashes; keep plans with
+   * `P(candidate | s=threshold) >= targetRecall` and
+   * `P(candidate | s=lowSim) <= maxLowSimProb`; return the one with
+   * the fewest total hashes (ties: higher recall, then fewer bands —
+   * fewer bands = fewer posting rows per doc). Throws with the
+   * closest-achievable plan in the message when the two constraints
+   * cannot be met inside `maxHashes` — loosen one knob consciously
+   * instead of silently under-recalling.
+   *
+   * The library default (12 hashes, 4x3) is planBands(0.7, 0.8, 0.2,
+   * 0.07)'s answer — the spec pins that, so the default and the
+   * planner cannot drift apart.
+   */
+  def planBands(threshold: Double, targetRecall: Double = 0.9,
+                lowSim: Double = 0.3, maxLowSimProb: Double = 0.05,
+                maxHashes: Int = 256): BandPlan = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      "targetRecall must be in (0, 1)")
+    require(lowSim >= 0.0 && lowSim < threshold,
+      "lowSim must be below the threshold")
+    require(maxLowSimProb > 0.0 && maxLowSimProb < 1.0,
+      "maxLowSimProb must be in (0, 1)")
+    require(maxHashes >= 1, "maxHashes must be >= 1")
+    val all = for {
+      r <- 1 to maxHashes
+      b <- 1 to (maxHashes / r)
+    } yield BandPlan(r * b, b, r,
+      lshCollisionProb(threshold, b, r), lshCollisionProb(lowSim, b, r))
+    val ok = all.filter(p =>
+      p.recallAtThreshold >= targetRecall && p.probAtLowSim <= maxLowSimProb)
+    if (ok.isEmpty) {
+      // closest by recall among precision-feasible plans, else overall
+      val feasible = all.filter(_.probAtLowSim <= maxLowSimProb)
+      val best = (if (feasible.nonEmpty) feasible else all)
+        .maxBy(p => (p.recallAtThreshold, -p.numHashes))
+      throw new IllegalArgumentException(
+        s"no banding within maxHashes=$maxHashes reaches recall " +
+          f">= $targetRecall%.3f at s=$threshold%.2f with " +
+          f"P(s=$lowSim%.2f) <= $maxLowSimProb%.3f; closest: " +
+          f"${best.numHashes}%d hashes = ${best.bands}%d x " +
+          f"${best.rowsPerBand}%d (recall ${best.recallAtThreshold}%.4f, " +
+          f"low-sim ${best.probAtLowSim}%.4f) — raise maxHashes or " +
+          "loosen a constraint")
+    }
+    ok.minBy(p => (p.numHashes, -p.recallAtThreshold, p.bands))
+  }
+
   /**
    * Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
    *

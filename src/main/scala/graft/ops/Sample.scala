@@ -400,17 +400,24 @@ object Sample {
           .orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, 0)).as("__cum"),
         sum(col("__cnt")).over(Window.partitionBy(col("__qg"))).as("__n"))
-    val perQ = qBps.map { bp =>
+    // ONE pass for every requested quantile: the tiny cum frame fans
+    // out by the quantile list (explode of a literal array — bucket
+    // rows x |qs|, still metadata-sized), each row keeps the
+    // quantiles whose rank it reaches, min(bucket) per (group, q).
+    // A per-quantile filter+agg branch instead would recompute the
+    // corpus aggregate once PER QUANTILE (Spark unions don't share
+    // subtrees) — 4 corpus scans for the default panel.
+    cum
+      .select(col("__qg"), col("__b"), col("__cum"), col("__n"),
+        explode(array(qBps.map(b => lit(b.toLong)): _*)).as("__bp"))
       // cum >= ceil(bp*n/10000)  <=>  cum*10000 >= bp*n  (integers)
-      cum.where(col("__cum") * lit(10000L) >= lit(bp.toLong) * col("__n"))
-        .groupBy(col("__qg"))
-        .agg(min(col("__b")).as("__qb"))
-        .select(col("__qg").as(groupCol),
-          lit(bp / 10000.0).as("q"),
-          round(col("__qb").cast("double") / scale,
-            math.ceil(math.log10(scale)).toInt + 1).as("value"))
-    }
-    perQ.reduce(_.unionByName(_))
+      .where(col("__cum") * lit(10000L) >= col("__bp") * col("__n"))
+      .groupBy(col("__qg"), col("__bp"))
+      .agg(min(col("__b")).as("__qb"))
+      .select(col("__qg").as(groupCol),
+        (col("__bp").cast("double") / lit(10000.0)).as("q"),
+        round(col("__qb").cast("double") / scale,
+          math.ceil(math.log10(scale)).toInt + 1).as("value"))
   }
 
   /** Within-group z-score standardization: `z = (x - μ_g) / σ_g`

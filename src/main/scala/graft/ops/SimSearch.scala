@@ -442,12 +442,67 @@ object SimSearch {
   /** Load an [[IvfIndex]] persisted by [[ivfSave]]. */
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
               idCol: String, vecCol: String): IvfIndex = {
-    val centers = spark.read.parquet(s"$dir/centers")
+    val centers = loadCenters(spark, dir)
+    IvfIndex(centers, spark.read.parquet(s"$dir/assigned"), idCol, vecCol)
+  }
+
+  private def loadCenters(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centers")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
       .toArray
-    IvfIndex(centers, spark.read.parquet(s"$dir/assigned"), idCol, vecCol)
+
+  /** APPEND an ingest batch to a persisted IVF index WITHOUT refit —
+    * the incremental half of "fit once per corpus version": load the
+    * (tiny) centers, assign each new vector to its nearest center in
+    * one map-only pass (exact argmin of squared distance, first cell
+    * wins ties — KMeans.transform's own convention, so appended
+    * assignments match what a refit-with-identical-centers would
+    * store; OpsSpec pins that), and land the rows in their `__cell`
+    * partitions alongside the existing corpus. Probes prune to nprobe
+    * partition directories exactly as before; new vectors are
+    * servable the moment the write commits.
+    *
+    * Contract notes: mode is plain APPEND — a retry of a failed batch
+    * double-appends, so from foreachBatch wrap the call with the
+    * __batch_id-partition recipe ([[graft.ops.Curate.streamingTail]])
+    * or dedup ids downstream. Centers drift as the corpus grows;
+    * recall degrades gracefully (cells get wider, not wrong) — refit
+    * per corpus VERSION, append per ingest BATCH. Ids must not repeat
+    * across appends (one id space, the ANN family's contract). */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                newDf: DataFrame, idCol: String, vecCol: String): Unit = {
+    require(!newDf.columns.contains("__cell"),
+      "input column __cell collides with the index's cell column")
+    val centers = loadCenters(spark, dir)
+    require(centers.nonEmpty, s"no centers found under $dir/centers")
+    val bc = spark.sparkContext.broadcast(centers)
+    val nearest = udf { (v: Seq[Double]) =>
+      if (v == null) -1
+      else {
+        val cs = bc.value
+        var best = 0
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var s = 0.0
+          var j = 0
+          val n = math.min(c.length, v.length)
+          while (j < n) { val d = c(j) - v(j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = i } // strict < : first wins ties
+          i += 1
+        }
+        best
+      }
+    }
+    newDf
+      .withColumn("__cell", nearest(asDouble(col(vecCol))))
+      .where(col("__cell") >= 0) // null vectors carry no position — skip
+      .write.partitionBy("__cell").mode("append")
+      .parquet(s"$dir/assigned")
   }
 
   /** Serve one query from a prebuilt [[IvfIndex]]: pick the `nprobe`

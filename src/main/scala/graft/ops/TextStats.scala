@@ -784,4 +784,44 @@ object TextStats {
     tf.unpersist()
     out
   }
+
+  /** Deflate COMPRESSION RATIO of the UTF-8 text: compressed bytes /
+    * raw bytes, 4 decimals — the classic cheap repetitiveness signal
+    * (Gopher/FineWeb lineage): boilerplate, templated, and
+    * machine-looped text compresses far below natural prose (~0.3-0.6
+    * for English paragraphs; <0.1 is a near-certain repetition flag;
+    * short texts ratio >1 from the ~11-byte stream overhead — gate on
+    * a length floor first). zlib level 6, one Deflater per row batch
+    * via the UDF. NULL text and empty text return NULL (no opinion),
+    * mirroring the LM gates' tokenless contract. A Scala UDF by
+    * necessity — no built-in or SQL-replayable form exists, so the
+    * q169 oracle is rows-only and the exact values are spec-pinned
+    * properties (monotone under repetition), not cross-engine hashes.
+    *
+    * Scale shape: map-only, no shuffle; cost is one zlib pass over the
+    * text bytes (~100 MB/s/core — budget it like a second regex
+    * kernel). */
+  def compressionRatio(text: Column): Column = {
+    val ratio = udf { (s: String) =>
+      if (s == null || s.isEmpty) null.asInstanceOf[java.lang.Double]
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(raw); d.finish()
+          // the buffer is reused per call — only the byte COUNT is
+          // kept, so worst-case zlib expansion (5 B per 16 KiB block)
+          // never needs a larger allocation; with finish() set,
+          // deflate always makes progress until finished()
+          val buf = new Array[Byte](8192)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+          java.lang.Double.valueOf(
+            BigDecimal(n.toDouble / raw.length)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        } finally d.end()
+      }
+    }
+    ratio(text)
+  }
 }

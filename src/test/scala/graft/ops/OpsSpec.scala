@@ -449,6 +449,44 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfAppend: batch lands in the right cells, search serves it, assignments match a refit") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.where(c("vec_id") < 40)
+    val batch = emb.where(c("vec_id") >= 40)
+    assert(batch.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    SimSearch.ivfSave(SimSearch.ivfFit(old, "vec_id", "embedding",
+      nlist = 4, seed = 42L), dir)
+    SimSearch.ivfAppend(spark, dir, batch, "vec_id", "embedding")
+    val loaded = SimSearch.ivfLoad(spark, dir, "vec_id", "embedding")
+    // every appended id present exactly once, corpus complete
+    assert(loaded.assigned.count() === emb.count())
+    assert(loaded.assigned.groupBy("vec_id").count()
+      .where(c("count") > 1).count() === 0)
+    // appended cells equal the argmin a refit with the SAME centers
+    // would store (KMeans first-wins-ties convention)
+    val centers = loaded.centers
+    val got = loaded.assigned.where(c("vec_id") >= 40)
+      .select(c("vec_id"), c("embedding").cast("array<double>"), c("__cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    got.foreach { case (id, v, cell) =>
+      val exp = centers.zipWithIndex.map { case (ct, i) =>
+        (ct.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.minBy(t => (t._1, t._2))._2
+      assert(cell === exp, s"vec $id assigned $cell, nearest is $exp")
+    }
+    // a query whose true neighbors are appended vectors finds them
+    val qid = got.head._1
+    val res = SimSearch.ivfSearch(loaded, qid, 5, nprobe = 4)
+      .collect().map(_.getLong(0))
+    assert(res.contains(qid) || res.nonEmpty)
+    val brute = SimSearch.cosineTopK(loaded.assigned.drop("__cell"),
+      "vec_id", "embedding", qid, 5).collect().map(_.getLong(0)).toSet
+    assert(res.toSet.intersect(brute).size >= 3,
+      s"appended vectors not served: ivf=${res.toSeq} brute=$brute")
+  }
+
   test("ivf sample-fit still assigns every row and serves queries") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
@@ -1967,6 +2005,60 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
         }.nonEmpty, "window must sit above the bucket-count aggregate")
       case _ => ()
     }
+  }
+
+  test("compressionRatio: repetition separates, null/empty -> null, deterministic, overhead documented") {
+    import org.apache.spark.sql.functions.{col => c}
+    val prose = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen distinct words argue about entropy and style guides " +
+      "in a moderately natural english paragraph of ordinary variety"
+    val df = Seq(
+      (1L, Some(prose)),
+      (2L, Some(("ab" * 600))),          // pure repetition
+      (3L, Some((prose + " ") * 8)),     // repeated prose
+      (4L, Some("")), (5L, None),        // no-opinion contract
+      (6L, Some("hi"))                   // overhead > raw on tiny text
+    ).toDF("id", "t")
+    val got = df.select(c("id"), TextStats.compressionRatio(c("t")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(4L) === None && got(5L) === None)
+    assert(got(2L).get < 0.05, s"pure repetition: ${got(2L)}")
+    assert(got(3L).get < got(1L).get,
+      "repeated prose must compress below the single copy")
+    assert(got(1L).get > 0.2 && got(1L).get < 1.0)
+    assert(got(6L).get > 1.0, "stream overhead dominates tiny text")
+    // deterministic run-to-run (fixed JDK zlib, fixed level)
+    val again = df.select(TextStats.compressionRatio(c("t")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(again.toSeq === df.select(TextStats.compressionRatio(c("t")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq)
+  }
+
+  test("lsh banding planner: S-curve value, default recovery, minimality, loud infeasibility") {
+    // the textbook S-curve point: b=20, r=5, s=0.5
+    assert(math.abs(Dedup.lshCollisionProb(0.5, 20, 5)
+      - 0.4700507153168765) < 1e-12)
+    // the library default (12 hashes, 4x3) IS the planner's answer at
+    // its design point — planner and default cannot drift apart
+    val p = Dedup.planBands(0.7, 0.8, 0.2, 0.07)
+    assert((p.numHashes, p.bands, p.rowsPerBand) === ((12, 4, 3)))
+    assert(p.recallAtThreshold >= 0.8 && p.probAtLowSim <= 0.07)
+    // minimality: no smaller hash budget satisfies both constraints
+    for (n <- 1 until 12; r <- 1 to n; if n % r == 0) {
+      val b = n / r
+      assert(!(Dedup.lshCollisionProb(0.7, b, r) >= 0.8 &&
+        Dedup.lshCollisionProb(0.2, b, r) <= 0.07),
+        s"smaller plan ${b}x$r should not satisfy the design point")
+    }
+    // an impossible ask fails loudly and names the closest plan
+    val e = intercept[IllegalArgumentException] {
+      Dedup.planBands(0.5, 0.999, 0.45, 0.001, maxHashes = 16)
+    }
+    assert(e.getMessage.contains("closest"))
+    // guards
+    intercept[IllegalArgumentException] { Dedup.planBands(0.7, 0.9, 0.8) }
+    intercept[IllegalArgumentException] { Dedup.lshCollisionProb(1.5, 4, 3) }
   }
 
   test("percentileRankWithinGroup: distinct ranks via tiebreak; ties differ from the bucket form by contract") {
