@@ -3069,6 +3069,42 @@ object Queries {
       .orderBy("repeated")
   }
 
+  /** Weak-supervision quality model end-to-end
+    * ([[graft.ml.QualityClassifier]], the FineWeb-edu recipe shape):
+    * Gopher rule verdicts become weak labels, a tf-idf +
+    * LogisticRegression model fits on them, and the corpus is scored
+    * with the smooth P(pass) — summarized per weak-label class
+    * (count, mean probability, fraction scored >= 0.5 = model↔rule
+    * agreement), certifying the distilled model separates the
+    * classes. ML training is not SQL-expressible, so the oracle is a
+    * pinned-VALUES truth table frozen at sf0.01 from a
+    * determinism-proved run (8- vs 32-thread sessions agree; q134's
+    * contract style). */
+  def q170QualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // minWords/minStopWords tuned to the short synthetic fixture so
+    // the weak labels actually MIX (defaults fail every doc on the
+    // stop-word rule — a one-class label can't train anything): at
+    // these knobs the binding rule is stop-word presence, which is
+    // lexically visible to the tf-idf featurizer — the distillation
+    // the query certifies (the corpus-dependent band is the same
+    // documented knob as q156's)
+    val labels = graft.ops.GopherRules
+      .qualityFlags(docs, "doc_id", "text", minWords = 10,
+        minStopWords = 1)
+      .select(col("doc_id").as("__ld"), col("gopher_pass"))
+    val labeled = docs.join(labels, col("doc_id") === col("__ld"))
+      .drop("__ld")
+    val model = graft.ml.QualityClassifier.fit(labeled, "text", "gopher_pass")
+    graft.ml.QualityClassifier.score(model, labeled)
+      .groupBy(col("gopher_pass"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("p_quality")), 3).as("avg_p"),
+        round(avg(when(col("p_quality") >= 0.5, 1.0).otherwise(0.0)), 3)
+          .as("frac_ge_half"))
+      .orderBy("gopher_pass")
+  }
+
   def q166RankCalibrate(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sample.percentileRankByBucket(
       t(spark, dir, "documents")

@@ -192,6 +192,7 @@ object SparkEntry {
     "q167_group_quantiles" -> (Queries.q167GroupQuantiles(_, _)),
     "q168_domain_cap" -> (Queries.q168DomainCap(_, _)),
     "q169_compression_signal" -> (Queries.q169CompressionSignal(_, _)),
+    "q170_quality_model" -> (Queries.q170QualityModel(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3301,6 +3302,21 @@ GROUP BY s.split ORDER BY s.split""",
         |FROM (VALUES (222, 0.9998), (335, 0.9997), (414, 0.9997),
         |  (130, 0.9996), (137, 0.9996)) t(doc_id, cosine)
         |ORDER BY cosine DESC, doc_id""".stripMargin,
+    // q170: ML training is not SQL-replayable — pinned-VALUES truth
+    // table frozen at sf0.01 (2026-08-15; 8- vs 32-thread sessions
+    // byte-identical). The values ARE the certification: the
+    // distilled model separates the weak-label classes (avg P(pass)
+    // 0.229 vs 0.929) and agrees with the rule at 0.5 (0.008 / 1.0).
+    "q170_quality_model" ->
+      """SELECT CAST(gopher_pass AS BOOLEAN) AS gopher_pass,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(avg_p AS DOUBLE) AS avg_p,
+        |  CAST(frac_ge_half AS DOUBLE) AS frac_ge_half
+        |FROM (VALUES
+        |  (false, 118, 0.229, 0.008),
+        |  (true, 382, 0.929, 1.0))
+        |  t(gopher_pass, n_docs, avg_p, frac_ge_half)
+        |ORDER BY gopher_pass""".stripMargin,
     // q169: zlib output is not SQL-replayable — pinned-VALUES truth
     // table frozen at sf0.01 (2026-08-15, determinism spec-proved;
     // fixed JDK zlib level 6), the q86/q87 contract style. Regenerate

@@ -184,6 +184,45 @@ class MLSpec extends AnyFunSuite with SparkTestSession {
     assert(syn.length === 3)
   }
 
+  test("quality classifier: distills a lexical weak label, smooth scores, pass-through, guards") {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    import spark.implicits._
+    // weak label = contains common English function words; junk docs
+    // are keyword lists. 40 docs, lexically separable.
+    val docs = (1L to 40L).map { i =>
+      if (i % 2 == 0)
+        (i, s"the quick analysis of the data shows that results have improved with run $i", true)
+      else
+        (i, s"buy cheap widget$i gadget discount sale promo code deal offer", false)
+    }.toDF("doc_id", "text", "label")
+    val model = QualityClassifier.fit(docs, "text", "label",
+      vocabSize = 1 << 10, minDF = 1.0)
+    val scored = QualityClassifier.score(model, docs)
+    // input columns pass through, working columns do not leak
+    assert(scored.columns.toSeq === Seq("doc_id", "text", "label", "p_quality"))
+    val rows = scored.select("doc_id", "label", "p_quality")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+    val posAvg = rows.filter(_._2).map(_._3).sum / rows.count(_._2)
+    val negAvg = rows.filterNot(_._2).map(_._3).sum / rows.count(!_._2)
+    assert(posAvg > 0.8 && negAvg < 0.2,
+      s"no separation: pos=$posAvg neg=$negAvg")
+    // scoring a frame WITHOUT the label column works (apply side)
+    val unlabeled = QualityClassifier.score(model, docs.drop("label"))
+    assert(unlabeled.columns.contains("p_quality"))
+    // null labels are excluded from the fit, not nulled into class 0
+    val withNull = Seq((99L, "the the the", Option.empty[Boolean]))
+      .toDF("doc_id", "text", "label").unionByName(docs)
+    QualityClassifier.fit(withNull, "text", "label",
+      vocabSize = 1 << 10, minDF = 1.0) // must not throw
+    // guards
+    intercept[IllegalArgumentException] {
+      QualityClassifier.score(model, docs.withColumn("p_quality", lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.fit(docs, "text", "label", vocabSize = 0)
+    }
+  }
+
   test("word2vec parallel fit (numPartitions=3): vocab set and topic topology stable, not byte-pinned") {
     import org.apache.spark.sql.functions.{col => c}
     import spark.implicits._

@@ -1994,6 +1994,25 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     val en = got.filter(t => Seq(1L, 2L, 3L, 4L, 5L).contains(t._1)).map(_._2.get)
     assert(en.toSeq === Seq(0.0, 0.0, 0.5, 0.5, 1.0))
     assert(got.find(_._1 == 6L).get._2 === Some(0.0)) // single-row group
+    // randomized equivalence: three seeded fixtures with heavy ties,
+    // skewed groups, and negative scores — bucketed == window form
+    val rng = new scala.util.Random(12021)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 200).map { i =>
+        (i.toLong, s"g${rng.nextInt(3)}",
+          (rng.nextInt(21) - 5) / 10.0) // -0.5..1.5, 21 buckets at scale 10
+      }
+      val rdf = rows.toDF("id", "g", "s")
+      val g = Sample.percentileRankByBucket(rdf, "g", "s", "pct", 10)
+        .select("id", "pct").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val wref = Window.partitionBy(c("g"))
+        .orderBy(rnd(c("s") * 10, 0).cast("long"))
+      val e = rdf.withColumn("pct", rnd(percent_rank().over(wref), 6))
+        .select("id", "pct").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(g.toSeq === e.toSeq, s"trial $trial diverged")
+    }
     // no corpus-keyed window in the plan: the only Window node runs
     // over the aggregated bucket frame (its child is an Aggregate)
     val plan = Sample.percentileRankByBucket(df, "g", "s", "pct", scale = 10)
