@@ -905,18 +905,26 @@ object Queries {
     // runs on the deduped frame (HLL sketch state is EXACTLY duplicate-
     // insensitive, so the estimate is bit-identical to the multiset
     // form). The value side keeps the percentile pair over raw rows.
-    val users = ev.select(col("event_type"), col("user_id")).distinct()
+    // NULL parity with the single-agg form this replaced: countDistinct
+    // excluded NULL user_ids, so the deduped count must too (count(1)
+    // over the distinct frame would include one NULL row per type);
+    // and the join is NULL-SAFE so a NULL event_type group survives
+    // (an equi-join would silently drop it — the q151 latent-null
+    // class). Fixture has no NULLs today; the semantics must not
+    // depend on that.
+    val users = ev.select(col("event_type"), col("user_id"))
+      .where(col("user_id").isNotNull).distinct()
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_exact"),
         // rsd 0.5% so the 2% contract bound is a 4-sigma margin at any
         // cardinality (the default 5% rsd would make 2% a coin flip)
         approx_count_distinct(col("user_id"), 0.005).as("__hll"))
-    val vals = ev.groupBy(col("event_type"))
+    val vals = ev.groupBy(col("event_type").as("__vt"))
       .agg(
         percentile(col("value"), lit(0.5)).as("__p50x"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50a"))
-    users.join(vals, Seq("event_type"))
+    users.join(vals, col("event_type") <=> col("__vt"))
       .select(col("event_type"), col("n_exact"),
         (abs(col("__hll") - col("n_exact")) <=
           col("n_exact") * lit(0.02)).as("hll_ok"),
@@ -2976,18 +2984,6 @@ object Queries {
       .orderBy("source")
   }
 
-  /** Rank-percentile score calibration per language through the
-    * SCALE-SAFE prefix-sum form ([[graft.ops.Sample
-    * .percentileRankByBucket]]): every doc's quality score becomes
-    * its within-language percentile (tie-min semantics) — the
-    * shape-free normalization for mixing heterogeneously-scored
-    * sources, beside q73's z-score form. No per-language corpus
-    * window: one (lang, bucket) hash aggregate + a prefix sum over
-    * the <=1001-bucket domain + a broadcast lookup, so a majority-
-    * language corpus cannot pile into one sort task. scale=1000 is
-    * LOSSLESS for the 3-decimal quality score, so the oracle replays
-    * it as plain `percent_rank() OVER (PARTITION BY lang ORDER BY
-    * quality)`. */
   /** Per-language quality-score quantile panel through the bucketed
     * prefix-sum form ([[graft.ops.Sample.groupQuantilesByBucket]]):
     * p25/p50/p75/p95 per language with aggregate state bounded by
@@ -3023,6 +3019,10 @@ object Queries {
         lit(".dom"), (col("doc_id") % 13).cast("string"),
         when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
         lit("/p/"), col("doc_id").cast("string")))
+    // localCheckpoint: the scored projection (URL synth + host regex +
+    // the quality regex kernels) feeds BOTH the totals and the top-k
+    // branches — materialize it once instead of evaluating the regex
+    // chain twice over the corpus (q160's pattern)
     val scored = t(spark, dir, "documents")
       .select(col("doc_id"),
         graft.ops.Web.host(url).as("host"),
@@ -3030,6 +3030,7 @@ object Queries {
       .select(col("doc_id"), col("quality"),
         coalesce(graft.ops.Web.apexDomain(col("host")), lit("(none)"))
           .as("apex"))
+      .localCheckpoint(true)
     val kept = graft.ops.Sample.topKPerGroup(
       scored, "apex", "quality", "doc_id", k = 5)
     val totals = scored.groupBy(col("apex"))
@@ -3105,6 +3106,18 @@ object Queries {
       .orderBy("gopher_pass")
   }
 
+  /** Rank-percentile score calibration per language through the
+    * SCALE-SAFE prefix-sum form ([[graft.ops.Sample
+    * .percentileRankByBucket]]): every doc's quality score becomes
+    * its within-language percentile (tie-min semantics) — the
+    * shape-free normalization for mixing heterogeneously-scored
+    * sources, beside q73's z-score form. No per-language corpus
+    * window: one (lang, bucket) hash aggregate + a prefix sum over
+    * the <=1001-bucket domain + a broadcast lookup, so a majority-
+    * language corpus cannot pile into one sort task. scale=1000 is
+    * LOSSLESS for the 3-decimal quality score, so the oracle replays
+    * it as plain `percent_rank() OVER (PARTITION BY lang ORDER BY
+    * quality)`. */
   def q166RankCalibrate(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sample.percentileRankByBucket(
       t(spark, dir, "documents")

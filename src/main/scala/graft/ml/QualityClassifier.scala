@@ -65,8 +65,12 @@ object QualityClassifier {
             outCol: String = "p_quality"): DataFrame = {
     require(!docs.columns.contains(outCol),
       s"input column $outCol collides with the score output")
+    // the MLlib intermediates are part of the guard too: transform
+    // fails opaquely on a pre-existing prediction/probability column,
+    // so surface it as the same rename-first contract
     val clash = docs.columns.toSet.intersect(Set(
-      "__qc_words", "__qc_tf", "__qc_tfidf", "__qc_label"))
+      "__qc_words", "__qc_tf", "__qc_tfidf", "__qc_label",
+      "rawPrediction", "probability", "prediction"))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with the model's working names")
     import org.apache.spark.ml.functions.vector_to_array

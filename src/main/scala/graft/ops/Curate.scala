@@ -325,12 +325,14 @@ object Curate {
    *
    * Scale shape per batch: gate is map-side; exact novelty shuffles
    * only 16-byte keys; the incremental pair pass shingles the BATCH
-   * plus re-shingles the admitted corpus — at large corpus:batch
-   * ratios, keep the corpus-side (band, hash, id) postings and
-   * (id, shingles) frames PRECOMPUTED/bucketed as
-   * [[Dedup.minhashPairsIncremental]]'s scaladoc describes, and pass
-   * a pre-read corpus via `corpusOverride` (e.g. the bucketed tables)
-   * so per-batch cost is proportional to the batch.
+   * plus re-shingles the admitted corpus. At large corpus:batch
+   * ratios pass `corpusOverride` — a pre-read (possibly bucketed or
+   * pruned) corpus frame that replaces the per-batch outDir read —
+   * and keep the corpus-side (band, hash, id) postings precomputed as
+   * [[Dedup.minhashPairsIncremental]]'s scaladoc describes, so
+   * per-batch cost is proportional to the batch. An override frame
+   * must itself exclude the in-flight batch's rows (it bypasses the
+   * retry-exclusion logic below).
    *
    * Ids must be globally unique across the stream (one id space —
    * the pair normalization depends on it).
@@ -345,7 +347,8 @@ object Curate {
                     unigramRef: Option[(TextStats.UnigramRef, Double)] = None,
                     benchGrams: Option[Decontaminate.BenchGrams] = None,
                     shingleSize: Int = 3, numHashes: Int = 12,
-                    bands: Int = 4, threshold: Double = 0.7)
+                    bands: Int = 4, threshold: Double = 0.7,
+                    corpusOverride: Option[DataFrame] = None)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     require(!batch.columns.contains("__batch_id"),
       "input column __batch_id collides with streamingTail's partition column")
@@ -358,14 +361,23 @@ object Curate {
     //    batch against its own partial output and the dynamic
     //    overwrite below would then drop the previously-landed rows —
     //    excluding it makes the retry a clean from-scratch recompute
-    //    of exactly this partition.
-    val corpus =
-      try spark.read.parquet(outDir)
+    //    of exactly this partition. The empty-state case is decided by
+    //    an EXPLICIT existence check, not a catch: a swallow-all
+    //    AnalysisException catch would also "recover" from schema
+    //    drift or foreign files in outDir by silently disabling
+    //    cross-batch dedup — those must throw.
+    val corpus = corpusOverride.getOrElse {
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasState = fs.exists(outPath) &&
+        fs.listStatus(outPath).exists(
+          _.getPath.getName.startsWith("__batch_id="))
+      if (!hasState) batch.limit(0)
+      else spark.read.parquet(outDir)
         .where(col("__batch_id") =!= lit(batchId))
         .drop("__batch_id")
         .select(batch.columns.map(col).toSeq: _*)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        batch.limit(0) }
+    }
     // 3. exact: cross-batch novelty (16-byte-key anti-join), then
     //    intra-batch min-id winner
     val exact = Dedup.exact(Novelty.exactNovel(gated, corpus, textCol),
@@ -377,6 +389,7 @@ object Curate {
       val pairs = Dedup.minhashPairsIncremental(exact, corpus, idCol,
         textCol, shingleSize, numHashes, bands, threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
       val oldIds = corpus.select(col(idCol).as("__old_id")).distinct()
       val flagged = pairs
         .join(oldIds, pairs("id_a") === col("__old_id"), "left")
@@ -403,7 +416,7 @@ object Curate {
         .write.partitionBy("__batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(outDir)
-      pairs.unpersist()
+      } finally pairs.unpersist() // a failed write must not leak the cache
     } finally exact.unpersist()
   }
 

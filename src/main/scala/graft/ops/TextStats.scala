@@ -793,7 +793,10 @@ object TextStats {
     * short texts ratio >1 from the ~11-byte stream overhead — gate on
     * a length floor first). zlib level 6, one Deflater per row batch
     * via the UDF. NULL text and empty text return NULL (no opinion),
-    * mirroring the LM gates' tokenless contract. A Scala UDF by
+    * mirroring the LM gates' tokenless contract. One Deflater is
+    * allocated PER ROW (the scalar-UDF API exposes no partition
+    * lifecycle for a reset()-reuse pool — the known optimization if
+    * this ever dominates a profile). A Scala UDF by
     * necessity — no built-in or SQL-replayable form exists, so the
     * q169 oracle is rows-only and the exact values are spec-pinned
     * properties (monotone under repetition), not cross-engine hashes.
