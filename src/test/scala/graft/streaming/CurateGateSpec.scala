@@ -133,6 +133,46 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     assert(admitted(dS) === streamed)
   }
 
+  test("streaming tail corpusOverride replaces the state read") {
+    import spark.implicits._
+    // three mutually-DISSIMILAR texts (shared prefixes would make
+    // them near-dups of each other at threshold 0.7 and the intra-
+    // batch closure would eat the fixture)
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val b0 = Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text")
+    // doc 11 is an exact dup of doc 1's text (different id)
+    val b1 = Seq((11L, "s", proseA), (12L, "s", proseC))
+      .toDF("doc_id", "source", "text")
+    def run(dir: String, override1: Option[org.apache.spark.sql.DataFrame])
+        : Set[Long] = {
+      val base = Curate.streamingTail(spark, dir,
+        minQuality = 0.0, maxDup2gramFrac = 1.0)
+      base(b0, 0L)
+      Curate.streamingTail(spark, dir,
+        minQuality = 0.0, maxDup2gramFrac = 1.0,
+        corpusOverride = override1)(b1, 1L)
+      spark.read.parquet(dir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-ovr-a").toString
+    val plain = run(plainDir, None)
+    assert(plain === Set(1L, 2L, 12L), s"cross-batch dedup broken: $plain")
+    // an EMPTY override corpus disables cross-batch dedup for batch 1:
+    // the dup doc 11 is admitted — proof the override frame, not the
+    // outDir read, is the dedup state
+    val ovrDir = java.nio.file.Files
+      .createTempDirectory("graft-ovr-b").toString
+    val ovr = run(ovrDir, Some(b0.limit(0)))
+    assert(ovr === Set(1L, 2L, 11L, 12L), s"override ignored: $ovr")
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
