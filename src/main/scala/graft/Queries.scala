@@ -3106,6 +3106,47 @@ object Queries {
       .orderBy("gopher_pass")
   }
 
+  /** Corrupt-row QUARANTINE ingest contract
+    * ([[graft.sources.FormatIO.loadCsvQuarantine]]): a typed CSV feed
+    * with PLANTED corruption — an untypeable integer field every
+    * doc_id % 13 (value "xx<id>") and a whole-line garbage record
+    * every doc_id % 41 — loads without crashing (FAILFAST) and
+    * without silent nulls (plain PERMISSIVE): good rows arrive fully
+    * typed, corrupt rows land whole in the dead-letter frame. Output
+    * is the ingest report both channels agree on: good count + id/tok
+    * sums, quarantined count. The oracle replays the PLANTING RULE
+    * arithmetically — which is the certification that Spark's parse
+    * quarantines exactly the planted rows, no more, no fewer. */
+  def q171CsvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val head = t(spark, dir, "documents").select("doc_id", "lang")
+      .orderBy("doc_id").limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q171_")
+    val p = tmp.resolve("feed.csv")
+    val lines = "doc_id,lang,toks" +: head.map { case (id, l) =>
+      if (id % 41 == 0) "###garbage-line-no-delimiters###"
+      else if (id % 13 == 0) s"$id,$l,xx$id"
+      else s"$id,$l,${id % 97}"
+    }
+    java.nio.file.Files.write(p, lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("toks",
+        org.apache.spark.sql.types.IntegerType)))
+    val (good, bad) = graft.sources.FormatIO.loadCsvQuarantine(
+      spark, p.toString, schema)
+    val g = good.agg(
+      count(lit(1)).as("n_good"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("sum_good_ids"),
+      coalesce(sum(col("toks").cast("long")), lit(0L)).as("sum_good_toks"))
+    val b = bad.agg(count(lit(1)).as("n_quarantined"))
+    g.crossJoin(broadcast(b)) // two 1-row aggregates — the report row
+  }
+
   /** Rank-percentile score calibration per language through the
     * SCALE-SAFE prefix-sum form ([[graft.ops.Sample
     * .percentileRankByBucket]]): every doc's quality score becomes

@@ -193,6 +193,7 @@ object SparkEntry {
     "q168_domain_cap" -> (Queries.q168DomainCap(_, _)),
     "q169_compression_signal" -> (Queries.q169CompressionSignal(_, _)),
     "q170_quality_model" -> (Queries.q170QualityModel(_, _)),
+    "q171_csv_quarantine" -> (Queries.q171CsvQuarantine(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3302,6 +3303,23 @@ GROUP BY s.split ORDER BY s.split""",
         |FROM (VALUES (222, 0.9998), (335, 0.9997), (414, 0.9997),
         |  (130, 0.9996), (137, 0.9996)) t(doc_id, cosine)
         |ORDER BY cosine DESC, doc_id""".stripMargin,
+    // q171: the oracle replays the corruption-PLANTING rule over the
+    // same first-200 slice — certifying the parse quarantined exactly
+    // the planted rows (untypeable toks at %13, garbage line at %41)
+    "q171_csv_quarantine" ->
+      """WITH h AS (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        |c AS (SELECT doc_id,
+        |    (doc_id % 41 = 0 OR doc_id % 13 = 0) AS corrupt
+        |  FROM h)
+        |SELECT
+        |  count(*) FILTER (WHERE NOT corrupt) AS n_good,
+        |  CAST(coalesce(sum(doc_id) FILTER (WHERE NOT corrupt), 0)
+        |    AS BIGINT) AS sum_good_ids,
+        |  CAST(coalesce(sum(doc_id % 97) FILTER (WHERE NOT corrupt), 0)
+        |    AS BIGINT) AS sum_good_toks,
+        |  count(*) FILTER (WHERE corrupt) AS n_quarantined
+        |FROM c""".stripMargin,
     // q170: ML training is not SQL-replayable — pinned-VALUES truth
     // table frozen at sf0.01 (2026-08-15; 8- vs 32-thread sessions
     // byte-identical). The values ARE the certification: the

@@ -106,6 +106,64 @@ object FormatIO {
     loadCsvWithDialect(path, spark, delim, header,
       detectEscape(path, delim, spark))
 
+  /** CSV load with a QUARANTINE channel — the corrupt-row-safe ingest
+    * contract for typed feeds: parse against an EXPLICIT schema in
+    * PERMISSIVE mode with a corrupt-record column, and return
+    * (good, quarantined) — good rows fully typed with the marker
+    * dropped, quarantined rows as (raw_line) for the dead-letter
+    * sink. A malformed row (wrong arity, untypeable value) never
+    * crashes the load (FAILFAST) and never silently becomes nulls
+    * (plain PERMISSIVE): it lands, whole, where an operator can
+    * count, alert on, and replay it. Both frames are map-side views
+    * of ONE scan definition — no extra pass is forced; a caller that
+    * materializes both pays the scan twice unless it persists
+    * upstream (the usual two-branch trade, as q168).
+    *
+    * Spark contract notes baked in: the corrupt column must be
+    * declared in the schema (Spark drops it otherwise), and rows
+    * where only TYPE COERCION failed keep nulls in the failed fields
+    * AND carry the raw line — this quarantines them too (the strict
+    * reading: a row is good only when every declared field parsed). */
+  def loadCsvQuarantine(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        delim: String = ",", header: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_csv, lit}
+    require(!schema.fieldNames.contains("__graft_corrupt"),
+      "schema may not declare __graft_corrupt (the quarantine marker)")
+    // text source + from_csv, NOT the csv source: Spark disallows
+    // queries whose referenced columns are only the internal corrupt
+    // record column (exactly what the quarantine side is), and the
+    // text route keeps the raw line first-class for the dead-letter
+    // sink anyway
+    val raw = spark.read.text(path)
+    val body =
+      if (!header) raw
+      else {
+        // the header is identified by CONTENT (the text source yields
+        // the first line of the first file first, single-file staging
+        // being the sniffing family's contract); a data row
+        // byte-identical to the header is also dropped — documented,
+        // and such a row could never parse as typed data anyway
+        val headerLine = raw.limit(1).collect().headOption
+          .map(_.getString(0)).getOrElse("")
+        raw.where(col("value") =!= lit(headerLine))
+      }
+    val withMarker = schema
+      .add("__graft_corrupt", org.apache.spark.sql.types.StringType)
+    val opts = Map(
+      "delimiter" -> delim,
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "__graft_corrupt")
+    val parsed = body.withColumn("__p",
+      from_csv(col("value"), withMarker, opts))
+    val good = parsed.where(col("__p.__graft_corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"__p.$f").as(f)).toSeq: _*)
+    val bad = parsed.where(col("__p.__graft_corrupt").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, bad)
+  }
+
   /** S1-S4 + sniffing: load `path` as `format`, returning the DataFrame
     * and the canonical format tag (usable directly by [[save]]). */
   def load(format: String, path: String, spark: SparkSession): Option[(DataFrame, String)] =

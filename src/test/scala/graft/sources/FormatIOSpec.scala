@@ -77,6 +77,39 @@ class FormatIOSpec extends AnyFunSuite with SparkTestSession {
     assert(tback.count() === 3)
   }
 
+  test("csv quarantine: corrupt rows land whole, good rows typed, contracts hold") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("n", IntegerType)))
+    val path = tmpFile("q.csv",
+      "id,name,n\n1,alpha,10\n2,beta,notanint\n###garbage###\n4,delta,40\n")
+    val (good, bad) = FormatIO.loadCsvQuarantine(spark, path, schema)
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(g.toSeq === Seq((1L, "alpha", 10), (4L, "delta", 40)))
+    // corrupt rows arrive WHOLE (the raw line, not nulled fields)
+    val b = bad.collect().map(_.getString(0)).sorted
+    assert(b.toSeq === Seq("###garbage###", "2,beta,notanint"))
+    // typed schema on the good side, raw_line on the bad side
+    assert(good.schema.fieldNames.toSeq === Seq("id", "name", "n"))
+    assert(bad.schema.fieldNames.toSeq === Seq("raw_line"))
+    // headerless mode parses every line
+    val path2 = tmpFile("q2.csv", "7,eta,70\n8,theta,80\n")
+    val (g2, b2) = FormatIO.loadCsvQuarantine(spark, path2, schema,
+      header = false)
+    assert(g2.count() === 2 && b2.count() === 0)
+    // all-corrupt file: empty good side, full quarantine
+    val path3 = tmpFile("q3.csv", "id,name,n\nx\ny\n")
+    val (g3, b3) = FormatIO.loadCsvQuarantine(spark, path3, schema)
+    assert(g3.count() === 0 && b3.count() === 2)
+    // reserved marker name rejected loudly
+    intercept[IllegalArgumentException] {
+      FormatIO.loadCsvQuarantine(spark, path,
+        StructType(Seq(StructField("__graft_corrupt", StringType))))
+    }
+  }
+
   test("extension dispatch routes by substring (S8)") {
     val p = tmpFile("k.json", """{"a":1}""" + "\n" + """{"a":2}""")
     // .json in the path routes to the json reader
