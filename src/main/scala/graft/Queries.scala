@@ -907,11 +907,15 @@ object Queries {
     // form). The value side keeps the percentile pair over raw rows.
     // NULL parity with the single-agg form this replaced: countDistinct
     // excluded NULL user_ids, so the deduped count must too (count(1)
-    // over the distinct frame would include one NULL row per type);
-    // and the join is NULL-SAFE so a NULL event_type group survives
-    // (an equi-join would silently drop it — the q151 latent-null
-    // class). Fixture has no NULLs today; the semantics must not
-    // depend on that.
+    // over the distinct frame would include one NULL row per type).
+    // The join DRIVES FROM the value side: vals has a row for every
+    // event_type group (NULL included, via the null-safe key), while
+    // the user side's isNotNull filter removes a group whose user_ids
+    // are ALL NULL entirely — a left join + coalesce-to-0 keeps that
+    // group with n_exact=0, exactly what count(DISTINCT user_id)=0
+    // yields in the single-agg form and the oracle (the q151
+    // latent-null class). Fixture has no NULLs today; the semantics
+    // must not depend on that.
     val users = ev.select(col("event_type"), col("user_id"))
       .where(col("user_id").isNotNull).distinct()
       .groupBy(col("event_type"))
@@ -924,10 +928,12 @@ object Queries {
       .agg(
         percentile(col("value"), lit(0.5)).as("__p50x"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50a"))
-    users.join(vals, col("event_type") <=> col("__vt"))
-      .select(col("event_type"), col("n_exact"),
-        (abs(col("__hll") - col("n_exact")) <=
-          col("n_exact") * lit(0.02)).as("hll_ok"),
+    vals.join(users, col("__vt") <=> col("event_type"), "left")
+      .select(col("__vt").as("event_type"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (abs(coalesce(col("__hll"), lit(0L)) -
+          coalesce(col("n_exact"), lit(0L))) <=
+          coalesce(col("n_exact"), lit(0L)) * lit(0.02)).as("hll_ok"),
         (abs(col("__p50a") - col("__p50x")) <=
           abs(col("__p50x")) * lit(0.05)).as("p50_ok"))
       .orderBy("event_type")
@@ -3117,19 +3123,35 @@ object Queries {
     * sums, quarantined count. The oracle replays the PLANTING RULE
     * arithmetically — which is the certification that Spark's parse
     * quarantines exactly the planted rows, no more, no fewer. */
+  /** q171's staged corrupt-CSV feed, one per sfDir (see the memoization
+    * note inside the query). */
+  private val q171Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def q171CsvQuarantine(spark: SparkSession, dir: String): DataFrame = {
-    val head = t(spark, dir, "documents").select("doc_id", "lang")
-      .orderBy("doc_id").limit(200)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q171_")
-    val p = tmp.resolve("feed.csv")
-    val lines = "doc_id,lang,toks" +: head.map { case (id, l) =>
-      if (id % 41 == 0) "###garbage-line-no-delimiters###"
-      else if (id % 13 == 0) s"$id,$l,xx$id"
-      else s"$id,$l,${id % 97}"
-    }
-    java.nio.file.Files.write(p, lines.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the staged feed is memoized PER sfDir: constructing this
+    // DataFrame repeatedly (Bench samples each query several times;
+    // Explain also builds it) must not leak one temp directory + CSV
+    // per construction — one staged file per scale factor, cleaned at
+    // JVM exit (dir registered before file: deleteOnExit runs in
+    // reverse registration order, so the file goes first)
+    val p = q171Staged.computeIfAbsent(dir, { d =>
+      val head = t(spark, d, "documents").select("doc_id", "lang")
+        .orderBy("doc_id").limit(200)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q171_")
+      tmp.toFile.deleteOnExit()
+      val f = tmp.resolve("feed.csv")
+      f.toFile.deleteOnExit()
+      val lines = "doc_id,lang,toks" +: head.map { case (id, l) =>
+        if (id % 41 == 0) "###garbage-line-no-delimiters###"
+        else if (id % 13 == 0) s"$id,$l,xx$id"
+        else s"$id,$l,${id % 97}"
+      }
+      java.nio.file.Files.write(f, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f
+    })
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),

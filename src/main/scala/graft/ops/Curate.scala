@@ -300,14 +300,46 @@ object Curate {
    * the admitted corpus — new x corpus and new x new candidates only,
    * never corpus x corpus) → append the admitted docs to `outDir`.
    *
-   * THE ADMITTED OUTPUT IS THE STATE: each batch reads the accumulated
-   * parquet under `outDir` as the dedup corpus, so there is no second
-   * state store to keep consistent, and a restart resumes from
-   * whatever was durably admitted. Replay safety: batches land in a
-   * `__batch_id=<id>` partition via DYNAMIC partition overwrite, so a
-   * foreachBatch retry of the same micro-batch overwrites its own
-   * partition instead of double-appending (the standard exactly-once
-   * recipe for idempotent sinks).
+   * THE DEDUP STATE IS INCREMENTAL AND DURABLE: beside `outDir` the
+   * tail maintains three narrow state frames under `stateDir`
+   * (default: `<outDir>__state`), each written per batch from the
+   * rows just admitted —
+   *
+   *   keys/      (__id, __nk)         md5 exact-novelty keys
+   *                                   ([[Novelty.exactKeyCol]])
+   *   shingles/  (__id, __sh)         [[Dedup.shinglesOf]]
+   *   postings/  (__band, __bh, __id) [[Dedup.postingsOf]]
+   *
+   * so a micro-batch pays O(batch + state-frame read), NEVER an
+   * O(admitted-corpus) text re-read or re-shingle: exact novelty
+   * anti-joins the batch against the 16-byte key frame
+   * ([[Novelty.exactNovelVsKeys]]), and near dedup probes the
+   * precomputed posting index
+   * ([[Dedup.minhashPairsIncrementalIndexed]]) — the corpus side of
+   * the candidate join is narrow precomputed rows, and corpus shingle
+   * arrays load only for ids that appear in a candidate pair. At
+   * 100 TB, bucket the state frames by their join keys (`__nk` / id)
+   * when landing batches out-of-band to make the state side of these
+   * joins exchange-free.
+   *
+   * Replay safety: the admitted batch lands in a `__batch_id=<id>`
+   * partition of `outDir` via DYNAMIC partition overwrite — a
+   * foreachBatch retry overwrites its own partition instead of
+   * double-appending (the standard exactly-once recipe for idempotent
+   * sinks) — and every state frame follows the SAME recipe: written
+   * under its own `__batch_id` partition, and reads always EXCLUDE
+   * the in-flight batch's partition, so a retry is a clean
+   * from-scratch recompute of exactly this batch everywhere.
+   *
+   * BOOTSTRAP / MIGRATION: when `outDir` already holds admitted
+   * batches but the key state is absent (a corpus landed by an older
+   * build, or a wiped state dir), the state frames are REBUILT from
+   * `outDir` in one pass before the batch proceeds — the only
+   * situation where this tail ever reads the full admitted corpus,
+   * paid once, not per batch. The keys frame is written LAST as the
+   * bootstrap's commit marker: a crash mid-rebuild leaves keys
+   * absent, so the next batch redoes the rebuild instead of trusting
+   * partial state.
    *
    * Cross-batch semantics are FIRST-ARRIVAL (the only semantics a
    * stream can have): a doc near-duplicate to an already-admitted doc
@@ -323,16 +355,13 @@ object Curate {
    * at production scale the divergence is the usual greedy-vs-closure
    * epsilon, not a correctness bug.
    *
-   * Scale shape per batch: gate is map-side; exact novelty shuffles
-   * only 16-byte keys; the incremental pair pass shingles the BATCH
-   * plus re-shingles the admitted corpus. At large corpus:batch
-   * ratios pass `corpusOverride` — a pre-read (possibly bucketed or
-   * pruned) corpus frame that replaces the per-batch outDir read —
-   * and keep the corpus-side (band, hash, id) postings precomputed as
-   * [[Dedup.minhashPairsIncremental]]'s scaladoc describes, so
-   * per-batch cost is proportional to the batch. An override frame
-   * must itself exclude the in-flight batch's rows (it bypasses the
-   * retry-exclusion logic below).
+   * `corpusOverride` remains the full-bypass escape hatch: a caller-
+   * managed corpus frame (id + text) replaces the durable state READ
+   * for this batch — exact keys, postings, and shingles are derived
+   * from it live (the pre-state behavior). The state frames are still
+   * WRITTEN for the admitted rows, so later batches can drop the
+   * override. An override frame must itself exclude the in-flight
+   * batch's rows (it bypasses the retry-exclusion logic below).
    *
    * Ids must be globally unique across the stream (one id space —
    * the pair normalization depends on it).
@@ -348,49 +377,118 @@ object Curate {
                     benchGrams: Option[Decontaminate.BenchGrams] = None,
                     shingleSize: Int = 3, numHashes: Int = 12,
                     bands: Int = 4, threshold: Double = 0.7,
-                    corpusOverride: Option[DataFrame] = None)
+                    corpusOverride: Option[DataFrame] = None,
+                    stateDir: Option[String] = None)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     require(!batch.columns.contains("__batch_id"),
       "input column __batch_id collides with streamingTail's partition column")
+    val sd = stateDir.getOrElse(outDir.stripSuffix("/") + "__state")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    // a `__batch_id`-partitioned frame under `dir`, EXCLUDING the
+    // current batch's partition: on a foreachBatch retry after a
+    // partial write, including it would dedup the batch against its
+    // own partial output and the dynamic overwrite below would then
+    // drop the previously-landed rows — excluding it makes the retry
+    // a clean from-scratch recompute of exactly this batch. The
+    // empty case is decided by an EXPLICIT existence check, not a
+    // catch: a swallow-all AnalysisException catch would also
+    // "recover" from schema drift or foreign files by silently
+    // disabling cross-batch dedup — those must throw.
+    def hasParts(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hadoopConf)
+      fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.startsWith("__batch_id="))
+    }
+    def readParts(dir: String): DataFrame =
+      spark.read.parquet(dir)
+        .where(col("__batch_id") =!= lit(batchId))
+        .drop("__batch_id")
+    def writeParts(df: DataFrame, dir: String): Unit =
+      df.withColumn("__batch_id", lit(batchId))
+        .write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
     // 1. stateless row gates — identical code path to the pure gate
     val gated = streamingGate(batch, textCol, minQuality, maxDup2gramFrac,
       historicalCorpus, bandIndex, unigramRef, benchGrams)
-    // 2. the accumulated admitted corpus IS the dedup state. The
-    //    CURRENT batch's own partition is excluded: on a foreachBatch
-    //    retry after a partial write, including it would dedup the
-    //    batch against its own partial output and the dynamic
-    //    overwrite below would then drop the previously-landed rows —
-    //    excluding it makes the retry a clean from-scratch recompute
-    //    of exactly this partition. The empty-state case is decided by
-    //    an EXPLICIT existence check, not a catch: a swallow-all
-    //    AnalysisException catch would also "recover" from schema
-    //    drift or foreign files in outDir by silently disabling
-    //    cross-batch dedup — those must throw.
-    val corpus = corpusOverride.getOrElse {
-      val outPath = new org.apache.hadoop.fs.Path(outDir)
-      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasState = fs.exists(outPath) &&
-        fs.listStatus(outPath).exists(
-          _.getPath.getName.startsWith("__batch_id="))
-      if (!hasState) batch.limit(0)
-      else spark.read.parquet(outDir)
+    // 2. resolve the dedup state: the durable incremental frames
+    //    (default), rebuilt once from outDir when absent (migration),
+    //    or derived live from the caller's override corpus
+    val outHasBatches = hasParts(outDir)
+    if (corpusOverride.isEmpty && outHasBatches && !hasParts(s"$sd/keys")) {
+      // BOOTSTRAP: outDir holds admitted batches but no key state —
+      // rebuild all three frames from the corpus, keeping each row in
+      // its original __batch_id partition (replay exclusion keeps
+      // working); keys go LAST as the commit marker (see scaladoc)
+      val corpus = spark.read.parquet(outDir)
         .where(col("__batch_id") =!= lit(batchId))
-        .drop("__batch_id")
-        .select(batch.columns.map(col).toSeq: _*)
+      val parts = col("__batch_id")
+      def bootWrite(df: DataFrame, dir: String): Unit =
+        df.write.partitionBy("__batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(dir)
+      // shinglesOf/postingsOf drop non-selected columns, so re-join
+      // the partition id through the corpus' (id -> batch) map; the
+      // shingle frame is persisted because it feeds both state writes
+      val idToBatch = corpus.select(col(idCol).as("__id"), parts)
+      val sh = Dedup.shinglesOf(corpus.drop("__batch_id"), idCol, textCol,
+        shingleSize).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        bootWrite(sh.join(idToBatch, "__id"), s"$sd/shingles")
+        bootWrite(Dedup.postingsOf(sh, numHashes, bands)
+          .join(idToBatch, "__id"), s"$sd/postings")
+        bootWrite(corpus.select(col(idCol).as("__id"),
+          Novelty.exactKeyCol(textCol).as("__nk"), parts), s"$sd/keys")
+      } finally sh.unpersist()
     }
-    // 3. exact: cross-batch novelty (16-byte-key anti-join), then
-    //    intra-batch min-id winner
-    val exact = Dedup.exact(Novelty.exactNovel(gated, corpus, textCol),
-      idCol, textCol)
+    val (novel, pairsOf, oldIds) = corpusOverride match {
+      case Some(c) =>
+        // escape hatch: derive everything live from the caller's frame
+        (Novelty.exactNovel(gated, c, textCol),
+          (ex: DataFrame) => Dedup.minhashPairsIncremental(ex, c, idCol,
+            textCol, shingleSize, numHashes, bands, threshold),
+          c.select(col(idCol).as("__old_id")).distinct())
+      case None if !hasParts(s"$sd/keys") =>
+        // fresh stream: no admitted corpus yet, nothing to dedup
+        // against cross-batch
+        (gated,
+          (ex: DataFrame) => Dedup.minhashPairsIncrementalIndexed(ex,
+            Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
+              textCol, shingleSize), numHashes, bands),
+            Dedup.shinglesOf(batch.limit(0), idCol, textCol, shingleSize),
+            idCol, textCol, shingleSize, numHashes, bands, threshold),
+          batch.limit(0).select(col(idCol).as("__old_id")))
+      case None =>
+        // the durable-state default: narrow precomputed frames only —
+        // the admitted corpus TEXT is never read here. shingles may
+        // legitimately lack partitions keys has (a batch whose every
+        // admitted doc was too short to shingle writes no rows), so
+        // each frame falls back to empty independently; keys presence
+        // (checked above) is the state's commit marker.
+        val keys = readParts(s"$sd/keys")
+        val postings =
+          if (hasParts(s"$sd/postings")) readParts(s"$sd/postings")
+          else Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
+            textCol, shingleSize), numHashes, bands)
+        val shinglesSt =
+          if (hasParts(s"$sd/shingles")) readParts(s"$sd/shingles")
+          else Dedup.shinglesOf(batch.limit(0), idCol, textCol, shingleSize)
+        (Novelty.exactNovelVsKeys(gated, keys, textCol),
+          (ex: DataFrame) => Dedup.minhashPairsIncrementalIndexed(ex,
+            postings, shinglesSt, idCol, textCol, shingleSize, numHashes,
+            bands, threshold),
+          keys.select(col("__id").as("__old_id")))
+    }
+    // 3. exact: cross-batch novelty (key anti-join), then intra-batch
+    //    min-id winner
+    val exact = Dedup.exact(novel, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // 4. near: one incremental pair pass (new x corpus + new x new,
       //    exact-Jaccard verified), split by which side each end is on
-      val pairs = Dedup.minhashPairsIncremental(exact, corpus, idCol,
-        textCol, shingleSize, numHashes, bands, threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = pairsOf(exact).persist(StorageLevel.MEMORY_AND_DISK)
       try {
-      val oldIds = corpus.select(col(idCol).as("__old_id")).distinct()
       val flagged = pairs
         .join(oldIds, pairs("id_a") === col("__old_id"), "left")
         .withColumn("__a_old", col("__old_id").isNotNull).drop("__old_id")
@@ -412,10 +510,23 @@ object Curate {
       val admitted = afterCross.join(losers, Seq(idCol), "left_anti")
       // 5. land the batch in its own partition; a foreachBatch retry
       //    overwrites it (idempotent replay) instead of duplicating
-      admitted.withColumn("__batch_id", lit(batchId))
-        .write.partitionBy("__batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(outDir)
+      writeParts(admitted, outDir)
+      // 6. maintain the durable state from the rows JUST LANDED (read
+      //    back the one pruned partition — cheap, and it makes the
+      //    state a pure function of the durable output). The batch's
+      //    shingle frame is persisted so shingling runs once for its
+      //    two consumers; keys go last (the state's commit marker).
+      val landed = spark.read.parquet(outDir)
+        .where(col("__batch_id") === lit(batchId)).drop("__batch_id")
+      val shLanded = Dedup.shinglesOf(landed, idCol, textCol, shingleSize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        writeParts(shLanded, s"$sd/shingles")
+        writeParts(Dedup.postingsOf(shLanded, numHashes, bands),
+          s"$sd/postings")
+        writeParts(landed.select(col(idCol).as("__id"),
+          Novelty.exactKeyCol(textCol).as("__nk")), s"$sd/keys")
+      } finally shLanded.unpersist()
       } finally pairs.unpersist() // a failed write must not leak the cache
     } finally exact.unpersist()
   }

@@ -344,10 +344,7 @@ object Dedup {
     * (their equivalence is a tested contract). */
   private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int): DataFrame =
-    df.select(
-      col(idCol).as("__id"),
-      shingles(col(textCol), shingleSize).as("__sh"))
-      .where(size(col("__sh")) > 0)
+    shinglesOf(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Narrow (band, hash, id) posting of a shingle frame — the only
@@ -559,16 +556,70 @@ object Dedup {
                               bands: Int = 4,
                               threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    val shOld = shingleFrame(oldDf, idCol, textCol, shingleSize)
+    val out = minhashPairsIncrementalIndexed(newDf,
+      bandedPostings(shOld, numHashes, bands, numHashes / bands), shOld,
+      idCol, textCol, shingleSize, numHashes, bands, threshold)
+    shOld.unpersist()
+    out
+  }
+
+  /** The (__id, __sh shingle-array) frame of a corpus — the
+    * PRECOMPUTABLE half of the incremental dedup state (write it when
+    * a batch lands; [[minhashPairsIncrementalIndexed]] reads it back
+    * instead of re-shingling the corpus text per ingest). Unpersisted
+    * — the caller decides the storage boundary. Rows with zero
+    * shingles are excluded (they can never be LSH candidates). */
+  def shinglesOf(df: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3): DataFrame =
+    df.select(
+      col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh"))
+      .where(size(col("__sh")) > 0)
+
+  /** The (__band, __bh, __id) banded-MinHash postings of a
+    * [[shinglesOf]] frame — the other precomputable half of the
+    * incremental dedup state (the candidate join's index side). */
+  def postingsOf(shingleFr: DataFrame, numHashes: Int = 12,
+                 bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(Set("__id", "__sh").subsetOf(shingleFr.columns.toSet),
+      "postingsOf expects a shinglesOf frame (__id, __sh)")
+    bandedPostings(shingleFr, numHashes, bands, numHashes / bands)
+  }
+
+  /** [[minhashPairsIncremental]] against a PRECOMPUTED corpus index:
+    * `oldPostings` is the corpus' (__band, __bh, __id) posting frame
+    * ([[postingsOf]]) and `oldShingles` its (__id, __sh) frame
+    * ([[shinglesOf]]), both written when earlier batches landed — so
+    * a new ingest batch pays shingling/hashing for ITSELF only, and
+    * the corpus side contributes narrow precomputed rows to the
+    * candidate equi-join plus a shingle lookup for verified-candidate
+    * ids. This is the per-batch kernel behind
+    * [[Curate.streamingTail]]'s durable-state default. Banding
+    * parameters must match the ones the postings were computed with
+    * (the caller owns that contract — persist them with the state). */
+  def minhashPairsIncrementalIndexed(newDf: DataFrame,
+                                     oldPostings: DataFrame,
+                                     oldShingles: DataFrame,
+                                     idCol: String, textCol: String,
+                                     shingleSize: Int = 3,
+                                     numHashes: Int = 12, bands: Int = 4,
+                                     threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(Set("__band", "__bh", "__id").subsetOf(oldPostings.columns.toSet),
+      "oldPostings must be a postingsOf frame (__band, __bh, __id)")
+    require(Set("__id", "__sh").subsetOf(oldShingles.columns.toSet),
+      "oldShingles must be a shinglesOf frame (__id, __sh)")
     val r = numHashes / bands
     val shNew = shingleFrame(newDf, idCol, textCol, shingleSize)
-    val shOld = shingleFrame(oldDf, idCol, textCol, shingleSize)
     val newPostings = bandedPostings(shNew, numHashes, bands, r)
     val probe = newPostings
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
     val index = newPostings
       .select(col("__band"), col("__bh"), col("__id").as("id_b"),
         lit(false).as("__old"))
-      .union(bandedPostings(shOld, numHashes, bands, r)
+      .union(oldPostings
         .select(col("__band"), col("__bh"), col("__id").as("id_b"),
           lit(true).as("__old")))
     // new x new pairs appear from both directions -> keep id_a < id_b;
@@ -579,10 +630,10 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val verified = verifyPairs(candidates, shNew.union(shOld), threshold)
+    val verified = verifyPairs(candidates,
+      shNew.union(oldShingles.select(col("__id"), col("__sh"))), threshold)
     val out = verified.localCheckpoint(true)
     shNew.unpersist()
-    shOld.unpersist()
     out
   }
 

@@ -34,6 +34,29 @@ object Novelty {
   private def exactKey(textCol: String) =
     md5(Dedup.normalized(col(textCol)).cast("binary"))
 
+  /** The exact-novelty key expression (md5 hex of the normalized
+    * text) — public so pipelines can PRECOMPUTE a corpus key frame
+    * once per landing batch and gate later ingests against it via
+    * [[exactNovelVsKeys]] instead of re-reading the corpus text. */
+  def exactKeyCol(textCol: String): org.apache.spark.sql.Column =
+    exactKey(textCol)
+
+  /** [[exactNovel]] against a PRECOMPUTED key frame (a `__nk` column
+    * of [[exactKeyCol]] values): the incremental-state form — the
+    * corpus text never loads, only its 32-hex-char keys. No distinct
+    * on the key side: anti-join semantics are duplicate-insensitive,
+    * and the state-maintenance contract (keys written only for
+    * ADMITTED, already-novel rows) keeps them unique anyway. */
+  def exactNovelVsKeys(docs: DataFrame, corpusKeys: DataFrame,
+                       textCol: String): DataFrame = {
+    require(corpusKeys.columns.contains("__nk"),
+      "corpusKeys must carry the __nk key column (Novelty.exactKeyCol)")
+    require(!docs.columns.contains("__nk"),
+      "input column __nk collides with exactNovelVsKeys's reserved name")
+    val ck = corpusKeys.select(col("__nk"))
+    docs.join(ck, exactKey(textCol) === ck("__nk"), "left_anti")
+  }
+
   /** Documents whose normalized text does not appear in `corpus` —
     * exact novelty via a left-anti join on md5(normalized). Works as a
     * stream-static join when `docs` is streaming (left_anti with a

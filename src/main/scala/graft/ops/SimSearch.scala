@@ -483,6 +483,13 @@ object SimSearch {
       if (v == null) -1
       else {
         val cs = bc.value
+        // dim drift between the index and an ingest batch must surface
+        // as an error, not a silently-truncated (plausible but wrong)
+        // cell assignment — the library's loud-guard policy
+        require(v.length == cs(0).length,
+          s"ivfAppend: vector dim ${v.length} != index dim ${cs(0).length}" +
+            " — the batch was embedded with a different model/config" +
+            " than the index was fitted on")
         var best = 0
         var bestD = Double.MaxValue
         var i = 0
@@ -490,7 +497,7 @@ object SimSearch {
           val c = cs(i)
           var s = 0.0
           var j = 0
-          val n = math.min(c.length, v.length)
+          val n = c.length
           while (j < n) { val d = c(j) - v(j); s += d * d; j += 1 }
           if (s < bestD) { bestD = s; best = i } // strict < : first wins ties
           i += 1
@@ -623,36 +630,58 @@ object SimSearch {
                          seed: Long = 42L,
                          sampleFraction: Double = 1.0,
                          maxIter: Int = 8,
-                         maxPairsPerCell: Long = DefaultMaxPairsPerCell): DataFrame = {
+                         maxPairsPerCell: Long = DefaultMaxPairsPerCell): DataFrame =
     // maxIter default is LOWER than ivfFit's search-path default:
     // dedup recall only needs near-identical vectors to share a cell,
     // which holds for ANY centroid set (same nearest center), so the
     // extra KMeans refinement buys nothing for dedup — a production
     // tuning knob (measured neutral at bench scale, where the pair
     // stage, not the fit, dominates).
+    semanticPairsRec(df, idCol, vecCol, threshold, nlist, seed,
+      sampleFraction, maxIter, maxPairsPerCell, depth = 0)
+
+  /** Recursion ceiling for the oversized-cell auto-split: each level
+    * re-clusters an over-budget cell into `nlist` sub-cells, so even
+    * two levels give nlist² effective cells; a cell still over budget
+    * at this depth is near-degenerate (identical vectors) and falls
+    * back to the loud quadratic join. */
+  private val MaxRemediationDepth = 3
+
+  /** [[semanticDedupPairs]]'s engine, with oversized-cell
+    * AUTO-REMEDIATION: cells within the pair budget go through the
+    * within-cell equi-join directly; a cell over budget is RE-CLUSTERED
+    * (a fresh KMeans over just that cell's rows, derived seed) and its
+    * sub-cell pairs unioned in — recursively, until every piece fits
+    * the budget, the depth ceiling hits, or re-clustering stops making
+    * progress (every row back in one cell: identical/collapsed vectors
+    * that NO quantizer can separate — those fall back to the quadratic
+    * join with the original loud warning, now a last resort instead of
+    * the only behavior). Recall contract is unchanged: a near-dup pair
+    * (cosine >= threshold, i.e. near-identical vectors) lands in the
+    * same sub-cell for the same reason it landed in the same cell —
+    * nearest-centroid assignments of near-identical vectors agree —
+    * so splitting a collapsed cell recovers exactly the brute-force
+    * pair set on it (OpsSpec pins that on a planted collapse).
+    * Driver-side work stays bounded: <= nlist offender cells per
+    * level, <= [[MaxRemediationDepth]] levels, one <= nlist-row census
+    * collect per fit. */
+  private def semanticPairsRec(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nlist: Int, seed: Long,
+                               sampleFraction: Double, maxIter: Int,
+                               maxPairsPerCell: Long, depth: Int): DataFrame = {
     val index = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction,
       maxIter)
     // Cell-size census BEFORE the quadratic stage: KMeans cells carry
     // no balance guarantee, and one degenerate cell (a collapsed
     // embedder mapping everything near zero) turns the within-cell
     // equi-join into an effective cartesian. The census is ONE
-    // cells-only aggregate (bounded <= nlist-row collect); an
-    // oversized cell is reported LOUDLY, mirroring componentsOf's
-    // non-convergence policy (Dedup.scala) — the fix is raising
-    // `nlist` (more, smaller cells), not silently grinding. Run as a
+    // cells-only aggregate (bounded <= nlist-row collect). Run as a
     // separate narrow job rather than persisting the cell frame: a
     // persist+checkpoint variant measured +43% on the q57 curation
     // chain, while the self-join below already reuses its exchange.
-    val offenders = oversizedCells(
-      cellCensus(index.assigned.select(col("__cell"))), maxPairsPerCell)
-    if (offenders.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"semanticDedupPairs: ${offenders.length} cell(s) exceed the " +
-          s"per-cell comparison budget of $maxPairsPerCell pairs " +
-          s"(worst: cell ${offenders.head._1} with ${offenders.head._2} " +
-          "rows) — the within-cell self-join is quadratic in cell size; " +
-          "raise nlist (or check the embedder for collapse) before " +
-          "running this at scale")
+    val census = cellCensus(index.assigned.select(col("__cell")))
+    val offenders = oversizedCells(census, maxPairsPerCell)
+    val total = census.map(_._2).sum
     // norms precomputed ONCE PER ROW: the interpreted higher-order
     // folds behind cosine() are the pair stage's real cost, and
     // dot/(n_a*n_b) with hoisted norms is the same scalar expression
@@ -660,6 +689,44 @@ object SimSearch {
     val cells = index.assigned.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"), col("__cell"))
       .withColumn("__n", norm(col("__v")))
+    if (offenders.isEmpty) withinCellPairs(cells, threshold)
+    else {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      val offenderIds = offenders.map(_._1)
+      val inBudget = withinCellPairs(
+        cells.where(!col("__cell").isin(offenderIds.toSeq: _*)), threshold)
+      val remediated = offenders.toSeq.map { case (cid, n) =>
+        val stuck = n >= total // re-clustering made no progress
+        if (depth >= MaxRemediationDepth || stuck) {
+          log.warn(
+            s"semanticDedupPairs: cell $cid ($n rows, depth $depth) " +
+              s"exceeds the per-cell comparison budget of " +
+              s"$maxPairsPerCell pairs and cannot be split further " +
+              (if (stuck) "(re-clustering left every row in one cell — " +
+                "near-identical vectors; check the embedder for collapse)"
+               else "(remediation depth exhausted)") +
+              " — falling back to the quadratic within-cell join; " +
+              "raise nlist or maxPairsPerCell consciously")
+          withinCellPairs(cells.where(col("__cell") === cid), threshold)
+        } else {
+          log.info(
+            s"semanticDedupPairs: re-clustering oversized cell $cid " +
+              s"($n rows, depth $depth) into $nlist sub-cells")
+          semanticPairsRec(
+            index.assigned.where(col("__cell") === cid).drop("__cell"),
+            idCol, vecCol, threshold, nlist,
+            seed * 1000003L + cid + 1L, // deterministic per-cell seed
+            sampleFraction, maxIter, maxPairsPerCell, depth + 1)
+        }
+      }
+      (inBudget +: remediated).reduce(_.unionByName(_))
+    }
+  }
+
+  /** The within-cell pair join of [[semanticDedupPairs]]: equi-join on
+    * `__cell` (never a global product), id_a < id_b, hoisted-norm
+    * cosine, thresholded. */
+  private def withinCellPairs(cells: DataFrame, threshold: Double): DataFrame = {
     val a = cells.select(col("__cell"), col("__id").as("id_a"),
       col("__v").as("v_a"), col("__n").as("n_a"))
     val b = cells.select(col("__cell"), col("__id").as("id_b"),

@@ -791,15 +791,21 @@ object TextStats {
     * machine-looped text compresses far below natural prose (~0.3-0.6
     * for English paragraphs; <0.1 is a near-certain repetition flag;
     * short texts ratio >1 from the ~11-byte stream overhead — gate on
-    * a length floor first). zlib level 6, one Deflater per row batch
-    * via the UDF. NULL text and empty text return NULL (no opinion),
-    * mirroring the LM gates' tokenless contract. One Deflater is
-    * allocated PER ROW (the scalar-UDF API exposes no partition
-    * lifecycle for a reset()-reuse pool — the known optimization if
-    * this ever dominates a profile). A Scala UDF by
-    * necessity — no built-in or SQL-replayable form exists, so the
-    * q169 oracle is rows-only and the exact values are spec-pinned
-    * properties (monotone under repetition), not cross-engine hashes.
+    * a length floor first). zlib level 6, ONE POOLED Deflater per
+    * executor thread (ThreadLocal + reset() between rows): zlib's
+    * native dictionary/window buffers are allocated once per thread
+    * for the JVM's lifetime instead of once per row — at corpus scale
+    * the per-row native alloc/free churn was the operator's dominant
+    * non-zlib cost. reset() restores the exact post-construction
+    * state (same level, same strategy, same zlib wrapper), so the
+    * compressed byte COUNT — and therefore the ratio — is
+    * bit-identical to a fresh Deflater per row (OpsSpec pins that
+    * against a fresh-instance reference). NULL text and empty text
+    * return NULL (no opinion), mirroring the LM gates' tokenless
+    * contract. A Scala UDF by necessity — no built-in or
+    * SQL-replayable form exists, so the q169 oracle is rows-only and
+    * the exact values are spec-pinned properties (monotone under
+    * repetition), not cross-engine hashes.
     *
     * Scale shape: map-only, no shuffle; cost is one zlib pass over the
     * text bytes (~100 MB/s/core — budget it like a second regex
@@ -807,24 +813,33 @@ object TextStats {
   def compressionRatio(text: Column): Column = {
     val ratio = udf { (s: String) =>
       if (s == null || s.isEmpty) null.asInstanceOf[java.lang.Double]
-      else {
-        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val d = new java.util.zip.Deflater(6)
-        try {
-          d.setInput(raw); d.finish()
-          // the buffer is reused per call — only the byte COUNT is
-          // kept, so worst-case zlib expansion (5 B per 16 KiB block)
-          // never needs a larger allocation; with finish() set,
-          // deflate always makes progress until finished()
-          val buf = new Array[Byte](8192)
-          var n = 0
-          while (!d.finished()) n += d.deflate(buf, 0, buf.length)
-          java.lang.Double.valueOf(
-            BigDecimal(n.toDouble / raw.length)
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        } finally d.end()
-      }
+      else java.lang.Double.valueOf(compressionRatioScalar(s))
     }
     ratio(text)
+  }
+
+  /** Per-thread pooled Deflater behind [[compressionRatio]]. Never
+    * end()'d: one native allocation per executor thread for the JVM's
+    * lifetime is the pool's whole point, and Deflater's cleaner
+    * releases the native state if a thread dies. */
+  private lazy val deflaterPool: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6))
+
+  /** Scalar kernel of [[compressionRatio]] (also the spec's direct
+    * entry): deflate byte count / raw byte count, 4 decimals. */
+  private[ops] def compressionRatioScalar(s: String): Double = {
+    val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = deflaterPool.get()
+    d.reset()
+    d.setInput(raw); d.finish()
+    // the buffer is reused per call — only the byte COUNT is
+    // kept, so worst-case zlib expansion (5 B per 16 KiB block)
+    // never needs a larger allocation; with finish() set,
+    // deflate always makes progress until finished()
+    val buf = new Array[Byte](8192)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+    BigDecimal(n.toDouble / raw.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 }

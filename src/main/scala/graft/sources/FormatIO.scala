@@ -140,11 +140,30 @@ object FormatIO {
     val body =
       if (!header) raw
       else {
-        // the header is identified by CONTENT (the text source yields
-        // the first line of the first file first, single-file staging
-        // being the sniffing family's contract); a data row
-        // byte-identical to the header is also dropped — documented,
-        // and such a row could never parse as typed data anyway
+        // the header is identified by CONTENT (raw.limit(1) — only
+        // well-defined for a SINGLE input file) and dropped by content
+        // equality from the whole input, so a multi-file/glob load
+        // would both pick an arbitrary file's header and silently lose
+        // every per-file header (and any data row equal to it) from
+        // BOTH channels. Enforce the single-file staging contract the
+        // sniffing family already documents instead of guessing.
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+        val files = matched.flatMap { st =>
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).filter(s => s.isFile &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+          else Array(st)
+        }
+        require(files.length <= 1,
+          s"loadCsvQuarantine with header=true requires a single input " +
+            s"file (got ${files.length} under $path) — the header line " +
+            "is identified by content, which is only well-defined for " +
+            "one file; stage files individually or pass header=false")
+        // a data row byte-identical to the header is also dropped —
+        // documented, and such a row could never parse as typed data
         val headerLine = raw.limit(1).collect().headOption
           .map(_.getString(0)).getOrElse("")
         raw.where(col("value") =!= lit(headerLine))

@@ -1238,6 +1238,48 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(SimSearch.oversizedCells(big, 1000L).map(_._1).toSeq === Seq(0))
   }
 
+  test("semanticDedup auto-remediation: a planted collapsed cell splits; pair set equals brute force") {
+    // three TIGHT well-separated clusters of 12, but only nlist=2
+    // top-level cells — at least two clusters share a cell, whose
+    // 24*23/2 = 276 pairs blow a 100-pair budget, forcing the
+    // re-cluster path; after the split each cluster's 66 pairs fit.
+    // The pair set must equal brute force at the threshold — the
+    // remediation must change the PLAN, never the answer.
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 12).map { i =>
+        val id = c * 100L + i
+        val v = Array.tabulate(8)(j =>
+          (if (j == c) 10f else 0f) + 0.01f * math.cos(id * 8 + j).toFloat)
+        (id, v)
+      }
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) >= 0.99
+    } yield (ia, ib)).toSet
+    assert(expected.size === 3 * 66) // fixture sanity: within-cluster only
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimSearch.semanticDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, nlist = 2, maxPairsPerCell = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the UNSPLITTABLE case: identical vectors can never separate —
+    // re-clustering makes no progress, so the quadratic fallback must
+    // still produce the full brute-force pair set (loudly, not wrongly)
+    val same = (0L until 20L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val stuck = SimSearch.semanticDedupPairs(same, "vec_id", "embedding",
+      threshold = 0.99, nlist = 2, maxPairsPerCell = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stuck.size === 20 * 19 / 2)
+  }
+
   test("ivfFit cells bound the per-cell quadratic on a clustered corpus") {
     // the q53 scale contract: with nlist sized to the corpus (cells ~
     // n / per-cell budget), the within-cell quadratic term must stay
@@ -2052,6 +2094,28 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(again.toSeq === df.select(TextStats.compressionRatio(c("t")))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq)
+    // the ThreadLocal-pooled Deflater (reset() between rows) is
+    // bit-identical to a FRESH Deflater per string — the reference
+    // below allocates one per call, exactly the pre-pool form; run
+    // the pooled kernel twice per input so a dirty-reset bug (state
+    // leaking from the previous, different string) would surface
+    def fresh(s: String): Double = {
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+        BigDecimal(n.toDouble / raw.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } finally d.end()
+    }
+    val inputs = Seq(prose, "ab" * 600, (prose + " ") * 8, "hi",
+      "Ünïcødé — mixed 字符 input with emoji ✨ and digits 0123456789")
+    for (s <- inputs; _ <- 1 to 2)
+      assert(TextStats.compressionRatioScalar(s) === fresh(s),
+        s"pooled ratio diverged from fresh-Deflater reference on: $s")
   }
 
   test("lsh banding planner: S-curve value, default recovery, minimality, loud infeasibility") {

@@ -173,6 +173,90 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     assert(ovr === Set(1L, 2L, 11L, 12L), s"override ignored: $ovr")
   }
 
+  test("streaming tail durable state: cross-batch dedup never re-reads the admitted corpus") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val b0 = Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text")
+    // 11 = exact dup of doc 1 (key-frame path); 13 = NEAR dup of doc 1
+    // (postings+shingles path: 3 appended words, J = 18/21 ≈ 0.86);
+    // 12 = novel
+    val b1 = Seq((11L, "s", proseA),
+      (13L, "s", proseA + " indeed quite thoroughly"),
+      (12L, "s", proseC)).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-a")
+      .toString
+    val t = Curate.streamingTail(spark, dir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    t(b0, 0L)
+    // the three state frames landed beside outDir, batch-partitioned,
+    // and the key frame's ids equal the admitted ids
+    val sd = dir + "__state"
+    val keys0 = spark.read.parquet(s"$sd/keys")
+    assert(keys0.columns.toSet === Set("__id", "__nk", "__batch_id"))
+    assert(keys0.select("__id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    assert(spark.read.parquet(s"$sd/postings").select("__id")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // DELETE the admitted corpus data: only the narrow state remains.
+    // If batch 1 still drops the exact AND near dups of doc 1, the
+    // per-batch plan provably never read outDir's text
+    val p0 = java.nio.file.Paths.get(dir, "__batch_id=0")
+    java.nio.file.Files.walk(p0)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    t(b1, 1L)
+    val admitted1 = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted1 === Set(12L),
+      s"state-frame dedup broken after corpus deletion: $admitted1")
+    // state accrued batch 1's admitted row
+    assert(spark.read.parquet(s"$sd/keys").select("__id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
+  }
+
+  test("streaming tail bootstrap: a pre-state admitted corpus rebuilds the state once") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val b0 = Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq((11L, "s", proseA),
+      (13L, "s", proseA + " indeed quite thoroughly"),
+      (12L, "s", proseC)).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot-a")
+      .toString
+    val sd = dir + "__state"
+    val t = Curate.streamingTail(spark, dir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    t(b0, 0L)
+    // simulate a corpus admitted by a build without state frames
+    val sdp = java.nio.file.Paths.get(sd)
+    java.nio.file.Files.walk(sdp)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    t(b1, 1L)
+    val admitted = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L, 2L, 12L),
+      s"bootstrap-path dedup broken: $admitted")
+    // the rebuilt key state covers BOTH batches, in their partitions
+    val keys = spark.read.parquet(s"$sd/keys")
+    assert(keys.select("__id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 12L))
+    assert(keys.select("__batch_id").distinct()
+      .collect().map(_.getInt(0)).toSet === Set(0, 1))
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
