@@ -162,8 +162,17 @@ object Dedup {
     * ([[Kernels.minhashUtf8]]) hashes UTF8String bytes without a
     * String round-trip; same digest, same 60-bit prefix. */
   private[ops] def md5Base60Bytes(md: java.security.MessageDigest,
-                                  bytes: Array[Byte]): Long = {
-    val d = md.digest(bytes)
+                                  bytes: Array[Byte]): Long =
+    md5Base60Range(md, bytes, 0, bytes.length)
+
+  /** Range form of [[md5Base60Bytes]] — the winnowing kernel
+    * ([[Kernels.winnowUtf8]]) hashes each gram straight out of the
+    * document's byte array, no per-gram slice allocation. */
+  private[ops] def md5Base60Range(md: java.security.MessageDigest,
+                                  bytes: Array[Byte], off: Int,
+                                  len: Int): Long = {
+    md.update(bytes, off, len)
+    val d = md.digest()
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

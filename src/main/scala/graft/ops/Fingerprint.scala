@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
  * long documents.
  *
  * Scale shape: fingerprint selection is entirely MAP-ONLY — one
- * projection builds the gram-hash array and the window minima with
- * higher-order functions (`transform`/`slice`/`array_min`), no
- * explode, no shuffle, no UDF. Only the (id, fingerprint) postings —
+ * codegen'd kernel call per row ([[Kernels.winnowUtf8]] via
+ * [[graft.plans.WinnowExpression]]: grams hashed straight off the
+ * byte array, O(n) monotonic-deque window minima), no explode, no
+ * shuffle, no UDF; the original higher-order-function chain survives
+ * as the spec's parity oracle. Only the (id, fingerprint) postings —
  * O(n_grams / w) per doc, a ~1/w compression of the text — ever reach
  * a shuffle, and only in [[sharedFingerprintPairs]].
  *
@@ -40,8 +42,11 @@ import org.apache.spark.sql.functions._
 object Fingerprint {
 
   /** 60-bit md5-prefix hash of each character k-gram of `norm`,
-    * 1-based positions; empty array when the text is shorter than k. */
-  private def gramHashArray(norm: Column, k: Int): Column =
+    * 1-based positions; empty array when the text is shorter than k.
+    * PARITY ORACLE for the codegen kernel (GraftExtensionsSpec pins
+    * [[Kernels.winnowUtf8]] identical to this chain composed with
+    * [[winnowArray]]); the hot path goes through the kernel. */
+  private[graft] def gramHashArray(norm: Column, k: Int): Column =
     when(length(norm) >= k,
       transform(sequence(lit(1), length(norm) - lit(k - 1)),
         i => conv(substring(md5(norm.substr(i, lit(k)).cast("binary")), 1, 15),
@@ -50,13 +55,30 @@ object Fingerprint {
 
   /** Distinct window-min fingerprints of a gram-hash array column.
     * Fewer than `w` hashes form one window over all of them (the
-    * short-document degenerate case keeps every doc fingerprintable). */
-  private def winnowArray(hashes: Column, w: Int): Column =
+    * short-document degenerate case keeps every doc fingerprintable).
+    * Parity oracle half — see [[gramHashArray]]. */
+  private[graft] def winnowArray(hashes: Column, w: Int): Column =
     when(size(hashes) >= 1,
       array_distinct(transform(
         sequence(lit(1), greatest(size(hashes) - lit(w - 1), lit(1))),
         j => array_min(slice(hashes, j, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
+
+  /** The HOF-expression fingerprint chain, exposed for the parity pin. */
+  private[graft] def winnowHof(norm: Column, k: Int, w: Int): Column =
+    winnowArray(gramHashArray(norm, k), w)
+
+  /** Codegen'd fingerprint selection — [[Kernels.winnowUtf8]] as one
+    * static call per row via [[graft.plans.WinnowExpression]] (no
+    * function-registry dependency: the Column is built directly).
+    * NULL text degenerates to the empty array, matching the HOF
+    * form's `when(...).otherwise(empty)` contract. */
+  private def winnowKernel(norm: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    coalesce(ColumnBridge.column(graft.plans.WinnowExpression(
+      ColumnBridge.expression(norm), k, w)),
+      array().cast("array<bigint>"))
+  }
 
   /** (id, n_grams, n_fingerprints, fp_digest) per document — the
     * fingerprint summary a reproducibility pipeline records per batch.
@@ -123,16 +145,18 @@ object Fingerprint {
       .where(col("n_shared") >= minShared)
   }
 
-  /** Shared projection: normalized text -> gram-hash array -> winnowed
-    * fingerprint array, materialized stepwise so each array is built
-    * once per row (a single nested expression would re-evaluate the
-    * gram hashes per window). */
+  /** Shared projection: normalized text -> winnowed fingerprint array
+    * through the codegen kernel (one static call per row, O(n) window
+    * minima). The gram COUNT is pure length arithmetic — no gram-hash
+    * array ever materializes as a column. */
   private def withFingerprints(df: DataFrame, idCol: String, textCol: String,
                                k: Int, w: Int): DataFrame =
     df.select(col(idCol), Dedup.normalized(col(textCol)).as("__norm"))
-      .select(col(idCol), gramHashArray(col("__norm"), k).as("__hs"))
-      .select(col(idCol), size(col("__hs")).cast("long").as("__ng"),
-        winnowArray(col("__hs"), w).as("__fps"))
+      .select(col(idCol),
+        when(length(col("__norm")) >= k,
+          (length(col("__norm")) - lit(k - 1)).cast("long"))
+          .otherwise(lit(0L)).as("__ng"),
+        winnowKernel(col("__norm"), k, w).as("__fps"))
 
   private def requireParams(df: DataFrame, idCol: String, k: Int, w: Int): Unit = {
     require(k > 0 && w > 0, "k and w must be positive")
@@ -146,7 +170,7 @@ object Fingerprint {
     * 0x20), same 60-bit md5-prefix gram hash ([[Dedup.md5Base60]]),
     * same window-min-by-value selection as the column expressions.
     * All hashes are in [0, 2^60), so signed `min` equals unsigned. */
-  private[ops] def winnowScalar(text: String, k: Int, w: Int): Seq[Long] = {
+  private[graft] def winnowScalar(text: String, k: Int, w: Int): Seq[Long] = {
     require(k > 0 && w > 0, "k and w must be positive")
     if (text == null) return Seq.empty
     val norm = text.toLowerCase.replaceAll("\\s+", " ")

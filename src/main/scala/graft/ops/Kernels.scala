@@ -71,4 +71,89 @@ object Kernels {
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
+
+  /** Winnowing fingerprint selection ([[graft.ops.Fingerprint]]) of an
+    * already-NORMALIZED text value, lifted to Catalyst types — the
+    * codegen replacement for the interpreted HOF chain (per-character
+    * `transform`+`substr`+`md5` gram hashing, then `slice`+`array_min`
+    * per window), which was the battery's worst scale-decade grower.
+    *
+    * Bit-parity contract (GraftExtensionsSpec pins all three forms):
+    *  - gram hash = 60-bit md5 prefix of the UTF-8 bytes of each
+    *    k-CHARACTER substring — character positions, exactly
+    *    `substr(norm, i, k)`'s code-point semantics (grams are sliced
+    *    off the byte array via a code-point offset walk, no per-gram
+    *    String or byte-array allocation);
+    *  - windows of `w` consecutive gram hashes, min BY VALUE per
+    *    window (monotonic-deque O(n) instead of the HOF's O(n*w));
+    *  - distinct preserving first occurrence (array_distinct's order).
+    * Texts shorter than k characters yield the empty array; fewer
+    * than w hashes form one window over all of them. */
+  def winnowUtf8(norm: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = norm.getBytes
+    // code-point start offsets: starts(c) = byte offset of char c
+    val nBytes = bytes.length
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) {
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      nChars += 1
+    }
+    if (nChars < k)
+      return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    b = 0
+    while (b < nBytes) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(nChars) = nBytes
+    val nGrams = nChars - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = Dedup.md5Base60Range(md, bytes, starts(i),
+        starts(i + k) - starts(i))
+      i += 1
+    }
+    // window minima: one window over everything when nGrams <= w,
+    // else the standard fixed-width monotonic-deque sliding min
+    // (values are in [0, 2^60), so signed min == unsigned min)
+    val nw = math.max(nGrams - w + 1, 1)
+    val mins = new Array[Long](nw)
+    if (nGrams <= w) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < nGrams) { if (hashes(i) < m) m = hashes(i); i += 1 }
+      mins(0) = m
+    } else {
+      val dq = new Array[Int](nGrams)
+      var h = 0
+      var t = 0 // deque is dq[h until t]
+      i = 0
+      while (i < nGrams) {
+        while (t > h && hashes(dq(t - 1)) >= hashes(i)) t -= 1
+        dq(t) = i; t += 1
+        val j = i - w + 1
+        if (j >= 0) {
+          while (dq(h) < j) h += 1
+          mins(j) = hashes(dq(h))
+        }
+        i += 1
+      }
+    }
+    // distinct, first-occurrence order (array_distinct's contract)
+    val seen = new java.util.HashSet[java.lang.Long](nw * 2)
+    val out = new Array[Long](nw)
+    var m = 0
+    var j = 0
+    while (j < nw) {
+      if (seen.add(mins(j))) { out(m) = mins(j); m += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
 }

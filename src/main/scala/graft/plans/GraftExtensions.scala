@@ -162,6 +162,38 @@ case class MinhashExpression(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (`graft_winnow(norm, k, w)`): the
+  * distinct window-min 60-bit-md5 gram hashes of an already-normalized
+  * text — [[graft.ops.Fingerprint]]'s kernel as ONE static call per
+  * row ([[graft.ops.Kernels.winnowUtf8]]) instead of an interpreted
+  * `transform`/`slice`/`array_min` higher-order chain. `k` (gram
+  * length) and `w` (window width) are plan-time literals, same rule as
+  * `graft_shingles`. */
+case class WinnowExpression(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && k > 0 && w > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      prettyName + " requires a string argument and positive literal k, w")
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Kernels.winnowUtf8(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.Kernels.winnowUtf8($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpression =
+    copy(child = newChild)
+}
+
 /** Session extension: `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.plans.GraftExtensions`; for an already-
   * running session use [[GraftExtensions.register]]. */
@@ -195,6 +227,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         requireArity(children, 2, "graft_minhash")
         MinhashExpression(children.head, intLiteral(children(1), "graft_minhash"))
+      }),
+    (new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        requireArity(children, 3, "graft_winnow")
+        WinnowExpression(children.head,
+          intLiteral(children(1), "graft_winnow"),
+          intLiteral(children(2), "graft_winnow"))
       }))
 
   private def requireArity(children: Seq[Expression], n: Int, fn: String): Unit =
@@ -234,4 +274,7 @@ object GraftFunctions {
     call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(n))
   def graftMinhash(c: Column, k: Int): Column =
     call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(k))
+  def graftWinnow(c: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", c, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 }

@@ -132,6 +132,52 @@ class GraftExtensionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
 
+  test("graft_winnow matches the HOF chain and the scalar reference bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.Dedup.normalized(col("text")).as("__norm"))
+    for ((k, w) <- Seq((8, 4), (5, 1), (3, 9))) {
+      val viaKernel = docs.select(col("doc_id"),
+        GraftFunctions.graftWinnow(col("__norm"), k, w).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaHof = docs.select(col("doc_id"),
+        graft.ops.Fingerprint.winnowHof(col("__norm"), k, w).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaKernel === viaHof, s"k=$k w=$w") // exact order + values
+    }
+    // scalar reference (its own normalization) on hand-picked cases,
+    // incl. shorter-than-k, shorter-than-w, repeated-min, and
+    // multi-byte characters (code-point gram positions, not UTF-16)
+    val cases = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "short", "ab", "",
+      "naïve café — résumé über 字符串 testing")
+    for (s <- cases) {
+      // normalize on the test side (winnowScalar's own rule, which is
+      // idempotent) so both engines hash the identical string — the
+      // kernel's contract is "already-normalized input"
+      val norm = s.toLowerCase.replaceAll("\\s+", " ")
+        .replaceAll("^ +| +$", "")
+      val viaSql = spark.sql(
+        s"SELECT graft_winnow('${norm.replace("'", "''")}', 8, 4)")
+        .head().getSeq[Long](0)
+      assert(viaSql === graft.ops.Fingerprint.winnowScalar(norm, 8, 4)
+        .toSeq, s"case: $s")
+    }
+    // the public summary still reports gram counts through the pure
+    // length arithmetic — pin it against the HOF array size on data
+    val viaSummary = graft.ops.Fingerprint.summary(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text").select("doc_id", "n_grams")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaArr = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.ops.Fingerprint.gramHashArray(col("__norm"), 8))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSummary === viaArr)
+  }
+
   test("shingle+minhash chain stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
