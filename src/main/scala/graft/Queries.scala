@@ -3189,4 +3189,39 @@ object Queries {
       "lang", "quality", "pct_rank", scale = 1000)
       .orderBy("doc_id")
 
+  /** Unigram vocabulary learned at each query site (q95's relearn
+    * rationale: one census pass + vocab-sized EM rounds), shared by
+    * q172/q173. Deterministic and parallelism-independent by the
+    * trainer's integer-count construction (UnigramSpec pins it). */
+  private def unigramVocab(spark: SparkSession, dir: String)
+      : Seq[graft.ops.Unigram.Piece] =
+    graft.ops.Unigram.learnVocab(
+      t(spark, dir, "documents"), "text",
+      vocabSize = 256, maxPieceLen = 6, seedSize = 512, emIters = 1)
+
+  /** Unigram-LM tokenizer TRAINING ([[graft.ops.Unigram.learnVocab]],
+    * Kudo 2018's SentencePiece unigram model under the library's
+    * deterministic Viterbi-EM contract): the top-32 pieces of a
+    * 256-piece vocabulary learned from the documents corpus.
+    * Iterative EM + pruning is not SQL-expressible → pinned-VALUES
+    * oracle (the q95 pattern); UnigramSpec pins a hand-worked EM
+    * example independently. */
+  def q172UnigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramVocab(spark, dir).take(32).zipWithIndex
+      .map { case (p, i) => (i + 1, p.piece, p.count) }
+      .toDF("rank", "piece", "piece_count")
+      .orderBy("rank")
+  }
+
+  /** Unigram tokenizer APPLICATION ([[graft.ops.Unigram.tokenize]]):
+    * per-doc piece counts + order-sensitive token digests under the
+    * q172 vocabulary. Map-only over the corpus (the piece model rides
+    * the closure); pinned-VALUES oracle, same contract as q96. */
+  def q173UnigramTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Unigram.tokenize(
+      t(spark, dir, "documents"), "doc_id", "text",
+      unigramVocab(spark, dir))
+      .orderBy("doc_id")
+
 }

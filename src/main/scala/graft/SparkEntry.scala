@@ -194,6 +194,8 @@ object SparkEntry {
     "q169_compression_signal" -> (Queries.q169CompressionSignal(_, _)),
     "q170_quality_model" -> (Queries.q170QualityModel(_, _)),
     "q171_csv_quarantine" -> (Queries.q171CsvQuarantine(_, _)),
+    "q172_unigram_vocab" -> (Queries.q172UnigramVocab(_, _)),
+    "q173_unigram_tokens" -> (Queries.q173UnigramTokens(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2010,6 +2012,12 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_terms_matched,
         |  round(sum(s), 4) AS score
         |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // q172/q173: iterative Viterbi-EM unigram training is not
+    // SQL-expressible → pinned-VALUES truth tables frozen at sf0.01
+    // (2026-08-15; 8- vs 32-thread sessions verified identical before
+    // pinning — integer counts + total tie orders by construction)
+    "q172_unigram_vocab" -> PinnedOracles.q172Sql,
+    "q173_unigram_tokens" -> PinnedOracles.q173Sql,
     // q95/q96: iterative BPE training is not SQL-expressible →
     // pinned-VALUES oracles (the q16/q25 contract; regenerated from a
     // fresh Verify run, verified identical across 8/32 threads).
