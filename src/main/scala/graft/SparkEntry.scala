@@ -196,6 +196,7 @@ object SparkEntry {
     "q171_csv_quarantine" -> (Queries.q171CsvQuarantine(_, _)),
     "q172_unigram_vocab" -> (Queries.q172UnigramVocab(_, _)),
     "q173_unigram_tokens" -> (Queries.q173UnigramTokens(_, _)),
+    "q174_ivf_drift" -> (Queries.q174IvfDrift(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -2012,6 +2013,19 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_terms_matched,
         |  round(sum(s), 4) AS score
         |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // q174: KMeans cell internals are not SQL-expressible; the
+    // CONTRACT is — batch sizes replay arithmetically, and the drift
+    // alerts are asserted as the decision the monitor must produce
+    // (control batch quiet, planted +2.0-shift batch alerting on both
+    // signals) — the q27/q66 contract-boolean pattern
+    "q174_ivf_drift" ->
+      """WITH c AS (
+        |  SELECT count(*) AS n FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT batch, n AS n_vectors, psi_alert, dist_alert
+        |FROM c CROSS JOIN (VALUES
+        |  ('control', FALSE, FALSE),
+        |  ('drifted', TRUE, TRUE)) t(batch, psi_alert, dist_alert)
+        |ORDER BY batch""".stripMargin,
     // q172/q173: iterative Viterbi-EM unigram training is not
     // SQL-expressible → pinned-VALUES truth tables frozen at sf0.01
     // (2026-08-15; 8- vs 32-thread sessions verified identical before

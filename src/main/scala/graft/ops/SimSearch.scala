@@ -478,18 +478,31 @@ object SimSearch {
       "input column __cell collides with the index's cell column")
     val centers = loadCenters(spark, dir)
     require(centers.nonEmpty, s"no centers found under $dir/centers")
+    newDf
+      .withColumn("__cell", nearestCell(spark, centers)(asDouble(col(vecCol))))
+      .where(col("__cell") >= 0) // null vectors carry no position — skip
+      .write.partitionBy("__cell").mode("append")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Nearest-center assignment kernel shared by [[ivfAppend]] and
+    * [[ivfDriftReport]]: exact argmin of squared distance, first cell
+    * wins ties (KMeans.transform's convention). Null vectors map to
+    * -1 (no position); a dimension-mismatched vector fails LOUDLY —
+    * dim drift between index and batch must never become a silently
+    * truncated, plausible-but-wrong assignment. */
+  private def nearestCell(spark: org.apache.spark.sql.SparkSession,
+                          centers: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(centers)
-    val nearest = udf { (v: Seq[Double]) =>
+    udf { (v: Seq[Double]) =>
       if (v == null) -1
       else {
         val cs = bc.value
-        // dim drift between the index and an ingest batch must surface
-        // as an error, not a silently-truncated (plausible but wrong)
-        // cell assignment — the library's loud-guard policy
         require(v.length == cs(0).length,
-          s"ivfAppend: vector dim ${v.length} != index dim ${cs(0).length}" +
-            " — the batch was embedded with a different model/config" +
-            " than the index was fitted on")
+          s"nearest-cell assignment: vector dim ${v.length} != index " +
+            s"dim ${cs(0).length} — the batch was embedded with a " +
+            "different model/config than the index was fitted on")
         var best = 0
         var bestD = Double.MaxValue
         var i = 0
@@ -505,11 +518,151 @@ object SimSearch {
         best
       }
     }
-    newDf
-      .withColumn("__cell", nearest(asDouble(col(vecCol))))
-      .where(col("__cell") >= 0) // null vectors carry no position — skip
-      .write.partitionBy("__cell").mode("append")
-      .parquet(s"$dir/assigned")
+  }
+
+  /** Squared distance to the NEAREST center — the drift monitor's
+    * per-row statistic (same argmin sweep as [[nearestCell]]; null or
+    * dim-mismatched vectors follow the same contract). */
+  private def nearestDist(spark: org.apache.spark.sql.SparkSession,
+                          centers: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(centers)
+    udf { (v: Seq[Double]) =>
+      if (v == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val cs = bc.value
+        require(v.length == cs(0).length,
+          s"nearest-cell assignment: vector dim ${v.length} != index " +
+            s"dim ${cs(0).length} — the batch was embedded with a " +
+            "different model/config than the index was fitted on")
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var s = 0.0
+          var j = 0
+          val n = c.length
+          while (j < n) { val d = c(j) - v(j); s += d * d; j += 1 }
+          if (s < bestD) bestD = s
+          i += 1
+        }
+        java.lang.Double.valueOf(bestD)
+      }
+    }
+  }
+
+  /** The per-corpus-VERSION reference statistics an IVF drift monitor
+    * compares ingest batches against: the indexed corpus' cell-share
+    * distribution and its mean nearest-center squared distance.
+    * Computed once per index version (one pass over the assigned
+    * corpus) and carried as a tiny value — persist it with the index
+    * and reload instead of recomputing per batch. */
+  final case class IvfBaseline(nlist: Int, n: Long,
+                               cellCounts: Map[Int, Long],
+                               meanDist: Double)
+
+  /** Fit the [[IvfBaseline]] of a persisted index ([[ivfSave]] /
+    * [[ivfAppend]] layout under `dir`). ONE pass over the assigned
+    * corpus: cell counts come from the partition column and the
+    * distance mean re-derives each row's distance to its stored cell's
+    * center (the assignment is stored; no argmin re-search). */
+  def ivfBaseline(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  vecCol: String): IvfBaseline = {
+    val centers = loadCenters(spark, dir)
+    require(centers.nonEmpty, s"no centers found under $dir/centers")
+    val bc = spark.sparkContext.broadcast(centers)
+    val distToOwn = udf { (v: Seq[Double], cell: Int) =>
+      if (v == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val c = bc.value(cell)
+        var s = 0.0
+        var j = 0
+        val n = math.min(c.length, v.length)
+        while (j < n) { val d = c(j) - v(j); s += d * d; j += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
+    val rows = spark.read.parquet(s"$dir/assigned")
+      .select(col("__cell"),
+        distToOwn(asDouble(col(vecCol)), col("__cell")).as("__d"))
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__sd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.map(_._2).sum
+    require(n > 0, s"empty index under $dir/assigned")
+    IvfBaseline(centers.length, n,
+      rows.map(r => r._1 -> r._2).toMap,
+      rows.map(_._3).sum / n)
+  }
+
+  /**
+   * IVF DRIFT MONITOR: score an ingest batch against a persisted
+   * index's [[IvfBaseline]] so "refit per corpus version" has a
+   * measurable trigger instead of a scaladoc caveat. Two orthogonal
+   * signals, both one map pass over the BATCH only (the argmin kernel
+   * shared with [[ivfAppend]]):
+   *
+   *  - `psi` — population-stability index of the batch's nearest-cell
+   *    shares vs the baseline's, over the index's FIXED cell domain,
+   *    with [[graft.ops.TimeSeries.psiByPeriod]]'s add-one smoothing
+   *    ((n+1)/(N+nlist)) so an empty cell contributes its floor
+   *    instead of an infinity. Standard bands: < 0.1 stable, 0.1–0.25
+   *    moderate, > 0.25 investigate. Catches DIRECTIONAL shifts (new
+   *    content piling into few cells) even when distances look fine.
+   *  - `dist_ratio` — batch mean nearest-center squared distance over
+   *    the baseline mean. Catches DIFFUSE drift (everything slightly
+   *    off-manifold: embedder version bump, preprocessing change)
+   *    that leaves cell shares roughly alone.
+   *
+   * Output (one row): n_vectors, psi, dist_ratio, and the alert
+   * booleans at the given thresholds. Wire it per batch next to
+   * [[ivfAppend]]; alert => schedule a refit for the next corpus
+   * version (the append itself stays valid — cells get wider, not
+   * wrong). Null vectors are excluded (no position, same as append).
+   */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     baseline: IvfBaseline, newDf: DataFrame,
+                     vecCol: String, psiAlert: Double = 0.25,
+                     distAlert: Double = 1.5): DataFrame = {
+    require(baseline.meanDist > 0.0,
+      "degenerate baseline (mean distance 0) — every corpus vector sits " +
+        "exactly on a center; dist_ratio is undefined, refit with real data")
+    val centers = loadCenters(spark, dir)
+    require(centers.length == baseline.nlist,
+      s"baseline nlist ${baseline.nlist} != index nlist ${centers.length}" +
+        " — the baseline belongs to a different index version")
+    val assigned = newDf
+      .select(nearestCell(spark, centers)(asDouble(col(vecCol))).as("__cell"),
+        nearestDist(spark, centers)(asDouble(col(vecCol))).as("__d"))
+      .where(col("__cell") >= 0)
+    val stats = assigned
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__sd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val spark2 = spark
+    import spark2.implicits._
+    val nBatch = stats.map(_._2).sum
+    if (nBatch == 0) {
+      // an all-null batch carries no drift evidence
+      Seq((0L, 0.0, 0.0, false, false))
+        .toDF("n_vectors", "psi", "dist_ratio", "psi_alert", "dist_alert")
+    } else {
+      val batchCounts = stats.map(s => s._1 -> s._2).toMap
+      val psi = (0 until baseline.nlist).map { c =>
+        val p = (batchCounts.getOrElse(c, 0L) + 1L).toDouble /
+          (nBatch + baseline.nlist)
+        val q = (baseline.cellCounts.getOrElse(c, 0L) + 1L).toDouble /
+          (baseline.n + baseline.nlist)
+        (p - q) * math.log(p / q)
+      }.sum
+      val meanDist = stats.map(_._3).sum / nBatch
+      val ratio = meanDist / baseline.meanDist
+      Seq((nBatch,
+        BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        psi > psiAlert, ratio > distAlert))
+        .toDF("n_vectors", "psi", "dist_ratio", "psi_alert", "dist_alert")
+    }
   }
 
   /** Serve one query from a prebuilt [[IvfIndex]]: pick the `nprobe`

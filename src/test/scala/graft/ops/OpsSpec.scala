@@ -1280,6 +1280,71 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(stuck.size === 20 * 19 / 2)
   }
 
+  test("ivf drift monitor: control quiet; directional drift trips psi, diffuse drift trips distance") {
+    import org.apache.spark.sql.functions.{transform => arrTransform, lit => l}
+    // 3 tight separated clusters of 20 (8-dim, centers 10*e_c, jitter
+    // << separation) — the ivfFit fixture family
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 20).map { i =>
+        val id = c * 100L + i
+        (id, Array.tabulate(8)(j =>
+          (if (j == c) 10f else 0f) + 0.05f * math.cos(id * 8 + j).toFloat))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdrift")
+      .toString
+    SimSearch.ivfSave(
+      SimSearch.ivfFit(df, "vec_id", "embedding", nlist = 3, seed = 42L), dir)
+    val base = SimSearch.ivfBaseline(spark, dir, "embedding")
+    assert(base.n === 60L && base.nlist === 3)
+    assert(base.cellCounts.values.toSeq.sorted === Seq(20L, 20L, 20L))
+    assert(base.meanDist > 0.0)
+    def rep(batch: org.apache.spark.sql.DataFrame) =
+      SimSearch.ivfDriftReport(spark, dir, base, batch, "embedding")
+        .head()
+    // control: every other point — in-distribution, both signals quiet
+    val control = rep(df.where(col("vec_id") % 2 === 0))
+    assert(control.getLong(0) === 30L)
+    assert(!control.getBoolean(3) && !control.getBoolean(4),
+      s"control alerted: $control")
+    // DIRECTIONAL drift: a batch entirely from one cluster — cell
+    // shares collapse to one cell (psi fires) while every vector sits
+    // exactly on-manifold (distance stays ~1)
+    val directional = rep(df.where(col("vec_id") < 100L))
+    assert(directional.getBoolean(3), s"psi quiet on directional: $directional")
+    assert(!directional.getBoolean(4),
+      s"distance fired on on-manifold batch: $directional")
+    // DIFFUSE drift: +5.0 in every coordinate — every point stays
+    // NEAREST ITS OWN cluster's center (25+7*25=200 vs >=400 to the
+    // others), so shares are untouched (psi quiet) while the distance
+    // ratio explodes
+    val diffuse = rep(df.select(col("vec_id"),
+      arrTransform(col("embedding"), x => x + l(5.0f)).as("embedding")))
+    assert(!diffuse.getBoolean(3), s"psi fired on diffuse: $diffuse")
+    assert(diffuse.getBoolean(4), s"distance quiet on diffuse: $diffuse")
+    assert(diffuse.getDouble(2) > 10.0) // ~200 / jitter-scale baseline
+    // all-null batch: no drift evidence, no alerts, n=0
+    val nulls = rep(Seq((1L, null: Array[Float])).toDF("vec_id", "embedding"))
+    assert(nulls.getLong(0) === 0L &&
+      !nulls.getBoolean(3) && !nulls.getBoolean(4))
+    // dim drift fails loudly (the shared assignment-kernel guard)
+    val mismatch = Seq((1L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimSearch.ivfDriftReport(spark, dir, base, mismatch, "embedding")
+    }
+    assert(e.getMessage != null)
+    // a baseline from a different index version is rejected
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfdrift2")
+      .toString
+    SimSearch.ivfSave(
+      SimSearch.ivfFit(df, "vec_id", "embedding", nlist = 2, seed = 42L), dir2)
+    val wrongVersion = intercept[IllegalArgumentException] {
+      SimSearch.ivfDriftReport(spark, dir2, base, df, "embedding")
+    }
+    assert(wrongVersion.getMessage.contains("different index version"))
+  }
+
   test("ivfFit cells bound the per-cell quadratic on a clustered corpus") {
     // the q53 scale contract: with nlist sized to the corpus (cells ~
     // n / per-cell budget), the within-cell quadratic term must stay
