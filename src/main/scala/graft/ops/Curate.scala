@@ -516,17 +516,29 @@ object Curate {
       //    state a pure function of the durable output). The batch's
       //    shingle frame is persisted so shingling runs once for its
       //    two consumers; keys go last (the state's commit marker).
-      val landed = spark.read.parquet(outDir)
-        .where(col("__batch_id") === lit(batchId)).drop("__batch_id")
-      val shLanded = Dedup.shinglesOf(landed, idCol, textCol, shingleSize)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        writeParts(shLanded, s"$sd/shingles")
-        writeParts(Dedup.postingsOf(shLanded, numHashes, bands),
-          s"$sd/postings")
-        writeParts(landed.select(col(idCol).as("__id"),
-          Novelty.exactKeyCol(textCol).as("__nk")), s"$sd/keys")
-      } finally shLanded.unpersist()
+      //    A batch that admitted NOTHING writes no partition (a
+      //    zero-row dynamic overwrite creates no directory, and a
+      //    parquet read of a missing/file-less path throws) — and an
+      //    empty batch contributes no state, so skip outright. A
+      //    retry can't need the skip to "clear" stale rows: the
+      //    recompute is deterministic against the same excluded-batch
+      //    state, so a batch that once admitted rows admits the same
+      //    rows again.
+      val landedPath = new org.apache.hadoop.fs.Path(
+        s"$outDir/__batch_id=$batchId")
+      if (landedPath.getFileSystem(hadoopConf).exists(landedPath)) {
+        val landed = spark.read.parquet(outDir)
+          .where(col("__batch_id") === lit(batchId)).drop("__batch_id")
+        val shLanded = Dedup.shinglesOf(landed, idCol, textCol, shingleSize)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          writeParts(shLanded, s"$sd/shingles")
+          writeParts(Dedup.postingsOf(shLanded, numHashes, bands),
+            s"$sd/postings")
+          writeParts(landed.select(col(idCol).as("__id"),
+            Novelty.exactKeyCol(textCol).as("__nk")), s"$sd/keys")
+        } finally shLanded.unpersist()
+      }
       } finally pairs.unpersist() // a failed write must not leak the cache
     } finally exact.unpersist()
   }

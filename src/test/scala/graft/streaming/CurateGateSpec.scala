@@ -220,6 +220,37 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
   }
 
+  test("streaming tail: a batch admitting nothing writes no state and breaks nothing") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val b0 = Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq((11L, "s", proseA), (12L, "s", proseB))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-b")
+      .toString
+    // batch 0 is FULLY rejected (the historical-corpus gate is the
+    // batch itself): no outDir partition, no state partitions — the
+    // state read-back must not throw on the missing/file-less paths
+    Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0, historicalCorpus = Some(b0))(b0, 0L)
+    val sd = dir + "__state"
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(sd, "keys", "__batch_id=0")))
+    // batch 1 (no gate) proceeds from the empty state: both docs admit
+    // — a REJECTED doc's text is not corpus state (first-arrival
+    // semantics count only admissions)
+    Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0)(b1, 1L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(11L, 12L))
+    assert(spark.read.parquet(s"$sd/keys").select("__id")
+      .collect().map(_.getLong(0)).toSet === Set(11L, 12L))
+  }
+
   test("streaming tail bootstrap: a pre-state admitted corpus rebuilds the state once") {
     import spark.implicits._
     val proseA = "the quick brown fox jumps over the lazy dog and then " +
