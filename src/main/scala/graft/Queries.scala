@@ -3224,9 +3224,15 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q174IndexDir(spark: SparkSession, dir: String): String =
     q174Index.computeIfAbsent(dir, { d =>
+      // keyed on a digest of the FULL path (leaf kept for readability):
+      // two corpora sharing a leaf name (v1/sf0.01 vs v2/sf0.01) must
+      // not clobber each other's persisted index
       val sfName = d.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val path = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"), s"graft_q174_index_$sfName")
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft_q174_index_${sfName}_$digest")
         .toString
       val idx = graft.ops.SimSearch.ivfFit(
         t(spark, d, "embeddings"), "vec_id", "embedding",

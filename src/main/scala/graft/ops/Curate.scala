@@ -359,9 +359,14 @@ object Curate {
    * managed corpus frame (id + text) replaces the durable state READ
    * for this batch — exact keys, postings, and shingles are derived
    * from it live (the pre-state behavior). The state frames are still
-   * WRITTEN for the admitted rows, so later batches can drop the
-   * override. An override frame must itself exclude the in-flight
-   * batch's rows (it bypasses the retry-exclusion logic below).
+   * WRITTEN for the admitted rows, and the pre-state BOOTSTRAP runs
+   * even under an override (the override replaces one batch's read,
+   * not the durable state's coverage — otherwise the keys written for
+   * the override batch would set the commit marker over a state that
+   * silently orphans every batch an older build admitted), so later
+   * batches can drop the override safely. An override frame must
+   * itself exclude the in-flight batch's rows (it bypasses the
+   * retry-exclusion logic below).
    *
    * Ids must be globally unique across the stream (one id space —
    * the pair normalization depends on it).
@@ -409,6 +414,17 @@ object Curate {
         .write.partitionBy("__batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(dir)
+    // Before the keys write (the commit marker), the shingles/postings
+    // DIRECTORIES must exist even when the batch/corpus put no rows in
+    // them (a zero-row partitioned write may create nothing): the read
+    // side treats "keys exist but a sibling dir is missing" as
+    // destroyed state and throws, so the write side must make the
+    // invariant unconditional.
+    def ensureStateDirs(): Unit =
+      Seq("shingles", "postings").foreach { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$sd/$s")
+        p.getFileSystem(hadoopConf).mkdirs(p)
+      }
     // 1. stateless row gates — identical code path to the pure gate
     val gated = streamingGate(batch, textCol, minQuality, maxDup2gramFrac,
       historicalCorpus, bandIndex, unigramRef, benchGrams)
@@ -416,7 +432,12 @@ object Curate {
     //    (default), rebuilt once from outDir when absent (migration),
     //    or derived live from the caller's override corpus
     val outHasBatches = hasParts(outDir)
-    if (corpusOverride.isEmpty && outHasBatches && !hasParts(s"$sd/keys")) {
+    // the bootstrap runs REGARDLESS of corpusOverride: the override
+    // only replaces this batch's state READ, while step 6 writes keys
+    // for the batch either way — skipping the rebuild here would set
+    // the commit marker over a state that covers only the override
+    // batch, silently orphaning every batch the older build admitted
+    if (outHasBatches && !hasParts(s"$sd/keys")) {
       // BOOTSTRAP: outDir holds admitted batches but no key state —
       // rebuild all three frames from the corpus, keeping each row in
       // its original __batch_id partition (replay exclusion keeps
@@ -438,6 +459,7 @@ object Curate {
         bootWrite(sh.join(idToBatch, "__id"), s"$sd/shingles")
         bootWrite(Dedup.postingsOf(sh, numHashes, bands)
           .join(idToBatch, "__id"), s"$sd/postings")
+        ensureStateDirs() // integrity invariant, see readState
         bootWrite(corpus.select(col(idCol).as("__id"),
           Novelty.exactKeyCol(textCol).as("__nk"), parts), s"$sd/keys")
       } finally sh.unpersist()
@@ -461,19 +483,35 @@ object Curate {
           batch.limit(0).select(col(idCol).as("__old_id")))
       case None =>
         // the durable-state default: narrow precomputed frames only —
-        // the admitted corpus TEXT is never read here. shingles may
-        // legitimately lack partitions keys has (a batch whose every
-        // admitted doc was too short to shingle writes no rows), so
-        // each frame falls back to empty independently; keys presence
-        // (checked above) is the state's commit marker.
+        // the admitted corpus TEXT is never read here. INTEGRITY rule:
+        // a frame may legitimately lack PARTITIONS (every write with
+        // keys also creates the shingles/postings DIRECTORIES, even
+        // when a batch had nothing shingleable to put in them), but a
+        // missing directory while keys exist means the state was
+        // destroyed out-of-band — falling back to empty there would
+        // silently disable cross-batch NEAR dedup forever (exact dups
+        // still caught by keys), the exact silent-degradation mode the
+        // explicit-existence checks exist to prevent. Throw instead.
+        def readState(sub: String, empty: => DataFrame): DataFrame = {
+          val dir = s"$sd/$sub"
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(hadoopConf)
+          if (!fs.exists(p))
+            throw new IllegalStateException(
+              s"streamingTail state is corrupt: $dir is missing while " +
+                s"$sd/keys exists — the near-dedup state was destroyed " +
+                "out-of-band. Delete the WHOLE state dir to trigger a " +
+                "bootstrap rebuild from outDir, or restore the frame.")
+          else if (!fs.listStatus(p).exists(
+              _.getPath.getName.startsWith("__batch_id="))) empty
+          else readParts(dir)
+        }
         val keys = readParts(s"$sd/keys")
-        val postings =
-          if (hasParts(s"$sd/postings")) readParts(s"$sd/postings")
-          else Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
-            textCol, shingleSize), numHashes, bands)
-        val shinglesSt =
-          if (hasParts(s"$sd/shingles")) readParts(s"$sd/shingles")
-          else Dedup.shinglesOf(batch.limit(0), idCol, textCol, shingleSize)
+        val postings = readState("postings",
+          Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
+            textCol, shingleSize), numHashes, bands))
+        val shinglesSt = readState("shingles",
+          Dedup.shinglesOf(batch.limit(0), idCol, textCol, shingleSize))
         (Novelty.exactNovelVsKeys(gated, keys, textCol),
           (ex: DataFrame) => Dedup.minhashPairsIncrementalIndexed(ex,
             postings, shinglesSt, idCol, textCol, shingleSize, numHashes,
@@ -535,6 +573,7 @@ object Curate {
           writeParts(shLanded, s"$sd/shingles")
           writeParts(Dedup.postingsOf(shLanded, numHashes, bands),
             s"$sd/postings")
+          ensureStateDirs() // integrity invariant, see readState
           writeParts(landed.select(col(idCol).as("__id"),
             Novelty.exactKeyCol(textCol).as("__nk")), s"$sd/keys")
         } finally shLanded.unpersist()

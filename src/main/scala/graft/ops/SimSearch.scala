@@ -520,21 +520,24 @@ object SimSearch {
     }
   }
 
-  /** Squared distance to the NEAREST center — the drift monitor's
-    * per-row statistic (same argmin sweep as [[nearestCell]]; null or
-    * dim-mismatched vectors follow the same contract). */
-  private def nearestDist(spark: org.apache.spark.sql.SparkSession,
-                          centers: Array[Array[Double]])
+  /** (nearest cell, its squared distance) in ONE argmin sweep — the
+    * drift monitor needs both per row, and two separate UDFs would run
+    * the dominant nlist x dim sweep twice. Same guards as
+    * [[nearestCell]]: null vectors map to a null struct, dim
+    * mismatches fail loudly. */
+  private def nearestCellDist(spark: org.apache.spark.sql.SparkSession,
+                              centers: Array[Array[Double]])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(centers)
     udf { (v: Seq[Double]) =>
-      if (v == null) null.asInstanceOf[java.lang.Double]
+      if (v == null) null.asInstanceOf[(Int, Double)]
       else {
         val cs = bc.value
         require(v.length == cs(0).length,
           s"nearest-cell assignment: vector dim ${v.length} != index " +
             s"dim ${cs(0).length} — the batch was embedded with a " +
             "different model/config than the index was fitted on")
+        var best = 0
         var bestD = Double.MaxValue
         var i = 0
         while (i < cs.length) {
@@ -543,10 +546,10 @@ object SimSearch {
           var j = 0
           val n = c.length
           while (j < n) { val d = c(j) - v(j); s += d * d; j += 1 }
-          if (s < bestD) bestD = s
+          if (s < bestD) { bestD = s; best = i } // strict < : first wins
           i += 1
         }
-        java.lang.Double.valueOf(bestD)
+        (best, bestD)
       }
     }
   }
@@ -575,9 +578,15 @@ object SimSearch {
       if (v == null) null.asInstanceOf[java.lang.Double]
       else {
         val c = bc.value(cell)
+        // same loud dim guard as the assignment kernel: a truncated
+        // distance would make the baseline silently too small and
+        // every later drift report falsely alarmed
+        require(v.length == c.length,
+          s"ivfBaseline: stored vector dim ${v.length} != index dim " +
+            s"${c.length} — the assigned corpus mixes embedding configs")
         var s = 0.0
         var j = 0
-        val n = math.min(c.length, v.length)
+        val n = c.length
         while (j < n) { val d = c(j) - v(j); s += d * d; j += 1 }
         java.lang.Double.valueOf(s)
       }
@@ -632,9 +641,10 @@ object SimSearch {
       s"baseline nlist ${baseline.nlist} != index nlist ${centers.length}" +
         " — the baseline belongs to a different index version")
     val assigned = newDf
-      .select(nearestCell(spark, centers)(asDouble(col(vecCol))).as("__cell"),
-        nearestDist(spark, centers)(asDouble(col(vecCol))).as("__d"))
-      .where(col("__cell") >= 0)
+      .select(nearestCellDist(spark, centers)(asDouble(col(vecCol)))
+        .as("__cd"))
+      .where(col("__cd").isNotNull)
+      .select(col("__cd._1").as("__cell"), col("__cd._2").as("__d"))
     val stats = assigned
       .groupBy(col("__cell"))
       .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__sd"))
@@ -809,12 +819,18 @@ object SimSearch {
     * progress (every row back in one cell: identical/collapsed vectors
     * that NO quantizer can separate — those fall back to the quadratic
     * join with the original loud warning, now a last resort instead of
-    * the only behavior). Recall contract is unchanged: a near-dup pair
-    * (cosine >= threshold, i.e. near-identical vectors) lands in the
-    * same sub-cell for the same reason it landed in the same cell —
-    * nearest-centroid assignments of near-identical vectors agree —
-    * so splitting a collapsed cell recovers exactly the brute-force
-    * pair set on it (OpsSpec pins that on a planted collapse).
+    * the only behavior). Recall: NEAR-IDENTICAL pairs (the dedup
+    * targets) land in the same sub-cell for the same reason they
+    * landed in the same cell — nearest-centroid assignments of
+    * near-identical vectors agree — so splitting a collapsed cell of
+    * duplicate clusters recovers exactly the brute-force pair set
+    * (OpsSpec pins that on a planted collapse). A pair sitting AT the
+    * threshold whose two vectors straddle a sub-cell Voronoi boundary
+    * can be lost — the SAME epsilon the method's top-level cell
+    * partition already accepts for pairs straddling top-level cells
+    * (SemDeDup's published recall trade); vs. the pre-remediation
+    * behavior (quadratic join over the whole offender cell) this
+    * trades that boundary epsilon for not wedging a stage.
     * Driver-side work stays bounded: <= nlist offender cells per
     * level, <= [[MaxRemediationDepth]] levels, one <= nlist-row census
     * collect per fit. */

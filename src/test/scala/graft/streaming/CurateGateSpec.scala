@@ -288,6 +288,70 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getInt(0)).toSet === Set(0, 1))
   }
 
+  test("streaming tail: corpusOverride on a pre-state corpus still bootstraps the older batches") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val b0 = Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq((11L, "s", proseA)).toDF("doc_id", "source", "text")
+    val b2 = Seq((21L, "s", proseB), (22L, "s", proseC))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovr-boot")
+      .toString
+    val sd = dir + "__state"
+    def tail(ovr: Option[org.apache.spark.sql.DataFrame]) =
+      Curate.streamingTail(spark, dir, minQuality = 0.0,
+        maxDup2gramFrac = 1.0, corpusOverride = ovr)
+    tail(None)(b0, 0L)
+    // simulate a pre-state corpus (older build): wipe the state dir
+    java.nio.file.Files.walk(java.nio.file.Paths.get(sd))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    // batch 1 runs WITH an (empty) override: the override governs THIS
+    // batch's dedup read (so the proseA dup is admitted), but the
+    // bootstrap must still rebuild batch 0's state — otherwise the
+    // keys written for batch 1 would set the commit marker over a
+    // state that orphans batch 0
+    tail(Some(b0.limit(0)))(b1, 1L)
+    assert(spark.read.parquet(s"$sd/keys").select("__id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L),
+      "bootstrap did not cover the pre-state batch under an override")
+    // batch 2 drops the override: the proseB dup of BATCH 0's doc must
+    // be dropped through the rebuilt state
+    tail(None)(b2, 2L)
+    val admitted = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L, 2L, 11L, 22L),
+      s"batch-0 state orphaned after an override batch: $admitted")
+  }
+
+  test("streaming tail: a destroyed state frame fails loudly instead of silently disabling near dedup") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val b0 = Seq((1L, "s", proseA)).toDF("doc_id", "source", "text")
+    val b1 = Seq((11L, "s", proseA + " indeed quite thoroughly"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-destroyed")
+      .toString
+    val sd = dir + "__state"
+    val t = Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0)
+    t(b0, 0L)
+    // destroy ONLY the postings frame (keys survive): an empty
+    // fallback here would admit near-dups of the whole corpus forever
+    java.nio.file.Files.walk(java.nio.file.Paths.get(sd, "postings"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val e = intercept[IllegalStateException] { t(b1, 1L) }
+    assert(e.getMessage.contains("state is corrupt"), e.getMessage)
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
