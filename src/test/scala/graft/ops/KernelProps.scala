@@ -110,6 +110,21 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("winnow codegen kernel == scalar reference on random text incl. multi-byte") =
+    forAll(Gen.choose(2, 8), Gen.choose(1, 6), Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar, 1 -> Gen.oneOf('é', 'ü', '字', '✨'),
+      1 -> Gen.numChar)).map(_.mkString)) { (k, w, t) =>
+      // the kernel's contract input is the NORMALIZED string; these
+      // generated strings are space-free so normalization is identity
+      val viaKernel = {
+        val arr = Kernels.winnowUtf8(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), k, w)
+        (0 until arr.numElements()).map(arr.getLong)
+      }
+      Prop(viaKernel == Fingerprint.winnowScalar(t, k, w)) :|
+        s"k=$k w=$w t='$t'"
+    }
+
   property("winnow guarantee: shared substring of len >= w+k-1 => shared fingerprint") =
     forAll(Gen.choose(2, 6), Gen.choose(2, 6), flatText, flatText,
       flatText) { (k, w, prefix, shared0, suffix) =>

@@ -75,6 +75,38 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(keys === full - ((1L, 2L)))
   }
 
+  test("indexed incremental minhash equals the live form on precomputed state frames") {
+    // the durable-state contract behind Curate.streamingTail: pairs
+    // computed against PRECOMPUTED (and parquet-round-tripped) shingle
+    // + posting frames must equal the live re-shingling form exactly
+    val oldBatch = docs.filter(col("doc_id").isin(1L, 2L))
+    val newBatch = docs.filter(col("doc_id").isin(3L, 4L, 5L))
+    val live = Dedup.minhashPairsIncremental(newBatch, oldBatch,
+      "doc_id", "text", shingleSize = 2, numHashes = 12, bands = 6,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = java.nio.file.Files.createTempDirectory("graft-idx-state")
+    val sh = Dedup.shinglesOf(oldBatch, "doc_id", "text", shingleSize = 2)
+    sh.write.parquet(s"$d/shingles")
+    Dedup.postingsOf(sh, numHashes = 12, bands = 6)
+      .write.parquet(s"$d/postings")
+    val indexed = Dedup.minhashPairsIncrementalIndexed(newBatch,
+      spark.read.parquet(s"$d/postings"), spark.read.parquet(s"$d/shingles"),
+      "doc_id", "text", shingleSize = 2, numHashes = 12, bands = 6,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed === live)
+    assert(indexed.nonEmpty)
+    // mismatched frames are rejected loudly
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsIncrementalIndexed(newBatch,
+        spark.read.parquet(s"$d/shingles"), // postings/shingles swapped
+        spark.read.parquet(s"$d/postings"),
+        "doc_id", "text", 2, 12, 6, 0.5)
+    }
+    assert(bad.getMessage.contains("postingsOf frame"))
+  }
+
   test("bloom decontamination report is identical to the broadcast path") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
