@@ -604,6 +604,30 @@ object SimSearch {
       rows.map(_._3).sum / n)
   }
 
+  /** Persist an [[IvfBaseline]] beside its index (under `dir`, the
+    * [[ivfSave]] layout): a one-row meta parquet plus the <= nlist-row
+    * cell-count table — the durable half of "fit the baseline once per
+    * corpus version"; serving jobs load it instead of re-scanning the
+    * assigned corpus per batch. */
+  def ivfBaselineSave(spark: org.apache.spark.sql.SparkSession,
+                      baseline: IvfBaseline, dir: String): Unit = {
+    import spark.implicits._
+    baseline.cellCounts.toSeq.toDF("cell", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/baseline_cells")
+    Seq((baseline.nlist, baseline.n, baseline.meanDist))
+      .toDF("nlist", "n", "mean_dist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/baseline_meta")
+  }
+
+  /** Load an [[IvfBaseline]] persisted by [[ivfBaselineSave]]. */
+  def ivfBaselineLoad(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): IvfBaseline = {
+    val m = spark.read.parquet(s"$dir/baseline_meta").head()
+    val cells = spark.read.parquet(s"$dir/baseline_cells")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    IvfBaseline(m.getInt(0), m.getLong(1), cells, m.getDouble(2))
+  }
+
   /**
    * IVF DRIFT MONITOR: score an ingest batch against a persisted
    * index's [[IvfBaseline]] so "refit per corpus version" has a

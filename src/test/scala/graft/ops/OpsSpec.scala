@@ -1328,10 +1328,15 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       .toString
     SimSearch.ivfSave(
       SimSearch.ivfFit(df, "vec_id", "embedding", nlist = 3, seed = 42L), dir)
-    val base = SimSearch.ivfBaseline(spark, dir, "embedding")
-    assert(base.n === 60L && base.nlist === 3)
-    assert(base.cellCounts.values.toSeq.sorted === Seq(20L, 20L, 20L))
-    assert(base.meanDist > 0.0)
+    val fitted = SimSearch.ivfBaseline(spark, dir, "embedding")
+    assert(fitted.n === 60L && fitted.nlist === 3)
+    assert(fitted.cellCounts.values.toSeq.sorted === Seq(20L, 20L, 20L))
+    assert(fitted.meanDist > 0.0)
+    // the baseline persists beside the index and reloads identically —
+    // the "fit once per corpus version" durable half
+    SimSearch.ivfBaselineSave(spark, fitted, dir)
+    val base = SimSearch.ivfBaselineLoad(spark, dir)
+    assert(base === fitted)
     def rep(batch: org.apache.spark.sql.DataFrame) =
       SimSearch.ivfDriftReport(spark, dir, base, batch, "embedding")
         .head()
