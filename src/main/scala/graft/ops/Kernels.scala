@@ -72,6 +72,108 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** ASCII whitespace class of Java regex `\s` (no UNICODE flag):
+    * exactly the separators `split(text, "\\s+")` splits on. U+00A0
+    * and other Unicode spaces are NOT separators — parity with the
+    * column form, not with intuition. */
+  private def isSep(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+      cp == '\f' || cp == '\r'
+
+  /** ASCII punctuation class of Java regex `\p{Punct}` (POSIX punct),
+    * as a 128-entry lookup. */
+  private val punctTable: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".foreach(c => t(c) = true)
+    t
+  }
+
+  /** [[graft.ops.TextStats.EnglishStopTokens]] as a hash set, plus the
+    * longest member's length — tokens longer than that can't match,
+    * so the stop pass never materializes long token strings. */
+  private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.ops.TextStats.EnglishStopTokens.foreach(s.add)
+    s
+  }
+  private lazy val stopMaxLen: Int =
+    graft.ops.TextStats.EnglishStopTokens.map(_.length).max
+
+  /** Composite quality score ([[graft.ops.TextStats.qualityScore]]) in
+    * ONE pass over the string (plus one pass over its lowercase form
+    * for the stop-token component), replacing four independent
+    * interpreted passes (three regex `split`s + array filter/aggregate
+    * HOFs and one regex replace) per row.
+    *
+    * Bit-parity contract (OpsSpec pins kernel == the legacy column
+    * chain on the fixture corpus and edge strings):
+    *  - token boundaries: maximal runs of non-`\s` code points, `\s`
+    *    being the ASCII-only Java class ([[isSep]]);
+    *  - token/text lengths in CODE POINTS (Spark `length` semantics);
+    *  - punctuation: Java `\p{Punct}` (ASCII POSIX class);
+    *  - the stop pass tokenizes `UTF8String.toLowerCase` of the whole
+    *    text (exactly `split(lower(text))`'s input), with its own
+    *    token count for the ratio's denominator (lowercasing can
+    *    change code-point counts — İ — so raw and lowered counts are
+    *    tracked independently, as the column form does);
+    *  - blend arithmetic replicated in the same IEEE operation order,
+    *    3-decimal HALF_UP round.
+    * NULL handling lives in the Column wrapper ([[graft.ops.TextStats
+    * .qualityScore]]): the legacy chain scored NULL text 0.6 (its
+    * null length term vanishes inside `least`), preserved there. */
+  def qualityUtf8(text: UTF8String): Double = {
+    val s = text.toString
+    // raw pass: code-point length, punct count, token count + lengths
+    var len = 0
+    var punct = 0
+    var nTokens = 0
+    var sumTokenLen = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      len += 1
+      if (cp < 128 && punctTable(cp)) punct += 1
+      if (isSep(cp)) inTok = false
+      else {
+        if (!inTok) { nTokens += 1; inTok = true }
+        sumTokenLen += 1
+      }
+      i += Character.charCount(cp)
+    }
+    // stop pass over the LOWERED text (Spark lower()'s exact output)
+    val lower = text.toLowerCase.toString
+    var nLower = 0
+    var hits = 0
+    var j = 0
+    while (j < lower.length) {
+      // skip separators
+      while (j < lower.length && isSep(lower.codePointAt(j)))
+        j += Character.charCount(lower.codePointAt(j))
+      if (j < lower.length) {
+        nLower += 1
+        val start = j
+        while (j < lower.length && !isSep(lower.codePointAt(j)))
+          j += Character.charCount(lower.codePointAt(j))
+        if (j - start <= stopMaxLen &&
+            stopSet.contains(lower.substring(start, j))) hits += 1
+      }
+    }
+    // the blend, in the column form's exact operation order
+    val n = nTokens.toDouble
+    val lengthTerm = math.min(n / 20.0, 1.0)
+    val punctRatio = if (len > 0) punct.toDouble / len.toDouble else 0.0
+    val punctTerm = 1.0 - math.min(punctRatio * 4, 1.0)
+    val stopRatio =
+      if (nLower > 0) hits.toDouble / nLower.toDouble else 0.0
+    val stopTerm = math.min(stopRatio * 4, 1.0)
+    val mtl =
+      if (nTokens > 0) sumTokenLen.toDouble / nTokens.toDouble else 0.0
+    val mtlTerm = if (mtl >= 3.0 && mtl <= 9.0) 1.0 else 0.5
+    BigDecimal(lengthTerm * 0.3 + punctTerm * 0.2 + stopTerm * 0.3 +
+      mtlTerm * 0.2).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Winnowing fingerprint selection ([[graft.ops.Fingerprint]]) of an
     * already-NORMALIZED text value, lifted to Catalyst types — the
     * codegen replacement for the interpreted HOF chain (per-character

@@ -106,8 +106,33 @@ object TextStats {
 
   /** Composite quality score in [0,1]: length sweet-spot, moderate
     * punctuation, presence of stopwords, sane mean token length.
-    * Deterministic, documented weights — a heuristic gate, not a model. */
+    * Deterministic, documented weights — a heuristic gate, not a model.
+    *
+    * Evaluates through the codegen `graft_quality` kernel
+    * ([[Kernels.qualityUtf8]]): ONE pass over the string plus one over
+    * its lowercase form, where the column chain ([[qualityScoreHof]],
+    * kept as the spec's parity oracle) ran three interpreted regex
+    * splits with array HOFs plus a regex replace per row. Bit parity
+    * incl. Spark's exact double-round semantics is pinned by OpsSpec
+    * on the fixture corpus and edge strings.
+    *
+    * NULL text scores 0.6 — the legacy chain's (accidental but now
+    * CONTRACTUAL) value: its null token count vanished inside
+    * `least(null, 1.0)`, leaving lengthTerm=1, punctTerm=1, stopTerm=0,
+    * mtlTerm=0.5. Preserved exactly so null-bearing corpora score the
+    * same through both forms; row-gates upstream (TextClean P1) drop
+    * nulls before quality anyway. */
   def qualityScore(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    coalesce(ColumnBridge.column(graft.plans.QualityExpression(
+      ColumnBridge.expression(text))), lit(0.6))
+  }
+
+  /** The original column-expression formulation of [[qualityScore]] —
+    * the parity oracle for the codegen kernel (and the readable
+    * SPECIFICATION of the score: every DuckDB oracle replays THIS
+    * shape). */
+  private[graft] def qualityScoreHof(text: Column): Column = {
     val n = tokenCount(text).cast("double")
     val lengthTerm = least(n / lit(20.0), lit(1.0)) // ramps to 1 at 20 tokens
     val punctTerm = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))

@@ -194,6 +194,36 @@ case class WinnowExpression(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Composite quality score (`graft_quality(text)`): the
+  * [[graft.ops.TextStats.qualityScore]] heuristic as one static kernel
+  * call per row ([[graft.ops.Kernels.qualityUtf8]] — one pass over the
+  * string + one over its lowercase form) instead of four independent
+  * interpreted passes (three regex splits with array HOFs and a regex
+  * replace). NULL propagates null here; the Column wrapper restores
+  * the legacy chain's NULL value. */
+case class QualityExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      prettyName + " requires a string argument")
+  override def prettyName: String = "graft_quality"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Kernels.qualityUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.Kernels.qualityUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityExpression =
+    copy(child = newChild)
+}
+
 /** Session extension: `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.plans.GraftExtensions`; for an already-
   * running session use [[GraftExtensions.register]]. */
@@ -235,6 +265,12 @@ object GraftExtensions {
         WinnowExpression(children.head,
           intLiteral(children(1), "graft_winnow"),
           intLiteral(children(2), "graft_winnow"))
+      }),
+    (new FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[QualityExpression].getName, "graft_quality"),
+      (children: Seq[Expression]) => {
+        requireArity(children, 1, "graft_quality")
+        QualityExpression(children.head)
       }))
 
   private def requireArity(children: Seq[Expression], n: Int, fn: String): Unit =
@@ -277,4 +313,5 @@ object GraftFunctions {
   def graftWinnow(c: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", c, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+  def graftQuality(c: Column): Column = call_function("graft_quality", c)
 }

@@ -2170,6 +2170,38 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("qualityScore kernel == legacy column chain on the fixture corpus and edge strings") {
+    import org.apache.spark.sql.functions.{col => c}
+    // full fixture corpus: every doc's 3-decimal score identical
+    // through the one-pass kernel and the 4-pass HOF/regex chain
+    // (incl. Spark's exact BigDecimal(double) round semantics — the
+    // fixture is known to contain rounding-boundary docs)
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaKernel = fixture.select(c("doc_id"),
+      TextStats.qualityScore(c("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaHof = fixture.select(c("doc_id"),
+      TextStats.qualityScoreHof(c("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaKernel === viaHof)
+    assert(viaKernel.nonEmpty)
+    // edge strings: null (the legacy chain's contractual 0.6), empty,
+    // whitespace-only, punct-only, single stop token, ASCII-only \s
+    // class (U+00A0 is NOT a separator), multi-byte tokens, İ (whose
+    // lowercase gains a code point), tab/CR separators
+    val edges = Seq(null, "", "   ", "!!!", "the", "x",
+      "a b c", "naïve café — 字符 test", "İ İSTANBUL the",
+      "tabs\tand\rreturns\nsplit here", "the quick brown fox " * 10)
+    val df = edges.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val k = df.select(c("id"), TextStats.qualityScore(c("t")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val h = df.select(c("id"), TextStats.qualityScoreHof(c("t")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(k === h, s"kernel=$k hof=$h")
+    assert(k(0L) === 0.6) // the pinned NULL contract
+  }
+
   test("compressionRatio: repetition separates, null/empty -> null, deterministic, overhead documented") {
     import org.apache.spark.sql.functions.{col => c}
     val prose = "the quick brown fox jumps over the lazy dog while " +
