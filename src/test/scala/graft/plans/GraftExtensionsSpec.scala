@@ -178,6 +178,34 @@ class GraftExtensionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(viaSummary === viaArr)
   }
 
+  test("graft_quality: SQL surface, codegen span, and Column-API agreement") {
+    import org.apache.spark.sql.functions.col
+    // SQL surface (the OpsSpec parity pin covers the Column path)
+    val viaSql = spark.sql("SELECT graft_quality('the quick brown fox')")
+      .head().getDouble(0)
+    assert(viaSql === graft.ops.Kernels.qualityUtf8(
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString("the quick brown fox")))
+    // stays inside whole-stage codegen over a real scan
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.graftQuality(col("text")).as("q"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(1000))
+    assert(plan.contains("graft_quality"), plan.take(1000))
+    // and the public wrapper agrees with the raw function call
+    val viaWrapper = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextStats.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaFn = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), GraftFunctions.graftQuality(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaWrapper === viaFn)
+  }
+
   test("shingle+minhash chain stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
