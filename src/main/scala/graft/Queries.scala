@@ -3238,6 +3238,12 @@ object Queries {
         t(spark, d, "embeddings"), "vec_id", "embedding",
         nlist = 16, seed = 42L)
       graft.ops.SimSearch.ivfSave(idx, path)
+      // the baseline is part of the corpus VERSION: fit + persist it
+      // with the index (ivfSave just invalidated any stale one), so
+      // every q174 run LOADS it instead of re-scanning the assigned
+      // corpus — the serving shape ivfBaselineSave exists for
+      graft.ops.SimSearch.ivfBaselineSave(spark,
+        graft.ops.SimSearch.ivfBaseline(spark, path, "embedding"), path)
       path
     })
 
@@ -3256,7 +3262,7 @@ object Queries {
   def q174IvfDrift(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val idxDir = q174IndexDir(spark, dir)
-    val baseline = graft.ops.SimSearch.ivfBaseline(spark, idxDir, "embedding")
+    val baseline = graft.ops.SimSearch.ivfBaselineLoad(spark, idxDir)
     val control = emb.where(col("vec_id") % 5 === 0)
       .select("vec_id", "embedding")
     val drifted = control.select(

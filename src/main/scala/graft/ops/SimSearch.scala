@@ -437,6 +437,17 @@ object SimSearch {
       c.zipWithIndex.map { case (w, p) => (i, p, w) }
     }.toSeq.toDF("cell", "pos", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    // a REFIT invalidates any persisted drift baseline: with the same
+    // nlist the stale baseline would load cleanly and every later
+    // drift report would silently compare against the previous corpus
+    // version's cell shares — delete it so ivfBaselineLoad fails until
+    // the new version's baseline is fitted and saved
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq("baseline_cells", "baseline_meta").foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      val fs = p.getFileSystem(hc)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Load an [[IvfIndex]] persisted by [[ivfSave]]. */
@@ -608,7 +619,12 @@ object SimSearch {
     * [[ivfSave]] layout): a one-row meta parquet plus the <= nlist-row
     * cell-count table — the durable half of "fit the baseline once per
     * corpus version"; serving jobs load it instead of re-scanning the
-    * assigned corpus per batch. */
+    * assigned corpus per batch. The meta row is written LAST (the
+    * commit-marker ordering the streaming state frames use) and
+    * [[ivfBaselineLoad]] cross-checks it against the cell table, so a
+    * torn save loads as an error, not a silently inconsistent
+    * baseline. [[ivfSave]] DELETES any persisted baseline — a refit is
+    * a new corpus version; re-fit and re-save the baseline with it. */
   def ivfBaselineSave(spark: org.apache.spark.sql.SparkSession,
                       baseline: IvfBaseline, dir: String): Unit = {
     import spark.implicits._
@@ -619,13 +635,23 @@ object SimSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/baseline_meta")
   }
 
-  /** Load an [[IvfBaseline]] persisted by [[ivfBaselineSave]]. */
+  /** Load an [[IvfBaseline]] persisted by [[ivfBaselineSave]],
+    * verifying the meta row against the cell table (torn-save guard —
+    * see the save's scaladoc). */
   def ivfBaselineLoad(spark: org.apache.spark.sql.SparkSession,
                       dir: String): IvfBaseline = {
     val m = spark.read.parquet(s"$dir/baseline_meta").head()
     val cells = spark.read.parquet(s"$dir/baseline_cells")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    IvfBaseline(m.getInt(0), m.getLong(1), cells, m.getDouble(2))
+    val b = IvfBaseline(m.getInt(0), m.getLong(1), cells, m.getDouble(2))
+    require(cells.values.sum == b.n,
+      s"ivfBaselineLoad: cell counts sum to ${cells.values.sum} but meta " +
+        s"records n=${b.n} — torn/mixed-version baseline under $dir; " +
+        "re-fit and re-save it")
+    require(cells.keys.forall(c => c >= 0 && c < b.nlist),
+      s"ivfBaselineLoad: cell ids outside [0, ${b.nlist}) under $dir — " +
+        "torn/mixed-version baseline; re-fit and re-save it")
+    b
   }
 
   /**

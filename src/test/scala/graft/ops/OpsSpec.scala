@@ -1380,6 +1380,15 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       SimSearch.ivfDriftReport(spark, dir2, base, df, "embedding")
     }
     assert(wrongVersion.getMessage.contains("different index version"))
+    // a REFIT (same nlist!) invalidates the persisted baseline: the
+    // stale one must not load cleanly against the new corpus version
+    // (with equal nlist the version require alone cannot catch it)
+    SimSearch.ivfSave(
+      SimSearch.ivfFit(df, "vec_id", "embedding", nlist = 3, seed = 7L), dir)
+    intercept[Exception] { SimSearch.ivfBaselineLoad(spark, dir) }
+    SimSearch.ivfBaselineSave(spark,
+      SimSearch.ivfBaseline(spark, dir, "embedding"), dir)
+    assert(SimSearch.ivfBaselineLoad(spark, dir).n === 60L) // restored
   }
 
   test("ivfFit cells bound the per-cell quadratic on a clustered corpus") {
