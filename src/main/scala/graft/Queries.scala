@@ -3189,15 +3189,22 @@ object Queries {
       "lang", "quality", "pct_rank", scale = 1000)
       .orderBy("doc_id")
 
-  /** Unigram vocabulary learned at each query site (q95's relearn
-    * rationale: one census pass + vocab-sized EM rounds), shared by
-    * q172/q173. Deterministic and parallelism-independent by the
-    * trainer's integer-count construction (UnigramSpec pins it). */
+  /** Unigram vocabulary shared by q172/q173, MEMOIZED per sfDir (the
+    * q171 staged-feed pattern): Bench samples each query several times
+    * and Explain constructs it too, so without the memo every
+    * construction re-pays the census + Viterbi-EM fit. Safe to cache —
+    * the trainer is deterministic and parallelism-independent by its
+    * integer-count construction (UnigramSpec pins it), so every fit
+    * over the same corpus returns the same pieces. */
+  private val unigramVocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.ops.Unigram.Piece]]()
   private def unigramVocab(spark: SparkSession, dir: String)
       : Seq[graft.ops.Unigram.Piece] =
-    graft.ops.Unigram.learnVocab(
-      t(spark, dir, "documents"), "text",
-      vocabSize = 256, maxPieceLen = 6, seedSize = 512, emIters = 1)
+    unigramVocabMemo.computeIfAbsent(dir, { d =>
+      graft.ops.Unigram.learnVocab(
+        t(spark, d, "documents"), "text",
+        vocabSize = 256, maxPieceLen = 6, seedSize = 512, emIters = 1)
+    })
 
   /** Unigram-LM tokenizer TRAINING ([[graft.ops.Unigram.learnVocab]],
     * Kudo 2018's SentencePiece unigram model under the library's
@@ -3226,14 +3233,27 @@ object Queries {
     q174Index.computeIfAbsent(dir, { d =>
       // keyed on a digest of the FULL path (leaf kept for readability):
       // two corpora sharing a leaf name (v1/sf0.01 vs v2/sf0.01) must
-      // not clobber each other's persisted index
+      // not clobber each other's persisted index — PLUS a per-process
+      // token: the memo map is in-JVM only, so two concurrent bench
+      // JVMs on one host sharing a fixed path could interleave one
+      // JVM's ivfSave delete with the other's ivfBaselineLoad (and a
+      // leftover dir owned by another user would break the overwrite).
+      // The dir is registered for deletion at exit so per-process
+      // paths don't accumulate across runs.
       val sfName = d.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val path = java.nio.file.Paths
+      val pid = ProcessHandle.current().pid()
+      val pathObj = java.nio.file.Paths
         .get(System.getProperty("java.io.tmpdir"),
-          s"graft_q174_index_${sfName}_$digest")
-        .toString
+          s"graft_q174_index_${sfName}_${digest}_p$pid")
+      val path = pathObj.toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(pathObj.toFile)
+      }
       val idx = graft.ops.SimSearch.ivfFit(
         t(spark, d, "embeddings"), "vec_id", "embedding",
         nlist = 16, seed = 42L)

@@ -915,7 +915,12 @@ object SimSearch {
       val inBudget = withinCellPairs(
         cells.where(!col("__cell").isin(offenderIds.toSeq: _*)), threshold)
       val remediated = offenders.toSeq.map { case (cid, n) =>
-        val stuck = n >= total // re-clustering made no progress
+        // "every row in one cell" only counts as STUCK after at least
+        // one re-cluster attempt: at depth 0 the initial KMeans putting
+        // all rows in one cell says nothing about whether a re-seeded
+        // split would separate them, so one recursive attempt runs
+        // before conceding to the quadratic fallback
+        val stuck = depth > 0 && n >= total // re-clustering made no progress
         if (depth >= MaxRemediationDepth || stuck) {
           log.warn(
             s"semanticDedupPairs: cell $cid ($n rows, depth $depth) " +

@@ -107,11 +107,18 @@ object Unigram {
                         maxPieceLen: Int): Map[String, Long] = {
     val spark = census.sparkSession
     val bc = spark.sparkContext.broadcast(scores)
-    val segUdf = udf((w: String) => viterbi(w, bc.value, maxPieceLen))
-    census
-      .select(explode(segUdf(col("__w"))).as("__p"), col("__freq"))
-      .groupBy("__p").agg(sum("__freq").as("__c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      val segUdf = udf((w: String) => viterbi(w, bc.value, maxPieceLen))
+      census
+        .select(explode(segUdf(col("__w"))).as("__p"), col("__freq"))
+        .groupBy("__p").agg(sum("__freq").as("__c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally
+      // learnVocab calls this once per EM pass and per prune round:
+      // without an eager destroy the per-pass score broadcasts pile up
+      // on driver and executors until the GC-driven ContextCleaner
+      // happens to reclaim them. The collect above is the last use.
+      bc.destroy()
   }
 
   /** Fit piece log-probabilities from integer counts. Zero-count

@@ -140,33 +140,35 @@ object FormatIO {
     val body =
       if (!header) raw
       else {
-        // the header is identified by CONTENT (raw.limit(1) — only
-        // well-defined for a SINGLE input file) and dropped by content
-        // equality from the whole input, so a multi-file/glob load
-        // would both pick an arbitrary file's header and silently lose
-        // every per-file header (and any data row equal to it) from
-        // BOTH channels. Enforce the single-file staging contract the
-        // sniffing family already documents instead of guessing.
-        val hp = new org.apache.hadoop.fs.Path(path)
-        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
-        val files = matched.flatMap { st =>
-          if (st.isDirectory)
-            fs.listStatus(st.getPath).filter(s => s.isFile &&
-              !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-          else Array(st)
-        }
-        require(files.length <= 1,
-          s"loadCsvQuarantine with header=true requires a single input " +
-            s"file (got ${files.length} under $path) — the header line " +
-            "is identified by content, which is only well-defined for " +
-            "one file; stage files individually or pass header=false")
-        // a data row byte-identical to the header is also dropped —
-        // documented, and such a row could never parse as typed data
-        val headerLine = raw.limit(1).collect().headOption
-          .map(_.getString(0)).getOrElse("")
-        raw.where(col("value") =!= lit(headerLine))
+        // the header is dropped POSITIONALLY, per file: exactly the
+        // first line of every input file goes, nothing else — a data
+        // row byte-identical to the header survives, and a sharded
+        // feed (directory / glob of part files, each with its own
+        // header) loads whole. Mechanism: the hidden `_metadata`
+        // file-source column carries (file_path, file_block_start);
+        // within a scan partition the rows of one block are contiguous
+        // and in file order, and the text reader's line-boundary
+        // contract means the first row of the block starting at byte 0
+        // IS the file's first line. One narrow mapPartitions pass
+        // detects block changes — no shuffle, no driver reads, no
+        // content guessing. (This pass is the one non-codegen stage of
+        // the load; ingest-bounded, not a hot path.)
+        import spark.implicits._
+        spark.read.text(path)
+          .select(col("value"),
+            col("_metadata.file_path").as("__f"),
+            col("_metadata.file_block_start").as("__b"))
+          .as[(String, String, Long)]
+          .mapPartitions { it =>
+            var prevF: String = null
+            var prevB: Long = -1L
+            it.flatMap { case (v, f, b) =>
+              val blockStart = (f != prevF) || (b != prevB)
+              prevF = f; prevB = b
+              if (blockStart && b == 0L) None // the file's first line
+              else Some(v)
+            }
+          }.toDF("value")
       }
     val withMarker = schema
       .add("__graft_corrupt", org.apache.spark.sql.types.StringType)

@@ -110,6 +110,34 @@ class FormatIOSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("csv quarantine: multi-file feed drops each file's header " +
+      "positionally, loses no content-equal data row") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("n", IntegerType)))
+    // a sharded feed: three part files, each with its own header line
+    val dir = Files.createTempDirectory("graft-io-multi")
+    Files.writeString(dir.resolve("part-0.csv"),
+      "id,name,n\n1,alpha,10\n2,beta,20\n")
+    Files.writeString(dir.resolve("part-1.csv"),
+      "id,name,n\n3,gamma,30\nid,name,n\n4,delta,oops\n")
+    Files.writeString(dir.resolve("part-2.csv"),
+      "id,name,n\n5,eps,50\n")
+    val (good, bad) = FormatIO.loadCsvQuarantine(spark, dir.toString, schema)
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    // every per-file header dropped; all typed rows from all files kept
+    assert(g.toSeq === Seq((1L, "alpha", 10), (2L, "beta", 20),
+      (3L, "gamma", 30), (5L, "eps", 50)))
+    // the header drop is POSITIONAL: part-1's line 3 is byte-identical
+    // to the header but is NOT line 1 of its file, so it is kept — and
+    // since "id" can't type as a long it lands in quarantine (visible),
+    // alongside the genuinely corrupt row; nothing is silently lost
+    val b = bad.collect().map(_.getString(0)).sorted
+    assert(b.toSeq === Seq("4,delta,oops", "id,name,n"))
+  }
+
   test("extension dispatch routes by substring (S8)") {
     val p = tmpFile("k.json", """{"a":1}""" + "\n" + """{"a":2}""")
     // .json in the path routes to the json reader
