@@ -317,10 +317,26 @@ object Curate {
    * precomputed posting index
    * ([[Dedup.minhashPairsIncrementalIndexed]]) — the corpus side of
    * the candidate join is narrow precomputed rows, and corpus shingle
-   * arrays load only for ids that appear in a candidate pair. At
-   * 100 TB, bucket the state frames by their join keys (`__nk` / id)
-   * when landing batches out-of-band to make the state side of these
-   * joins exchange-free.
+   * arrays load only for ids that appear in a candidate pair.
+   *
+   * STATE LIFECYCLE: each batch appends one `__batch_id=` partition
+   * per frame, so after many batches a state read is many small
+   * files. [[compactState]] folds all committed partitions into ONE
+   * bucketed+sorted base per frame (keys by `__nk`, shingles by
+   * `__id`, postings by `(__band, __bh)`), committed through an
+   * atomically-renamed manifest that records the fold boundary
+   * (`upTo`) — reads take base + only partitions ABOVE the boundary,
+   * so a crash anywhere during compaction never double-counts or
+   * loses state, and a retry of a live batch still excludes exactly
+   * its own partition. The bucketed base makes the state side of the
+   * exact-novelty anti-join Exchange-free (the batch side alone
+   * shuffles, O(batch) rows); pass `compactEvery = Some(n)` to run
+   * the fold automatically whenever n uncompacted batch partitions
+   * have accumulated, or call [[compactState]] out-of-band while the
+   * stream is stopped. A `_state_params` marker (written with the
+   * first state write) pins the (shingleSize, numHashes, bands) the
+   * frames were computed with; a tail invoked with different banding
+   * fails loudly instead of silently probing stale postings.
    *
    * Replay safety: the admitted batch lands in a `__batch_id=<id>`
    * partition of `outDir` via DYNAMIC partition overwrite — a
@@ -383,12 +399,23 @@ object Curate {
                     shingleSize: Int = 3, numHashes: Int = 12,
                     bands: Int = 4, threshold: Double = 0.7,
                     corpusOverride: Option[DataFrame] = None,
-                    stateDir: Option[String] = None)
+                    stateDir: Option[String] = None,
+                    compactEvery: Option[Int] = None,
+                    compactBuckets: Int = 8)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     require(!batch.columns.contains("__batch_id"),
       "input column __batch_id collides with streamingTail's partition column")
+    compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     val sd = stateDir.getOrElse(outDir.stripSuffix("/") + "__state")
     val hadoopConf = spark.sparkContext.hadoopConfiguration
+    // the state frames are only meaningful under the banding
+    // parameters they were computed with — a mismatched rerun would
+    // silently probe stale postings under the old banding. The marker
+    // is written with the first state write; a pre-marker state dir
+    // (older build) adopts the current invocation's parameters, which
+    // is exactly the trust the caller extended before the marker
+    // existed.
+    checkStateParams(spark, sd, shingleSize, numHashes, bands)
     // a `__batch_id`-partitioned frame under `dir`, EXCLUDING the
     // current batch's partition: on a foreachBatch retry after a
     // partial write, including it would dedup the batch against its
@@ -432,12 +459,17 @@ object Curate {
     //    (default), rebuilt once from outDir when absent (migration),
     //    or derived live from the caller's override corpus
     val outHasBatches = hasParts(outDir)
+    // "state committed" now has two witnesses: batch partitions under
+    // keys (the pre-compaction shape) OR a compaction manifest (all
+    // partitions may have been folded into the bucketed base)
+    def stateCommitted: Boolean =
+      loadCompaction(spark, sd).isDefined || hasParts(s"$sd/keys")
     // the bootstrap runs REGARDLESS of corpusOverride: the override
     // only replaces this batch's state READ, while step 6 writes keys
     // for the batch either way — skipping the rebuild here would set
     // the commit marker over a state that covers only the override
     // batch, silently orphaning every batch the older build admitted
-    if (outHasBatches && !hasParts(s"$sd/keys")) {
+    if (outHasBatches && !stateCommitted) {
       // BOOTSTRAP: outDir holds admitted batches but no key state —
       // rebuild all three frames from the corpus, keeping each row in
       // its original __batch_id partition (replay exclusion keeps
@@ -460,10 +492,28 @@ object Curate {
         bootWrite(Dedup.postingsOf(sh, numHashes, bands)
           .join(idToBatch, "__id"), s"$sd/postings")
         ensureStateDirs() // integrity invariant, see readState
+        writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes, bands)
         bootWrite(corpus.select(col(idCol).as("__id"),
           Novelty.exactKeyCol(textCol).as("__nk"), parts), s"$sd/keys")
       } finally sh.unpersist()
     }
+    // auto-compaction: once `compactEvery` uncompacted batch
+    // partitions have accumulated, fold them into the bucketed base.
+    // Running HERE — inside foreachBatch, before this batch's state
+    // read — is what makes the fold safe without coordination: every
+    // partition except this batch's own is committed (foreachBatch for
+    // batch N only runs after N-1's commit), this batch's partition is
+    // excluded explicitly, and there is no concurrent reader to race.
+    compactEvery.foreach { n =>
+      val folded = loadCompaction(spark, sd).map(_.upTo)
+        .getOrElse(Long.MinValue)
+      val pending = statePartIds(hadoopConf, s"$sd/keys")
+        .count(id => id > folded && id != batchId)
+      if (pending >= n)
+        compactState(spark, sd, compactBuckets, compactAll = true,
+          excludeBatchIds = Set(batchId))
+    }
+    val comp = loadCompaction(spark, sd)
     val (novel, pairsOf, oldIds) = corpusOverride match {
       case Some(c) =>
         // escape hatch: derive everything live from the caller's frame
@@ -471,7 +521,7 @@ object Curate {
           (ex: DataFrame) => Dedup.minhashPairsIncremental(ex, c, idCol,
             textCol, shingleSize, numHashes, bands, threshold),
           c.select(col(idCol).as("__old_id")).distinct())
-      case None if !hasParts(s"$sd/keys") =>
+      case None if comp.isEmpty && !hasParts(s"$sd/keys") =>
         // fresh stream: no admitted corpus yet, nothing to dedup
         // against cross-batch
         (gated,
@@ -483,40 +533,71 @@ object Curate {
           batch.limit(0).select(col(idCol).as("__old_id")))
       case None =>
         // the durable-state default: narrow precomputed frames only —
-        // the admitted corpus TEXT is never read here. INTEGRITY rule:
-        // a frame may legitimately lack PARTITIONS (every write with
-        // keys also creates the shingles/postings DIRECTORIES, even
-        // when a batch had nothing shingleable to put in them), but a
-        // missing directory while keys exist means the state was
-        // destroyed out-of-band — falling back to empty there would
-        // silently disable cross-batch NEAR dedup forever (exact dups
-        // still caught by keys), the exact silent-degradation mode the
-        // explicit-existence checks exist to prevent. Throw instead.
-        def readState(sub: String, empty: => DataFrame): DataFrame = {
+        // the admitted corpus TEXT is never read here. Each frame is
+        // the compacted bucketed BASE (when a manifest exists) plus
+        // the batch partitions ABOVE the fold boundary — partitions at
+        // or below it are superseded by the base (they linger only in
+        // a compaction crash window, and counting them would double
+        // the folded rows). INTEGRITY rule: a frame may legitimately
+        // lack PARTITIONS (every write with keys also creates the
+        // shingles/postings DIRECTORIES, even when a batch had nothing
+        // shingleable to put in them; compaction removes only
+        // partition subdirs), but a missing directory or missing
+        // manifest-listed base while the state is committed means the
+        // state was destroyed out-of-band — falling back to empty
+        // there would silently disable cross-batch NEAR dedup forever
+        // (exact dups still caught by keys), the exact
+        // silent-degradation mode the explicit-existence checks exist
+        // to prevent. Throw instead.
+        val folded = comp.map(_.upTo).getOrElse(Long.MinValue)
+        def tailState(sub: String, empty: => DataFrame): DataFrame = {
           val dir = s"$sd/$sub"
           val p = new org.apache.hadoop.fs.Path(dir)
           val fs = p.getFileSystem(hadoopConf)
           if (!fs.exists(p))
             throw new IllegalStateException(
               s"streamingTail state is corrupt: $dir is missing while " +
-                s"$sd/keys exists — the near-dedup state was destroyed " +
-                "out-of-band. Delete the WHOLE state dir to trigger a " +
-                "bootstrap rebuild from outDir, or restore the frame.")
+                "the state is committed — the near-dedup state was " +
+                "destroyed out-of-band. Delete the WHOLE state dir to " +
+                "trigger a bootstrap rebuild from outDir, or restore " +
+                "the frame.")
           else if (!fs.listStatus(p).exists(
               _.getPath.getName.startsWith("__batch_id="))) empty
-          else readParts(dir)
+          else spark.read.parquet(dir)
+            .where(col("__batch_id") =!= lit(batchId) &&
+              col("__batch_id") > lit(folded))
+            .drop("__batch_id")
         }
-        val keys = readParts(s"$sd/keys")
-        val postings = readState("postings",
-          Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
-            textCol, shingleSize), numHashes, bands))
-        val shinglesSt = readState("shingles",
-          Dedup.shinglesOf(batch.limit(0), idCol, textCol, shingleSize))
-        (Novelty.exactNovelVsKeys(gated, keys, textCol),
+        def baseState(sub: String): Option[DataFrame] =
+          comp.map(m => openStateBase(spark, sd, m, sub))
+        val keysBase = baseState("keys")
+        val keysTail = tailState("keys",
+          batch.limit(0).select(col(idCol).as("__id"),
+            Novelty.exactKeyCol(textCol).as("__nk")))
+        val postings = (baseState("postings").toSeq :+
+          tailState("postings",
+            Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
+              textCol, shingleSize), numHashes, bands)))
+          .reduce(_.unionByName(_))
+        val shinglesSt = (baseState("shingles").toSeq :+
+          tailState("shingles",
+            Dedup.shinglesOf(batch.limit(0), idCol, textCol, shingleSize)))
+          .reduce(_.unionByName(_))
+        // the base and tail anti-joins run SEPARATELY (anti-joins
+        // compose) so the bucketed base side stays Exchange-free —
+        // unioning base with tail first would discard the base scan's
+        // bucket partitioning and re-shuffle the whole corpus key set
+        // every batch
+        val novelVsBase = keysBase
+          .map(b => Novelty.exactNovelVsKeys(gated, b, textCol))
+          .getOrElse(gated)
+        ((Novelty.exactNovelVsKeys(novelVsBase, keysTail, textCol)),
           (ex: DataFrame) => Dedup.minhashPairsIncrementalIndexed(ex,
             postings, shinglesSt, idCol, textCol, shingleSize, numHashes,
             bands, threshold),
-          keys.select(col("__id").as("__old_id")))
+          (keysBase.toSeq :+ keysTail)
+            .map(_.select(col("__id").as("__old_id")))
+            .reduce(_.unionByName(_)))
     }
     // 3. exact: cross-batch novelty (key anti-join), then intra-batch
     //    min-id winner
@@ -574,12 +655,323 @@ object Curate {
           writeParts(Dedup.postingsOf(shLanded, numHashes, bands),
             s"$sd/postings")
           ensureStateDirs() // integrity invariant, see readState
+          writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes, bands)
           writeParts(landed.select(col(idCol).as("__id"),
             Novelty.exactKeyCol(textCol).as("__nk")), s"$sd/keys")
         } finally shLanded.unpersist()
       }
       } finally pairs.unpersist() // a failed write must not leak the cache
     } finally exact.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // streamingTail durable-state lifecycle: params marker, compaction
+  // manifest, bucketed base tables
+  // ------------------------------------------------------------------
+
+  /** One compacted frame's identity: its catalog table name, external
+    * data path, column DDL (to re-register the table in a fresh JVM —
+    * the in-memory catalog does not survive a restart, the bucketed
+    * files and this manifest do), and bucket key columns. */
+  private[ops] final case class StateFrameMeta(table: String, path: String,
+                                               ddl: String,
+                                               bucketKeys: Seq[String])
+
+  /** The committed compaction manifest: every batch partition with
+    * `__batch_id <= upTo` has been folded into the per-frame bucketed
+    * bases; reads take base + partitions ABOVE `upTo` only. */
+  private[ops] final case class StateCompaction(upTo: Long, buckets: Int,
+                                                frames: Map[String, StateFrameMeta])
+
+  private val CompactionFile = "_compaction.meta"
+  private val ParamsFile = "_state_params"
+  private val StateFrames = Seq("keys", "shingles", "postings")
+
+  private def stateBucketKeys(frame: String): Seq[String] = frame match {
+    case "keys"     => Seq("__nk")
+    case "shingles" => Seq("__id")
+    case _          => Seq("__band", "__bh")
+  }
+
+  /** Write a small control file ATOMICALLY (temp + rename-overwrite —
+    * atomic on POSIX and HDFS): readers see the old content or the new
+    * content, never a partial file and never an absent one. */
+  private def writeControlFile(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, name: String,
+                               content: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    fs.mkdirs(dirPath)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dirPath.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(dir, name),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readControlFile(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, name: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** The `__batch_id=` partition ids present under `dir` (empty when
+    * the dir is absent). */
+  private[ops] def statePartIds(conf: org.apache.hadoop.conf.Configuration,
+                                dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("__batch_id="))
+      .map(_.stripPrefix("__batch_id=").toLong)
+  }
+
+  private[ops] def loadCompaction(spark: org.apache.spark.sql.SparkSession,
+                                  stateDir: String): Option[StateCompaction] =
+    readControlFile(spark, stateDir, CompactionFile).map { text =>
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      StateCompaction(kv("upTo").toLong, kv("buckets").toInt,
+        StateFrames.flatMap { f =>
+          kv.get(s"frame.$f.table").map { t =>
+            f -> StateFrameMeta(t, kv(s"frame.$f.path"),
+              kv(s"frame.$f.ddl"),
+              kv(s"frame.$f.bucketKeys").split(",").toSeq)
+          }
+        }.toMap)
+    }
+
+  private def saveCompaction(spark: org.apache.spark.sql.SparkSession,
+                             stateDir: String, m: StateCompaction): Unit = {
+    val lines = Seq(s"upTo=${m.upTo}", s"buckets=${m.buckets}") ++
+      m.frames.toSeq.sortBy(_._1).flatMap { case (f, fm) =>
+        Seq(s"frame.$f.table=${fm.table}", s"frame.$f.path=${fm.path}",
+          s"frame.$f.ddl=${fm.ddl}",
+          s"frame.$f.bucketKeys=${fm.bucketKeys.mkString(",")}")
+      }
+    writeControlFile(spark, stateDir, CompactionFile, lines.mkString("\n"))
+  }
+
+  /** Enforce the banding-params marker: the shingle/posting frames are
+    * only meaningful under the (shingleSize, numHashes, bands) they
+    * were computed with, so a tail invoked with different values must
+    * fail loudly instead of silently probing stale postings. A
+    * committed state WITHOUT a marker (written by an older build)
+    * adopts the current invocation's parameters — the same trust the
+    * caller extended before the marker existed, recorded from then on. */
+  private def checkStateParams(spark: org.apache.spark.sql.SparkSession,
+                               stateDir: String, shingleSize: Int,
+                               numHashes: Int, bands: Int): Unit = {
+    val now = s"shingleSize=$shingleSize\nnumHashes=$numHashes\nbands=$bands"
+    readControlFile(spark, stateDir, ParamsFile) match {
+      case Some(stored) =>
+        if (stored.trim != now) throw new IllegalStateException(
+          s"streamingTail state at $stateDir was computed under " +
+            s"{${stored.trim.replace("\n", ", ")}} but this tail was " +
+            s"invoked with {${now.replace("\n", ", ")}} — probing the " +
+            "stored postings under different banding would yield wrong " +
+            "candidate sets. Match the parameters, or delete the WHOLE " +
+            "state dir to rebuild it from outDir under the new ones.")
+      case None =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val committed = loadCompaction(spark, stateDir).isDefined ||
+          statePartIds(conf, s"$stateDir/keys").nonEmpty
+        if (committed)
+          writeControlFile(spark, stateDir, ParamsFile, now)
+    }
+  }
+
+  private def writeStateParamsIfAbsent(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      shingleSize: Int, numHashes: Int, bands: Int): Unit =
+    if (readControlFile(spark, stateDir, ParamsFile).isEmpty)
+      writeControlFile(spark, stateDir, ParamsFile,
+        s"shingleSize=$shingleSize\nnumHashes=$numHashes\nbands=$bands")
+
+  /** Open a compacted base as its bucketed catalog table, re-creating
+    * the table definition when this JVM has never seen it (fresh
+    * session after a restart: the external files and the manifest
+    * survive, the in-memory catalog does not — the bucket spec in the
+    * re-issued DDL is what keeps the scan Exchange-free). */
+  private[ops] def openStateBase(spark: org.apache.spark.sql.SparkSession,
+                                 stateDir: String, m: StateCompaction,
+                                 frame: String): DataFrame = {
+    val fm = m.frames.getOrElse(frame, throw new IllegalStateException(
+      s"streamingTail state is corrupt: the compaction manifest at " +
+        s"$stateDir lists no $frame base"))
+    if (!spark.catalog.tableExists(fm.table)) {
+      val p = new org.apache.hadoop.fs.Path(fm.path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"streamingTail state is corrupt: the compacted $frame base at " +
+          s"${fm.path} is missing while the manifest lists it — the " +
+          "state was destroyed out-of-band. Delete the WHOLE state dir " +
+          "to trigger a bootstrap rebuild from outDir, or restore it.")
+      val bk = fm.bucketKeys.map(c => s"`$c`").mkString(", ")
+      spark.sql(s"CREATE TABLE ${fm.table} (${fm.ddl}) USING PARQUET " +
+        s"CLUSTERED BY ($bk) SORTED BY ($bk) INTO ${m.buckets} BUCKETS " +
+        s"LOCATION '${fm.path}'")
+    }
+    spark.table(fm.table)
+  }
+
+  /**
+   * Fold the committed `__batch_id=` partitions of the three
+   * [[streamingTail]] state frames into ONE bucketed+sorted base per
+   * frame — keys by `__nk`, shingles by `__id`, postings by
+   * `(__band, __bh)` — so state reads stop growing with batch count
+   * and the exact-novelty anti-join's state side goes Exchange-free
+   * (the bucketed scan already satisfies the join's distribution; only
+   * the O(batch) probe side shuffles).
+   *
+   * CRASH SAFETY is structural, not best-effort: the new bases land at
+   * fresh versioned paths, the manifest (the single commit point) is
+   * replaced by an ATOMIC rename, and reads take base + partitions
+   * strictly ABOVE the manifest's `upTo` — so a crash before the
+   * rename leaves the old manifest governing (new base dirs are
+   * garbage, healed on the next run), and a crash after the rename but
+   * before partition cleanup leaves superseded partitions that every
+   * read already excludes. Re-running compaction is always safe.
+   *
+   * REPLAY SAFETY: by default the HIGHEST live batch partition is NOT
+   * folded (`compactAll = false`) — after a crash mid-batch, exactly
+   * that batch is replayed on restart, and its recompute must be able
+   * to exclude its own partition, which a fold (dropping the
+   * `__batch_id` tag) would prevent. Pass `compactAll = true` only
+   * when every landed batch is known committed: from inside
+   * `foreachBatch` (how [[streamingTail]]'s `compactEvery` calls this
+   * — batch N running proves N-1 committed, and N itself is excluded
+   * via `excludeBatchIds`), or after a clean stream shutdown.
+   *
+   * NOT concurrency-safe with a RUNNING tail on the same state dir
+   * (single-writer, like the tail itself); `compactEvery` serializes
+   * by running inside the batch. Returns the new fold boundary.
+   */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String, buckets: Int = 8,
+                   compactAll: Boolean = false,
+                   excludeBatchIds: Set[Long] = Set.empty): Option[Long] = {
+    import org.apache.spark.sql.SaveMode
+    require(buckets >= 1, "buckets must be >= 1")
+    val sd = stateDir.stripSuffix("/")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def pathOf(s: String) = new org.apache.hadoop.fs.Path(s)
+    def fsOf(s: String) = pathOf(s).getFileSystem(conf)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sd.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    def tableName(frame: String, v: Long) = s"graft_state_${frame}_${digest}_v$v"
+    val old = loadCompaction(spark, sd)
+    val oldUpTo = old.map(_.upTo).getOrElse(Long.MinValue)
+    // 0. heal a crashed prior run: partitions already folded into the
+    //    COMMITTED base are superseded (reads exclude them; delete),
+    //    and base dirs at any version other than the committed one
+    //    never committed (delete + deregister)
+    StateFrames.foreach { f =>
+      statePartIds(conf, s"$sd/$f").filter(_ <= oldUpTo).foreach { id =>
+        fsOf(sd).delete(pathOf(s"$sd/$f/__batch_id=$id"), true) }
+      val sdFs = fsOf(sd)
+      if (sdFs.exists(pathOf(sd)))
+        sdFs.listStatus(pathOf(sd)).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(s"${f}_base_v"))
+          .foreach { name =>
+            val v = name.stripPrefix(s"${f}_base_v").toLong
+            if (!old.exists(_.upTo == v)) {
+              spark.sql(s"DROP TABLE IF EXISTS ${tableName(f, v)}")
+              sdFs.delete(pathOf(s"$sd/$name"), true)
+            }
+          }
+    }
+    // 1. pick the fold boundary: the longest PREFIX of live batch ids
+    //    not blocked by an exclusion (the in-flight batch) or by the
+    //    keep-the-highest replay rule — a gap would break the
+    //    "base covers everything <= upTo" reading invariant
+    val live = statePartIds(conf, s"$sd/keys").filter(_ > oldUpTo).sorted
+    if (live.isEmpty && old.isEmpty) return None
+    val blocked = excludeBatchIds ++
+      (if (compactAll) Set.empty[Long] else live.lastOption.toSet)
+    val eligible = live.takeWhile(id => !blocked.contains(id))
+    if (eligible.isEmpty) return old.map(_.upTo)
+    val upTo = eligible.max
+    // 2. per frame: base ∪ partitions in (oldUpTo, upTo] → new
+    //    bucketed base at a fresh versioned path. Keys first — its
+    //    merged frame supplies the id type for the (rare) empty
+    //    shingles/postings schema.
+    var keysMerged: DataFrame = null
+    val metas = StateFrames.map { f =>
+      val bucketKeys = stateBucketKeys(f)
+      val base = old.map(m => openStateBase(spark, sd, m, f))
+      val hasTail = statePartIds(conf, s"$sd/$f")
+        .exists(id => id > oldUpTo && id <= upTo)
+      val tail =
+        if (!hasTail) None
+        else Some(spark.read.parquet(s"$sd/$f")
+          .where(col("__batch_id") > lit(oldUpTo) &&
+            col("__batch_id") <= lit(upTo))
+          .drop("__batch_id"))
+      val merged = (base.toSeq ++ tail.toSeq) match {
+        case Seq() =>
+          // only reachable for shingles/postings (eligible ids come
+          // from keys partitions): no batch so far had a shingleable
+          // row — an empty base with the canonical schema
+          val idType = keysMerged.schema("__id").dataType
+          val emptyDocs = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__cid", idType),
+              org.apache.spark.sql.types.StructField("__ctext",
+                org.apache.spark.sql.types.StringType))))
+          val sh = Dedup.shinglesOf(emptyDocs, "__cid", "__ctext")
+          if (f == "shingles") sh else Dedup.postingsOf(sh)
+        case parts => parts.reduce(_.unionByName(_))
+      }
+      if (f == "keys") keysMerged = merged
+      val newPath = s"$sd/${f}_base_v$upTo"
+      val newTable = tableName(f, upTo)
+      spark.sql(s"DROP TABLE IF EXISTS $newTable")
+      if (fsOf(newPath).exists(pathOf(newPath)))
+        fsOf(newPath).delete(pathOf(newPath), true)
+      // repartition on the bucket keys with numPartitions == buckets:
+      // repartition's hash and the bucket-id hash agree, so each task
+      // holds exactly one bucket → ONE file per bucket → the reader
+      // trusts the per-bucket sort and the downstream sort-merge join
+      // skips both the Exchange and the Sort on this side
+      merged.repartition(buckets, bucketKeys.map(col): _*)
+        .write.bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+        .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+        .format("parquet").option("path", newPath)
+        .mode(SaveMode.Overwrite).saveAsTable(newTable)
+      f -> StateFrameMeta(newTable, newPath,
+        merged.schema.toDDL, bucketKeys)
+    }.toMap
+    // 3. COMMIT: atomically replace the manifest
+    saveCompaction(spark, sd, StateCompaction(upTo, buckets, metas))
+    // 4. post-commit cleanup (safe to crash anywhere in here: reads
+    //    already exclude everything being deleted)
+    StateFrames.foreach { f =>
+      statePartIds(conf, s"$sd/$f").filter(_ <= upTo).foreach { id =>
+        fsOf(sd).delete(pathOf(s"$sd/$f/__batch_id=$id"), true) }
+    }
+    old.foreach(_.frames.foreach { case (_, fm) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${fm.table}")
+      if (fsOf(fm.path).exists(pathOf(fm.path)))
+        fsOf(fm.path).delete(pathOf(fm.path), true)
+    })
+    Some(upTo)
   }
 
   /** File-source stream wired through [[streamingGate]] — the test /

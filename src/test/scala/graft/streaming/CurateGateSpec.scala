@@ -352,6 +352,148 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("state is corrupt"), e.getMessage)
   }
 
+  test("streaming tail compaction: batches + compact + batches == one batch; " +
+      "replay-safe; text-free; stale partitions healed") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val proseD = "yet another unrelated passage describing volcanic rock " +
+      "formations observed along the northern coastline during spring"
+    val b0 = Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq((11L, "s", proseC)).toDF("doc_id", "source", "text")
+    // 21 exact-dup of 1; 22 NEAR dup of 1; 24 NEAR dup of 11 — all of
+    // their witnesses live BELOW the compaction boundary; 23 novel
+    val b2 = Seq((21L, "s", proseA),
+      (22L, "s", proseA + " indeed quite thoroughly"),
+      (23L, "s", proseD),
+      (24L, "s", proseC + " indeed")
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-a")
+      .toString
+    val sd = dir + "__state"
+    val t = Curate.streamingTail(spark, dir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    t(b0, 0L); t(b1, 1L)
+    // fold batches 0..1 into the bucketed base (clean-shutdown shape)
+    assert(Curate.compactState(spark, sd, buckets = 4,
+      compactAll = true) === Some(1L))
+    assert(java.nio.file.Files.exists(paths(sd, "_compaction.meta")))
+    assert(java.nio.file.Files.exists(paths(sd, "keys_base_v1")))
+    // the folded partitions are gone from every frame
+    for (f <- Seq("keys", "shingles", "postings"); b <- Seq(0, 1))
+      assert(!java.nio.file.Files.exists(
+        paths(sd, f, s"__batch_id=$b")), s"$f __batch_id=$b survived")
+    // DELETE the admitted corpus text: if batch 2 still drops the
+    // exact and near dups, the compacted state (not outDir) is
+    // provably the dedup witness
+    for (b <- Seq(0, 1)) {
+      val p = paths(dir, s"__batch_id=$b")
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.delete(q))
+    }
+    t(b2, 2L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .where(col("doc_id") > 20).collect().map(_.getLong(0)).toSet
+      === Set(23L), "cross-boundary dedup through the compacted base broken")
+    // replay of the live batch stays idempotent across the boundary
+    t(b2, 2L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(23L))
+    // one-batch equivalence (ids arrive in order, chains intact)
+    val d1 = java.nio.file.Files.createTempDirectory("graft-compact-1")
+      .toString
+    Curate.streamingTail(spark, d1, minQuality = 0.0,
+      maxDup2gramFrac = 1.0)(
+      b0.unionByName(b1).unionByName(b2), 0L)
+    assert(spark.read.parquet(d1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L, 23L))
+    // CRASH-WINDOW HEAL: plant a stale partition at/below the fold
+    // boundary (as an interrupted post-commit cleanup would leave).
+    // Reads must ignore it — its rows are already in the base — and
+    // the next compaction must delete it.
+    Seq((999L, Array[Byte](1, 2, 3))).toDF("__id", "__nk")
+      .write.parquet(s"$sd/keys/__batch_id=0")
+    val b3 = Seq((31L, "s", proseB + " indeed"))
+      .toDF("doc_id", "source", "text")
+    t(b3, 3L) // near-dup of doc 2 via the base; stale id 999 ignored
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(23L))
+    assert(Curate.compactState(spark, sd, buckets = 4,
+      compactAll = true) === Some(2L))
+    assert(!java.nio.file.Files.exists(
+      paths(sd, "keys", "__batch_id=0")), "stale partition not healed")
+  }
+
+  test("streaming tail compactEvery: auto-fold, catalog re-registration, " +
+      "Exchange-free base anti-join, params marker") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-b")
+      .toString
+    val sd = dir + "__state"
+    def tail = Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0, compactEvery = Some(2))
+    tail(Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text"), 0L)
+    tail(Seq((11L, "s", proseC)).toDF("doc_id", "source", "text"), 1L)
+    // two uncompacted partitions at batch 2's start -> auto-fold 0..1
+    tail(Seq((21L, "s", proseC)).toDF("doc_id", "source", "text"), 2L)
+    val meta = paths(sd, "_compaction.meta")
+    assert(java.nio.file.Files.exists(meta), "auto-compaction did not run")
+    val manifest = java.nio.file.Files.readString(meta)
+    assert(manifest.contains("upTo=1"), manifest)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L),
+      "exact dup of a folded doc admitted")
+    // SIMULATE A JVM RESTART: the in-memory catalog loses the base
+    // tables; the manifest's stored DDL re-registers them on read
+    "frame\\.\\w+\\.table=(\\S+)".r.findAllMatchIn(manifest)
+      .map(_.group(1)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    tail(Seq((31L, "s", proseA)).toDF("doc_id", "source", "text"), 3L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L),
+      "dedup lost after catalog loss despite the durable manifest")
+    // PLAN SHAPE: the base side of the exact-novelty anti-join is
+    // Exchange-free — the bucketed scan satisfies the join's
+    // distribution, only the O(batch) probe side shuffles (forced SMJ:
+    // broadcast off)
+    val keysTable = "frame\\.keys\\.table=(\\S+)".r
+      .findFirstMatchIn(manifest).get.group(1)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq((99L, "s", proseA)).toDF("doc_id", "source", "text")
+      val plan = graft.ops.Novelty.exactNovelVsKeys(
+        probe, spark.table(keysTable), "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert("Exchange".r.findAllMatchIn(plan).size === 1,
+        s"expected exactly one Exchange (the probe side):\n${plan.take(3000)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // PARAMS MARKER: different banding on the same state fails loudly
+    val e = intercept[IllegalStateException] {
+      Curate.streamingTail(spark, dir, minQuality = 0.0,
+        maxDup2gramFrac = 1.0, numHashes = 24)(
+        Seq((41L, "s", proseB)).toDF("doc_id", "source", "text"), 4L)
+    }
+    assert(e.getMessage.contains("was computed under"), e.getMessage)
+  }
+
+  private def paths(parts: String*) =
+    java.nio.file.Paths.get(parts.head, parts.tail: _*)
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
