@@ -275,12 +275,20 @@ object Queries {
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang")
 
-  /** Exact unigram Jaccard pairs within a source block (inverted-index
-    * join — the oracle-checkable core of near-dup detection). */
+  /** Unigram Jaccard pairs within a source block (inverted-index join
+    * — the oracle-checkable core of near-dup detection), under the
+    * DERIVED per-block document-frequency cap
+    * ([[graft.ops.Dedup.autoMaxDf]]: stopword-grade tokens — present
+    * in > max(64, 4*sqrt(blockDocs)) docs of their block — are dropped
+    * before the candidate join, bounding any one token's pair fanout
+    * linearly in block size). The cap arithmetic is part of the
+    * contract: the oracle replays the same block counts, df census,
+    * and greatest/ceil/sqrt cap in SQL, so the gate certifies the
+    * derivation end-to-end, not just the capped Jaccard. */
   def q18JaccardPairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.jaccardPairsWithin(
       t(spark, dir, "documents"), "doc_id", "text", "source",
-      n = 1, threshold = 0.5)
+      n = 1, threshold = 0.5, maxDf = graft.ops.Dedup.AutoDf)
       .orderBy("id_a", "id_b")
 
   /** Per-document text-quality profile (oracle-checkable subset). */
@@ -662,21 +670,22 @@ object Queries {
     * brute-force >= 0.99 pair set (copies share a cell by
     * construction).
     *
-    * Scale contract: `nlist = 16` is sized for THIS fixture (~1000
-    * vectors → ~60/cell). nlist must grow with the corpus — cells ≈
-    * n / per-cell comparison budget (SemDeDup uses ~100k cells at
-    * web scale), keeping the within-cell quadratic term constant per
-    * cell; at production sizes also pass `sampleFraction` so the
-    * KMeans fit trains on a sample instead of the full corpus. The
-    * per-cell load bound is asserted by OpsSpec ("ivfFit cells bound
-    * the per-cell quadratic on a clustered corpus"). */
+    * Scale contract: `nlist` is DERIVED from the corpus size
+    * ([[graft.ops.SimSearch.autoNlist]]: cells grow linearly so the
+    * within-cell quadratic term stays constant per cell — at this
+    * fixture the floor of 16 governs, matching the hand-tuned value
+    * the query used before the derivation existed); at production
+    * sizes also pass `sampleFraction` so the KMeans fit trains on a
+    * sample instead of the full corpus. The per-cell load bound is
+    * asserted by OpsSpec ("ivfFit cells bound the per-cell quadratic
+    * on a clustered corpus"); the derivation is pinned there too. */
   def q53SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val copies = emb.select(
       (col("vec_id") + lit(1000000)).as("vec_id"), col("embedding"))
     graft.ops.SimSearch.semanticDedupPairs(
       emb.select("vec_id", "embedding").union(copies),
-      "vec_id", "embedding", threshold = 0.99, nlist = 16)
+      "vec_id", "embedding", threshold = 0.99)
       .orderBy("id_a", "id_b")
   }
 

@@ -534,10 +534,18 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "q18_jaccard_pairs" ->
-      """WITH tok AS (
+      """WITH rawtok AS (
         |  SELECT DISTINCT source, doc_id,
         |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
         |  FROM documents),
+        |bn AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |dfc AS (SELECT source, w, count(*) AS df FROM rawtok GROUP BY 1, 2),
+        |tok AS (
+        |  SELECT r.source, r.doc_id, r.w
+        |  FROM rawtok r
+        |  JOIN dfc ON dfc.source = r.source AND dfc.w = r.w
+        |  JOIN bn ON bn.source = r.source
+        |  WHERE dfc.df <= greatest(64, ceil(4 * sqrt(bn.n)))),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

@@ -94,7 +94,7 @@ object Curate {
                maxAvgNegLogp: Option[Double] = None,
                semanticVecCol: Option[String] = None,
                semanticThreshold: Double = 0.95,
-               semanticNlist: Int = 16,
+               semanticNlist: Int = SimSearch.AutoNlist,
                keepBestByQuality: Boolean = false): (DataFrame, Report) = {
     val b = scala.collection.mutable.ArrayBuffer.empty[StageStat]
     var prev: Option[DataFrame] = None

@@ -700,10 +700,34 @@ object Dedup {
    * pairs with no shared shingle instead of enumerating all of them).
    * SQL-expressible, oracle-checked (q18).
    */
+  /** Sentinel for [[jaccardPairsWithin]]'s `maxDf`: derive the cap per
+    * block from that block's document count via [[autoMaxDf]] instead
+    * of hand-tuning it. */
+  val AutoDf: Int = -1
+
+  /** The derived document-frequency cap for a block of `blockDocs`
+    * documents: `max(64, ceil(4 * sqrt(blockDocs)))`. Rationale: a
+    * gram's candidate fanout is df², so capping df at Θ(√B) bounds any
+    * one gram's pair contribution at Θ(B) — LINEAR in block size no
+    * matter how skewed the vocabulary — while the floor of 64 keeps
+    * small blocks exact (a cap that low would otherwise bite long
+    * before skew is a problem). Grams over the cap are stopword-grade
+    * for their block: present in ≥4√B of B docs, they carry no
+    * near-dup signal, only quadratic cost. The formula is part of the
+    * operator's contract (q18's oracle replays it in SQL); pass an
+    * explicit `maxDf` to override. */
+  def autoMaxDf(blockDocs: Long): Int = {
+    require(blockDocs >= 0, "blockDocs must be >= 0")
+    math.max(64L, math.ceil(4.0 * math.sqrt(blockDocs.toDouble)).toLong)
+      .toInt
+  }
+
   def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
                          blockCol: String, n: Int,
                          threshold: Double,
                          maxDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDf == AutoDf || maxDf >= 1,
+      s"maxDf must be >= 1, Dedup.AutoDf, or Int.MaxValue (off); got $maxDf")
     val rawPostings = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
       explode(shingles(col(textCol), n)).as("__g"))
     // Document-frequency cap (standard prefix filtering): a shingle in k
@@ -714,9 +738,10 @@ object Dedup {
     // per-gram fanout at maxDf^2; similarity then means "Jaccard over
     // non-hot shingles" (sizes are computed from the capped postings so
     // numerator and denominator stay consistent). Default Int.MaxValue
-    // = off (exact semantics, oracle-checked at current scale);
-    // MANDATORY at 100x — leave it off only when the shingle DF
-    // distribution is known to be bounded.
+    // = off (exact semantics); [[AutoDf]] derives the cap per block
+    // from the block's doc count ([[autoMaxDf]] — what q18 runs and
+    // its oracle replays); a cap is MANDATORY at 100x — leave it off
+    // only when the shingle DF distribution is known to be bounded.
     //
     // The cap is computed skew-safely: a groupBy DF count (partial
     // aggregation collapses a hot gram to one row per map task) filtered
@@ -730,7 +755,23 @@ object Dedup {
     // where the shuffled anti-join degrades gracefully.
     val postings =
       if (maxDf == Int.MaxValue) rawPostings
-      else {
+      else if (maxDf == AutoDf) {
+        // per-block derived cap ([[autoMaxDf]]): one tiny block-count
+        // aggregate (a row per block — broadcast-joined at runtime)
+        // supplies each block's own cap, so a mixed corpus (one huge
+        // block, many small) caps each block proportionally instead of
+        // one global number over- or under-capping everything
+        val caps = df.groupBy(col(blockCol).as("__blk"))
+          .agg(count(lit(1)).as("__bn"))
+          .select(col("__blk"), greatest(lit(64L),
+            ceil(lit(4.0) * sqrt(col("__bn")))).as("__cap"))
+        val hot = rawPostings.groupBy(col("__blk"), col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .join(caps, "__blk")
+          .where(col("__df") > col("__cap"))
+          .select(col("__blk"), col("__g"))
+        rawPostings.join(hot, Seq("__blk", "__g"), "left_anti")
+      } else {
         val hot = rawPostings.groupBy(col("__blk"), col("__g"))
           .agg(count(lit(1)).as("__df"))
           .where(col("__df") > maxDf)

@@ -838,20 +838,47 @@ object SimSearch {
    * comparison budget; SemDeDup uses ~100k cells at web scale). Only
    * (cell, id, vector) rows shuffle, and only within the join.
    */
+  /** Sentinel for [[semanticDedupPairs]]/[[dropSemanticDuplicates]]'s
+    * `nlist`: derive the cell count from the corpus size via
+    * [[autoNlist]] instead of hand-tuning it. */
+  val AutoNlist: Int = -1
+
+  /** The derived SemDeDup cell count for a corpus of `rows` vectors:
+    * `clamp(ceil(rows / 1024), 16, 131072)`. Cells must grow LINEARLY
+    * with the corpus so the per-cell quadratic stays constant (~1024
+    * rows → ~0.5M comparisons per cell, well under the pair budget
+    * with remediation headroom); the floor of 16 keeps small corpora
+    * at a sane quantizer size, and the 2^17 ceiling is where a single
+    * KMeans fit stops being the right tool (SemDeDup runs ~100k cells
+    * at web scale — beyond that, shard the corpus or raise
+    * `targetCellRows` consciously, and pass `sampleFraction` so the
+    * fit trains on a sample). Pinned in OpsSpec; pass an explicit
+    * `nlist` to override. */
+  def autoNlist(rows: Long, targetCellRows: Long = 1024L): Int = {
+    require(rows >= 0 && targetCellRows >= 1)
+    val cells = math.ceil(rows.toDouble / targetCellRows.toDouble).toLong
+    math.min(math.max(cells, 16L), 131072L).toInt
+  }
+
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, nlist: Int = 16,
+                         threshold: Double, nlist: Int = AutoNlist,
                          seed: Long = 42L,
                          sampleFraction: Double = 1.0,
                          maxIter: Int = 8,
-                         maxPairsPerCell: Long = DefaultMaxPairsPerCell): DataFrame =
+                         maxPairsPerCell: Long = DefaultMaxPairsPerCell): DataFrame = {
+    // AutoNlist pays one count() over the input — a narrow scan, noise
+    // next to the fit + pair stages it sizes correctly
+    val k = if (nlist == AutoNlist) autoNlist(df.count()) else nlist
+    require(k >= 1, s"nlist must be >= 1 or SimSearch.AutoNlist; got $nlist")
     // maxIter default is LOWER than ivfFit's search-path default:
     // dedup recall only needs near-identical vectors to share a cell,
     // which holds for ANY centroid set (same nearest center), so the
     // extra KMeans refinement buys nothing for dedup — a production
     // tuning knob (measured neutral at bench scale, where the pair
     // stage, not the fit, dominates).
-    semanticPairsRec(df, idCol, vecCol, threshold, nlist, seed,
+    semanticPairsRec(df, idCol, vecCol, threshold, k, seed,
       sampleFraction, maxIter, maxPairsPerCell, depth = 0)
+  }
 
   /** Recursion ceiling for the oversized-cell auto-split: each level
     * re-clusters an over-budget cell into `nlist` sub-cells, so even
@@ -995,7 +1022,7 @@ object SimSearch {
     * for the embedding modality. The pair set is tiny relative to the
     * corpus, so the closure and the final left-anti join are narrow. */
   def dropSemanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                             threshold: Double, nlist: Int = 16,
+                             threshold: Double, nlist: Int = AutoNlist,
                              seed: Long = 42L,
                              sampleFraction: Double = 1.0,
                              maxIter: Int = 8): DataFrame = {

@@ -602,6 +602,58 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(tight.count() === 0L)
   }
 
+  test("autoMaxDf derivation pinned; AutoDf equals the manually-derived cap") {
+    // the derivation contract (q18's oracle replays it in SQL):
+    // max(64, ceil(4 * sqrt(blockDocs))) — floor governs small blocks,
+    // sqrt growth bounds any gram's pair fanout linearly in block size
+    assert(Dedup.autoMaxDf(0) === 64)
+    assert(Dedup.autoMaxDf(100) === 64)     // 4*10 = 40 < floor
+    assert(Dedup.autoMaxDf(256) === 64)     // 4*16 = 64 = floor
+    assert(Dedup.autoMaxDf(257) === 65)     // first block size over it
+    assert(Dedup.autoMaxDf(10000) === 400)
+    assert(Dedup.autoMaxDf(1000000) === 4000)
+    assert(Dedup.autoMaxDf(100L * 1000 * 1000 * 1000) === 1264912)
+    // on the fixture every block is under 256 docs, so AutoDf == a
+    // manual cap of 64 — bit-identical pair sets
+    val auto = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
+      n = 1, threshold = 0.5, maxDf = Dedup.AutoDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val manual = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "src",
+      n = 1, threshold = 0.5, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === manual)
+  }
+
+  test("autoNlist derivation pinned; AutoNlist equals the explicit floor value") {
+    // clamp(ceil(rows/1024), 16, 131072): floor keeps small corpora at
+    // the historical hand-tuned quantizer size, linear growth keeps
+    // the per-cell quadratic constant, the 2^17 ceiling marks where a
+    // single KMeans fit stops being the right tool
+    assert(SimSearch.autoNlist(0) === 16)
+    assert(SimSearch.autoNlist(16384) === 16)
+    assert(SimSearch.autoNlist(16385) === 17)
+    assert(SimSearch.autoNlist(1048576) === 1024)
+    assert(SimSearch.autoNlist(1L << 40) === 131072)           // ceiling
+    assert(SimSearch.autoNlist(1048576, targetCellRows = 4096) === 256)
+    // 36 vectors -> floor of 16 cells: the auto path must produce the
+    // same pair set as the explicit value it resolves to
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 12).map { i =>
+        val id = c * 100L + i
+        (id, Array.tabulate(8)(j =>
+          (if (j == c) 10f else 0f) + 0.01f * math.cos(id * 8 + j).toFloat))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val auto = SimSearch.semanticDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = SimSearch.semanticDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, nlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit)
+  }
+
   test("connected components: chains collapse to the min-id label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.componentsOf(pairs)
