@@ -1074,9 +1074,30 @@ object Queries {
       .getOrElse(sys.error(s"$catCol not a string column"))
     val (encoded, encName) = Detection.convertCategoricalColumn(orders, catCol)
     val codeSum = encoded.agg(sum(col(encName))).head.getLong(0)
+    // W2/D2 REPLAYED (not just pinned): the sampled word-count census
+    // behind the text pick, the pick itself (max avg word count with
+    // the > 5 guard), and D7 on a second table (documents.lang). The
+    // census is SQL-replayable exactly: the per-column word-count sum
+    // over the 100-row sample is an integer (exact in double no matter
+    // the accumulation order), so avg and the %.4f rendering agree
+    // bit-for-bit across engines; both engines take the same first-100
+    // sample (single parquet file, both scan in file order).
+    val docsDf = tables.head._2
+    val sig = Detection.measure(docsDf)
+    val censusRows = Detection.stringColumns(docsDf).map { c =>
+      ("documents", s"text_census:$c",
+        String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(sig.avgWordCount(c))))
+    }
+    val pickRow = ("documents", "text_pick",
+      Detection.detectTextColumn(docsDf, sig).getOrElse("(none)"))
+    val langCats = Detection.extractStringCategories(docsDf, "lang")
+      .getOrElse(sys.error("lang not a string column"))
     val extraRows = Seq(
       ("orders", s"categories:$catCol", cats.mkString("|")),
-      ("orders", s"encoded_sum:$catCol", codeSum.toString))
+      ("orders", s"encoded_sum:$catCol", codeSum.toString),
+      ("documents", "categories:lang", langCats.mkString("|")),
+      pickRow) ++ censusRows
     (roleRows ++ extraRows).toDF("tbl", "role", "col_name")
       .orderBy("tbl", "role")
   }

@@ -1712,6 +1712,14 @@ object SparkEntry {
         |  ('orders', 'index', 'o_orderkey'),
         |  ('orders', 'text', '(none)'),
         |  ('orders', 'value', 'o_totalprice')),
+        |samp AS (SELECT * FROM documents LIMIT 100),
+        |census AS (
+        |  SELECT 0 AS pos, 'text' AS c,
+        |    avg(len(string_split(text, ' '))) AS wc FROM samp
+        |  UNION ALL SELECT 1, 'lang',
+        |    avg(len(string_split(lang, ' '))) FROM samp
+        |  UNION ALL SELECT 2, 'source',
+        |    avg(len(string_split(source, ' '))) FROM samp),
         |derived AS (
         |  SELECT 'orders' AS tbl, 'categories:o_orderpriority' AS role,
         |    string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS col_name
@@ -1720,7 +1728,19 @@ object SparkEntry {
         |  SELECT 'orders', 'encoded_sum:o_orderpriority',
         |    sum(code)::VARCHAR FROM (
         |      SELECT dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS code
-        |      FROM orders))
+        |      FROM orders)
+        |  UNION ALL
+        |  SELECT 'documents', 'categories:lang',
+        |    string_agg(DISTINCT lang, '|' ORDER BY lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'text_census:' || c, printf('%.4f', wc)
+        |  FROM census
+        |  UNION ALL
+        |  SELECT 'documents', 'text_pick',
+        |    CASE WHEN max(wc) > 5 THEN
+        |      (SELECT c FROM census ORDER BY wc DESC, pos LIMIT 1)
+        |    ELSE '(none)' END
+        |  FROM census)
         |SELECT tbl, role, col_name FROM roles
         |UNION ALL SELECT tbl, role, col_name FROM derived
         |ORDER BY tbl, role""".stripMargin,
