@@ -3327,6 +3327,61 @@ object Queries {
       .orderBy("batch")
   }
 
+  /** Curation CLI lifecycle ([[graft.cli.CurateCli]] — the q132/q141
+    * pattern for the curation surface): stage the ingest corpus and
+    * the benchmark slice as parquet files, drive the CLI end to end
+    * through its own arg grammar (`parse` -> `run`: FormatIO load,
+    * [[graft.ops.Curate.standard]] with quality/repetition gates,
+    * exact+near dedup, decontamination, splits; parquet corpus sink +
+    * CSV report sink), then read BOTH sinks back: the six report rows,
+    * plus a summary row recomputed from the curated parquet itself
+    * (count + (id, split) membership digest) — which must equal the
+    * split stage's row, proving the sink holds exactly the final
+    * stage's rows. The oracle replays every stage count and digest in
+    * SQL (the q57 stage formulas, minus the stages this config leaves
+    * off). */
+  def q175CliCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q175_")
+    try {
+      val in = tmp.resolve("corpus.parquet").toString
+      val bench = tmp.resolve("bench.parquet").toString
+      val outDir = tmp.resolve("curated").toString
+      val repPath = tmp.resolve("report.csv").toString
+      val docs = t(spark, dir, "documents")
+      graft.sources.FormatIO.save("parquet",
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .select("doc_id", "text", "lang", "source"), in, overwrite = true)
+      graft.sources.FormatIO.save("parquet",
+        docs.filter(col("doc_id") % 101 === 0)
+          .select("doc_id", "text"), bench, overwrite = true)
+      val cfg = graft.cli.CurateCli.parse(Seq(
+        "--input", in, "--output", outDir, "--report", repPath,
+        "--filetype", "parquet", "--benchmark", bench))
+        .getOrElse(sys.error("CurateCli.parse rejected a valid arg vector"))
+      graft.cli.CurateCli.run(cfg, spark)
+      val report = spark.read.option("header", "true").csv(repPath)
+        .select(col("stage_idx").cast("int"), col("stage"),
+          col("n_rows").cast("long"), col("ids_digest"))
+      val curated = spark.read.parquet(outDir)
+      val o = curated.agg(
+        count(lit(1)),
+        coalesce(sum(graft.ops.Profile.rowDigest(
+          Seq(col("doc_id"), col("split")))), lit(0).cast("decimal(38,0)")))
+        .head()
+      val outputRow = Seq((6, "curated_output", o.getLong(0),
+        o.getDecimal(1).toBigInteger.toString))
+        .toDF("stage_idx", "stage", "n_rows", "ids_digest")
+      report.unionByName(outputRow)
+        .orderBy("stage_idx")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Unigram tokenizer APPLICATION ([[graft.ops.Unigram.tokenize]]):
     * per-doc piece counts + order-sensitive token digests under the
     * q172 vocabulary. Map-only over the corpus (the piece model rides

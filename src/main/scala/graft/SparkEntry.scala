@@ -196,6 +196,7 @@ object SparkEntry {
     "q171_csv_quarantine" -> (Queries.q171CsvQuarantine(_, _)),
     "q172_unigram_vocab" -> (Queries.q172UnigramVocab(_, _)),
     "q173_unigram_tokens" -> (Queries.q173UnigramTokens(_, _)),
+    "q175_cli_curate" -> (Queries.q175CliCurate(_, _)),
     "q174_ivf_drift" -> (Queries.q174IvfDrift(_, _)),
   )
 
@@ -2060,6 +2061,151 @@ object SparkEntry {
     // pinning — integer counts + total tie orders by construction)
     "q172_unigram_vocab" -> PinnedOracles.q172Sql,
     "q173_unigram_tokens" -> PinnedOracles.q173Sql,
+    // q175: the CurateCli batch lifecycle — the q57 stage replay
+    // restricted to the stages this CLI config activates (quality,
+    // repetition, exact dedup, near dedup, decontaminate, split), plus
+    // the curated-output summary row, which must equal the split row
+    // (the parquet sink holds exactly the final stage's rows).
+    "q175_cli_curate" ->
+      """WITH RECURSIVE
+        |input AS MATERIALIZED (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 5 <> 0),
+        |bench AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+        |-- stage 0 quality gate (q33 formula, rounded to 3) >= 0.3
+        |tok3 AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM input) r
+        |  WHERE w <> ''),
+        |stats3 AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok3 GROUP BY doc_id),
+        |s3 AS MATERIALIZED (
+        |  SELECT input.* FROM input JOIN (
+        |    SELECT d.doc_id,
+        |      round(least(coalesce(s.n, 0) / 20.0, 1.0) * 0.3
+        |        + (1.0 - least((CASE WHEN length(d.text) > 0 THEN
+        |            (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |            ELSE 0.0 END) * 4, 1.0)) * 0.2
+        |        + least(CASE WHEN coalesce(s.n, 0) > 0 THEN coalesce(s.stops, 0)::DOUBLE / s.n ELSE 0.0 END * 4, 1.0) * 0.3
+        |        + CASE WHEN coalesce(s.mtl, 0) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS q
+        |    FROM input d LEFT JOIN stats3 s USING (doc_id)) qs USING (doc_id)
+        |  WHERE qs.q >= 0.3),
+        |-- stage 1 repetition gate (q38 formula) dup_2gram_frac <= 0.3
+        |norm4 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '') AS ws
+        |  FROM s3),
+        |ga4 AS MATERIALIZED (
+        |  SELECT doc_id, sum(c) AS tg, count(*) AS dg FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS g
+        |      FROM norm4 WHERE len(ws) >= 2) t GROUP BY doc_id, g) gc
+        |  GROUP BY doc_id),
+        |s4 AS MATERIALIZED (
+        |  SELECT s3.* FROM s3 JOIN (
+        |    SELECT n.doc_id, round(coalesce((ga4.tg - ga4.dg) / ga4.tg, 0), 4) AS dup2
+        |    FROM norm4 n LEFT JOIN ga4 ON n.doc_id = ga4.doc_id) r USING (doc_id)
+        |  WHERE r.dup2 <= 0.3),
+        |-- stage 2 exact dedup: min id per normalized text
+        |s6 AS MATERIALIZED (
+        |  SELECT s4.* FROM s4 JOIN (
+        |    SELECT min(doc_id) AS doc_id FROM (
+        |      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nk
+        |      FROM s4) t GROUP BY nk) keep USING (doc_id)),
+        |-- stage 3 near dedup: MinHash band replay over the exact-stage
+        |-- survivors, exact-Jaccard >= 0.7 verify, closure, min-id keeper
+        |norm1 AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM s6),
+        |g_new AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM norm1 WHERE len(ws) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm1 WHERE len(ws) BETWEEN 1 AND 2),
+        |seeds AS MATERIALIZED (
+        |  SELECT s, (11400714819323198485::HUGEINT * (2*s+1)) % 18446744073709551616::HUGEINT AS a,
+        |         (2685821657736338717::HUGEINT * (s+1)) AS off
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS s)),
+        |band_new AS MATERIALIZED (
+        |  SELECT doc_id, s // 3 AS band, list(h ORDER BY s) AS slice FROM (
+        |    SELECT doc_id, s,
+        |      min((a * ('0x' || substr(md5(g), 1, 15))::BIGINT::HUGEINT + off)
+        |          % 18446744073709551616::HUGEINT) AS h
+        |    FROM g_new CROSS JOIN seeds GROUP BY doc_id, s)
+        |  GROUP BY doc_id, band),
+        |cand7 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band_new a JOIN band_new b
+        |    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id),
+        |sz6 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM g_new GROUP BY doc_id),
+        |pairs7 AS MATERIALIZED (
+        |  SELECT c.id_a, c.id_b FROM cand7 c
+        |  JOIN (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |        FROM g_new a JOIN g_new b ON a.g = b.g AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2) j ON j.id_a = c.id_a AND j.id_b = c.id_b
+        |  JOIN sz6 sa ON sa.doc_id = c.id_a
+        |  JOIN sz6 sb ON sb.doc_id = c.id_b
+        |  WHERE j.i::DOUBLE / (sa.sz + sb.sz - j.i) >= 0.7),
+        |edges7 AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs7
+        |  UNION SELECT id_b, id_a FROM pairs7),
+        |reach7(node, r) AS (
+        |  SELECT src, src FROM edges7
+        |  UNION
+        |  SELECT e.src, r.r FROM edges7 e JOIN reach7 r ON e.dst = r.node),
+        |s7 AS MATERIALIZED (
+        |  SELECT s6.* FROM s6 WHERE doc_id NOT IN (
+        |    SELECT node FROM reach7 GROUP BY node HAVING min(r) <> node)),
+        |-- stage 4 decontamination: drop docs sharing any 5-gram with bench
+        |norm9 AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM s7),
+        |g9 AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM norm9 WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+        |  FROM norm9 WHERE len(ws) BETWEEN 1 AND 4),
+        |normb AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM bench),
+        |gb AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ws)-4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM normb WHERE len(ws) >= 5
+        |  UNION
+        |  SELECT DISTINCT array_to_string(ws, ' ') AS g
+        |  FROM normb WHERE len(ws) BETWEEN 1 AND 4),
+        |s9 AS MATERIALIZED (
+        |  SELECT s7.* FROM s7 WHERE doc_id NOT IN (
+        |    SELECT DISTINCT doc_id FROM g9 JOIN gb USING (g))),
+        |-- stage 5 split assignment: md5(source) bucket -> 8/1/1
+        |s10 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+        |         WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM s9),
+        |report AS (
+        |  SELECT 0 AS stage_idx, 'quality' AS stage, count(*)::BIGINT AS n_rows,
+        |    coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR AS ids_digest FROM s3
+        |  UNION ALL SELECT 1, 'repetition', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s4
+        |  UNION ALL SELECT 2, 'exact_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s6
+        |  UNION ALL SELECT 3, 'near_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s7
+        |  UNION ALL SELECT 4, 'decontaminate', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s9
+        |  UNION ALL SELECT 5, 'split', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || split), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s10
+        |  UNION ALL SELECT 6, 'curated_output', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || split), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s10)
+        |SELECT stage_idx, stage, n_rows, ids_digest FROM report ORDER BY stage_idx""".stripMargin,
     // q95/q96: iterative BPE training is not SQL-expressible →
     // pinned-VALUES oracles (the q16/q25 contract; regenerated from a
     // fresh Verify run, verified identical across 8/32 threads).

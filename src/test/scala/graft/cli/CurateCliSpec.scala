@@ -1,0 +1,127 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** [[CurateCli]] — arg grammar + both lifecycles driven end to end
+  * (the SentimentCliSpec pattern): batch (parse -> run ->
+  * Curate.standard -> parquet corpus + CSV report, cross-checked
+  * against the library call) and streaming (--stream over a staged
+  * file feed with --compact-every, checkpointed availableNow drain,
+  * rerun picks up only new files). */
+class CurateCliSpec extends AnyFunSuite with SparkTestSession {
+
+  test("parse: full flag surface") {
+    val c = CurateCli.parse(Seq(
+      "--input", "in.parquet", "--output", "out", "--report", "rep.csv",
+      "--filetype", "parquet", "--id-col", "id", "--text-col", "body",
+      "--group-col", "site", "--min-quality", "0.4",
+      "--max-dup2gram", "0.2", "--near-threshold", "0.8",
+      "--benchmark", "b.parquet", "--historical", "h.parquet",
+      "--max-avg-neg-logp", "9.5", "--semantic-col", "emb",
+      "--semantic-threshold", "0.97", "--keep-best",
+      "--stream", "--compact-every", "4")).get
+    assert(c.input === "in.parquet" && c.output === "out")
+    assert(c.report === Some("rep.csv") && c.fileType === Some("parquet"))
+    assert(c.idCol === "id" && c.textCol === "body" && c.groupCol === "site")
+    assert(c.minQuality === 0.4 && c.maxDup2gram === 0.2)
+    assert(c.nearThreshold === 0.8)
+    assert(c.benchmark === Some("b.parquet"))
+    assert(c.historical === Some("h.parquet"))
+    assert(c.maxAvgNegLogp === Some(9.5))
+    assert(c.semanticCol === Some("emb") && c.semanticThreshold === 0.97)
+    assert(c.keepBest && c.stream && c.compactEvery === Some(4))
+  }
+
+  test("parse: input+output required; bad values rejected") {
+    assert(CurateCli.parse(Seq("--input", "a")).isEmpty)
+    assert(CurateCli.parse(Seq("--output", "b")).isEmpty)
+    assert(CurateCli.parse(Seq("--input", "a", "--output", "b")).isDefined)
+    assert(CurateCli.parse(Seq("--input", "a", "--output", "b",
+      "--min-quality", "abc")).isEmpty)
+    assert(CurateCli.parse(Seq("--input", "a", "--output", "b",
+      "--compact-every", "0")).isEmpty)
+    assert(CurateCli.parse(Seq("--input", "a", "--output", "b",
+      "--help")).isEmpty)
+    assert(CurateCli.parse(Seq("--input", "a", "--output", "b",
+      "--bogus", "x")).isEmpty)
+  }
+
+  test("batch lifecycle: parquet corpus + CSV report equal the library run") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curatecli")
+    val in = tmp.resolve("in.parquet").toString
+    val bench = tmp.resolve("bench.parquet").toString
+    val out = tmp.resolve("curated").toString
+    val rep = tmp.resolve("report.csv").toString
+    docs.write.parquet(in)
+    docs.filter(col("doc_id") % 101 === 0).write.parquet(bench)
+    CurateCli.run(CurateCli.parse(Seq(
+      "--input", in, "--output", out, "--report", rep,
+      "--filetype", "parquet", "--benchmark", bench)).get, spark)
+    // the curated corpus equals the direct library call
+    val (libOut, libReport) = graft.ops.Curate.standard(
+      spark.read.parquet(in), spark.read.parquet(bench))
+    val libIds = libOut.select("doc_id").collect().map(_.getLong(0)).toSet
+    libOut.unpersist()
+    val cliIds = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cliIds === libIds)
+    assert(cliIds.nonEmpty)
+    // split column landed (the final stage's annotation)
+    assert(spark.read.parquet(out).columns.contains("split"))
+    // the CSV report carries the same stage rows as the library report
+    val repRows = spark.read.option("header", "true").csv(rep)
+      .select(col("stage"), col("n_rows").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(repRows === libReport.stages)
+    assert(repRows.map(_._1) === Seq("quality", "repetition", "exact_dedup",
+      "near_dedup", "decontaminate", "split"))
+  }
+
+  test("stream lifecycle: --stream drains a file feed through the stateful " +
+      "tail with auto-compaction; rerun ingests only new files") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curatecli-s")
+    val srcDir = tmp.resolve("feed").toString
+    val out = tmp.resolve("curated").toString
+    def stage(name: String, rows: Seq[(Long, String, String)],
+              mtime: Long): Unit = {
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.parquet(s"$srcDir/$name")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(srcDir, name))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)))
+    }
+    stage("f0.parquet", Seq((1L, "s", proseA), (2L, "s", proseB)), 1000000L)
+    stage("f1.parquet", Seq((11L, "s", proseC)), 1060000L)
+    def cli() = CurateCli.run(CurateCli.parse(Seq(
+      "--input", s"$srcDir/*.parquet", "--output", out,
+      "--min-quality", "0.0", "--max-dup2gram", "1.0",
+      "--stream", "--compact-every", "1",
+      "--max-files-per-trigger", "1")).get, spark)
+    cli()
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L))
+    // auto-compaction ran: the manifest committed beside the state
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      out + "__state", "_compaction.meta")))
+    // rerun with one NEW file: the checkpoint skips the drained ones,
+    // and the durable state drops the cross-run exact + near dups
+    stage("f2.parquet", Seq((21L, "s", proseA),
+      (22L, "s", proseC + " indeed")), 1120000L)
+    cli()
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L),
+      "cross-run dedup through the durable state broken")
+  }
+}
