@@ -718,7 +718,10 @@ object Dedup {
     * explicit `maxDf` to override. */
   def autoMaxDf(blockDocs: Long): Int = {
     require(blockDocs >= 0, "blockDocs must be >= 0")
-    math.max(64L, math.ceil(4.0 * math.sqrt(blockDocs.toDouble)).toLong)
+    // Int clamp: only reachable past ~2.9e17 docs per block, but a
+    // silent toInt wrap there would turn the cap negative
+    math.min(Int.MaxValue.toLong,
+      math.max(64L, math.ceil(4.0 * math.sqrt(blockDocs.toDouble)).toLong))
       .toInt
   }
 

@@ -297,6 +297,35 @@ object KernelProps extends Properties("kernels") {
           s"lost heavy values ${mustSurvive.diff(cand)} (n=$n k=$k)"
     }
 
+  property("autoMaxDf: floor 64, monotone in block size, Θ(sqrt) envelope") =
+    forAll(Gen.choose(0L, 1L << 50), Gen.choose(0L, 1L << 50)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (ca, cb) = (Dedup.autoMaxDf(lo), Dedup.autoMaxDf(hi))
+      Prop(ca >= 64 && cb >= 64) :| "floor violated" &&
+        Prop(ca <= cb) :| s"not monotone: ($lo -> $ca) vs ($hi -> $cb)" &&
+        // the derivation's whole point: cap^2 (one gram's max pair
+        // fanout) stays within a constant factor of block size
+        Prop(hi < 256 || cb.toDouble * cb <= 32.0 * hi + 1) :|
+          s"cap^2 ${cb.toDouble * cb} exceeds 32*blockDocs for $hi" &&
+        Prop(cb.toDouble >= 4.0 * math.sqrt(hi.toDouble) - 1) :|
+          "cap fell below its own formula"
+    }
+
+  property("autoNlist: clamp bounds, monotone, per-cell rows bounded by target") =
+    forAll(Gen.choose(0L, 1L << 50), Gen.choose(0L, 1L << 50),
+      Gen.choose(64L, 1L << 20)) { (a, b, target) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (ka, kb) = (SimSearch.autoNlist(lo, target),
+        SimSearch.autoNlist(hi, target))
+      Prop(ka >= 16 && kb <= 131072) :| "clamp violated" &&
+        Prop(ka <= kb) :| s"not monotone: ($lo -> $ka) vs ($hi -> $kb)" &&
+        // inside the clamp band, expected rows per cell never exceed
+        // the target (ceil rounds the cell count UP)
+        Prop(kb == 16 || kb == 131072 ||
+          hi.toDouble / kb <= target.toDouble + 1e-9) :|
+          s"rows/cell ${hi.toDouble / kb} over target $target"
+    }
+
   property("epochPlan: full+frac == min(cap, target/avail) to quantization; frac in [0,1)") =
     forAll(
       Gen.choose(1, 5).flatMap(n =>
