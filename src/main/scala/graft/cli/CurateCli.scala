@@ -44,6 +44,7 @@ object CurateCli {
                     keepBest: Boolean = false,
                     stream: Boolean = false,
                     compactEvery: Option[Int] = None,
+                    compactOutputEvery: Option[Int] = None,
                     maxFilesPerTrigger: Option[Int] = None)
 
   val usage: String =
@@ -67,6 +68,7 @@ object CurateCli {
       |  --stream                   run the STREAMING tail over --input as a
       |                             file stream (parquet only, availableNow)
       |  --compact-every <n>        streaming: fold dedup state every n batches
+      |  --compact-output-every <n>  streaming: fold the output corpus every n batches
       |  --max-files-per-trigger <n> streaming: micro-batch size in files
       |  --help                     this text""".stripMargin
 
@@ -99,6 +101,11 @@ object CurateCli {
       case "--stream" :: t => loop(t, c.copy(stream = true))
       case "--compact-every" :: v :: t => v.toIntOption match {
         case Some(n) if n >= 1 => loop(t, c.copy(compactEvery = Some(n)))
+        case _ => None
+      }
+      case "--compact-output-every" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 =>
+          loop(t, c.copy(compactOutputEvery = Some(n)))
         case _ => None
       }
       case "--max-files-per-trigger" :: v :: t => v.toIntOption match {
@@ -196,7 +203,8 @@ object CurateCli {
         unigramRef = unigram,
         benchGrams = grams,
         threshold = config.nearThreshold,
-        compactEvery = config.compactEvery))
+        compactEvery = config.compactEvery,
+        compactOutputEvery = config.compactOutputEvery))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
         config.output.stripSuffix("/") + "__checkpoint")

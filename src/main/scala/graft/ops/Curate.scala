@@ -333,7 +333,11 @@ object Curate {
    * shuffles, O(batch) rows); pass `compactEvery = Some(n)` to run
    * the fold automatically whenever n uncompacted batch partitions
    * have accumulated, or call [[compactState]] out-of-band while the
-   * stream is stopped. A `_state_params` marker (written with the
+   * stream is stopped. The OUTPUT corpus accumulates one partition
+   * per batch the same way — [[compactOutput]] (or
+   * `compactOutputEvery`) folds committed output partitions into one
+   * coalesced base partition with the same replay-safety contract.
+   * A `_state_params` marker (written with the
    * first state write) pins the (shingleSize, numHashes, bands) the
    * frames were computed with; a tail invoked with different banding
    * fails loudly instead of silently probing stale postings.
@@ -401,11 +405,15 @@ object Curate {
                     corpusOverride: Option[DataFrame] = None,
                     stateDir: Option[String] = None,
                     compactEvery: Option[Int] = None,
-                    compactBuckets: Int = 8)
+                    compactBuckets: Int = 8,
+                    compactOutputEvery: Option[Int] = None,
+                    compactOutputFiles: Int = 8)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     require(!batch.columns.contains("__batch_id"),
       "input column __batch_id collides with streamingTail's partition column")
     compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
+    compactOutputEvery.foreach(n =>
+      require(n >= 1, "compactOutputEvery must be >= 1"))
     val sd = stateDir.getOrElse(outDir.stripSuffix("/") + "__state")
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     // the state frames are only meaningful under the banding
@@ -512,6 +520,18 @@ object Curate {
       if (pending >= n)
         compactState(spark, sd, compactBuckets, compactAll = true,
           excludeBatchIds = Set(batchId))
+    }
+    // output folding rides the same safety argument (every partition
+    // except this batch's own is committed); the heal runs every
+    // batch so a crash inside a previous fold's dup window is closed
+    // at the next batch, not at the next threshold crossing
+    compactOutputEvery.foreach { n =>
+      healOutputFold(spark, outDir)
+      val pendingOut = statePartIds(hadoopConf, outDir)
+        .count(id => id >= 0 && id != batchId)
+      if (pendingOut >= n)
+        compactOutput(spark, outDir, compactOutputFiles,
+          compactAll = true, excludeBatchIds = Set(batchId))
     }
     val comp = loadCompaction(spark, sd)
     val (novel, pairsOf, oldIds) = corpusOverride match {
@@ -972,6 +992,109 @@ object Curate {
         fsOf(fm.path).delete(pathOf(fm.path), true)
     })
     Some(upTo)
+  }
+
+  private val OutFoldFile = "_outfold.meta"
+
+  /** Delete any half-finished output fold's artifacts and finish a
+    * committed one: the hidden staging dir always goes; with a marker
+    * present, a committed base (its partition dir exists) means the
+    * fold only missed its source deletes — finish them — while an
+    * uncommitted one means the sources are intact — just drop the
+    * marker. Idempotent; called before every fold and by the tail's
+    * auto path each batch. */
+  private def healOutputFold(spark: org.apache.spark.sql.SparkSession,
+                             outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = outDir.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, ".outfold_tmp"), true)
+    readControlFile(spark, dir, OutFoldFile).foreach { text =>
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      val baseId = kv("base").toLong
+      val sources = kv("sources").split(",").filter(_.nonEmpty).map(_.toLong)
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/__batch_id=$baseId")))
+        sources.foreach(id => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$dir/__batch_id=$id"), true))
+      fs.delete(new org.apache.hadoop.fs.Path(dir, OutFoldFile), false)
+    }
+  }
+
+  /**
+   * Fold the committed `__batch_id=` partitions of a [[streamingTail]]
+   * OUTPUT directory (the admitted corpus itself) into one coalesced
+   * base partition — the companion to [[compactState]]: a long-running
+   * stream otherwise leaves one small-file partition per micro-batch
+   * in the corpus a thousand downstream jobs scan. Prior bases fold
+   * in too, so exactly one base partition remains per fold.
+   *
+   * MECHANISM: sources (prior bases + committed batch partitions) are
+   * rewritten to a hidden staging dir in `numFiles` files, a marker
+   * records (base id, source ids), the staging dir is RENAMED into
+   * place as partition `__batch_id=-(maxFolded)-1` (an atomic commit;
+   * the negative id can never collide with a batch id, and strictly
+   * decreases across folds so it never collides with an earlier
+   * base), and the source partitions are deleted. Readers of the
+   * plain path see a consistent corpus at every step EXCEPT the
+   * seconds between the rename and the source deletes, where folded
+   * rows appear twice; a crash inside that window is healed by the
+   * next fold or tail batch ([[healOutputFold]] via the marker). Run
+   * it out-of-band between batches, or let the tail do it
+   * (`compactOutputEvery`) — same single-writer rule as the state
+   * fold.
+   *
+   * REPLAY SAFETY: the highest live batch partition is never folded
+   * unless `compactAll = true` (same contract as [[compactState]] —
+   * a replayed batch must be able to overwrite its own partition;
+   * folding it would strand its rows in the base AND let the retry
+   * re-admit them). The tail's own reads are unaffected: per-batch
+   * dedup keys off the state frames, the landed read targets the
+   * current batch's partition, and a bootstrap reads the corpus
+   * wholesale (base included).
+   *
+   * Returns the new base partition id, or None when fewer than two
+   * source partitions exist (nothing to fold).
+   */
+  def compactOutput(spark: org.apache.spark.sql.SparkSession,
+                    outDir: String, numFiles: Int = 8,
+                    compactAll: Boolean = false,
+                    excludeBatchIds: Set[Long] = Set.empty): Option[Long] = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val dir = outDir.stripSuffix("/")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    healOutputFold(spark, dir)
+    val ids = statePartIds(conf, dir)
+    val positives = ids.filter(_ >= 0)
+    val bases = ids.filter(_ < 0)
+    val blocked = excludeBatchIds ++
+      (if (compactAll) Set.empty[Long] else positives.maxOption.toSet)
+    val fold = positives.filterNot(blocked.contains)
+    val sources = bases ++ fold
+    if (fold.isEmpty || sources.size <= 1) return None
+    val baseId = -fold.max - 1
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".outfold_tmp")
+    fs.delete(tmp, true)
+    // stage OUTSIDE the read path (a dynamic overwrite into the dir
+    // being read would be rejected as a read-write conflict), then
+    // commit by an atomic directory rename into the partition slot
+    spark.read.parquet(dir)
+      .where(col("__batch_id").isin(sources: _*))
+      .drop("__batch_id")
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    writeControlFile(spark, dir, OutFoldFile,
+      s"base=$baseId\nsources=${sources.mkString(",")}")
+    if (!fs.rename(tmp,
+        new org.apache.hadoop.fs.Path(s"$dir/__batch_id=$baseId")))
+      throw new java.io.IOException(
+        s"compactOutput: staging rename into __batch_id=$baseId failed")
+    sources.foreach(id => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/__batch_id=$id"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, OutFoldFile), false)
+    Some(baseId)
   }
 
   /** File-source stream wired through [[streamingGate]] — the test /

@@ -494,6 +494,92 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
   private def paths(parts: String*) =
     java.nio.file.Paths.get(parts.head, parts.tail: _*)
 
+  test("output folding: committed corpus partitions fold into one base; " +
+      "replay-safe; crash window heals") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val proseD = "yet another unrelated passage describing volcanic rock " +
+      "formations observed along the northern coastline during spring"
+    val dir = java.nio.file.Files.createTempDirectory("graft-outfold")
+      .toString
+    val t = Curate.streamingTail(spark, dir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    t(Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text"), 0L)
+    t(Seq((11L, "s", proseC)).toDF("doc_id", "source", "text"), 1L)
+    t(Seq((21L, "s", proseD)).toDF("doc_id", "source", "text"), 2L)
+    def admitted() = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    def parts() = new java.io.File(dir).list()
+      .filter(_.startsWith("__batch_id=")).sorted.toSeq
+    assert(admitted() === Set(1L, 2L, 11L, 21L))
+    // default keeps the highest live partition (a retry must be able
+    // to overwrite it); batches 0..1 fold into base -2
+    assert(Curate.compactOutput(spark, dir, numFiles = 2) === Some(-2L))
+    assert(parts() === Seq("__batch_id=-2", "__batch_id=2"))
+    assert(admitted() === Set(1L, 2L, 11L, 21L))
+    // the replayable batch still overwrites its own partition cleanly
+    t(Seq((21L, "s", proseD)).toDF("doc_id", "source", "text"), 2L)
+    assert(admitted() === Set(1L, 2L, 11L, 21L))
+    // next fold takes the old base AND batch 2 -> one base partition
+    assert(Curate.compactOutput(spark, dir, numFiles = 2,
+      compactAll = true) === Some(-3L))
+    assert(parts() === Seq("__batch_id=-3"))
+    assert(admitted() === Set(1L, 2L, 11L, 21L))
+    // dedup against the folded corpus still works (state is intact;
+    // batch 3 near-dups doc 1 and exactly-dups doc 11)
+    t(Seq((31L, "s", proseA + " indeed"), (32L, "s", proseC))
+      .toDF("doc_id", "source", "text"), 3L)
+    assert(admitted() === Set(1L, 2L, 11L, 21L))
+    // CRASH WINDOW: plant a duplicate source partition + a marker (as
+    // a fold interrupted between rename and source deletes would
+    // leave); the heal must delete the listed source, not the base
+    spark.read.parquet(s"$dir/__batch_id=-3")
+      .write.parquet(s"$dir/__batch_id=9")
+    java.nio.file.Files.writeString(paths(dir, "_outfold.meta"),
+      "base=-3\nsources=9")
+    assert(admitted().size < spark.read.parquet(dir).count(),
+      "fixture: the dup window must actually duplicate rows")
+    assert(Curate.compactOutput(spark, dir) === None) // heal, nothing to fold
+    // batch 3 admitted nothing (all dups) so it wrote no partition —
+    // after the heal only the base remains
+    assert(parts() === Seq("__batch_id=-3"))
+    assert(admitted() === Set(1L, 2L, 11L, 21L))
+  }
+
+  test("streaming tail compactOutputEvery: auto-fold inside foreachBatch") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val dir = java.nio.file.Files.createTempDirectory("graft-outfold-auto")
+      .toString
+    val t = Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0, compactOutputEvery = Some(2),
+      compactOutputFiles = 1)
+    t(Seq((1L, "s", proseA)).toDF("doc_id", "source", "text"), 0L)
+    t(Seq((11L, "s", proseB)).toDF("doc_id", "source", "text"), 1L)
+    // batch 2 start: two committed output partitions -> auto-fold
+    t(Seq((21L, "s", proseC)).toDF("doc_id", "source", "text"), 2L)
+    val parts = new java.io.File(dir).list()
+      .filter(_.startsWith("__batch_id=")).sorted.toSeq
+    assert(parts === Seq("__batch_id=-2", "__batch_id=2"), parts)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 21L))
+    // cross-batch dedup unaffected by the fold
+    t(Seq((31L, "s", proseA)).toDF("doc_id", "source", "text"), 3L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 21L))
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
