@@ -967,9 +967,13 @@ object Curate {
         fsOf(newPath).delete(pathOf(newPath), true)
       // repartition on the bucket keys with numPartitions == buckets:
       // repartition's hash and the bucket-id hash agree, so each task
-      // holds exactly one bucket → ONE file per bucket → the reader
-      // trusts the per-bucket sort and the downstream sort-merge join
-      // skips both the Exchange and the Sort on this side
+      // holds exactly one bucket → ONE file per bucket. The downstream
+      // sort-merge join always skips the Exchange on this side; the
+      // per-bucket sort is also on disk, but Spark 3+ trusts it only
+      // under spark.sql.legacy.bucketedTableScan.outputOrdering
+      // (planning-time file listing) — default plans keep a cheap
+      // partition-local Sort, enabling the conf removes it too
+      // (CurateGateSpec pins both shapes)
       merged.repartition(buckets, bucketKeys.map(col): _*)
         .write.bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
         .sortBy(bucketKeys.head, bucketKeys.tail: _*)

@@ -480,6 +480,25 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       assert(plan.contains("SortMergeJoin"), plan.take(2000))
       assert("Exchange".r.findAllMatchIn(plan).size === 1,
         s"expected exactly one Exchange (the probe side):\n${plan.take(3000)}")
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      // the base is also WRITTEN one-file-per-bucket and sorted, but
+      // Spark 3+ only trusts bucketed sort order under the legacy
+      // listing conf (planning-time file listing) — so the default
+      // plan re-sorts the base per task (cheap, partition-local),
+      // while enabling the conf eliminates that Sort too. Pin both.
+      val sortRe = """(?<!Merge)Sort \[""".r
+      assert(sortRe.findAllMatchIn(plan).size === 2, plan.take(3000))
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val planSorted = graft.ops.Novelty.exactNovelVsKeys(
+          probe, spark.table(keysTable), "text")
+          .queryExecution.executedPlan.toString
+        assert(sortRe.findAllMatchIn(planSorted).size === 1,
+          s"expected the base-side Sort eliminated:\n${planSorted.take(3000)}")
+        assert("Exchange".r.findAllMatchIn(planSorted).size === 1)
+      } finally spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     // PARAMS MARKER: different banding on the same state fails loudly
