@@ -571,6 +571,45 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     assert(admitted() === Set(1L, 2L, 11L, 21L))
   }
 
+  test("bootstrap from a FOLDED corpus: state rebuilds across base partitions") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val dir = java.nio.file.Files.createTempDirectory("graft-fold-boot")
+      .toString
+    val sd = dir + "__state"
+    val t = Curate.streamingTail(spark, dir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    t(Seq((1L, "s", proseA), (2L, "s", proseB))
+      .toDF("doc_id", "source", "text"), 0L)
+    t(Seq((11L, "s", proseC)).toDF("doc_id", "source", "text"), 1L)
+    assert(Curate.compactOutput(spark, dir, numFiles = 1,
+      compactAll = true) === Some(-2L))
+    // an older-build corpus: folded output, NO state
+    java.nio.file.Files.walk(java.nio.file.Paths.get(sd))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    // batch 2: bootstrap must rebuild the state from the BASE
+    // partition (negative id) and then dedup against it — 21 is an
+    // exact dup of folded doc 1, 22 a near dup of folded doc 11
+    t(Seq((21L, "s", proseA),
+      (22L, "s", proseC + " indeed")).toDF("doc_id", "source", "text"), 2L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L),
+      "bootstrap across a folded corpus broke cross-batch dedup")
+    // the rebuilt keys cover the folded docs, carried in the base's
+    // own partition id
+    val keys = spark.read.parquet(s"$sd/keys")
+    assert(keys.select("__id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 11L))
+    assert(keys.select("__batch_id").distinct()
+      .collect().map(_.getInt(0)).toSet === Set(-2))
+  }
+
   test("streaming tail compactOutputEvery: auto-fold inside foreachBatch") {
     import spark.implicits._
     val proseA = "the quick brown fox jumps over the lazy dog and then " +
