@@ -1038,9 +1038,11 @@ object Curate {
    * rewritten to a hidden staging dir in `numFiles` files, a marker
    * records (base id, source ids), the staging dir is RENAMED into
    * place as partition `__batch_id=-(maxFolded)-1` (an atomic commit;
-   * the negative id can never collide with a batch id, and strictly
-   * decreases across folds so it never collides with an earlier
-   * base), and the source partitions are deleted. Readers of the
+   * the negative id can never collide with a batch id, and every
+   * earlier base is itself a fold source — deleted on commit — so a
+   * live collision would need the stream's batch numbering to restart
+   * from zero, where the rename fails LOUDLY instead of corrupting),
+   * and the source partitions are deleted. Readers of the
    * plain path see a consistent corpus at every step EXCEPT the
    * seconds between the rename and the source deletes, where folded
    * rows appear twice; a crash inside that window is healed by the
