@@ -571,6 +571,40 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     assert(admitted() === Set(1L, 2L, 11L, 21L))
   }
 
+  test("compactState: a bucket-count change across folds re-bases cleanly") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val dir = java.nio.file.Files.createTempDirectory("graft-rebucket")
+      .toString
+    val sd = dir + "__state"
+    val t = Curate.streamingTail(spark, dir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    t(Seq((1L, "s", proseA)).toDF("doc_id", "source", "text"), 0L)
+    assert(Curate.compactState(spark, sd, buckets = 4,
+      compactAll = true) === Some(0L))
+    t(Seq((11L, "s", proseB)).toDF("doc_id", "source", "text"), 1L)
+    // the re-fold reads the 4-bucket base through ITS manifest entry
+    // and writes the new base at 8 buckets — the manifest's bucket
+    // count travels with the version, nothing is pinned globally
+    assert(Curate.compactState(spark, sd, buckets = 8,
+      compactAll = true) === Some(1L))
+    val manifest = java.nio.file.Files.readString(
+      paths(sd, "_compaction.meta"))
+    assert(manifest.contains("buckets=8"), manifest)
+    // dedup through the re-bucketed base: exact dup of doc 1 (folded
+    // at 4 buckets, re-based at 8) and near dup of doc 11 both drop
+    t(Seq((21L, "s", proseA), (22L, "s", proseB + " indeed"),
+      (23L, "s", proseC)).toDF("doc_id", "source", "text"), 2L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 23L),
+      "dedup broke across a bucket-count change")
+  }
+
   test("bootstrap from a FOLDED corpus: state rebuilds across base partitions") {
     import spark.implicits._
     val proseA = "the quick brown fox jumps over the lazy dog and then " +
