@@ -406,6 +406,7 @@ object Curate {
                     stateDir: Option[String] = None,
                     compactEvery: Option[Int] = None,
                     compactBuckets: Int = 8,
+                    compactMaxBases: Int = 4,
                     compactOutputEvery: Option[Int] = None,
                     compactOutputFiles: Int = 8)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
@@ -519,7 +520,7 @@ object Curate {
         .count(id => id > folded && id != batchId)
       if (pending >= n)
         compactState(spark, sd, compactBuckets, compactAll = true,
-          excludeBatchIds = Set(batchId))
+          excludeBatchIds = Set(batchId), maxBases = compactMaxBases)
     }
     // output folding rides the same safety argument (every partition
     // except this batch's own is committed); the heal runs every
@@ -588,34 +589,35 @@ object Curate {
               col("__batch_id") > lit(folded))
             .drop("__batch_id")
         }
-        def baseState(sub: String): Option[DataFrame] =
-          comp.map(m => openStateBase(spark, sd, m, sub))
-        val keysBase = baseState("keys")
+        def baseState(sub: String): Seq[DataFrame] =
+          comp.toSeq.flatMap(m => m.bases.map(tier =>
+            openStateBase(spark, sd, m.buckets, tier, sub)))
+        val keysBases = baseState("keys")
         val keysTail = tailState("keys",
           batch.limit(0).select(col(idCol).as("__id"),
             Novelty.exactKeyCol(textCol).as("__nk")))
-        val postings = (baseState("postings").toSeq :+
+        val postings = (baseState("postings") :+
           tailState("postings",
             Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
               textCol, shingleSize), numHashes, bands)))
           .reduce(_.unionByName(_))
-        val shinglesSt = (baseState("shingles").toSeq :+
+        val shinglesSt = (baseState("shingles") :+
           tailState("shingles",
             Dedup.shinglesOf(batch.limit(0), idCol, textCol, shingleSize)))
           .reduce(_.unionByName(_))
-        // the base and tail anti-joins run SEPARATELY (anti-joins
-        // compose) so the bucketed base side stays Exchange-free —
-        // unioning base with tail first would discard the base scan's
-        // bucket partitioning and re-shuffle the whole corpus key set
-        // every batch
-        val novelVsBase = keysBase
-          .map(b => Novelty.exactNovelVsKeys(gated, b, textCol))
-          .getOrElse(gated)
-        ((Novelty.exactNovelVsKeys(novelVsBase, keysTail, textCol)),
+        // the tier and tail anti-joins run SEPARATELY, chained
+        // (anti-joins compose) so every bucketed tier scan stays
+        // Exchange-free — unioning tiers with the tail first would
+        // discard the bucket partitioning and re-shuffle the whole
+        // corpus key set every batch; only the O(batch) probe side
+        // shuffles, once per tier (<= maxBases tiers by construction)
+        val novelVsBases = keysBases.foldLeft(gated)((acc, b) =>
+          Novelty.exactNovelVsKeys(acc, b, textCol))
+        ((Novelty.exactNovelVsKeys(novelVsBases, keysTail, textCol)),
           (ex: DataFrame) => Dedup.minhashPairsIncrementalIndexed(ex,
             postings, shinglesSt, idCol, textCol, shingleSize, numHashes,
             bands, threshold),
-          (keysBase.toSeq :+ keysTail)
+          (keysBases :+ keysTail)
             .map(_.select(col("__id").as("__old_id")))
             .reduce(_.unionByName(_)))
     }
@@ -698,10 +700,13 @@ object Curate {
                                                bucketKeys: Seq[String])
 
   /** The committed compaction manifest: every batch partition with
-    * `__batch_id <= upTo` has been folded into the per-frame bucketed
-    * bases; reads take base + partitions ABOVE `upTo` only. */
+    * `__batch_id <= upTo` has been folded into the base TIERS (oldest
+    * first; each tier covers a contiguous id range and carries one
+    * bucketed table per frame — the LSM shape that keeps a MINOR fold
+    * from rewriting the whole corpus-sized state); reads take all
+    * tiers + partitions ABOVE `upTo` only. */
   private[ops] final case class StateCompaction(upTo: Long, buckets: Int,
-                                                frames: Map[String, StateFrameMeta])
+                                                bases: Seq[Map[String, StateFrameMeta]])
 
   private val CompactionFile = "_compaction.meta"
   private val ParamsFile = "_state_params"
@@ -766,23 +771,34 @@ object Curate {
     readControlFile(spark, stateDir, CompactionFile).map { text =>
       val kv = text.linesIterator.filter(_.contains("="))
         .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
-      StateCompaction(kv("upTo").toLong, kv("buckets").toInt,
+      def frameAt(prefix: String): Map[String, StateFrameMeta] =
         StateFrames.flatMap { f =>
-          kv.get(s"frame.$f.table").map { t =>
-            f -> StateFrameMeta(t, kv(s"frame.$f.path"),
-              kv(s"frame.$f.ddl"),
-              kv(s"frame.$f.bucketKeys").split(",").toSeq)
+          kv.get(s"$prefix$f.table").map { t =>
+            f -> StateFrameMeta(t, kv(s"$prefix$f.path"),
+              kv(s"$prefix$f.ddl"),
+              kv(s"$prefix$f.bucketKeys").split(",").toSeq)
           }
-        }.toMap)
+        }.toMap
+      val tiers = kv.get("tiers").map(_.toInt) match {
+        case Some(n) => (0 until n).map(i => frameAt(s"base.$i.")).toSeq
+        case None =>
+          // pre-tiering manifest (one implicit tier at `frame.` keys)
+          Seq(frameAt("frame."))
+      }
+      StateCompaction(kv("upTo").toLong, kv("buckets").toInt, tiers)
     }
 
   private def saveCompaction(spark: org.apache.spark.sql.SparkSession,
                              stateDir: String, m: StateCompaction): Unit = {
-    val lines = Seq(s"upTo=${m.upTo}", s"buckets=${m.buckets}") ++
-      m.frames.toSeq.sortBy(_._1).flatMap { case (f, fm) =>
-        Seq(s"frame.$f.table=${fm.table}", s"frame.$f.path=${fm.path}",
-          s"frame.$f.ddl=${fm.ddl}",
-          s"frame.$f.bucketKeys=${fm.bucketKeys.mkString(",")}")
+    val lines = Seq(s"upTo=${m.upTo}", s"buckets=${m.buckets}",
+      s"tiers=${m.bases.size}") ++
+      m.bases.zipWithIndex.flatMap { case (tier, i) =>
+        tier.toSeq.sortBy(_._1).flatMap { case (f, fm) =>
+          Seq(s"base.$i.$f.table=${fm.table}",
+            s"base.$i.$f.path=${fm.path}",
+            s"base.$i.$f.ddl=${fm.ddl}",
+            s"base.$i.$f.bucketKeys=${fm.bucketKeys.mkString(",")}")
+        }
       }
     writeControlFile(spark, stateDir, CompactionFile, lines.mkString("\n"))
   }
@@ -829,11 +845,12 @@ object Curate {
     * survive, the in-memory catalog does not — the bucket spec in the
     * re-issued DDL is what keeps the scan Exchange-free). */
   private[ops] def openStateBase(spark: org.apache.spark.sql.SparkSession,
-                                 stateDir: String, m: StateCompaction,
+                                 stateDir: String, buckets: Int,
+                                 tier: Map[String, StateFrameMeta],
                                  frame: String): DataFrame = {
-    val fm = m.frames.getOrElse(frame, throw new IllegalStateException(
+    val fm = tier.getOrElse(frame, throw new IllegalStateException(
       s"streamingTail state is corrupt: the compaction manifest at " +
-        s"$stateDir lists no $frame base"))
+        s"$stateDir lists a base tier without a $frame entry"))
     if (!spark.catalog.tableExists(fm.table)) {
       val p = new org.apache.hadoop.fs.Path(fm.path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -844,7 +861,7 @@ object Curate {
           "to trigger a bootstrap rebuild from outDir, or restore it.")
       val bk = fm.bucketKeys.map(c => s"`$c`").mkString(", ")
       spark.sql(s"CREATE TABLE ${fm.table} (${fm.ddl}) USING PARQUET " +
-        s"CLUSTERED BY ($bk) SORTED BY ($bk) INTO ${m.buckets} BUCKETS " +
+        s"CLUSTERED BY ($bk) SORTED BY ($bk) INTO $buckets BUCKETS " +
         s"LOCATION '${fm.path}'")
     }
     spark.table(fm.table)
@@ -852,12 +869,21 @@ object Curate {
 
   /**
    * Fold the committed `__batch_id=` partitions of the three
-   * [[streamingTail]] state frames into ONE bucketed+sorted base per
-   * frame — keys by `__nk`, shingles by `__id`, postings by
-   * `(__band, __bh)` — so state reads stop growing with batch count
-   * and the exact-novelty anti-join's state side goes Exchange-free
-   * (the bucketed scan already satisfies the join's distribution; only
-   * the O(batch) probe side shuffles).
+   * [[streamingTail]] state frames into bucketed+sorted base TIERS —
+   * keys by `__nk`, shingles by `__id`, postings by `(__band, __bh)`
+   * — so state reads stop growing with batch count and the
+   * exact-novelty anti-join's state side goes Exchange-free (the
+   * bucketed scans already satisfy the join's distribution; only the
+   * O(batch) probe side shuffles, once per tier).
+   *
+   * TIERED (LSM-shaped) so a fold does NOT rewrite the whole state:
+   * a MINOR fold writes the new batch partitions into their own tier
+   * (O(folded batches) work — the shingles frame carries corpus-text
+   * bulk, so rewriting all of history per fold would make every
+   * `compactEvery` window cost O(corpus)); once more than `maxBases`
+   * tiers exist, a MAJOR fold merges everything into one tier.
+   * Amortized rewrite cost drops by the tier width; reads chain over
+   * <= maxBases tiers + the uncompacted tail.
    *
    * CRASH SAFETY is structural, not best-effort: the new bases land at
    * fresh versioned paths, the manifest (the single commit point) is
@@ -885,9 +911,11 @@ object Curate {
   def compactState(spark: org.apache.spark.sql.SparkSession,
                    stateDir: String, buckets: Int = 8,
                    compactAll: Boolean = false,
-                   excludeBatchIds: Set[Long] = Set.empty): Option[Long] = {
+                   excludeBatchIds: Set[Long] = Set.empty,
+                   maxBases: Int = 4): Option[Long] = {
     import org.apache.spark.sql.SaveMode
     require(buckets >= 1, "buckets must be >= 1")
+    require(maxBases >= 1, "maxBases must be >= 1")
     val sd = stateDir.stripSuffix("/")
     val conf = spark.sparkContext.hadoopConfiguration
     def pathOf(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -897,29 +925,29 @@ object Curate {
     def tableName(frame: String, v: Long) = s"graft_state_${frame}_${digest}_v$v"
     val old = loadCompaction(spark, sd)
     val oldUpTo = old.map(_.upTo).getOrElse(Long.MinValue)
-    // 0. heal a crashed prior run: partitions already folded into the
-    //    COMMITTED base are superseded (reads exclude them; delete),
-    //    and base dirs at any version other than the committed one
-    //    never committed (delete + deregister)
+    val oldDirNames = old.toSeq.flatMap(_.bases).flatMap(_.values)
+      .map(fm => pathOf(fm.path).getName).toSet
+    // 0. heal a crashed prior run: partitions already folded into a
+    //    COMMITTED tier are superseded (reads exclude them; delete),
+    //    and base dirs the manifest doesn't list never committed
+    //    (delete + deregister)
     StateFrames.foreach { f =>
       statePartIds(conf, s"$sd/$f").filter(_ <= oldUpTo).foreach { id =>
         fsOf(sd).delete(pathOf(s"$sd/$f/__batch_id=$id"), true) }
       val sdFs = fsOf(sd)
       if (sdFs.exists(pathOf(sd)))
         sdFs.listStatus(pathOf(sd)).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith(s"${f}_base_v"))
+          .filter(n => n.startsWith(s"${f}_base_v") && !oldDirNames(n))
           .foreach { name =>
             val v = name.stripPrefix(s"${f}_base_v").toLong
-            if (!old.exists(_.upTo == v)) {
-              spark.sql(s"DROP TABLE IF EXISTS ${tableName(f, v)}")
-              sdFs.delete(pathOf(s"$sd/$name"), true)
-            }
+            spark.sql(s"DROP TABLE IF EXISTS ${tableName(f, v)}")
+            sdFs.delete(pathOf(s"$sd/$name"), true)
           }
     }
     // 1. pick the fold boundary: the longest PREFIX of live batch ids
     //    not blocked by an exclusion (the in-flight batch) or by the
     //    keep-the-highest replay rule — a gap would break the
-    //    "base covers everything <= upTo" reading invariant
+    //    "tiers cover everything <= upTo" reading invariant
     val live = statePartIds(conf, s"$sd/keys").filter(_ > oldUpTo).sorted
     if (live.isEmpty && old.isEmpty) return None
     val blocked = excludeBatchIds ++
@@ -927,14 +955,24 @@ object Curate {
     val eligible = live.takeWhile(id => !blocked.contains(id))
     if (eligible.isEmpty) return old.map(_.upTo)
     val upTo = eligible.max
-    // 2. per frame: base ∪ partitions in (oldUpTo, upTo] → new
-    //    bucketed base at a fresh versioned path. Keys first — its
-    //    merged frame supplies the id type for the (rare) empty
-    //    shingles/postings schema.
+    // 2. MINOR fold by default: only the tail partitions in
+    //    (oldUpTo, upTo] rewrite, into their own tier. MAJOR fold when
+    //    the tier count would exceed maxBases: all tiers + tail merge
+    //    into one. Keys first within the tier — its frame supplies the
+    //    id type for the (rare) empty shingles/postings schema.
+    val oldTiers = old.toSeq.flatMap(_.bases)
+    // a bucket-count change also forces a major fold: the manifest's
+    // bucket count is global (one number governs every tier's
+    // re-registration DDL), so mixed-width tiers cannot coexist
+    val major = oldTiers.size + 1 > maxBases ||
+      old.exists(_.buckets != buckets)
     var keysMerged: DataFrame = null
-    val metas = StateFrames.map { f =>
+    val newTier = StateFrames.map { f =>
       val bucketKeys = stateBucketKeys(f)
-      val base = old.map(m => openStateBase(spark, sd, m, f))
+      val tierBases =
+        if (major) oldTiers.map(t => openStateBase(spark, sd,
+          old.get.buckets, t, f))
+        else Seq.empty
       val hasTail = statePartIds(conf, s"$sd/$f")
         .exists(id => id > oldUpTo && id <= upTo)
       val tail =
@@ -943,11 +981,11 @@ object Curate {
           .where(col("__batch_id") > lit(oldUpTo) &&
             col("__batch_id") <= lit(upTo))
           .drop("__batch_id"))
-      val merged = (base.toSeq ++ tail.toSeq) match {
+      val merged = (tierBases ++ tail.toSeq) match {
         case Seq() =>
           // only reachable for shingles/postings (eligible ids come
-          // from keys partitions): no batch so far had a shingleable
-          // row — an empty base with the canonical schema
+          // from keys partitions): no folded batch had a shingleable
+          // row — an empty tier with the canonical schema
           val idType = keysMerged.schema("__id").dataType
           val emptyDocs = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -982,15 +1020,17 @@ object Curate {
       f -> StateFrameMeta(newTable, newPath,
         merged.schema.toDDL, bucketKeys)
     }.toMap
-    // 3. COMMIT: atomically replace the manifest
-    saveCompaction(spark, sd, StateCompaction(upTo, buckets, metas))
+    // 3. COMMIT: atomically replace the manifest (a minor fold keeps
+    //    the old tiers; a major fold replaces them all)
+    saveCompaction(spark, sd, StateCompaction(upTo, buckets,
+      (if (major) Seq.empty else oldTiers) :+ newTier))
     // 4. post-commit cleanup (safe to crash anywhere in here: reads
     //    already exclude everything being deleted)
     StateFrames.foreach { f =>
       statePartIds(conf, s"$sd/$f").filter(_ <= upTo).foreach { id =>
         fsOf(sd).delete(pathOf(s"$sd/$f/__batch_id=$id"), true) }
     }
-    old.foreach(_.frames.foreach { case (_, fm) =>
+    if (major) oldTiers.foreach(_.foreach { case (_, fm) =>
       spark.sql(s"DROP TABLE IF EXISTS ${fm.table}")
       if (fsOf(fm.path).exists(pathOf(fm.path)))
         fsOf(fm.path).delete(pathOf(fm.path), true)

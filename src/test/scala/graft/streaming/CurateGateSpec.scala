@@ -458,7 +458,7 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       "exact dup of a folded doc admitted")
     // SIMULATE A JVM RESTART: the in-memory catalog loses the base
     // tables; the manifest's stored DDL re-registers them on read
-    "frame\\.\\w+\\.table=(\\S+)".r.findAllMatchIn(manifest)
+    "\\w+\\.table=(\\S+)".r.findAllMatchIn(manifest)
       .map(_.group(1)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     tail(Seq((31L, "s", proseA)).toDF("doc_id", "source", "text"), 3L)
     assert(spark.read.parquet(dir).select("doc_id")
@@ -468,7 +468,7 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     // Exchange-free — the bucketed scan satisfies the join's
     // distribution, only the O(batch) probe side shuffles (forced SMJ:
     // broadcast off)
-    val keysTable = "frame\\.keys\\.table=(\\S+)".r
+    val keysTable = "keys\\.table=(\\S+)".r
       .findFirstMatchIn(manifest).get.group(1)
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -569,6 +569,61 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     // after the heal only the base remains
     assert(parts() === Seq("__batch_id=-3"))
     assert(admitted() === Set(1L, 2L, 11L, 21L))
+  }
+
+  test("tiered folds: minor folds rewrite only new batches; the major fold " +
+      "merges; dedup holds at every step") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val proseC = "a completely different essay concerning the economics " +
+      "of medieval grain markets and their seasonal price cycles"
+    val proseD = "yet another unrelated passage describing volcanic rock " +
+      "formations observed along the northern coastline during spring"
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiered")
+      .toString
+    val sd = dir + "__state"
+    val t = Curate.streamingTail(spark, dir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0)
+    def keyBaseDirs() = new java.io.File(sd).list()
+      .filter(_.startsWith("keys_base_v")).sorted.toSeq
+    // fold 1 (minor): tier v0
+    t(Seq((1L, "s", proseA)).toDF("doc_id", "source", "text"), 0L)
+    assert(Curate.compactState(spark, sd, buckets = 4, compactAll = true,
+      maxBases = 2) === Some(0L))
+    assert(keyBaseDirs() === Seq("keys_base_v0"))
+    // fold 2 (minor): tier v1 ADDED — tier v0's files untouched (the
+    // whole point: a minor fold never rewrites older tiers)
+    val v0File = java.nio.file.Files.walk(paths(sd, "keys_base_v0"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    val v0Mtime = java.nio.file.Files.getLastModifiedTime(v0File)
+    t(Seq((11L, "s", proseB)).toDF("doc_id", "source", "text"), 1L)
+    assert(Curate.compactState(spark, sd, buckets = 4, compactAll = true,
+      maxBases = 2) === Some(1L))
+    assert(keyBaseDirs() === Seq("keys_base_v0", "keys_base_v1"))
+    assert(java.nio.file.Files.getLastModifiedTime(v0File) === v0Mtime,
+      "a minor fold rewrote an older tier")
+    // dedup reads chain over BOTH tiers: exact dup of the v0 doc and
+    // near dup of the v1 doc both drop
+    t(Seq((21L, "s", proseA), (22L, "s", proseB + " indeed"),
+      (23L, "s", proseC)).toDF("doc_id", "source", "text"), 2L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 23L))
+    // fold 3: 2 tiers + 1 would exceed maxBases=2 -> MAJOR merge
+    assert(Curate.compactState(spark, sd, buckets = 4, compactAll = true,
+      maxBases = 2) === Some(2L))
+    assert(keyBaseDirs() === Seq("keys_base_v2"))
+    val manifest = java.nio.file.Files.readString(
+      paths(sd, "_compaction.meta"))
+    assert(manifest.contains("tiers=1"), manifest)
+    // dedup through the merged tier still covers every folded doc
+    t(Seq((31L, "s", proseC), (32L, "s", proseD))
+      .toDF("doc_id", "source", "text"), 3L)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 23L, 32L),
+      "dedup lost a folded doc after the major merge")
   }
 
   test("compactState: a bucket-count change across folds re-bases cleanly") {
