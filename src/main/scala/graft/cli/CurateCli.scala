@@ -44,6 +44,7 @@ object CurateCli {
                     keepBest: Boolean = false,
                     stream: Boolean = false,
                     compactEvery: Option[Int] = None,
+                    compactMaxBases: Int = 4,
                     compactOutputEvery: Option[Int] = None,
                     maxFilesPerTrigger: Option[Int] = None)
 
@@ -68,6 +69,7 @@ object CurateCli {
       |  --stream                   run the STREAMING tail over --input as a
       |                             file stream (parquet only, availableNow)
       |  --compact-every <n>        streaming: fold dedup state every n batches
+      |  --compact-max-bases <n>     streaming: state tiers before a major fold (default 4)
       |  --compact-output-every <n>  streaming: fold the output corpus every n batches
       |  --max-files-per-trigger <n> streaming: micro-batch size in files
       |  --help                     this text""".stripMargin
@@ -101,6 +103,10 @@ object CurateCli {
       case "--stream" :: t => loop(t, c.copy(stream = true))
       case "--compact-every" :: v :: t => v.toIntOption match {
         case Some(n) if n >= 1 => loop(t, c.copy(compactEvery = Some(n)))
+        case _ => None
+      }
+      case "--compact-max-bases" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 => loop(t, c.copy(compactMaxBases = n))
         case _ => None
       }
       case "--compact-output-every" :: v :: t => v.toIntOption match {
@@ -204,6 +210,7 @@ object CurateCli {
         benchGrams = grams,
         threshold = config.nearThreshold,
         compactEvery = config.compactEvery,
+        compactMaxBases = config.compactMaxBases,
         compactOutputEvery = config.compactOutputEvery))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
