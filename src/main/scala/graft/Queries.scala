@@ -3392,4 +3392,155 @@ object Queries {
       unigramVocab(spark, dir))
       .orderBy("doc_id")
 
+  /** The REAL compressed-codec image path under oracle — q90's
+    * contract pushed through an actual PNG codec
+    * ([[graft.ops.Multimodal.decodeRaster]], the JDK's `javax.imageio`,
+    * zero external deps). Deterministic 8x4 RGB is synthesized per
+    * embedding row (integer arithmetic on (vec_id, x, y)), encoded as
+    * PNG, and then every downstream step decodes the COMPRESSED
+    * payload: real dims at ingest, real luminance histogram, real
+    * nearest-neighbor resize re-encoded as PNG and decoded again.
+    * PNG is lossless, so DuckDB replays the whole chain
+    * arithmetically — a green row proves the codec decode bit-exact.
+    * Map-only but for the final sort and narrow blob_id joins. */
+  def q176PngDecode(spark: SparkSession, dir: String): DataFrame = {
+    val genPng = udf((id: Long) => {
+      val (w, h) = (8, 4)
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        rgb(i) = ((id * 37 + x * 5 + y * 11) % 256).toByte
+        rgb(i + 1) = ((id * 23 + x * 13 + y * 7) % 256).toByte
+        rgb(i + 2) = ((id * 41 + x * 3 + y * 17) % 256).toByte
+      }
+      graft.ops.Multimodal.encodePng(w, h, rgb)
+    })
+    val imgs = t(spark, dir, "embeddings").select(col("vec_id"))
+      .withColumn("payload", genPng(col("vec_id")))
+    val blobs = graft.ops.Multimodal.asBlobTable(
+      imgs, "vec_id", "payload", "image/png")
+    def countsOf(feats: DataFrame, pixels: Int, outCol: String): DataFrame =
+      feats.select(col("blob_id"),
+        concat_ws(",", transform(col("features"),
+          f => round(f * lit(pixels)).cast("int").cast("string"))).as(outCol))
+    val full = countsOf(
+      graft.ops.Multimodal.extractFeatures(blobs, bins = 16), 32, "lum_bins")
+    val resized = graft.ops.Multimodal.resize(blobs, maxWidth = 4)
+    val resizedDims = resized.select(col("blob_id"),
+      col("meta.width").as("r_width"), col("meta.height").as("r_height"))
+    val resizedBins = countsOf(
+      graft.ops.Multimodal.extractFeatures(resized, bins = 16), 8, "r_lum_bins")
+    blobs.select(col("blob_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .join(full, Seq("blob_id"))
+      .join(resizedDims, Seq("blob_id"))
+      .join(resizedBins, Seq("blob_id"))
+      .orderBy("blob_id")
+  }
+
+  /** JPEG through the same codec path: lossy, so the oracle checks
+    * what survives a lossy round-trip EXACTLY — decoded dimensions
+    * (odd 11x7 exercises MCU padding), the decoded pixel count
+    * recovered from the L1-normalized histogram, and the
+    * resize-to-PNG dims (JPEG in, lossless PNG out). Pixel fidelity
+    * is spec territory (MultimodalSpec bounds the error); the oracle
+    * row proves the codec DECODED rather than fell to the byte stub —
+    * a stub payload would report neither 11x7 nor 77 pixels. */
+  def q177JpegDims(spark: SparkSession, dir: String): DataFrame = {
+    val genJpeg = udf((id: Long) => {
+      val (w, h) = (11, 7)
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        val v = ((id * 7 + x * 2 + y * 3) % 200 + 28).toByte
+        rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
+      }
+      graft.ops.Multimodal.encodeJpeg(w, h, rgb)
+    })
+    val imgs = t(spark, dir, "embeddings").select(col("vec_id"))
+      .withColumn("payload", genJpeg(col("vec_id")))
+    val blobs = graft.ops.Multimodal.asBlobTable(
+      imgs, "vec_id", "payload", "image/jpeg")
+    def pixelsOf(feats: DataFrame, pixels: Int, outCol: String): DataFrame =
+      feats.select(col("blob_id"),
+        aggregate(transform(col("features"),
+            f => round(f * lit(pixels)).cast("int")),
+          lit(0), (acc, v) => acc + v).as(outCol))
+    val full = pixelsOf(
+      graft.ops.Multimodal.extractFeatures(blobs, bins = 16), 77, "n_pixels")
+    val resized = graft.ops.Multimodal.resize(blobs, maxWidth = 4)
+    val resizedDims = resized.select(col("blob_id"),
+      col("meta.width").as("r_width"), col("meta.height").as("r_height"))
+    val resizedPixels = pixelsOf(
+      graft.ops.Multimodal.extractFeatures(resized, bins = 16), 8, "r_pixels")
+    blobs.select(col("blob_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .join(full, Seq("blob_id"))
+      .join(resizedDims, Seq("blob_id"))
+      .join(resizedPixels, Seq("blob_id"))
+      .orderBy("blob_id")
+  }
+
+  /** REAL video under oracle: a 4-frame uncompressed AVI (RIFF
+    * container, bottom-up BGR DIB frames — [[graft.ops.Video]]) is
+    * muxed per embedding row from deterministic RGB, then the engine
+    * parses the container FOR REAL — ingest metadata (n_frames,
+    * duration from avih), frame sampling at stride 2, per-frame
+    * decode (un-pad + row flip; width 5 forces row padding) and the
+    * shared luminance kernel — all replayed arithmetically by DuckDB
+    * (raw DIB is lossless). A parallel 2-frame Motion-JPEG AVI proves
+    * the in-container compressed path: frame 1 (a non-zero offset)
+    * decodes through javax.imageio to exact 11x7 dims. Payloads stay
+    * in map stages; only (blob_id, narrow features) shuffle for the
+    * final pivot/joins. */
+  def q178VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    def rgbAt(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        rgb(i) = ((id * 13 + f * 19 + x * 7 + y * 3) % 256).toByte
+        rgb(i + 1) = ((id * 11 + f * 23 + x * 5 + y * 17) % 256).toByte
+        rgb(i + 2) = ((id * 19 + f * 29 + x * 11 + y * 13) % 256).toByte
+      }
+      rgb
+    }
+    val genAvi = udf((id: Long) =>
+      graft.ops.Video.encodeAvi(5, 4, fps = 10,
+        (0 until 4).map(f => rgbAt(id, f, 5, 4))))
+    val genMjpeg = udf((id: Long) => {
+      def gray(f: Int): Array[Byte] = Array.tabulate(11 * 7 * 3) { i =>
+        val p = i / 3
+        ((id * 7 + f * 5 + (p % 11) * 2 + (p / 11) * 3) % 200 + 28).toByte
+      }
+      graft.ops.Video.encodeAvi(11, 7, fps = 5,
+        (0 until 2).map(gray), mjpeg = true)
+    })
+    val ids = t(spark, dir, "embeddings").select(col("vec_id"))
+    val blobs = graft.ops.Multimodal.asBlobTable(
+      ids.withColumn("payload", genAvi(col("vec_id"))),
+      "vec_id", "payload", "video/x-msvideo")
+    val mjBlobs = graft.ops.Multimodal.asBlobTable(
+      ids.withColumn("payload", genMjpeg(col("vec_id"))),
+      "vec_id", "payload", "video/x-msvideo")
+    val ff = graft.ops.Video.frameFeatures(blobs, stride = 2, bins = 16)
+      .select(col("blob_id"), col("frame_idx"),
+        concat_ws(",", transform(col("features"),
+          f => round(f * lit(20)).cast("int").cast("string"))).as("bins"))
+    val wide = ff.groupBy("blob_id").agg(
+      max(when(col("frame_idx") === 0, col("bins"))).as("f0_bins"),
+      max(when(col("frame_idx") === 2, col("bins"))).as("f2_bins"))
+    val mj = graft.ops.Video.frameFeatures(mjBlobs, stride = 1, bins = 16)
+      .where(col("frame_idx") === 1)
+      .select(col("blob_id"), col("width").as("mj_width"),
+        col("height").as("mj_height"))
+    val mjMeta = mjBlobs.select(col("blob_id"),
+      col("meta.n_frames").as("mj_frames"))
+    blobs.select(col("blob_id"), col("meta.n_frames").as("n_frames"),
+        col("meta.duration_ms").as("duration_ms"))
+      .join(wide, Seq("blob_id"))
+      .join(mjMeta, Seq("blob_id"))
+      .join(mj, Seq("blob_id"))
+      .orderBy("blob_id")
+  }
+
 }

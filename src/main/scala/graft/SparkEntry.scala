@@ -198,6 +198,9 @@ object SparkEntry {
     "q173_unigram_tokens" -> (Queries.q173UnigramTokens(_, _)),
     "q175_cli_curate" -> (Queries.q175CliCurate(_, _)),
     "q174_ivf_drift" -> (Queries.q174IvfDrift(_, _)),
+    "q176_png_decode" -> (Queries.q176PngDecode(_, _)),
+    "q177_jpeg_dims" -> (Queries.q177JpegDims(_, _)),
+    "q178_video_frames" -> (Queries.q178VideoFrames(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3876,5 +3879,75 @@ SELECT id_a, id_b, jaccard, split_a, split_b
 FROM labeled
 WHERE split_a <> split_b
 ORDER BY id_a, id_b"""),
+    // q176: the q90 oracle shape with PNG in the middle — the synth
+    // RGB arithmetic is replayed directly; the Spark side must get
+    // the identical triplets back OUT of the compressed payload (PNG
+    // is lossless) for the histograms to hash-match. Resize maps
+    // (x, y) -> (2x, 2y) for 8x4 -> 4x2, exactly as q90.
+    "q176_png_decode" ->
+      """WITH pix AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 31), i ->
+        |      ((((299 * ((vec_id*37 + (i%8)*5 + (i//8)*11) % 256)
+        |        + 587 * ((vec_id*23 + (i%8)*13 + (i//8)*7) % 256)
+        |        + 114 * ((vec_id*41 + (i%8)*3 + (i//8)*17) % 256)) // 1000) * 16) // 256))
+        |      AS bins,
+        |    list_transform(generate_series(0, 7), j ->
+        |      ((((299 * ((vec_id*37 + (j%4)*2*5 + (j//4)*2*11) % 256)
+        |        + 587 * ((vec_id*23 + (j%4)*2*13 + (j//4)*2*7) % 256)
+        |        + 114 * ((vec_id*41 + (j%4)*2*3 + (j//4)*2*17) % 256)) // 1000) * 16) // 256))
+        |      AS rbins
+        |  FROM embeddings)
+        |SELECT vec_id AS blob_id, CAST(8 AS INT) AS width,
+        |  CAST(4 AS INT) AS height,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    b -> len(list_filter(bins, v -> v = b))), ',') AS lum_bins,
+        |  CAST(4 AS INT) AS r_width, CAST(2 AS INT) AS r_height,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    b -> len(list_filter(rbins, v -> v = b))), ',') AS r_lum_bins
+        |FROM pix ORDER BY blob_id""".stripMargin,
+    // q177: what survives a LOSSY codec exactly — decoded dims (11x7,
+    // odd on purpose: MCU padding must not leak into the reported
+    // size), the pixel count recovered from the normalized histogram,
+    // and the JPEG->PNG resize dims (11 -> 4 wide, 7*4//11 = 2 tall).
+    // All constants: the oracle proves the codec path engaged (the
+    // stub's hash-synthesized dims could never be 11x7 corpus-wide).
+    "q177_jpeg_dims" ->
+      """SELECT vec_id AS blob_id, CAST(11 AS INT) AS width,
+        |  CAST(7 AS INT) AS height, CAST(77 AS INT) AS n_pixels,
+        |  CAST(4 AS INT) AS r_width, CAST(2 AS INT) AS r_height,
+        |  CAST(8 AS INT) AS r_pixels
+        |FROM embeddings ORDER BY blob_id""".stripMargin,
+    // q178: raw-DIB AVI is lossless, so the mux -> chunk walk ->
+    // frame slice -> unpad/row-flip -> luminance chain is replayed
+    // per frame (f = 0 and f = 2 of 4, stride 2) with the same
+    // integer arithmetic as q90/q176; n_frames/duration_ms come from
+    // the avih header the engine parses at ingest (4 frames at
+    // 100000 us = 400 ms). The MJPEG columns are what survives the
+    // lossy in-container codec exactly: frame COUNT from the parse
+    // and frame-1 decoded dims (a non-zero-offset frame, 11x7).
+    "q178_video_frames" ->
+      """WITH pix AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 19), i ->
+        |      ((((299 * ((vec_id*13 + (i%5)*7 + (i//5)*3) % 256)
+        |        + 587 * ((vec_id*11 + (i%5)*5 + (i//5)*17) % 256)
+        |        + 114 * ((vec_id*19 + (i%5)*11 + (i//5)*13) % 256)) // 1000) * 16) // 256))
+        |      AS b0,
+        |    list_transform(generate_series(0, 19), i ->
+        |      ((((299 * ((vec_id*13 + 38 + (i%5)*7 + (i//5)*3) % 256)
+        |        + 587 * ((vec_id*11 + 46 + (i%5)*5 + (i//5)*17) % 256)
+        |        + 114 * ((vec_id*19 + 58 + (i%5)*11 + (i//5)*13) % 256)) // 1000) * 16) // 256))
+        |      AS b2
+        |  FROM embeddings)
+        |SELECT vec_id AS blob_id, CAST(4 AS INT) AS n_frames,
+        |  CAST(400 AS BIGINT) AS duration_ms,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    b -> len(list_filter(b0, v -> v = b))), ',') AS f0_bins,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    b -> len(list_filter(b2, v -> v = b))), ',') AS f2_bins,
+        |  CAST(2 AS INT) AS mj_frames, CAST(11 AS INT) AS mj_width,
+        |  CAST(7 AS INT) AS mj_height
+        |FROM pix ORDER BY blob_id""".stripMargin,
   )
 }

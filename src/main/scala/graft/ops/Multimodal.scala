@@ -12,18 +12,22 @@ import org.apache.spark.sql.types._
  *
  * Decode reality, by format: binary PPM (P6) is decoded FOR REAL in
  * pure JVM ([[decodePpm]] — header parse + raw RGB, no codec
- * dependency), so P6 payloads get true dimensions, true luminance
- * features, and a true nearest-neighbor resize. Compressed codecs
- * (JPEG/PNG/ffmpeg) are NOT available in this offline container, so
- * non-PPM payloads fall back to deterministic STUBS — byte-level
- * statistics standing in for pixel decoding, each clearly marked. The
- * Spark-side contract is the same either way and is real and tested:
- * schema, null-safe batch iteration, per-partition processing,
- * row-count preservation. A production deployment swaps
+ * dependency), and the compressed raster codecs the JDK itself ships
+ * (PNG, JPEG, GIF, BMP via `javax.imageio`, part of `java.desktop` —
+ * still zero external dependencies) are decoded FOR REAL too
+ * ([[decodeRaster]]): true dimensions, true luminance features, a
+ * true nearest-neighbor resize, all proven against an arithmetic
+ * DuckDB oracle for the lossless formats (q176) and against exact
+ * dimensions for JPEG (q177). Only codecs absent from the JVM
+ * entirely (MP3/ffmpeg video) fall back to deterministic STUBS —
+ * byte-level statistics standing in for pixel decoding, each clearly
+ * marked. The Spark-side contract is the same either way and is real
+ * and tested: schema, null-safe batch iteration, per-partition
+ * processing, row-count preservation. A production deployment swaps
  * [[decodeBytesStub]] for a JNI/opencv call (Scala) or runs the same
  * schema through `mapInPandas` with PIL/torchvision (PySpark) — batch
- * shape and column contract identical, exactly as the P6 path
- * demonstrates.
+ * shape and column contract identical, exactly as the real paths
+ * demonstrate.
  *
  * Scale notes: payload columns are heavy — every operator here keeps
  * them in ONE map stage (mapPartitions/expressions, no shuffle), and
@@ -45,19 +49,26 @@ object Multimodal {
     StructField("data", BinaryType),
     StructField("meta", MetadataType)))
 
-  /** Wrap a (id, payload) frame into the canonical blob schema. For
-    * payloads [[decodePpm]] can parse, width/height are the REAL image
-    * dimensions (the "parse container headers at ingest" contract,
-    * delivered for P6); for opaque payloads they are the size-derived
-    * stub synthesis. */
+  /** Wrap a (id, payload) frame into the canonical blob schema — the
+    * "parse container headers at ingest" contract. Width/height are
+    * REAL for everything the engine can decode: P6, the JDK raster
+    * codecs PNG/JPEG/GIF/BMP (header-only probe, no pixel decode at
+    * ingest), and AVI video ([[Video.parseAvi]] — which also yields
+    * the REAL n_frames and duration_ms). Opaque payloads keep the
+    * size-derived stub synthesis. */
   def asBlobTable(df: DataFrame, idCol: String, payloadCol: String,
                   mime: String): DataFrame = {
-    val dims = udf((data: Array[Byte]) =>
-      decodePpm(data).map { case (w, h, _) => (w, h) })
+    val probe = udf((data: Array[Byte]) =>
+      decodePpm(data).map { case (w, h, _) => (w, h) }
+        .orElse(rasterDims(data)) match {
+        case Some((w, h)) => Some((w, h, Option.empty[Int], Option.empty[Long]))
+        case None => Video.parseAvi(data).map(i =>
+          (i.width, i.height, Option(i.nFrames), Option(i.durationMs)))
+      })
     df.select(
       col(idCol).cast("long").as("blob_id"),
       col(payloadCol).cast("binary").as("data"),
-      dims(col(payloadCol).cast("binary")).as("__dims"),
+      probe(col(payloadCol).cast("binary")).as("__dims"),
       col(payloadCol).alias("__p"))
       .select(
         col("blob_id"), col("data"),
@@ -69,9 +80,11 @@ object Multimodal {
           coalesce(col("__dims._2"),
             (pmod(xxhash64(col("__p"), lit(1)), lit(1080)) + 1).cast("int"))
             .as("height"),
-          (pmod(xxhash64(col("__p"), lit(2)), lit(300)) + 1).cast("int")
+          coalesce(col("__dims._3"),
+            (pmod(xxhash64(col("__p"), lit(2)), lit(300)) + 1).cast("int"))
             .as("n_frames"),
-          (length(col("__p")) * 8).cast("long").as("duration_ms")).as("meta"))
+          coalesce(col("__dims._4"),
+            (length(col("__p")) * 8).cast("long")).as("duration_ms")).as("meta"))
   }
 
   /** REAL decode for binary PPM (P6, maxval 255) — pure JVM, no codec
@@ -122,6 +135,158 @@ object Multimodal {
     out
   }
 
+  // ---------------------------------------------------------------
+  // Compressed raster codecs: PNG / JPEG / GIF / BMP — decoded FOR
+  // REAL via the JDK's own `javax.imageio` (module `java.desktop`,
+  // present in every full JRE; no external dependency, no native
+  // libs, headless-safe for these formats). PNG/BMP are lossless, so
+  // a decode can be replayed arithmetically by the oracle; JPEG is
+  // lossy but its dimensions are exact.
+  // ---------------------------------------------------------------
+
+  /** One-time ImageIO setup: never spill decode buffers to temp
+    * files (executors may have read-only tmp; memory cache is also
+    * faster for the small-blob shapes here). */
+  private lazy val imageIoReady: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Magic-byte sniff for the four JDK-decodable raster containers.
+    * Cheap guard so arbitrary binary/text payloads never pay an
+    * ImageIO reader probe (and never false-positive: the full decode
+    * still has to succeed). */
+  private[ops] def looksLikeRaster(d: Array[Byte]): Boolean =
+    d != null && d.length >= 16 && (
+      (d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' && d(3) == 'G') ||
+      ((d(0) & 0xFF) == 0xFF && (d(1) & 0xFF) == 0xD8 &&
+        (d(2) & 0xFF) == 0xFF) ||
+      (d(0) == 'G' && d(1) == 'I' && d(2) == 'F' && d(3) == '8') ||
+      (d(0) == 'B' && d(1) == 'M'))
+
+  /** Pixel-count ceiling for a single decoded raster (64 Mpx ≈ 192 MB
+    * of RGB): a corrupt or adversarial header that declares absurd
+    * dimensions must not OOM an executor. */
+  private val MaxRasterPixels: Long = 64L * 1024 * 1024
+
+  /** REAL decode for PNG/JPEG/GIF/BMP payloads — `javax.imageio`,
+    * pure JDK. Returns the same (width, height, packed RGB triplets)
+    * shape as [[decodePpm]] so every downstream kernel (luminance
+    * histogram, nearest-neighbor resize) is shared. Alpha is
+    * dropped (composited as-is from the ARGB int), palette formats
+    * are expanded by the reader. Returns None for anything ImageIO
+    * cannot fully decode — those fall back to the stubs. */
+  private[ops] def decodeRaster(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!looksLikeRaster(data) || !imageIoReady) return None
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img = try {
+        reader.setInput(in, true, true)
+        // header-declared dims BEFORE any pixel allocation: a corrupt
+        // or adversarial header cannot OOM the executor
+        val dw = reader.getWidth(0); val dh = reader.getHeight(0)
+        if (dw <= 0 || dh <= 0 || dw.toLong * dh > MaxRasterPixels) return None
+        reader.read(0)
+      } finally reader.dispose()
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxRasterPixels) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) {
+        rgb(3 * i) = ((px(i) >> 16) & 0xFF).toByte
+        rgb(3 * i + 1) = ((px(i) >> 8) & 0xFF).toByte
+        rgb(3 * i + 2) = (px(i) & 0xFF).toByte
+        i += 1
+      }
+      Some((w, h, rgb))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Header-only raster probe: REAL dimensions without decoding a
+    * single pixel — what ingest-time metadata extraction should cost.
+    * (ImageReader.getWidth/getHeight read the container header.) */
+  private[ops] def rasterDims(data: Array[Byte]): Option[(Int, Int)] = {
+    if (!looksLikeRaster(data) || !imageIoReady) return None
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in, true, true)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0) None else Some((w, h))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Unified real image decode: P6 first (cheapest sniff), then the
+    * JDK raster codecs. */
+  private[ops] def decodeImage(data: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodePpm(data).orElse(decodeRaster(data))
+
+  /** Encode raw RGB as PNG (lossless — decodes back bit-exact, which
+    * is what lets q176 prove the compressed-codec path against an
+    * arithmetic oracle). */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeRaster(w, h, rgb, "png")
+
+  /** Encode raw RGB as baseline JPEG at a pinned quality (0.95) so
+    * fixtures are deterministic within a JDK version. Lossy: only
+    * dimensions survive a round-trip exactly. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(imageIoReady)
+    val img = toBufferedImage(w, h, rgb)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      out.flush()
+    } finally { writer.dispose(); out.close() }
+    baos.toByteArray
+  }
+
+  /** Encode raw RGB as BMP (lossless, like PNG). */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeRaster(w, h, rgb, "bmp")
+
+  private def toBufferedImage(w: Int, h: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    require(rgb.length == w * h * 3,
+      s"rgb payload is ${rgb.length} bytes, expected ${w * h * 3} for ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((rgb(3 * i) & 0xFF) << 16) |
+        ((rgb(3 * i + 1) & 0xFF) << 8) | (rgb(3 * i + 2) & 0xFF)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  private def encodeRaster(w: Int, h: Int, rgb: Array[Byte], fmt: String): Array[Byte] = {
+    require(imageIoReady)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(w, h, rgb), fmt, baos)
+    baos.toByteArray
+  }
+
   /** Real feature kernel for decodable payloads: L1-normalized
     * `bins`-bin histogram of PIXEL LUMINANCE (BT.601 integer weights),
     * i.e. an actual image statistic, not a byte statistic. */
@@ -143,10 +308,11 @@ object Multimodal {
     hist
   }
 
-  /** Dispatching decode: REAL luminance histogram for P6 payloads,
-    * byte-histogram STUB for everything else (codecs absent offline). */
+  /** Dispatching decode: REAL luminance histogram for P6 and
+    * JDK-decodable raster payloads (PNG/JPEG/GIF/BMP), byte-histogram
+    * STUB for everything else (codecs absent from the JVM). */
   private[ops] def decodeBytes(data: Array[Byte], bins: Int): Array[Float] =
-    decodePpm(data) match {
+    decodeImage(data) match {
       case Some((_, _, rgb)) => luminanceHistogram(rgb, bins)
       case None => decodeBytesStub(data, bins)
     }
@@ -184,40 +350,57 @@ object Multimodal {
       .toDF("blob_id", "features")
   }
 
+  /** Shared nearest-neighbor resample over packed RGB triplets —
+    * the one pixel kernel behind both the P6 and the raster-codec
+    * resize paths (and the arithmetic the oracles replay). */
+  private[ops] def nnResizeRgb(w: Int, h: Int, rgb: Array[Byte],
+                               nw: Int, nh: Int): Array[Byte] = {
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      val sy = (y.toLong * h / nh).toInt
+      var x = 0
+      while (x < nw) {
+        val sx = (x.toLong * w / nw).toInt
+        val s = 3 * (sy * w + sx)
+        val d = 3 * (y * nw + x)
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Resize to `maxWidth`, preserving aspect ratio. P6 payloads get a
     * REAL nearest-neighbor resize (decode → sample → re-encode as
     * canonical P6, dimensions matching the metadata rescale formula
-    * exactly); opaque payloads keep the STUB byte subsample (every
-    * k-th byte stands in for every k-th pixel row). Contract either
-    * way: output payload no larger, metadata updated, rows preserved. */
+    * exactly, output strictly smaller); JDK-raster payloads
+    * (PNG/JPEG/GIF/BMP) get the same REAL pixel resample, re-encoded
+    * as lossless PNG (strictly fewer pixels; the canonical container
+    * keeps a later decode bit-exact regardless of the input codec);
+    * opaque payloads keep the STUB byte subsample (every k-th byte
+    * stands in for every k-th pixel row). Contract either way:
+    * metadata updated by one shared formula, rows preserved. */
   def resize(blobs: DataFrame, maxWidth: Int): DataFrame = {
     val resizeUdf = udf((data: Array[Byte], width: Int) => {
       decodePpm(data) match {
         case Some((w, h, rgb)) if w > maxWidth =>
-          val nw = maxWidth
           val nh = (h.toLong * maxWidth / w).toInt // metadata formula
-          val out = new Array[Byte](nw * nh * 3)
-          var y = 0
-          while (y < nh) {
-            val sy = (y.toLong * h / nh).toInt
-            var x = 0
-            while (x < nw) {
-              val sx = (x.toLong * w / nw).toInt
-              val s = 3 * (sy * w + sx)
-              val d = 3 * (y * nw + x)
-              out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
-              x += 1
-            }
-            y += 1
-          }
-          encodePpm(nw, nh, out)
+          encodePpm(maxWidth, nh, nnResizeRgb(w, h, rgb, maxWidth, nh))
         case Some(_) => data // real image already within bounds
-        case None =>
-          if (data == null || width <= maxWidth) data
-          else {
-            val k = math.max(1, width / maxWidth)
-            data.indices.collect { case i if i % k == 0 => data(i) }.toArray
-          }
+        case None => decodeRaster(data) match {
+          case Some((w, h, rgb)) if w > maxWidth =>
+            val nh = (h.toLong * maxWidth / w).toInt // metadata formula
+            encodePng(maxWidth, nh, nnResizeRgb(w, h, rgb, maxWidth, nh))
+          case Some(_) => data // real image already within bounds
+          case None =>
+            if (data == null || width <= maxWidth) data
+            else {
+              val k = math.max(1, width / maxWidth)
+              data.indices.collect { case i if i % k == 0 => data(i) }.toArray
+            }
+        }
       }
     })
     blobs

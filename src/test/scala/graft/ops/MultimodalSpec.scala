@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkTestSession
 
-/** Multimodal plumbing: schema, batch shape, row preservation. The
-  * decode kernels are stubs; the Spark contract around them is real. */
+/** Multimodal: REAL decode kernels (P6, PNG/JPEG/GIF/BMP via the
+  * JDK's javax.imageio, RIFF/WAVE PCM-16) plus the Spark contract
+  * around them — schema, batch shape, row preservation. Byte-stub
+  * kernels remain only for codecs absent from the JVM (MP3/video
+  * codecs other than MJPEG/DIB-in-AVI, see VideoSpec). */
 class MultimodalSpec extends AnyFunSuite with SparkTestSession {
 
   import spark.implicits._
@@ -120,6 +123,99 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(!m.columns.contains("data"))
     assert(m.columns.contains("payload_bytes"))
     assert(m.count() === 3)
+  }
+
+  /** Deterministic 8x4 RGB used by the raster-codec tests (same
+    * arithmetic family as q90/q176's synthesis). */
+  private def rgbPattern(w: Int = 8, h: Int = 4, seed: Long = 5L): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = 3 * (y * w + x)
+      rgb(i) = ((seed * 31 + x * 7 + y * 13) % 256).toByte
+      rgb(i + 1) = ((seed * 17 + x * 11 + y * 5) % 256).toByte
+      rgb(i + 2) = ((seed * 29 + x * 3 + y * 19) % 256).toByte
+    }
+    rgb
+  }
+
+  test("PNG decode is real and lossless: bit-exact RGB round-trip") {
+    val rgb = rgbPattern()
+    val png = Multimodal.encodePng(8, 4, rgb)
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P') // actual PNG bytes
+    val Some((w, h, back)) = Multimodal.decodeRaster(png)
+    assert((w, h) === (8, 4))
+    assert(back.toSeq === rgb.toSeq) // lossless: every triplet survives
+    // decodeImage dispatch reaches the raster path and the shared
+    // luminance kernel gives the identical histogram as raw P6
+    assert(Multimodal.decodeImage(png).get._3.toSeq === rgb.toSeq)
+    assert(Multimodal.decodeBytes(png, 16).toSeq ===
+      Multimodal.decodeBytes(Multimodal.encodePpm(8, 4, rgb), 16).toSeq)
+  }
+
+  test("BMP decode is lossless; GIF decodes exactly for palette-sized images") {
+    val rgb = rgbPattern()
+    val Some((bw, bh, bmpBack)) = Multimodal.decodeRaster(Multimodal.encodeBmp(8, 4, rgb))
+    assert((bw, bh) === (8, 4) && bmpBack.toSeq === rgb.toSeq)
+    // a 4-color image fits any GIF palette: round-trip must be exact
+    // (8x8, not 8x4 — the JDK's own GIF LZW writer mangles the last
+    // row of very small images; that is the writer, not our decode)
+    val quad = Array.tabulate(8 * 8 * 3) { i =>
+      val p = i / 3
+      (Seq(10, 70, 130, 200)((p % 8) / 2)).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (p <- 0 until 64)
+      img.setRGB(p % 8, p / 8,
+        ((quad(3 * p) & 0xFF) << 16) | ((quad(3 * p + 1) & 0xFF) << 8) |
+          (quad(3 * p + 2) & 0xFF))
+    javax.imageio.ImageIO.write(img, "gif", baos)
+    val Some((gw, gh, gifBack)) = Multimodal.decodeRaster(baos.toByteArray)
+    assert((gw, gh) === (8, 8) && gifBack.toSeq === quad.toSeq)
+  }
+
+  test("JPEG decode: exact dimensions, bounded pixel error, deterministic") {
+    // smooth horizontal luminance ramp — JPEG's best case; quality
+    // 0.95 keeps every channel within a small absolute error
+    val w = 16; val h = 8
+    val rgb = Array.tabulate(w * h * 3) { i => ((i / 3) % w * 16 + 8).toByte }
+    val jpg = Multimodal.encodeJpeg(w, h, rgb)
+    assert((jpg(0) & 0xFF) === 0xFF && (jpg(1) & 0xFF) === 0xD8)
+    val Some((dw, dh, back)) = Multimodal.decodeRaster(jpg)
+    assert((dw, dh) === (w, h)) // dims are EXACT through a lossy codec
+    val maxErr = rgb.indices.map(i => math.abs((rgb(i) & 0xFF) - (back(i) & 0xFF))).max
+    assert(maxErr <= 8, s"jpeg error $maxErr")
+    // decode is deterministic: two decodes agree bit-for-bit
+    assert(Multimodal.decodeRaster(jpg).get._3.toSeq === back.toSeq)
+  }
+
+  test("raster sniff is strict: magic without a valid body falls to the stub") {
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.tabulate(64)(i => (i * 3).toByte)
+    assert(Multimodal.decodeRaster(fake) === None)
+    assert(Multimodal.decodeBytes(fake, 16).toSeq ===
+      Multimodal.decodeBytesStub(fake, 16).toSeq)
+    // plain text and tiny payloads never reach ImageIO
+    assert(Multimodal.looksLikeRaster("GIF89a?".getBytes) === false)
+    assert(Multimodal.decodeRaster("BM not a bitmap, a text".getBytes) === None)
+  }
+
+  test("PNG payloads get real ingest dims and a real lossless resize") {
+    val rgb = rgbPattern()
+    val raw = Seq((1L, Multimodal.encodePng(8, 4, rgb))).toDF("id", "payload")
+    val b = Multimodal.asBlobTable(raw, "id", "payload", "image/png")
+    val m = b.select("meta.width", "meta.height").head()
+    assert((m.getInt(0), m.getInt(1)) === ((8, 4))) // REAL decoded dims
+    val resized = Multimodal.resize(b, maxWidth = 4)
+    val out = resized.select("data").head().getAs[Array[Byte]](0)
+    assert((out(0) & 0xFF) === 0x89) // re-encoded as canonical PNG
+    val Some((nw, nh, nrgb)) = Multimodal.decodeRaster(out)
+    assert((nw, nh) === (4, 2))
+    // lossless container: the resample IS the shared nn kernel
+    assert(nrgb.toSeq === Multimodal.nnResizeRgb(8, 4, rgb, 4, 2).toSeq)
+    val md = resized.select("meta.width", "meta.height").head()
+    assert((md.getInt(0), md.getInt(1)) === ((4, 2)))
   }
 
   /** A 3-sample stereo + a mono ramp for the WAV tests. */

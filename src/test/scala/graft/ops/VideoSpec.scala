@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** The AVI container path: REAL mux/demux (strict chunk walk), REAL
+  * raw-DIB and MJPEG frame decode, real frame index — plus the blob
+  * ingest upgrade (real n_frames/duration for video payloads). */
+class VideoSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def frame(seed: Int, w: Int = 5, h: Int = 4): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((seed * 31 + i * 7) % 256).toByte)
+
+  test("AVI mux/demux round-trip: header, frame index, lossless DIB decode") {
+    val frames = (0 until 3).map(frame(_))
+    val avi = Video.encodeAvi(5, 4, fps = 10, frames)
+    val Some(info) = Video.parseAvi(avi)
+    assert(info.width === 5 && info.height === 4)
+    assert(info.usPerFrame === 100000 && info.durationMs === 300)
+    assert(info.nFrames === 3)
+    assert(info.frames.forall(!_.compressed))
+    // offsets are REAL positions: strictly increasing, inside payload,
+    // and each frame is the padded-stride DIB size (5*3 -> stride 16)
+    assert(info.frames.map(_.offset) === info.frames.map(_.offset).sorted)
+    assert(info.frames.forall(f => f.offset + f.length <= avi.length))
+    assert(info.frames.forall(_.length === 16 * 4))
+    // decode is LOSSLESS through padding + bottom-up flip + BGR swap
+    for (i <- 0 until 3) {
+      val Some((w, h, rgb)) = Video.decodeFrame(avi, info, i)
+      assert((w, h) === (5, 4))
+      assert(rgb.toSeq === frames(i).toSeq, s"frame $i")
+    }
+    assert(Video.decodeFrame(avi, info, 3) === None) // out of range
+  }
+
+  test("MJPEG AVI: compressed frames at real offsets decode via the JDK codec") {
+    val f0 = Array.tabulate(11 * 7 * 3)(i => ((i / 3) % 11 * 16 + 40).toByte)
+    val f1 = Array.tabulate(11 * 7 * 3)(i => ((i / 3) / 11 * 20 + 60).toByte)
+    val avi = Video.encodeAvi(11, 7, fps = 5, Seq(f0, f1), mjpeg = true)
+    val Some(info) = Video.parseAvi(avi)
+    assert(info.nFrames === 2 && info.frames.forall(_.compressed))
+    // the recorded offset really points at JPEG bytes
+    val off = info.frames(1).offset.toInt
+    assert((avi(off) & 0xFF) === 0xFF && (avi(off + 1) & 0xFF) === 0xD8)
+    val Some((w, h, rgb)) = Video.decodeFrame(avi, info, 1)
+    assert((w, h) === (11, 7)) // dims exact through the lossy codec
+    val maxErr = rgb.indices.map(i =>
+      math.abs((rgb(i) & 0xFF) - (f1(i) & 0xFF))).max
+    assert(maxErr <= 12, s"mjpeg frame error $maxErr")
+  }
+
+  test("parse is strict: WAV, truncation, size escapes, garbage all reject") {
+    val wav = Multimodal.encodeWav(
+      Multimodal.PcmAudio(8000, 1, Array[Short](1, 2, 3)))
+    assert(Video.parseAvi(wav) === None) // RIFF but 'WAVE'
+    val avi = Video.encodeAvi(5, 4, fps = 10, Seq(frame(1)))
+    assert(Video.parseAvi(avi.dropRight(1)) === None) // truncated
+    assert(Video.parseAvi("RIFFxxxxAVI but not really".getBytes) === None)
+    assert(Video.parseAvi(null) === None)
+    // corrupt a chunk size so it escapes the payload -> reject
+    val corrupt = avi.clone()
+    corrupt(16) = 0x7F // avih size high byte
+    assert(Video.parseAvi(corrupt) === None)
+  }
+
+  test("frameIndex: real offsets, stride semantics, no shuffle, honest non-AVI") {
+    val avi = Video.encodeAvi(5, 4, fps = 10, (0 until 5).map(frame(_)))
+    val Some(info) = Video.parseAvi(avi)
+    val blobs = Seq((1L, avi), (2L, "not a video".getBytes))
+      .toDF("blob_id", "data")
+    val idx = Video.frameIndex(blobs, stride = 2)
+    val rows = idx.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(rows.map(_._2).toSeq === Seq(0, 2, 4)) // stride picks 0,2,4
+    assert(rows.forall(_._1 === 1L)) // non-AVI blob 2 emits NO rows
+    assert(rows.map(_._3).toSeq ===
+      Seq(0, 2, 4).map(i => info.frames(i).offset))
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("frameFeatures: shared luminance kernel on decoded frames") {
+    // two frames: all-black and half-white/half-black (by rows)
+    val black = Array.fill(4 * 4 * 3)(0.toByte)
+    val half = Array.tabulate(4 * 4 * 3)(i =>
+      if (i / 3 < 8) 255.toByte else 0.toByte)
+    val avi = Video.encodeAvi(4, 4, fps = 2, Seq(black, half))
+    val blobs = Seq((7L, avi)).toDF("blob_id", "data")
+    val rows = Video.frameFeatures(blobs, stride = 1, bins = 16)
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getInt(2) === 4 && rows(0).getInt(3) === 4)
+    assert(rows(0).getSeq[Float](4)(0) === 1.0f) // all pixels in bin 0
+    val f1 = rows(1).getSeq[Float](4)
+    assert(f1(0) === 0.5f && f1(15) === 0.5f)
+  }
+
+  test("blob ingest reports REAL video metadata; stubs only for opaque") {
+    val avi = Video.encodeAvi(5, 4, fps = 10, (0 until 4).map(frame(_)))
+    val raw = Seq(
+      (1L, avi),
+      (2L, Multimodal.encodePng(8, 4, frame(3, 8, 4))),
+      (3L, "opaque bytes that decode as nothing".getBytes))
+      .toDF("id", "payload")
+    val meta = Multimodal.asBlobTable(raw, "id", "payload", "mixed")
+      .select("blob_id", "meta.width", "meta.height", "meta.n_frames",
+        "meta.duration_ms")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(meta(1L) === ((5, 4, 4, 400L)))   // REAL avih metadata
+    assert(meta(2L)._1 === 8 && meta(2L)._2 === 4) // REAL PNG header dims
+    assert(meta(3L)._1 >= 1 && meta(3L)._1 <= 1920) // stub synthesis
+  }
+}
