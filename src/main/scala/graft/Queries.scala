@@ -3543,4 +3543,41 @@ object Queries {
       .orderBy("blob_id")
   }
 
+  /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
+    * corpus is staged as a 4-part WET shard set (distributed writer,
+    * deterministic record IDs, octet-exact Content-Length), then read
+    * back through BOTH real paths — the splittable delimiter reader
+    * (readWet: record boundaries assigned by Hadoop's delimiter scan,
+    * payload cut to Content-Length bytes) and the strict per-file
+    * byte walk (readWarcFiles) — and the two must agree with the
+    * arithmetic the oracle replays from `documents` (URL construct,
+    * UTF-8 octet length, payload md5, md5-derived record ID). The
+    * staging write is the only wide step; both reads are one map
+    * stage each, payloads never shuffle before the narrow digest
+    * projection. */
+  def q179WetIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q179_")
+    try {
+      val wetDir = tmp.resolve("wet").toString
+      val docs = t(spark, dir, "documents").select(
+        concat(lit("https://"), col("source"), lit(".example/doc/"),
+          col("doc_id")).as("url"),
+        col("text").as("payload"))
+      graft.sources.Warc.writeWet(docs.repartition(4), "url", "payload", wetDir)
+      val wet = graft.sources.Warc.readWet(spark, wetDir)
+        .where(col("is_valid"))
+        .select(col("url"), col("record_id"), col("content_length"),
+          md5(col("payload").cast("binary")).as("payload_md5"))
+      val strict = graft.sources.Warc.readWarcFiles(spark, wetDir)
+        .select(col("url"),
+          col("content_length").as("b_content_length"),
+          md5(col("payload").cast("binary")).as("b_payload_md5"))
+      wet.join(strict, Seq("url")).orderBy("url").localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
 }

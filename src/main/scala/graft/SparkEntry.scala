@@ -201,6 +201,7 @@ object SparkEntry {
     "q176_png_decode" -> (Queries.q176PngDecode(_, _)),
     "q177_jpeg_dims" -> (Queries.q177JpegDims(_, _)),
     "q178_video_frames" -> (Queries.q178VideoFrames(_, _)),
+    "q179_wet_ingest" -> (Queries.q179WetIngest(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3949,5 +3950,21 @@ ORDER BY id_a, id_b"""),
         |  CAST(2 AS INT) AS mj_frames, CAST(11 AS INT) AS mj_width,
         |  CAST(7 AS INT) AS mj_height
         |FROM pix ORDER BY blob_id""".stripMargin,
+    // q179: the WET staging is deterministic arithmetic on documents
+    // (URL construct, md5 record IDs, octet Content-Length), so the
+    // oracle replays what BOTH readers must recover from the actual
+    // container bytes; md5(text) is the cross-engine payload digest
+    // (UTF-8 both sides).
+    "q179_wet_ingest" ->
+      """WITH d AS (
+        |  SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+        |    text FROM documents)
+        |SELECT url,
+        |  '<urn:md5:' || md5(url) || '>' AS record_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS b_content_length,
+        |  md5(text) AS b_payload_md5
+        |FROM d ORDER BY url""".stripMargin,
   )
 }

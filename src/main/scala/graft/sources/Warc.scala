@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * WARC/WET — the web-crawl container format (ISO 28500), the shape
+ * web-scale LLM corpora actually arrive in (CommonCrawl WET files are
+ * WARC `conversion` records holding extracted text). Extension
+ * surface (no reference counterpart).
+ *
+ * Two REAL read paths, both returning the same schema
+ * (url, record_id, warc_date, content_type, content_length, payload):
+ *
+ *  - [[readWet]] — the SPLITTABLE path: `spark.read.text` with the
+ *    record header `"WARC/1.0\r\n"` as the line separator, so Hadoop's
+ *    delimiter scan assigns record boundaries inside ONE file to many
+ *    tasks — the layout for TB-scale uncompressed WET shards. Payload
+ *    is cut to exactly `Content-Length` BYTES (UTF-8), so CRLF inside
+ *    a payload is fine; the one structural caveat (shared by every
+ *    delimiter-split reader) is a payload containing the literal
+ *    record header itself, which the strict path below handles.
+ *  - [[readWarcFiles]] — the STRICT per-file path: `binaryFile` rows
+ *    parsed with exact byte arithmetic ([[parseWarcBytes]] walks
+ *    records by Content-Length, never by delimiter search), immune to
+ *    payloads embedding record headers. One task per file — exactly
+ *    the production parallelism for `.warc.gz`, which is not
+ *    splittable anyway (gzip members); parallelism comes from the
+ *    many-shards layout crawls always have.
+ *
+ * [[writeWet]] is the distributed fixture/sink side: one record
+ * string per row, text sink with CRLF line separator — the writer's
+ * per-row `lineSep` terminator is exactly the record's trailing
+ * blank line, so concatenated rows form a valid WET file and every
+ * part file is independently parseable (both readers accept globs).
+ */
+object Warc {
+
+  val RecordHeader = "WARC/1.0"
+
+  /** Build WET `conversion` records from (url, payload) columns and
+    * write them as text part-files. `Content-Length` is the UTF-8
+    * OCTET length (the spec's meaning — [[readWet]] cuts by it);
+    * `WARC-Record-ID` is a deterministic md5-derived URN so readers
+    * and oracles can replay it. Null payloads are rejected loudly —
+    * a crawl record without a body is not representable. */
+  def writeWet(df: DataFrame, urlCol: String, payloadCol: String,
+               path: String, warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+    val rec = concat(
+      lit(RecordHeader), lit("\r\n"),
+      lit("WARC-Type: conversion\r\n"),
+      lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
+      lit("WARC-Date: "), lit(warcDate), lit("\r\n"),
+      lit("WARC-Record-ID: <urn:md5:"), md5(col(urlCol).cast("binary")),
+      lit(">\r\n"),
+      lit("Content-Type: text/plain\r\n"),
+      lit("Content-Length: "),
+      octet_length(col(payloadCol)).cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      col(payloadCol), lit("\r\n")) // writer lineSep adds the 2nd CRLF
+    // single pass: a null url/payload fails AT WRITE TIME, loudly —
+    // no extra validation scan of a 100 TB input
+    val guarded = when(col(urlCol).isNull.or(col(payloadCol).isNull),
+      raise_error(concat(lit("writeWet: null url or payload, url="),
+        coalesce(col(urlCol), lit("NULL"))))).otherwise(rec)
+    df.select(guarded.as("value"))
+      .write.mode("overwrite").option("lineSep", "\r\n").text(path)
+  }
+
+  /** Parse the named headers of one record (text BETWEEN the version
+    * line and the blank line). Content-Length comes back -1 when
+    * absent or malformed. */
+  private[sources] def parseHeaders(headerText: String):
+      (String, String, String, String, Long) = {
+    var url = ""; var rid = ""; var date = ""; var ctype = ""
+    var clen = -1L
+    headerText.split("\r\n").foreach { line =>
+      val k = line.indexOf(':')
+      if (k > 0) {
+        val key = line.substring(0, k).trim
+        val v = line.substring(k + 1).trim
+        key match {
+          case "WARC-Target-URI" => url = v
+          case "WARC-Record-ID" => rid = v
+          case "WARC-Date" => date = v
+          case "Content-Type" => ctype = v
+          case "Content-Length" =>
+            clen = try v.toLong catch { case _: NumberFormatException => -1L }
+          case _ => ()
+        }
+      }
+    }
+    (url, rid, date, ctype, clen)
+  }
+
+  /** Parse ONE record body (everything after the `WARC/1.0\r\n`
+    * version line): named headers until the blank line, then the
+    * payload cut to exactly Content-Length UTF-8 bytes. Returns None
+    * for fragments that are not records (e.g. the empty split before
+    * a file's first delimiter). */
+  private[sources] def parseRecordBody(body: String):
+      Option[(String, String, String, String, Long, String)] = {
+    val sep = body.indexOf("\r\n\r\n")
+    if (sep < 0) return None
+    val (url, rid, date, ctype, clen) = parseHeaders(body.substring(0, sep))
+    if (clen < 0) return None
+    val rest = body.substring(sep + 4)
+    val restBytes = rest.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (restBytes.length < clen) return None // truncated record
+    val payload = new String(restBytes, 0, clen.toInt,
+      java.nio.charset.StandardCharsets.UTF_8)
+    Some((url, rid, date, ctype, clen, payload))
+  }
+
+  /** The splittable WET reader (see object doc). Records that fail to
+    * parse are dropped silently ONLY for the empty leading fragment;
+    * anything else malformed lands in the `_corrupt` count a caller
+    * can audit via the `is_valid` flag before `.where(col("is_valid"))`
+    * — mirrors loadCsvQuarantine's honest-ingest contract. */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("lineSep", RecordHeader + "\r\n").text(path)
+      .as[String]
+      .flatMap { body =>
+        if (body.trim.isEmpty) None // leading fragment before 1st record
+        else parseRecordBody(body) match {
+          case Some((url, rid, date, ctype, clen, payload)) =>
+            Some((url, rid, date, ctype, clen, payload, true))
+          case None => Some(("", "", "", "", -1L, body.take(64), false))
+        }
+      }
+      .toDF("url", "record_id", "warc_date", "content_type",
+        "content_length", "payload", "is_valid")
+  }
+
+  /** Strict byte-arithmetic parse of a whole WARC/WET file: walk
+    * records by Content-Length (never delimiter search), tolerate
+    * CRLF or bare-LF header endings, require each record to start
+    * with the version line. Returns parsed records + the count of
+    * bytes it could not account for (0 for a well-formed file). */
+  private[sources] def parseWarcBytes(data: Array[Byte]):
+      (Vector[(String, String, String, String, Long, String)], Long) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val out = Vector.newBuilder[(String, String, String, String, Long, String)]
+    var bad = 0L
+    var i = 0
+    def startsWith(s: String, at: Int): Boolean = {
+      val b = s.getBytes(utf8)
+      at + b.length <= data.length &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(data, at, at + b.length), b)
+    }
+    while (i < data.length) {
+      // skip inter-record blank lines
+      while (i < data.length && (data(i) == '\r' || data(i) == '\n')) i += 1
+      if (i >= data.length) ()
+      else if (!startsWith(RecordHeader, i)) { bad += data.length - i; i = data.length }
+      else {
+        // find the header/payload separator (blank line)
+        var hEnd = -1; var j = i
+        while (hEnd < 0 && j + 3 < data.length) {
+          if (data(j) == '\r' && data(j + 1) == '\n' &&
+              data(j + 2) == '\r' && data(j + 3) == '\n') hEnd = j
+          j += 1
+        }
+        if (hEnd < 0) { bad += data.length - i; i = data.length }
+        else {
+          val headerText = new String(data, i, hEnd - i, utf8)
+          val (url, rid, date, ctype, clen) =
+            parseHeaders(headerText.stripPrefix(RecordHeader + "\r\n"))
+          if (clen >= 0 && hEnd + 4 + clen <= data.length) {
+            val payload = new String(data, hEnd + 4, clen.toInt, utf8)
+            out += ((url, rid, date, ctype, clen, payload))
+            i = hEnd + 4 + clen.toInt
+          } else { bad += data.length - i; i = data.length }
+        }
+      }
+    }
+    (out.result(), bad)
+  }
+
+  /** The strict per-file reader (see object doc): one `binaryFile`
+    * row per shard, exact byte walk, loud failure on unaccounted
+    * bytes. Payloads never shuffle — the parse is one map stage. */
+  def readWarcFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val (recs, bad) = parseWarcBytes(bytes)
+        require(bad == 0L,
+          s"readWarcFiles: $bad unparseable bytes in $file")
+        recs
+      }
+      .toDF("url", "record_id", "warc_date", "content_type",
+        "content_length", "payload")
+  }
+}
