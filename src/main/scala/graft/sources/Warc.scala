@@ -179,8 +179,28 @@ object Warc {
     (out.result(), bad)
   }
 
+  /** Transparent gzip: crawls ship `.warc.gz`/`.wet.gz` with ONE GZIP
+    * MEMBER PER RECORD (that is what makes the format seekable via
+    * an external index); `GZIPInputStream` reads concatenated members
+    * as one stream, so the whole file inflates to the plain WARC byte
+    * walk. Detection is by content (magic 1f 8b), not extension. */
+  private[sources] def gunzipAll(data: Array[Byte]): Array[Byte] = {
+    if (data == null || data.length < 2 ||
+        (data(0) & 0xFF) != 0x1F || (data(1) & 0xFF) != 0x8B) return data
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
   /** The strict per-file reader (see object doc): one `binaryFile`
-    * row per shard, exact byte walk, loud failure on unaccounted
+    * row per shard, gzip inflated transparently (multi-member, the
+    * crawl layout), exact byte walk, loud failure on unaccounted
     * bytes. Payloads never shuffle — the parse is one map stage. */
   def readWarcFiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -188,7 +208,7 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        val (recs, bad) = parseWarcBytes(bytes)
+        val (recs, bad) = parseWarcBytes(gunzipAll(bytes))
         require(bad == 0L,
           s"readWarcFiles: $bad unparseable bytes in $file")
         recs

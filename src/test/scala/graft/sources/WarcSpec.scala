@@ -110,6 +110,32 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("gzipped WARC: one member per record (the crawl layout) inflates whole") {
+    val t = tmpDir()
+    try {
+      // two records, each its own gzip member, concatenated — exactly
+      // how .wet.gz shards are laid out for external-index seeking
+      def member(rec: String): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(rec.getBytes("UTF-8")); gz.close()
+        bo.toByteArray
+      }
+      val r1 = "WARC/1.0\r\nWARC-Target-URI: g1\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+      val r2 = "WARC/1.0\r\nWARC-Target-URI: g2\r\nContent-Length: 5\r\n\r\nworld\r\n\r\n"
+      java.nio.file.Files.write(t.resolve("two.wet.gz"),
+        member(r1) ++ member(r2))
+      val rows = Warc.readWarcFiles(spark, t.resolve("two.wet.gz").toString)
+        .orderBy("url").collect()
+      assert(rows.map(_.getAs[String]("url")).toSeq === Seq("g1", "g2"))
+      assert(rows.map(_.getAs[String]("payload")).toSeq ===
+        Seq("hello", "world"))
+      // plain files still pass through (magic sniff, not extension)
+      assert(Warc.gunzipAll("WARC/1.0".getBytes).toSeq ===
+        "WARC/1.0".getBytes.toSeq)
+    } finally rm(t)
+  }
+
   test("parse kernels: header fields, truncation, byte accounting") {
     val (u, rid, d, ct, cl) = Warc.parseHeaders(
       "WARC-Target-URI: http://x\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
