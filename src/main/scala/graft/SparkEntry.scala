@@ -202,6 +202,8 @@ object SparkEntry {
     "q177_jpeg_dims" -> (Queries.q177JpegDims(_, _)),
     "q178_video_frames" -> (Queries.q178VideoFrames(_, _)),
     "q179_wet_ingest" -> (Queries.q179WetIngest(_, _)),
+    "q180_wordpiece_vocab" -> (Queries.q180WordpieceVocab(_, _)),
+    "q181_wordpiece_tokens" -> (Queries.q181WordpieceTokens(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3966,5 +3968,10 @@ ORDER BY id_a, id_b"""),
         |  CAST(octet_length(encode(text)) AS BIGINT) AS b_content_length,
         |  md5(text) AS b_payload_md5
         |FROM d ORDER BY url""".stripMargin,
+    // q180/q181: iterative likelihood merging is not SQL-expressible
+    // -> pinned-VALUES oracles regenerated from a fresh Verify run
+    // (8- vs 32-thread identity checked first), the q95/q96 pattern.
+    "q180_wordpiece_vocab" -> PinnedOracles.q180Sql,
+    "q181_wordpiece_tokens" -> PinnedOracles.q181Sql,
   )
 }
