@@ -3582,6 +3582,40 @@ object Queries {
       wordPieceVocab(spark, dir))
       .orderBy("doc_id")
 
+  /** Luhn-gated payment-card redaction under oracle
+    * ([[graft.ops.Redact.redactCards]]): a deterministic 16-digit PAN
+    * is planted per document — 15 payload digits from (doc_id, i)
+    * arithmetic plus the TRUE Luhn check digit for doc_id%3==0 rows,
+    * a perturbed (checksum-failing) digit for doc_id%3==1 rows, no
+    * card at all for the rest — and the operator must redact exactly
+    * the valid third: the checksum, not the digit-run shape, is the
+    * gate. All planting is Catalyst arithmetic the oracle replays in
+    * DuckDB list algebra (including the check-digit computation).
+    * Map-only but for the final sort; pure codegen HOFs, no UDF. */
+  def q182CardRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pay = transform(sequence(lit(0), lit(14)),
+      i => pmod(col("doc_id") * (i * 3 + 7), lit(10)))
+    val lsum = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, k) => {
+      val d = element_at(pay, k).cast("int")
+      acc + when(pmod(k - 1, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    val check = pmod(lit(10) - pmod(lsum, lit(10)), lit(10))
+    val used = when(pmod(col("doc_id"), lit(3)) === 1,
+      pmod(check + 5, lit(10))).otherwise(check)
+    val card = concat(
+      concat_ws("", transform(pay, d => d.cast("string"))),
+      used.cast("string"))
+    val staged = when(pmod(col("doc_id"), lit(3)) === 2, col("text"))
+      .otherwise(concat(col("text"), lit(" card "), card, lit(" end")))
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        size(graft.ops.Redact.cardCandidates(staged)).as("n_card"),
+        md5(graft.ops.Redact.redactCards(staged).cast("binary"))
+          .as("red_digest"))
+      .orderBy("doc_id")
+  }
+
   /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
     * corpus is staged as a 4-part WET shard set (distributed writer,
     * deterministic record IDs, octet-exact Content-Length), then read

@@ -204,6 +204,7 @@ object SparkEntry {
     "q179_wet_ingest" -> (Queries.q179WetIngest(_, _)),
     "q180_wordpiece_vocab" -> (Queries.q180WordpieceVocab(_, _)),
     "q181_wordpiece_tokens" -> (Queries.q181WordpieceTokens(_, _)),
+    "q182_card_redact" -> (Queries.q182CardRedact(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -3973,5 +3974,36 @@ ORDER BY id_a, id_b"""),
     // (8- vs 32-thread identity checked first), the q95/q96 pattern.
     "q180_wordpiece_vocab" -> PinnedOracles.q180Sql,
     "q181_wordpiece_tokens" -> PinnedOracles.q181Sql,
+    // q182: the planting arithmetic (15 payload digits + the Luhn
+    // check digit) replays in DuckDB list algebra; the expected
+    // redaction outcome is then direct — the valid third redacts to
+    // the token, the checksum-failing third keeps its card verbatim,
+    // the card-free third keeps its text. doc_id%3 selects the arm.
+    "q182_card_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_transform(generate_series(0, 14),
+        |      i -> (doc_id * (3*i + 7)) % 10) AS pay
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, pay,
+        |    list_sum(list_transform(generate_series(1, 15), k ->
+        |      CASE WHEN (k-1) % 2 = 0 THEN
+        |        CASE WHEN pay[k]*2 > 9 THEN pay[k]*2 - 9 ELSE pay[k]*2 END
+        |      ELSE pay[k] END)) AS s
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, text,
+        |    array_to_string(pay, '') ||
+        |      CASE WHEN doc_id % 3 = 1
+        |        THEN ((10 - s % 10) % 10 + 5) % 10
+        |        ELSE (10 - s % 10) % 10 END AS card
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_card,
+        |  md5(CASE WHEN doc_id % 3 = 2 THEN text
+        |    WHEN doc_id % 3 = 0 THEN text || ' card [REDACTED] end'
+        |    ELSE text || ' card ' || card || ' end' END) AS red_digest
+        |FROM e ORDER BY doc_id""".stripMargin,
   )
 }

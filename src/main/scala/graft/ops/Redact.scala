@@ -68,4 +68,51 @@ object Redact {
     withCounts.withColumn(s"${textCol}_redacted",
       redactText(col(textCol), patterns))
   }
+
+  // ---------------------------------------------------------------
+  // Payment-card numbers: a digit-run regex alone over-redacts (any
+  // 13-19 digit run — order ids, timestamps, hashes); ISO/IEC 7812
+  // card numbers carry a Luhn check digit, so the detector VALIDATES
+  // the checksum before redacting. Pure Catalyst higher-order
+  // functions — one codegen map stage, no UDF, no shuffle.
+  // ---------------------------------------------------------------
+
+  /** Luhn (mod-10) checksum over a digit-string Column: from the
+    * RIGHT, double every second digit (subtracting 9 when the double
+    * exceeds 9); valid iff the sum is ≡ 0 (mod 10). */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val sum = aggregate(
+      sequence(lit(0), length(digits) - 1),
+      lit(0),
+      (acc, j) => {
+        val d = substr(rev, j + 1, lit(1)).cast("int")
+        acc + when(pmod(j, lit(2)) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    pmod(sum, lit(10)) === 0
+  }
+
+  /** Maximal digit runs (spaces/dashes allowed inside, digit at both
+    * ends). MAXIMAL matters: a 20+-digit run must disqualify whole,
+    * not donate its first 19 digits — RE2-parity regex has no
+    * lookarounds, so boundary discipline comes from run maximality
+    * plus the stripped-length gate. */
+  private val CardRun = "[0-9][0-9 -]*[0-9]"
+
+  /** The Luhn-valid card candidates in `text`: maximal digit runs
+    * whose separator-stripped form is 13–19 digits AND passes the
+    * checksum. */
+  def cardCandidates(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CardRun), lit(0)), c => {
+      val d = regexp_replace(c, "[^0-9]", "")
+      length(d).between(13, 19) && luhnValid(d)
+    })
+
+  /** `text` with every Luhn-valid card run replaced by `token` —
+    * checksum-gated, so order ids and timestamps survive while real
+    * PANs (with or without separators) do not. */
+  def redactCards(text: Column, token: String = Token): Column =
+    aggregate(cardCandidates(text), text,
+      (acc, c) => replace(acc, c, lit(token)))
 }

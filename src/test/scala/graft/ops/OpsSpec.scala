@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, desc, length, lit}
+import org.apache.spark.sql.functions.{col, desc, length, lit, size}
 
 import graft.SparkTestSession
 
@@ -992,6 +992,34 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // cluster 0 centroid (2,4): l2 = sqrt(20) = 4.4721
     assert(digest(0) === ((0L, 2L, 2L, 4.4721)))
     assert(digest(1) === ((1L, 1L, 2L, 2.8284)))
+  }
+
+  test("redactCards: Luhn-gated — valid PANs go, lookalike digit runs stay") {
+    val df = Seq(
+      // 4111111111111111 is the canonical Luhn-valid test PAN
+      (1L, "pay with 4111111111111111 now"),
+      (2L, "pay with 4111 1111 1111 1111 or 5500-0000-0000-0004 now"),
+      (3L, "order 4111111111111112 shipped"), // checksum fails -> keep
+      (4L, "id 41111111111111110000 long"),   // 20-digit run: whole run out
+      (5L, "ts 1723770000123 units"),         // 13 digits, Luhn-invalid
+      (6L, "luhn-valid 0000000000000 zeros")) // degenerate but valid by mod-10
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Redact.redactCards(col("text")).as("t"),
+        size(Redact.cardCandidates(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) === ((s"pay with ${Redact.Token} now", 1)))
+    assert(out(2L) === ((s"pay with ${Redact.Token} or ${Redact.Token} now", 2)))
+    assert(out(3L) === (("order 4111111111111112 shipped", 0)))
+    assert(out(4L) === (("id 41111111111111110000 long", 0)))
+    assert(out(5L) === (("ts 1723770000123 units", 0)))
+    assert(out(6L)._2 === 1)
+    // the checksum kernel itself, both parities and the subtract-9 arm
+    val luhn = Seq(("49927398716", true), ("49927398717", false),
+      ("1234567812345670", true), ("79927398713", true))
+      .toDF("d", "want")
+      .select(Redact.luhnValid(col("d")) === col("want")).collect()
+    assert(luhn.forall(_.getBoolean(0)))
   }
 
   test("redact: counts and replaces emails, urls, ips, phones") {
