@@ -117,10 +117,23 @@ object Warc {
     * anything else malformed lands in the `_corrupt` count a caller
     * can audit via the `is_valid` flag before `.where(col("is_valid"))`
     * — mirrors loadCsvQuarantine's honest-ingest contract. */
-  def readWet(spark: SparkSession, path: String): DataFrame = {
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.read.option("lineSep", RecordHeader + "\r\n")
+      .text(path))
+
+  /** STREAMING WET ingest: the same splittable record split + parse
+    * over Structured Streaming's file source — new shards landing in
+    * `path` become micro-batches (the crawl-drop shape), ready to
+    * feed `Curate.streamingGate`/`streamingTail`. Batch ≡ streamed by
+    * construction (shared parse; WarcSpec pins it). */
+  def streamWet(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.readStream
+      .option("lineSep", RecordHeader + "\r\n").text(path))
+
+  private def parseRecords(lines: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
     import spark.implicits._
-    spark.read.option("lineSep", RecordHeader + "\r\n").text(path)
-      .as[String]
+    lines.as[String]
       .flatMap { body =>
         if (body.trim.isEmpty) None // leading fragment before 1st record
         else parseRecordBody(body) match {

@@ -152,6 +152,34 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(recs.length === 1 && bad > 0)
   }
 
+  test("streamWet: shard-per-microbatch ingest equals the batch read") {
+    val t = tmpDir()
+    try {
+      val docs = (0 until 30)
+        .map(i => (s"https://s.example/$i", s"streamed payload $i ☃"))
+        .toDF("url", "payload")
+      Warc.writeWet(docs.repartition(3), "url", "payload",
+        t.resolve("wet").toString)
+      val q = Warc.streamWet(spark, t.resolve("wet").toString + "/part-*")
+        .writeStream.format("memory").queryName("wet_stream")
+        .option("checkpointLocation", t.resolve("ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("wet_stream")
+        .select("url", "content_length", "payload")
+      val batch = Warc.readWet(spark, t.resolve("wet").toString)
+        .where(col("is_valid"))
+        .select("url", "content_length", "payload")
+      assert(streamed.count() === 30)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      rm(t)
+    }
+  }
+
   test("reader plans stay narrow: no exchange before the payload lands") {
     val t = tmpDir()
     try {
