@@ -3616,6 +3616,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** COMPRESSED audio under oracle — G.711 µ-law (the telephony
+    * codec) through the real WAV chunk walk: deterministic µ-law
+    * bytes are synthesized per embedding row, wrapped in a format-7
+    * RIFF container, and [[graft.ops.Multimodal.decodeWav]] must
+    * expand them to linear 16-bit PCM (integer bit arithmetic the
+    * oracle replays in DuckDB) before the q91 feature kernel runs.
+    * Map-only but for the final sort. */
+  def q183UlawDecode(spark: SparkSession, dir: String): DataFrame = {
+    val genUlaw = udf((id: Long) => {
+      val n = 48
+      val bytes = Array.tabulate(n)(i => ((id * 13 + i * 7) % 256).toByte)
+      graft.ops.Multimodal.encodeWavG711(8000, 1, bytes)
+    })
+    val blobs = t(spark, dir, "embeddings")
+      .select(col("vec_id").as("blob_id"), genUlaw(col("vec_id")).as("data"))
+    graft.ops.Multimodal.extractAudioFeatures(blobs)
+      .select(col("blob_id"), col("sample_rate"), col("n_samples"),
+        col("peak_abs"), col("zero_crossings"), col("sum_sq"))
+      .orderBy("blob_id")
+  }
+
   /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
     * corpus is staged as a 4-part WET shard set (distributed writer,
     * deterministic record IDs, octet-exact Content-Length), then read

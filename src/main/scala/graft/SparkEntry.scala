@@ -205,6 +205,7 @@ object SparkEntry {
     "q180_wordpiece_vocab" -> (Queries.q180WordpieceVocab(_, _)),
     "q181_wordpiece_tokens" -> (Queries.q181WordpieceTokens(_, _)),
     "q182_card_redact" -> (Queries.q182CardRedact(_, _)),
+    "q183_ulaw_decode" -> (Queries.q183UlawDecode(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4005,5 +4006,28 @@ ORDER BY id_a, id_b"""),
         |    WHEN doc_id % 3 = 0 THEN text || ' card [REDACTED] end'
         |    ELSE text || ' card ' || card || ' end' END) AS red_digest
         |FROM e ORDER BY doc_id""".stripMargin,
+    // q183: G.711 µ-law expansion is pure integer bit arithmetic —
+    // u = ~b, t = (((u&15)<<3)+132) << ((u&112)>>4), sample =
+    // sign ? 132-t : t-132 — replayed per synthesized byte, then the
+    // q91 feature arithmetic over the EXPANDED samples. DuckDB lists
+    // are 1-indexed (zero-crossing probe pairs i, i+1).
+    "q183_ulaw_decode" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 47), i ->
+        |      CASE WHEN (xor((vec_id*13 + i*7) % 256, 255) & 128) <> 0
+        |        THEN 132 - ((((xor((vec_id*13 + i*7) % 256, 255) & 15) << 3) + 132)
+        |          << ((xor((vec_id*13 + i*7) % 256, 255) & 112) >> 4))
+        |        ELSE ((((xor((vec_id*13 + i*7) % 256, 255) & 15) << 3) + 132)
+        |          << ((xor((vec_id*13 + i*7) % 256, 255) & 112) >> 4)) - 132
+        |      END) AS smp
+        |  FROM embeddings)
+        |SELECT vec_id AS blob_id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(48 AS INT) AS n_samples,
+        |  CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak_abs,
+        |  CAST(len(list_filter(generate_series(1, 47),
+        |    i -> (smp[i] < 0) <> (smp[i+1] < 0))) AS INT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(smp, v -> v*v)) AS BIGINT) AS sum_sq
+        |FROM s ORDER BY blob_id""".stripMargin,
   )
 }

@@ -452,42 +452,101 @@ object Multimodal {
   private def le16(d: Array[Byte], i: Int): Int =
     (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8)
 
-  /** REAL decode for RIFF/WAVE, PCM format 1, 16-bit — pure JVM.
-    * Walks the chunk list (so writers that emit LIST/fact chunks
-    * still parse), requires a well-formed fmt chunk before data, and
-    * STRICTLY bounds the data chunk to the payload, so arbitrary
-    * bytes starting with "RIFF" never false-positive. Returns None
-    * for anything not PCM-16 — those fall back to the stubs, exactly
-    * like non-P6 images. */
+  /** G.711 µ-law expansion (the standard telephony codec): one byte
+    * to one linear 16-bit sample, pure integer arithmetic — which is
+    * what lets q183 replay a COMPRESSED-audio decode in SQL. */
+  private[ops] def ulawToLinear(b: Byte): Short = {
+    val u = (~b) & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law expansion (the E1-world twin of µ-law). */
+  private[ops] def alawToLinear(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xFF
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** REAL decode for RIFF/WAVE — pure JVM: PCM format 1 (16-bit) plus
+    * the G.711 telephony formats (6 = A-law, 7 = µ-law; 8-bit bytes
+    * expanded to linear 16-bit, so every downstream kernel is
+    * shared). Walks the chunk list (so writers that emit LIST/fact
+    * chunks still parse), requires a well-formed fmt chunk before
+    * data, and STRICTLY bounds the data chunk to the payload, so
+    * arbitrary bytes starting with "RIFF" never false-positive.
+    * Returns None for anything else — those fall back to the stubs,
+    * exactly like non-P6 images. */
   private[ops] def decodeWav(data: Array[Byte]): Option[PcmAudio] = {
     if (data == null || data.length < 44) return None
     if (data(0) != 'R' || data(1) != 'I' || data(2) != 'F' || data(3) != 'F' ||
         data(8) != 'W' || data(9) != 'A' || data(10) != 'V' || data(11) != 'E')
       return None
     var i = 12
-    var rate = -1; var channels = -1; var bits = -1
+    var rate = -1; var channels = -1; var bits = -1; var fmt = -1
     while (i + 8 <= data.length) {
       val size = le32(data, i + 4)
       if (size < 0 || i + 8 + size > data.length) return None
       val tag = new String(data, i, 4, "US-ASCII")
       if (tag == "fmt ") {
         if (size < 16) return None
-        if (le16(data, i + 8) != 1) return None // PCM only
+        fmt = le16(data, i + 8)
+        if (fmt != 1 && fmt != 6 && fmt != 7) return None // PCM / A-law / µ-law
         channels = le16(data, i + 10)
         rate = le32(data, i + 12)
         bits = le16(data, i + 22)
       } else if (tag == "data") {
-        if (rate <= 0 || channels <= 0 || bits != 16) return None
-        if (size % 2 != 0) return None
-        val n = size / 2
-        val out = new Array[Short](n)
-        var s = 0
-        while (s < n) { out(s) = le16(data, i + 8 + 2 * s).toShort; s += 1 }
-        return Some(PcmAudio(rate, channels, out))
+        if (rate <= 0 || channels <= 0) return None
+        if (fmt == 1) {
+          if (bits != 16 || size % 2 != 0) return None
+          val n = size / 2
+          val out = new Array[Short](n)
+          var s = 0
+          while (s < n) { out(s) = le16(data, i + 8 + 2 * s).toShort; s += 1 }
+          return Some(PcmAudio(rate, channels, out))
+        } else { // G.711: one byte per sample
+          if (bits != 8) return None
+          val out = new Array[Short](size)
+          var s = 0
+          while (s < size) {
+            out(s) = if (fmt == 7) ulawToLinear(data(i + 8 + s))
+                     else alawToLinear(data(i + 8 + s))
+            s += 1
+          }
+          return Some(PcmAudio(rate, channels, out))
+        }
       }
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
     None
+  }
+
+  /** Encode raw G.711 bytes (µ-law fmt 7 / A-law fmt 6) as a WAV
+    * payload — the fixture/sink side of the telephony decode. */
+  def encodeWavG711(rate: Int, channels: Int, bytes: Array[Byte],
+                    aLaw: Boolean = false): Array[Byte] = {
+    val out = new Array[Byte](44 + bytes.length)
+    def w32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def w16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    def tag(i: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, i, 4)
+    }
+    tag(0, "RIFF"); w32(4, 36 + bytes.length); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, if (aLaw) 6 else 7)
+    w16(22, channels); w32(24, rate); w32(28, rate * channels)
+    w16(32, channels); w16(34, 8)
+    tag(36, "data"); w32(40, bytes.length)
+    System.arraycopy(bytes, 0, out, 44, bytes.length)
+    out
   }
 
   /** Re-encode PCM-16 as a canonical 44-byte-header WAV payload. */

@@ -250,6 +250,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(Multimodal.decodeWav(notPcm) === None)
   }
 
+  test("G.711 decode: µ-law/A-law expand through the shared WAV path") {
+    // classic extremes: 0x00 -> -32124, 0x80 -> +32124, both zeros
+    assert(Multimodal.ulawToLinear(0x00.toByte) === -32124)
+    assert(Multimodal.ulawToLinear(0x80.toByte) === 32124)
+    assert(Multimodal.ulawToLinear(0xFF.toByte) === 0)
+    assert(Multimodal.ulawToLinear(0x7F.toByte) === 0)
+    // A-law: 0x55 -> -8, 0xD5 -> +8 (the canonical near-zero pair)
+    assert(Multimodal.alawToLinear(0x55.toByte) === -8)
+    assert(Multimodal.alawToLinear(0xD5.toByte) === 8)
+    // a µ-law WAV decodes to the expanded linear samples
+    val bytes = Array[Byte](0x00, 0xFF.toByte, 0x80.toByte, 0x12)
+    val Some(a) = Multimodal.decodeWav(
+      Multimodal.encodeWavG711(8000, 1, bytes))
+    assert(a.sampleRate === 8000 && a.channels === 1)
+    assert(a.samples.toSeq ===
+      bytes.map(Multimodal.ulawToLinear).toSeq)
+    // A-law container round-trips through the same chunk walk
+    val Some(al) = Multimodal.decodeWav(
+      Multimodal.encodeWavG711(16000, 2, bytes, aLaw = true))
+    assert(al.samples.toSeq === bytes.map(Multimodal.alawToLinear).toSeq)
+    // strict: a G.711 header claiming 16 bits rejects
+    val bad = Multimodal.encodeWavG711(8000, 1, bytes)
+    bad(34) = 16
+    assert(Multimodal.decodeWav(bad) === None)
+  }
+
   test("audio feature kernel: peak, zero crossings, energy") {
     val f = Multimodal.audioFeatureKernel(
       Multimodal.PcmAudio(8000, 1, Array[Short](10, -20, 30, -32768)))
