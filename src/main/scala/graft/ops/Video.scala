@@ -87,6 +87,15 @@ object Video {
         }
         out
       }
+    writeAvi(w, h, 1000000 / fps, payloads, mjpeg)
+  }
+
+  /** The one container writer behind [[encodeAvi]] and frame surgery:
+    * canonical minimal layout — RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' frames)). `payloads` are
+    * already codec-encoded frame bytes (raw padded DIB or JPEG). */
+  private def writeAvi(w: Int, h: Int, usPerFrame: Int,
+                       payloads: Seq[Array[Byte]], mjpeg: Boolean): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit = {
       buf.write(v & 0xFF); buf.write((v >> 8) & 0xFF)
@@ -103,14 +112,14 @@ object Video {
     tag("RIFF"); w32(riffSize); tag("AVI ")
     tag("LIST"); w32(hdrlSize); tag("hdrl")
     tag("avih"); w32(56)
-    w32(1000000 / fps); w32(0); w32(0); w32(0) // usPerFrame, maxBps, pad, flags
+    w32(usPerFrame); w32(0); w32(0); w32(0) // usPerFrame, maxBps, pad, flags
     w32(payloads.length); w32(0); w32(1); w32(maxFrame) // frames, initial, streams, bufSize
     w32(w); w32(h); w32(0); w32(0); w32(0); w32(0) // dims + reserved[4]
     tag("LIST"); w32(strlSize); tag("strl")
     tag("strh"); w32(56)
     tag("vids"); if (mjpeg) tag("MJPG") else tag("DIB ")
     w32(0); w16(0); w16(0); w32(0) // flags, prio, lang, initialFrames
-    w32(1); w32(fps); w32(0); w32(payloads.length) // scale, rate, start, length
+    w32(usPerFrame); w32(1000000); w32(0); w32(payloads.length) // scale, rate, start, length
     w32(maxFrame); w32(-1); w32(0) // bufSize, quality, sampleSize
     w16(0); w16(0); w16(w); w16(h) // rcFrame
     tag("strf"); w32(40)
@@ -247,6 +256,34 @@ object Video {
       .toDF("blob_id", "frame_idx", "byte_offset", "frame_bytes",
         "is_compressed")
   }
+
+  /** Keep every `stride`-th frame, re-muxed into a new AVI — the
+    * video analogue of [[Multimodal.decimateAudio]]. Frame PAYLOADS
+    * are copied as opaque byte slices (no pixel decode, no
+    * re-encode — a raw frame stays raw, an MJPEG frame stays the
+    * same JPEG bytes), the effective frame rate divides by `stride`
+    * so duration is preserved. Non-AVI payloads pass through
+    * untouched. One map stage. */
+  def decimateFrames(blobs: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
+    val dec = udf((data: Array[Byte]) =>
+      parseAvi(data) match {
+        case Some(info) if stride > 1 =>
+          val kept = (0 until info.nFrames by stride).map(info.frames)
+          remux(data, info, kept, info.usPerFrame * stride)
+        case _ => data
+      })
+    blobs.withColumn("data", dec(col("data")))
+  }
+
+  /** Rebuild an AVI from frame slices of an existing payload (same
+    * dims/codec, new timing) — the shared tail of frame surgery. */
+  private def remux(data: Array[Byte], info: AviInfo,
+                    kept: Seq[AviFrame], usPerFrame: Int): Array[Byte] =
+    writeAvi(info.width, info.height, usPerFrame,
+      kept.map(f => java.util.Arrays.copyOfRange(
+        data, f.offset.toInt, f.offset.toInt + f.length)),
+      mjpeg = kept.nonEmpty && kept.head.compressed)
 
   /** Decode every `stride`-th frame and emit its REAL luminance
     * histogram (the [[Multimodal.luminanceHistogram]] kernel, shared

@@ -99,6 +99,43 @@ class VideoSpec extends AnyFunSuite with SparkTestSession {
     assert(f1(0) === 0.5f && f1(15) === 0.5f)
   }
 
+  test("decimateFrames: opaque-slice remux keeps every k-th frame bit-exact") {
+    val frames = (0 until 5).map(frame(_))
+    val avi = Video.encodeAvi(5, 4, fps = 10, frames)
+    val blobs = Seq((1L, avi), (2L, "not a video".getBytes))
+      .toDF("blob_id", "data")
+    val out = Video.decimateFrames(blobs, stride = 2)
+      .orderBy("blob_id").collect()
+    val Some(info) = Video.parseAvi(out(0).getAs[Array[Byte]]("data"))
+    assert(info.nFrames === 3) // frames 0, 2, 4
+    assert(info.usPerFrame === 200000) // rate divides, duration holds
+    assert(info.durationMs === 600)
+    for ((orig, i) <- Seq(0, 2, 4).zipWithIndex) {
+      val Some((_, _, rgb)) =
+        Video.decodeFrame(out(0).getAs[Array[Byte]]("data"), info, i)
+      assert(rgb.toSeq === frames(orig).toSeq, s"kept frame $i")
+    }
+    // MJPEG frames survive as the SAME bytes (no re-encode generation loss)
+    val mj = Video.encodeAvi(11, 7, fps = 4,
+      (0 until 4).map(frame(_, 11, 7)), mjpeg = true)
+    val Some(mjInfo) = Video.parseAvi(mj)
+    val mjOut = Video.decimateFrames(Seq((1L, mj)).toDF("blob_id", "data"), 3)
+      .collect()(0).getAs[Array[Byte]]("data")
+    val Some(mjOutInfo) = Video.parseAvi(mjOut)
+    assert(mjOutInfo.nFrames === 2 && mjOutInfo.frames.forall(_.compressed))
+    val f0 = mjInfo.frames(0)
+    val slice = java.util.Arrays.copyOfRange(mj,
+      f0.offset.toInt, f0.offset.toInt + f0.length)
+    val g0 = mjOutInfo.frames(0)
+    assert(java.util.Arrays.copyOfRange(mjOut,
+      g0.offset.toInt, g0.offset.toInt + g0.length).toSeq === slice.toSeq)
+    // stride 1 is identity; opaque payloads pass through
+    assert(out(1).getAs[Array[Byte]]("data").toSeq ===
+      "not a video".getBytes.toSeq)
+    assert(Video.decimateFrames(blobs.where(col("blob_id") === 1), 1)
+      .collect()(0).getAs[Array[Byte]]("data").toSeq === avi.toSeq)
+  }
+
   test("blob ingest reports REAL video metadata; stubs only for opaque") {
     val avi = Video.encodeAvi(5, 4, fps = 10, (0 until 4).map(frame(_)))
     val raw = Seq(
