@@ -38,14 +38,15 @@ object Warc {
 
   val RecordHeader = "WARC/1.0"
 
-  /** Build WET `conversion` records from (url, payload) columns and
-    * write them as text part-files. `Content-Length` is the UTF-8
-    * OCTET length (the spec's meaning — [[readWet]] cuts by it);
-    * `WARC-Record-ID` is a deterministic md5-derived URN so readers
-    * and oracles can replay it. Null payloads are rejected loudly —
-    * a crawl record without a body is not representable. */
-  def writeWet(df: DataFrame, urlCol: String, payloadCol: String,
-               path: String, warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+  /** One WET `conversion` record as a string Column: `Content-Length`
+    * is the UTF-8 OCTET length (the spec's meaning — [[readWet]] cuts
+    * by it); `WARC-Record-ID` is a deterministic md5-derived URN so
+    * readers and oracles can replay it. A null url/payload fails AT
+    * WRITE TIME, loudly — no extra validation scan of a 100 TB input.
+    * NOTE: no trailing blank line — each writer adds its own record
+    * terminator. */
+  private def recordColumn(urlCol: String, payloadCol: String,
+                           warcDate: String): org.apache.spark.sql.Column = {
     val rec = concat(
       lit(RecordHeader), lit("\r\n"),
       lit("WARC-Type: conversion\r\n"),
@@ -57,14 +58,69 @@ object Warc {
       lit("Content-Length: "),
       octet_length(col(payloadCol)).cast("string"), lit("\r\n"),
       lit("\r\n"),
-      col(payloadCol), lit("\r\n")) // writer lineSep adds the 2nd CRLF
-    // single pass: a null url/payload fails AT WRITE TIME, loudly —
-    // no extra validation scan of a 100 TB input
-    val guarded = when(col(urlCol).isNull.or(col(payloadCol).isNull),
+      col(payloadCol), lit("\r\n"))
+    when(col(urlCol).isNull.or(col(payloadCol).isNull),
       raise_error(concat(lit("writeWet: null url or payload, url="),
         coalesce(col(urlCol), lit("NULL"))))).otherwise(rec)
-    df.select(guarded.as("value"))
+  }
+
+  /** Build WET `conversion` records from (url, payload) columns and
+    * write them as plain-text part-files (see [[recordColumn]] for
+    * the record contract). The per-row text-sink `lineSep` terminator
+    * IS the record's trailing blank line, so concatenated rows form a
+    * valid WET file and every part is independently parseable. */
+  def writeWet(df: DataFrame, urlCol: String, payloadCol: String,
+               path: String, warcDate: String = "2026-01-01T00:00:00Z"): Unit =
+    df.select(recordColumn(urlCol, payloadCol, warcDate).as("value"))
       .write.mode("overwrite").option("lineSep", "\r\n").text(path)
+
+  /** The `.wet.gz` writer: ONE GZIP MEMBER PER RECORD, the layout
+    * crawls actually ship (it is what makes a shard seekable through
+    * an external index — a reader can start inflating at any member
+    * boundary). One `part-<partition>.wet.gz` file per non-empty
+    * partition, written task-side (a shared Deflater per task,
+    * re-initialized per member, so a million records do not allocate
+    * a million native deflaters). Overwrite semantics: the target
+    * directory is cleared up front; the per-task writes are not
+    * committer-atomic (document, don't pretend) — rerun on failure.
+    * Round trip: [[readWarcFiles]] inflates members transparently. */
+  def writeWetGz(df: DataFrame, urlCol: String, payloadCol: String,
+                 path: String,
+                 warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = new org.apache.hadoop.fs.Path(path)
+    val driverFs = target.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    driverFs.delete(target, true)
+    driverFs.mkdirs(target)
+    df.select(concat(recordColumn(urlCol, payloadCol, warcDate),
+        lit("\r\n")).as("value"))
+      .as[String]
+      .foreachPartition { (it: Iterator[String]) =>
+        if (it.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val dir = new org.apache.hadoop.fs.Path(path)
+          val fs = dir.getFileSystem(conf)
+          val tc = org.apache.spark.TaskContext.get()
+          val file = new org.apache.hadoop.fs.Path(dir,
+            f"part-${tc.partitionId()}%05d.wet.gz")
+          val out = fs.create(file, true)
+          try {
+            it.foreach { rec =>
+              // one gzip member per record: the GZIPOutputStream is
+              // per-member (header+trailer), the native deflater is
+              // released immediately via end() — close() would also
+              // close the shared file stream
+              val gz = new java.util.zip.GZIPOutputStream(out, 32 * 1024) {
+                def endMember(): Unit = { finish(); `def`.end() }
+              }
+              gz.write(rec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              gz.endMember()
+            }
+          } finally out.close()
+        }
+      }
   }
 
   /** Parse the named headers of one record (text BETWEEN the version

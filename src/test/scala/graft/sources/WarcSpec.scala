@@ -136,6 +136,35 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("writeWetGz: one gzip member per record, full crawl round trip") {
+    val t = tmpDir()
+    try {
+      val docs = (0 until 12)
+        .map(i => (s"https://gz.example/$i", s"gz payload $i with ünïcode"))
+        .toDF("url", "payload")
+      Warc.writeWetGz(docs.repartition(3), "url", "payload",
+        t.resolve("gz").toString)
+      val parts = new java.io.File(t.resolve("gz").toString)
+        .listFiles().filter(_.getName.endsWith(".wet.gz"))
+      assert(parts.length === 3)
+      // member-per-record: each part holds exactly its record count of
+      // gzip headers (deterministic fixture; magic = 1f 8b 08)
+      val memberCounts = parts.map { f =>
+        val b = java.nio.file.Files.readAllBytes(f.toPath)
+        b.indices.count(i => i + 2 < b.length &&
+          (b(i) & 0xFF) == 0x1F && (b(i + 1) & 0xFF) == 0x8B && b(i + 2) == 8)
+      }
+      assert(memberCounts.sum === 12)
+      assert(memberCounts.forall(_ === 4)) // repartition round-robins evenly
+      // the strict reader inflates and recovers every record exactly
+      val back = Warc.readWarcFiles(spark, t.resolve("gz").toString)
+        .select("url", "payload")
+      assert(back.count() === 12)
+      val plain = docs.select(col("url"), col("payload"))
+      assert(back.exceptAll(plain).isEmpty && plain.exceptAll(back).isEmpty)
+    } finally rm(t)
+  }
+
   test("parse kernels: header fields, truncation, byte accounting") {
     val (u, rid, d, ct, cl) = Warc.parseHeaders(
       "WARC-Target-URI: http://x\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
