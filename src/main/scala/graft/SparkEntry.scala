@@ -206,6 +206,7 @@ object SparkEntry {
     "q181_wordpiece_tokens" -> (Queries.q181WordpieceTokens(_, _)),
     "q182_card_redact" -> (Queries.q182CardRedact(_, _)),
     "q183_ulaw_decode" -> (Queries.q183UlawDecode(_, _)),
+    "q184_pq_recall" -> (Queries.q184PqRecall(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4029,5 +4030,16 @@ ORDER BY id_a, id_b"""),
         |    i -> (smp[i] < 0) <> (smp[i+1] < 0))) AS INT) AS zero_crossings,
         |  CAST(list_sum(list_transform(smp, v -> v*v)) AS BIGINT) AS sum_sq
         |FROM s ORDER BY blob_id""".stripMargin,
+    // q184: PQ ranks are approximate by design -> contract oracle
+    // (the q27/q66/q174 pattern): model geometry and corpus count are
+    // exact constants, the serving guarantees (self-match, rerank
+    // recall, determinism, code diversity) are booleans the Spark
+    // side must EARN — a degraded codebook turns the row red.
+    "q184_pq_recall" ->
+      """SELECT CAST(16 AS INT) AS m, CAST(32 AS INT) AS k,
+        |  CAST(4 AS INT) AS dsub, CAST(16 AS INT) AS compression_x,
+        |  (SELECT count(*) FROM embeddings) AS n_codes,
+        |  TRUE AS diverse_codes, TRUE AS self_top1,
+        |  TRUE AS recall_ok, TRUE AS deterministic""".stripMargin,
   )
 }

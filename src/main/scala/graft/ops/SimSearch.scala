@@ -1158,4 +1158,126 @@ object SimSearch {
       when(nonEmpty, aggregate(col("q"), lit(-127), (acc, x) => greatest(acc, x))
         .cast("long")).as("q_max"))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011) — the vector-compression
+  // half of production ANN serving (IVF partitions the corpus, PQ
+  // compresses what each cell stores): the dimension splits into `m`
+  // subspaces, each with its own seeded-KMeans codebook of `k`
+  // centroids, and a vector becomes `m` small code indices (m bytes
+  // at k <= 256 — a 64-dim float vector compresses 256/8 = 32x).
+  // Search is ADC (asymmetric distance computation): the query
+  // precomputes an m x k table of exact subspace distances once, and
+  // every corpus row's approximate distance is m table lookups — no
+  // decode, no float vector ever read back.
+  // ---------------------------------------------------------------
+
+  /** Per-subspace codebooks. `codebooks(j)(c)` is centroid `c` of
+    * subspace `j` (length `dsub` each). */
+  final case class PqModel(m: Int, k: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    /** Squared-L2 ADC lookup table for one query: table(j)(c) =
+      * ||q_j - codebook(j)(c)||^2. Tiny (m*k doubles) — broadcast. */
+    def adcTable(query: Array[Double]): Array[Array[Double]] = {
+      require(query.length == m * dsub,
+        s"query dim ${query.length} != model dim ${m * dsub}")
+      Array.tabulate(m) { j =>
+        Array.tabulate(k) { c =>
+          var s = 0.0; var p = 0
+          while (p < dsub) {
+            val d = query(j * dsub + p) - codebooks(j)(c)(p)
+            s += d * d; p += 1
+          }
+          s
+        }
+      }
+    }
+  }
+
+  /** Fit the `m` subspace codebooks (seeded MLlib KMeans per
+    * subspace, each distributed; the q27/q53 determinism contract —
+    * seed + j per subspace, so results are independent of the fit
+    * ORDER and the fits run CONCURRENTLY: m small KMeans jobs are
+    * scheduler-overhead-bound, not data-bound, and the Spark
+    * scheduler interleaves them). `dim` must divide by `m`. The
+    * source frame is persisted for the duration of the fits so m
+    * concurrent lineages don't re-read the scan m times. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, k: Int = 16, seed: Long = 42L,
+            maxIter: Int = 20): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val dim = df.select(size(col(vecCol))).where(col(vecCol).isNotNull)
+      .limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim must divide by m=$m subspaces")
+    val dsub = dim / m
+    val v = asDouble(col(vecCol))
+    val src = df.where(col(vecCol).isNotNull).select(v.as("__v")).persist()
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fits = (0 until m).map { j =>
+        Future {
+          val sub = src.select(
+            array_to_vector(slice(col("__v"), j * dsub + 1, dsub))
+              .as("__feat"))
+          new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+            .setFeaturesCol("__feat").setPredictionCol("__c")
+            .fit(sub).clusterCenters.map(_.toArray)
+        }
+      }
+      PqModel(m, k, dsub,
+        fits.map(Await.result(_, Duration.Inf)).toArray)
+    } finally { src.unpersist(); () }
+  }
+
+  /** Encode every vector to its `m` code indices (argmin centroid per
+    * subspace, ties to the lowest index). Map-only; the model rides
+    * the closure. Output: (idCol, codes array<int> of length m). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val enc = udf((vec: Seq[Double]) =>
+      if (vec == null) null
+      else {
+        require(vec.length == model.m * model.dsub,
+          s"vector dim ${vec.length} != model dim ${model.m * model.dsub}")
+        Array.tabulate(model.m) { j =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < model.k) {
+            var s = 0.0; var p = 0
+            while (p < model.dsub) {
+              val d = vec(j * model.dsub + p) - model.codebooks(j)(c)(p)
+              s += d * d; p += 1
+            }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          best
+        }
+      })
+    df.select(col(idCol), enc(asDouble(col(vecCol))).as("codes"))
+  }
+
+  /** ADC top-k: approximate squared-L2 of every encoded row to the
+    * query via `m` table lookups, smallest first (ties by id). The
+    * corpus side reads CODES ONLY — at 100 TB this is the point: the
+    * scan is m bytes per row, the float vectors stay cold. One map
+    * stage + TakeOrdered. */
+  def pqSearch(codes: DataFrame, idCol: String, model: PqModel,
+               query: Array[Double], topK: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val table = spark.sparkContext.broadcast(model.adcTable(query))
+    val dist = udf((cs: Seq[Int]) =>
+      if (cs == null) Double.MaxValue
+      else {
+        var s = 0.0; var j = 0
+        while (j < cs.length) { s += table.value(j)(cs(j)); j += 1 }
+        s
+      })
+    codes.select(col(idCol), round(dist(col("codes")), 6).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc(idCol))
+      .limit(topK)
+  }
 }

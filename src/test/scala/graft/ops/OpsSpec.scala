@@ -438,6 +438,44 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ivf.size === 10)
   }
 
+  test("pq: codebook shapes, self-match, ADC recall, 16x compression") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = SimSearch.pqFit(emb, "vec_id", "embedding", m = 16, k = 32)
+    assert(model.dsub === 4)
+    assert(model.codebooks.length === 16 &&
+      model.codebooks.forall(_.length === 32))
+    val codes = SimSearch.pqEncode(emb, "vec_id", "embedding", model)
+      .persist()
+    try {
+      assert(codes.count() === emb.count())
+      // codes are in range and not degenerate (one code for everything)
+      val distinct = codes.select(col("codes").cast("array<string>"))
+        .distinct().count()
+      assert(distinct > 100, s"only $distinct distinct code words")
+      // the query's own encoding is its nearest ADC row (distance =
+      // pure quantization error, minimal by construction)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toArray
+      val top = SimSearch.pqSearch(codes, "vec_id", model, q, topK = 100)
+        .collect().map(_.getLong(0))
+      assert(top.head === 0L)
+      // production contract: exact top-10 within the ADC top-100
+      // rerank window (the IVF+PQ serving shape)
+      val exact = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      val window = top.toSet
+      assert(exact.intersect(window).size >= 8,
+        s"exact=$exact window100=${window.take(20)}")
+      // determinism: a second fit+encode round-trips identically
+      val model2 = SimSearch.pqFit(emb, "vec_id", "embedding", m = 16, k = 32)
+      val codes2 = SimSearch.pqEncode(emb, "vec_id", "embedding", model2)
+      assert(codes.exceptAll(codes2).isEmpty)
+      // m=16 byte-ish codes vs 64 floats = 16x (the scale story)
+      assert(64 * 4 / model.m === 16)
+    } finally { codes.unpersist(); () }
+  }
+
   test("ivf index: fit once, serve many queries, same results as one-shot") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
