@@ -42,6 +42,12 @@ object WordPiece {
 
   val Unk = "[UNK]"
 
+  /** BERT's guard: the longest-match walk is O(len^2) per word, so
+    * pathological tokens (URLs, base64, DNA runs) become one [UNK]
+    * outright instead of a quadratic scan — the standard
+    * max_input_chars_per_word rule. */
+  val MaxWordLength = 100
+
   private[ops] def toSymbols(word: String): Array[String] = {
     val out = new Array[String](word.length)
     var i = 0
@@ -151,6 +157,7 @@ object WordPiece {
     * `[UNK]`. */
   private[ops] def encodeWord(word: String, pieces: Set[String]): Array[String] = {
     if (word.isEmpty) return Array.empty
+    if (word.length > MaxWordLength) return Array(Unk)
     val out = Array.newBuilder[String]
     var start = 0
     while (start < word.length) {

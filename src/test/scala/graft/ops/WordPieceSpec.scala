@@ -55,6 +55,10 @@ class WordPieceSpec extends AnyFunSuite with SparkTestSession {
     assert(WordPiece.encodeWord("unz", pieces).toSeq === Seq(WordPiece.Unk))
     assert(WordPiece.encodeWord("zebra", pieces).toSeq === Seq(WordPiece.Unk))
     assert(WordPiece.encodeWord("", pieces).toSeq === Seq.empty)
+    // BERT's max_input_chars_per_word guard: a pathological token is
+    // ONE [UNK] without paying the quadratic prefix walk
+    assert(WordPiece.encodeWord("a" * 101, pieces ++ Set("a", "##a"))
+      .toSeq === Seq(WordPiece.Unk))
   }
 
   test("tokenize: counts, unk accounting, deterministic digest, null text") {
