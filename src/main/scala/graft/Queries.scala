@@ -3691,6 +3691,46 @@ object Queries {
     } finally { codes.unpersist(); () }
   }
 
+  /** Parquet FOOTER census under oracle
+    * ([[graft.sources.ParquetMeta]]): lineitem's order keys are
+    * staged into four contiguous key-range partitions, then the
+    * row-group statistics are read back from FILE METADATA ONLY (no
+    * data pages) and a range-probe skipping report derived — and the
+    * oracle replays the same numbers from the DATA, so a footer
+    * census that disagrees with its own pages goes red. Buckets 2–3
+    * sit entirely above the probe's high edge: the report must call
+    * them skippable, which is exactly the row-group pruning a 100 TB
+    * scan's predicate pushdown performs. */
+  def q185FooterCensus(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q185_")
+    try {
+      val lay = tmp.resolve("lay").toString
+      val li = t(spark, dir, "lineitem").select(col("l_orderkey"))
+      val mx = li.agg(max("l_orderkey")).head().getLong(0)
+      li.withColumn("bucket",
+          least(floor(col("l_orderkey") * 4 / (mx + 1)), lit(3)).cast("int"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(lay)
+      val stats = graft.sources.ParquetMeta.rowGroupStats(
+        spark, lay, "l_orderkey")
+        .withColumn("bucket",
+          regexp_extract(col("file"), "bucket=(\\d+)", 1).cast("int"))
+      val rep = graft.sources.ParquetMeta.skippingReport(
+        stats, lo = mx / 4, hi = mx / 2)
+      rep.groupBy("bucket").agg(
+          sum("n_rows").as("n_rows"),
+          min("col_min").as("key_min"),
+          max("col_max").as("key_max"),
+          (min(when(col("skippable"), 1).otherwise(0)) === 1).as("skippable"))
+        .orderBy("bucket")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
     * corpus is staged as a 4-part WET shard set (distributed writer,
     * deterministic record IDs, octet-exact Content-Length), then read

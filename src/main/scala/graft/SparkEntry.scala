@@ -207,6 +207,7 @@ object SparkEntry {
     "q182_card_redact" -> (Queries.q182CardRedact(_, _)),
     "q183_ulaw_decode" -> (Queries.q183UlawDecode(_, _)),
     "q184_pq_recall" -> (Queries.q184PqRecall(_, _)),
+    "q185_footer_census" -> (Queries.q185FooterCensus(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4041,5 +4042,20 @@ ORDER BY id_a, id_b"""),
         |  (SELECT count(*) FROM embeddings) AS n_codes,
         |  TRUE AS diverse_codes, TRUE AS self_top1,
         |  TRUE AS recall_ok, TRUE AS deterministic""".stripMargin,
+    // q185: the footer census must agree with the DATA — the oracle
+    // recomputes per-bucket counts/min/max and the range-probe
+    // disjointness from lineitem itself; the Spark side is only
+    // allowed to read file metadata to produce the same numbers.
+    "q185_footer_census" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+        |b AS (
+        |  SELECT least(CAST(floor(l_orderkey * 4 / (m + 1)) AS INT), 3)
+        |      AS bucket, l_orderkey
+        |  FROM lineitem CROSS JOIN mx)
+        |SELECT bucket, count(*) AS n_rows,
+        |  min(l_orderkey) AS key_min, max(l_orderkey) AS key_max,
+        |  (min(l_orderkey) > (SELECT m // 2 FROM mx)
+        |    OR max(l_orderkey) < (SELECT m // 4 FROM mx)) AS skippable
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

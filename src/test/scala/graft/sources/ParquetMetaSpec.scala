@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Footer census: metadata-only stats agree with the data, honest
+  * nulls for unsupported types, and the pushdown skipping rule. */
+class ParquetMetaSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def tmpDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_pqmeta_")
+
+  private def rm(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  test("row-group stats equal the data: counts, min/max, null counts") {
+    val t = tmpDir()
+    try {
+      val df = Seq[(java.lang.Long, String)](
+        (10L, "a"), (20L, "b"), (null, "c"), (5L, "d"))
+        .toDF("k", "s")
+      df.coalesce(1).write.parquet(t.resolve("p").toString)
+      val stats = ParquetMeta.rowGroupStats(spark, t.resolve("p").toString, "k")
+        .collect()
+      assert(stats.length === 1)
+      val r = stats(0)
+      assert(r.getAs[Long]("n_rows") === 4)
+      assert(r.getAs[Long]("col_min") === 5L)
+      assert(r.getAs[Long]("col_max") === 20L)
+      assert(r.getAs[Long]("col_nulls") === 1L)
+      assert(r.getAs[Long]("compressed_bytes") > 0)
+      // a string column yields honest nulls, never fabricated numbers
+      val sstats = ParquetMeta.rowGroupStats(spark, t.resolve("p").toString, "s")
+        .collect()(0)
+      assert(sstats.isNullAt(sstats.fieldIndex("col_min")))
+      assert(sstats.getAs[Long]("n_rows") === 4)
+    } finally rm(t)
+  }
+
+  test("multi-file census + skipping report implement the pushdown rule") {
+    val t = tmpDir()
+    try {
+      (0L until 100L).toDF("k")
+        .withColumn("part", (col("k") / 25).cast("int"))
+        .repartition(col("part"))
+        .write.partitionBy("part").parquet(t.resolve("p").toString)
+      val stats = ParquetMeta.rowGroupStats(spark, t.resolve("p").toString, "k")
+      assert(stats.count() === 4)
+      // probe [30, 40]: only the part holding 25-49 can match
+      val rep = ParquetMeta.skippingReport(stats, lo = 30, hi = 40)
+        .withColumn("part",
+          regexp_extract(col("file"), "part=(\\d+)", 1).cast("int"))
+        .select("part", "skippable")
+        .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      assert(rep === Map(0 -> true, 1 -> false, 2 -> true, 3 -> true))
+      // int32 stats widen to long
+      val mn = ParquetMeta.rowGroupStats(spark,
+        t.resolve("p").toString + "/part=2", "k")
+        .collect()(0)
+      assert(mn.getAs[Long]("col_min") === 50L &&
+        mn.getAs[Long]("col_max") === 74L)
+    } finally rm(t)
+  }
+
+  test("missing or empty paths fail loudly") {
+    intercept[java.io.FileNotFoundException] {
+      ParquetMeta.rowGroupStats(spark, "/tmp/graft_definitely_absent", "k")
+    }
+    val t = tmpDir() // exists but holds no parquet
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ParquetMeta.rowGroupStats(spark, t.toString, "k")
+      }
+      assert(e.getMessage.contains("no parquet files"))
+    } finally rm(t)
+  }
+}
