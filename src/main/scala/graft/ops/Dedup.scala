@@ -502,8 +502,19 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
+    // convergence signature: min-label propagation converges when the
+    // label assignment stops changing, detected by a scalar over the
+    // (node, comp) frame. Numeric ids use the EXACT decimal sum;
+    // non-numeric ids (urls, md5 keys — the WET/CLI shape) use a
+    // sum of 64-bit hashes, which changes whenever any label does
+    // (monotone-decreasing labels make a collision-induced false
+    // convergence astronomically unlikely, and maxIter still bounds)
+    val compIsNumeric = labels.schema("comp").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(l: DataFrame): java.math.BigDecimal = {
-      val r = l.agg(sum(col("comp").cast("decimal(38,0)"))).head
+      val sig = if (compIsNumeric) col("comp").cast("decimal(38,0)")
+                else xxhash64(col("comp")).cast("decimal(38,0)")
+      val r = l.agg(sum(sig)).head
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum(labels)

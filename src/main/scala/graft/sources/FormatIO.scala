@@ -197,6 +197,13 @@ object FormatIO {
       case "txt" | "text" => Some((spark.read.text(path), "txt"))
       case "parquet" | "par" => Some((spark.read.parquet(path), "parquet"))
       case "orc" => Some((spark.read.orc(path), "orc"))
+      // WET crawl shards enter the same pipelines as any other corpus:
+      // valid records only (the is_valid channel is readWet's concern;
+      // a curation CLI run maps --id-col url --text-col payload)
+      case "wet" | "warc" =>
+        Some((Warc.readWet(path = path, spark = spark)
+          .where(org.apache.spark.sql.functions.col("is_valid"))
+          .drop("is_valid"), "wet"))
       case _ => None
     }
 
@@ -208,6 +215,8 @@ object FormatIO {
       case p if p.contains(".csv")  => load("csv", path, spark)
       case p if p.contains(".par")  => load("parquet", path, spark)
       case p if p.contains(".orc")  => load("orc", path, spark)
+      case p if p.contains(".wet") || p.contains(".warc") =>
+        load("wet", path, spark)
       case _ => None
     }
 
@@ -225,7 +234,8 @@ object FormatIO {
   def save(fileType: String, df: DataFrame, output: String,
            overwrite: Boolean = false): Unit = {
     fileType.toLowerCase match {
-      case "json" | "csv" | "parquet" | "par" | "txt" | "text" | "orc" =>
+      case "json" | "csv" | "parquet" | "par" | "txt" | "text" | "orc"
+        | "wet" | "warc" =>
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
     // the text sink only accepts a single string column; a scored txt
@@ -244,6 +254,12 @@ object FormatIO {
       case "txt" | "text" => w.text(output)
       case "parquet" | "par" => w.parquet(output)
       case "orc" => w.orc(output)
+      case "wet" | "warc" =>
+        // format-preserving sink for crawl frames: requires the WET
+        // column contract (url + payload) rather than guessing
+        require(df.columns.contains("url") && df.columns.contains("payload"),
+          s"wet sink needs url+payload columns, got ${df.columns.mkString(",")}")
+        Warc.writeWet(df, "url", "payload", output)
     }
   }
 

@@ -209,6 +209,29 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("FormatIO speaks wet: filetype load, extension dispatch, sink") {
+    val t = tmpDir()
+    try {
+      val dir = t.resolve("crawl.wet").toString
+      val docs = Seq(("https://f.example/1", "alpha"),
+        ("https://f.example/2", "beta")).toDF("url", "payload")
+      FormatIO.save("wet", docs, dir, overwrite = true)
+      val (byType, tag) = FormatIO.load("wet", dir, spark).get
+      assert(tag === "wet")
+      assert(byType.count() === 2)
+      assert(!byType.columns.contains("is_valid")) // valid-only contract
+      assert(byType.columns.toSet.contains("payload"))
+      // extension dispatch: a .wet path routes without a filetype
+      val byExt = FormatIO.loadFromPath(dir, spark).get._1
+      assert(byExt.select("url", "payload").exceptAll(
+        byType.select("url", "payload")).isEmpty)
+      // the sink refuses frames without the WET column contract
+      intercept[IllegalArgumentException] {
+        FormatIO.save("wet", docs.select(col("url")), t.resolve("x").toString)
+      }
+    } finally rm(t)
+  }
+
   test("reader plans stay narrow: no exchange before the payload lands") {
     val t = tmpDir()
     try {
