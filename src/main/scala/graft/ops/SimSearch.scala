@@ -1268,6 +1268,9 @@ object SimSearch {
   def pqSearch(codes: DataFrame, idCol: String, model: PqModel,
                query: Array[Double], topK: Int): DataFrame = {
     val spark = codes.sparkSession
+    // the broadcast must outlive the returned (lazy) frame, so it is
+    // not destroyed here; it is m*k doubles (~4 KB at the defaults) —
+    // ContextCleaner reclaims it after the frame is garbage
     val table = spark.sparkContext.broadcast(model.adcTable(query))
     val dist = udf((cs: Seq[Int]) =>
       if (cs == null) Double.MaxValue

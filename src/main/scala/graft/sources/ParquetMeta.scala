@@ -47,6 +47,10 @@ object ParquetMeta {
     spark.createDataset(files)
       .repartition(math.min(files.size, 64))
       .mapPartitions { it =>
+        // task-side default Configuration: sufficient for file:// (and
+        // default-configured HDFS); a deployment with credentialed
+        // object stores passes its conf via the usual serialized-conf
+        // broadcast — same caveat as Warc.writeWetGz's task writes
         val taskConf = new org.apache.hadoop.conf.Configuration()
         it.flatMap { file =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
