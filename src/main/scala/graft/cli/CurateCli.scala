@@ -53,7 +53,7 @@ object CurateCli {
       |  --input <path>             corpus to curate (required)
       |  --output <dir>             curated parquet sink (required)
       |  --report <path>            per-stage report sink (CSV)
-      |  --filetype <t>             json | csv | txt | parquet (else sniffed)
+      |  --filetype <t>             json | csv | txt | parquet | orc | wet (else sniffed)
       |  --id-col <c>               document id column (default doc_id)
       |  --text-col <c>             text column (default text)
       |  --group-col <c>            split/leakage group column (default source)

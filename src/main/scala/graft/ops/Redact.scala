@@ -100,19 +100,42 @@ object Redact {
     * plus the stripped-length gate. */
   private val CardRun = "[0-9][0-9 -]*[0-9]"
 
+  /** Whether one extracted run is a Luhn-valid card: separator-
+    * stripped form 13–19 digits AND checksum passes. */
+  private def isCardRun(c: Column): Column = {
+    val d = regexp_replace(c, "[^0-9]", "")
+    length(d).between(13, 19) && luhnValid(d)
+  }
+
   /** The Luhn-valid card candidates in `text`: maximal digit runs
     * whose separator-stripped form is 13–19 digits AND passes the
     * checksum. */
   def cardCandidates(text: Column): Column =
-    filter(regexp_extract_all(text, lit(CardRun), lit(0)), c => {
-      val d = regexp_replace(c, "[^0-9]", "")
-      length(d).between(13, 19) && luhnValid(d)
-    })
+    filter(regexp_extract_all(text, lit(CardRun), lit(0)), isCardRun(_))
 
   /** `text` with every Luhn-valid card run replaced by `token` —
     * checksum-gated, so order ids and timestamps survive while real
-    * PANs (with or without separators) do not. */
-  def redactCards(text: Column, token: String = Token): Column =
-    aggregate(cardCandidates(text), text,
-      (acc, c) => replace(acc, c, lit(token)))
+    * PANs (with or without separators) do not.
+    *
+    * Replacement is POSITIONAL over the maximal-run decomposition:
+    * the text splits into non-run segments (`split` on the run regex)
+    * interleaved with the extracted maximal runs, and only the runs
+    * that validate are swapped for the token. A substring-replace
+    * (`replace(acc, run, token)`) would also rewrite a valid PAN's
+    * digits wherever they appear INSIDE a longer, disqualified run
+    * elsewhere in the text — corrupting non-candidate text. */
+  def redactCards(text: Column, token: String = Token): Column = {
+    // split(.., -1) keeps trailing empty segments, so segments always
+    // number exactly one more than the extracted runs and re-concat
+    // is byte-exact
+    val segs = split(text, CardRun, -1)
+    val runs = regexp_extract_all(text, lit(CardRun), lit(0))
+    val swapped = transform(runs, c =>
+      when(isCardRun(c), lit(token)).otherwise(c))
+    // sequence(1, 0) would DESCEND, so the no-run case returns early
+    when(size(runs) <= 0, text).otherwise(
+      aggregate(sequence(lit(1), size(runs)), element_at(segs, 1),
+        (acc, i) => concat(acc, element_at(swapped, i),
+          element_at(segs, i + 1))))
+  }
 }

@@ -256,10 +256,12 @@ object FormatIO {
       case "orc" => w.orc(output)
       case "wet" | "warc" =>
         // format-preserving sink for crawl frames: requires the WET
-        // column contract (url + payload) rather than guessing
+        // column contract (url + payload) rather than guessing; the
+        // overwrite flag threads through like every other format
+        // (overwrite=false on an existing path errors, never clobbers)
         require(df.columns.contains("url") && df.columns.contains("payload"),
           s"wet sink needs url+payload columns, got ${df.columns.mkString(",")}")
-        Warc.writeWet(df, "url", "payload", output)
+        Warc.writeWet(df, "url", "payload", output, overwrite = overwrite)
     }
   }
 

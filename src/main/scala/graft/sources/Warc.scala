@@ -70,9 +70,11 @@ object Warc {
     * IS the record's trailing blank line, so concatenated rows form a
     * valid WET file and every part is independently parseable. */
   def writeWet(df: DataFrame, urlCol: String, payloadCol: String,
-               path: String, warcDate: String = "2026-01-01T00:00:00Z"): Unit =
+               path: String, warcDate: String = "2026-01-01T00:00:00Z",
+               overwrite: Boolean = true): Unit =
     df.select(recordColumn(urlCol, payloadCol, warcDate).as("value"))
-      .write.mode("overwrite").option("lineSep", "\r\n").text(path)
+      .write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .option("lineSep", "\r\n").text(path)
 
   /** The `.wet.gz` writer: ONE GZIP MEMBER PER RECORD, the layout
     * crawls actually ship (it is what makes a shard seekable through
@@ -125,12 +127,13 @@ object Warc {
 
   /** Parse the named headers of one record (text BETWEEN the version
     * line and the blank line). Content-Length comes back -1 when
-    * absent or malformed. */
+    * absent or malformed. Lines split on CRLF or bare LF (the spec
+    * mandates CRLF; real crawls contain both). */
   private[sources] def parseHeaders(headerText: String):
       (String, String, String, String, Long) = {
     var url = ""; var rid = ""; var date = ""; var ctype = ""
     var clen = -1L
-    headerText.split("\r\n").foreach { line =>
+    headerText.split("\r\n|\n").foreach { line =>
       val k = line.indexOf(':')
       if (k > 0) {
         val key = line.substring(0, k).trim
@@ -225,22 +228,30 @@ object Warc {
       if (i >= data.length) ()
       else if (!startsWith(RecordHeader, i)) { bad += data.length - i; i = data.length }
       else {
-        // find the header/payload separator (blank line)
-        var hEnd = -1; var j = i
-        while (hEnd < 0 && j + 3 < data.length) {
-          if (data(j) == '\r' && data(j + 1) == '\n' &&
-              data(j + 2) == '\r' && data(j + 3) == '\n') hEnd = j
+        // find the header/payload separator (blank line) — CRLF CRLF
+        // per the spec, with bare-LF LF tolerated (real crawls mix
+        // endings; parseHeaders splits on either)
+        var hEnd = -1; var sepLen = 0; var j = i
+        while (hEnd < 0 && j + 1 < data.length) {
+          if (j + 3 < data.length &&
+              data(j) == '\r' && data(j + 1) == '\n' &&
+              data(j + 2) == '\r' && data(j + 3) == '\n') {
+            hEnd = j; sepLen = 4
+          } else if (data(j) == '\n' && data(j + 1) == '\n') {
+            hEnd = j; sepLen = 2
+          }
           j += 1
         }
         if (hEnd < 0) { bad += data.length - i; i = data.length }
         else {
           val headerText = new String(data, i, hEnd - i, utf8)
           val (url, rid, date, ctype, clen) =
-            parseHeaders(headerText.stripPrefix(RecordHeader + "\r\n"))
-          if (clen >= 0 && hEnd + 4 + clen <= data.length) {
-            val payload = new String(data, hEnd + 4, clen.toInt, utf8)
+            parseHeaders(headerText.stripPrefix(RecordHeader + "\r\n")
+              .stripPrefix(RecordHeader + "\n"))
+          if (clen >= 0 && hEnd + sepLen + clen <= data.length) {
+            val payload = new String(data, hEnd + sepLen, clen.toInt, utf8)
             out += ((url, rid, date, ctype, clen, payload))
-            i = hEnd + 4 + clen.toInt
+            i = hEnd + sepLen + clen.toInt
           } else { bad += data.length - i; i = data.length }
         }
       }
@@ -284,5 +295,31 @@ object Warc {
       }
       .toDF("url", "record_id", "warc_date", "content_type",
         "content_length", "payload")
+  }
+
+  /** QUARANTINE variant of [[readWarcFiles]]: instead of failing the
+    * whole job on one unparseable byte (at crawl scale one corrupt
+    * shard must not abort a full ingest), every parsed record lands
+    * with `is_valid` true and its source `file`/`bad_bytes` count,
+    * and a file with unaccounted bytes ALSO emits one accounting row
+    * (`is_valid` false, empty payload) — so corruption is countable,
+    * alertable, and replayable, mirroring [[readWet]]'s and
+    * `loadCsvQuarantine`'s honest-ingest contract. Filter
+    * `.where(col("is_valid"))` for the strict-clean view. */
+  def readWarcFilesQuarantine(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val (recs, bad) = parseWarcBytes(gunzipAll(bytes))
+        val parsed = recs.map { case (url, rid, date, ctype, clen, payload) =>
+          (file, url, rid, date, ctype, clen, payload, bad, true)
+        }
+        if (bad == 0L) parsed
+        else parsed :+ ((file, "", "", "", "", -1L, "", bad, false))
+      }
+      .toDF("file", "url", "record_id", "warc_date", "content_type",
+        "content_length", "payload", "bad_bytes", "is_valid")
   }
 }

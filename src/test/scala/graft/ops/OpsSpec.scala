@@ -1052,6 +1052,16 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) === (("id 41111111111111110000 long", 0)))
     assert(out(5L) === (("ts 1723770000123 units", 0)))
     assert(out(6L)._2 === 1)
+    // replacement is POSITIONAL over maximal runs: a valid PAN that
+    // ALSO appears as the suffix of a longer, disqualified run must
+    // redact only where it stands alone — substring replace would
+    // corrupt the 20-digit run too
+    val aliased = Seq(
+      (1L, "ref 00004111111111111111 pay 4111111111111111 end"))
+      .toDF("doc_id", "text")
+      .select(Redact.redactCards(col("text"))).head().getString(0)
+    assert(aliased ===
+      s"ref 00004111111111111111 pay ${Redact.Token} end")
     // the checksum kernel itself, both parities and the subtract-9 arm
     val luhn = Seq(("49927398716", true), ("49927398717", false),
       ("1234567812345670", true), ("79927398713", true))

@@ -179,6 +179,70 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     val (recs, bad) = Warc.parseWarcBytes(
       "WARC/1.0\r\nContent-Length: 2\r\n\r\nhi\r\n\r\ngarbage tail".getBytes("UTF-8"))
     assert(recs.length === 1 && bad > 0)
+    // bare-LF line endings (real crawls mix them): same record, zero
+    // unaccounted bytes — the scaladoc's CRLF-or-LF claim is earned
+    val (lfRecs, lfBad) = Warc.parseWarcBytes(
+      ("WARC/1.0\nWARC-Target-URI: http://lf\nContent-Length: 5\n\n" +
+        "hello\n\n").getBytes("UTF-8"))
+    assert(lfBad === 0L)
+    assert(lfRecs === Vector(("http://lf", "", "", "", 5L, "hello")))
+    // mixed endings: CRLF header lines, bare-LF blank-line separator
+    val (mxRecs, mxBad) = Warc.parseWarcBytes(
+      ("WARC/1.0\r\nWARC-Target-URI: http://mx\r\nContent-Length: 2\r\n\n" +
+        "ok\r\n\r\n").getBytes("UTF-8"))
+    assert(mxBad === 0L)
+    assert(mxRecs.head._1 === "http://mx" && mxRecs.head._6 === "ok")
+  }
+
+  test("quarantine reader: corrupt shard accounted, not fatal") {
+    val t = tmpDir()
+    try {
+      val dir = t.resolve("mixed")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("good.warc"),
+        ("WARC/1.0\r\nWARC-Target-URI: http://g\r\nContent-Length: 4\r\n" +
+          "\r\ngood\r\n\r\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("bad.warc"),
+        ("WARC/1.0\r\nWARC-Target-URI: http://b\r\nContent-Length: 3\r\n" +
+          "\r\nyes\r\n\r\nnot a record at all").getBytes("UTF-8"))
+      // the strict reader aborts the job on the corrupt shard...
+      intercept[org.apache.spark.SparkException] {
+        Warc.readWarcFiles(spark, dir.toString).collect()
+      }
+      // ...the quarantine reader lands every parseable record plus an
+      // accounting row for the corrupt file
+      val q = Warc.readWarcFilesQuarantine(spark, dir.toString).collect()
+      val valid = q.filter(_.getAs[Boolean]("is_valid"))
+      val quarantined = q.filter(!_.getAs[Boolean]("is_valid"))
+      assert(valid.map(_.getAs[String]("url")).sorted.toSeq ===
+        Seq("http://b", "http://g"))
+      assert(valid.filter(_.getAs[String]("url") == "http://g")
+        .forall(_.getAs[Long]("bad_bytes") == 0L))
+      assert(valid.filter(_.getAs[String]("url") == "http://b")
+        .forall(_.getAs[Long]("bad_bytes") > 0L))
+      assert(quarantined.length === 1)
+      assert(quarantined.head.getAs[String]("file").endsWith("bad.warc"))
+      assert(quarantined.head.getAs[Long]("bad_bytes") > 0L)
+    } finally rm(t)
+  }
+
+  test("wet sink honors the overwrite flag (no silent clobber)") {
+    val t = tmpDir()
+    try {
+      val dir = t.resolve("out.wet").toString
+      val docs = Seq(("https://o.example/1", "first")).toDF("url", "payload")
+      FormatIO.save("wet", docs, dir, overwrite = true)
+      // overwrite=false on an existing path must ERROR like every
+      // other format's sink, never silently clobber
+      intercept[Exception] {
+        FormatIO.save("wet", docs, dir, overwrite = false)
+      }
+      val more = Seq(("https://o.example/2", "second")).toDF("url", "payload")
+      FormatIO.save("wet", more, dir, overwrite = true)
+      val back = Warc.readWet(spark, dir).where(col("is_valid"))
+      assert(back.count() === 1)
+      assert(back.head().getAs[String]("url") === "https://o.example/2")
+    } finally rm(t)
   }
 
   test("streamWet: shard-per-microbatch ingest equals the batch read") {
