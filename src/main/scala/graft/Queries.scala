@@ -3731,6 +3731,92 @@ object Queries {
     }
   }
 
+  /** q186's persisted IVF+PQ index, one per sfDir (the q174 path
+    * discipline: digest-keyed, pid-scoped, shutdown-hook cleaned;
+    * fitted+saved once per JVM, every query run LOADS it — the
+    * fit-once/serve-many shape the composition exists for). */
+  private val q186Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q186IndexDir(spark: SparkSession, dir: String): String =
+    q186Index.computeIfAbsent(dir, { d =>
+      val sfName = d.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val pid = ProcessHandle.current().pid()
+      val pathObj = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft_q186_ivfpq_${sfName}_${digest}_p$pid")
+      val path = pathObj.toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(pathObj.toFile)
+      }
+      graft.ops.SimSearch.ivfPqSave(
+        graft.ops.SimSearch.ivfPqFit(
+          t(spark, d, "embeddings"), "vec_id", "embedding",
+          nlist = 16, m = 16, k = 32, seed = 42L),
+        path)
+      path
+    })
+
+  /** IVF+PQ composed serving under a contract oracle (the q184
+    * pattern — ADC ranks are approximate by design, so the oracle
+    * checks the SERVING GUARANTEES, which the Spark side must earn):
+    * the persisted index (q186IndexDir — codes partitioned by cell,
+    * shared codebooks, `_kind`-guarded) serves query 0 and must
+    * (a) rank the query's own code first under the PRODUCTION
+    * nprobe=4 pruning (its cell is its nearest center by
+    * construction), (b) reproduce flat [[graft.ops.SimSearch
+    * .pqSearch]] EXACTLY at nprobe=nlist (shared raw-vector
+    * codebooks — the composition adds pruning, not error),
+    * (c) recover a clear majority (>= 6) of the exact cosine top-10
+    * inside the half-probe top-100 rerank window (see the bar note
+    * below), and (d) be deterministic across repeated
+    * probed searches. Geometry and corpus count are exact constants.
+    * The pruned scan reads ~nprobe/nlist of the code bytes at the
+    * FILE level (partitioned layout) — the last O(corpus)-per-query
+    * serving path closed. */
+  def q186IvfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.ops.SimSearch.ivfPqLoad(
+      spark, q186IndexDir(spark, dir), "vec_id")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pruned = rows(graft.ops.SimSearch.ivfPqSearch(idx, q, 100, nprobe = 4))
+    val prunedAgain =
+      rows(graft.ops.SimSearch.ivfPqSearch(idx, q, 100, nprobe = 4))
+    // recall window at nprobe=8 (half the cells), bar 6/10: IVF
+    // recall is a property of the DATA's cluster structure — the
+    // near-uniform 64-dim fixture spreads the true top-10 across
+    // many cells (sf0.001 measures 7/10 at half-probe, sf0.01+
+    // >= 8), so the scale-stable guarantee worth pinning is a clear
+    // majority at 2x pruning; the quantization-only >= 8/10 bar is
+    // q184's (flat window), and full-probe parity is exact below
+    val halfProbe =
+      rows(graft.ops.SimSearch.ivfPqSearch(idx, q, 100, nprobe = 8))
+    val probedAll =
+      rows(graft.ops.SimSearch.ivfPqSearch(idx, q, 100, nprobe = 16))
+    val flat = rows(graft.ops.SimSearch.pqSearch(
+      idx.codes.select("vec_id", "codes"), "vec_id", idx.model, q, 100))
+    // unit-norm fixture: exact cosine order IS exact L2 order
+    val exact = graft.ops.SimSearch.cosineTopK(
+      emb, "vec_id", "embedding", 0L, 10).collect().map(_.getLong(0)).toSet
+    val nCodes = idx.codes.count()
+    Seq((16, idx.model.m, idx.model.k, idx.model.dsub, nCodes,
+      pruned.head._1 == 0L,
+      probedAll == flat,
+      exact.intersect(halfProbe.map(_._1).toSet).size >= 6,
+      pruned == prunedAgain))
+      .toDF("nlist", "m", "k", "dsub", "n_codes",
+        "self_top1", "parity_flat", "recall_ok", "deterministic")
+  }
+
   /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
     * corpus is staged as a 4-part WET shard set (distributed writer,
     * deterministic record IDs, octet-exact Content-Length), then read

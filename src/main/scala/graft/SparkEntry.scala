@@ -208,6 +208,7 @@ object SparkEntry {
     "q183_ulaw_decode" -> (Queries.q183UlawDecode(_, _)),
     "q184_pq_recall" -> (Queries.q184PqRecall(_, _)),
     "q185_footer_census" -> (Queries.q185FooterCensus(_, _)),
+    "q186_ivfpq_serve" -> (Queries.q186IvfPqServe(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4057,5 +4058,17 @@ ORDER BY id_a, id_b"""),
         |  (min(l_orderkey) > (SELECT m // 2 FROM mx)
         |    OR max(l_orderkey) < (SELECT m // 4 FROM mx)) AS skippable
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q186: IVF+PQ composed serving — the q184/q27 contract-boolean
+    // pattern (probed ADC ranks are approximate by design; the
+    // guarantees are booleans the Spark side must earn: production-
+    // nprobe self-match, exact flat-parity at nprobe=nlist, pruned
+    // rerank recall, repeat-search determinism). Geometry and corpus
+    // count are exact constants.
+    "q186_ivfpq_serve" ->
+      """SELECT CAST(16 AS INT) AS nlist, CAST(16 AS INT) AS m,
+        |  CAST(32 AS INT) AS k, CAST(4 AS INT) AS dsub,
+        |  (SELECT count(*) FROM embeddings) AS n_codes,
+        |  TRUE AS self_top1, TRUE AS parity_flat,
+        |  TRUE AS recall_ok, TRUE AS deterministic""".stripMargin,
   )
 }

@@ -736,15 +736,7 @@ object SimSearch {
     val vecCol = index.vecCol
     val qVec = index.assigned.where(col(idCol) === queryId)
       .select(asDouble(col(vecCol))).head().getSeq[Double](0).toArray
-    val probeCells = index.centers.zipWithIndex
-      .map { case (c, i) =>
-        var s = 0.0
-        var j = 0
-        val n = math.min(c.length, qVec.length)
-        while (j < n) { val d = c(j) - qVec(j); s += d * d; j += 1 }
-        (i, s)
-      }
-      .sortBy(_._2).take(nprobe).map(_._1)
+    val probeCells = nearestCells(index.centers, qVec, nprobe)
     val qRow = index.assigned.where(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("__q"))
     index.assigned
@@ -1232,12 +1224,11 @@ object SimSearch {
     } finally { src.unpersist(); () }
   }
 
-  /** Encode every vector to its `m` code indices (argmin centroid per
-    * subspace, ties to the lowest index). Map-only; the model rides
-    * the closure. Output: (idCol, codes array<int> of length m). */
-  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame = {
-    val enc = udf((vec: Seq[Double]) =>
+  /** The per-row encode kernel behind [[pqEncode]]/[[ivfPqFit]]:
+    * argmin centroid per subspace, ties to the lowest index; loud dim
+    * guard (a truncated encode would be silently wrong forever). */
+  private def pqEncoder(model: PqModel): UserDefinedFunction =
+    udf((vec: Seq[Double]) =>
       if (vec == null) null
       else {
         require(vec.length == model.m * model.dsub,
@@ -1257,7 +1248,58 @@ object SimSearch {
           best
         }
       })
-    df.select(col(idCol), enc(asDouble(col(vecCol))).as("codes"))
+
+  /** Encode every vector to its `m` code indices (argmin centroid per
+    * subspace, ties to the lowest index). Map-only; the model rides
+    * the closure. Output: (idCol, codes array<int> of length m). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame =
+    df.select(col(idCol), pqEncoder(model)(asDouble(col(vecCol))).as("codes"))
+
+  /** Persist a [[PqModel]] — the fit-once discipline the rest of the
+    * engine already follows ([[ivfSave]], `TokenizerStore`): codebooks
+    * outlive the JVM, so a 100 TB corpus encode is never repaid on
+    * restart. Layout under `dir`: `codebooks` (j, c, p, w rows — tiny,
+    * m·k·dsub doubles), a `_kind` marker that makes cross-family loads
+    * fail loudly, and a one-row `meta` (m, k, dsub) written LAST (the
+    * commit-marker ordering of `ivfBaselineSave`) so a torn save loads
+    * as an error, not a silently short codebook. */
+  def pqSave(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+             dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until model.m; c <- 0 until model.k; p <- 0 until model.dsub
+    } yield (j, c, p, model.codebooks(j)(c)(p))
+    rows.toDF("j", "c", "p", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq("pq").toDF("kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_kind")
+    Seq((model.m, model.k, model.dsub)).toDF("m", "k", "dsub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[PqModel]] persisted by [[pqSave]], verifying the `_kind`
+    * marker and that every (j, c, p) codebook cell is present (the
+    * torn-save guard — meta is written last, so meta present + cells
+    * short means a corrupted tree, and a short codebook must never
+    * encode silently wrong). */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, dir: String): PqModel = {
+    val kind = spark.read.parquet(s"$dir/_kind").collect()(0).getString(0)
+    require(kind == "pq",
+      s"model at $dir is '$kind', not 'pq' — refusing a cross-family " +
+        "load (it would encode silently wrong)")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, k, dsub) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("dsub"))
+    val cells = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        r.getDouble(3))).toMap
+    require(cells.size == m * k * dsub,
+      s"pqLoad: ${cells.size} codebook cells under $dir, expected " +
+        s"${m * k * dsub} (m=$m k=$k dsub=$dsub) — torn save; re-fit " +
+        "and re-save the model")
+    val codebooks = Array.tabulate(m, k, dsub)((j, c, p) => cells((j, c, p)))
+    PqModel(m, k, dsub, codebooks)
   }
 
   /** ADC top-k: approximate squared-L2 of every encoded row to the
@@ -1281,6 +1323,117 @@ object SimSearch {
       })
     codes.select(col(idCol), round(dist(col("codes")), 6).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc(idCol))
+      .limit(topK)
+  }
+
+  // ---------------------------------------------------------------
+  // IVF+PQ — the composed production serving shape (Jégou et al.
+  // 2011's IVFADC): IVF partitions the corpus into cells so a query
+  // scans only its nprobe nearest cells, and PQ compresses what each
+  // cell stores so that scan reads m bytes per row. Flat [[pqSearch]]
+  // is O(corpus) codes per query; this is O(corpus · nprobe / nlist).
+  // ---------------------------------------------------------------
+
+  /** The composed index: coarse centers (tiny, driver-side probe
+    * pick), SHARED PQ codebooks, and the codes frame carrying
+    * (`idCol`, `__cell`, `codes`). */
+  final case class IvfPqIndex(centers: Array[Array[Double]],
+                              model: PqModel, codes: DataFrame,
+                              idCol: String)
+
+  /** The driver-side probe pick shared by [[ivfSearch]] and
+    * [[ivfPqSearch]]: the `nprobe` cells whose centers are nearest
+    * the query (squared L2; ties by cell id via stable sort). */
+  private def nearestCells(centers: Array[Array[Double]],
+                           qVec: Array[Double], nprobe: Int): Array[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0
+      val n = math.min(c.length, qVec.length)
+      while (j < n) { val d = c(j) - qVec(j); s += d * d; j += 1 }
+      (i, s)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+
+  /** Fit the composed index: [[ivfFit]]'s coarse quantizer plus
+    * [[pqFit]]'s codebooks, every vector encoded once and carried
+    * with its cell id. The codebooks are SHARED across cells and fit
+    * on the RAW vectors, not per-cell residuals — a conscious trade:
+    * shared raw-vector codebooks make the probed ADC distance
+    * IDENTICAL to flat [[pqSearch]]'s (at nprobe=nlist the composed
+    * search reproduces the flat ranking exactly — OpsSpec pins it),
+    * while residual-PQ would buy tighter quantization at equal bits
+    * at the cost of per-cell table rebuilds per query. Both KMeans
+    * families are seeded (the q27/q53/q184 determinism contract). */
+  def ivfPqFit(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, m: Int = 8, k: Int = 16,
+               seed: Long = 42L, sampleFraction: Double = 1.0,
+               maxIterIvf: Int = 20, maxIterPq: Int = 20): IvfPqIndex = {
+    val ivf = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction,
+      maxIterIvf)
+    val model = pqFit(df, idCol, vecCol, m, k, seed, maxIterPq)
+    val codes = ivf.assigned.select(col(idCol), col("__cell"),
+      pqEncoder(model)(asDouble(col(vecCol))).as("codes"))
+    IvfPqIndex(ivf.centers, model, codes, idCol)
+  }
+
+  /** Persist an [[IvfPqIndex]]: codes parquet PARTITIONED BY `__cell`
+    * (a probe of nprobe cells prunes to nprobe directories at the
+    * scan — the file-level pruning that makes the serving cost
+    * O(corpus·nprobe/nlist)), the (tiny) centers as the [[ivfSave]]
+    * side table, the model via [[pqSave]], and a top-level `_kind`
+    * marker written LAST as the commit marker. */
+  def ivfPqSave(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$dir/codes")
+    index.centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, p) => (i, p, w) }
+    }.toSeq.toDF("cell", "pos", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    pqSave(spark, index.model, s"$dir/pq")
+    Seq("ivfpq").toDF("kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_kind")
+  }
+
+  /** Load an [[IvfPqIndex]] persisted by [[ivfPqSave]] (`_kind`
+    * guard; the codes frame stays a lazy partition-pruned scan). */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                idCol: String): IvfPqIndex = {
+    val kind = spark.read.parquet(s"$dir/_kind").collect()(0).getString(0)
+    require(kind == "ivfpq",
+      s"index at $dir is '$kind', not 'ivfpq' — refusing a " +
+        "cross-family load")
+    IvfPqIndex(loadCenters(spark, dir), pqLoad(spark, s"$dir/pq"),
+      spark.read.parquet(s"$dir/codes"), idCol)
+  }
+
+  /** Serve one query from the composed index: the `nprobe` nearest
+    * cells are picked DRIVER-SIDE from the tiny centers, the codes
+    * scan is pruned to exactly those cells (partition directories in
+    * the [[ivfPqSave]] layout), and each surviving row costs `m`
+    * ADC table lookups. At nprobe=nlist this equals flat
+    * [[pqSearch]] exactly (shared raw-vector codebooks); at the
+    * production nprobe << nlist each query reads ~nprobe/nlist of
+    * the code bytes — the last O(corpus)-per-query path closed. */
+  def ivfPqSearch(index: IvfPqIndex, query: Array[Double], topK: Int,
+                  nprobe: Int = 4): DataFrame = {
+    val spark = index.codes.sparkSession
+    val probeCells = nearestCells(index.centers, query, nprobe)
+    // broadcast must outlive the returned lazy frame (pqSearch's
+    // lifetime note); m*k doubles, ContextCleaner reclaims it
+    val table = spark.sparkContext.broadcast(index.model.adcTable(query))
+    val dist = udf((cs: Seq[Int]) =>
+      if (cs == null) Double.MaxValue
+      else {
+        var s = 0.0; var j = 0
+        while (j < cs.length) { s += table.value(j)(cs(j)); j += 1 }
+        s
+      })
+    index.codes
+      .where(col("__cell").isin(probeCells.toSeq: _*))
+      .select(col(index.idCol), round(dist(col("codes")), 6).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc(index.idCol))
       .limit(topK)
   }
 }

@@ -476,6 +476,60 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     } finally { codes.unpersist(); () }
   }
 
+  test("ivfpq: probed ADC equals flat at nprobe=nlist; model and index persist") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val idx = SimSearch.ivfPqFit(emb, "vec_id", "embedding",
+      nlist = 8, m = 16, k = 32)
+    idx.codes.persist()
+    try {
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toArray
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // nprobe = nlist scans every cell: the shared raw-vector
+      // codebooks make the probed ranking EQUAL the flat pqSearch one
+      val flat = rows(SimSearch.pqSearch(
+        idx.codes.select("vec_id", "codes"), "vec_id", idx.model, q, 50))
+      val probedAll = rows(SimSearch.ivfPqSearch(idx, q, 50, nprobe = 8))
+      assert(probedAll === flat)
+      // the production shape (nprobe << nlist) still self-matches:
+      // the query's own cell is by construction its nearest center
+      val pruned = rows(SimSearch.ivfPqSearch(idx, q, 10, nprobe = 2))
+      assert(pruned.head._1 === 0L)
+      assert(pruned.toSet.subsetOf(probedAll.toSet ++
+        rows(SimSearch.ivfPqSearch(idx, q, 500, nprobe = 8)).toSet))
+      // pqSave/pqLoad: codebooks round-trip cell-exact
+      SimSearch.pqSave(spark, idx.model, s"$dir/pq")
+      val m2 = SimSearch.pqLoad(spark, s"$dir/pq")
+      assert((m2.m, m2.k, m2.dsub) === ((idx.model.m, idx.model.k, idx.model.dsub)))
+      assert(m2.codebooks.flatten.flatten.toSeq ===
+        idx.model.codebooks.flatten.flatten.toSeq)
+      // ivfPqSave/ivfPqLoad: searches agree after a JVM-boundary load
+      SimSearch.ivfPqSave(idx, s"$dir/idx")
+      val re = SimSearch.ivfPqLoad(spark, s"$dir/idx", "vec_id")
+      assert(rows(SimSearch.ivfPqSearch(re, q, 50, nprobe = 8)) === flat)
+      // the saved layout prunes at the FILE level: a one-cell probe
+      // reads only that cell's partition directory
+      val files = re.codes.where(col("__cell") === 0)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(_.getString(0))
+      assert(files.nonEmpty && files.forall(_.contains("__cell=0")))
+      // cross-family guard: an ivfpq dir is not a pq model dir
+      val e = intercept[IllegalArgumentException] {
+        SimSearch.pqLoad(spark, s"$dir/idx")
+      }
+      assert(e.getMessage.contains("ivfpq"))
+    } finally {
+      idx.codes.unpersist()
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+      }
+      rmr(new java.io.File(dir))
+    }
+  }
+
   test("ivf index: fit once, serve many queries, same results as one-shot") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
