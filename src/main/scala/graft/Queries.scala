@@ -3817,6 +3817,67 @@ object Queries {
         "self_top1", "parity_flat", "recall_ok", "deterministic")
   }
 
+  /** RAW WARC `response`-record ingest under oracle
+    * ([[graft.sources.Warc.readWarcRecords]] — CommonCrawl's actual
+    * crawl output, the upstream of q179's WET): each document is
+    * staged as a `response` record whose payload is a full HTTP
+    * message (status line from doc_id arithmetic, Content-Type,
+    * octet-exact Content-Length, an HTML page wrapping the text),
+    * one third of the urls ALSO get a `request` record the reader
+    * must pass through with null HTTP columns (honest skip
+    * accounting). The typed reader dispatches on WARC-Type, splits
+    * the HTTP message, and [[graft.ops.Web.htmlToText]] recovers the
+    * visible text from the body — raw crawl → extracted text end to
+    * end. The oracle replays the record-length arithmetic (record
+    * Content-Length covers the WHOLE HTTP message) and the q154
+    * regex chain. Staging write + one map-stage read; payloads never
+    * shuffle before the digest projection. */
+  def q187WarcResponses(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q187_")
+    try {
+      val wdir = tmp.resolve("crawl").toString
+      val docs = t(spark, dir, "documents").select(
+        concat(lit("https://"), col("source"), lit(".example/doc/"),
+          col("doc_id")).as("url"),
+        col("doc_id"), col("text"))
+      val body = concat(lit("<html><head><title>d"),
+        col("doc_id").cast("string"),
+        lit("</title><script>var x=1;</script></head><body><!-- nav --><p>"),
+        col("text"), lit("</p></body></html>"))
+      val responses = docs.select(
+        lit("response").as("wt"), col("url"),
+        lit("application/http;msgtype=response").as("ct"),
+        graft.sources.Warc.httpResponseMessage(
+          when(col("doc_id") % 7 === 0, 404).otherwise(200),
+          lit("text/html"), body).as("payload"))
+      val requests = docs.where(col("doc_id") % 3 === 0).select(
+        lit("request").as("wt"), col("url"),
+        lit("application/http;msgtype=request").as("ct"),
+        concat(lit("GET /doc/"), col("doc_id").cast("string"),
+          lit(" HTTP/1.1\r\nHost: h.example\r\n\r\n")).as("payload"))
+      graft.sources.Warc.writeWarc(
+        responses.unionByName(requests).repartition(4),
+        "wt", "url", "ct", "payload", wdir)
+      val recs = graft.sources.Warc.readWarcRecords(spark, wdir)
+      val reqCounts = recs.where(col("warc_type") === "request")
+        .groupBy("url").agg(count(lit(1)).as("n_requests"))
+      recs.where(col("warc_type") === "response" &&
+          col("http_status").isNotNull)
+        .join(reqCounts, Seq("url"), "left")
+        .select(col("url"), col("http_status"), col("http_content_type"),
+          col("content_length"),
+          md5(graft.ops.Web.htmlToText(col("payload")).cast("binary"))
+            .as("text_md5"),
+          coalesce(col("n_requests"), lit(0L)).as("n_requests"))
+        .orderBy("url")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** WARC/WET ingest under oracle ([[graft.sources.Warc]]): the
     * corpus is staged as a 4-part WET shard set (distributed writer,
     * deterministic record IDs, octet-exact Content-Length), then read

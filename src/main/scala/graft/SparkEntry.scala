@@ -209,6 +209,7 @@ object SparkEntry {
     "q184_pq_recall" -> (Queries.q184PqRecall(_, _)),
     "q185_footer_census" -> (Queries.q185FooterCensus(_, _)),
     "q186_ivfpq_serve" -> (Queries.q186IvfPqServe(_, _)),
+    "q187_warc_responses" -> (Queries.q187WarcResponses(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4070,5 +4071,46 @@ ORDER BY id_a, id_b"""),
         |  (SELECT count(*) FROM embeddings) AS n_codes,
         |  TRUE AS self_top1, TRUE AS parity_flat,
         |  TRUE AS recall_ok, TRUE AS deterministic""".stripMargin,
+    // q187: raw WARC response ingest — the staging is deterministic
+    // arithmetic (url construct, status from doc_id, the HTML wrap,
+    // octet-exact HTTP-message length), so the oracle replays what
+    // the typed reader must recover from the container bytes: record
+    // Content-Length = octets of the WHOLE HTTP message, the split
+    // status/content-type, the q154 htmlToText chain over the body,
+    // and the per-url request-record skip count.
+    "q187_warc_responses" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example/doc/' || doc_id AS url,
+        |    '<html><head><title>d' || doc_id ||
+        |      '</title><script>var x=1;</script></head><body><!-- nav --><p>'
+        |      || text || '</p></body></html>' AS body,
+        |    CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(body,
+        |  '(?is)<(script|style|noscript)\b[^>]*>.*?</(script|style|noscript)>',
+        |  ' ', 'g') AS h FROM d),
+        |s2 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(h,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS h
+        |  FROM s3)
+        |SELECT d.url,
+        |  CAST(d.status AS INT) AS http_status,
+        |  'text/html' AS http_content_type,
+        |  CAST(octet_length(encode(
+        |    'HTTP/1.1 ' || d.status || ' OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html' || chr(13) || chr(10) ||
+        |    'Content-Length: ' || octet_length(encode(d.body)) ||
+        |    chr(13) || chr(10) || chr(13) || chr(10) || d.body))
+        |    AS BIGINT) AS content_length,
+        |  md5(trim(regexp_replace(s4.h, '\s+', ' ', 'g'))) AS text_md5,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_requests
+        |FROM d JOIN s4 ON s4.doc_id = d.doc_id
+        |ORDER BY d.url""".stripMargin,
   )
 }

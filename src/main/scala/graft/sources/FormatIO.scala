@@ -200,10 +200,16 @@ object FormatIO {
       // WET crawl shards enter the same pipelines as any other corpus:
       // valid records only (the is_valid channel is readWet's concern;
       // a curation CLI run maps --id-col url --text-col payload)
-      case "wet" | "warc" =>
+      case "wet" =>
         Some((Warc.readWet(path = path, spark = spark)
           .where(org.apache.spark.sql.functions.col("is_valid"))
           .drop("is_valid"), "wet"))
+      // RAW crawl output (the upstream of WET): response records with
+      // the HTTP message split — payload is the bare body, ready for
+      // Web.htmlToText; request/warcinfo records are skipped (count
+      // them via Warc.readWarcRecords when the accounting matters)
+      case "warc" =>
+        Some((Warc.readWarcResponses(spark, path), "warc"))
       case _ => None
     }
 
@@ -215,8 +221,8 @@ object FormatIO {
       case p if p.contains(".csv")  => load("csv", path, spark)
       case p if p.contains(".par")  => load("parquet", path, spark)
       case p if p.contains(".orc")  => load("orc", path, spark)
-      case p if p.contains(".wet") || p.contains(".warc") =>
-        load("wet", path, spark)
+      case p if p.contains(".warc") => load("warc", path, spark)
+      case p if p.contains(".wet") => load("wet", path, spark)
       case _ => None
     }
 
@@ -258,10 +264,18 @@ object FormatIO {
         // format-preserving sink for crawl frames: requires the WET
         // column contract (url + payload) rather than guessing; the
         // overwrite flag threads through like every other format
-        // (overwrite=false on an existing path errors, never clobbers)
+        // (overwrite=false on an existing path errors, never clobbers).
+        // A frame carrying the raw-response columns (the load("warc")
+        // shape) round-trips as response records; anything else lands
+        // as WET conversion records.
         require(df.columns.contains("url") && df.columns.contains("payload"),
           s"wet sink needs url+payload columns, got ${df.columns.mkString(",")}")
-        Warc.writeWet(df, "url", "payload", output, overwrite = overwrite)
+        if (df.columns.contains("http_status") &&
+            df.columns.contains("http_content_type"))
+          Warc.writeWarcResponses(df, "url", "http_status",
+            "http_content_type", "payload", output, overwrite = overwrite)
+        else
+          Warc.writeWet(df, "url", "payload", output, overwrite = overwrite)
     }
   }
 

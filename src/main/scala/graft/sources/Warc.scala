@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
  * per-row `lineSep` terminator is exactly the record's trailing
  * blank line, so concatenated rows form a valid WET file and every
  * part file is independently parseable (both readers accept globs).
+ *
+ * RAW crawl output (`.warc.gz` response records — WET's upstream) is
+ * first-class too: [[readWarcRecords]]/[[readWarcResponses]] dispatch
+ * on `WARC-Type` and split the HTTP message (status, content-type,
+ * de-chunked body) out of response payloads; [[writeWarc]]/
+ * [[writeWarcResponses]] are the matching writers.
  */
 object Warc {
 
@@ -126,12 +132,13 @@ object Warc {
   }
 
   /** Parse the named headers of one record (text BETWEEN the version
-    * line and the blank line). Content-Length comes back -1 when
+    * line and the blank line): (warc_type, url, record_id, date,
+    * content_type, content_length). Content-Length comes back -1 when
     * absent or malformed. Lines split on CRLF or bare LF (the spec
     * mandates CRLF; real crawls contain both). */
   private[sources] def parseHeaders(headerText: String):
-      (String, String, String, String, Long) = {
-    var url = ""; var rid = ""; var date = ""; var ctype = ""
+      (String, String, String, String, String, Long) = {
+    var wtype = ""; var url = ""; var rid = ""; var date = ""; var ctype = ""
     var clen = -1L
     headerText.split("\r\n|\n").foreach { line =>
       val k = line.indexOf(':')
@@ -139,6 +146,7 @@ object Warc {
         val key = line.substring(0, k).trim
         val v = line.substring(k + 1).trim
         key match {
+          case "WARC-Type" => wtype = v
           case "WARC-Target-URI" => url = v
           case "WARC-Record-ID" => rid = v
           case "WARC-Date" => date = v
@@ -149,7 +157,7 @@ object Warc {
         }
       }
     }
-    (url, rid, date, ctype, clen)
+    (wtype, url, rid, date, ctype, clen)
   }
 
   /** Parse ONE record body (everything after the `WARC/1.0\r\n`
@@ -161,7 +169,7 @@ object Warc {
       Option[(String, String, String, String, Long, String)] = {
     val sep = body.indexOf("\r\n\r\n")
     if (sep < 0) return None
-    val (url, rid, date, ctype, clen) = parseHeaders(body.substring(0, sep))
+    val (_, url, rid, date, ctype, clen) = parseHeaders(body.substring(0, sep))
     if (clen < 0) return None
     val rest = body.substring(sep + 4)
     val restBytes = rest.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -205,15 +213,26 @@ object Warc {
         "content_length", "payload", "is_valid")
   }
 
+  /** [[parseWarcBytesTyped]] minus the WARC-Type column — the WET
+    * readers' historical shape. */
+  private[sources] def parseWarcBytes(data: Array[Byte]):
+      (Vector[(String, String, String, String, Long, String)], Long) = {
+    val (recs, bad) = parseWarcBytesTyped(data)
+    (recs.map { case (_, url, rid, date, ctype, clen, payload) =>
+      (url, rid, date, ctype, clen, payload)
+    }, bad)
+  }
+
   /** Strict byte-arithmetic parse of a whole WARC/WET file: walk
     * records by Content-Length (never delimiter search), tolerate
     * CRLF or bare-LF header endings, require each record to start
-    * with the version line. Returns parsed records + the count of
-    * bytes it could not account for (0 for a well-formed file). */
-  private[sources] def parseWarcBytes(data: Array[Byte]):
-      (Vector[(String, String, String, String, Long, String)], Long) = {
+    * with the version line. Returns parsed records (WARC-Type first)
+    * + the count of bytes it could not account for (0 for a
+    * well-formed file). */
+  private[sources] def parseWarcBytesTyped(data: Array[Byte]):
+      (Vector[(String, String, String, String, String, Long, String)], Long) = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val out = Vector.newBuilder[(String, String, String, String, Long, String)]
+    val out = Vector.newBuilder[(String, String, String, String, String, Long, String)]
     var bad = 0L
     var i = 0
     def startsWith(s: String, at: Int): Boolean = {
@@ -245,12 +264,12 @@ object Warc {
         if (hEnd < 0) { bad += data.length - i; i = data.length }
         else {
           val headerText = new String(data, i, hEnd - i, utf8)
-          val (url, rid, date, ctype, clen) =
+          val (wtype, url, rid, date, ctype, clen) =
             parseHeaders(headerText.stripPrefix(RecordHeader + "\r\n")
               .stripPrefix(RecordHeader + "\n"))
           if (clen >= 0 && hEnd + sepLen + clen <= data.length) {
             val payload = new String(data, hEnd + sepLen, clen.toInt, utf8)
-            out += ((url, rid, date, ctype, clen, payload))
+            out += ((wtype, url, rid, date, ctype, clen, payload))
             i = hEnd + sepLen + clen.toInt
           } else { bad += data.length - i; i = data.length }
         }
@@ -322,4 +341,190 @@ object Warc {
       .toDF("file", "url", "record_id", "warc_date", "content_type",
         "content_length", "payload", "bad_bytes", "is_valid")
   }
+
+  // ---------------------------------------------------------------
+  // Raw WARC `response` records — CommonCrawl's actual crawl output
+  // (the upstream of the derived WET): each record's payload is a
+  // full HTTP message (status line, HTTP headers, body). The readers
+  // below dispatch on WARC-Type and split the message, so pointing
+  // the engine at real `.warc.gz` yields status/content-type columns
+  // and the bare body instead of HTTP headers embedded in `payload`.
+  // ---------------------------------------------------------------
+
+  /** Split one HTTP message: (status code, Content-Type header value,
+    * body). Status line must be `HTTP/x.y NNN ...`; header lines
+    * tolerate CRLF or bare LF; a `Transfer-Encoding: chunked` body is
+    * de-chunked ([[dechunk]] — malformed chunking falls back to the
+    * raw body rather than inventing bytes). None when the payload is
+    * not an HTTP message. */
+  private[sources] def parseHttpMessage(payload: String):
+      Option[(Int, String, String)] = {
+    val (sep, sepLen) = {
+      val a = payload.indexOf("\r\n\r\n")
+      val b = payload.indexOf("\n\n")
+      if (a >= 0 && (b < 0 || a < b)) (a, 4)
+      else if (b >= 0) (b, 2) else (-1, 0)
+    }
+    if (sep < 0) return None
+    val lines = payload.substring(0, sep).split("\r\n|\n")
+    val StatusLine = "^HTTP/\\d\\.\\d +(\\d{3})(?: .*)?$".r
+    lines.headOption.flatMap {
+      case StatusLine(code) =>
+        var ctype = ""; var chunked = false
+        lines.iterator.drop(1).foreach { line =>
+          val k = line.indexOf(':')
+          if (k > 0) {
+            val key = line.substring(0, k).trim.toLowerCase
+            val v = line.substring(k + 1).trim
+            if (key == "content-type") ctype = v
+            else if (key == "transfer-encoding" &&
+              v.toLowerCase.contains("chunked")) chunked = true
+          }
+        }
+        val raw = payload.substring(sep + sepLen)
+        val body = if (chunked) dechunk(raw).getOrElse(raw) else raw
+        Some((code.toInt, ctype, body))
+      case _ => None
+    }
+  }
+
+  /** Decode a chunked transfer-encoded body: `<hex-size>[;ext]` line,
+    * that many OCTETS of data (byte arithmetic — chunk sizes count
+    * UTF-8 bytes, not chars), terminating CRLF, repeated until the
+    * zero-size chunk (trailers ignored). None on malformed framing. */
+  private[sources] def dechunk(raw: String): Option[String] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val bytes = raw.getBytes(utf8)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var i = 0
+    while (true) {
+      var nl = i
+      while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+      if (nl >= bytes.length) return None
+      val line = new String(bytes, i, nl - i, utf8).stripSuffix("\r")
+      val semi = line.indexOf(';')
+      val hexs = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size =
+        try Integer.parseInt(hexs, 16)
+        catch { case _: NumberFormatException => return None }
+      i = nl + 1
+      if (size == 0) return Some(new String(out.toByteArray, utf8))
+      if (size < 0 || i + size > bytes.length) return None
+      out.write(bytes, i, size)
+      i += size
+      if (i < bytes.length && bytes(i) == '\r') i += 1
+      if (i < bytes.length && bytes(i) == '\n') i += 1
+    }
+    None
+  }
+
+  /** TYPED whole-container read — the raw-WARC entry point: every
+    * record with its `warc_type`, and for `response` records the HTTP
+    * message split into `http_status` / `http_content_type` / bare
+    * body (chunked transfer de-chunked). Non-response records
+    * (request, warcinfo, metadata, conversion, ...) keep their raw
+    * payload with null HTTP columns — honest accounting: a caller
+    * filtering to responses can count exactly what it skipped. A
+    * response whose payload is NOT a parseable HTTP message also
+    * keeps its raw payload with a null status (countable, never
+    * silently dropped). Strict byte walk per file ([[readWarcFiles]]
+    * semantics — gzip members inflate transparently, loud failure on
+    * unaccounted bytes); one map stage, payloads never shuffle. */
+  def readWarcRecords(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val (recs, bad) = parseWarcBytesTyped(gunzipAll(bytes))
+        require(bad == 0L,
+          s"readWarcRecords: $bad unparseable bytes in $file")
+        recs.map { case (wtype, url, rid, date, ctype, clen, payload) =>
+          val http =
+            if (wtype.equalsIgnoreCase("response")) parseHttpMessage(payload)
+            else None
+          http match {
+            case Some((st, hct, body)) =>
+              (url, rid, date, wtype, ctype, clen, Some(st),
+                Some(hct), body)
+            case None =>
+              (url, rid, date, wtype, ctype, clen,
+                None: Option[Int], None: Option[String], payload)
+          }
+        }
+      }
+      .toDF("url", "record_id", "warc_date", "warc_type", "content_type",
+        "content_length", "http_status", "http_content_type", "payload")
+  }
+
+  /** The `response` records of a raw WARC with their HTTP message
+    * parsed — [[readWarcRecords]] filtered to rows that earned an
+    * `http_status` (`payload` is the bare body, ready for
+    * `Web.htmlToText`). Pair with a count on the full
+    * [[readWarcRecords]] frame to account for skipped record types. */
+  def readWarcResponses(spark: SparkSession, path: String): DataFrame =
+    readWarcRecords(spark, path)
+      .where(lower(col("warc_type")) === "response" &&
+        col("http_status").isNotNull)
+
+  /** Low-level raw-WARC writer: one record per row from explicit
+    * (warc_type, content_type, payload) columns — the fixture/sink
+    * side of [[readWarcRecords]], sharing [[writeWet]]'s contract
+    * (deterministic md5 record ids, octet-exact Content-Length, text
+    * sink with CRLF terminator, every part independently parseable). */
+  def writeWarc(df: DataFrame, typeCol: String, urlCol: String,
+                ctypeCol: String, payloadCol: String, path: String,
+                warcDate: String = "2026-01-01T00:00:00Z",
+                overwrite: Boolean = true): Unit = {
+    val rec = concat(
+      lit(RecordHeader), lit("\r\n"),
+      lit("WARC-Type: "), col(typeCol), lit("\r\n"),
+      lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
+      lit("WARC-Date: "), lit(warcDate), lit("\r\n"),
+      lit("WARC-Record-ID: <urn:md5:"), md5(col(urlCol).cast("binary")),
+      lit(">\r\n"),
+      lit("Content-Type: "), col(ctypeCol), lit("\r\n"),
+      lit("Content-Length: "),
+      octet_length(col(payloadCol)).cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      col(payloadCol), lit("\r\n"))
+    val guarded = when(col(urlCol).isNull.or(col(payloadCol).isNull)
+        .or(col(typeCol).isNull).or(col(ctypeCol).isNull),
+      raise_error(concat(lit("writeWarc: null field, url="),
+        coalesce(col(urlCol), lit("NULL"))))).otherwise(rec)
+    df.select(guarded.as("value"))
+      .write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .option("lineSep", "\r\n").text(path)
+  }
+
+  /** The HTTP message Column a `response` record carries: status line
+    * (reason fixed to "OK" — parsers read only the code) +
+    * Content-Type/Content-Length headers + blank line + body, CRLF
+    * throughout; octet-exact lengths. Pure Catalyst string algebra so
+    * an oracle replays it verbatim. */
+  def httpResponseMessage(statusCol: org.apache.spark.sql.Column,
+                          ctypeCol: org.apache.spark.sql.Column,
+                          bodyCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(
+      lit("HTTP/1.1 "), statusCol.cast("string"), lit(" OK\r\n"),
+      lit("Content-Type: "), ctypeCol, lit("\r\n"),
+      lit("Content-Length: "), octet_length(bodyCol).cast("string"),
+      lit("\r\n\r\n"), bodyCol)
+
+  /** Raw WARC `response` fixture/sink writer: wraps each row's body
+    * in an [[httpResponseMessage]] and writes `response` records via
+    * [[writeWarc]] (record Content-Length covers the WHOLE HTTP
+    * message, as in real crawl output). */
+  def writeWarcResponses(df: DataFrame, urlCol: String, statusCol: String,
+                         ctypeCol: String, bodyCol: String, path: String,
+                         warcDate: String = "2026-01-01T00:00:00Z",
+                         overwrite: Boolean = true): Unit =
+    writeWarc(
+      df.select(col(urlCol),
+        lit("response").as("__wt"),
+        lit("application/http;msgtype=response").as("__ct"),
+        httpResponseMessage(col(statusCol), col(ctypeCol), col(bodyCol))
+          .as("__msg")),
+      "__wt", urlCol, "__ct", "__msg", path, warcDate, overwrite)
 }

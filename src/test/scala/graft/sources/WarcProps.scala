@@ -54,6 +54,27 @@ object WarcProps extends Properties("warc") {
       Warc.parseRecordBody(inflated).isEmpty
     }
 
+  property("parseHttpMessage: response mux -> parse round-trips exactly") =
+    forAll(Gen.choose(100, 599), Gen.alphaNumStr.map("text/" + _), payload) {
+      (status, ctype, body) =>
+        val msg = s"HTTP/1.1 $status OK\r\nContent-Type: $ctype\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body"
+        Warc.parseHttpMessage(msg).contains((status, ctype, body))
+    }
+
+  property("dechunk: octet-exact chunk reassembly, multibyte safe") =
+    forAll(payload, Gen.choose(1, 7)) { (body, nChunks) =>
+      // split the body into char-chunks; each chunk's hex size counts
+      // its UTF-8 OCTETS (the framing real servers emit)
+      val step = math.max(1, body.length / nChunks)
+      val chunks = body.grouped(step).toList
+      val framed = chunks.map { c =>
+        val n = c.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        f"$n%x\r\n$c\r\n"
+      }.mkString + "0\r\n\r\n"
+      Warc.dechunk(framed).contains(body)
+    }
+
   property("gunzipAll: member-per-record concatenation inflates whole") =
     forAll(Gen.nonEmptyListOf(payload)) { ps =>
       val members = ps.map { p =>

@@ -166,13 +166,15 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("parse kernels: header fields, truncation, byte accounting") {
-    val (u, rid, d, ct, cl) = Warc.parseHeaders(
-      "WARC-Target-URI: http://x\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+    val (wt, u, rid, d, ct, cl) = Warc.parseHeaders(
+      "WARC-Type: conversion\r\n" +
+        "WARC-Target-URI: http://x\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
         "WARC-Record-ID: <urn:md5:abc>\r\nContent-Type: text/plain\r\n" +
         "Content-Length: 11")
-    assert((u, rid, d, ct, cl) ===
-      (("http://x", "<urn:md5:abc>", "2026-01-01T00:00:00Z", "text/plain", 11L)))
-    assert(Warc.parseHeaders("Content-Length: NaN")._5 === -1L)
+    assert((wt, u, rid, d, ct, cl) ===
+      (("conversion", "http://x", "<urn:md5:abc>", "2026-01-01T00:00:00Z",
+        "text/plain", 11L)))
+    assert(Warc.parseHeaders("Content-Length: NaN")._6 === -1L)
     // truncated payload rejects rather than returning a short record
     assert(Warc.parseRecordBody(
       "WARC-Target-URI: u\r\nContent-Length: 99\r\n\r\nshort") === None)
@@ -192,6 +194,86 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
         "ok\r\n\r\n").getBytes("UTF-8"))
     assert(mxBad === 0L)
     assert(mxRecs.head._1 === "http://mx" && mxRecs.head._6 === "ok")
+  }
+
+  test("parseHttpMessage: status-line variants, line endings, chunked") {
+    // reason phrase present, absent, HTTP/1.0 — only the code matters
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone")
+      === Some((404, "text/plain", "gone")))
+    assert(Warc.parseHttpMessage("HTTP/1.1 204\r\n\r\n") === Some((204, "", "")))
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.0 301 Moved Permanently\r\nLocation: /x\r\n\r\n")
+      === Some((301, "", "")))
+    // bare-LF header endings (real crawls mix them)
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>hi</p>")
+      === Some((200, "text/html", "<p>hi</p>")))
+    // not an HTTP message at all
+    assert(Warc.parseHttpMessage("just some text\r\n\r\nbody") === None)
+    assert(Warc.parseHttpMessage("no blank line here") === None)
+    // chunked transfer de-chunks by OCTET counts (snowman is 3 bytes)
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "5\r\nhello\r\n7\r\n wor☃\r\n0\r\n\r\n")
+      === Some((200, "", "hello wor☃")))
+    // malformed chunk framing keeps the raw body (never invents bytes)
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nx")
+      === Some((200, "", "ZZ\r\nx")))
+    // chunk extensions after ';' are ignored per the spec
+    assert(Warc.dechunk("3;ext=1\r\nabc\r\n0\r\n\r\n") === Some("abc"))
+  }
+
+  test("raw WARC responses: type dispatch, HTTP split, FormatIO route") {
+    val t = tmpDir()
+    try {
+      val dir = t.resolve("crawl.warc").toString
+      // a mixed container: response records (the payload is a full
+      // HTTP message) plus request records the reader must pass
+      // through with null HTTP columns
+      val mixed = Seq(
+        ("response", "https://r.example/1", "application/http;msgtype=response",
+          Warc.httpResponseMessage(lit(200), lit("text/html"),
+            lit("<html><body>Hello ☃</body></html>"))),
+        ("response", "https://r.example/2", "application/http;msgtype=response",
+          Warc.httpResponseMessage(lit(404), lit("text/plain"), lit("gone"))),
+        ("request", "https://r.example/1", "application/http;msgtype=request",
+          lit("GET /1 HTTP/1.1\r\nHost: r.example\r\n\r\n")))
+      val rows = mixed.map { case (wt, u, ct, payloadCol) =>
+        Seq((wt, u, ct)).toDF("wt", "url", "ct")
+          .select(col("wt"), col("url"), col("ct"), payloadCol.as("payload"))
+      }.reduce(_.unionByName(_))
+      Warc.writeWarc(rows, "wt", "url", "ct", "payload", dir)
+      val recs = Warc.readWarcRecords(spark, dir)
+      assert(recs.count() === 3)
+      val resp = Warc.readWarcResponses(spark, dir)
+        .orderBy("url").collect()
+      assert(resp.length === 2)
+      assert(resp(0).getAs[Int]("http_status") === 200)
+      assert(resp(0).getAs[String]("http_content_type") === "text/html")
+      assert(resp(0).getAs[String]("payload") ===
+        "<html><body>Hello ☃</body></html>")
+      assert(resp(1).getAs[Int]("http_status") === 404)
+      // the request record survives with its raw payload, null status
+      val req = recs.where(col("warc_type") === "request").collect()
+      assert(req.length === 1)
+      assert(req(0).isNullAt(req(0).fieldIndex("http_status")))
+      assert(req(0).getAs[String]("payload").startsWith("GET /1 HTTP/1.1"))
+      // FormatIO: the warc filetype and .warc extension route to the
+      // response view; the warc sink round-trips response frames
+      val (byType, tag) = FormatIO.load("warc", dir, spark).get
+      assert(tag === "warc" && byType.count() === 2)
+      val byExt = FormatIO.loadFromPath(dir, spark).get._1
+      assert(byExt.count() === 2)
+      val dir2 = t.resolve("rt.warc").toString
+      FormatIO.save("warc", byType, dir2, overwrite = true)
+      val rt = Warc.readWarcResponses(spark, dir2)
+        .select("url", "http_status", "http_content_type", "payload")
+      assert(rt.exceptAll(byType.select("url", "http_status",
+        "http_content_type", "payload")).isEmpty)
+      assert(rt.count() === 2)
+    } finally rm(t)
   }
 
   test("quarantine reader: corrupt shard accounted, not fatal") {
