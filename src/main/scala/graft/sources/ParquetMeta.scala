@@ -44,14 +44,14 @@ object ParquetMeta {
       b.result()
     }
     require(files.nonEmpty, s"no parquet files under $path")
+    // the DRIVER's Hadoop conf rides a broadcast to the tasks, so
+    // credentialed object stores / custom filesystems work without a
+    // deployment-side workaround (SerializableHadoopConf)
+    val bcConf = SerializableHadoopConf.broadcast(spark)
     spark.createDataset(files)
       .repartition(math.min(files.size, 64))
       .mapPartitions { it =>
-        // task-side default Configuration: sufficient for file:// (and
-        // default-configured HDFS); a deployment with credentialed
-        // object stores passes its conf via the usual serialized-conf
-        // broadcast — same caveat as Warc.writeWetGz's task writes
-        val taskConf = new org.apache.hadoop.conf.Configuration()
+        val taskConf = bcConf.value.value
         it.flatMap { file =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(file), taskConf)

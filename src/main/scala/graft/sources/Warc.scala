@@ -102,12 +102,16 @@ object Warc {
       spark.sparkContext.hadoopConfiguration)
     driverFs.delete(target, true)
     driverFs.mkdirs(target)
+    // the DRIVER's Hadoop conf rides a broadcast to the write tasks
+    // (SerializableHadoopConf) — object-store credentials and custom
+    // filesystem impls work task-side, not just file:///default HDFS
+    val bcConf = SerializableHadoopConf.broadcast(spark)
     df.select(concat(recordColumn(urlCol, payloadCol, warcDate),
         lit("\r\n")).as("value"))
       .as[String]
       .foreachPartition { (it: Iterator[String]) =>
         if (it.hasNext) {
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = bcConf.value.value
           val dir = new org.apache.hadoop.fs.Path(path)
           val fs = dir.getFileSystem(conf)
           val tc = org.apache.spark.TaskContext.get()

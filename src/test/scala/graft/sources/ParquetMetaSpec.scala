@@ -69,6 +69,36 @@ class ParquetMetaSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("driver Hadoop conf keys are visible inside tasks (broadcast conf)") {
+    // the wrapper itself: a non-default driver key survives Java
+    // serialization (Configuration is Writable, not Serializable —
+    // the custom hooks carry it)
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.test.probe", "r15")
+    val bo = new java.io.ByteArrayOutputStream()
+    val oo = new java.io.ObjectOutputStream(bo)
+    oo.writeObject(new SerializableHadoopConf(conf)); oo.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bo.toByteArray))
+      .readObject().asInstanceOf[SerializableHadoopConf]
+    assert(back.value.get("graft.test.probe") === "r15")
+    // the mechanism both call sites use (ParquetMeta.rowGroupStats,
+    // Warc.writeWetGz): a key set on the DRIVER's session conf is
+    // read back INSIDE a task through the broadcast — the object-
+    // store credential path, provable without an object store
+    spark.sparkContext.hadoopConfiguration.set("graft.test.task.key", "v15")
+    try {
+      val bc = SerializableHadoopConf.broadcast(spark)
+      val seen = spark.range(0, 4, 1, 2)
+        .mapPartitions { _ =>
+          Iterator.single(
+            Option(bc.value.value.get("graft.test.task.key")).getOrElse(""))
+        }
+        .collect().toSet
+      assert(seen === Set("v15"))
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.task.key")
+  }
+
   test("missing or empty paths fail loudly") {
     intercept[java.io.FileNotFoundException] {
       ParquetMeta.rowGroupStats(spark, "/tmp/graft_definitely_absent", "k")
