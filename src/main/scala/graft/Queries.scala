@@ -3817,6 +3817,70 @@ object Queries {
         "self_top1", "parity_flat", "recall_ok", "deterministic")
   }
 
+  /** ANN index lifecycle CLI under oracle ([[graft.cli.IndexCli]] —
+    * the q175 CLI pattern for the SimSearch family): stage the
+    * embeddings corpus as a 4/5 base + 1/5 ingest batch, drive the
+    * CLI end to end through its own arg grammar — `fit` (persisted
+    * cell-partitioned index + drift baseline), `append` (batch lands
+    * in the cell partitions, no refit), `search` (nprobe-pruned
+    * serving to a parquet sink), `drift` twice (the held-out control
+    * batch must raise no alert; the same batch shifted +2.0 per
+    * coordinate must raise both) — and cross-check the search sink
+    * against the library serving the same persisted index. Counts
+    * are exact arithmetic; the lifecycle guarantees are booleans the
+    * CLI must earn (the q174/q186 contract pattern). */
+  def q188IndexCli(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q188_")
+    try {
+      val emb = t(spark, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val basePath = tmp.resolve("base.parquet").toString
+      val batchPath = tmp.resolve("batch.parquet").toString
+      base.write.parquet(basePath)
+      batch.write.parquet(batchPath)
+      val ix = tmp.resolve("ix").toString
+      val searchOut = tmp.resolve("res").toString
+      val driftOut = tmp.resolve("drift").toString
+      def cli(args: String*): Unit =
+        graft.cli.IndexCli.run(graft.cli.IndexCli.parse(args).get, spark)
+      cli("fit", "--index", ix, "--input", basePath)
+      cli("append", "--index", ix, "--input", batchPath)
+      cli("search", "--index", ix, "--output", searchOut,
+        "--k", "10", "--nprobe", "4", "--query-id", "0")
+      cli("drift", "--index", ix, "--input", batchPath,
+        "--output", driftOut)
+      val control = spark.read.parquet(driftOut).head()
+      val shiftedPath = tmp.resolve("shifted.parquet").toString
+      batch.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+        .write.parquet(shiftedPath)
+      cli("drift", "--index", ix, "--input", shiftedPath,
+        "--output", driftOut)
+      val drifted = spark.read.parquet(driftOut).head()
+      val cliRes = spark.read.parquet(searchOut)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val libRes = graft.ops.SimSearch.ivfSearch(
+        graft.ops.SimSearch.ivfLoad(spark, ix, "vec_id", "embedding"),
+        0L, 10, 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      Seq((base.count(), batch.count(),
+        cliRes == libRes && cliRes.length == 10,
+        control.getAs[Boolean]("psi_alert"),
+        control.getAs[Boolean]("dist_alert"),
+        drifted.getAs[Boolean]("psi_alert"),
+        drifted.getAs[Boolean]("dist_alert")))
+        .toDF("n_fit", "n_appended", "search_ok",
+          "control_psi_alert", "control_dist_alert",
+          "drifted_psi_alert", "drifted_dist_alert")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** RAW WARC `response`-record ingest under oracle
     * ([[graft.sources.Warc.readWarcRecords]] — CommonCrawl's actual
     * crawl output, the upstream of q179's WET): each document is

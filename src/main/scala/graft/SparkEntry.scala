@@ -210,6 +210,7 @@ object SparkEntry {
     "q185_footer_census" -> (Queries.q185FooterCensus(_, _)),
     "q186_ivfpq_serve" -> (Queries.q186IvfPqServe(_, _)),
     "q187_warc_responses" -> (Queries.q187WarcResponses(_, _)),
+    "q188_index_cli" -> (Queries.q188IndexCli(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4112,5 +4113,18 @@ ORDER BY id_a, id_b"""),
         |    AS n_requests
         |FROM d JOIN s4 ON s4.doc_id = d.doc_id
         |ORDER BY d.url""".stripMargin,
+    // q188: the ANN index lifecycle CLI — split counts are exact
+    // arithmetic; the lifecycle guarantees (CLI search ≡ library on
+    // the same persisted index, control batch quiet, planted-shift
+    // batch alarming on both signals) are contract booleans the CLI
+    // must earn (the q174/q186 pattern).
+    "q188_index_cli" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0) AS n_fit,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
+        |    AS n_appended,
+        |  TRUE AS search_ok,
+        |  FALSE AS control_psi_alert, FALSE AS control_dist_alert,
+        |  TRUE AS drifted_psi_alert, TRUE AS drifted_dist_alert""".stripMargin,
   )
 }

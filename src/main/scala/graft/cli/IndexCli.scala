@@ -1,0 +1,180 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.SimSearch
+import graft.sources.FormatIO
+
+/**
+ * ANN index lifecycle CLI — the [[CurateCli]] shape for the SimSearch
+ * family (extension surface; the reference has no ANN at all): the
+ * operators (`ivfFit`/`ivfAppend`/`ivfSearch`/`ivfDriftReport` and
+ * their persistence halves) are library calls; a pipeline component
+ * this central must be drivable without writing Scala. Four verbs over
+ * a persisted index directory (the [[SimSearch.ivfSave]] layout):
+ *
+ *  - `fit`: fit the coarse quantizer on `--input`, persist the index
+ *    (cell-partitioned assigned corpus + centers) AND its drift
+ *    baseline — one corpus version, fit once.
+ *  - `append`: assign an ingest batch to the existing centers and land
+ *    it in the cell partitions — no refit, no baseline change (the
+ *    baseline is per corpus VERSION; `drift` tells you when to refit).
+ *  - `search`: serve one query id from the persisted index
+ *    (driver-side probe pick, nprobe-pruned scan) to `--output`.
+ *  - `drift`: score an ingest batch against the persisted baseline
+ *    (PSI over cell shares + distance ratio) to `--output` — the
+ *    measurable refit trigger.
+ *
+ * Flags: <verb> --index dir [--input p] [--output p] [--filetype t]
+ * [--id-col c] [--vec-col c] [--nlist n] [--seed n]
+ * [--sample-fraction d] [--k n] [--nprobe n] [--query-id n]
+ * [--psi-alert d] [--dist-alert d] [--help].
+ */
+object IndexCli {
+
+  case class Config(verb: String = "",
+                    index: String = "",
+                    input: String = "",
+                    output: String = "",
+                    fileType: Option[String] = None,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    nlist: Int = 16,
+                    seed: Long = 42L,
+                    sampleFraction: Double = 1.0,
+                    k: Int = 10,
+                    nprobe: Int = 4,
+                    queryId: Long = 0L,
+                    psiAlert: Double = 0.25,
+                    distAlert: Double = 1.5)
+
+  val usage: String =
+    """index — ANN index lifecycle (graft.ops.SimSearch, IVF layout)
+      |  <verb>                     fit | append | search | drift (required, first)
+      |  --index <dir>              persisted index directory (required)
+      |  --input <path>             corpus / ingest batch (fit, append, drift)
+      |  --output <path>            result parquet sink (search, drift)
+      |  --filetype <t>             json | csv | txt | parquet | orc | wet (else sniffed)
+      |  --id-col <c>               vector id column (default vec_id)
+      |  --vec-col <c>              embedding column (default embedding)
+      |  --nlist <n>                fit: number of IVF cells (default 16)
+      |  --seed <n>                 fit: KMeans seed (default 42)
+      |  --sample-fraction <d>      fit: deterministic fit sample (default 1.0)
+      |  --k <n>                    search: neighbors to return (default 10)
+      |  --nprobe <n>               search: cells to probe (default 4)
+      |  --query-id <n>             search: query vector id (default 0)
+      |  --psi-alert <d>            drift: PSI alert threshold (default 0.25)
+      |  --dist-alert <d>           drift: distance-ratio alert (default 1.5)
+      |  --help                     this text""".stripMargin
+
+  /** Hand-rolled parse, [[CurateCli.parse]]'s grammar: the verb leads,
+    * flags follow; None = invalid (caller prints usage). */
+  def parse(args: Seq[String]): Option[Config] = {
+    def loop(rest: List[String], c: Config): Option[Config] = rest match {
+      case Nil => validate(c)
+      case "--index" :: v :: t => loop(t, c.copy(index = v))
+      case "--input" :: v :: t => loop(t, c.copy(input = v))
+      case "--output" :: v :: t => loop(t, c.copy(output = v))
+      case "--filetype" :: v :: t => loop(t, c.copy(fileType = Some(v)))
+      case "--id-col" :: v :: t => loop(t, c.copy(idCol = v))
+      case "--vec-col" :: v :: t => loop(t, c.copy(vecCol = v))
+      case "--nlist" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 => loop(t, c.copy(nlist = n))
+        case _ => None
+      }
+      case "--seed" :: v :: t =>
+        v.toLongOption.flatMap(n => loop(t, c.copy(seed = n)))
+      case "--sample-fraction" :: v :: t => v.toDoubleOption match {
+        case Some(d) if d > 0.0 && d <= 1.0 =>
+          loop(t, c.copy(sampleFraction = d))
+        case _ => None
+      }
+      case "--k" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 => loop(t, c.copy(k = n))
+        case _ => None
+      }
+      case "--nprobe" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 => loop(t, c.copy(nprobe = n))
+        case _ => None
+      }
+      case "--query-id" :: v :: t =>
+        v.toLongOption.flatMap(n => loop(t, c.copy(queryId = n)))
+      case "--psi-alert" :: v :: t =>
+        v.toDoubleOption.flatMap(d => loop(t, c.copy(psiAlert = d)))
+      case "--dist-alert" :: v :: t =>
+        v.toDoubleOption.flatMap(d => loop(t, c.copy(distAlert = d)))
+      case "--help" :: _ => None
+      case _ => None
+    }
+    args.toList match {
+      case verb :: rest if Set("fit", "append", "search", "drift")(verb) =>
+        loop(rest, Config(verb = verb))
+      case _ => None
+    }
+  }
+
+  private def validate(c: Config): Option[Config] = {
+    val needInput = Set("fit", "append", "drift")(c.verb)
+    val needOutput = Set("search", "drift")(c.verb)
+    if (c.index.isEmpty) None
+    else if (needInput && c.input.isEmpty) None
+    else if (needOutput && c.output.isEmpty) None
+    else Some(c)
+  }
+
+  def main(args: Array[String]): Unit = {
+    parse(args.toSeq) match {
+      case None =>
+        System.err.println(usage)
+        sys.exit(-1)
+      case Some(config) =>
+        val spark = SparkSession.builder()
+          .appName("graftIndex")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .getOrCreate()
+        try run(config, spark)
+        finally spark.stop()
+    }
+  }
+
+  private def load(config: Config, spark: SparkSession): DataFrame =
+    FormatIO.loadFile(config.fileType, config.input, spark)
+      .map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"could not load ${config.input}: unknown filetype"))
+
+  def run(config: Config, spark: SparkSession): Unit = config.verb match {
+    case "fit" =>
+      val idx = SimSearch.ivfFit(load(config, spark), config.idCol,
+        config.vecCol, config.nlist, config.seed, config.sampleFraction)
+      SimSearch.ivfSave(idx, config.index)
+      // the drift baseline is part of the corpus version — fit and
+      // persist it WITH the index (ivfSave just invalidated any stale
+      // one), so `drift` runs load it instead of re-scanning
+      val baseline = SimSearch.ivfBaseline(spark, config.index, config.vecCol)
+      SimSearch.ivfBaselineSave(spark, baseline, config.index)
+      println(s"fit: ${baseline.n} vectors in ${baseline.nlist} cells " +
+        s"-> ${config.index}")
+    case "append" =>
+      SimSearch.ivfAppend(spark, config.index, load(config, spark),
+        config.idCol, config.vecCol)
+      println(s"append: ${config.input} -> ${config.index}")
+    case "search" =>
+      val idx = SimSearch.ivfLoad(spark, config.index, config.idCol,
+        config.vecCol)
+      SimSearch.ivfSearch(idx, config.queryId, config.k, config.nprobe)
+        .write.mode("overwrite").parquet(config.output)
+      println(s"search: query ${config.queryId} top-${config.k} " +
+        s"(nprobe ${config.nprobe}) -> ${config.output}")
+    case "drift" =>
+      val baseline = SimSearch.ivfBaselineLoad(spark, config.index)
+      SimSearch.ivfDriftReport(spark, config.index, baseline,
+        load(config, spark), config.vecCol, config.psiAlert,
+        config.distAlert)
+        .write.mode("overwrite").parquet(config.output)
+      println(s"drift: ${config.input} vs ${config.index} baseline " +
+        s"-> ${config.output}")
+    case other =>
+      throw new IllegalArgumentException(s"unknown verb: $other")
+  }
+}

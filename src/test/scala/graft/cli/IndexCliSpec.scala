@@ -1,0 +1,107 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.ops.SimSearch
+
+/** [[IndexCli]] — arg grammar + the full fit/append/search/drift
+  * lifecycle driven end to end over the embeddings fixture, each verb
+  * cross-checked against the library call it wraps (the CurateCliSpec
+  * pattern: CLI ≡ library). */
+class IndexCliSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def tmpDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_idxcli_")
+
+  private def rm(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  test("parse: verb-led grammar, per-verb requirements, bad values") {
+    val c = IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
+      "--id-col", "id", "--vec-col", "v", "--nlist", "8", "--seed", "7",
+      "--sample-fraction", "0.5")).get
+    assert(c.verb === "fit" && c.index === "ix" && c.input === "in")
+    assert(c.idCol === "id" && c.vecCol === "v")
+    assert(c.nlist === 8 && c.seed === 7L && c.sampleFraction === 0.5)
+    val s = IndexCli.parse(Seq("search", "--index", "ix", "--output", "o",
+      "--k", "5", "--nprobe", "2", "--query-id", "9")).get
+    assert(s.k === 5 && s.nprobe === 2 && s.queryId === 9L)
+    // the verb leads; per-verb requirements enforced
+    assert(IndexCli.parse(Seq("--index", "ix")).isEmpty) // no verb
+    assert(IndexCli.parse(Seq("resize", "--index", "ix")).isEmpty)
+    assert(IndexCli.parse(Seq("fit", "--index", "ix")).isEmpty) // no input
+    assert(IndexCli.parse(Seq("append", "--index", "ix")).isEmpty)
+    assert(IndexCli.parse(Seq("search", "--index", "ix")).isEmpty) // no output
+    assert(IndexCli.parse(Seq("drift", "--index", "ix", "--input", "b"))
+      .isEmpty) // no output
+    assert(IndexCli.parse(Seq("fit", "--input", "in")).isEmpty) // no index
+    assert(IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
+      "--nlist", "0")).isEmpty)
+    assert(IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
+      "--sample-fraction", "1.5")).isEmpty)
+    assert(IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
+      "--help")).isEmpty)
+  }
+
+  test("lifecycle: fit -> append -> search -> drift, CLI equals library") {
+    val t = tmpDir()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val basePath = t.resolve("base.parquet").toString
+      val batchPath = t.resolve("batch.parquet").toString
+      base.write.parquet(basePath)
+      batch.write.parquet(batchPath)
+      val ix = t.resolve("ix").toString
+
+      // fit persists index + baseline
+      IndexCli.run(IndexCli.parse(Seq("fit", "--index", ix,
+        "--input", basePath, "--nlist", "8")).get, spark)
+      val baseline = SimSearch.ivfBaselineLoad(spark, ix)
+      assert(baseline.nlist === 8 && baseline.n === base.count())
+
+      // append lands the batch in the cell partitions
+      IndexCli.run(IndexCli.parse(Seq("append", "--index", ix,
+        "--input", batchPath)).get, spark)
+      assert(spark.read.parquet(s"$ix/assigned").count() === emb.count())
+
+      // search ≡ the library serving the SAME persisted index
+      val out = t.resolve("res").toString
+      IndexCli.run(IndexCli.parse(Seq("search", "--index", ix,
+        "--output", out, "--k", "7", "--nprobe", "3",
+        "--query-id", "0")).get, spark)
+      val cli = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val lib = SimSearch.ivfSearch(
+        SimSearch.ivfLoad(spark, ix, "vec_id", "embedding"), 0L, 7, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(cli === lib && cli.length === 7)
+
+      // drift: the in-distribution batch raises nothing; a planted
+      // +2.0 shift raises both alerts (the q174 fixture)
+      val driftOut = t.resolve("drift").toString
+      IndexCli.run(IndexCli.parse(Seq("drift", "--index", ix,
+        "--input", batchPath, "--output", driftOut)).get, spark)
+      val control = spark.read.parquet(driftOut).head()
+      assert(!control.getAs[Boolean]("psi_alert") &&
+        !control.getAs[Boolean]("dist_alert"))
+      val shiftedPath = t.resolve("shifted.parquet").toString
+      batch.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+        .write.parquet(shiftedPath)
+      IndexCli.run(IndexCli.parse(Seq("drift", "--index", ix,
+        "--input", shiftedPath, "--output", driftOut)).get, spark)
+      val drifted = spark.read.parquet(driftOut).head()
+      assert(drifted.getAs[Boolean]("psi_alert") &&
+        drifted.getAs[Boolean]("dist_alert"))
+    } finally rm(t)
+  }
+}
