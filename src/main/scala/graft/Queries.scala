@@ -3817,6 +3817,55 @@ object Queries {
         "self_top1", "parity_flat", "recall_ok", "deterministic")
   }
 
+  /** TYPED parquet footer census under oracle (q185's sibling for
+    * text- and time-keyed layouts — the common case for crawl
+    * corpora): orders is staged partitioned by its priority class,
+    * then the row-group statistics for the STRING key
+    * (o_orderpriority) and the TIMESTAMP column (o_orderdate) are
+    * read back from FILE METADATA ONLY — logical-type decode, honest
+    * cross-type nulls — and a string range probe's skipping report
+    * derived (sound on bounds: footer string stats may be truncated
+    * prefixes). The oracle replays every number from the DATA, so a
+    * footer decode that disagrees with its own pages goes red.
+    * Timestamps surface as formatted UTC strings (both engines
+    * truncate to seconds identically). */
+  def q189TypedFooterCensus(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q189_")
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      // INT96 carries no usable stats — stage the annotated int64 form
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      val lay = tmp.resolve("lay").toString
+      t(spark, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderdate"),
+          substring(col("o_orderpriority"), 1, 1).as("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(lay)
+      def statsOf(column: String) =
+        graft.sources.ParquetMeta.rowGroupStats(spark, lay, column)
+          .withColumn("bucket",
+            regexp_extract(col("file"), "bucket=(\\d+)", 1))
+      val pri = graft.sources.ParquetMeta.skippingReportString(
+        statsOf("o_orderpriority"), lo = "2", hi = "3")
+        .groupBy("bucket").agg(
+          sum("n_rows").as("n_rows"),
+          min("col_min_str").as("pri_min"),
+          max("col_max_str").as("pri_max"),
+          (min(when(col("skippable"), 1).otherwise(0)) === 1).as("skippable"))
+      val ts = statsOf("o_orderdate")
+        .groupBy("bucket").agg(
+          date_format(min("col_min_ts"), "yyyy-MM-dd HH:mm:ss").as("ts_min"),
+          date_format(max("col_max_ts"), "yyyy-MM-dd HH:mm:ss").as("ts_max"))
+      pri.join(ts, Seq("bucket")).orderBy("bucket").localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** ANN index lifecycle CLI under oracle ([[graft.cli.IndexCli]] —
     * the q175 CLI pattern for the SimSearch family): stage the
     * embeddings corpus as a 4/5 base + 1/5 ingest batch, drive the

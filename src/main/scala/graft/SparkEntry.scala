@@ -211,6 +211,7 @@ object SparkEntry {
     "q186_ivfpq_serve" -> (Queries.q186IvfPqServe(_, _)),
     "q187_warc_responses" -> (Queries.q187WarcResponses(_, _)),
     "q188_index_cli" -> (Queries.q188IndexCli(_, _)),
+    "q189_typed_footer_census" -> (Queries.q189TypedFooterCensus(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4126,5 +4127,23 @@ ORDER BY id_a, id_b"""),
         |  TRUE AS search_ok,
         |  FALSE AS control_psi_alert, FALSE AS control_dist_alert,
         |  TRUE AS drifted_psi_alert, TRUE AS drifted_dist_alert""".stripMargin,
+    // q189: the typed footer census must agree with the DATA — the
+    // oracle recomputes per-priority-class counts, string min/max,
+    // timestamp min/max (both engines truncate the format to whole
+    // seconds), and the string range probe's disjointness from orders
+    // itself; the Spark side may only read file metadata.
+    "q189_typed_footer_census" ->
+      """WITH s AS (
+        |  SELECT substr(o_orderpriority, 1, 1) AS bucket,
+        |    o_orderpriority, o_orderdate
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n_rows,
+        |  min(o_orderpriority) AS pri_min,
+        |  max(o_orderpriority) AS pri_max,
+        |  (min(o_orderpriority) > '3' OR max(o_orderpriority) < '2')
+        |    AS skippable,
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS ts_min,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS ts_max
+        |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

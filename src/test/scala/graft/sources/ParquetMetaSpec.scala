@@ -69,6 +69,50 @@ class ParquetMetaSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("string/date/timestamp footer stats decode their logical types") {
+    val t = tmpDir()
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      // INT96 carries no usable stats — write the annotated int64 form
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      val df = Seq(
+        ("banana", java.sql.Date.valueOf("2026-01-05"),
+          java.sql.Timestamp.valueOf("2026-01-05 10:30:00.123456")),
+        ("apple", java.sql.Date.valueOf("2025-12-31"),
+          java.sql.Timestamp.valueOf("2025-12-31 23:59:59.5")),
+        ("cherry", java.sql.Date.valueOf("2026-02-01"),
+          java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+        .toDF("s", "d", "ts")
+      val p = t.resolve("typed").toString
+      df.coalesce(1).write.parquet(p)
+      val sStats = ParquetMeta.rowGroupStats(spark, p, "s").head()
+      assert(sStats.getAs[String]("col_min_str") === "apple")
+      assert(sStats.getAs[String]("col_max_str") === "cherry")
+      assert(sStats.isNullAt(sStats.fieldIndex("col_min"))) // honest null
+      val dStats = ParquetMeta.rowGroupStats(spark, p, "d").head()
+      assert(dStats.getAs[java.sql.Date]("col_min_date").toString
+        === "2025-12-31")
+      assert(dStats.getAs[java.sql.Date]("col_max_date").toString
+        === "2026-02-01")
+      val tsStats = ParquetMeta.rowGroupStats(spark, p, "ts").head()
+      assert(tsStats.getAs[java.sql.Timestamp]("col_min_ts")
+        === java.sql.Timestamp.valueOf("2025-12-31 23:59:59.5"))
+      assert(tsStats.getAs[java.sql.Timestamp]("col_max_ts")
+        === java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+      // string skipping rule: the whole group sits below the probe
+      val rep = ParquetMeta.skippingReportString(
+        ParquetMeta.rowGroupStats(spark, p, "s"), "x", "z")
+      assert(rep.head().getAs[Boolean]("skippable"))
+      val repHit = ParquetMeta.skippingReportString(
+        ParquetMeta.rowGroupStats(spark, p, "s"), "a", "b")
+      assert(!repHit.head().getAs[Boolean]("skippable"))
+    } finally {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+      rm(t)
+    }
+  }
+
   test("driver Hadoop conf keys are visible inside tasks (broadcast conf)") {
     // the wrapper itself: a non-default driver key survives Java
     // serialization (Configuration is Writable, not Serializable —
