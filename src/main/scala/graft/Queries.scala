@@ -3866,6 +3866,81 @@ object Queries {
     }
   }
 
+  /** q190's persisted IVF+PQ index with an APPENDED batch, one per
+    * sfDir (the q186 path discipline): fit+save on the 4/5 base,
+    * ivfPqAppend the 1/5 batch — once per JVM; every query run
+    * serves from the loaded index. */
+  private val q190Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q190IndexDir(spark: SparkSession, dir: String): String =
+    q190Index.computeIfAbsent(dir, { d =>
+      val sfName = d.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val pid = ProcessHandle.current().pid()
+      val pathObj = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft_q190_ivfpqapp_${sfName}_${digest}_p$pid")
+      val path = pathObj.toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(pathObj.toFile)
+      }
+      val emb = t(spark, d, "embeddings")
+      graft.ops.SimSearch.ivfPqSave(
+        graft.ops.SimSearch.ivfPqFit(
+          emb.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          nlist = 16, m = 16, k = 32, seed = 42L),
+        path)
+      graft.ops.SimSearch.ivfPqAppend(spark, path,
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding")
+      path
+    })
+
+  /** IVF+PQ incremental APPEND under a contract oracle
+    * ([[graft.ops.SimSearch.ivfPqAppend]] — the ivfAppend story for
+    * the composed layout): the persisted index is fitted on a 4/5
+    * base and the held-out 1/5 batch APPENDED without refit; the
+    * loaded index must (a) hold exactly base+batch codes, (b) have
+    * encoded the appended vectors IDENTICALLY to a direct
+    * pqEncode with the persisted codebooks (encoding is
+    * deterministic given the model — append adds rows, not error),
+    * (c) serve an APPENDED vector as its own top-1 under production
+    * nprobe pruning (its cell is its nearest center; its code
+    * achieves the global ADC minimum for its own query), and (d) be
+    * deterministic across repeated searches. Split counts are exact
+    * arithmetic (the q174/q186/q188 contract pattern). */
+  def q190IvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.ops.SimSearch.ivfPqLoad(
+      spark, q190IndexDir(spark, dir), "vec_id")
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val nBase = emb.where(col("vec_id") % 5 =!= 0).count()
+    val nBatch = batch.count()
+    val appended = idx.codes.where(col("vec_id") % 5 === 0)
+      .select("vec_id", "codes")
+    val direct = graft.ops.SimSearch.pqEncode(
+      batch, "vec_id", "embedding", idx.model)
+    val encodeParity = appended.exceptAll(direct).isEmpty &&
+      direct.exceptAll(appended).isEmpty
+    // vec_id 0 is in the APPENDED fifth: the append path must serve it
+    val q = batch.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def rows() = graft.ops.SimSearch.ivfPqSearch(idx, q, 50, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = rows()
+    Seq((nBase, nBatch, idx.codes.count(),
+      encodeParity,
+      served.head._1 == 0L,
+      served == rows()))
+      .toDF("n_base", "n_appended", "n_codes",
+        "encode_parity", "appended_self_top1", "deterministic")
+  }
+
   /** ANN index lifecycle CLI under oracle ([[graft.cli.IndexCli]] —
     * the q175 CLI pattern for the SimSearch family): stage the
     * embeddings corpus as a 4/5 base + 1/5 ingest batch, drive the

@@ -212,6 +212,7 @@ object SparkEntry {
     "q187_warc_responses" -> (Queries.q187WarcResponses(_, _)),
     "q188_index_cli" -> (Queries.q188IndexCli(_, _)),
     "q189_typed_footer_census" -> (Queries.q189TypedFooterCensus(_, _)),
+    "q190_ivfpq_append" -> (Queries.q190IvfPqAppend(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4145,5 +4146,19 @@ ORDER BY id_a, id_b"""),
         |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS ts_min,
         |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS ts_max
         |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q190: IVF+PQ incremental append — split counts are exact
+    // arithmetic; the append guarantees (appended codes identical to
+    // a direct encode under the persisted codebooks, appended vector
+    // servable as its own top-1 under pruning, determinism) are
+    // contract booleans (the q174/q186/q188 pattern).
+    "q190_ivfpq_append" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0)
+        |    AS n_base,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
+        |    AS n_appended,
+        |  (SELECT count(*) FROM embeddings) AS n_codes,
+        |  TRUE AS encode_parity, TRUE AS appended_self_top1,
+        |  TRUE AS deterministic""".stripMargin,
   )
 }

@@ -15,7 +15,10 @@ import graft.sources.FormatIO
  *
  *  - `fit`: fit the coarse quantizer on `--input`, persist the index
  *    (cell-partitioned assigned corpus + centers) AND its drift
- *    baseline — one corpus version, fit once.
+ *    baseline — one corpus version, fit once. With `--pq-m/--pq-k`
+ *    the fit is the COMPOSED IVF+PQ index instead ([[SimSearch
+ *    .ivfPqFit]]: cell-partitioned codes, no raw vectors stored;
+ *    every later verb dispatches on the persisted `_kind`).
  *  - `append`: assign an ingest batch to the existing centers and land
  *    it in the cell partitions — no refit, no baseline change (the
  *    baseline is per corpus VERSION; `drift` tells you when to refit).
@@ -46,7 +49,9 @@ object IndexCli {
                     nprobe: Int = 4,
                     queryId: Long = 0L,
                     psiAlert: Double = 0.25,
-                    distAlert: Double = 1.5)
+                    distAlert: Double = 1.5,
+                    pqM: Option[Int] = None,
+                    pqK: Option[Int] = None)
 
   val usage: String =
     """index — ANN index lifecycle (graft.ops.SimSearch, IVF layout)
@@ -60,6 +65,10 @@ object IndexCli {
       |  --nlist <n>                fit: number of IVF cells (default 16)
       |  --seed <n>                 fit: KMeans seed (default 42)
       |  --sample-fraction <d>      fit: deterministic fit sample (default 1.0)
+      |  --pq-m <n> --pq-k <n>      fit: BOTH set -> IVF+PQ composed index
+      |                             (codes per cell, 4*dim/m x compression;
+      |                             search then needs --input for the query
+      |                             vector — codes store no raw vectors)
       |  --k <n>                    search: neighbors to return (default 10)
       |  --nprobe <n>               search: cells to probe (default 4)
       |  --query-id <n>             search: query vector id (default 0)
@@ -87,6 +96,14 @@ object IndexCli {
       case "--sample-fraction" :: v :: t => v.toDoubleOption match {
         case Some(d) if d > 0.0 && d <= 1.0 =>
           loop(t, c.copy(sampleFraction = d))
+        case _ => None
+      }
+      case "--pq-m" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 => loop(t, c.copy(pqM = Some(n)))
+        case _ => None
+      }
+      case "--pq-k" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 => loop(t, c.copy(pqK = Some(n)))
         case _ => None
       }
       case "--k" :: v :: t => v.toIntOption match {
@@ -119,7 +136,17 @@ object IndexCli {
     if (c.index.isEmpty) None
     else if (needInput && c.input.isEmpty) None
     else if (needOutput && c.output.isEmpty) None
+    else if (c.pqM.isDefined != c.pqK.isDefined) None // both or neither
     else Some(c)
+  }
+
+  /** Which layout lives under the index dir: ivfPqSave writes a
+    * `_kind` marker, plain ivfSave does not — absent marker = ivf. */
+  private def indexKind(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).collect()(0).getString(0)
+    else "ivf"
   }
 
   def main(args: Array[String]): Unit = {
@@ -144,6 +171,20 @@ object IndexCli {
         s"could not load ${config.input}: unknown filetype"))
 
   def run(config: Config, spark: SparkSession): Unit = config.verb match {
+    case "fit" if config.pqM.isDefined =>
+      // composed IVF+PQ: cell-partitioned CODES (no raw vectors), so
+      // the drift baseline is fitted from the input frame against the
+      // just-fitted centers (ivfBaselineOf) and persisted alongside
+      val df = load(config, spark)
+      val idx = SimSearch.ivfPqFit(df, config.idCol, config.vecCol,
+        config.nlist, config.pqM.get, config.pqK.get, config.seed,
+        config.sampleFraction)
+      SimSearch.ivfPqSave(idx, config.index)
+      val baseline = SimSearch.ivfBaselineOf(spark, idx.centers, df,
+        config.vecCol)
+      SimSearch.ivfBaselineSave(spark, baseline, config.index)
+      println(s"fit: ${baseline.n} vectors in ${baseline.nlist} cells, " +
+        s"pq m=${config.pqM.get} k=${config.pqK.get} -> ${config.index}")
     case "fit" =>
       val idx = SimSearch.ivfFit(load(config, spark), config.idCol,
         config.vecCol, config.nlist, config.seed, config.sampleFraction)
@@ -156,9 +197,30 @@ object IndexCli {
       println(s"fit: ${baseline.n} vectors in ${baseline.nlist} cells " +
         s"-> ${config.index}")
     case "append" =>
-      SimSearch.ivfAppend(spark, config.index, load(config, spark),
-        config.idCol, config.vecCol)
+      if (indexKind(spark, config.index) == "ivfpq")
+        SimSearch.ivfPqAppend(spark, config.index, load(config, spark),
+          config.idCol, config.vecCol)
+      else
+        SimSearch.ivfAppend(spark, config.index, load(config, spark),
+          config.idCol, config.vecCol)
       println(s"append: ${config.input} -> ${config.index}")
+    case "search" if indexKind(spark, config.index) == "ivfpq" =>
+      // the codes layout stores no raw vectors: the query vector
+      // comes from --input (the corpus/batch parquet holding it)
+      require(config.input.nonEmpty,
+        "search over an ivfpq index needs --input to resolve the " +
+          "query vector (codes store no raw vectors)")
+      val idx = SimSearch.ivfPqLoad(spark, config.index, config.idCol)
+      val q = load(config, spark)
+        .where(org.apache.spark.sql.functions.col(config.idCol)
+          === config.queryId)
+        .select(org.apache.spark.sql.functions.col(config.vecCol)
+          .cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      SimSearch.ivfPqSearch(idx, q, config.k, config.nprobe)
+        .write.mode("overwrite").parquet(config.output)
+      println(s"search (ivfpq): query ${config.queryId} top-${config.k} " +
+        s"(nprobe ${config.nprobe}) -> ${config.output}")
     case "search" =>
       val idx = SimSearch.ivfLoad(spark, config.index, config.idCol,
         config.vecCol)

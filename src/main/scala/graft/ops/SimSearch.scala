@@ -1408,6 +1408,61 @@ object SimSearch {
       spark.read.parquet(s"$dir/codes"), idCol)
   }
 
+  /** APPEND an ingest batch to a persisted IVF+PQ index WITHOUT
+    * refit — [[ivfAppend]]'s contract for the composed layout: load
+    * the (tiny) centers and codebooks, assign each new vector to its
+    * nearest center AND encode it in one map-only pass, land the
+    * codes in their `__cell` partitions. Encoding is deterministic
+    * given the codebooks, so appended codes equal what a fit-time
+    * encode of the same vectors would store (q190 pins that). Same
+    * caveats as [[ivfAppend]]: plain append (retries double-append —
+    * wrap in the __batch_id recipe from foreachBatch), one id space,
+    * centers/codebooks drift as the corpus grows — refit per corpus
+    * version; [[ivfDriftReport]] is the trigger and works unchanged
+    * on this layout (centers live at the same path). */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  newDf: DataFrame, idCol: String, vecCol: String): Unit = {
+    require(!newDf.columns.contains("__cell"),
+      "input column __cell collides with the index's cell column")
+    val centers = loadCenters(spark, dir)
+    require(centers.nonEmpty, s"no centers found under $dir/centers")
+    val model = pqLoad(spark, s"$dir/pq")
+    newDf
+      .withColumn("__cell",
+        nearestCell(spark, centers)(asDouble(col(vecCol))))
+      .where(col("__cell") >= 0) // null vectors carry no position — skip
+      .select(col(idCol), col("__cell"),
+        pqEncoder(model)(asDouble(col(vecCol))).as("codes"))
+      .write.partitionBy("__cell").mode("append")
+      .parquet(s"$dir/codes")
+  }
+
+  /** [[IvfBaseline]] computed from a VECTOR FRAME against given
+    * centers — the fit-time baseline for layouts that do NOT store
+    * raw vectors (the IVF+PQ codes layout, where [[ivfBaseline]]'s
+    * assigned-corpus scan has nothing to read): one map pass (the
+    * shared argmin kernel) + a <= nlist-row aggregate. Persist it
+    * with [[ivfBaselineSave]]; [[ivfDriftReport]] consumes it
+    * unchanged. */
+  def ivfBaselineOf(spark: org.apache.spark.sql.SparkSession,
+                    centers: Array[Array[Double]], df: DataFrame,
+                    vecCol: String): IvfBaseline = {
+    require(centers.nonEmpty, "ivfBaselineOf: empty centers")
+    val rows = df
+      .select(nearestCellDist(spark, centers)(asDouble(col(vecCol)))
+        .as("__cd"))
+      .where(col("__cd").isNotNull)
+      .select(col("__cd._1").as("__cell"), col("__cd._2").as("__d"))
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__sd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.map(_._2).sum
+    require(n > 0, "ivfBaselineOf: no non-null vectors in the corpus")
+    IvfBaseline(centers.length, n,
+      rows.map(r => r._1 -> r._2).toMap,
+      rows.map(_._3).sum / n)
+  }
+
   /** Serve one query from the composed index: the `nprobe` nearest
     * cells are picked DRIVER-SIDE from the tiny centers, the codes
     * scan is pruned to exactly those cells (partition directories in

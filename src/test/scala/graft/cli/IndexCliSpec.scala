@@ -48,6 +48,81 @@ class IndexCliSpec extends AnyFunSuite with SparkTestSession {
       "--sample-fraction", "1.5")).isEmpty)
     assert(IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
       "--help")).isEmpty)
+    // pq flags come as a pair or not at all
+    assert(IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
+      "--pq-m", "16")).isEmpty)
+    assert(IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
+      "--pq-m", "16", "--pq-k", "8")).exists(c =>
+      c.pqM === Some(16) && c.pqK === Some(8)))
+  }
+
+  test("ivfpq lifecycle: fit --pq -> append -> search -> drift, CLI equals library") {
+    val t = tmpDir()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val basePath = t.resolve("base.parquet").toString
+      val batchPath = t.resolve("batch.parquet").toString
+      base.write.parquet(basePath)
+      batch.write.parquet(batchPath)
+      val ix = t.resolve("ix").toString
+
+      IndexCli.run(IndexCli.parse(Seq("fit", "--index", ix,
+        "--input", basePath, "--nlist", "8",
+        "--pq-m", "16", "--pq-k", "8")).get, spark)
+      // the composed layout landed: codes (no raw vectors) + kinds
+      assert(spark.read.parquet(s"$ix/codes").columns.toSet
+        === Set("vec_id", "codes", "__cell"))
+      val baseline = graft.ops.SimSearch.ivfBaselineLoad(spark, ix)
+      assert(baseline.nlist === 8 && baseline.n === base.count())
+
+      // append dispatches on the persisted _kind (encode, not assign)
+      IndexCli.run(IndexCli.parse(Seq("append", "--index", ix,
+        "--input", batchPath)).get, spark)
+      assert(spark.read.parquet(s"$ix/codes").count() === emb.count())
+
+      // search resolves the query vector from --input and must equal
+      // the library serving the same persisted index (vec_id 0 is an
+      // APPENDED vector — the append path is servable)
+      val out = t.resolve("res").toString
+      IndexCli.run(IndexCli.parse(Seq("search", "--index", ix,
+        "--output", out, "--input", batchPath,
+        "--k", "7", "--nprobe", "3", "--query-id", "0")).get, spark)
+      val cli = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = SimSearch.ivfPqLoad(spark, ix, "vec_id")
+      val q = batch.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val lib = SimSearch.ivfPqSearch(idx, q, 7, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(cli === lib && cli.length === 7)
+      assert(cli.head._1 === 0L) // self-match through the appended path
+      // search without --input fails loudly (codes store no vectors)
+      intercept[IllegalArgumentException] {
+        IndexCli.run(IndexCli.parse(Seq("search", "--index", ix,
+          "--output", out, "--k", "7")).get, spark)
+      }
+
+      // drift works unchanged on the composed layout (centers at the
+      // same path; baseline fitted from the input frame at fit time)
+      val driftOut = t.resolve("drift").toString
+      IndexCli.run(IndexCli.parse(Seq("drift", "--index", ix,
+        "--input", batchPath, "--output", driftOut)).get, spark)
+      val control = spark.read.parquet(driftOut).head()
+      assert(!control.getAs[Boolean]("psi_alert") &&
+        !control.getAs[Boolean]("dist_alert"))
+      val shiftedPath = t.resolve("shifted.parquet").toString
+      batch.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+        .write.parquet(shiftedPath)
+      IndexCli.run(IndexCli.parse(Seq("drift", "--index", ix,
+        "--input", shiftedPath, "--output", driftOut)).get, spark)
+      val drifted = spark.read.parquet(driftOut).head()
+      assert(drifted.getAs[Boolean]("psi_alert") &&
+        drifted.getAs[Boolean]("dist_alert"))
+    } finally rm(t)
   }
 
   test("lifecycle: fit -> append -> search -> drift, CLI equals library") {
