@@ -125,15 +125,21 @@ object Redact {
     * digits wherever they appear INSIDE a longer, disqualified run
     * elsewhere in the text — corrupting non-candidate text. */
   def redactCards(text: Column, token: String = Token): Column = {
+    // the checksum runs ONCE per maximal run (cardCandidates); the
+    // rebuild below tests membership instead of re-validating —
+    // validity is a pure function of the run string, so membership in
+    // the validated list IS validity (identical runs share it)
+    val valid = cardCandidates(text)
+    val runs = regexp_extract_all(text, lit(CardRun), lit(0))
     // split(.., -1) keeps trailing empty segments, so segments always
     // number exactly one more than the extracted runs and re-concat
     // is byte-exact
     val segs = split(text, CardRun, -1)
-    val runs = regexp_extract_all(text, lit(CardRun), lit(0))
     val swapped = transform(runs, c =>
-      when(isCardRun(c), lit(token)).otherwise(c))
-    // sequence(1, 0) would DESCEND, so the no-run case returns early
-    when(size(runs) <= 0, text).otherwise(
+      when(array_contains(valid, c), lit(token)).otherwise(c))
+    // rows with no VALID run (most of any real corpus) skip the
+    // split+rebuild entirely; null text stays null on both branches
+    when(size(valid) <= 0, text).otherwise(
       aggregate(sequence(lit(1), size(runs)), element_at(segs, 1),
         (acc, i) => concat(acc, element_at(swapped, i),
           element_at(segs, i + 1))))
