@@ -3899,6 +3899,55 @@ object Queries {
       path
     })
 
+  /** BATCH ADC serving under a contract oracle
+    * ([[graft.ops.SimSearch.ivfPqSearchBatch]] — the annLshTopKBatch
+    * shape for the composed index): a query SET (every 25th corpus
+    * vector) is served from q186's persisted index in ONE job — the
+    * exploded (qid, probe-cell, ADC-table) frame broadcasts into a
+    * cell equi-join, the codes never shuffle, only narrow (qid, id,
+    * dist) rows reach the per-query rank window. The contract: (a)
+    * every query's top-1 is itself (its own code achieves the global
+    * ADC minimum), (b) the batch ranking equals per-query
+    * [[graft.ops.SimSearch.ivfPqSearch]] EXACTLY for a sampled
+    * prefix of queries (same table, rounding, tie-break), (c)
+    * repeated batch runs are deterministic. Query count is exact
+    * arithmetic. */
+  def q191IvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.ops.SimSearch.ivfPqLoad(
+      spark, q186IndexDir(spark, dir), "vec_id")
+    val queries = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+    def batchRows() = graft.ops.SimSearch.ivfPqSearchBatch(
+      idx, queries, "vec_id", "embedding", topK = 10, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val batch = batchRows()
+    val byQuery = batch.groupBy(_._1)
+    val allSelfTop1 = byQuery.forall { case (qid, rows) =>
+      rows.minBy(t => (t._3, t._2))._2 == qid
+    }
+    // per-query parity on the first 5 query ids (driver-bounded)
+    val sampleIds = byQuery.keys.toSeq.sorted.take(5)
+    val paritySample = sampleIds.forall { qid =>
+      val q = emb.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val single = graft.ops.SimSearch.ivfPqSearch(idx, q, 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch.filter(_._1 == qid)
+        .map(t => (t._2, t._3)).toSeq
+      // align on (dist, id) — ivfPqSearch's own output order
+      single == fromBatch.sortBy(t => (t._2, t._1))
+    }
+    Seq((queries.count(), byQuery.size.toLong,
+      allSelfTop1, paritySample, batch.toSeq == batchRows().toSeq))
+      .toDF("n_queries", "n_served", "all_self_top1",
+        "parity_sample", "deterministic")
+  }
+
   /** IVF+PQ incremental APPEND under a contract oracle
     * ([[graft.ops.SimSearch.ivfPqAppend]] — the ivfAppend story for
     * the composed layout): the persisted index is fitted on a 4/5

@@ -213,6 +213,7 @@ object SparkEntry {
     "q188_index_cli" -> (Queries.q188IndexCli(_, _)),
     "q189_typed_footer_census" -> (Queries.q189TypedFooterCensus(_, _)),
     "q190_ivfpq_append" -> (Queries.q190IvfPqAppend(_, _)),
+    "q191_ivfpq_batch" -> (Queries.q191IvfPqBatch(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4159,6 +4160,18 @@ ORDER BY id_a, id_b"""),
         |    AS n_appended,
         |  (SELECT count(*) FROM embeddings) AS n_codes,
         |  TRUE AS encode_parity, TRUE AS appended_self_top1,
+        |  TRUE AS deterministic""".stripMargin,
+    // q191: batch ADC serving — query count is exact arithmetic; the
+    // serving guarantees (every query self-matches, batch ranking ≡
+    // per-query ivfPqSearch on a sampled prefix, determinism) are
+    // contract booleans (the q186/q190 pattern).
+    "q191_ivfpq_batch" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)
+        |    AS n_queries,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)
+        |    AS n_served,
+        |  TRUE AS all_self_top1, TRUE AS parity_sample,
         |  TRUE AS deterministic""".stripMargin,
   )
 }

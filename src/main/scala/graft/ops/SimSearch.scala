@@ -1491,4 +1491,59 @@ object SimSearch {
       .orderBy(asc("adc_dist"), asc(index.idCol))
       .limit(topK)
   }
+
+  /**
+   * BATCH ADC serving — the [[annLshTopKBatch]] shape for the
+   * composed index: every row of `queries` (raw vectors) gets its
+   * approximate top-k from the codes in ONE job, amortizing the scan
+   * over the whole query set instead of launching a job per query.
+   *
+   * Plan shape: each query maps to its nprobe probe cells + its m×k
+   * ADC table in one map pass (centers/codebooks ride a broadcast);
+   * the exploded (qid, cell, table) probe frame — small by
+   * definition — is BROADCAST into an equi-join on the cell key, so
+   * the codes never shuffle and only probed cells' partitions are
+   * read under the [[ivfPqSave]] layout; each surviving row costs m
+   * table lookups, and only narrow (qid, id, dist) rows reach the
+   * per-query rank window. Per query this ranks IDENTICALLY to
+   * [[ivfPqSearch]] (same table, same rounding, same tie-break —
+   * q191 pins the parity). Query ids must not collide with corpus
+   * ids only if the caller plans to join the two — the search itself
+   * keeps them in separate columns.
+   */
+  def ivfPqSearchBatch(index: IvfPqIndex, queries: DataFrame,
+                       qIdCol: String, vecCol: String, topK: Int,
+                       nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.codes.sparkSession
+    val bcCenters = spark.sparkContext.broadcast(index.centers)
+    val bcModel = spark.sparkContext.broadcast(index.model)
+    val np = nprobe
+    val prep = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else (nearestCells(bcCenters.value, v.toArray, np),
+        bcModel.value.adcTable(v.toArray)))
+    val probes = queries
+      .select(col(qIdCol).as("__qid"),
+        prep(asDouble(col(vecCol))).as("__p"))
+      .where(col("__p").isNotNull)
+      .select(col("__qid"), explode(col("__p._1")).as("__cell"),
+        col("__p._2").as("__tbl"))
+    val dist = udf((tbl: Seq[Seq[Double]], cs: Seq[Int]) =>
+      if (cs == null) Double.MaxValue
+      else {
+        var s = 0.0; var j = 0
+        while (j < cs.length) { s += tbl(j)(cs(j)); j += 1 }
+        s
+      })
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(asc("adc_dist"), asc(index.idCol))
+    index.codes.join(broadcast(probes), Seq("__cell"))
+      .select(col("__qid"), col(index.idCol),
+        round(dist(col("__tbl"), col("codes")), 6).as("adc_dist"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("__qid").as("query_id"), col(index.idCol),
+        col("adc_dist"))
+  }
 }

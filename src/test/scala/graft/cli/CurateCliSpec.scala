@@ -113,6 +113,38 @@ class CurateCliSpec extends AnyFunSuite with SparkTestSession {
     assert(cliIds === libIds)
   }
 
+  test("batch lifecycle ingests RAW WARC response records (--filetype warc)") {
+    // response records with text/plain bodies: the reader strips the
+    // HTTP message, so curation sees exactly the document text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(concat(lit("https://w.example/doc/"), col("doc_id")).as("url"),
+        lit(200).as("status"), lit("text/plain").as("ctype"),
+        col("text").as("body"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curatewarc")
+    val crawl = tmp.resolve("crawl").toString
+    val out = tmp.resolve("curated").toString
+    graft.sources.Warc.writeWarcResponses(docs.repartition(2),
+      "url", "status", "ctype", "body", crawl)
+    CurateCli.run(CurateCli.parse(Seq(
+      "--input", crawl, "--output", out, "--filetype", "warc",
+      "--id-col", "url", "--text-col", "payload",
+      "--group-col", "url")).get, spark)
+    val curated = spark.read.parquet(out)
+    assert(curated.count() > 0)
+    assert(curated.columns.contains("url") &&
+      curated.columns.contains("payload") &&
+      curated.columns.contains("split"))
+    // CLI over the raw crawl ≡ library over the parsed response view
+    val warc = graft.sources.FormatIO.load("warc", crawl, spark).get._1
+    val (libOut, _) = graft.ops.Curate.standard(
+      warc, warc.limit(0), idCol = "url", textCol = "payload",
+      groupCol = "url")
+    val libIds = libOut.select("url").collect().map(_.getString(0)).toSet
+    libOut.unpersist()
+    val cliIds = curated.select("url").collect().map(_.getString(0)).toSet
+    assert(cliIds === libIds)
+  }
+
   test("stream lifecycle: --stream drains a file feed through the stateful " +
       "tail with auto-compaction; rerun ingests only new files") {
     import spark.implicits._

@@ -530,6 +530,36 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqSearchBatch: one job serves a query set, ranked as per-query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = SimSearch.ivfPqFit(emb, "vec_id", "embedding",
+      nlist = 8, m = 16, k = 8)
+    idx.codes.persist()
+    try {
+      val queries = emb.where(col("vec_id") % 50 === 0)
+      val batch = SimSearch.ivfPqSearchBatch(
+        idx, queries, "vec_id", "embedding", topK = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byQ = batch.groupBy(_._1)
+      assert(byQ.size === queries.count())
+      // every query's own code is the global ADC minimum -> self top-1
+      assert(byQ.forall { case (qid, rows) =>
+        rows.minBy(t => (t._3, t._2))._2 == qid
+      })
+      // batch ≡ per-query search, including rounding and tie-break
+      byQ.keys.toSeq.sorted.take(3).foreach { qid =>
+        val q = emb.where(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        val single = SimSearch.ivfPqSearch(idx, q, 5, nprobe = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val fromBatch = byQ(qid).map(t => (t._2, t._3)).toSeq
+          .sortBy(t => (t._2, t._1))
+        assert(single === fromBatch, s"qid=$qid")
+      }
+    } finally { idx.codes.unpersist(); () }
+  }
+
   test("ivf index: fit once, serve many queries, same results as one-shot") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
