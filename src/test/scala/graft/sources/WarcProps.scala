@@ -75,6 +75,22 @@ object WarcProps extends Properties("warc") {
       Warc.dechunk(framed).contains(body)
     }
 
+  property("response records: mux -> typed walk -> HTTP split round-trips") =
+    forAll(Gen.listOf(Gen.zip(url, Gen.choose(100, 599), payload))) { recs =>
+      val bytes = recs.map { case (u, status, body) =>
+        val msg = s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body"
+        val len = msg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $u\r\n" +
+          s"Content-Length: $len\r\n\r\n$msg\r\n\r\n"
+      }.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (out, bad) = Warc.parseWarcBytesTyped(bytes)
+      Prop(bad == 0L) && Prop(out.map { r =>
+        (r._2, Warc.parseHttpMessage(r._7))
+      } == recs.map { case (u, st, b) => (u, Some((st, "text/html", b))) }
+        .toVector)
+    }
+
   property("gunzipAll: member-per-record concatenation inflates whole") =
     forAll(Gen.nonEmptyListOf(payload)) { ps =>
       val members = ps.map { p =>

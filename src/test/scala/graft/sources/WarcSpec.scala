@@ -276,6 +276,45 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("raw WARC streams: delimiter split ≡ strict walk ≡ micro-batches") {
+    val t = tmpDir()
+    try {
+      val dir = t.resolve("crawl").toString
+      val docs = (0 until 24).map { i =>
+        (s"https://s.example/$i", 200 + (i % 2) * 204, "text/html",
+          s"<p>body $i ☃</p>")
+      }.toDF("url", "status", "ctype", "body")
+      Warc.writeWarcResponses(docs.repartition(3), "url", "status",
+        "ctype", "body", dir)
+      val strict = Warc.readWarcResponses(spark, dir)
+        .select("url", "http_status", "http_content_type", "payload")
+      // the splittable delimiter form recovers the same typed rows
+      val split = Warc.readWarcDelimited(spark, dir)
+      assert(split.where(!col("is_valid")).isEmpty)
+      val splitResp = split
+        .where(col("http_status").isNotNull)
+        .select("url", "http_status", "http_content_type", "payload")
+      assert(splitResp.exceptAll(strict).isEmpty &&
+        strict.exceptAll(splitResp).isEmpty)
+      assert(strict.count() === 24)
+      // and the streaming form drains the same rows shard by shard
+      val q = Warc.streamWarcRecords(spark, dir + "/part-*")
+        .writeStream.format("memory").queryName("warc_stream")
+        .option("checkpointLocation", t.resolve("ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("warc_stream")
+        .where(col("is_valid") && col("http_status").isNotNull)
+        .select("url", "http_status", "http_content_type", "payload")
+      assert(streamed.exceptAll(strict).isEmpty &&
+        strict.exceptAll(streamed).isEmpty)
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      rm(t)
+    }
+  }
+
   test("quarantine reader: corrupt shard accounted, not fatal") {
     val t = tmpDir()
     try {
