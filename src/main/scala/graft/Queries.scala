@@ -3899,6 +3899,80 @@ object Queries {
       path
     })
 
+  /** q192/q193's synthetic image corpus: one 36x24 gradient image
+    * per embedding id (pixel (x,y): r=(id·7+x·5+y·3)%256,
+    * g=(id·11+x·3)%256, b=(y·13+id)%256 — closed-form, so the oracle
+    * replays every pixel) PLUS a 2x pixel-replicated copy at id+10000
+    * — a planted near-duplicate (area-pooled dHash is invariant under
+    * replication). Containers alternate P6/PNG per id, and each
+    * copy uses the OPPOSITE codec — the pairs cross codecs, which is
+    * exactly what perceptual (not byte-level) dedup exists for. */
+  private def q192Blobs(spark: SparkSession, dir: String): DataFrame = {
+    def pix(id: Long, x: Int, y: Int): (Byte, Byte, Byte) = (
+      ((id * 7 + x * 5 + y * 3) % 256).toByte,
+      ((id * 11 + x * 3) % 256).toByte,
+      ((y * 13 + id) % 256).toByte)
+    def raster(id: Long, w: Int, h: Int, scale: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pix(id, x / scale, y / scale)
+          val i = 3 * (y * w + x)
+          rgb(i) = r; rgb(i + 1) = g; rgb(i + 2) = b
+          x += 1
+        }
+        y += 1
+      }
+      rgb
+    }
+    val gen = udf((id: Long) => {
+      val rgb = raster(id, 36, 24, 1)
+      if (id % 2 == 0) graft.ops.Multimodal.encodePpm(36, 24, rgb)
+      else graft.ops.Multimodal.encodePng(36, 24, rgb)
+    })
+    val gen2x = udf((id: Long) => {
+      val rgb = raster(id, 72, 48, 2)
+      if (id % 2 == 0) graft.ops.Multimodal.encodePng(72, 48, rgb)
+      else graft.ops.Multimodal.encodePpm(72, 48, rgb)
+    })
+    val ids = t(spark, dir, "embeddings").select(col("vec_id"))
+    ids.select(col("vec_id").as("blob_id"), gen(col("vec_id")).as("data"))
+      .unionByName(ids.select((col("vec_id") + 10000L).as("blob_id"),
+        gen2x(col("vec_id")).as("data")))
+  }
+
+  /** Perceptual image hashing under oracle
+    * ([[graft.ops.Multimodal.perceptualHash]] — dHash, Krawetz
+    * 2011): every synthesized image (and its cross-codec 2x copy)
+    * decodes through the REAL codec paths and pools to the 64-bit
+    * difference hash; the oracle replays the hash BIT FOR BIT from
+    * the pixel formula (integer cell sums on the 9x8 grid, strict
+    * right-neighbor comparisons) — the 2x copies must land on the
+    * base image's exact bits (area-pooling invariance). Map-only but
+    * for the final sort; payloads never shuffle. */
+  def q192ImagePhash(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.perceptualHash(q192Blobs(spark, dir))
+      .select(col("blob_id"), col("width"), col("height"),
+        lpad(bin(col("dhash")), 64, "0").as("bits"))
+      .orderBy("blob_id")
+
+  /** IMAGE near-duplicate pairs under oracle
+    * ([[graft.ops.Multimodal.imageNearDupPairs]] — the multimodal
+    * dedup modality): perceptual hashes through the banded Hamming
+    * join (16-bit chunk buckets; EXACT recall for the threshold by
+    * pigeonhole, never all-pairs), so every planted cross-codec
+    * rescaled copy must pair with its base at Hamming 0 — and the
+    * oracle BRUTE-FORCES the full pair set over the replayed bits
+    * (BITSTRING xor), so the bucketed plan must reproduce exactly
+    * what an all-pairs scan would find, incidental collisions
+    * included. */
+  def q193ImageNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.imageNearDupPairs(
+      q192Blobs(spark, dir), maxHamming = 2)
+      .orderBy("id_a", "id_b")
+
   /** BATCH ADC serving under a contract oracle
     * ([[graft.ops.SimSearch.ivfPqSearchBatch]] — the annLshTopKBatch
     * shape for the composed index): a query SET (every 25th corpus

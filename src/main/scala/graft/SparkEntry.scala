@@ -214,6 +214,8 @@ object SparkEntry {
     "q189_typed_footer_census" -> (Queries.q189TypedFooterCensus(_, _)),
     "q190_ivfpq_append" -> (Queries.q190IvfPqAppend(_, _)),
     "q191_ivfpq_batch" -> (Queries.q191IvfPqBatch(_, _)),
+    "q192_image_phash" -> (Queries.q192ImagePhash(_, _)),
+    "q193_image_neardup" -> (Queries.q193ImageNeardup(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4173,5 +4175,76 @@ ORDER BY id_a, id_b"""),
         |    AS n_served,
         |  TRUE AS all_self_top1, TRUE AS parity_sample,
         |  TRUE AS deterministic""".stripMargin,
+    // q192: the dHash is replayed BIT FOR BIT from the closed-form
+    // pixel synthesis — integer luminance cell sums on the 9x8 grid
+    // (uniform 4x3 cells at 36x24), strict right-neighbor compare,
+    // bit string rendered MSB-first (Spark's lpad(bin(..),64,'0')).
+    // The 2x pixel-replicated copies at id+10000 carry the base
+    // image's exact bits (area pooling is replication-invariant).
+    "q192_image_phash" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+        |g AS (
+        |  SELECT id, r.r, c.c, (c.c*4 + dx.dx) AS x, (r.r*3 + dy.dy) AS y
+        |  FROM ids,
+        |    (SELECT unnest(generate_series(0,7)) AS r) r,
+        |    (SELECT unnest(generate_series(0,8)) AS c) c,
+        |    (SELECT unnest(generate_series(0,3)) AS dx) dx,
+        |    (SELECT unnest(generate_series(0,2)) AS dy) dy),
+        |cell AS (
+        |  SELECT id, r, c,
+        |    SUM(((id*7 + x*5 + y*3) % 256) + ((id*11 + x*3) % 256)
+        |        + ((y*13 + id) % 256)) AS s
+        |  FROM g GROUP BY id, r, c),
+        |b AS (
+        |  SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.s < n.s THEN '1' ELSE '0' END AS bit
+        |  FROM cell a JOIN cell n ON n.id = a.id AND n.r = a.r
+        |    AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT id, string_agg(bit, '' ORDER BY r*8 + c DESC) AS bits
+        |  FROM b GROUP BY id)
+        |SELECT id AS blob_id, CAST(36 AS INT) AS width,
+        |  CAST(24 AS INT) AS height, bits FROM h
+        |UNION ALL
+        |SELECT id + 10000, CAST(72 AS INT), CAST(48 AS INT), bits FROM h
+        |ORDER BY blob_id""".stripMargin,
+    // q193: the bucketed banded plan must reproduce EXACTLY what an
+    // all-pairs scan finds — the oracle brute-forces every pair over
+    // the replayed bits with BITSTRING xor (recall is exact for
+    // maxHamming <= 3 by pigeonhole over the four 16-bit chunks).
+    "q193_image_neardup" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+        |g AS (
+        |  SELECT id, r.r, c.c, (c.c*4 + dx.dx) AS x, (r.r*3 + dy.dy) AS y
+        |  FROM ids,
+        |    (SELECT unnest(generate_series(0,7)) AS r) r,
+        |    (SELECT unnest(generate_series(0,8)) AS c) c,
+        |    (SELECT unnest(generate_series(0,3)) AS dx) dx,
+        |    (SELECT unnest(generate_series(0,2)) AS dy) dy),
+        |cell AS (
+        |  SELECT id, r, c,
+        |    SUM(((id*7 + x*5 + y*3) % 256) + ((id*11 + x*3) % 256)
+        |        + ((y*13 + id) % 256)) AS s
+        |  FROM g GROUP BY id, r, c),
+        |b AS (
+        |  SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.s < n.s THEN '1' ELSE '0' END AS bit
+        |  FROM cell a JOIN cell n ON n.id = a.id AND n.r = a.r
+        |    AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT id, string_agg(bit, '' ORDER BY r*8 + c DESC) AS bits
+        |  FROM b GROUP BY id),
+        |all_h AS (
+        |  SELECT id AS blob_id, bits FROM h
+        |  UNION ALL SELECT id + 10000, bits FROM h),
+        |p AS (
+        |  SELECT a.blob_id AS id_a, o.blob_id AS id_b,
+        |    bit_count(xor(a.bits::BIT, o.bits::BIT)) AS ham
+        |  FROM all_h a JOIN all_h o ON a.blob_id < o.blob_id)
+        |SELECT id_a, id_b, CAST(ham AS INT) AS hamming
+        |FROM p WHERE ham <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

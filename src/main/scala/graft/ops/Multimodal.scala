@@ -350,6 +350,77 @@ object Multimodal {
       .toDF("blob_id", "features")
   }
 
+  /** 64-bit dHash (difference hash, Krawetz 2011) of one decoded
+    * image: luminance (r+g+b, integer) area-pooled onto a 9-wide,
+    * 8-tall grid (cell (r,c) covers rows [r·h/8,(r+1)·h/8), cols
+    * [c·w/9,(c+1)·w/9) — integer boundaries), bit r*8+c set iff cell
+    * (r,c)'s average is strictly below its RIGHT neighbor's —
+    * compared by cross-multiplication so uneven cell areas stay
+    * integer-exact. Invariant under pixel replication (k× upscale
+    * multiplies every cell sum and count by k², preserving every
+    * strict comparison) and under any lossless re-encode — the
+    * property image dedup rides on. Pure integer arithmetic, so an
+    * oracle replays it bit for bit on synthesized fixtures. */
+  private[ops] def dhash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val r = math.min((y.toLong * 8 / h).toInt, 7)
+      var x = 0
+      while (x < w) {
+        val c = math.min((x.toLong * 9 / w).toInt, 8)
+        val i = 3 * (y * w + x)
+        sums(r)(c) += (rgb(i) & 0xFF) + (rgb(i + 1) & 0xFF) +
+          (rgb(i + 2) & 0xFF)
+        counts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (counts(r)(c) > 0 && counts(r)(c + 1) > 0 &&
+            sums(r)(c) * counts(r)(c + 1) < sums(r)(c + 1) * counts(r)(c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-blob perceptual hash: decode (P6 or any JDK raster codec) →
+    * [[dhash64]]. Output (blob_id, width, height, dhash); an
+    * undecodable payload keeps its row with nulls (honest, countable
+    * — never silently dropped). One narrow map stage, payloads never
+    * shuffle. */
+  def perceptualHash(blobs: DataFrame, idCol: String = "blob_id",
+                     dataCol: String = "data"): DataFrame = {
+    val f = udf((data: Array[Byte]) =>
+      decodeImage(data).map { case (w, h, rgb) => (w, h, dhash64(w, h, rgb)) })
+    blobs.select(col(idCol), f(col(dataCol)).as("__d"))
+      .select(col(idCol), col("__d._1").as("width"),
+        col("__d._2").as("height"), col("__d._3").as("dhash"))
+  }
+
+  /** IMAGE near-duplicate pairs — the multimodal member of the dedup
+    * family: perceptual hashes through [[SimHash.nearDupPairsFromSigs]]'
+    * banded Hamming join (16-bit chunk buckets, never all-pairs;
+    * EXACT recall for maxHamming <= 3 by pigeonhole). Catches
+    * re-encoded, rescaled, and lightly-edited copies that exact
+    * byte-hash dedup misses; undecodable blobs are excluded from
+    * pairing (surface them via [[perceptualHash]]'s null rows). */
+  def imageNearDupPairs(blobs: DataFrame, idCol: String = "blob_id",
+                        dataCol: String = "data",
+                        maxHamming: Int = 2): DataFrame =
+    SimHash.nearDupPairsFromSigs(
+      perceptualHash(blobs, idCol, dataCol).where(col("dhash").isNotNull),
+      idCol, "dhash", maxHamming)
+
   /** Shared nearest-neighbor resample over packed RGB triplets —
     * the one pixel kernel behind both the P6 and the raster-codec
     * resize paths (and the arithmetic the oracles replay). */

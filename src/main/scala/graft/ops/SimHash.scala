@@ -85,9 +85,24 @@ object SimHash {
   /** Candidate pairs within `maxHamming` (<= 3 guaranteed complete by
     * pigeonhole over 4 chunks; higher values lose recall). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"),
-      simhashCol(col(textCol)).as("__sig"))
+                   maxHamming: Int = 3): DataFrame =
+    nearDupPairsFromSigs(
+      df.select(col(idCol), simhashCol(col(textCol)).as("__graft_sig")),
+      idCol, "__graft_sig", maxHamming)
+
+  /** The banded Hamming candidate join over an EXISTING 64-bit
+    * signature column — shared by text SimHash ([[nearDupPairs]]) and
+    * image perceptual hashes (`Multimodal.imageNearDupPairs`): each
+    * signature explodes into its four 16-bit chunk keys, candidates
+    * pair within a (chunk, key) bucket (never all-pairs — pigeonhole
+    * gives EXACT recall for maxHamming <= 3: <= 3 differing bits
+    * leave at least one of four chunks identical), then the exact
+    * Hamming verify. */
+  def nearDupPairsFromSigs(sigFrame: DataFrame, idCol: String,
+                           sigCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val sigs = sigFrame.select(col(idCol).as("__id"),
+      col(sigCol).as("__sig"))
     val chunked = sigs.select(col("__id"), col("__sig"),
       posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key")))
     val a = chunked.select(col("__chunk"), col("__key"),

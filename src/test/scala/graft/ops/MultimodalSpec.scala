@@ -316,4 +316,53 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(Multimodal.decimateAudio(opaque, 3).collect()(0)
       .getAs[Array[Byte]]("data").toSeq === "zzz".getBytes.toSeq)
   }
+
+  test("perceptual hash: codec/replication invariant, near-dups pair") {
+    val w = 36; val h = 24
+    def rgbOf(f: (Int, Int) => Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y)
+        val i = 3 * (y * w + x)
+        a(i) = (v % 256).toByte
+        a(i + 1) = ((v * 3) % 256).toByte
+        a(i + 2) = ((v * 7) % 256).toByte
+      }
+      a
+    }
+    val base = rgbOf((x, y) => x * 11 + y * 5)
+    val other = rgbOf((x, y) => 255 - (x * 11 + y * 5) % 256)
+    val base2x = {
+      val a = new Array[Byte](2 * w * 2 * h * 3)
+      for (y <- 0 until 2 * h; x <- 0 until 2 * w) {
+        val s = 3 * ((y / 2) * w + (x / 2))
+        val d = 3 * (y * 2 * w + x)
+        a(d) = base(s); a(d + 1) = base(s + 1); a(d + 2) = base(s + 2)
+      }
+      a
+    }
+    val blobs = Seq(
+      (1L, Multimodal.encodePpm(w, h, base)),     // base, P6
+      (2L, Multimodal.encodePng(w, h, base)),     // lossless re-encode
+      (3L, Multimodal.encodePpm(2 * w, 2 * h, base2x)), // 2x replication
+      (4L, Multimodal.encodeBmp(w, h, other)),    // a different image
+      (5L, "not an image".getBytes("UTF-8")))     // undecodable
+      .toDF("blob_id", "data")
+    val hashes = Multimodal.perceptualHash(blobs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // lossless re-encode and pixel replication leave the hash EXACT
+    assert(hashes(1L).isDefined)
+    assert(hashes(2L) === hashes(1L))
+    assert(hashes(3L) === hashes(1L))
+    assert(hashes(4L) !== hashes(1L))
+    // undecodable payload keeps its row with a null hash — honest
+    assert(hashes(5L) === None)
+    val pairs = Multimodal.imageNearDupPairs(blobs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
