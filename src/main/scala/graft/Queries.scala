@@ -3973,6 +3973,39 @@ object Queries {
       q192Blobs(spark, dir), maxHamming = 2)
       .orderBy("id_a", "id_b")
 
+  /** Audio fingerprinting under oracle
+    * ([[graft.ops.Multimodal.audioPerceptualHash]] — the envelope
+    * dHash): deterministic G.711 µ-law telephony WAVs are
+    * synthesized per embedding id (the q183 byte formula, 130
+    * samples → 65 uniform 2-sample windows) plus a 2x
+    * SAMPLE-REPLICATED copy at id+10000, decoded through the REAL
+    * chunk walk + µ-law expansion, and pooled to the 64-bit envelope
+    * hash — which the oracle replays BIT FOR BIT (µ-law integer
+    * arithmetic + window sums + strict right-neighbor compare); the
+    * upsampled copies must land on the base bits (pooling is
+    * replication-invariant). Map-only but for the final sort. */
+  def q194AudioPhash(spark: SparkSession, dir: String): DataFrame = {
+    val n = 130
+    val genBase = udf((id: Long) => {
+      val bytes = Array.tabulate(n)(i => ((id * 13 + i * 7) % 256).toByte)
+      graft.ops.Multimodal.encodeWavG711(8000, 1, bytes)
+    })
+    val gen2x = udf((id: Long) => {
+      val bytes = Array.tabulate(2 * n)(i =>
+        ((id * 13 + (i / 2) * 7) % 256).toByte)
+      graft.ops.Multimodal.encodeWavG711(8000, 1, bytes)
+    })
+    val ids = t(spark, dir, "embeddings").select(col("vec_id"))
+    val blobs = ids
+      .select(col("vec_id").as("blob_id"), genBase(col("vec_id")).as("data"))
+      .unionByName(ids.select((col("vec_id") + 10000L).as("blob_id"),
+        gen2x(col("vec_id")).as("data")))
+    graft.ops.Multimodal.audioPerceptualHash(blobs)
+      .select(col("blob_id"), col("sample_rate"), col("n_samples"),
+        lpad(bin(col("ahash")), 64, "0").as("bits"))
+      .orderBy("blob_id")
+  }
+
   /** BATCH ADC serving under a contract oracle
     * ([[graft.ops.SimSearch.ivfPqSearchBatch]] — the annLshTopKBatch
     * shape for the composed index): a query SET (every 25th corpus

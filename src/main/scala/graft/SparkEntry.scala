@@ -216,6 +216,7 @@ object SparkEntry {
     "q191_ivfpq_batch" -> (Queries.q191IvfPqBatch(_, _)),
     "q192_image_phash" -> (Queries.q192ImagePhash(_, _)),
     "q193_image_neardup" -> (Queries.q193ImageNeardup(_, _)),
+    "q194_audio_phash" -> (Queries.q194AudioPhash(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4246,5 +4247,39 @@ ORDER BY id_a, id_b"""),
         |SELECT id_a, id_b, CAST(ham AS INT) AS hamming
         |FROM p WHERE ham <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // q194: the audio envelope hash replayed BIT FOR BIT — q183's
+    // µ-law integer expansion per synthesized byte, absolute-sample
+    // sums over the 65 uniform 2-sample windows, strict
+    // right-neighbor compares, bit string rendered MSB-first. The 2x
+    // sample-replicated copies at id+10000 carry the base bits
+    // (window pooling is replication-invariant).
+    "q194_audio_phash" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+        |s AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 129), i ->
+        |      abs(CASE WHEN (xor((id*13 + i*7) % 256, 255) & 128) <> 0
+        |        THEN 132 - ((((xor((id*13 + i*7) % 256, 255) & 15) << 3) + 132)
+        |          << ((xor((id*13 + i*7) % 256, 255) & 112) >> 4))
+        |        ELSE ((((xor((id*13 + i*7) % 256, 255) & 15) << 3) + 132)
+        |          << ((xor((id*13 + i*7) % 256, 255) & 112) >> 4)) - 132
+        |      END)) AS a
+        |  FROM ids),
+        |w AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 64), k ->
+        |      a[2*k + 1] + a[2*k + 2]) AS ws
+        |  FROM s),
+        |h AS (
+        |  SELECT id,
+        |    string_agg(CASE WHEN ws[k.k + 1] < ws[k.k + 2]
+        |        THEN '1' ELSE '0' END, '' ORDER BY k.k DESC) AS bits
+        |  FROM w, (SELECT unnest(generate_series(0, 63)) AS k) k
+        |  GROUP BY id)
+        |SELECT id AS blob_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(130 AS INT) AS n_samples, bits FROM h
+        |UNION ALL
+        |SELECT id + 10000, CAST(8000 AS INT), CAST(260 AS INT), bits FROM h
+        |ORDER BY blob_id""".stripMargin,
   )
 }

@@ -421,6 +421,67 @@ object Multimodal {
       perceptualHash(blobs, idCol, dataCol).where(col("dhash").isNotNull),
       idCol, "dhash", maxHamming)
 
+  /** 64-bit audio fingerprint — [[dhash64]]'s idea on the energy
+    * envelope: absolute sample amplitudes pooled into 65 equal
+    * windows (integer boundaries i·65/n), bit k set iff window k's
+    * MEAN energy is strictly below window k+1's (cross-multiplied so
+    * uneven windows stay integer-exact). Invariant under integer
+    * sample replication (k-fold upsampling multiplies every window
+    * sum and count by k) — the property audio dedup rides on; robust
+    * to container/codec changes because it runs on DECODED samples.
+    * Pure integer arithmetic, oracle-replayable. */
+  private[ops] def audioHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val w = math.min((i.toLong * 65 / n).toInt, 64)
+      sums(w) += math.abs(samples(i).toLong)
+      counts(w) += 1
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0 && counts(k + 1) > 0 &&
+          sums(k) * counts(k + 1) < sums(k + 1) * counts(k))
+        hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Per-blob audio fingerprint: the REAL WAV chunk walk (PCM-16 +
+    * G.711 µ/A-law via [[decodeWav]]) → [[audioHash64]]. Output
+    * (blob_id, sample_rate, n_samples, ahash); undecodable payloads
+    * keep their row with nulls (honest, countable). One narrow map
+    * stage, payloads never shuffle. */
+  def audioPerceptualHash(blobs: DataFrame, idCol: String = "blob_id",
+                          dataCol: String = "data"): DataFrame = {
+    val f = udf((data: Array[Byte]) =>
+      decodeWav(data).map(a =>
+        (a.sampleRate, a.samples.length, audioHash64(a.samples))))
+    blobs.select(col(idCol), f(col(dataCol)).as("__a"))
+      .select(col(idCol), col("__a._1").as("sample_rate"),
+        col("__a._2").as("n_samples"), col("__a._3").as("ahash"))
+  }
+
+  /** AUDIO near-duplicate pairs — the audio member of the dedup
+    * family, completing the modality set (text SimHash, embedding
+    * cosine, image dHash, audio envelope): fingerprints through
+    * [[SimHash.nearDupPairsFromSigs]]' banded Hamming join (16-bit
+    * chunk buckets, never all-pairs; EXACT recall for maxHamming <=
+    * 3 by pigeonhole). Catches re-encoded and integer-upsampled
+    * copies that byte-level dedup misses. */
+  def audioNearDupPairs(blobs: DataFrame, idCol: String = "blob_id",
+                        dataCol: String = "data",
+                        maxHamming: Int = 2): DataFrame =
+    SimHash.nearDupPairsFromSigs(
+      audioPerceptualHash(blobs, idCol, dataCol)
+        .where(col("ahash").isNotNull),
+      idCol, "ahash", maxHamming)
+
   /** Shared nearest-neighbor resample over packed RGB triplets —
     * the one pixel kernel behind both the P6 and the raster-codec
     * resize paths (and the arithmetic the oracles replay). */

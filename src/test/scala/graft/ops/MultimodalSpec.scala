@@ -317,6 +317,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .getAs[Array[Byte]]("data").toSeq === "zzz".getBytes.toSeq)
   }
 
+  test("audio fingerprint: replication invariant, near-dups pair") {
+    def pcm16(samples: Array[Short]) =
+      Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, samples))
+    val base = Array.tabulate[Short](130)(i => ((i * 37) % 200 - 100).toShort)
+    val up2x = Array.tabulate[Short](260)(i => base(i / 2))
+    val other = Array.tabulate[Short](130)(i => ((i * 53) % 180 - 90).toShort)
+    val blobs = Seq(
+      (1L, pcm16(base)),
+      (2L, pcm16(up2x)),   // 2x sample replication
+      (3L, pcm16(other)),  // a different envelope
+      (4L, "not audio".getBytes("UTF-8")))
+      .toDF("blob_id", "data")
+    val hashes = Multimodal.audioPerceptualHash(blobs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(hashes(1L).isDefined)
+    assert(hashes(2L) === hashes(1L)) // replication-invariant
+    assert(hashes(3L) !== hashes(1L))
+    assert(hashes(4L) === None) // undecodable: honest null row
+    val pairs = Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("perceptual hash: codec/replication invariant, near-dups pair") {
     val w = 36; val h = 24
     def rgbOf(f: (Int, Int) => Int): Array[Byte] = {
