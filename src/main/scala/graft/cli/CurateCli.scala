@@ -67,7 +67,8 @@ object CurateCli {
       |  --semantic-threshold <d>   SemDeDup cosine threshold (default 0.95)
       |  --keep-best                exact dedup keeps the best-quality copy
       |  --stream                   run the STREAMING tail over --input as a
-      |                             file stream (parquet only, availableNow)
+      |                             file stream (parquet, or crawl shards
+      |                             with --filetype wet|warc; availableNow)
       |  --compact-every <n>        streaming: fold dedup state every n batches
       |  --compact-max-bases <n>     streaming: state tiers before a major fold (default 4)
       |  --compact-output-every <n>  streaming: fold the output corpus every n batches
@@ -178,28 +179,53 @@ object CurateCli {
       println(s"$name: $rows rows") }
   }
 
-  /** Streaming lifecycle: the --input directory as a parquet file
-    * stream through [[Curate.streamingTail]] (gates + durable
-    * incremental dedup), availableNow trigger (drain what's there,
-    * then stop — rerunning picks up new files via the checkpoint under
-    * `<output>__checkpoint`). The gates mirror the batch config;
-    * novelty vs --historical and decontamination vs --benchmark use
-    * the same artifacts a batch run fits. */
+  /** Streaming lifecycle: the --input directory as a file stream
+    * through [[Curate.streamingTail]] (gates + durable incremental
+    * dedup), availableNow trigger (drain what's there, then stop —
+    * rerunning picks up new files via the checkpoint under
+    * `<output>__checkpoint`). `--filetype wet`/`warc` streams CRAWL
+    * SHARDS directly (the splittable record split + parse,
+    * valid/response rows only — the crawl-drop shape); anything else
+    * streams parquet. The gates mirror the batch config; novelty vs
+    * --historical and decontamination vs --benchmark use the same
+    * artifacts a batch run fits. */
   def runStream(config: Config, spark: SparkSession): Unit = {
-    val schema = spark.read.parquet(config.input).schema
+    import org.apache.spark.sql.functions.{col, lower}
     val hist = config.historical.map(p => load(config, p, spark))
     val grams = config.benchmark.map(p =>
       Decontaminate.fitBenchGrams(load(config, p, spark), config.textCol, 5))
+    // the batch-side view of the same input (unigram-ref fit + the
+    // parquet schema when streaming parquet)
+    def batchInput(): DataFrame = config.fileType match {
+      case Some(t) if Set("wet", "warc")(t.toLowerCase) =>
+        load(config, config.input, spark)
+      case _ => spark.read.parquet(config.input)
+    }
     val unigram = config.maxAvgNegLogp.map { cap =>
       val ref = TextStats.fitUnigramRef(
-        hist.getOrElse(spark.read.parquet(config.input)), config.textCol,
-        4096)
+        hist.getOrElse(batchInput()), config.textCol, 4096)
       (ref, cap)
     }
-    val reader = spark.readStream.schema(schema)
-    val q = config.maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
-      .parquet(config.input)
+    val stream: DataFrame = config.fileType.map(_.toLowerCase) match {
+      case Some("wet") =>
+        // --max-files-per-trigger applies to the parquet route; the
+        // crawl streams drain with the file source's defaults (the
+        // availableNow trigger bounds the run either way)
+        graft.sources.Warc.streamWet(spark, config.input)
+          .where(col("is_valid")).drop("is_valid")
+      case Some("warc") =>
+        graft.sources.Warc.streamWarcRecords(spark, config.input)
+          .where(col("is_valid") && lower(col("warc_type")) === "response"
+            && col("http_status").isNotNull)
+          .drop("is_valid")
+      case _ =>
+        val schema = spark.read.parquet(config.input).schema
+        val reader = spark.readStream.schema(schema)
+        config.maxFilesPerTrigger
+          .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+          .parquet(config.input)
+    }
+    val q = stream
       .writeStream
       .foreachBatch(Curate.streamingTail(spark, config.output,
         idCol = config.idCol, textCol = config.textCol,

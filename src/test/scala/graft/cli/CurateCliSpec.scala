@@ -145,6 +145,41 @@ class CurateCliSpec extends AnyFunSuite with SparkTestSession {
     assert(cliIds === libIds)
   }
 
+  test("stream lifecycle over WET crawl shards (--stream --filetype wet)") {
+    import spark.implicits._
+    val proseA = "the quick brown fox jumps over the lazy dog and then " +
+      "discusses the merits of deterministic testing with a friend"
+    val proseB = "seventeen sailors navigate uncharted waters while " +
+      "charting constellations nobody has catalogued before tonight"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curatecli-w")
+    val srcDir = tmp.resolve("feed").toString
+    val out = tmp.resolve("curated").toString
+    // two crawl drops: the second replays drop 1's first document —
+    // the durable state must dedup it across micro-batch runs
+    graft.sources.Warc.writeWet(
+      Seq(("https://s.example/a", proseA), ("https://s.example/b", proseB))
+        .toDF("url", "payload"),
+      "url", "payload", s"$srcDir/drop0")
+    def cli() = CurateCli.run(CurateCli.parse(Seq(
+      "--input", s"$srcDir/*/part-*", "--output", out,
+      "--filetype", "wet", "--id-col", "url", "--text-col", "payload",
+      "--min-quality", "0.0", "--max-dup2gram", "1.0",
+      "--stream")).get, spark)
+    cli()
+    assert(spark.read.parquet(out).select("url")
+      .collect().map(_.getString(0)).toSet ===
+      Set("https://s.example/a", "https://s.example/b"))
+    graft.sources.Warc.writeWet(
+      Seq(("https://s.example/c", proseA)).toDF("url", "payload"),
+      "url", "payload", s"$srcDir/drop1")
+    cli()
+    // the replayed text is an exact cross-run duplicate: dropped
+    assert(spark.read.parquet(out).select("url")
+      .collect().map(_.getString(0)).toSet ===
+      Set("https://s.example/a", "https://s.example/b"),
+      "cross-run dedup over the WET stream broken")
+  }
+
   test("stream lifecycle: --stream drains a file feed through the stateful " +
       "tail with auto-compaction; rerun ingests only new files") {
     import spark.implicits._

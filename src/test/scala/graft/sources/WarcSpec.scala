@@ -417,6 +417,25 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("FormatIO loads .wet.gz member-per-record shards via the wet filetype") {
+    val t = tmpDir()
+    try {
+      val dir = t.resolve("gz").toString
+      val docs = (0 until 9)
+        .map(i => (s"https://gz.example/$i", s"gz payload $i ☃"))
+        .toDF("url", "payload")
+      Warc.writeWetGz(docs.repartition(3), "url", "payload", dir)
+      // the text route inflates concatenated gzip members whole
+      // (Hadoop's decompressor handles multi-member streams), so the
+      // splittable record split applies to the inflated bytes —
+      // .wet.gz shards feed FormatIO/CurateCli with no special-casing
+      val (df, tag) = FormatIO.load("wet", dir, spark).get
+      assert(tag === "wet" && df.count() === 9)
+      assert(df.select("url", "payload")
+        .exceptAll(docs.select("url", "payload")).isEmpty)
+    } finally rm(t)
+  }
+
   test("reader plans stay narrow: no exchange before the payload lands") {
     val t = tmpDir()
     try {
