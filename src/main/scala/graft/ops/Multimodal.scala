@@ -425,9 +425,12 @@ object Multimodal {
     * envelope: absolute sample amplitudes pooled into 65 equal
     * windows (integer boundaries i·65/n), bit k set iff window k's
     * MEAN energy is strictly below window k+1's (cross-multiplied so
-    * uneven windows stay integer-exact). Invariant under integer
-    * sample replication (k-fold upsampling multiplies every window
-    * sum and count by k) — the property audio dedup rides on; robust
+    * uneven windows stay integer-exact). BIT-EXACT under k-fold
+    * sample replication when the windows divide the length
+    * (n % 65 == 0; off alignment the replicated clip's integer
+    * window boundaries shift edge samples — a few-bit perturbation
+    * the Hamming threshold absorbs, not bit equality) — the
+    * property audio dedup rides on; robust
     * to container/codec changes because it runs on DECODED samples.
     * Pure integer arithmetic, oracle-replayable. */
   private[ops] def audioHash64(samples: Array[Short]): Long = {
