@@ -3797,7 +3797,14 @@ object Queries {
     // many cells (sf0.001 measures 7/10 at half-probe, sf0.01+
     // >= 8), so the scale-stable guarantee worth pinning is a clear
     // majority at 2x pruning; the quantization-only >= 8/10 bar is
-    // q184's (flat window), and full-probe parity is exact below
+    // q184's (flat window), and full-probe parity is exact below.
+    // BAR PROVENANCE (pin, not property): 6/10 is an empirical floor
+    // measured on the driver fixtures at sf0.001/sf0.01/sf0.1 (one
+    // bit of headroom at the worst sf) — the TESTED SF SET for this
+    // constant. A new scale factor or a regenerated fixture must
+    // re-measure half-probe recall before trusting this row; the
+    // by-construction guarantees (self_top1, parity_flat at
+    // nprobe=nlist, determinism) hold at any sf and need no bar.
     val halfProbe =
       rows(graft.ops.SimSearch.ivfPqSearch(idx, q, 100, nprobe = 8))
     val probedAll =

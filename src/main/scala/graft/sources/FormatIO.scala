@@ -213,7 +213,13 @@ object FormatIO {
       case _ => None
     }
 
-  /** S8: extension-based dispatch (reference substring match kept). */
+  /** S8: extension-based dispatch (reference substring match kept).
+    * `.wet` is matched BEFORE `.warc`: real CommonCrawl WET shards are
+    * named `*.warc.wet.gz` — they contain both substrings, and routing
+    * them to the response reader would silently return an empty frame
+    * (conversion records carry no HTTP message). The more specific
+    * derived format wins; a raw `*.warc.gz` crawl still matches
+    * `.warc` because it never contains `.wet`. */
   def loadFromPath(path: String, spark: SparkSession): Option[(DataFrame, String)] =
     path.toLowerCase match {
       case p if p.contains(".json") => load("json", path, spark)
@@ -221,8 +227,8 @@ object FormatIO {
       case p if p.contains(".csv")  => load("csv", path, spark)
       case p if p.contains(".par")  => load("parquet", path, spark)
       case p if p.contains(".orc")  => load("orc", path, spark)
+      case p if p.contains(".wet")  => load("wet", path, spark)
       case p if p.contains(".warc") => load("warc", path, spark)
-      case p if p.contains(".wet") => load("wet", path, spark)
       case _ => None
     }
 

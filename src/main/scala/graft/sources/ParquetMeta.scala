@@ -32,7 +32,10 @@ object ParquetMeta {
     * as nulls, never fabricated; the skipping rule below is sound on
     * bounds); DATE-annotated int32 in (col_min_date, col_max_date);
     * TIMESTAMP-annotated int64 (MILLIS/MICROS/NANOS) in (col_min_ts,
-    * col_max_ts). Unsupported types (int96, float, unannotated
+    * col_max_ts) — UTC-adjusted values decode as instants, NTZ
+    * (local-semantics) values are anchored in the session timezone so
+    * they display exactly as written under any session zone (see
+    * [[tsOf]]). Unsupported types (int96, float, unannotated
     * binary) stay honest nulls across the board. Output: (file,
     * rg_idx, n_rows, col_min, col_max, col_min_str, col_max_str,
     * col_min_date, col_max_date, col_min_ts, col_max_ts, col_nulls,
@@ -59,6 +62,12 @@ object ParquetMeta {
     // credentialed object stores / custom filesystems work without a
     // deployment-side workaround (SerializableHadoopConf)
     val bcConf = SerializableHadoopConf.broadcast(spark)
+    // NTZ decode anchor (see tsOf): the session zone is resolved
+    // DRIVER-side once and rides the closure — Spark's TimestampType
+    // formats instants in this zone, so anchoring an NTZ local value
+    // here makes it display as written under ANY session timezone
+    val sessionZone = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
     spark.createDataset(files)
       .repartition(math.min(files.size, 64))
       .mapPartitions { it =>
@@ -93,8 +102,10 @@ object ParquetMeta {
                         ann match {
                           case t: org.apache.parquet.schema
                               .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                            tmn = Some(tsOf(a.longValue, t.getUnit))
-                            tmx = Some(tsOf(z.longValue, t.getUnit))
+                            tmn = Some(tsOf(a.longValue, t.getUnit,
+                              t.isAdjustedToUTC, sessionZone))
+                            tmx = Some(tsOf(z.longValue, t.getUnit,
+                              t.isAdjustedToUTC, sessionZone))
                           case _ =>
                             mn = Some(a.longValue); mx = Some(z.longValue)
                         }
@@ -138,10 +149,23 @@ object ParquetMeta {
     java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
 
   /** Parquet TIMESTAMP int64 in its declared unit → java.sql.Timestamp
-    * (UTC instant; floorDiv/floorMod so pre-epoch values keep exact
-    * sub-second parts). */
-  private def tsOf(v: Long,
-                   unit: org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit)
+    * (floorDiv/floorMod so pre-epoch values keep exact sub-second
+    * parts), honoring the annotation's `isAdjustedToUTC` flag:
+    *
+    *  - adjusted (instant semantics): the int64 counts units since the
+    *    UTC epoch — decode directly, exactly as before.
+    *  - NTZ (local semantics — what pandas/pyarrow write for naive
+    *    datetimes): the same arithmetic yields a LOCAL wall-clock
+    *    value, not an instant. Decoding it as UTC would shift the
+    *    displayed value by the session-zone offset whenever the
+    *    session timezone isn't UTC. Instead the local datetime is
+    *    ANCHORED in the session zone (`sessionZone`, resolved
+    *    driver-side), so Spark's TimestampType — which formats in that
+    *    same zone — renders the value exactly as the writer recorded
+    *    it, under any session timezone. */
+  private[sources] def tsOf(v: Long,
+                   unit: org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit,
+                   adjustedToUtc: Boolean, sessionZone: String)
       : java.sql.Timestamp = {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val (sec, nanos) = unit match {
@@ -152,9 +176,16 @@ object ParquetMeta {
       case TimeUnit.NANOS =>
         (Math.floorDiv(v, 1000000000L), Math.floorMod(v, 1000000000L))
     }
-    val ts = new java.sql.Timestamp(sec * 1000L)
-    ts.setNanos(nanos.toInt)
-    ts
+    if (adjustedToUtc) {
+      val ts = new java.sql.Timestamp(sec * 1000L)
+      ts.setNanos(nanos.toInt)
+      ts
+    } else {
+      val local = java.time.LocalDateTime.ofEpochSecond(
+        sec, nanos.toInt, java.time.ZoneOffset.UTC)
+      java.sql.Timestamp.from(
+        local.atZone(java.time.ZoneId.of(sessionZone)).toInstant)
+    }
   }
 
   /** Footer-based skipping report for a range probe `[lo, hi]` on the

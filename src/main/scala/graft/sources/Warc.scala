@@ -262,16 +262,23 @@ object Warc {
       else if (!startsWith(RecordHeader, i)) { bad += data.length - i; i = data.length }
       else {
         // find the header/payload separator (blank line) — CRLF CRLF
-        // per the spec, with bare-LF LF tolerated (real crawls mix
-        // endings; parseHeaders splits on either)
+        // per the spec, with bare-LF and MIXED endings tolerated (real
+        // crawls mix them, including a LF-terminated last header line
+        // followed by a CRLF blank: `...\n\r\n`). The scan looks for
+        // any line break (`\r\n` or `\n`) immediately followed by
+        // another, so all four combinations (4, 3, 3, 2 bytes) parse;
+        // parseHeaders splits on either ending too.
+        def breakLen(at: Int): Int =
+          if (at < data.length && data(at) == '\r' &&
+              at + 1 < data.length && data(at + 1) == '\n') 2
+          else if (at < data.length && data(at) == '\n') 1
+          else 0
         var hEnd = -1; var sepLen = 0; var j = i
-        while (hEnd < 0 && j + 1 < data.length) {
-          if (j + 3 < data.length &&
-              data(j) == '\r' && data(j + 1) == '\n' &&
-              data(j + 2) == '\r' && data(j + 3) == '\n') {
-            hEnd = j; sepLen = 4
-          } else if (data(j) == '\n' && data(j + 1) == '\n') {
-            hEnd = j; sepLen = 2
+        while (hEnd < 0 && j < data.length) {
+          val b1 = breakLen(j)
+          if (b1 > 0) {
+            val b2 = breakLen(j + b1)
+            if (b2 > 0) { hEnd = j; sepLen = b1 + b2 }
           }
           j += 1
         }

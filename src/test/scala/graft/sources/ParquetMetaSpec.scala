@@ -143,6 +143,38 @@ class ParquetMetaSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.task.key")
   }
 
+  test("NTZ timestamps anchor in the session zone; adjusted stay instants") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    // 1995-06-17 12:34:56.789 as micros-since-epoch wall-clock digits
+    val local = java.time.LocalDateTime.of(1995, 6, 17, 12, 34, 56,
+      789000000)
+    val micros = local.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      789000L
+    def wallClockIn(ts: java.sql.Timestamp, zone: String): String =
+      ts.toInstant.atZone(java.time.ZoneId.of(zone)).toLocalDateTime.toString
+    // NTZ (local semantics): under ANY session zone, the decoded value
+    // must display exactly the wall-clock the writer recorded — the
+    // old UTC-instant decode shifted it by the zone offset
+    Seq("UTC", "America/New_York", "Asia/Tokyo").foreach { z =>
+      val ts = ParquetMeta.tsOf(micros, TimeUnit.MICROS,
+        adjustedToUtc = false, sessionZone = z)
+      assert(wallClockIn(ts, z) === "1995-06-17T12:34:56.789",
+        s"NTZ decode shifted under session zone $z")
+    }
+    // UTC-adjusted (instant semantics): the zone must NOT move the
+    // instant — same epoch millis regardless of session zone
+    val i1 = ParquetMeta.tsOf(micros, TimeUnit.MICROS,
+      adjustedToUtc = true, sessionZone = "UTC")
+    val i2 = ParquetMeta.tsOf(micros, TimeUnit.MICROS,
+      adjustedToUtc = true, sessionZone = "Asia/Tokyo")
+    assert(i1.getTime === i2.getTime && i1.getNanos === i2.getNanos)
+    assert(wallClockIn(i1, "UTC") === "1995-06-17T12:34:56.789")
+    // pre-epoch NANOS keep exact sub-second parts through floorDiv
+    val pre = ParquetMeta.tsOf(-1L, TimeUnit.NANOS,
+      adjustedToUtc = true, sessionZone = "UTC")
+    assert(wallClockIn(pre, "UTC") === "1969-12-31T23:59:59.999999999")
+  }
+
   test("missing or empty paths fail loudly") {
     intercept[java.io.FileNotFoundException] {
       ParquetMeta.rowGroupStats(spark, "/tmp/graft_definitely_absent", "k")

@@ -436,6 +436,58 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test(".warc.wet.gz naming routes to the WET reader, not the response reader") {
+    val t = tmpDir()
+    try {
+      // real CommonCrawl WET shards carry BOTH substrings in their
+      // name; the response reader would silently return an empty frame
+      // for them (conversion records have no HTTP message) — the
+      // extension dispatch must prefer the more specific .wet
+      val dir = t.resolve("CC-MAIN.warc.wet.gz").toString
+      val docs = Seq(("https://cc.example/1", "conversion alpha"),
+        ("https://cc.example/2", "conversion beta")).toDF("url", "payload")
+      Warc.writeWetGz(docs, "url", "payload", dir)
+      val (df, tag) = FormatIO.loadFromPath(dir, spark).get
+      assert(tag === "wet")
+      assert(df.count() === 2) // the warc route would return 0 rows
+      assert(df.select("url", "payload")
+        .exceptAll(docs.select("url", "payload")).isEmpty)
+      // a raw crawl name (no .wet) still routes to the response reader
+      val rawDir = t.resolve("CC-RAW.warc").toString
+      val resp = Seq(("response", "https://cc.example/r",
+        "application/http;msgtype=response")).toDF("wt", "url", "ct")
+        .select(col("wt"), col("url"), col("ct"),
+          Warc.httpResponseMessage(lit(200), lit("text/html"),
+            lit("<p>raw</p>")).as("payload"))
+      Warc.writeWarc(resp, "wt", "url", "ct", "payload", rawDir)
+      val (rawDf, rawTag) = FormatIO.loadFromPath(rawDir, spark).get
+      assert(rawTag === "warc" && rawDf.count() === 1)
+    } finally rm(t)
+  }
+
+  test("mixed header line endings parse: \\n\\r\\n and \\r\\n\\n separators") {
+    val t = tmpDir()
+    try {
+      val dir = t.resolve("mixed-endings")
+      java.nio.file.Files.createDirectories(dir)
+      // last header line LF-terminated, blank line CRLF (`...\n\r\n`) —
+      // the real-crawl mix the docstring promises; and the converse
+      val recA = "WARC/1.0\r\nWARC-Target-URI: http://a\nContent-Length: 5\n\r\n" +
+        "alpha\r\n\r\n"
+      val recB = "WARC/1.0\nWARC-Target-URI: http://b\r\nContent-Length: 4\r\n\n" +
+        "beta\r\n\r\n"
+      java.nio.file.Files.write(dir.resolve("mixed.warc"),
+        (recA + recB).getBytes("UTF-8"))
+      val recs = Warc.readWarcFiles(spark, dir.toString)
+        .orderBy("url").collect()
+      assert(recs.length === 2)
+      assert(recs(0).getAs[String]("url") === "http://a")
+      assert(recs(0).getAs[String]("payload") === "alpha")
+      assert(recs(1).getAs[String]("url") === "http://b")
+      assert(recs(1).getAs[String]("payload") === "beta")
+    } finally rm(t)
+  }
+
   test("reader plans stay narrow: no exchange before the payload lands") {
     val t = tmpDir()
     try {
