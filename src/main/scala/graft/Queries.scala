@@ -3901,8 +3901,11 @@ object Queries {
           emb.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
           nlist = 16, m = 16, k = 32, seed = 42L),
         path)
+      // the EXACTLY-ONCE path: the batch lands under its ledger id,
+      // so q190 can prove a replayed id is a no-op
       graft.ops.SimSearch.ivfPqAppend(spark, path,
-        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding")
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        batchId = Some(1L))
       path
     })
 
@@ -4072,14 +4075,17 @@ object Queries {
     * deterministic given the model — append adds rows, not error),
     * (c) serve an APPENDED vector as its own top-1 under production
     * nprobe pruning (its cell is its nearest center; its code
-    * achieves the global ADC minimum for its own query), and (d) be
-    * deterministic across repeated searches. Split counts are exact
-    * arithmetic (the q174/q186/q188 contract pattern). */
+    * achieves the global ADC minimum for its own query), (d) be
+    * deterministic across repeated searches, and (e) — the
+    * EXACTLY-ONCE contract — treat a REPLAY of the already-applied
+    * ledger batch id as a no-op (same code count after the replay
+    * attempt; a retried ingest can never double-append). Split
+    * counts are exact arithmetic (the q174/q186/q188 pattern). */
   def q190IvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = t(spark, dir, "embeddings")
-    val idx = graft.ops.SimSearch.ivfPqLoad(
-      spark, q190IndexDir(spark, dir), "vec_id")
+    val path = q190IndexDir(spark, dir)
+    val idx = graft.ops.SimSearch.ivfPqLoad(spark, path, "vec_id")
     val batch = emb.where(col("vec_id") % 5 === 0)
     val nBase = emb.where(col("vec_id") % 5 =!= 0).count()
     val nBatch = batch.count()
@@ -4096,26 +4102,37 @@ object Queries {
     def rows() = graft.ops.SimSearch.ivfPqSearch(idx, q, 50, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val served = rows()
+    // the replay: batch id 1 is already in the applied ledger — the
+    // append must return false and leave the codes frame untouched
+    val replayApplied = graft.ops.SimSearch.ivfPqAppend(spark, path,
+      batch, "vec_id", "embedding", batchId = Some(1L))
+    val nAfterReplay = graft.ops.SimSearch.ivfPqLoad(spark, path, "vec_id")
+      .codes.count()
     Seq((nBase, nBatch, idx.codes.count(),
       encodeParity,
       served.head._1 == 0L,
-      served == rows()))
+      served == rows(),
+      !replayApplied && nAfterReplay == nBase + nBatch))
       .toDF("n_base", "n_appended", "n_codes",
-        "encode_parity", "appended_self_top1", "deterministic")
+        "encode_parity", "appended_self_top1", "deterministic",
+        "replay_noop")
   }
 
   /** ANN index lifecycle CLI under oracle ([[graft.cli.IndexCli]] —
     * the q175 CLI pattern for the SimSearch family): stage the
     * embeddings corpus as a 4/5 base + 1/5 ingest batch, drive the
     * CLI end to end through its own arg grammar — `fit` (persisted
-    * cell-partitioned index + drift baseline), `append` (batch lands
-    * in the cell partitions, no refit), `search` (nprobe-pruned
-    * serving to a parquet sink), `drift` twice (the held-out control
-    * batch must raise no alert; the same batch shifted +2.0 per
-    * coordinate must raise both) — and cross-check the search sink
-    * against the library serving the same persisted index. Counts
-    * are exact arithmetic; the lifecycle guarantees are booleans the
-    * CLI must earn (the q174/q186 contract pattern). */
+    * cell-partitioned index + drift baseline), `append` with a
+    * ledger `--batch-id` TWICE (the batch lands once; the replay is
+    * the exactly-once no-op every production retry depends on),
+    * `search` (nprobe-pruned serving to a parquet sink),
+    * `search-batch` (a whole query frame served in ONE job — the
+    * pipeline shape), `drift` twice (the held-out control batch must
+    * raise no alert; the same batch shifted +2.0 per coordinate must
+    * raise both) — and cross-check both search sinks against the
+    * library serving the same persisted index. Counts are exact
+    * arithmetic; the lifecycle guarantees are booleans the CLI must
+    * earn (the q174/q186 contract pattern). */
   def q188IndexCli(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_q188_")
@@ -4129,13 +4146,25 @@ object Queries {
       batch.write.parquet(batchPath)
       val ix = tmp.resolve("ix").toString
       val searchOut = tmp.resolve("res").toString
+      val batchOut = tmp.resolve("resbatch").toString
       val driftOut = tmp.resolve("drift").toString
       def cli(args: String*): Unit =
         graft.cli.IndexCli.run(graft.cli.IndexCli.parse(args).get, spark)
       cli("fit", "--index", ix, "--input", basePath)
-      cli("append", "--index", ix, "--input", batchPath)
+      cli("append", "--index", ix, "--input", batchPath, "--batch-id", "1")
+      val nAfterAppend = spark.read.parquet(s"$ix/assigned").count()
+      // the REPLAY of an applied ledger id must be a no-op
+      cli("append", "--index", ix, "--input", batchPath, "--batch-id", "1")
+      val replayNoop = nAfterAppend == emb.count() &&
+        spark.read.parquet(s"$ix/assigned").count() == nAfterAppend
       cli("search", "--index", ix, "--output", searchOut,
         "--k", "10", "--nprobe", "4", "--query-id", "0")
+      // batch serving: every 25th vector as the query frame, one job
+      val queriesPath = tmp.resolve("queries.parquet").toString
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      queries.write.parquet(queriesPath)
+      cli("search-batch", "--index", ix, "--input", queriesPath,
+        "--output", batchOut, "--k", "10", "--nprobe", "4")
       cli("drift", "--index", ix, "--input", batchPath,
         "--output", driftOut)
       val control = spark.read.parquet(driftOut).head()
@@ -4148,17 +4177,27 @@ object Queries {
       val drifted = spark.read.parquet(driftOut).head()
       val cliRes = spark.read.parquet(searchOut)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val libRes = graft.ops.SimSearch.ivfSearch(
-        graft.ops.SimSearch.ivfLoad(spark, ix, "vec_id", "embedding"),
-        0L, 10, 4)
+      val libIdx = graft.ops.SimSearch.ivfLoad(spark, ix, "vec_id",
+        "embedding")
+      val libRes = graft.ops.SimSearch.ivfSearch(libIdx, 0L, 10, 4)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def batchRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (t._1, -t._3, t._2)).toSeq
+      val cliBatch = batchRows(spark.read.parquet(batchOut))
+      val libBatch = batchRows(graft.ops.SimSearch.ivfSearchBatch(
+        libIdx, queries, "vec_id", "embedding", 10, 4))
       Seq((base.count(), batch.count(),
         cliRes == libRes && cliRes.length == 10,
+        replayNoop,
+        cliBatch == libBatch &&
+          cliBatch.map(_._1).distinct.length == queries.count(),
         control.getAs[Boolean]("psi_alert"),
         control.getAs[Boolean]("dist_alert"),
         drifted.getAs[Boolean]("psi_alert"),
         drifted.getAs[Boolean]("dist_alert")))
-        .toDF("n_fit", "n_appended", "search_ok",
+        .toDF("n_fit", "n_appended", "search_ok", "replay_noop",
+          "search_batch_ok",
           "control_psi_alert", "control_dist_alert",
           "drifted_psi_alert", "drifted_dist_alert")
     } finally {

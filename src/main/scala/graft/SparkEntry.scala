@@ -4121,15 +4121,16 @@ ORDER BY id_a, id_b"""),
         |ORDER BY d.url""".stripMargin,
     // q188: the ANN index lifecycle CLI — split counts are exact
     // arithmetic; the lifecycle guarantees (CLI search ≡ library on
-    // the same persisted index, control batch quiet, planted-shift
-    // batch alarming on both signals) are contract booleans the CLI
-    // must earn (the q174/q186 pattern).
+    // the same persisted index, the --batch-id replay a ledger-checked
+    // no-op, CLI batch serving ≡ library on a query frame, control
+    // batch quiet, planted-shift batch alarming on both signals) are
+    // contract booleans the CLI must earn (the q174/q186 pattern).
     "q188_index_cli" ->
       """SELECT
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0) AS n_fit,
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
         |    AS n_appended,
-        |  TRUE AS search_ok,
+        |  TRUE AS search_ok, TRUE AS replay_noop, TRUE AS search_batch_ok,
         |  FALSE AS control_psi_alert, FALSE AS control_dist_alert,
         |  TRUE AS drifted_psi_alert, TRUE AS drifted_dist_alert""".stripMargin,
     // q189: the typed footer census must agree with the DATA — the
@@ -4153,8 +4154,9 @@ ORDER BY id_a, id_b"""),
     // q190: IVF+PQ incremental append — split counts are exact
     // arithmetic; the append guarantees (appended codes identical to
     // a direct encode under the persisted codebooks, appended vector
-    // servable as its own top-1 under pruning, determinism) are
-    // contract booleans (the q174/q186/q188 pattern).
+    // servable as its own top-1 under pruning, determinism, and the
+    // exactly-once replay no-op) are contract booleans (the
+    // q174/q186/q188 pattern).
     "q190_ivfpq_append" ->
       """SELECT
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0)
@@ -4163,7 +4165,7 @@ ORDER BY id_a, id_b"""),
         |    AS n_appended,
         |  (SELECT count(*) FROM embeddings) AS n_codes,
         |  TRUE AS encode_parity, TRUE AS appended_self_top1,
-        |  TRUE AS deterministic""".stripMargin,
+        |  TRUE AS deterministic, TRUE AS replay_noop""".stripMargin,
     // q191: batch ADC serving — query count is exact arithmetic; the
     // serving guarantees (every query self-matches, batch ranking ≡
     // per-query ivfPqSearch on a sampled prefix, determinism) are

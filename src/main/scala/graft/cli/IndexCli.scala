@@ -22,8 +22,16 @@ import graft.sources.FormatIO
  *  - `append`: assign an ingest batch to the existing centers and land
  *    it in the cell partitions — no refit, no baseline change (the
  *    baseline is per corpus VERSION; `drift` tells you when to refit).
+ *    With `--batch-id` the append is EXACTLY-ONCE: a replayed id is a
+ *    ledger-checked no-op, a crashed attempt's retry overwrites its
+ *    own partitions ([[SimSearch.ivfAppend]]'s contract) — the flag
+ *    every production ingest with retries should pass.
  *  - `search`: serve one query id from the persisted index
  *    (driver-side probe pick, nprobe-pruned scan) to `--output`.
+ *  - `search-batch`: serve a whole query FRAME (`--input`, rows of
+ *    id + vector) in ONE job to `--output` — the shape a pipeline
+ *    actually runs ([[SimSearch.ivfPqSearchBatch]] /
+ *    [[SimSearch.ivfSearchBatch]], `_kind`-dispatched).
  *  - `drift`: score an ingest batch against the persisted baseline
  *    (PSI over cell shares + distance ratio) to `--output` — the
  *    measurable refit trigger.
@@ -31,7 +39,7 @@ import graft.sources.FormatIO
  * Flags: <verb> --index dir [--input p] [--output p] [--filetype t]
  * [--id-col c] [--vec-col c] [--nlist n] [--seed n]
  * [--sample-fraction d] [--k n] [--nprobe n] [--query-id n]
- * [--psi-alert d] [--dist-alert d] [--help].
+ * [--batch-id n] [--psi-alert d] [--dist-alert d] [--help].
  */
 object IndexCli {
 
@@ -48,6 +56,7 @@ object IndexCli {
                     k: Int = 10,
                     nprobe: Int = 4,
                     queryId: Long = 0L,
+                    batchId: Option[Long] = None,
                     psiAlert: Double = 0.25,
                     distAlert: Double = 1.5,
                     pqM: Option[Int] = None,
@@ -55,10 +64,12 @@ object IndexCli {
 
   val usage: String =
     """index — ANN index lifecycle (graft.ops.SimSearch, IVF layout)
-      |  <verb>                     fit | append | search | drift (required, first)
+      |  <verb>                     fit | append | search | search-batch | drift
+      |                             (required, first)
       |  --index <dir>              persisted index directory (required)
-      |  --input <path>             corpus / ingest batch (fit, append, drift)
-      |  --output <path>            result parquet sink (search, drift)
+      |  --input <path>             corpus / ingest batch / query frame
+      |                             (fit, append, drift, search-batch)
+      |  --output <path>            result parquet sink (search, search-batch, drift)
       |  --filetype <t>             json | csv | txt | parquet | orc | wet (else sniffed)
       |  --id-col <c>               vector id column (default vec_id)
       |  --vec-col <c>              embedding column (default embedding)
@@ -72,6 +83,9 @@ object IndexCli {
       |  --k <n>                    search: neighbors to return (default 10)
       |  --nprobe <n>               search: cells to probe (default 4)
       |  --query-id <n>             search: query vector id (default 0)
+      |  --batch-id <n>             append: exactly-once ledger id (>= 0;
+      |                             replayed ids are a no-op — pass your
+      |                             ingest framework's batch id)
       |  --psi-alert <d>            drift: PSI alert threshold (default 0.25)
       |  --dist-alert <d>           drift: distance-ratio alert (default 1.5)
       |  --help                     this text""".stripMargin
@@ -116,6 +130,10 @@ object IndexCli {
       }
       case "--query-id" :: v :: t =>
         v.toLongOption.flatMap(n => loop(t, c.copy(queryId = n)))
+      case "--batch-id" :: v :: t => v.toLongOption match {
+        case Some(n) if n >= 0 => loop(t, c.copy(batchId = Some(n)))
+        case _ => None // negative ids are reserved for fit partitions
+      }
       case "--psi-alert" :: v :: t =>
         v.toDoubleOption.flatMap(d => loop(t, c.copy(psiAlert = d)))
       case "--dist-alert" :: v :: t =>
@@ -124,15 +142,16 @@ object IndexCli {
       case _ => None
     }
     args.toList match {
-      case verb :: rest if Set("fit", "append", "search", "drift")(verb) =>
+      case verb :: rest
+          if Set("fit", "append", "search", "search-batch", "drift")(verb) =>
         loop(rest, Config(verb = verb))
       case _ => None
     }
   }
 
   private def validate(c: Config): Option[Config] = {
-    val needInput = Set("fit", "append", "drift")(c.verb)
-    val needOutput = Set("search", "drift")(c.verb)
+    val needInput = Set("fit", "append", "search-batch", "drift")(c.verb)
+    val needOutput = Set("search", "search-batch", "drift")(c.verb)
     if (c.index.isEmpty) None
     else if (needInput && c.input.isEmpty) None
     else if (needOutput && c.output.isEmpty) None
@@ -197,13 +216,19 @@ object IndexCli {
       println(s"fit: ${baseline.n} vectors in ${baseline.nlist} cells " +
         s"-> ${config.index}")
     case "append" =>
-      if (indexKind(spark, config.index) == "ivfpq")
-        SimSearch.ivfPqAppend(spark, config.index, load(config, spark),
-          config.idCol, config.vecCol)
+      val applied =
+        if (indexKind(spark, config.index) == "ivfpq")
+          SimSearch.ivfPqAppend(spark, config.index, load(config, spark),
+            config.idCol, config.vecCol, config.batchId)
+        else
+          SimSearch.ivfAppend(spark, config.index, load(config, spark),
+            config.idCol, config.vecCol, config.batchId)
+      if (applied)
+        println(s"append: ${config.input} -> ${config.index}" +
+          config.batchId.map(id => s" (batch $id applied)").getOrElse(""))
       else
-        SimSearch.ivfAppend(spark, config.index, load(config, spark),
-          config.idCol, config.vecCol)
-      println(s"append: ${config.input} -> ${config.index}")
+        println(s"append: batch ${config.batchId.get} already applied " +
+          s"to ${config.index} — no-op (exactly-once replay)")
     case "search" if indexKind(spark, config.index) == "ivfpq" =>
       // the codes layout stores no raw vectors: the query vector
       // comes from --input (the corpus/batch parquet holding it)
@@ -227,6 +252,24 @@ object IndexCli {
       SimSearch.ivfSearch(idx, config.queryId, config.k, config.nprobe)
         .write.mode("overwrite").parquet(config.output)
       println(s"search: query ${config.queryId} top-${config.k} " +
+        s"(nprobe ${config.nprobe}) -> ${config.output}")
+    case "search-batch" =>
+      // the whole query FRAME (--input rows of id + vector) in ONE
+      // job — the shape a pipeline actually runs; `_kind`-dispatched
+      // like every other verb
+      val queries = load(config, spark)
+      val res =
+        if (indexKind(spark, config.index) == "ivfpq")
+          SimSearch.ivfPqSearchBatch(
+            SimSearch.ivfPqLoad(spark, config.index, config.idCol),
+            queries, config.idCol, config.vecCol, config.k, config.nprobe)
+        else
+          SimSearch.ivfSearchBatch(
+            SimSearch.ivfLoad(spark, config.index, config.idCol,
+              config.vecCol),
+            queries, config.idCol, config.vecCol, config.k, config.nprobe)
+      res.write.mode("overwrite").parquet(config.output)
+      println(s"search-batch: ${config.input} top-${config.k} " +
         s"(nprobe ${config.nprobe}) -> ${config.output}")
     case "drift" =>
       val baseline = SimSearch.ivfBaselineLoad(spark, config.index)

@@ -421,33 +421,77 @@ object SimSearch {
     IvfIndex(model.clusterCenters.map(_.toArray), assigned, idCol, vecCol)
   }
 
-  /** Persist a fitted [[IvfIndex]]: the assigned corpus goes to
-    * parquet PARTITIONED BY its cell (so a served probe of nprobe
-    * cells prunes to nprobe directories at the scan — the file-level
-    * pruning the ivfSearch scaladoc promises), the (tiny) centers to
-    * a (cell, pos, w) side table. This is the missing half of "fit
-    * once per corpus version": the index outlives the session and
-    * every serving job loads it instead of re-running KMeans. */
-  def ivfSave(index: IvfIndex, dir: String): Unit = {
-    val spark = index.assigned.sparkSession
+  /** The `__batch_id` partition value fit-time rows land under: the
+    * append ledger reserves negative ids for the base corpus version,
+    * so [[ivfAppend]]/[[ivfPqAppend]] batch ids (>= 0) can never
+    * collide with it. */
+  private val FitBatchId = -1L
+
+  /** Has `batchId` already been applied to the index under `dir`?
+    * One directory-existence probe of the applied-batch ledger — the
+    * no-op fast path a foreachBatch replay takes. */
+  private def batchApplied(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$dir/applied/__batch_id=$batchId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Record `batchId` in the applied-batch ledger — written LAST
+    * (after the batch's data partitions), so a crash between data and
+    * ledger replays as a clean dynamic-overwrite recompute of exactly
+    * that batch; the ledger write itself is a dynamic overwrite of its
+    * own partition, so it is replay-idempotent too (the
+    * [[graft.ops.Curate.streamingTail]] recipe). */
+  private def recordApplied(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, batchId: Long): Unit = {
     import spark.implicits._
-    index.assigned.write.mode("overwrite")
-      .partitionBy("__cell").parquet(s"$dir/assigned")
-    index.centers.zipWithIndex.flatMap { case (c, i) =>
-      c.zipWithIndex.map { case (w, p) => (i, p, w) }
-    }.toSeq.toDF("cell", "pos", "w")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
-    // a REFIT invalidates any persisted drift baseline: with the same
-    // nlist the stale baseline would load cleanly and every later
-    // drift report would silently compare against the previous corpus
-    // version's cell shares — delete it so ivfBaselineLoad fails until
-    // the new version's baseline is fitted and saved
+    Seq(1).toDF("ok").withColumn("__batch_id", lit(batchId))
+      .coalesce(1).write.partitionBy("__batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$dir/applied")
+  }
+
+  /** Delete the per-corpus-version side state a REFIT invalidates:
+    * the drift baseline (a stale one would load cleanly under the same
+    * nlist and silently compare against the previous version's cell
+    * shares) and the applied-batch ledger (batch ids are scoped to a
+    * corpus version — a new version must accept them afresh). */
+  private def clearVersionState(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    Seq("baseline_cells", "baseline_meta").foreach { s =>
+    Seq("baseline_cells", "baseline_meta", "applied").foreach { s =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$s")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
     }
+  }
+
+  /** Persist a fitted [[IvfIndex]]: the assigned corpus goes to
+    * parquet PARTITIONED BY (`__cell`, `__batch_id`) — cell first, so
+    * a served probe of nprobe cells prunes to nprobe directories at
+    * the scan (the file-level pruning the ivfSearch scaladoc
+    * promises); the batch level underneath is what makes
+    * [[ivfAppend]]'s exactly-once contract possible (a retried batch
+    * dynamic-overwrites its own partitions instead of double-
+    * appending). Fit-time rows land under the reserved
+    * `__batch_id=-1`. The (tiny) centers go to a (cell, pos, w) side
+    * table. This is the missing half of "fit once per corpus
+    * version": the index outlives the session and every serving job
+    * loads it instead of re-running KMeans. */
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.withColumn("__batch_id", lit(FitBatchId))
+      .write.mode("overwrite")
+      .partitionBy("__cell", "__batch_id").parquet(s"$dir/assigned")
+    index.centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, p) => (i, p, w) }
+    }.toSeq.toDF("cell", "pos", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    // a REFIT is a new corpus version — drop the stale drift baseline
+    // and the applied-batch ledger (see clearVersionState)
+    clearVersionState(spark, dir)
   }
 
   /** Load an [[IvfIndex]] persisted by [[ivfSave]]. */
@@ -476,24 +520,56 @@ object SimSearch {
     * partition directories exactly as before; new vectors are
     * servable the moment the write commits.
     *
-    * Contract notes: mode is plain APPEND — a retry of a failed batch
-    * double-appends, so from foreachBatch wrap the call with the
-    * __batch_id-partition recipe ([[graft.ops.Curate.streamingTail]])
-    * or dedup ids downstream. Centers drift as the corpus grows;
+    * EXACTLY-ONCE contract: pass `batchId` (>= 0; the id your ingest
+    * framework assigns the batch — foreachBatch's batchId) and the
+    * append is replay-safe end to end: an already-applied id returns
+    * `false` WITHOUT touching the data (the applied-batch ledger is
+    * checked first); an id whose previous attempt crashed mid-write
+    * lands via DYNAMIC partition overwrite of its own
+    * (`__cell`, `__batch_id`) partitions — partial files from the
+    * failed attempt are overwritten, never doubled — and the ledger
+    * row commits LAST. Without `batchId` the write is a plain append
+    * into the fit partition (legacy behavior — the caller owns replay
+    * safety). Returns whether the batch was applied (false = replay
+    * no-op).
+    *
+    * Remaining contract notes: centers drift as the corpus grows;
     * recall degrades gracefully (cells get wider, not wrong) — refit
-    * per corpus VERSION, append per ingest BATCH. Ids must not repeat
-    * across appends (one id space, the ANN family's contract). */
+    * per corpus VERSION (which resets the ledger), append per ingest
+    * BATCH. Ids must not repeat across appends (one id space, the ANN
+    * family's contract); a replayed batch id must carry the SAME rows
+    * it did the first time (the foreachBatch model — a different
+    * payload under a reused id overwrites, last writer wins). */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-                newDf: DataFrame, idCol: String, vecCol: String): Unit = {
+                newDf: DataFrame, idCol: String, vecCol: String,
+                batchId: Option[Long] = None): Boolean = {
     require(!newDf.columns.contains("__cell"),
       "input column __cell collides with the index's cell column")
-    val centers = loadCenters(spark, dir)
-    require(centers.nonEmpty, s"no centers found under $dir/centers")
-    newDf
-      .withColumn("__cell", nearestCell(spark, centers)(asDouble(col(vecCol))))
-      .where(col("__cell") >= 0) // null vectors carry no position — skip
-      .write.partitionBy("__cell").mode("append")
-      .parquet(s"$dir/assigned")
+    require(!newDf.columns.contains("__batch_id"),
+      "input column __batch_id collides with the index's ledger column")
+    batchId.foreach(id => require(id >= 0,
+      s"batchId must be >= 0 (got $id; negative ids are reserved for " +
+        "the fit-time partition)"))
+    if (batchId.exists(batchApplied(spark, dir, _))) false
+    else {
+      val centers = loadCenters(spark, dir)
+      require(centers.nonEmpty, s"no centers found under $dir/centers")
+      val assigned = newDf
+        .withColumn("__cell",
+          nearestCell(spark, centers)(asDouble(col(vecCol))))
+        .where(col("__cell") >= 0) // null vectors carry no position — skip
+        .withColumn("__batch_id", lit(batchId.getOrElse(FitBatchId)))
+        .write.partitionBy("__cell", "__batch_id")
+      batchId match {
+        case Some(id) =>
+          assigned.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$dir/assigned")
+          recordApplied(spark, dir, id)
+        case None =>
+          assigned.mode("append").parquet(s"$dir/assigned")
+      }
+      true
+    }
   }
 
   /** Nearest-center assignment kernel shared by [[ivfAppend]] and
@@ -754,6 +830,61 @@ object SimSearch {
               queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L): DataFrame =
     ivfSearch(ivfFit(df, idCol, vecCol, nlist, seed), queryId, k, nprobe)
+
+  /**
+   * BATCH serving for the plain IVF layout — [[ivfPqSearchBatch]]'s
+   * shape over raw vectors: every row of `queries` (its own id + raw
+   * vector) gets its exact-cosine top-k over its nprobe probed cells
+   * in ONE job. Plan: a narrow exploded (qid, cell) probe frame joins
+   * the assigned corpus on the cell key and the (qid, query-vector)
+   * frame joins back on the query id — broadcasts under
+   * `broadcastMaxBytes` (estimated driver-side from the embedding
+   * width), plain shuffle equi-joins above it (a corpus-sized query
+   * set — results identical, see [[ivfPqSearchBatch]]'s guard note).
+   * Per query this ranks IDENTICALLY to [[ivfSearch]] — same probe
+   * pick, same rounding, same tie-break, same self-exclusion (a
+   * corpus row whose id equals the query id is skipped), OpsSpec pins
+   * the parity at both plan shapes. Output: (query_id, idCol,
+   * cosine).
+   */
+  def ivfSearchBatch(index: IvfIndex, queries: DataFrame, qIdCol: String,
+                     vecCol: String, topK: Int, nprobe: Int = 4,
+                     broadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.assigned.sparkSession
+    val bcCenters = spark.sparkContext.broadcast(index.centers)
+    val np = nprobe
+    val cellsOf = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else nearestCells(bcCenters.value, v.toArray, np))
+    val base = queries
+      .select(col(qIdCol).as("__qid"), asDouble(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+    val probes = base.select(col("__qid"),
+      explode(cellsOf(col("__qv"))).as("__cell"))
+    val qvecs = base.select(col("__qid"), col("__qv"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(desc("cosine"), asc(index.idCol))
+    val nQueries = queries.where(col(vecCol).isNotNull).count()
+    val dim = index.centers.headOption.map(_.length).getOrElse(0)
+    val perQueryBytes = dim.toLong * 8L + np.toLong * 16L
+    val joined =
+      if (nQueries * perQueryBytes <= broadcastMaxBytes)
+        index.assigned.join(broadcast(probes), Seq("__cell"))
+          .join(broadcast(qvecs), Seq("__qid"))
+      else
+        index.assigned.join(probes, Seq("__cell"))
+          .join(qvecs, Seq("__qid"))
+    joined
+      .where(col(index.idCol) =!= col("__qid")) // ivfSearch's self-exclusion
+      .select(col("__qid"),
+        col(index.idCol),
+        round(cosine(asDouble(col(index.vecCol)), col("__qv")), 4)
+          .as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("__qid").as("query_id"), col(index.idCol), col("cosine"))
+  }
 
   /**
    * Embedding-cosine near-duplicate pairs (the fifth dedup modality
@@ -1376,22 +1507,29 @@ object SimSearch {
     IvfPqIndex(ivf.centers, model, codes, idCol)
   }
 
-  /** Persist an [[IvfPqIndex]]: codes parquet PARTITIONED BY `__cell`
-    * (a probe of nprobe cells prunes to nprobe directories at the
-    * scan — the file-level pruning that makes the serving cost
-    * O(corpus·nprobe/nlist)), the (tiny) centers as the [[ivfSave]]
+  /** Persist an [[IvfPqIndex]]: codes parquet PARTITIONED BY
+    * (`__cell`, `__batch_id`) — cell first, so a probe of nprobe
+    * cells prunes to nprobe directories at the scan (the file-level
+    * pruning that makes the serving cost O(corpus·nprobe/nlist));
+    * the batch level underneath backs [[ivfPqAppend]]'s exactly-once
+    * contract, with fit-time codes under the reserved
+    * `__batch_id=-1`. The (tiny) centers land as the [[ivfSave]]
     * side table, the model via [[pqSave]], and a top-level `_kind`
-    * marker written LAST as the commit marker. */
+    * marker is written LAST as the commit marker. A save is a new
+    * corpus version: the drift baseline and applied-batch ledger are
+    * cleared ([[ivfSave]]'s rule). */
   def ivfPqSave(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
-    index.codes.write.mode("overwrite")
-      .partitionBy("__cell").parquet(s"$dir/codes")
+    index.codes.withColumn("__batch_id", lit(FitBatchId))
+      .write.mode("overwrite")
+      .partitionBy("__cell", "__batch_id").parquet(s"$dir/codes")
     index.centers.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (w, p) => (i, p, w) }
     }.toSeq.toDF("cell", "pos", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
     pqSave(spark, index.model, s"$dir/pq")
+    clearVersionState(spark, dir)
     Seq("ivfpq").toDF("kind")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_kind")
   }
@@ -1414,27 +1552,50 @@ object SimSearch {
     * nearest center AND encode it in one map-only pass, land the
     * codes in their `__cell` partitions. Encoding is deterministic
     * given the codebooks, so appended codes equal what a fit-time
-    * encode of the same vectors would store (q190 pins that). Same
-    * caveats as [[ivfAppend]]: plain append (retries double-append —
-    * wrap in the __batch_id recipe from foreachBatch), one id space,
-    * centers/codebooks drift as the corpus grows — refit per corpus
-    * version; [[ivfDriftReport]] is the trigger and works unchanged
-    * on this layout (centers live at the same path). */
+    * encode of the same vectors would store (q190 pins that).
+    * EXACTLY-ONCE per [[ivfAppend]]: pass `batchId` (>= 0) and a
+    * replayed id is a ledger-checked no-op (returns false) while a
+    * crashed attempt's retry dynamic-overwrites its own partitions —
+    * a retried ingest can never double codes (duplicate ids with
+    * identical codes would silently corrupt ADC rankings at scale);
+    * without `batchId` the legacy plain append applies. Same version
+    * caveats as [[ivfAppend]]: one id space; centers/codebooks drift
+    * as the corpus grows — refit per corpus version (which resets
+    * the ledger); [[ivfDriftReport]] is the trigger and works
+    * unchanged on this layout (centers live at the same path). */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  newDf: DataFrame, idCol: String, vecCol: String): Unit = {
+                  newDf: DataFrame, idCol: String, vecCol: String,
+                  batchId: Option[Long] = None): Boolean = {
     require(!newDf.columns.contains("__cell"),
       "input column __cell collides with the index's cell column")
-    val centers = loadCenters(spark, dir)
-    require(centers.nonEmpty, s"no centers found under $dir/centers")
-    val model = pqLoad(spark, s"$dir/pq")
-    newDf
-      .withColumn("__cell",
-        nearestCell(spark, centers)(asDouble(col(vecCol))))
-      .where(col("__cell") >= 0) // null vectors carry no position — skip
-      .select(col(idCol), col("__cell"),
-        pqEncoder(model)(asDouble(col(vecCol))).as("codes"))
-      .write.partitionBy("__cell").mode("append")
-      .parquet(s"$dir/codes")
+    require(!newDf.columns.contains("__batch_id"),
+      "input column __batch_id collides with the index's ledger column")
+    batchId.foreach(id => require(id >= 0,
+      s"batchId must be >= 0 (got $id; negative ids are reserved for " +
+        "the fit-time partition)"))
+    if (batchId.exists(batchApplied(spark, dir, _))) false
+    else {
+      val centers = loadCenters(spark, dir)
+      require(centers.nonEmpty, s"no centers found under $dir/centers")
+      val model = pqLoad(spark, s"$dir/pq")
+      val codes = newDf
+        .withColumn("__cell",
+          nearestCell(spark, centers)(asDouble(col(vecCol))))
+        .where(col("__cell") >= 0) // null vectors carry no position — skip
+        .select(col(idCol), col("__cell"),
+          pqEncoder(model)(asDouble(col(vecCol))).as("codes"),
+          lit(batchId.getOrElse(FitBatchId)).as("__batch_id"))
+        .write.partitionBy("__cell", "__batch_id")
+      batchId match {
+        case Some(id) =>
+          codes.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$dir/codes")
+          recordApplied(spark, dir, id)
+        case None =>
+          codes.mode("append").parquet(s"$dir/codes")
+      }
+      true
+    }
   }
 
   /** [[IvfBaseline]] computed from a VECTOR FRAME against given
@@ -1499,21 +1660,30 @@ object SimSearch {
    * over the whole query set instead of launching a job per query.
    *
    * Plan shape: each query maps to its nprobe probe cells + its m×k
-   * ADC table in one map pass (centers/codebooks ride a broadcast);
-   * the exploded (qid, cell, table) probe frame — small by
-   * definition — is BROADCAST into an equi-join on the cell key, so
-   * the codes never shuffle and only probed cells' partitions are
-   * read under the [[ivfPqSave]] layout; each surviving row costs m
-   * table lookups, and only narrow (qid, id, dist) rows reach the
-   * per-query rank window. Per query this ranks IDENTICALLY to
-   * [[ivfPqSearch]] (same table, same rounding, same tie-break —
-   * q191 pins the parity). Query ids must not collide with corpus
-   * ids only if the caller plans to join the two — the search itself
-   * keeps them in separate columns.
+   * ADC table in one map pass (centers/codebooks ride a broadcast).
+   * The probe side is TWO frames so the table is never duplicated
+   * per probe cell: a narrow exploded (qid, cell) frame joins the
+   * codes on the cell key, and a (qid, table) frame — ONE m×k table
+   * per query — joins back on the query id. When the estimated probe
+   * payload fits `broadcastMaxBytes` both joins are broadcasts: the
+   * codes never shuffle and only probed cells' partitions are read
+   * under the [[ivfPqSave]] layout. ABOVE the cap (a corpus-sized
+   * query set — effectively a semantic self-join) the same plan runs
+   * as plain shuffle equi-joins instead of building a multi-GB
+   * broadcast at the driver; results are identical either way, and
+   * at that scale the probes hit every cell so partition pruning has
+   * nothing left to prune. Each surviving row costs m table lookups,
+   * and only narrow (qid, id, dist) rows reach the per-query rank
+   * window. Per query this ranks IDENTICALLY to [[ivfPqSearch]]
+   * (same table, same rounding, same tie-break — q191 pins the
+   * parity, OpsSpec pins it at BOTH plan shapes). Query ids must not
+   * collide with corpus ids only if the caller plans to join the two
+   * — the search itself keeps them in separate columns.
    */
   def ivfPqSearchBatch(index: IvfPqIndex, queries: DataFrame,
                        qIdCol: String, vecCol: String, topK: Int,
-                       nprobe: Int = 4): DataFrame = {
+                       nprobe: Int = 4,
+                       broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = index.codes.sparkSession
     val bcCenters = spark.sparkContext.broadcast(index.centers)
@@ -1523,12 +1693,16 @@ object SimSearch {
       if (v == null) null
       else (nearestCells(bcCenters.value, v.toArray, np),
         bcModel.value.adcTable(v.toArray)))
-    val probes = queries
+    val base = queries
       .select(col(qIdCol).as("__qid"),
         prep(asDouble(col(vecCol))).as("__p"))
       .where(col("__p").isNotNull)
-      .select(col("__qid"), explode(col("__p._1")).as("__cell"),
-        col("__p._2").as("__tbl"))
+    // ONE (qid, cell) row per probe, ONE m×k table per QUERY — the
+    // r15 shape carried the full table in every probe-cell row, an
+    // nprobe-fold duplication that was pure broadcast waste
+    val probes = base.select(col("__qid"),
+      explode(col("__p._1")).as("__cell"))
+    val tables = base.select(col("__qid"), col("__p._2").as("__tbl"))
     val dist = udf((tbl: Seq[Seq[Double]], cs: Seq[Int]) =>
       if (cs == null) Double.MaxValue
       else {
@@ -1538,7 +1712,22 @@ object SimSearch {
       })
     val w = Window.partitionBy(col("__qid"))
       .orderBy(asc("adc_dist"), asc(index.idCol))
-    index.codes.join(broadcast(probes), Seq("__cell"))
+    // broadcast guard: the probe payload is ~(m·k·8 table + nprobe·16
+    // probe-row) bytes per query, estimable DRIVER-side from the model
+    // geometry and one count of the query frame — cheap next to the
+    // serve job, and the only honest way to know whether the caller
+    // handed us a sampled query set or the whole corpus
+    val nQueries = queries.where(col(vecCol).isNotNull).count()
+    val perQueryBytes =
+      index.model.m.toLong * index.model.k * 8L + np.toLong * 16L
+    val joined =
+      if (nQueries * perQueryBytes <= broadcastMaxBytes)
+        index.codes.join(broadcast(probes), Seq("__cell"))
+          .join(broadcast(tables), Seq("__qid"))
+      else
+        index.codes.join(probes, Seq("__cell"))
+          .join(tables, Seq("__qid"))
+    joined
       .select(col("__qid"), col(index.idCol),
         round(dist(col("__tbl"), col("codes")), 6).as("adc_dist"))
       .withColumn("__rn", row_number().over(w))

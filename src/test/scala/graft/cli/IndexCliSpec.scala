@@ -71,9 +71,10 @@ class IndexCliSpec extends AnyFunSuite with SparkTestSession {
       IndexCli.run(IndexCli.parse(Seq("fit", "--index", ix,
         "--input", basePath, "--nlist", "8",
         "--pq-m", "16", "--pq-k", "8")).get, spark)
-      // the composed layout landed: codes (no raw vectors) + kinds
+      // the composed layout landed: codes (no raw vectors) + kinds;
+      // __batch_id is the exactly-once ledger partition level
       assert(spark.read.parquet(s"$ix/codes").columns.toSet
-        === Set("vec_id", "codes", "__cell"))
+        === Set("vec_id", "codes", "__cell", "__batch_id"))
       val baseline = graft.ops.SimSearch.ivfBaselineLoad(spark, ix)
       assert(baseline.nlist === 8 && baseline.n === base.count())
 
@@ -177,6 +178,90 @@ class IndexCliSpec extends AnyFunSuite with SparkTestSession {
       val drifted = spark.read.parquet(driftOut).head()
       assert(drifted.getAs[Boolean]("psi_alert") &&
         drifted.getAs[Boolean]("dist_alert"))
+    } finally rm(t)
+  }
+
+  test("append --batch-id: exactly-once replay is a no-op (both layouts)") {
+    val t = tmpDir()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val basePath = t.resolve("base.parquet").toString
+      val batchPath = t.resolve("batch.parquet").toString
+      base.write.parquet(basePath)
+      batch.write.parquet(batchPath)
+      def cli(args: String*): Unit =
+        IndexCli.run(IndexCli.parse(args).get, spark)
+      // the parse refuses negative ledger ids (reserved for fit)
+      assert(IndexCli.parse(Seq("append", "--index", "ix",
+        "--input", batchPath, "--batch-id", "-2")).isEmpty)
+      // plain IVF layout: append twice under one id ≡ once
+      val ix = t.resolve("ix").toString
+      cli("fit", "--index", ix, "--input", basePath, "--nlist", "4")
+      cli("append", "--index", ix, "--input", batchPath, "--batch-id", "7")
+      assert(spark.read.parquet(s"$ix/assigned").count() === emb.count())
+      cli("append", "--index", ix, "--input", batchPath, "--batch-id", "7")
+      assert(spark.read.parquet(s"$ix/assigned").count() === emb.count())
+      // composed IVF+PQ layout: same replay contract through _kind
+      val pq = t.resolve("pq").toString
+      cli("fit", "--index", pq, "--input", basePath, "--nlist", "4",
+        "--pq-m", "16", "--pq-k", "8")
+      cli("append", "--index", pq, "--input", batchPath, "--batch-id", "9")
+      assert(spark.read.parquet(s"$pq/codes").count() === emb.count())
+      cli("append", "--index", pq, "--input", batchPath, "--batch-id", "9")
+      assert(spark.read.parquet(s"$pq/codes").count() === emb.count())
+    } finally rm(t)
+  }
+
+  test("search-batch: CLI ≡ library on a multi-query frame (both layouts)") {
+    val t = tmpDir()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val corpusPath = t.resolve("corpus.parquet").toString
+      emb.write.parquet(corpusPath)
+      val queries = emb.where(col("vec_id") % 50 === 0)
+      val queriesPath = t.resolve("queries.parquet").toString
+      queries.write.parquet(queriesPath)
+      def cli(args: String*): Unit =
+        IndexCli.run(IndexCli.parse(args).get, spark)
+      def rows(path: String) = spark.read.parquet(path).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+      // search-batch requires --input (the query frame) and --output
+      assert(IndexCli.parse(Seq("search-batch", "--index", "ix",
+        "--output", "o")).isEmpty)
+      assert(IndexCli.parse(Seq("search-batch", "--index", "ix",
+        "--input", "q")).isEmpty)
+      // plain IVF
+      val ix = t.resolve("ix").toString
+      cli("fit", "--index", ix, "--input", corpusPath, "--nlist", "8")
+      val out = t.resolve("res").toString
+      cli("search-batch", "--index", ix, "--input", queriesPath,
+        "--output", out, "--k", "5", "--nprobe", "4")
+      val lib = SimSearch.ivfSearchBatch(
+        SimSearch.ivfLoad(spark, ix, "vec_id", "embedding"),
+        queries, "vec_id", "embedding", 5, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+      assert(rows(out) === lib)
+      assert(rows(out).map(_._1).distinct.length === queries.count())
+      // composed IVF+PQ (dispatches on _kind)
+      val pq = t.resolve("pq").toString
+      cli("fit", "--index", pq, "--input", corpusPath, "--nlist", "8",
+        "--pq-m", "16", "--pq-k", "8")
+      val outPq = t.resolve("respq").toString
+      cli("search-batch", "--index", pq, "--input", queriesPath,
+        "--output", outPq, "--k", "5", "--nprobe", "3")
+      val libPq = SimSearch.ivfPqSearchBatch(
+        SimSearch.ivfPqLoad(spark, pq, "vec_id"),
+        queries, "vec_id", "embedding", 5, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+      assert(rows(outPq) === libPq)
+      // every query self-matches through the CLI sink (ADC minimum)
+      assert(rows(outPq).groupBy(_._1).forall { case (qid, rs) =>
+        rs.minBy(x => (x._3, x._2))._2 == qid })
     } finally rm(t)
   }
 }

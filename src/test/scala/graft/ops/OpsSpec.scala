@@ -560,6 +560,149 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     } finally { idx.codes.unpersist(); () }
   }
 
+  test("ivfPqSearchBatch: shuffle fallback above the broadcast cap ranks identically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = SimSearch.ivfPqFit(emb, "vec_id", "embedding",
+      nlist = 8, m = 16, k = 8)
+    idx.codes.persist()
+    try {
+      val queries = emb.where(col("vec_id") % 50 === 0)
+      def rows(maxBytes: Long) = SimSearch.ivfPqSearchBatch(
+        idx, queries, "vec_id", "embedding", topK = 5, nprobe = 3,
+        broadcastMaxBytes = maxBytes)
+      // guard unit check: the broadcast hint is present under the cap
+      // and ABSENT when the estimated probe payload exceeds it (the
+      // analyzed plan keeps hints; the physical plan may still pick a
+      // broadcast join for a tiny frame via AQE — that's Spark's call,
+      // the guard only stops the engine from FORCING a multi-GB one)
+      val hinted = rows(64L << 20).queryExecution.analyzed.toString
+      val guarded = rows(0L).queryExecution.analyzed.toString
+      assert(hinted.toLowerCase.contains("broadcast"))
+      assert(!guarded.toLowerCase.contains("broadcast"))
+      // both plan shapes rank every query identically
+      def collected(maxBytes: Long) = rows(maxBytes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+      assert(collected(64L << 20) === collected(0L))
+    } finally { idx.codes.unpersist(); () }
+  }
+
+  test("ivfPqAppend with a batch id: exactly-once — replay is a no-op") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(c("vec_id") % 5 =!= 0)
+    val batch = emb.where(c("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-once").toString
+    try {
+      SimSearch.ivfPqSave(SimSearch.ivfPqFit(base, "vec_id", "embedding",
+        nlist = 4, m = 16, k = 8), dir)
+      // negative ids are reserved for the fit-time partition
+      intercept[IllegalArgumentException] {
+        SimSearch.ivfPqAppend(spark, dir, batch, "vec_id", "embedding",
+          batchId = Some(-3L))
+      }
+      assert(SimSearch.ivfPqAppend(spark, dir, batch, "vec_id", "embedding",
+        batchId = Some(7L)))
+      val idx = SimSearch.ivfPqLoad(spark, dir, "vec_id")
+      val n1 = idx.codes.count()
+      assert(n1 === emb.count())
+      val q = batch.where(c("vec_id") === 0)
+        .select(c("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      def serve() = SimSearch.ivfPqSearch(
+        SimSearch.ivfPqLoad(spark, dir, "vec_id"), q, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val before = serve()
+      // the REPLAY (a foreachBatch retry of an already-committed batch)
+      // is a no-op: same codes frame, same search results
+      assert(!SimSearch.ivfPqAppend(spark, dir, batch, "vec_id", "embedding",
+        batchId = Some(7L)))
+      assert(SimSearch.ivfPqLoad(spark, dir, "vec_id").codes.count() === n1)
+      assert(serve() === before)
+      // a NEW batch id still appends (one ledger row per batch)
+      assert(SimSearch.ivfPqAppend(spark, dir,
+        batch.select((c("vec_id") + 500000L).as("vec_id"), c("embedding")),
+        "vec_id", "embedding", batchId = Some(8L)))
+      assert(SimSearch.ivfPqLoad(spark, dir, "vec_id").codes.count()
+        === n1 + batch.count())
+      // a REFIT is a new corpus version: the save clears the ledger,
+      // so the same batch id is appendable again
+      SimSearch.ivfPqSave(SimSearch.ivfPqFit(base, "vec_id", "embedding",
+        nlist = 4, m = 16, k = 8), dir)
+      assert(SimSearch.ivfPqAppend(spark, dir, batch, "vec_id", "embedding",
+        batchId = Some(7L)))
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+      }
+      rmr(new java.io.File(dir))
+    }
+  }
+
+  test("ivfAppend with a batch id: exactly-once on the plain IVF layout") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(c("vec_id") < 40)
+    val batch = emb.where(c("vec_id") >= 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-once").toString
+    try {
+      SimSearch.ivfSave(SimSearch.ivfFit(base, "vec_id", "embedding",
+        nlist = 4, seed = 42L), dir)
+      assert(SimSearch.ivfAppend(spark, dir, batch, "vec_id", "embedding",
+        batchId = Some(3L)))
+      val n1 = spark.read.parquet(s"$dir/assigned").count()
+      assert(n1 === emb.count())
+      assert(!SimSearch.ivfAppend(spark, dir, batch, "vec_id", "embedding",
+        batchId = Some(3L)))
+      assert(spark.read.parquet(s"$dir/assigned").count() === n1)
+      // legacy contract unchanged: no batch id = plain append (the
+      // caller owns replay safety), still lands and serves
+      assert(SimSearch.ivfAppend(spark, dir,
+        batch.select((c("vec_id") + 500000L).as("vec_id"), c("embedding")),
+        "vec_id", "embedding"))
+      assert(spark.read.parquet(s"$dir/assigned").count()
+        === n1 + batch.count())
+      val res = SimSearch.ivfSearch(
+        SimSearch.ivfLoad(spark, dir, "vec_id", "embedding"),
+        40L, 5, nprobe = 4).collect()
+      assert(res.length === 5)
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+      }
+      rmr(new java.io.File(dir))
+    }
+  }
+
+  test("ivfSearchBatch: one job serves a query set, parity with per-query ivfSearch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
+      nlist = 8, seed = 42L)
+    index.assigned.persist()
+    try {
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      def rows(maxBytes: Long) = SimSearch.ivfSearchBatch(
+        index, queries, "vec_id", "embedding", topK = 5, nprobe = 4,
+        broadcastMaxBytes = maxBytes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+      val batch = rows(64L << 20)
+      assert(batch === rows(0L)) // broadcast ≡ shuffle fallback
+      val byQ = batch.groupBy(_._1)
+      assert(byQ.size === queries.count())
+      // parity with the single-query path (which excludes the query id
+      // itself and serves exact cosine over the probed cells)
+      byQ.keys.toSeq.sorted.take(3).foreach { qid =>
+        val single = SimSearch.ivfSearch(index, qid, 5, nprobe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val fromBatch = byQ(qid).sortBy(t => (-t._3, t._2))
+          .map(t => (t._2, t._3)).toSeq
+        assert(single === fromBatch, s"qid=$qid")
+      }
+    } finally index.assigned.unpersist()
+  }
+
   test("ivf index: fit once, serve many queries, same results as one-shot") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = SimSearch.ivfFit(emb, "vec_id", "embedding",
