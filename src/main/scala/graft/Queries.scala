@@ -3994,7 +3994,18 @@ object Queries {
     * arithmetic + window sums + strict right-neighbor compare); the
     * upsampled copies must land on the base bits (pooling is
     * replication-invariant). Map-only but for the final sort. */
-  def q194AudioPhash(spark: SparkSession, dir: String): DataFrame = {
+  def q194AudioPhash(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.audioPerceptualHash(q194Blobs(spark, dir))
+      .select(col("blob_id"), col("sample_rate"), col("n_samples"),
+        lpad(bin(col("ahash")), 64, "0").as("bits"))
+      .orderBy("blob_id")
+
+  /** q194/q195's synthetic audio corpus: one 130-sample µ-law WAV per
+    * embedding id (the q183 byte formula — closed-form, so the oracle
+    * replays every sample) plus a 2x SAMPLE-REPLICATED copy at
+    * id+10000 — a planted near-duplicate (65-window pooling is
+    * replication-invariant on the aligned length). */
+  private def q194Blobs(spark: SparkSession, dir: String): DataFrame = {
     val n = 130
     val genBase = udf((id: Long) => {
       val bytes = Array.tabulate(n)(i => ((id * 13 + i * 7) % 256).toByte)
@@ -4006,14 +4017,76 @@ object Queries {
       graft.ops.Multimodal.encodeWavG711(8000, 1, bytes)
     })
     val ids = t(spark, dir, "embeddings").select(col("vec_id"))
-    val blobs = ids
-      .select(col("vec_id").as("blob_id"), genBase(col("vec_id")).as("data"))
+    ids.select(col("vec_id").as("blob_id"), genBase(col("vec_id")).as("data"))
       .unionByName(ids.select((col("vec_id") + 10000L).as("blob_id"),
         gen2x(col("vec_id")).as("data")))
-    graft.ops.Multimodal.audioPerceptualHash(blobs)
-      .select(col("blob_id"), col("sample_rate"), col("n_samples"),
-        lpad(bin(col("ahash")), 64, "0").as("bits"))
-      .orderBy("blob_id")
+  }
+
+  /** AUDIO near-duplicate pairs under oracle
+    * ([[graft.ops.Multimodal.audioNearDupPairs]] — q193's proof
+    * pattern for the audio modality): the q194 fixture (deterministic
+    * µ-law WAVs + 2x sample-replicated copies) runs through the
+    * banded Hamming join (16-bit chunk buckets; EXACT recall for the
+    * threshold by pigeonhole, never all-pairs), so every planted
+    * upsampled copy must pair with its base at Hamming 0 — and the
+    * oracle BRUTE-FORCES the full pair set over the bit-for-bit
+    * replayed envelope hashes (BITSTRING xor), so the bucketed plan
+    * must reproduce exactly what an all-pairs scan would find,
+    * incidental collisions included. */
+  def q195AudioNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.audioNearDupPairs(
+      q194Blobs(spark, dir), maxHamming = 2)
+      .orderBy("id_a", "id_b")
+
+  /** BLOB-BEARING corpus curation under oracle (the q57 stage-report
+    * pattern with the PERCEPTUAL dedup stage active): every document
+    * carries a synthetic P6 image blob keyed by `doc_id % 100` (the
+    * q192 pixel formula at 36x24 — closed-form, so the oracle replays
+    * every hash bit), making docs that share a key carry
+    * byte-identical blobs. The pipeline runs the quality/repetition
+    * gates, [[graft.ops.Multimodal.dropPerceptualDuplicates]] at
+    * maxHamming=0 under the keep-best-by-quality policy (q70's:
+    * winner = highest q33 score, ties to the smallest id), exact
+    * keep-best dedup, and passthrough near-dedup (threshold > 1 —
+    * Jaccard can never reach it; the full near-dedup replay is q57's
+    * job) / decontamination (empty benchmark) / split stages. The
+    * oracle recomputes every stage count AND membership digest —
+    * perceptual clusters are hash-equality classes over the replayed
+    * 64-bit strings (maxHamming=0 makes grouping the transitive
+    * closure), so a stage that drops the right count of the wrong
+    * rows goes red. */
+  def q196CurateBlobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gen = udf((id: Long) => {
+      // q192's pixel formula, 36x24, canonical P6 container
+      val w = 36; val h = 24
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = 3 * (y * w + x)
+          rgb(i) = ((id * 7 + x * 5 + y * 3) % 256).toByte
+          rgb(i + 1) = ((id * 11 + x * 3) % 256).toByte
+          rgb(i + 2) = ((y * 13 + id) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      graft.ops.Multimodal.encodePpm(w, h, rgb)
+    })
+    val docs = t(spark, dir, "documents")
+      .withColumn("blob", gen(col("doc_id") % 100))
+    val (out, report) = graft.ops.Curate.standard(
+      docs, docs.limit(0),
+      nearDupThreshold = 1.01, // > max Jaccard: text near-dedup passthrough
+      blobCol = Some("blob"), blobMaxHamming = 0,
+      keepBestByQuality = true)
+    out.unpersist()
+    report.stats.zipWithIndex
+      .map { case (s, i) => (i, s.name, s.rows, s.idsDigest) }
+      .toDF("stage_idx", "stage", "n_rows", "ids_digest")
+      .orderBy("stage_idx")
   }
 
   /** BATCH ADC serving under a contract oracle

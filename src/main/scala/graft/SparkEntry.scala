@@ -217,6 +217,8 @@ object SparkEntry {
     "q192_image_phash" -> (Queries.q192ImagePhash(_, _)),
     "q193_image_neardup" -> (Queries.q193ImageNeardup(_, _)),
     "q194_audio_phash" -> (Queries.q194AudioPhash(_, _)),
+    "q195_audio_neardup" -> (Queries.q195AudioNeardup(_, _)),
+    "q196_curate_blobs" -> (Queries.q196CurateBlobs(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4283,5 +4285,148 @@ ORDER BY id_a, id_b"""),
         |UNION ALL
         |SELECT id + 10000, CAST(8000 AS INT), CAST(260 AS INT), bits FROM h
         |ORDER BY blob_id""".stripMargin,
+    // q195: the bucketed banded plan must reproduce EXACTLY what an
+    // all-pairs scan finds over the AUDIO envelope hashes — the q193
+    // proof for the audio modality: q194's bit-for-bit µ-law replay,
+    // then a BITSTRING-xor brute force of every pair (recall is exact
+    // for maxHamming <= 3 by pigeonhole over the four 16-bit chunks).
+    "q195_audio_neardup" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+        |s AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 129), i ->
+        |      abs(CASE WHEN (xor((id*13 + i*7) % 256, 255) & 128) <> 0
+        |        THEN 132 - ((((xor((id*13 + i*7) % 256, 255) & 15) << 3) + 132)
+        |          << ((xor((id*13 + i*7) % 256, 255) & 112) >> 4))
+        |        ELSE ((((xor((id*13 + i*7) % 256, 255) & 15) << 3) + 132)
+        |          << ((xor((id*13 + i*7) % 256, 255) & 112) >> 4)) - 132
+        |      END)) AS a
+        |  FROM ids),
+        |w AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 64), k ->
+        |      a[2*k + 1] + a[2*k + 2]) AS ws
+        |  FROM s),
+        |h AS (
+        |  SELECT id,
+        |    string_agg(CASE WHEN ws[k.k + 1] < ws[k.k + 2]
+        |        THEN '1' ELSE '0' END, '' ORDER BY k.k DESC) AS bits
+        |  FROM w, (SELECT unnest(generate_series(0, 63)) AS k) k
+        |  GROUP BY id),
+        |all_h AS (
+        |  SELECT id AS blob_id, bits FROM h
+        |  UNION ALL SELECT id + 10000, bits FROM h),
+        |p AS (
+        |  SELECT a.blob_id AS id_a, o.blob_id AS id_b,
+        |    bit_count(xor(a.bits::BIT, o.bits::BIT)) AS ham
+        |  FROM all_h a JOIN all_h o ON a.blob_id < o.blob_id)
+        |SELECT id_a, id_b, CAST(ham AS INT) AS hamming
+        |FROM p WHERE ham <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q196: the q57 stage-report replay for a BLOB-BEARING corpus —
+    // quality/repetition gates (q33/q38 formulas), PERCEPTUAL dedup
+    // as hash-equality classes over the bit-for-bit replayed dHash
+    // (blob key = doc_id % 100; maxHamming=0 makes grouping the
+    // closure; winner = max quality then min id — the q70 policy),
+    // exact keep-best dedup, passthrough near-dedup/decontamination,
+    // split assignment; every stage pinned by count AND digest.
+    "q196_curate_blobs" ->
+      """WITH
+        |-- stage 0 quality gate (q33 formula, rounded to 3) >= 0.3
+        |tok3 AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) r
+        |  WHERE w <> ''),
+        |stats3 AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n, avg(length(w)) AS mtl,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','it','that','this','for','on','with','as',
+        |      'at','by','be') THEN 1 ELSE 0 END) AS stops
+        |  FROM tok3 GROUP BY doc_id),
+        |qscore AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text, d.source,
+        |    round(least(coalesce(s.n, 0) / 20.0, 1.0) * 0.3
+        |      + (1.0 - least((CASE WHEN length(d.text) > 0 THEN
+        |          (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE / length(d.text)
+        |          ELSE 0.0 END) * 4, 1.0)) * 0.2
+        |      + least(CASE WHEN coalesce(s.n, 0) > 0 THEN coalesce(s.stops, 0)::DOUBLE / s.n ELSE 0.0 END * 4, 1.0) * 0.3
+        |      + CASE WHEN coalesce(s.mtl, 0) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END * 0.2, 3) AS q
+        |  FROM documents d LEFT JOIN stats3 s USING (doc_id)),
+        |s1 AS MATERIALIZED (SELECT * FROM qscore WHERE q >= 0.3),
+        |-- stage 1 repetition gate (q38 formula) dup_2gram_frac <= 0.3
+        |norm4 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '') AS ws
+        |  FROM s1),
+        |ga4 AS MATERIALIZED (
+        |  SELECT doc_id, sum(c) AS tg, count(*) AS dg FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS g
+        |      FROM norm4 WHERE len(ws) >= 2) t GROUP BY doc_id, g) gc
+        |  GROUP BY doc_id),
+        |s2 AS MATERIALIZED (
+        |  SELECT s1.* FROM s1 JOIN (
+        |    SELECT n.doc_id, round(coalesce((ga4.tg - ga4.dg) / ga4.tg, 0), 4) AS dup2
+        |    FROM norm4 n LEFT JOIN ga4 ON n.doc_id = ga4.doc_id) r USING (doc_id)
+        |  WHERE r.dup2 <= 0.3),
+        |-- stage 2 perceptual dedup: dHash replayed bit for bit from the
+        |-- doc_id % 100 pixel key (q192's grid), clusters = equal bits
+        |keys AS MATERIALIZED (SELECT DISTINCT doc_id % 100 AS id FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT id, r.r, c.c, (c.c*4 + dx.dx) AS x, (r.r*3 + dy.dy) AS y
+        |  FROM keys,
+        |    (SELECT unnest(generate_series(0,7)) AS r) r,
+        |    (SELECT unnest(generate_series(0,8)) AS c) c,
+        |    (SELECT unnest(generate_series(0,3)) AS dx) dx,
+        |    (SELECT unnest(generate_series(0,2)) AS dy) dy),
+        |cell AS MATERIALIZED (
+        |  SELECT id, r, c,
+        |    SUM(((id*7 + x*5 + y*3) % 256) + ((id*11 + x*3) % 256)
+        |        + ((y*13 + id) % 256)) AS s
+        |  FROM g GROUP BY id, r, c),
+        |b AS MATERIALIZED (
+        |  SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.s < n.s THEN '1' ELSE '0' END AS bit
+        |  FROM cell a JOIN cell n ON n.id = a.id AND n.r = a.r
+        |    AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS MATERIALIZED (
+        |  SELECT id, string_agg(bit, '' ORDER BY r*8 + c DESC) AS bits
+        |  FROM b GROUP BY id),
+        |ranked AS MATERIALIZED (
+        |  SELECT s2.doc_id,
+        |    row_number() OVER (PARTITION BY h.bits
+        |      ORDER BY s2.q DESC, s2.doc_id) AS rn
+        |  FROM s2 JOIN h ON h.id = s2.doc_id % 100),
+        |s3 AS MATERIALIZED (
+        |  SELECT s2.* FROM s2 JOIN ranked USING (doc_id) WHERE ranked.rn = 1),
+        |-- stage 3 exact dedup, keep-best: winner per normalized text =
+        |-- max quality, ties to the smallest id (the q70 policy)
+        |s4 AS MATERIALIZED (
+        |  SELECT * FROM (
+        |    SELECT s3.*, row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY q DESC, doc_id) AS rn
+        |    FROM s3) t WHERE rn = 1),
+        |-- stages 4/5 near-dedup (threshold > 1) and decontamination
+        |-- (empty benchmark) are passthroughs; stage 6 split assignment
+        |s6 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+        |         WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM s4),
+        |report AS (
+        |  SELECT 0 AS stage_idx, 'quality' AS stage, count(*)::BIGINT AS n_rows,
+        |    coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR AS ids_digest FROM s1
+        |  UNION ALL SELECT 1, 'repetition', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s2
+        |  UNION ALL SELECT 2, 'perceptual_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s3
+        |  UNION ALL SELECT 3, 'exact_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s4
+        |  UNION ALL SELECT 4, 'near_dedup', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s4
+        |  UNION ALL SELECT 5, 'decontaminate', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s4
+        |  UNION ALL SELECT 6, 'split', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || split), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s6)
+        |SELECT stage_idx, stage, n_rows, ids_digest FROM report ORDER BY stage_idx""".stripMargin,
   )
 }

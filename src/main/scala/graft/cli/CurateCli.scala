@@ -21,7 +21,8 @@ import graft.sources.FormatIO
  * Flags: --input p (required) --output dir (required) --report p
  * --filetype t --id-col c --text-col c --group-col c --min-quality d
  * --max-dup2gram d --near-threshold d --benchmark p --historical p
- * --max-avg-neg-logp d --semantic-col c --semantic-threshold d
+ * --max-avg-neg-logp d --blob-col c --blob-max-hamming n
+ * --semantic-col c --semantic-threshold d
  * --keep-best --stream --compact-every n --help.
  */
 object CurateCli {
@@ -39,6 +40,8 @@ object CurateCli {
                     benchmark: Option[String] = None,
                     historical: Option[String] = None,
                     maxAvgNegLogp: Option[Double] = None,
+                    blobCol: Option[String] = None,
+                    blobMaxHamming: Int = 2,
                     semanticCol: Option[String] = None,
                     semanticThreshold: Double = 0.95,
                     keepBest: Boolean = false,
@@ -63,6 +66,9 @@ object CurateCli {
       |  --benchmark <path>         eval set to decontaminate against
       |  --historical <path>        already-ingested corpus (novelty gate)
       |  --max-avg-neg-logp <d>     LM gate cap (off unless set)
+      |  --blob-col <c>             binary payload column (perceptual
+      |                             image/audio dedup stage; batch only)
+      |  --blob-max-hamming <n>     perceptual dedup Hamming cap (default 2)
       |  --semantic-col <c>         embedding column (SemDeDup stage)
       |  --semantic-threshold <d>   SemDeDup cosine threshold (default 0.95)
       |  --keep-best                exact dedup keeps the best-quality copy
@@ -97,6 +103,11 @@ object CurateCli {
       case "--historical" :: v :: t => loop(t, c.copy(historical = Some(v)))
       case "--max-avg-neg-logp" :: v :: t =>
         num(v).flatMap(d => loop(t, c.copy(maxAvgNegLogp = Some(d))))
+      case "--blob-col" :: v :: t => loop(t, c.copy(blobCol = Some(v)))
+      case "--blob-max-hamming" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 0 => loop(t, c.copy(blobMaxHamming = n))
+        case _ => None
+      }
       case "--semantic-col" :: v :: t => loop(t, c.copy(semanticCol = Some(v)))
       case "--semantic-threshold" :: v :: t =>
         num(v).flatMap(d => loop(t, c.copy(semanticThreshold = d)))
@@ -169,6 +180,8 @@ object CurateCli {
       nearDupThreshold = config.nearThreshold,
       historicalCorpus = hist,
       maxAvgNegLogp = config.maxAvgNegLogp,
+      blobCol = config.blobCol,
+      blobMaxHamming = config.blobMaxHamming,
       semanticVecCol = config.semanticCol,
       semanticThreshold = config.semanticThreshold,
       keepBestByQuality = config.keepBest)

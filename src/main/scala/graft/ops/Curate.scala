@@ -20,6 +20,14 @@ import org.apache.spark.storage.StorageLevel
  *   4. repetition gate   — [[TextStats.repetitionStats]] dup-2-gram cap
  *   5. LM gate           — [[TextStats.unigramLogProb]] cap (optional;
  *                          CCNet-style perplexity-proxy filter)
+ *  5b. perceptual dedup  — [[Multimodal.dropPerceptualDuplicates]]
+ *                          (optional, via `blobCol`: image/audio
+ *                          payloads hashed per modality, banded
+ *                          Hamming clusters, keep-best-by-quality
+ *                          under `keepBestByQuality` else min-id —
+ *                          the blob-bearing corpus stage; runs before
+ *                          the text dedups so a re-encoded image dup
+ *                          dies before its caption pays shingling)
  *   6. exact dedup       — [[Dedup.exact]] (min-id winner), or
  *                          [[Dedup.exactKeepBest]] ranked by the q33
  *                          quality score (`keepBestByQuality = true`:
@@ -79,7 +87,8 @@ object Curate {
    * per-stage report. `benchmark` is the eval set to decontaminate
    * against (pass a small DataFrame of documents). Optional stages
    * activate via `historicalCorpus` (exact novelty), `bandIndex`
-   * (near-novelty), `maxAvgNegLogp` (LM gate), and `semanticVecCol`
+   * (near-novelty), `maxAvgNegLogp` (LM gate), `blobCol` (perceptual
+   * image/audio dedup over that binary column), and `semanticVecCol`
    * (SemDeDup over that embedding column).
    */
   def standard(docs: DataFrame, benchmark: DataFrame,
@@ -92,6 +101,8 @@ object Curate {
                historicalCorpus: Option[DataFrame] = None,
                bandIndex: Option[Novelty.BandIndex] = None,
                maxAvgNegLogp: Option[Double] = None,
+               blobCol: Option[String] = None,
+               blobMaxHamming: Int = 2,
                semanticVecCol: Option[String] = None,
                semanticThreshold: Double = 0.95,
                semanticNlist: Int = SimSearch.AutoNlist,
@@ -200,11 +211,22 @@ object Curate {
         })
         case None => repetition
       }
+      // perceptual dedup runs BEFORE the text dedups (a re-encoded
+      // image dup dies before its caption pays shingling) and shares
+      // the keep-best policy: the carried __curate_q score ranks
+      // cluster members when keepBestByQuality is on, min-id otherwise
+      val blobDeduped = blobCol match {
+        case Some(bc) => stage("perceptual_dedup",
+          Multimodal.dropPerceptualDuplicates(lmGated, idCol, bc,
+            blobMaxHamming,
+            scoreCol = if (keepBestByQuality) Some("__curate_q") else None))
+        case None => lmGated
+      }
       val exact = stage("exact_dedup",
         if (keepBestByQuality)
-          Dedup.exactKeepBest(lmGated, idCol, textCol, "__curate_q")
+          Dedup.exactKeepBest(blobDeduped, idCol, textCol, "__curate_q")
             .drop("__curate_q")
-        else Dedup.exact(lmGated, idCol, textCol))
+        else Dedup.exact(blobDeduped, idCol, textCol))
       val near = stage("near_dedup",
         Dedup.dropNearDuplicates(exact, idCol, textCol,
           threshold = nearDupThreshold))

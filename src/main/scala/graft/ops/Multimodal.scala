@@ -485,6 +485,74 @@ object Multimodal {
         .where(col("ahash").isNotNull),
       idCol, "ahash", maxHamming)
 
+  /** Modality-tagged 64-bit perceptual signature of a binary payload:
+    * image dHash when the payload decodes as an image (P6 or any JDK
+    * raster codec), audio envelope hash when it decodes as WAV
+    * (PCM-16 / G.711); nulls otherwise (honest, countable — the
+    * [[perceptualHash]] contract). The modality column keeps image
+    * and audio hashes from ever cross-pairing: the two 64-bit spaces
+    * are unrelated, and a coincidental bit match across them is
+    * noise, not a duplicate. One narrow map stage, payloads never
+    * shuffle. Output: (idCol, modality, sig). */
+  def perceptualSignature(blobs: DataFrame, idCol: String = "blob_id",
+                          dataCol: String = "data"): DataFrame = {
+    val f = udf((data: Array[Byte]) =>
+      decodeImage(data) match {
+        case Some((w, h, rgb)) => Some(("image", dhash64(w, h, rgb)))
+        case None => decodeWav(data).map(a =>
+          ("audio", audioHash64(a.samples)))
+      })
+    blobs.select(col(idCol), f(col(dataCol)).as("__s"))
+      .select(col(idCol), col("__s._1").as("modality"),
+        col("__s._2").as("sig"))
+  }
+
+  /** PERCEPTUAL near-duplicate REMOVAL — the curation-stage form of
+    * [[imageNearDupPairs]]/[[audioNearDupPairs]] for blob-bearing
+    * corpora: signature each row's payload ([[perceptualSignature]]),
+    * pair within each modality through the banded Hamming join (never
+    * all-pairs; exact recall for maxHamming <= 3 by pigeonhole),
+    * close the pair graph into duplicate clusters (min-label
+    * propagation — a chain A~B~C collapses even when A,C never paired
+    * directly), and keep ONE representative per cluster: the highest
+    * `scoreCol` (ties to the smallest id — [[Dedup.exactKeepBest]]'s
+    * q70 policy, the copy worth training on) or the smallest id when
+    * no score is given. Rows whose payload decodes as neither image
+    * nor audio are NEVER dropped (no signature = no evidence — the
+    * honest default; gate undecodables upstream if they should die).
+    *
+    * Scale shape: one narrow map stage for the signatures (payloads
+    * never shuffle), a (chunk, key)-bucketed candidate join over
+    * 64-bit rows, closure over the (small) pair graph, and a
+    * BROADCAST anti-join of the loser ids back onto the corpus — the
+    * component frame only holds rows that appear in some pair, tiny
+    * relative to a mostly-unique corpus. */
+  def dropPerceptualDuplicates(df: DataFrame, idCol: String,
+                               dataCol: String, maxHamming: Int = 2,
+                               scoreCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__pd_comp") && !df.columns.contains("__pd_rn"),
+      "input columns collide with dropPerceptualDuplicates' reserved names")
+    val sigs = perceptualSignature(df, idCol, dataCol)
+      .where(col("sig").isNotNull)
+    val pairs = Seq("image", "audio").map { m =>
+      SimHash.nearDupPairsFromSigs(
+        sigs.where(col("modality") === m), idCol, "sig", maxHamming)
+    }.reduce(_.unionByName(_))
+    val comps = Dedup.componentsOf(pairs)
+      .select(col("node").as(idCol), col("comp").as("__pd_comp"))
+    // only rows in some duplicate cluster enter the winner window —
+    // the rest of the corpus never shuffles
+    val order = scoreCol.map(s => Seq(col(s).desc, col(idCol).asc))
+      .getOrElse(Seq(col(idCol).asc))
+    val w = Window.partitionBy(col("__pd_comp")).orderBy(order: _*)
+    val losers = df.join(broadcast(comps), Seq(idCol))
+      .withColumn("__pd_rn", row_number().over(w))
+      .where(col("__pd_rn") =!= 1)
+      .select(col(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Shared nearest-neighbor resample over packed RGB triplets —
     * the one pixel kernel behind both the P6 and the raster-codec
     * resize paths (and the arithmetic the oracles replay). */

@@ -82,6 +82,61 @@ class CurateCliSpec extends AnyFunSuite with SparkTestSession {
       "near_dedup", "decontaminate", "split"))
   }
 
+  test("batch lifecycle over a blob corpus: --blob-col adds the perceptual stage") {
+    import spark.implicits._
+    // documents carrying a synthetic image payload keyed doc_id % 7:
+    // docs sharing a key carry byte-identical blobs -> perceptual
+    // clusters; --keep-best keeps the highest-quality copy per cluster
+    val gen = udf((id: Long) => {
+      val w = 36; val h = 24
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        ((id * 31 + i * 7) % 256).toByte
+      }
+      graft.ops.Multimodal.encodePpm(w, h, rgb)
+    })
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+      .withColumn("blob", gen(col("doc_id") % 7))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curateblob")
+    val in = tmp.resolve("in.parquet").toString
+    val out = tmp.resolve("curated").toString
+    val rep = tmp.resolve("report.csv").toString
+    docs.write.parquet(in)
+    CurateCli.run(CurateCli.parse(Seq(
+      "--input", in, "--output", out, "--report", rep,
+      "--filetype", "parquet", "--blob-col", "blob",
+      "--blob-max-hamming", "0", "--keep-best")).get, spark)
+    // the report carries the perceptual stage between the LM-side
+    // gates and the text dedups, and the CLI equals the library
+    val repRows = spark.read.option("header", "true").csv(rep)
+      .select(col("stage"), col("n_rows").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(repRows.map(_._1) === Seq("quality", "repetition",
+      "perceptual_dedup", "exact_dedup", "near_dedup", "decontaminate",
+      "split"))
+    val (libOut, libReport) = graft.ops.Curate.standard(
+      spark.read.parquet(in), spark.read.parquet(in).limit(0),
+      blobCol = Some("blob"), blobMaxHamming = 0,
+      keepBestByQuality = true)
+    val libIds = libOut.select("doc_id").collect().map(_.getLong(0)).toSet
+    libOut.unpersist()
+    assert(repRows === libReport.stages)
+    val cliIds = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cliIds === libIds)
+    // the perceptual stage actually BITES: at most one survivor per
+    // blob key among the gate survivors
+    val perceptual = repRows.toMap.apply("perceptual_dedup")
+    assert(perceptual <= 7L)
+    assert(repRows.toMap.apply("repetition") > perceptual)
+    // bad flag value rejected; blob flags parse
+    assert(CurateCli.parse(Seq("--input", "a", "--output", "b",
+      "--blob-max-hamming", "-1")).isEmpty)
+    assert(CurateCli.parse(Seq("--input", "a", "--output", "b",
+      "--blob-col", "blob", "--blob-max-hamming", "3")).exists(c =>
+      c.blobCol === Some("blob") && c.blobMaxHamming === 3))
+  }
+
   test("batch lifecycle ingests WET crawl shards directly (--filetype wet)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(concat(lit("https://c.example/doc/"), col("doc_id")).as("url"),

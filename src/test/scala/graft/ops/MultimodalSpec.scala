@@ -390,4 +390,50 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("dropPerceptualDuplicates: per-modality clusters, keep-best, honest opaques") {
+    val w = 36; val h = 24
+    def rgbOf(k: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        a(i) = ((k * 31 + x * 11 + y * 5) % 256).toByte
+        a(i + 1) = ((k * 17 + x * 3) % 256).toByte
+        a(i + 2) = ((k * 7 + y * 13) % 256).toByte
+      }
+      a
+    }
+    def pcm16(samples: Array[Short]) =
+      Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, samples))
+    val tone = Array.tabulate[Short](130)(i => ((i * 37) % 200 - 100).toShort)
+    val tone2x = Array.tabulate[Short](260)(i => tone(i / 2))
+    val rows = Seq(
+      // image cluster {1, 2}: same pixels across codecs (Hamming 0)
+      (1L, Multimodal.encodePpm(w, h, rgbOf(1)), 0.5),
+      (2L, Multimodal.encodePng(w, h, rgbOf(1)), 0.9), // best score wins
+      // image singleton
+      (3L, Multimodal.encodeBmp(w, h, rgbOf(9)), 0.1),
+      // audio cluster {4, 5}: sample-replicated copy
+      (4L, pcm16(tone), 0.8),
+      (5L, pcm16(tone2x), 0.2),
+      // opaque payload: no signature, NEVER dropped
+      (6L, "neither image nor audio".getBytes("UTF-8"), 0.0))
+      .toDF("doc_id", "blob", "score")
+    // keep-best policy: highest score per cluster survives
+    val best = Multimodal.dropPerceptualDuplicates(
+      rows, "doc_id", "blob", maxHamming = 0, scoreCol = Some("score"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best === Set(2L, 3L, 4L, 6L))
+    // min-id policy without a score column
+    val minId = Multimodal.dropPerceptualDuplicates(
+      rows, "doc_id", "blob", maxHamming = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId === Set(1L, 3L, 4L, 6L))
+    // the signature frame tags modalities and nulls opaques honestly
+    val sigs = Multimodal.perceptualSignature(rows, "doc_id", "blob")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(sigs(1L) === Some("image") && sigs(4L) === Some("audio"))
+    assert(sigs(6L) === None)
+  }
 }
