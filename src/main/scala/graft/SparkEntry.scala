@@ -219,6 +219,7 @@ object SparkEntry {
     "q194_audio_phash" -> (Queries.q194AudioPhash(_, _)),
     "q195_audio_neardup" -> (Queries.q195AudioNeardup(_, _)),
     "q196_curate_blobs" -> (Queries.q196CurateBlobs(_, _)),
+    "q197_ivfpq_residual" -> (Queries.q197IvfPqResidual(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4428,5 +4429,21 @@ ORDER BY id_a, id_b"""),
         |  UNION ALL SELECT 5, 'decontaminate', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s4
         |  UNION ALL SELECT 6, 'split', count(*), coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || split), 1, 15))::BIGINT::HUGEINT), 0)::VARCHAR FROM s6)
         |SELECT stage_idx, stage, n_rows, ids_digest FROM report ORDER BY stage_idx""".stripMargin,
+    // q197: residual IVF+PQ vs the shared-codebook default at equal
+    // geometry — the seeded KMeans families are not SQL-replayable,
+    // so the oracle asserts the opt-in encoding's CONTRACT: distinct
+    // persisted kind, self-match under pruning, tighter quantization
+    // (mean squared reconstruction error <= shared — the k-means
+    // objective the residual codebooks spend the same bits on; strict
+    // at every tested sf), half-probe recall >= shared - 1 (equal at
+    // sf0.01/0.1; the -1 absorbs half-probe IVF noise on the
+    // 100-vector sf0.001 corpus — provenance at the query),
+    // determinism. Geometry and corpus count are exact arithmetic.
+    "q197_ivfpq_residual" ->
+      """SELECT 16 AS nlist, 16 AS m, 32 AS k,
+        |  (SELECT count(*) FROM embeddings) AS n_codes,
+        |  TRUE AS distinct_kind, TRUE AS self_top1,
+        |  TRUE AS tighter_quantization, TRUE AS recall_ok,
+        |  TRUE AS deterministic""".stripMargin,
   )
 }

@@ -60,7 +60,8 @@ object IndexCli {
                     psiAlert: Double = 0.25,
                     distAlert: Double = 1.5,
                     pqM: Option[Int] = None,
-                    pqK: Option[Int] = None)
+                    pqK: Option[Int] = None,
+                    pqResidual: Boolean = false)
 
   val usage: String =
     """index — ANN index lifecycle (graft.ops.SimSearch, IVF layout)
@@ -76,6 +77,10 @@ object IndexCli {
       |  --nlist <n>                fit: number of IVF cells (default 16)
       |  --seed <n>                 fit: KMeans seed (default 42)
       |  --sample-fraction <d>      fit: deterministic fit sample (default 1.0)
+      |  --pq-residual              fit: with --pq-m/--pq-k, encode per-cell
+      |                             RESIDUALS (v - center) instead of raw
+      |                             vectors — tighter quantization at equal
+      |                             bits; persisted kind ivfpq_res
       |  --pq-m <n> --pq-k <n>      fit: BOTH set -> IVF+PQ composed index
       |                             (codes per cell, 4*dim/m x compression;
       |                             search then needs --input for the query
@@ -120,6 +125,7 @@ object IndexCli {
         case Some(n) if n >= 1 => loop(t, c.copy(pqK = Some(n)))
         case _ => None
       }
+      case "--pq-residual" :: t => loop(t, c.copy(pqResidual = true))
       case "--k" :: v :: t => v.toIntOption match {
         case Some(n) if n >= 1 => loop(t, c.copy(k = n))
         case _ => None
@@ -156,6 +162,7 @@ object IndexCli {
     else if (needInput && c.input.isEmpty) None
     else if (needOutput && c.output.isEmpty) None
     else if (c.pqM.isDefined != c.pqK.isDefined) None // both or neither
+    else if (c.pqResidual && c.pqM.isEmpty) None // residual needs --pq-m/-k
     else Some(c)
   }
 
@@ -197,13 +204,15 @@ object IndexCli {
       val df = load(config, spark)
       val idx = SimSearch.ivfPqFit(df, config.idCol, config.vecCol,
         config.nlist, config.pqM.get, config.pqK.get, config.seed,
-        config.sampleFraction)
+        config.sampleFraction, residual = config.pqResidual)
       SimSearch.ivfPqSave(idx, config.index)
       val baseline = SimSearch.ivfBaselineOf(spark, idx.centers, df,
         config.vecCol)
       SimSearch.ivfBaselineSave(spark, baseline, config.index)
       println(s"fit: ${baseline.n} vectors in ${baseline.nlist} cells, " +
-        s"pq m=${config.pqM.get} k=${config.pqK.get} -> ${config.index}")
+        s"pq m=${config.pqM.get} k=${config.pqK.get}" +
+        (if (config.pqResidual) " (residual)" else "") +
+        s" -> ${config.index}")
     case "fit" =>
       val idx = SimSearch.ivfFit(load(config, spark), config.idCol,
         config.vecCol, config.nlist, config.seed, config.sampleFraction)
@@ -217,7 +226,7 @@ object IndexCli {
         s"-> ${config.index}")
     case "append" =>
       val applied =
-        if (indexKind(spark, config.index) == "ivfpq")
+        if (indexKind(spark, config.index).startsWith("ivfpq"))
           SimSearch.ivfPqAppend(spark, config.index, load(config, spark),
             config.idCol, config.vecCol, config.batchId)
         else
@@ -229,7 +238,7 @@ object IndexCli {
       else
         println(s"append: batch ${config.batchId.get} already applied " +
           s"to ${config.index} — no-op (exactly-once replay)")
-    case "search" if indexKind(spark, config.index) == "ivfpq" =>
+    case "search" if indexKind(spark, config.index).startsWith("ivfpq") =>
       // the codes layout stores no raw vectors: the query vector
       // comes from --input (the corpus/batch parquet holding it)
       require(config.input.nonEmpty,
@@ -259,7 +268,7 @@ object IndexCli {
       // like every other verb
       val queries = load(config, spark)
       val res =
-        if (indexKind(spark, config.index) == "ivfpq")
+        if (indexKind(spark, config.index).startsWith("ivfpq"))
           SimSearch.ivfPqSearchBatch(
             SimSearch.ivfPqLoad(spark, config.index, config.idCol),
             queries, config.idCol, config.vecCol, config.k, config.nprobe)

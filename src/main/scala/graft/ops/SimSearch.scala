@@ -1467,10 +1467,13 @@ object SimSearch {
 
   /** The composed index: coarse centers (tiny, driver-side probe
     * pick), SHARED PQ codebooks, and the codes frame carrying
-    * (`idCol`, `__cell`, `codes`). */
+    * (`idCol`, `__cell`, `codes`). `residual` marks the opt-in
+    * per-cell RESIDUAL encoding ([[ivfPqFit]]'s flag): codes quantize
+    * `v - center(cell)` instead of the raw vector, and serving builds
+    * one ADC table per probed cell from the query's residual. */
   final case class IvfPqIndex(centers: Array[Array[Double]],
                               model: PqModel, codes: DataFrame,
-                              idCol: String)
+                              idCol: String, residual: Boolean = false)
 
   /** The driver-side probe pick shared by [[ivfSearch]] and
     * [[ivfPqSearch]]: the `nprobe` cells whose centers are nearest
@@ -1485,26 +1488,75 @@ object SimSearch {
       (i, s)
     }.sortBy(_._2).take(nprobe).map(_._1)
 
+  /** The per-row residual kernel: `v - center(cell)` with the centers
+    * riding a broadcast — the map-only pass residual fit/encode/append
+    * all share. Null vectors stay null (no position). */
+  private def residualUdf(spark: org.apache.spark.sql.SparkSession,
+                          centers: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(centers)
+    udf { (v: Seq[Double], cell: Int) =>
+      if (v == null) null
+      else {
+        val c = bc.value(cell)
+        require(v.length == c.length,
+          s"residual: vector dim ${v.length} != index dim ${c.length}")
+        Array.tabulate(v.length)(i => v(i) - c(i)).toSeq
+      }
+    }
+  }
+
+  /** The query-side residual: `q - center(cell)` for one probed cell
+    * (driver-side — probe sets are tiny). */
+  private def queryResidual(query: Array[Double],
+                            center: Array[Double]): Array[Double] = {
+    require(query.length == center.length,
+      s"residual: query dim ${query.length} != index dim ${center.length}")
+    Array.tabulate(query.length)(i => query(i) - center(i))
+  }
+
   /** Fit the composed index: [[ivfFit]]'s coarse quantizer plus
     * [[pqFit]]'s codebooks, every vector encoded once and carried
-    * with its cell id. The codebooks are SHARED across cells and fit
-    * on the RAW vectors, not per-cell residuals — a conscious trade:
-    * shared raw-vector codebooks make the probed ADC distance
-    * IDENTICAL to flat [[pqSearch]]'s (at nprobe=nlist the composed
-    * search reproduces the flat ranking exactly — OpsSpec pins it),
-    * while residual-PQ would buy tighter quantization at equal bits
-    * at the cost of per-cell table rebuilds per query. Both KMeans
-    * families are seeded (the q27/q53/q184 determinism contract). */
+    * with its cell id. By DEFAULT the codebooks are SHARED across
+    * cells and fit on the RAW vectors, not per-cell residuals — a
+    * conscious trade: shared raw-vector codebooks make the probed ADC
+    * distance IDENTICAL to flat [[pqSearch]]'s (at nprobe=nlist the
+    * composed search reproduces the flat ranking exactly — OpsSpec
+    * pins it), while residual-PQ buys tighter quantization at equal
+    * bits at the cost of per-cell table rebuilds per query.
+    *
+    * `residual = true` opts IN to the classic IVFADC residual
+    * encoding (Jégou et al. 2011 §III): one codebook family still,
+    * but fit on `v - center(cell)` — the residuals concentrate near
+    * the origin, so the same m×k bits spend their resolution on a
+    * tighter distribution (q197 pins recall >= the shared-codebook
+    * default at equal geometry on the fixture). Serving then builds
+    * nprobe per-cell tables per query from `q - center(cell)`; the
+    * flat-parity contract does NOT apply to this mode (there is no
+    * flat equivalent — that is the point of the default). Both KMeans
+    * families stay seeded (the q27/q53/q184 determinism contract). */
   def ivfPqFit(df: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16, m: Int = 8, k: Int = 16,
                seed: Long = 42L, sampleFraction: Double = 1.0,
-               maxIterIvf: Int = 20, maxIterPq: Int = 20): IvfPqIndex = {
+               maxIterIvf: Int = 20, maxIterPq: Int = 20,
+               residual: Boolean = false): IvfPqIndex = {
     val ivf = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction,
       maxIterIvf)
-    val model = pqFit(df, idCol, vecCol, m, k, seed, maxIterPq)
-    val codes = ivf.assigned.select(col(idCol), col("__cell"),
-      pqEncoder(model)(asDouble(col(vecCol))).as("codes"))
-    IvfPqIndex(ivf.centers, model, codes, idCol)
+    if (!residual) {
+      val model = pqFit(df, idCol, vecCol, m, k, seed, maxIterPq)
+      val codes = ivf.assigned.select(col(idCol), col("__cell"),
+        pqEncoder(model)(asDouble(col(vecCol))).as("codes"))
+      IvfPqIndex(ivf.centers, model, codes, idCol)
+    } else {
+      val spark = df.sparkSession
+      val res = residualUdf(spark, ivf.centers)
+      val resFrame = ivf.assigned
+        .withColumn("__res", res(asDouble(col(vecCol)), col("__cell")))
+      val model = pqFit(resFrame, idCol, "__res", m, k, seed, maxIterPq)
+      val codes = resFrame.select(col(idCol), col("__cell"),
+        pqEncoder(model)(col("__res")).as("codes"))
+      IvfPqIndex(ivf.centers, model, codes, idCol, residual = true)
+    }
   }
 
   /** Persist an [[IvfPqIndex]]: codes parquet PARTITIONED BY
@@ -1530,20 +1582,27 @@ object SimSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
     pqSave(spark, index.model, s"$dir/pq")
     clearVersionState(spark, dir)
-    Seq("ivfpq").toDF("kind")
+    // residual indexes carry a DISTINCT kind: their codes are
+    // meaningless under shared-codebook serving (and vice versa), so
+    // a cross-mode load must fail loudly, not rank silently wrong
+    Seq(if (index.residual) "ivfpq_res" else "ivfpq").toDF("kind")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_kind")
   }
 
   /** Load an [[IvfPqIndex]] persisted by [[ivfPqSave]] (`_kind`
-    * guard; the codes frame stays a lazy partition-pruned scan). */
+    * guard; the codes frame stays a lazy partition-pruned scan).
+    * The persisted kind restores the residual flag, so a loaded
+    * index serves through the same table construction it was
+    * encoded under. */
   def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
                 idCol: String): IvfPqIndex = {
     val kind = spark.read.parquet(s"$dir/_kind").collect()(0).getString(0)
-    require(kind == "ivfpq",
-      s"index at $dir is '$kind', not 'ivfpq' — refusing a " +
+    require(kind == "ivfpq" || kind == "ivfpq_res",
+      s"index at $dir is '$kind', not an ivfpq family — refusing a " +
         "cross-family load")
     IvfPqIndex(loadCenters(spark, dir), pqLoad(spark, s"$dir/pq"),
-      spark.read.parquet(s"$dir/codes"), idCol)
+      spark.read.parquet(s"$dir/codes"), idCol,
+      residual = kind == "ivfpq_res")
   }
 
   /** APPEND an ingest batch to a persisted IVF+PQ index WITHOUT
@@ -1578,12 +1637,21 @@ object SimSearch {
       val centers = loadCenters(spark, dir)
       require(centers.nonEmpty, s"no centers found under $dir/centers")
       val model = pqLoad(spark, s"$dir/pq")
-      val codes = newDf
+      // the persisted kind decides the encode input: a residual index
+      // must encode v - center(cell), exactly as fit time did
+      val isResidual = spark.read.parquet(s"$dir/_kind")
+        .collect()(0).getString(0) == "ivfpq_res"
+      val assigned = newDf
         .withColumn("__cell",
           nearestCell(spark, centers)(asDouble(col(vecCol))))
         .where(col("__cell") >= 0) // null vectors carry no position — skip
+      val encodeInput =
+        if (isResidual)
+          residualUdf(spark, centers)(asDouble(col(vecCol)), col("__cell"))
+        else asDouble(col(vecCol))
+      val codes = assigned
         .select(col(idCol), col("__cell"),
-          pqEncoder(model)(asDouble(col(vecCol))).as("codes"),
+          pqEncoder(model)(encodeInput).as("codes"),
           lit(batchId.getOrElse(FitBatchId)).as("__batch_id"))
         .write.partitionBy("__cell", "__batch_id")
       batchId match {
@@ -1637,18 +1705,33 @@ object SimSearch {
     val spark = index.codes.sparkSession
     val probeCells = nearestCells(index.centers, query, nprobe)
     // broadcast must outlive the returned lazy frame (pqSearch's
-    // lifetime note); m*k doubles, ContextCleaner reclaims it
-    val table = spark.sparkContext.broadcast(index.model.adcTable(query))
-    val dist = udf((cs: Seq[Int]) =>
+    // lifetime note); <= nprobe tables of m*k doubles each,
+    // ContextCleaner reclaims them.
+    // Shared codebooks: ONE table from the raw query serves every
+    // probed cell. Residual: one table PER probed cell from
+    // q - center(cell) (built driver-side — probe sets are tiny),
+    // looked up by the row's own cell id.
+    val tables = spark.sparkContext.broadcast(
+      if (index.residual)
+        probeCells.map(c =>
+          c -> index.model.adcTable(queryResidual(query, index.centers(c))))
+          .toMap
+      else {
+        val one = index.model.adcTable(query)
+        probeCells.map(c => c -> one).toMap
+      })
+    val dist = udf((cell: Int, cs: Seq[Int]) =>
       if (cs == null) Double.MaxValue
       else {
+        val table = tables.value(cell)
         var s = 0.0; var j = 0
-        while (j < cs.length) { s += table.value(j)(cs(j)); j += 1 }
+        while (j < cs.length) { s += table(j)(cs(j)); j += 1 }
         s
       })
     index.codes
       .where(col("__cell").isin(probeCells.toSeq: _*))
-      .select(col(index.idCol), round(dist(col("codes")), 6).as("adc_dist"))
+      .select(col(index.idCol),
+        round(dist(col("__cell"), col("codes")), 6).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc(index.idCol))
       .limit(topK)
   }
@@ -1689,20 +1772,6 @@ object SimSearch {
     val bcCenters = spark.sparkContext.broadcast(index.centers)
     val bcModel = spark.sparkContext.broadcast(index.model)
     val np = nprobe
-    val prep = udf((v: Seq[Double]) =>
-      if (v == null) null
-      else (nearestCells(bcCenters.value, v.toArray, np),
-        bcModel.value.adcTable(v.toArray)))
-    val base = queries
-      .select(col(qIdCol).as("__qid"),
-        prep(asDouble(col(vecCol))).as("__p"))
-      .where(col("__p").isNotNull)
-    // ONE (qid, cell) row per probe, ONE m×k table per QUERY — the
-    // r15 shape carried the full table in every probe-cell row, an
-    // nprobe-fold duplication that was pure broadcast waste
-    val probes = base.select(col("__qid"),
-      explode(col("__p._1")).as("__cell"))
-    val tables = base.select(col("__qid"), col("__p._2").as("__tbl"))
     val dist = udf((tbl: Seq[Seq[Double]], cs: Seq[Int]) =>
       if (cs == null) Double.MaxValue
       else {
@@ -1712,21 +1781,60 @@ object SimSearch {
       })
     val w = Window.partitionBy(col("__qid"))
       .orderBy(asc("adc_dist"), asc(index.idCol))
-    // broadcast guard: the probe payload is ~(m·k·8 table + nprobe·16
-    // probe-row) bytes per query, estimable DRIVER-side from the model
-    // geometry and one count of the query frame — cheap next to the
-    // serve job, and the only honest way to know whether the caller
-    // handed us a sampled query set or the whole corpus
+    // broadcast guard: the probe payload per query is one m·k·8 table
+    // + nprobe·16 probe rows (shared codebooks) or nprobe whole
+    // tables (residual — the per-cell tables are inherent to that
+    // encoding), estimable DRIVER-side from the model geometry and
+    // one count of the query frame — cheap next to the serve job, and
+    // the only honest way to know whether the caller handed us a
+    // sampled query set or the whole corpus
     val nQueries = queries.where(col(vecCol).isNotNull).count()
+    val tableBytes = index.model.m.toLong * index.model.k * 8L
     val perQueryBytes =
-      index.model.m.toLong * index.model.k * 8L + np.toLong * 16L
-    val joined =
-      if (nQueries * perQueryBytes <= broadcastMaxBytes)
+      (if (index.residual) np.toLong * tableBytes else tableBytes) +
+        np.toLong * 16L
+    val fits = nQueries * perQueryBytes <= broadcastMaxBytes
+    val joined = if (!index.residual) {
+      val prep = udf((v: Seq[Double]) =>
+        if (v == null) null
+        else (nearestCells(bcCenters.value, v.toArray, np),
+          bcModel.value.adcTable(v.toArray)))
+      val base = queries
+        .select(col(qIdCol).as("__qid"),
+          prep(asDouble(col(vecCol))).as("__p"))
+        .where(col("__p").isNotNull)
+      // ONE (qid, cell) row per probe, ONE m×k table per QUERY — the
+      // r15 shape carried the full table in every probe-cell row, an
+      // nprobe-fold duplication that was pure broadcast waste
+      val probes = base.select(col("__qid"),
+        explode(col("__p._1")).as("__cell"))
+      val tables = base.select(col("__qid"), col("__p._2").as("__tbl"))
+      if (fits)
         index.codes.join(broadcast(probes), Seq("__cell"))
           .join(broadcast(tables), Seq("__qid"))
       else
         index.codes.join(probes, Seq("__cell"))
           .join(tables, Seq("__qid"))
+    } else {
+      // residual: the table is PER (query, probed cell) — built from
+      // q - center(cell), so it rides each probe row (no sharing to
+      // exploit; the guard estimate above charges for it honestly)
+      val prep = udf((v: Seq[Double]) =>
+        if (v == null) null
+        else nearestCells(bcCenters.value, v.toArray, np).map { c =>
+          (c, bcModel.value.adcTable(
+            queryResidual(v.toArray, bcCenters.value(c))))
+        })
+      val probes = queries
+        .select(col(qIdCol).as("__qid"),
+          prep(asDouble(col(vecCol))).as("__p"))
+        .where(col("__p").isNotNull)
+        .select(col("__qid"), explode(col("__p")).as("__pc"))
+        .select(col("__qid"), col("__pc._1").as("__cell"),
+          col("__pc._2").as("__tbl"))
+      if (fits) index.codes.join(broadcast(probes), Seq("__cell"))
+      else index.codes.join(probes, Seq("__cell"))
+    }
     joined
       .select(col("__qid"), col(index.idCol),
         round(dist(col("__tbl"), col("codes")), 6).as("adc_dist"))

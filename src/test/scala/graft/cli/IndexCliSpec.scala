@@ -181,6 +181,48 @@ class IndexCliSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("--pq-residual: fit persists ivfpq_res; search/search-batch dispatch on it") {
+    val t = tmpDir()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val corpusPath = t.resolve("corpus.parquet").toString
+      emb.write.parquet(corpusPath)
+      def cli(args: String*): Unit =
+        IndexCli.run(IndexCli.parse(args).get, spark)
+      // --pq-residual without the pq geometry is invalid
+      assert(IndexCli.parse(Seq("fit", "--index", "ix", "--input", "in",
+        "--pq-residual")).isEmpty)
+      val ix = t.resolve("ix").toString
+      cli("fit", "--index", ix, "--input", corpusPath, "--nlist", "8",
+        "--pq-m", "16", "--pq-k", "8", "--pq-residual")
+      assert(spark.read.parquet(s"$ix/_kind").head().getString(0)
+        === "ivfpq_res")
+      // search serves through the residual tables and equals the library
+      val out = t.resolve("res").toString
+      cli("search", "--index", ix, "--output", out, "--input", corpusPath,
+        "--k", "7", "--nprobe", "3", "--query-id", "0")
+      val cliRows = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = SimSearch.ivfPqLoad(spark, ix, "vec_id")
+      assert(idx.residual)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val lib = SimSearch.ivfPqSearch(idx, q, 7, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(cliRows === lib && cliRows.head._1 === 0L)
+      // search-batch dispatches on the ivfpq_res kind too
+      val queries = emb.where(col("vec_id") % 50 === 0)
+      val queriesPath = t.resolve("queries.parquet").toString
+      queries.write.parquet(queriesPath)
+      val outB = t.resolve("resb").toString
+      cli("search-batch", "--index", ix, "--input", queriesPath,
+        "--output", outB, "--k", "5", "--nprobe", "3")
+      val got = spark.read.parquet(outB)
+      assert(got.select("query_id").distinct().count() === queries.count())
+    } finally rm(t)
+  }
+
   test("append --batch-id: exactly-once replay is a no-op (both layouts)") {
     val t = tmpDir()
     try {

@@ -560,6 +560,86 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     } finally { idx.codes.unpersist(); () }
   }
 
+  test("residual ivfpq: distinct kind, cross-mode guards, serve/append/batch parity") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-res").toString
+    try {
+      val idx = SimSearch.ivfPqFit(emb, "vec_id", "embedding",
+        nlist = 8, m = 16, k = 8, residual = true)
+      assert(idx.residual)
+      val q = emb.where(c("vec_id") === 0)
+        .select(c("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // the query's own residual code is its nearest ADC row
+      val pruned = rows(SimSearch.ivfPqSearch(idx, q, 10, nprobe = 2))
+      assert(pruned.head._1 === 0L)
+      // save/load: distinct _kind, residual flag restored, serve parity
+      SimSearch.ivfPqSave(idx, dir)
+      val kind = spark.read.parquet(s"$dir/_kind").head().getString(0)
+      assert(kind === "ivfpq_res")
+      val re = SimSearch.ivfPqLoad(spark, dir, "vec_id")
+      assert(re.residual)
+      assert(rows(SimSearch.ivfPqSearch(re, q, 20, nprobe = 8)) ===
+        rows(SimSearch.ivfPqSearch(idx, q, 20, nprobe = 8)))
+      // cross-family guard unchanged: not a pq model dir
+      val e = intercept[IllegalArgumentException] {
+        SimSearch.pqLoad(spark, dir)
+      }
+      assert(e.getMessage.contains("ivfpq_res"))
+      // append DISPATCHES on the persisted kind: appended codes equal
+      // what a fit-time residual encode of the same vectors stores
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-res2").toString
+      try {
+        val base = emb.where(c("vec_id") % 5 =!= 0)
+        val batch = emb.where(c("vec_id") % 5 === 0)
+        SimSearch.ivfPqSave(SimSearch.ivfPqFit(base, "vec_id", "embedding",
+          nlist = 4, m = 16, k = 8, residual = true), dir2)
+        assert(SimSearch.ivfPqAppend(spark, dir2, batch, "vec_id",
+          "embedding", batchId = Some(5L)))
+        val re2 = SimSearch.ivfPqLoad(spark, dir2, "vec_id")
+        assert(re2.codes.count() === emb.count())
+        // a batch vector self-matches through the appended residual path
+        val qb = batch.where(c("vec_id") === 0)
+          .select(c("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        assert(rows(SimSearch.ivfPqSearch(re2, qb, 5, nprobe = 2))
+          .head._1 === 0L)
+      } finally {
+        def rmr(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+        }
+        rmr(new java.io.File(dir2))
+      }
+      // batch serving parity per query, at BOTH plan shapes (the
+      // residual batch carries one table per probe cell by necessity)
+      val queries = emb.where(c("vec_id") % 50 === 0)
+      def batchRows(maxBytes: Long) = SimSearch.ivfPqSearchBatch(
+        re, queries, "vec_id", "embedding", topK = 5, nprobe = 3,
+        broadcastMaxBytes = maxBytes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+      val bc = batchRows(64L << 20)
+      assert(bc === batchRows(0L))
+      bc.groupBy(_._1).keys.toSeq.sorted.take(3).foreach { qid =>
+        val qv = emb.where(c("vec_id") === qid)
+          .select(c("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        val single = rows(SimSearch.ivfPqSearch(re, qv, 5, nprobe = 3))
+        val fromBatch = bc.filter(_._1 == qid).map(t => (t._2, t._3))
+          .sortBy(t => (t._2, t._1)).toSeq
+        assert(single === fromBatch, s"qid=$qid")
+      }
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+      }
+      rmr(new java.io.File(dir))
+    }
+  }
+
   test("ivfPqSearchBatch: shuffle fallback above the broadcast cap ranks identically") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = SimSearch.ivfPqFit(emb, "vec_id", "embedding",
