@@ -4168,6 +4168,63 @@ object Queries {
         "deterministic")
   }
 
+  /** TWO-STAGE ADC+rerank serving under a contract oracle
+    * ([[graft.ops.SimSearch.ivfPqSearchRerank]] — the production
+    * serve the q184/q186 recall contracts measure a window for):
+    * stage 1 is q186's pruned ADC scan for the top-100 candidates,
+    * stage 2 an exact-cosine rerank of JUST those ids (broadcast
+    * lookup into the raw-vector frame). Contracts, all
+    * by construction: (a) the query's own id reranks to the top at
+    * cosine 1.0; (b) FULL PARITY — at nprobe=nlist with a
+    * corpus-sized window the rerank output IS brute-force
+    * [[graft.ops.SimSearch.cosineTopK]] (modulo the self row the
+    * brute force excludes); (c) recall@10 after rerank >= recall@10
+    * of the raw ADC ranking (any true top-10 member that reaches the
+    * window outranks every non-member under exact cosine); (d)
+    * deterministic. */
+  def q198IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.ops.SimSearch.ivfPqLoad(
+      spark, q186IndexDir(spark, dir), "vec_id")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val n = emb.count().toInt
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    // (b) full parity: every cell probed, window = corpus
+    val full = ivfRerank(idx, emb, q, topK = 11, window = n, nprobe = 16)
+    val fullIds = ids(full)
+    val brute = ids(graft.ops.SimSearch.cosineTopK(
+      emb, "vec_id", "embedding", 0L, 10))
+    val fullParity = fullIds.head == 0L && fullIds.drop(1) == brute
+    // (a)+(c) at production pruning: window 100, nprobe 4
+    val rerank = ivfRerank(idx, emb, q, topK = 11, window = 100, nprobe = 4)
+    val rerankRows = rerank.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val selfTop1 = rerankRows.head._1 == 0L && rerankRows.head._2 == 1.0
+    val exact10 = brute.toSet
+    val rerank10 = rerankRows.map(_._1).filter(_ != 0L).take(10).toSet
+    val adc10 = ids(graft.ops.SimSearch.ivfPqSearch(idx, q, 11, nprobe = 4))
+      .filter(_ != 0L).take(10).toSet
+    val recallGeAdc =
+      exact10.intersect(rerank10).size >= exact10.intersect(adc10).size
+    val deterministic = rerankRows == ivfRerank(idx, emb, q, 11, 100, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Seq((16, idx.model.m, idx.model.k, 100, n.toLong,
+      selfTop1, fullParity, recallGeAdc, deterministic))
+      .toDF("nlist", "m", "k", "window", "n_vectors",
+        "self_top1", "full_parity", "recall_ge_adc", "deterministic")
+  }
+
+  private def ivfRerank(idx: graft.ops.SimSearch.IvfPqIndex,
+                        emb: org.apache.spark.sql.DataFrame,
+                        q: Array[Double], topK: Int, window: Int,
+                        nprobe: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.SimSearch.ivfPqSearchRerank(idx, emb, "embedding", q,
+      topK, window, nprobe)
+
   /** BLOB-BEARING corpus curation under oracle (the q57 stage-report
     * pattern with the PERCEPTUAL dedup stage active): every document
     * carries a synthetic P6 image blob keyed by `doc_id % 100` (the

@@ -220,6 +220,7 @@ object SparkEntry {
     "q195_audio_neardup" -> (Queries.q195AudioNeardup(_, _)),
     "q196_curate_blobs" -> (Queries.q196CurateBlobs(_, _)),
     "q197_ivfpq_residual" -> (Queries.q197IvfPqResidual(_, _)),
+    "q198_ivfpq_rerank" -> (Queries.q198IvfPqRerank(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4445,5 +4446,16 @@ ORDER BY id_a, id_b"""),
         |  TRUE AS distinct_kind, TRUE AS self_top1,
         |  TRUE AS tighter_quantization, TRUE AS recall_ok,
         |  TRUE AS deterministic""".stripMargin,
+    // q198: two-stage ADC+exact-rerank serving — the guarantees are
+    // BY CONSTRUCTION (self reranks to cosine 1.0; full-probe +
+    // corpus-window rerank IS brute force modulo the self row; any
+    // true top-10 member reaching the window outranks non-members
+    // under exact cosine, so rerank recall >= raw-ADC recall), so the
+    // oracle pins them as booleans + exact geometry/corpus constants.
+    "q198_ivfpq_rerank" ->
+      """SELECT 16 AS nlist, 16 AS m, 32 AS k, 100 AS window,
+        |  (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  TRUE AS self_top1, TRUE AS full_parity,
+        |  TRUE AS recall_ge_adc, TRUE AS deterministic""".stripMargin,
   )
 }

@@ -61,7 +61,8 @@ object IndexCli {
                     distAlert: Double = 1.5,
                     pqM: Option[Int] = None,
                     pqK: Option[Int] = None,
-                    pqResidual: Boolean = false)
+                    pqResidual: Boolean = false,
+                    rerank: Option[Int] = None)
 
   val usage: String =
     """index — ANN index lifecycle (graft.ops.SimSearch, IVF layout)
@@ -88,6 +89,10 @@ object IndexCli {
       |  --k <n>                    search: neighbors to return (default 10)
       |  --nprobe <n>               search: cells to probe (default 4)
       |  --query-id <n>             search: query vector id (default 0)
+      |  --rerank <w>               search (ivfpq): EXACT-cosine rerank of the
+      |                             top-w ADC candidates against --input's raw
+      |                             vectors (w >= --k; the production
+      |                             two-stage serve)
       |  --batch-id <n>             append: exactly-once ledger id (>= 0;
       |                             replayed ids are a no-op — pass your
       |                             ingest framework's batch id)
@@ -136,6 +141,10 @@ object IndexCli {
       }
       case "--query-id" :: v :: t =>
         v.toLongOption.flatMap(n => loop(t, c.copy(queryId = n)))
+      case "--rerank" :: v :: t => v.toIntOption match {
+        case Some(n) if n >= 1 => loop(t, c.copy(rerank = Some(n)))
+        case _ => None
+      }
       case "--batch-id" :: v :: t => v.toLongOption match {
         case Some(n) if n >= 0 => loop(t, c.copy(batchId = Some(n)))
         case _ => None // negative ids are reserved for fit partitions
@@ -245,16 +254,26 @@ object IndexCli {
         "search over an ivfpq index needs --input to resolve the " +
           "query vector (codes store no raw vectors)")
       val idx = SimSearch.ivfPqLoad(spark, config.index, config.idCol)
-      val q = load(config, spark)
+      val vectors = load(config, spark)
+      val q = vectors
         .where(org.apache.spark.sql.functions.col(config.idCol)
           === config.queryId)
         .select(org.apache.spark.sql.functions.col(config.vecCol)
           .cast("array<double>"))
         .head().getSeq[Double](0).toArray
-      SimSearch.ivfPqSearch(idx, q, config.k, config.nprobe)
-        .write.mode("overwrite").parquet(config.output)
+      val res = config.rerank match {
+        case Some(w) =>
+          require(w >= config.k,
+            s"--rerank window $w must be >= --k ${config.k}")
+          SimSearch.ivfPqSearchRerank(idx, vectors, config.vecCol, q,
+            config.k, w, config.nprobe)
+        case None => SimSearch.ivfPqSearch(idx, q, config.k, config.nprobe)
+      }
+      res.write.mode("overwrite").parquet(config.output)
       println(s"search (ivfpq): query ${config.queryId} top-${config.k} " +
-        s"(nprobe ${config.nprobe}) -> ${config.output}")
+        s"(nprobe ${config.nprobe}" +
+        config.rerank.map(w => s", rerank $w").getOrElse("") +
+        s") -> ${config.output}")
     case "search" =>
       val idx = SimSearch.ivfLoad(spark, config.index, config.idCol,
         config.vecCol)

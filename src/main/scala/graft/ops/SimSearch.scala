@@ -1737,6 +1737,47 @@ object SimSearch {
   }
 
   /**
+   * TWO-STAGE production serving — ADC candidates, EXACT rerank: the
+   * standard recall repair for quantized indexes (the "top-100 rerank
+   * window" q184/q186's contracts measure). Stage 1 is
+   * [[ivfPqSearch]]'s pruned ADC scan for the top-`window` candidate
+   * ids; stage 2 joins JUST those ids back to the raw-vector frame
+   * (BROADCAST — the window is tiny by construction) and reranks them
+   * by exact cosine against the raw query.
+   *
+   * Guarantees (q198 pins them): any true top-k member that reaches
+   * the window is ranked at the top by the exact rerank — so
+   * recall@k(rerank) = |window ∩ exact top-k| >= recall@k(raw ADC
+   * top-k), BY CONSTRUCTION; and at nprobe=nlist with window >=
+   * corpus the output IS brute-force [[cosineTopK]] (the rerank
+   * analog of the flat-parity contract). Works for both codebook
+   * modes (stage 1 dispatches on the index's residual flag).
+   *
+   * Scale note: the rerank lookup scans `vectors` once per query
+   * under a plain broadcast semi-join — point it at an id-bucketed
+   * (or the cell-partitioned assigned) layout so the join prunes, or
+   * amortize over query batches. Output: (idCol, cosine), exact
+   * values, [[cosineTopK]]'s rounding and tie-break.
+   */
+  def ivfPqSearchRerank(index: IvfPqIndex, vectors: DataFrame,
+                        vecCol: String, query: Array[Double], topK: Int,
+                        window: Int = 100, nprobe: Int = 4): DataFrame = {
+    require(window >= topK,
+      s"rerank window $window must be >= topK $topK")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val cand = ivfPqSearch(index, query, window, nprobe)
+      .select(col(index.idCol))
+    val qRow = Seq(Tuple1(query.toSeq)).toDF("__q")
+    vectors.join(broadcast(cand), Seq(index.idCol))
+      .crossJoin(broadcast(qRow))
+      .select(col(index.idCol),
+        round(cosine(asDouble(col(vecCol)), col("__q")), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc(index.idCol))
+      .limit(topK)
+  }
+
+  /**
    * BATCH ADC serving — the [[annLshTopKBatch]] shape for the
    * composed index: every row of `queries` (raw vectors) gets its
    * approximate top-k from the codes in ONE job, amortizing the scan

@@ -223,6 +223,40 @@ class IndexCliSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("search --rerank: two-stage ADC+exact serve, CLI equals library") {
+    val t = tmpDir()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val corpusPath = t.resolve("corpus.parquet").toString
+      emb.write.parquet(corpusPath)
+      def cli(args: String*): Unit =
+        IndexCli.run(IndexCli.parse(args).get, spark)
+      assert(IndexCli.parse(Seq("search", "--index", "ix", "--output", "o",
+        "--rerank", "0")).isEmpty) // window must be >= 1
+      val ix = t.resolve("ix").toString
+      cli("fit", "--index", ix, "--input", corpusPath, "--nlist", "8",
+        "--pq-m", "16", "--pq-k", "8")
+      val out = t.resolve("res").toString
+      cli("search", "--index", ix, "--output", out, "--input", corpusPath,
+        "--k", "7", "--nprobe", "3", "--query-id", "0", "--rerank", "50")
+      val cliRows = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = SimSearch.ivfPqLoad(spark, ix, "vec_id")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val lib = SimSearch.ivfPqSearchRerank(idx, emb, "embedding", q,
+        7, 50, 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(cliRows === lib && cliRows.length === 7)
+      assert(cliRows.head === ((0L, 1.0))) // self reranks to exact 1.0
+      // the window must cover k
+      intercept[IllegalArgumentException] {
+        cli("search", "--index", ix, "--output", out, "--input",
+          corpusPath, "--k", "7", "--rerank", "3")
+      }
+    } finally rm(t)
+  }
+
   test("append --batch-id: exactly-once replay is a no-op (both layouts)") {
     val t = tmpDir()
     try {

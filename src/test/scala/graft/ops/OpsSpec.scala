@@ -560,6 +560,53 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     } finally { idx.codes.unpersist(); () }
   }
 
+  test("ivfPqSearchRerank: exact rerank of the ADC window, full-window = brute force") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = SimSearch.ivfPqFit(emb, "vec_id", "embedding",
+      nlist = 8, m = 16, k = 8)
+    idx.codes.persist()
+    try {
+      val q = emb.where(c("vec_id") === 0)
+        .select(c("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val n = emb.count().toInt
+      // full probe + corpus window: rerank IS brute force (modulo the
+      // self row cosineTopK excludes)
+      val full = SimSearch.ivfPqSearchRerank(idx, emb, "embedding", q,
+        topK = 11, window = n, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full.head._1 === 0L && full.head._2 === 1.0)
+      val brute = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full.drop(1) === brute)
+      // production pruning: self still reranks first; rerank recall@10
+      // >= raw ADC recall@10 (monotone by construction)
+      val rr = SimSearch.ivfPqSearchRerank(idx, emb, "embedding", q,
+        topK = 11, window = 50, nprobe = 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(rr.head === 0L)
+      val exact10 = brute.map(_._1).toSet
+      val adc10 = SimSearch.ivfPqSearch(idx, q, 11, nprobe = 3)
+        .collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+      assert(exact10.intersect(rr.drop(1).take(10).toSet).size
+        >= exact10.intersect(adc10).size)
+      // guard: the window must cover the requested k
+      intercept[IllegalArgumentException] {
+        SimSearch.ivfPqSearchRerank(idx, emb, "embedding", q,
+          topK = 20, window = 10)
+      }
+      // residual indexes rerank through the same path (stage 1
+      // dispatches on the flag; stage 2 is mode-independent)
+      val res = SimSearch.ivfPqFit(emb, "vec_id", "embedding",
+        nlist = 8, m = 16, k = 8, residual = true)
+      val rrRes = SimSearch.ivfPqSearchRerank(res, emb, "embedding", q,
+        topK = 11, window = n, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rrRes.head._1 === 0L && rrRes.drop(1) === brute)
+    } finally { idx.codes.unpersist(); () }
+  }
+
   test("residual ivfpq: distinct kind, cross-mode guards, serve/append/batch parity") {
     import org.apache.spark.sql.functions.{col => c}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
