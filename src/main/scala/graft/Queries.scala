@@ -4168,6 +4168,27 @@ object Queries {
         "deterministic")
   }
 
+  /** INCREMENTAL perceptual near-dup pairs under oracle
+    * ([[graft.ops.Multimodal.perceptualPairsIncremental]] — the q48
+    * incremental shape for the multimodal modalities, proved the q193
+    * way): the q192 image corpus is split into an already-admitted
+    * 4/5 (whose signatures are precomputed — the persisted state an
+    * ingest pipeline keeps) and a NEW 1/5 batch; the incremental join
+    * must find exactly the pairs an all-pairs scan finds THAT TOUCH
+    * THE NEW BATCH — the oracle brute-forces every pair over the
+    * bit-for-bit replayed dHashes (BITSTRING xor) and keeps those
+    * with a batch member, so missing a new×old pair OR inventing an
+    * old×old one both go red. */
+  def q199PerceptualIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = q192Blobs(spark, dir)
+    val newBatch = blobs.where(col("blob_id") % 5 === 0)
+    val oldSigs = graft.ops.Multimodal.perceptualSignature(
+      blobs.where(col("blob_id") % 5 =!= 0))
+    graft.ops.Multimodal.perceptualPairsIncremental(
+      newBatch, oldSigs, maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** TWO-STAGE ADC+rerank serving under a contract oracle
     * ([[graft.ops.SimSearch.ivfPqSearchRerank]] — the production
     * serve the q184/q186 recall contracts measure a window for):

@@ -221,6 +221,7 @@ object SparkEntry {
     "q196_curate_blobs" -> (Queries.q196CurateBlobs(_, _)),
     "q197_ivfpq_residual" -> (Queries.q197IvfPqResidual(_, _)),
     "q198_ivfpq_rerank" -> (Queries.q198IvfPqRerank(_, _)),
+    "q199_perceptual_incremental" -> (Queries.q199PerceptualIncremental(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4457,5 +4458,45 @@ ORDER BY id_a, id_b"""),
         |  (SELECT count(*) FROM embeddings) AS n_vectors,
         |  TRUE AS self_top1, TRUE AS full_parity,
         |  TRUE AS recall_ge_adc, TRUE AS deterministic""".stripMargin,
+    // q199: the INCREMENTAL banded plan must reproduce exactly the
+    // batch-touching subset of an all-pairs scan — q193's BITSTRING
+    // brute force over the replayed dHashes, filtered to pairs with a
+    // member in the new batch (blob_id % 5 = 0; copies at +10000 keep
+    // the residue). Missing a new×old pair or inventing an old×old
+    // one both break the hash.
+    "q199_perceptual_incremental" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+        |g AS (
+        |  SELECT id, r.r, c.c, (c.c*4 + dx.dx) AS x, (r.r*3 + dy.dy) AS y
+        |  FROM ids,
+        |    (SELECT unnest(generate_series(0,7)) AS r) r,
+        |    (SELECT unnest(generate_series(0,8)) AS c) c,
+        |    (SELECT unnest(generate_series(0,3)) AS dx) dx,
+        |    (SELECT unnest(generate_series(0,2)) AS dy) dy),
+        |cell AS (
+        |  SELECT id, r, c,
+        |    SUM(((id*7 + x*5 + y*3) % 256) + ((id*11 + x*3) % 256)
+        |        + ((y*13 + id) % 256)) AS s
+        |  FROM g GROUP BY id, r, c),
+        |b AS (
+        |  SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.s < n.s THEN '1' ELSE '0' END AS bit
+        |  FROM cell a JOIN cell n ON n.id = a.id AND n.r = a.r
+        |    AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT id, string_agg(bit, '' ORDER BY r*8 + c DESC) AS bits
+        |  FROM b GROUP BY id),
+        |all_h AS (
+        |  SELECT id AS blob_id, bits FROM h
+        |  UNION ALL SELECT id + 10000, bits FROM h),
+        |p AS (
+        |  SELECT a.blob_id AS id_a, o.blob_id AS id_b,
+        |    bit_count(xor(a.bits::BIT, o.bits::BIT)) AS ham
+        |  FROM all_h a JOIN all_h o ON a.blob_id < o.blob_id)
+        |SELECT id_a, id_b, CAST(ham AS INT) AS hamming
+        |FROM p WHERE ham <= 2
+        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -507,6 +507,35 @@ object Multimodal {
         col("__s._2").as("sig"))
   }
 
+  /** INCREMENTAL perceptual near-dup pairs — the
+    * [[graft.ops.Dedup.minhashPairsIncremental]] shape for the
+    * multimodal modalities (the daily-ingest path at 100 TB): pairs
+    * between a NEW blob batch and itself plus the PRECOMPUTED
+    * signature frame of the already-admitted corpus
+    * ([[perceptualSignature]]'s (id, modality, sig) output, persisted
+    * when earlier batches landed), without re-decoding or re-pairing
+    * the corpus. The new batch pays decode+hash for ITSELF only; the
+    * corpus side contributes narrow 64-bit signature rows to the
+    * banded candidate join, per modality (image and audio hashes
+    * never cross-pair). New×old pairs are id-normalized; old×old
+    * pairs were found when those batches landed. */
+  def perceptualPairsIncremental(newBlobs: DataFrame, oldSigs: DataFrame,
+                                 idCol: String = "blob_id",
+                                 dataCol: String = "data",
+                                 maxHamming: Int = 2): DataFrame = {
+    require(Set(idCol, "modality", "sig").subsetOf(oldSigs.columns.toSet),
+      s"oldSigs must be a perceptualSignature frame " +
+        s"($idCol, modality, sig); got ${oldSigs.columns.mkString(",")}")
+    val newSigs = perceptualSignature(newBlobs, idCol, dataCol)
+      .where(col("sig").isNotNull)
+    Seq("image", "audio").map { m =>
+      SimHash.nearDupPairsFromSigsIncremental(
+        newSigs.where(col("modality") === m),
+        oldSigs.where(col("modality") === m && col("sig").isNotNull),
+        idCol, "sig", maxHamming)
+    }.reduce(_.unionByName(_))
+  }
+
   /** PERCEPTUAL near-duplicate REMOVAL — the curation-stage form of
     * [[imageNearDupPairs]]/[[audioNearDupPairs]] for blob-bearing
     * corpora: signature each row's payload ([[perceptualSignature]]),

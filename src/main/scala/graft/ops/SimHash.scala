@@ -117,4 +117,46 @@ object SimHash {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
+
+  /** [[nearDupPairsFromSigs]] against a PRECOMPUTED corpus signature
+    * frame — [[graft.ops.Dedup.minhashPairsIncrementalIndexed]]'s
+    * shape for the banded Hamming family: pairs between a NEW batch's
+    * signatures and itself PLUS the (much larger) already-admitted
+    * corpus' signatures, without ever re-pairing the corpus against
+    * itself. The new batch probes the union index; new×new pairs keep
+    * one direction (id_a < id_b), new×old pairs appear once (old ids
+    * never sit on the probe side) and are id-normalized. Output ids
+    * must share one id space (the dedup family's contract); recall is
+    * the self-join's (exact for maxHamming <= 3 by pigeonhole). */
+  def nearDupPairsFromSigsIncremental(newSigs: DataFrame,
+                                      oldSigs: DataFrame,
+                                      idCol: String, sigCol: String,
+                                      maxHamming: Int = 3): DataFrame = {
+    def chunked(df: DataFrame) = df
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .select(col("__id"), col("__sig"),
+        posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key")))
+    val cNew = chunked(newSigs)
+    val probe = cNew.select(col("__chunk"), col("__key"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val index = cNew.select(col("__chunk"), col("__key"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"),
+      lit(false).as("__old"))
+      .union(chunked(oldSigs).select(col("__chunk"), col("__key"),
+        col("__id").as("id_b"), col("__sig").as("sig_b"),
+        lit(true).as("__old")))
+    probe.join(index, Seq("__chunk", "__key"))
+      .where((col("__old") && col("id_a") =!= col("id_b")) ||
+        (!col("__old") && col("id_a") < col("id_b")))
+      // normalize new×old pairs whose old id is smaller; Hamming is
+      // symmetric, so the sig columns need no matching swap
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+  }
 }

@@ -391,6 +391,62 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("perceptualPairsIncremental: batch-touching pairs only, equals the filtered self-join") {
+    val w = 36; val h = 24
+    def img(k: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        a(i) = ((k * 41 + x * 11 + y * 5) % 256).toByte
+        a(i + 1) = ((k * 13 + x * 3) % 256).toByte
+        a(i + 2) = ((k * 29 + y * 7) % 256).toByte
+      }
+      a
+    }
+    def pcm16(samples: Array[Short]) =
+      Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, samples))
+    val tone = Array.tabulate[Short](130)(i => ((i * 37) % 200 - 100).toShort)
+    val tone2x = Array.tabulate[Short](260)(i => tone(i / 2))
+    // ids 0-9 = admitted corpus, 10-14 = the new batch; planted:
+    // image dup new×old (10~0), image dup old×old (1~2 — must NOT
+    // appear), image dup new×new (11~12), audio dup new×old (13~3)
+    val rows = Seq(
+      (0L, Multimodal.encodePpm(w, h, img(0))),
+      (1L, Multimodal.encodePpm(w, h, img(7))),
+      (2L, Multimodal.encodePng(w, h, img(7))), // old×old pair with 1
+      (3L, pcm16(tone)),
+      (4L, Multimodal.encodeBmp(w, h, img(4))),
+      (10L, Multimodal.encodePng(w, h, img(0))), // new×old with 0
+      (11L, Multimodal.encodePpm(w, h, img(9))),
+      (12L, Multimodal.encodePng(w, h, img(9))), // new×new with 11
+      (13L, pcm16(tone2x)),                      // audio new×old with 3
+      (14L, "opaque".getBytes("UTF-8")))
+      .toDF("blob_id", "data")
+    val newBatch = rows.where($"blob_id" >= 10)
+    val oldSigs = Multimodal.perceptualSignature(
+      rows.where($"blob_id" < 10))
+    val inc = Multimodal.perceptualPairsIncremental(
+      newBatch, oldSigs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((0L, 10L)))  // new×old, id-normalized
+    assert(inc.contains((11L, 12L))) // new×new
+    assert(inc.contains((3L, 13L)))  // audio new×old
+    assert(!inc.contains((1L, 2L)))  // old×old never re-paired
+    assert(!inc.exists(p => p._1 == 14L || p._2 == 14L)) // opaque
+    // and it equals the FULL self-join filtered to batch-touching
+    // pairs (the exactness contract q199's oracle brute-forces)
+    val fullTouching = Multimodal.imageNearDupPairs(rows, maxHamming = 0)
+      .unionByName(Multimodal.audioNearDupPairs(rows, maxHamming = 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(inc === fullTouching)
+    // the old side must be a signature frame, not raw blobs
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualPairsIncremental(newBatch,
+        rows.where($"blob_id" < 10))
+    }
+  }
+
   test("dropPerceptualDuplicates: per-modality clusters, keep-best, honest opaques") {
     val w = 36; val h = 24
     def rgbOf(k: Int): Array[Byte] = {
