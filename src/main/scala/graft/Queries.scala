@@ -4189,6 +4189,29 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Map-only perceptual NOVELTY gate under oracle
+    * ([[graft.ops.Multimodal.perceptualNovelFlag]] — the
+    * Novelty.nearNovelFlag shape for blob corpora, the streaming
+    * ingest edge's blob prefilter): the admitted 4/5 of the q192
+    * image corpus fits a chunk-key Bloom index (fpp 1e-6 — q57's
+    * trick, so the exact SQL replay holds: expected false-positive
+    * count across the probe set is ~1e-3); the held-out 1/5 batch is
+    * flagged map-only. The oracle replays the decision EXACTLY from
+    * the closed-form bits: a new blob is novel iff NONE of its four
+    * 16-bit signature chunks equals any admitted blob's same-position
+    * chunk (pigeonhole: every true <= 3-Hamming dup of an admitted
+    * blob is flagged — the gate can over-drop, never miss). */
+  def q200PerceptualGate(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = q192Blobs(spark, dir)
+    val idx = graft.ops.Multimodal.fitPerceptualIndex(
+      graft.ops.Multimodal.perceptualSignature(
+        blobs.where(col("blob_id") % 5 =!= 0)), fpp = 1e-6)
+    graft.ops.Multimodal.perceptualNovelFlag(
+      blobs.where(col("blob_id") % 5 === 0), idx, "data", "novel")
+      .select(col("blob_id"), col("novel"))
+      .orderBy("blob_id")
+  }
+
   /** TWO-STAGE ADC+rerank serving under a contract oracle
     * ([[graft.ops.SimSearch.ivfPqSearchRerank]] — the production
     * serve the q184/q186 recall contracts measure a window for):

@@ -222,6 +222,7 @@ object SparkEntry {
     "q197_ivfpq_residual" -> (Queries.q197IvfPqResidual(_, _)),
     "q198_ivfpq_rerank" -> (Queries.q198IvfPqRerank(_, _)),
     "q199_perceptual_incremental" -> (Queries.q199PerceptualIncremental(_, _)),
+    "q200_perceptual_gate" -> (Queries.q200PerceptualGate(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4498,5 +4499,48 @@ ORDER BY id_a, id_b"""),
         |FROM p WHERE ham <= 2
         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
         |ORDER BY id_a, id_b""".stripMargin,
+    // q200: the map-only blob novelty gate replayed EXACTLY — a new
+    // blob is novel iff none of its four 16-bit signature chunks
+    // (MSB-first bit string: chunk j = substr(49-16j, 16)) equals any
+    // admitted blob's same-position chunk. The Bloom's fpp (1e-6) is
+    // below the replay's noise floor (the q57 discipline).
+    "q200_perceptual_gate" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+        |g AS (
+        |  SELECT id, r.r, c.c, (c.c*4 + dx.dx) AS x, (r.r*3 + dy.dy) AS y
+        |  FROM ids,
+        |    (SELECT unnest(generate_series(0,7)) AS r) r,
+        |    (SELECT unnest(generate_series(0,8)) AS c) c,
+        |    (SELECT unnest(generate_series(0,3)) AS dx) dx,
+        |    (SELECT unnest(generate_series(0,2)) AS dy) dy),
+        |cell AS (
+        |  SELECT id, r, c,
+        |    SUM(((id*7 + x*5 + y*3) % 256) + ((id*11 + x*3) % 256)
+        |        + ((y*13 + id) % 256)) AS s
+        |  FROM g GROUP BY id, r, c),
+        |b AS (
+        |  SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.s < n.s THEN '1' ELSE '0' END AS bit
+        |  FROM cell a JOIN cell n ON n.id = a.id AND n.r = a.r
+        |    AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT id, string_agg(bit, '' ORDER BY r*8 + c DESC) AS bits
+        |  FROM b GROUP BY id),
+        |all_h AS (
+        |  SELECT id AS blob_id, bits FROM h
+        |  UNION ALL SELECT id + 10000, bits FROM h),
+        |newc AS (
+        |  SELECT a.blob_id, j.j AS j, substr(a.bits, 49 - 16*j.j, 16) AS ck
+        |  FROM all_h a, (SELECT unnest(generate_series(0,3)) AS j) j
+        |  WHERE a.blob_id % 5 = 0),
+        |oldc AS (
+        |  SELECT DISTINCT j.j AS j, substr(a.bits, 49 - 16*j.j, 16) AS ck
+        |  FROM all_h a, (SELECT unnest(generate_series(0,3)) AS j) j
+        |  WHERE a.blob_id % 5 <> 0)
+        |SELECT n.blob_id, (count(o.ck) = 0) AS novel
+        |FROM newc n LEFT JOIN oldc o ON o.j = n.j AND o.ck = n.ck
+        |GROUP BY n.blob_id
+        |ORDER BY n.blob_id""".stripMargin,
   )
 }

@@ -253,6 +253,10 @@ object Curate {
    *   [exact novelty]  — stream-static left-anti vs a STATIC
    *                      historical corpus ([[Novelty.exactNovel]])
    *   [near novelty]   — broadcast [[Novelty.BandIndex]] probe, map-only
+   *   [perceptual]     — broadcast [[Multimodal.PerceptualIndex]]
+   *                      probe over a blob column (map-only chunk-key
+   *                      prefilter; never misses a <= 3-Hamming dup
+   *                      of the admitted corpus by pigeonhole)
    *   quality          — [[TextStats.qualityScore]] >= minQuality
    *   repetition       — [[TextStats.dup2gramFrac]] <= maxDup2gramFrac
    *   [LM gate]        — [[TextStats.unigramRefScore]] vs a PRE-FITTED
@@ -279,9 +283,11 @@ object Curate {
                     historicalCorpus: Option[DataFrame] = None,
                     bandIndex: Option[Novelty.BandIndex] = None,
                     unigramRef: Option[(TextStats.UnigramRef, Double)] = None,
-                    benchGrams: Option[Decontaminate.BenchGrams] = None)
+                    benchGrams: Option[Decontaminate.BenchGrams] = None,
+                    perceptualIndex:
+                      Option[(String, Multimodal.PerceptualIndex)] = None)
       : DataFrame = {
-    Seq("__gate_nn", "__gate_lm", "__gate_cl").foreach { c =>
+    Seq("__gate_nn", "__gate_lm", "__gate_cl", "__gate_pn").foreach { c =>
       require(!docs.columns.contains(c),
         s"input column $c collides with streamingGate's reserved names") }
     val fresh = historicalCorpus match {
@@ -294,7 +300,17 @@ object Curate {
           .where(col("__gate_nn")).drop("__gate_nn")
       case None => fresh
     }
-    val gated = nearFresh
+    // the blob prefilter sits with the novelty gates: a payload whose
+    // perceptual signature collides with the admitted corpus drops at
+    // the edge (map-only broadcast probe — see the Multimodal scaladoc
+    // for the prefilter-vs-proof semantics)
+    val blobFresh = perceptualIndex match {
+      case Some((blobCol, idx)) =>
+        Multimodal.perceptualNovelFlag(nearFresh, idx, blobCol, "__gate_pn")
+          .where(col("__gate_pn")).drop("__gate_pn")
+      case None => nearFresh
+    }
+    val gated = blobFresh
       .where(TextStats.qualityScore(col(textCol)) >= minQuality)
       .where(TextStats.dup2gramFrac(col(textCol)) <= maxDup2gramFrac)
     val lmGated = unigramRef match {

@@ -507,6 +507,81 @@ object Multimodal {
         col("__s._2").as("sig"))
   }
 
+  /** Broadcastable perceptual NOVELTY index — the admitted corpus'
+    * signature chunk keys in one Bloom filter (keys encode
+    * (modality-bit, chunk position, 16-bit chunk value) into a long,
+    * so image and audio keys never collide by construction). The
+    * [[graft.ops.Novelty.BandIndex]] shape for blob corpora: fit once
+    * per corpus version from a [[perceptualSignature]] frame, gate
+    * every ingest batch map-only. */
+  final case class PerceptualIndex(
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+
+  /** Fit a [[PerceptualIndex]] from a [[perceptualSignature]] frame
+    * (one pass; duplicate inserts set the same bits, so no distinct
+    * shuffle — [[graft.ops.Novelty.fitBandIndex]]'s sizing rule). */
+  def fitPerceptualIndex(sigs: DataFrame,
+                         fpp: Double = 0.001): PerceptualIndex = {
+    require(Set("modality", "sig").subsetOf(sigs.columns.toSet),
+      "fitPerceptualIndex expects a perceptualSignature frame " +
+        s"(modality, sig); got ${sigs.columns.mkString(",")}")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val live = sigs.where(col("sig").isNotNull)
+    val nEst = math.max(live.count() * 4, 1L)
+    val bloom = live
+      .select(col("sig"),
+        when(col("modality") === "image", 0L).otherwise(lit(1L)).as("__m"))
+      .select(explode(array((0 until 4).map { j =>
+        shiftleft(col("__m"), 18)
+          .bitwiseOR(lit(j.toLong << 16))
+          .bitwiseOR(shiftrightunsigned(col("sig"), j * 16)
+            .bitwiseAND(lit(0xFFFFL)))
+      }: _*)).as("__k"))
+      .stat.bloomFilter("__k", nEst, fpp / 4)
+    PerceptualIndex(bloom)
+  }
+
+  /** Map-only perceptual NOVELTY gate — [[graft.ops.Novelty
+    * .nearNovelFlag]]'s shape for blob corpora, STREAMING-SAFE (one
+    * broadcast value, no join, no state): each row's payload is
+    * decoded and hashed, and flagged NOT novel iff ANY of its four
+    * signature chunk keys hits the admitted index. Pigeonhole gives
+    * the gate's guarantee: a true near-dup within Hamming <= 3 of an
+    * admitted signature ALWAYS shares at least one chunk — the gate
+    * never misses one. A collision is NOT proof (same-chunk far
+    * signatures, plus the Bloom's fpp), so the flag is a PREFILTER:
+    * drop flagged rows at the ingest edge when over-dropping is
+    * acceptable, or route them to the exact
+    * [[perceptualPairsIncremental]] join. Undecodable payloads flag
+    * novel (no signature is no evidence — the family's contract). */
+  def perceptualNovelFlag(df: DataFrame, index: PerceptualIndex,
+                          dataCol: String, outCol: String): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input column $outCol collides with the gate's output column")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(index.bloom)
+    val f = udf((data: Array[Byte]) => {
+      val sigOpt = decodeImage(data) match {
+        case Some((w, h, rgb)) => Some((0L, dhash64(w, h, rgb)))
+        case None => decodeWav(data).map(a => (1L, audioHash64(a.samples)))
+      }
+      sigOpt match {
+        case None => true
+        case Some((mBit, sig)) =>
+          var j = 0
+          var hit = false
+          while (j < 4 && !hit) {
+            val key = (mBit << 18) | (j.toLong << 16) |
+              ((sig >>> (j * 16)) & 0xFFFFL)
+            hit = bc.value.mightContain(key)
+            j += 1
+          }
+          !hit
+      }
+    })
+    df.withColumn(outCol, f(col(dataCol)))
+  }
+
   /** INCREMENTAL perceptual near-dup pairs — the
     * [[graft.ops.Dedup.minhashPairsIncremental]] shape for the
     * multimodal modalities (the daily-ingest path at 100 TB): pairs

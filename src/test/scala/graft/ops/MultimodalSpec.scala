@@ -391,6 +391,59 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("perceptualNovelFlag: map-only blob gate — dups flagged, novels and opaques pass") {
+    val w = 36; val h = 24
+    def img(k: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        a(i) = ((k * 61 + x * 11 + y * 5) % 256).toByte
+        a(i + 1) = ((k * 23 + x * 3) % 256).toByte
+        a(i + 2) = ((k * 37 + y * 7) % 256).toByte
+      }
+      a
+    }
+    def pcm16(samples: Array[Short]) =
+      Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, samples))
+    val tone = Array.tabulate[Short](130)(i => ((i * 37) % 200 - 100).toShort)
+    val admitted = Seq(
+      (0L, Multimodal.encodePpm(w, h, img(0))),
+      (1L, pcm16(tone)))
+      .toDF("blob_id", "data")
+    val idx = Multimodal.fitPerceptualIndex(
+      Multimodal.perceptualSignature(admitted), fpp = 1e-6)
+    val batch = Seq(
+      // cross-codec copy of an admitted image: MUST flag (Hamming 0)
+      (10L, Multimodal.encodePng(w, h, img(0))),
+      // 2x-replicated copy of an admitted tone: MUST flag
+      (11L, pcm16(Array.tabulate[Short](260)(i => tone(i / 2)))),
+      // genuinely different image: should pass (chunk collision with
+      // the 2-signature index is astronomically unlikely here)
+      (12L, Multimodal.encodeBmp(w, h, img(9))),
+      // opaque payload: novel by contract
+      (13L, "opaque".getBytes("UTF-8")))
+      .toDF("blob_id", "data")
+    val flags = Multimodal.perceptualNovelFlag(batch, idx, "data", "novel")
+      .select("blob_id", "novel")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!flags(10L) && !flags(11L))
+    assert(flags(12L) && flags(13L))
+    // Curate.streamingGate wiring: the blob prefilter drops the dups
+    // at the edge, same code path batch or streamed
+    val docs = batch.withColumn("text",
+      concat(lit("clean words about the weather and the sea id "),
+        col("blob_id")))
+    val gated = Curate.streamingGate(docs, minQuality = 0.0,
+      maxDup2gramFrac = 1.0,
+      perceptualIndex = Some(("data", idx)))
+      .select("blob_id").collect().map(_.getLong(0)).toSet
+    assert(gated === Set(12L, 13L))
+    // the index refuses a non-signature frame
+    intercept[IllegalArgumentException] {
+      Multimodal.fitPerceptualIndex(admitted)
+    }
+  }
+
   test("perceptualPairsIncremental: batch-touching pairs only, equals the filtered self-join") {
     val w = 36; val h = 24
     def img(k: Int): Array[Byte] = {
