@@ -672,6 +672,22 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Broadcast-hint `df` only when a driver-side size estimate says
+    * the relation fits `broadcastMaxBytes` — the `ivfPqSearchBatch`
+    * guard recipe shared by the dedup tag-back/anti-joins: an
+    * UNCONDITIONAL hint on the component/loser frames dies exactly
+    * where dedup matters most (a crawl at 30-50%% near-dup rate puts
+    * a corpus-scale frame in the broadcast and OOMs the driver).
+    * Above the cap the hint is simply dropped — the join runs as a
+    * plain shuffle (or whatever AQE picks at runtime), results
+    * identical. `rows` is usually a count of an already-checkpointed
+    * frame (cheap); 64 bytes/row is a deliberately conservative
+    * per-row charge for the narrow (id[, label]) frames this guards. */
+  private[ops] def hintIfSmall(df: DataFrame, rows: Long,
+                               broadcastMaxBytes: Long,
+                               bytesPerRow: Long = 64L): DataFrame =
+    if (rows * bytesPerRow <= broadcastMaxBytes) broadcast(df) else df
+
   /**
    * Cluster-assignment form of near dedup: EVERY row tagged with its
    * duplicate-cluster representative (`cluster_id` = min id reachable
@@ -683,19 +699,26 @@ object Dedup {
    * per cluster, weight by cluster size).
    *
    * Scale shape: same LSH candidate + exact-verify + min-label closure
-   * stages as [[dropNearDuplicates]]; the final tag-back is a
-   * BROADCAST left join — the component label frame only holds nodes
-   * that appear in some pair, tiny relative to a mostly-unique corpus.
+   * stages as [[dropNearDuplicates]]; the final tag-back broadcasts
+   * the component label frame only while a driver-side estimate says
+   * it fits `broadcastMaxBytes` (it holds one row per node that
+   * appears in some pair — tiny on a mostly-unique corpus, corpus-
+   * scale on a duplicate-heavy crawl) and falls back to a plain
+   * shuffle join above the cap, results identical ([[hintIfSmall]]).
    */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 12,
-                      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+                      bands: Int = 4, threshold: Double = 0.7,
+                      broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     require(!df.columns.contains("cluster_id"),
       "input column cluster_id collides with nearDupClusters's output column")
     val pairs = minhashPairs(df, idCol, textCol, shingleSize, numHashes,
       bands, threshold)
     val comps = componentsOf(pairs).withColumnRenamed("node", idCol)
-    df.join(broadcast(comps), Seq(idCol), "left")
+    // componentsOf returns a localCheckpointed frame: the count reads
+    // the checkpoint, not the pair lineage
+    df.join(hintIfSmall(comps, comps.count(), broadcastMaxBytes),
+        Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col(idCol)))
       .drop("comp")
   }

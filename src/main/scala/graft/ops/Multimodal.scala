@@ -515,11 +515,36 @@ object Multimodal {
     * per corpus version from a [[perceptualSignature]] frame, gate
     * every ingest batch map-only. */
   final case class PerceptualIndex(
-      bloom: org.apache.spark.util.sketch.BloomFilter)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      distinctKeys: Long) {
+    /** Fraction of the FINITE chunk-key space this index has admitted
+      * — the gate's visibility signal: each key packs (modality bit
+      * << 18 | chunk << 16 | 16-bit value), so at most
+      * [[Multimodal.PerceptualKeySpace]] distinct keys can ever be
+      * inserted no matter how many blobs the corpus holds. As
+      * saturation approaches 1 the gate flags EVERYTHING non-novel
+      * (every possible chunk is admitted) — a corpus that large needs
+      * the exact [[Multimodal.perceptualPairsIncremental]] join, not
+      * a prefilter, and this number is how a pipeline notices. */
+    def saturation: Double =
+      distinctKeys.toDouble / Multimodal.PerceptualKeySpace
+  }
+
+  /** The perceptual chunk-key space: 1 modality bit × 4 chunk
+    * positions × 2^16 chunk values = 2^19 possible keys. */
+  val PerceptualKeySpace: Long = 1L << 19
 
   /** Fit a [[PerceptualIndex]] from a [[perceptualSignature]] frame
-    * (one pass; duplicate inserts set the same bits, so no distinct
-    * shuffle — [[graft.ops.Novelty.fitBandIndex]]'s sizing rule). */
+    * (duplicate inserts set the same bits, so no distinct shuffle —
+    * [[graft.ops.Novelty.fitBandIndex]]'s sizing rule), with the
+    * expected-insertion estimate CAPPED at [[PerceptualKeySpace]]:
+    * the key space is finite by construction, so sizing the Bloom at
+    * 4×rows past that point only buys gigabytes of bits with strictly
+    * HIGHER fpp than the ~1.3 MB the capped size needs. Two passes
+    * over the narrow exploded key frame (bits + exact distinct-key
+    * count — the count is what makes saturation an exact, visible
+    * number instead of a silent flag-everything failure); a fit whose
+    * saturation exceeds 0.9 logs a loud warning. */
   def fitPerceptualIndex(sigs: DataFrame,
                          fpp: Double = 0.001): PerceptualIndex = {
     require(Set("modality", "sig").subsetOf(sigs.columns.toSet),
@@ -527,8 +552,7 @@ object Multimodal {
         s"(modality, sig); got ${sigs.columns.mkString(",")}")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val live = sigs.where(col("sig").isNotNull)
-    val nEst = math.max(live.count() * 4, 1L)
-    val bloom = live
+    val keyed = live
       .select(col("sig"),
         when(col("modality") === "image", 0L).otherwise(lit(1L)).as("__m"))
       .select(explode(array((0 until 4).map { j =>
@@ -537,8 +561,17 @@ object Multimodal {
           .bitwiseOR(shiftrightunsigned(col("sig"), j * 16)
             .bitwiseAND(lit(0xFFFFL)))
       }: _*)).as("__k"))
-      .stat.bloomFilter("__k", nEst, fpp / 4)
-    PerceptualIndex(bloom)
+    val nEst = math.min(math.max(live.count() * 4, 1L), PerceptualKeySpace)
+    val bloom = keyed.stat.bloomFilter("__k", nEst, fpp / 4)
+    val distinctKeys = keyed.agg(countDistinct(col("__k"))).head().getLong(0)
+    val idx = PerceptualIndex(bloom, distinctKeys)
+    if (idx.saturation > 0.9)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"fitPerceptualIndex: the chunk-key space is ${idx.saturation * 100}%.1f%% " +
+          "saturated — the novelty gate will flag nearly every payload " +
+          "non-novel; route batches through perceptualPairsIncremental " +
+          "for exact pairing instead of relying on the prefilter")
+    idx
   }
 
   /** Map-only perceptual NOVELTY gate — [[graft.ops.Novelty
@@ -627,13 +660,18 @@ object Multimodal {
     *
     * Scale shape: one narrow map stage for the signatures (payloads
     * never shuffle), a (chunk, key)-bucketed candidate join over
-    * 64-bit rows, closure over the (small) pair graph, and a
-    * BROADCAST anti-join of the loser ids back onto the corpus — the
-    * component frame only holds rows that appear in some pair, tiny
-    * relative to a mostly-unique corpus. */
+    * 64-bit rows, closure over the (small) pair graph, and the
+    * tag-back/anti-join of the cluster and loser frames onto the
+    * corpus — broadcast while a driver-side estimate says they fit
+    * `broadcastMaxBytes` (they hold one row per clustered id: tiny on
+    * a mostly-unique corpus, corpus-scale on a duplicate-heavy crawl
+    * — exactly where this stage matters most), plain shuffle joins
+    * above the cap, results identical ([[Dedup.hintIfSmall]], the
+    * `ivfPqSearchBatch` guard recipe). */
   def dropPerceptualDuplicates(df: DataFrame, idCol: String,
                                dataCol: String, maxHamming: Int = 2,
-                               scoreCol: Option[String] = None): DataFrame = {
+                               scoreCol: Option[String] = None,
+                               broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(!df.columns.contains("__pd_comp") && !df.columns.contains("__pd_rn"),
       "input columns collide with dropPerceptualDuplicates' reserved names")
@@ -645,16 +683,22 @@ object Multimodal {
     }.reduce(_.unionByName(_))
     val comps = Dedup.componentsOf(pairs)
       .select(col("node").as(idCol), col("comp").as("__pd_comp"))
+    // componentsOf returns a localCheckpointed frame: one cheap count
+    // guards BOTH joins (every loser id is a clustered id, so the
+    // loser frame can never outgrow the component frame)
+    val compRows = comps.count()
     // only rows in some duplicate cluster enter the winner window —
     // the rest of the corpus never shuffles
     val order = scoreCol.map(s => Seq(col(s).desc, col(idCol).asc))
       .getOrElse(Seq(col(idCol).asc))
     val w = Window.partitionBy(col("__pd_comp")).orderBy(order: _*)
-    val losers = df.join(broadcast(comps), Seq(idCol))
+    val losers = df.join(Dedup.hintIfSmall(comps, compRows,
+        broadcastMaxBytes), Seq(idCol))
       .withColumn("__pd_rn", row_number().over(w))
       .where(col("__pd_rn") =!= 1)
       .select(col(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    df.join(Dedup.hintIfSmall(losers, compRows, broadcastMaxBytes),
+      Seq(idCol), "left_anti")
   }
 
   /** Shared nearest-neighbor resample over packed RGB triplets —

@@ -544,5 +544,45 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
         (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
     assert(sigs(1L) === Some("image") && sigs(4L) === Some("audio"))
     assert(sigs(6L) === None)
+
+    // broadcast guard (the ivfPqSearchBatch recipe): the hint is
+    // present under the cap and ABSENT above it — the analyzed plan
+    // keeps hints; the physical plan may still pick a broadcast join
+    // for a tiny frame via AQE, the guard only stops the engine from
+    // FORCING a corpus-scale one — and both plan shapes drop the same
+    // rows
+    def shaped(maxBytes: Long) = Multimodal.dropPerceptualDuplicates(
+      rows, "doc_id", "blob", maxHamming = 0, scoreCol = Some("score"),
+      broadcastMaxBytes = maxBytes)
+    assert(shaped(64L << 20).queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+    assert(!shaped(0L).queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+    assert(shaped(0L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === best)
+  }
+
+  test("fitPerceptualIndex: Bloom sized at the finite key space, saturation visible") {
+    // a "corpus" far past the 2^19 key-space cap: 600k signatures.
+    // Uncapped, the old sizing would build the Bloom for 2.4M expected
+    // insertions (~41 Mbit); capped at the key space it needs ~9 Mbit.
+    val sigs = spark.range(600000).select(
+      col("id").as("blob_id"), lit("image").as("modality"),
+      (col("id") % 1000).as("sig"))
+    val idx = Multimodal.fitPerceptualIndex(sigs)
+    assert(idx.bloom.bitSize() < (16L << 20),
+      s"Bloom not capped at the key space: ${idx.bloom.bitSize()} bits")
+    // exact distinct keys: sigs 0..999 contribute 1000 distinct
+    // chunk-0 values and one (zero) value for each of chunks 1-3
+    assert(idx.distinctKeys === 1003L)
+    assert(idx.saturation === 1003.0 / Multimodal.PerceptualKeySpace)
+    // a saturated index is VISIBLE: all 2^16 chunk-0 values admitted
+    // (plus the three zero chunks) reads as the exact key fraction
+    val wide = spark.range(1 << 16).select(
+      col("id").as("blob_id"), lit("image").as("modality"),
+      col("id").as("sig"))
+    val sat = Multimodal.fitPerceptualIndex(wide)
+    assert(sat.distinctKeys === (1L << 16) + 3L)
+    assert(sat.saturation > 0.12 && sat.saturation < 0.13)
   }
 }

@@ -411,6 +411,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       shingleSize = 2, numHashes = 12, bands = 6, threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === clusters.filter { case (id, c) => id == c }.keySet)
+    // broadcast guard (the ivfPqSearchBatch recipe): hint present
+    // under the cap, absent above it (the analyzed plan keeps hints;
+    // AQE may still broadcast a tiny frame at runtime — the guard
+    // only stops FORCING a corpus-scale one), assignments identical
+    def shaped(maxBytes: Long) = Dedup.nearDupClusters(docs, "doc_id",
+      "text", shingleSize = 2, numHashes = 12, bands = 6,
+      threshold = 0.5, broadcastMaxBytes = maxBytes)
+    assert(shaped(64L << 20).queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+    assert(!shaped(0L).queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+    assert(shaped(0L).select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === clusters)
   }
 
   test("cosineTopK: nearest is the most aligned vector") {
