@@ -172,6 +172,13 @@ object IndexCli {
     else if (needOutput && c.output.isEmpty) None
     else if (c.pqM.isDefined != c.pqK.isDefined) None // both or neither
     else if (c.pqResidual && c.pqM.isEmpty) None // residual needs --pq-m/-k
+    // --rerank is the two-stage ivfpq `search` serve and nothing else:
+    // accepted anywhere it would be silently ignored, a user asking
+    // for the exact rerank would get un-reranked results with no
+    // warning (the index-KIND half of the check lives in run(), where
+    // the persisted _kind is known)
+    else if (c.rerank.isDefined && c.verb != "search") None
+    else if (c.rerank.exists(_ < c.k)) None // window must cover --k
     else Some(c)
   }
 
@@ -263,8 +270,6 @@ object IndexCli {
         .head().getSeq[Double](0).toArray
       val res = config.rerank match {
         case Some(w) =>
-          require(w >= config.k,
-            s"--rerank window $w must be >= --k ${config.k}")
           SimSearch.ivfPqSearchRerank(idx, vectors, config.vecCol, q,
             config.k, w, config.nprobe)
         case None => SimSearch.ivfPqSearch(idx, q, config.k, config.nprobe)
@@ -275,6 +280,13 @@ object IndexCli {
         config.rerank.map(w => s", rerank $w").getOrElse("") +
         s") -> ${config.output}")
     case "search" =>
+      // the plain IVF layout stores raw vectors and its search already
+      // ranks by EXACT cosine within the probed cells — a rerank pass
+      // has nothing to re-rank; silently ignoring the flag would hand
+      // a user asking for the two-stage serve something else
+      require(config.rerank.isEmpty,
+        "--rerank applies to the ivfpq-family layouts only: the plain " +
+          "ivf search is already exact-cosine within the probed cells")
       val idx = SimSearch.ivfLoad(spark, config.index, config.idCol,
         config.vecCol)
       SimSearch.ivfSearch(idx, config.queryId, config.k, config.nprobe)

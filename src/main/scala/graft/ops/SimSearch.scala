@@ -452,6 +452,42 @@ object SimSearch {
       .mode("overwrite").parquet(s"$dir/applied")
   }
 
+  /** MIGRATE a pre-ledger index layout in place: indexes persisted
+    * before the exactly-once ledger existed are partitioned by
+    * `__cell` ONLY (data files sit directly in each cell directory).
+    * Appending a (`__cell`, `__batch_id`) partition to such a layout
+    * would leave MIXED partition depths under one root, and Spark's
+    * partition discovery then fails the next load with "conflicting
+    * partition column names" — the index becomes unreadable. The fix
+    * is a pure metadata restructure: every data file found at cell
+    * depth moves under that cell's `__batch_id=-1` subdirectory (the
+    * reserved fit-time partition — exactly where a fresh save would
+    * have put those rows). File renames only, no data rewrite;
+    * IDEMPOTENT and crash-safe (a half-migrated cell is finished by
+    * the next attempt before anything reads the mixed layout, because
+    * every append path runs this first). */
+  private def migrateLegacyCellLayout(
+      spark: org.apache.spark.sql.SparkSession, dataDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__cell="))
+      .foreach { cell =>
+        val legacy = fs.listStatus(cell.getPath).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (legacy.nonEmpty) {
+          val dest = new org.apache.hadoop.fs.Path(cell.getPath,
+            s"__batch_id=$FitBatchId")
+          fs.mkdirs(dest)
+          legacy.foreach(f => fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dest, f.getPath.getName)))
+        }
+      }
+  }
+
   /** Delete the per-corpus-version side state a REFIT invalidates:
     * the drift baseline (a stale one would load cleanly under the same
     * nlist and silently compare against the previous version's cell
@@ -539,7 +575,16 @@ object SimSearch {
     * BATCH. Ids must not repeat across appends (one id space, the ANN
     * family's contract); a replayed batch id must carry the SAME rows
     * it did the first time (the foreachBatch model — a different
-    * payload under a reused id overwrites, last writer wins). */
+    * payload under a reused id overwrites, last writer wins).
+    *
+    * SINGLE WRITER per index dir (the foreachBatch model this ledger
+    * is built for): the applied check and the ledger write are not
+    * atomic, so two CONCURRENT appends of the same batch id both pass
+    * the check and run the job — benign for the data (the dynamic
+    * overwrite is idempotent) but wasted work — and a reader racing a
+    * retry's partition overwrite can observe a partially-rewritten
+    * (`__cell`, `__batch_id`) partition. Serialize appends per index
+    * dir; readers are safe between appends, not during one. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                 newDf: DataFrame, idCol: String, vecCol: String,
                 batchId: Option[Long] = None): Boolean = {
@@ -552,6 +597,10 @@ object SimSearch {
         "the fit-time partition)"))
     if (batchId.exists(batchApplied(spark, dir, _))) false
     else {
+      // a pre-ledger index (partitioned by __cell only) must migrate
+      // BEFORE this append writes a deeper partition beside it — see
+      // migrateLegacyCellLayout
+      migrateLegacyCellLayout(spark, s"$dir/assigned")
       val centers = loadCenters(spark, dir)
       require(centers.nonEmpty, s"no centers found under $dir/centers")
       val assigned = newDf
@@ -1621,7 +1670,10 @@ object SimSearch {
     * caveats as [[ivfAppend]]: one id space; centers/codebooks drift
     * as the corpus grows — refit per corpus version (which resets
     * the ledger); [[ivfDriftReport]] is the trigger and works
-    * unchanged on this layout (centers live at the same path). */
+    * unchanged on this layout (centers live at the same path); and
+    * the SAME single-writer rule — the ledger check and write are not
+    * atomic, so appends to one index dir must be serialized (the
+    * foreachBatch model guarantees it; see [[ivfAppend]]). */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                   newDf: DataFrame, idCol: String, vecCol: String,
                   batchId: Option[Long] = None): Boolean = {
@@ -1634,6 +1686,10 @@ object SimSearch {
         "the fit-time partition)"))
     if (batchId.exists(batchApplied(spark, dir, _))) false
     else {
+      // a pre-ledger index (partitioned by __cell only) must migrate
+      // BEFORE this append writes a deeper partition beside it — see
+      // migrateLegacyCellLayout
+      migrateLegacyCellLayout(spark, s"$dir/codes")
       val centers = loadCenters(spark, dir)
       require(centers.nonEmpty, s"no centers found under $dir/centers")
       val model = pqLoad(spark, s"$dir/pq")

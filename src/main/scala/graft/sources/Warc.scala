@@ -278,7 +278,21 @@ object Warc {
           val b1 = breakLen(j)
           if (b1 > 0) {
             val b2 = breakLen(j + b1)
-            if (b2 > 0) { hEnd = j; sepLen = b1 + b2 }
+            if (b2 > 0) {
+              hEnd = j; sepLen = b1 + b2
+              // `\n\r\n\r\n` — an LF-terminated LAST header line
+              // followed by a SPEC CRLF-CRLF blank: the earliest
+              // double-break (`\n`+`\r\n`) ends one break early and
+              // would donate the blank's second CRLF to the payload,
+              // shifting the Content-Length window by two bytes.
+              // Prefer the longest separator at the match: consume
+              // the full `\n\r\n\r\n`. Spec-pure CRLF files never
+              // enter this arm (their first break is 2 bytes), so a
+              // payload legitimately starting with CRLF after a
+              // CRLF-CRLF blank is untouched.
+              if (b1 == 1 && b2 == 2 && breakLen(j + 3) == 2)
+                sepLen = 5
+            }
           }
           j += 1
         }

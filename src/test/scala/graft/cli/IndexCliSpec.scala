@@ -249,11 +249,24 @@ class IndexCliSpec extends AnyFunSuite with SparkTestSession {
         7, 50, 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(cliRows === lib && cliRows.length === 7)
       assert(cliRows.head === ((0L, 1.0))) // self reranks to exact 1.0
-      // the window must cover k
-      intercept[IllegalArgumentException] {
-        cli("search", "--index", ix, "--output", out, "--input",
-          corpusPath, "--k", "7", "--rerank", "3")
+      // the window must cover k — rejected at parse time now
+      assert(IndexCli.parse(Seq("search", "--index", ix, "--output", out,
+        "--input", corpusPath, "--k", "7", "--rerank", "3")).isEmpty)
+      // --rerank outside `search` would be silently ignored — parse
+      // refuses it for every other verb
+      assert(IndexCli.parse(Seq("search-batch", "--index", ix,
+        "--input", corpusPath, "--output", out, "--rerank", "50")).isEmpty)
+      assert(IndexCli.parse(Seq("drift", "--index", ix,
+        "--input", corpusPath, "--output", out, "--rerank", "50")).isEmpty)
+      // a PLAIN ivf layout rejects --rerank loudly at run time (its
+      // search is already exact-cosine within the probed cells)
+      val ivfIx = t.resolve("ivf-ix").toString
+      cli("fit", "--index", ivfIx, "--input", corpusPath, "--nlist", "8")
+      val e = intercept[IllegalArgumentException] {
+        cli("search", "--index", ivfIx, "--output", out, "--input",
+          corpusPath, "--k", "7", "--rerank", "50")
       }
+      assert(e.getMessage.contains("ivfpq"))
     } finally rm(t)
   }
 

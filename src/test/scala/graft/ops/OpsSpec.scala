@@ -779,6 +779,66 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("append migrates a pre-ledger __cell-only layout in place (both layouts)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(c("vec_id") % 5 =!= 0)
+    val batch = emb.where(c("vec_id") % 5 === 0)
+    // flatten a fresh save to the PRE-LEDGER shape: data files moved
+    // from __cell=k/__batch_id=-1/ up to __cell=k/, batch dirs removed
+    def flatten(dataDir: String): Unit = {
+      val root = java.nio.file.Paths.get(dataDir)
+      java.nio.file.Files.list(root).forEach { cell =>
+        if (cell.getFileName.toString.startsWith("__cell=")) {
+          val bd = cell.resolve("__batch_id=-1")
+          if (java.nio.file.Files.isDirectory(bd)) {
+            java.nio.file.Files.list(bd).forEach(f =>
+              java.nio.file.Files.move(f, cell.resolve(f.getFileName)))
+            java.nio.file.Files.delete(bd)
+          }
+        }
+      }
+    }
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-legacy-ivfpq").toString
+    try {
+      SimSearch.ivfPqSave(SimSearch.ivfPqFit(base, "vec_id", "embedding",
+        nlist = 4, m = 16, k = 8), dir)
+      flatten(s"$dir/codes")
+      // the flattened layout reads (one partition level) — and an
+      // append used to make it UNREADABLE (mixed partition depths);
+      // the migration moves fit rows under __batch_id=-1 first
+      assert(SimSearch.ivfPqLoad(spark, dir, "vec_id").codes.count()
+        === base.count())
+      assert(SimSearch.ivfPqAppend(spark, dir, batch, "vec_id",
+        "embedding", batchId = Some(4L)))
+      val idx = SimSearch.ivfPqLoad(spark, dir, "vec_id")
+      assert(idx.codes.count() === emb.count())
+      assert(idx.codes.where(c("__batch_id") === -1L).count() === base.count())
+      // and the migrated index serves
+      val q = batch.where(c("vec_id") === 0)
+        .select(c("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      assert(SimSearch.ivfPqSearch(idx, q, 5, nprobe = 2)
+        .collect().length === 5)
+    } finally rmr(new java.io.File(dir))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-legacy-ivf").toString
+    try {
+      SimSearch.ivfSave(SimSearch.ivfFit(base, "vec_id", "embedding",
+        nlist = 4, seed = 42L), dir2)
+      flatten(s"$dir2/assigned")
+      assert(SimSearch.ivfAppend(spark, dir2, batch, "vec_id", "embedding",
+        batchId = Some(4L)))
+      val assigned = spark.read.parquet(s"$dir2/assigned")
+      assert(assigned.count() === emb.count())
+      assert(assigned.where(c("__batch_id") === -1L).count() === base.count())
+    } finally rmr(new java.io.File(dir2))
+  }
+
   test("ivfAppend with a batch id: exactly-once on the plain IVF layout") {
     import org.apache.spark.sql.functions.{col => c}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

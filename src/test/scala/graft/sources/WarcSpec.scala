@@ -488,6 +488,25 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("LF-terminated last header + spec CRLF-CRLF blank: payload window exact") {
+    // `...\n\r\n\r\n` — the earliest double-break (`\n`+`\r\n`) ends
+    // one break early; the parser must consume the WHOLE separator or
+    // the payload gains a leading CRLF and the Content-Length window
+    // drops the last two real bytes
+    val rec = "WARC/1.0\r\nWARC-Target-URI: http://c\nContent-Length: 5\n\r\n\r\n" +
+      "gamma\r\n\r\n"
+    val (recs, bad) = Warc.parseWarcBytes(rec.getBytes("UTF-8"))
+    assert(bad === 0L)
+    assert(recs.map(r => (r._1, r._6)) === Vector(("http://c", "gamma")))
+    // spec-pure CRLF blank followed by a payload that itself STARTS
+    // with CRLF: the separator must NOT swallow the payload's break
+    val lead = "WARC/1.0\r\nWARC-Target-URI: http://d\r\nContent-Length: 7\r\n\r\n" +
+      "\r\ndelta\r\n\r\n"
+    val (recs2, bad2) = Warc.parseWarcBytes(lead.getBytes("UTF-8"))
+    assert(bad2 === 0L)
+    assert(recs2.map(r => (r._1, r._6)) === Vector(("http://d", "\r\ndelta")))
+  }
+
   test("reader plans stay narrow: no exchange before the payload lands") {
     val t = tmpDir()
     try {
