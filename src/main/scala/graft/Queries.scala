@@ -4320,6 +4320,126 @@ object Queries {
       .orderBy("stage_idx")
   }
 
+  /** STREAMING blob-corpus curation under oracle
+    * ([[graft.ops.Curate.streamingTail]] with `blobCol` — the durable
+    * perceptual-dedup state, round 17's headline): every document
+    * carries a synthetic P6 blob keyed `doc_id % max(250, maxId/20)`
+    * (q192's pixel formula at 36x24 — closed-form, so the oracle
+    * replays every hash bit; the modulus scales so duplicate classes
+    * stay ~20 wide at every sf), texts are made unique (uid suffix)
+    * and the text near-dedup
+    * is a passthrough (threshold > 1), so the ONLY dedup in play is
+    * the perceptual stage and the streamed result is exactly
+    * replayable: three id-ordered micro-batches run through the tail,
+    * and a doc is admitted iff it is the min id of its dHash-bits
+    * class (first-arrival ≡ global min under id-ordered batches).
+    * The query then (a) REPLAYS the last micro-batch — a foreachBatch
+    * retry — and pins the admitted set unchanged; (b) reads the
+    * durable `percsigs` state row count (= every admitted row, all
+    * P6 payloads decode); (c) DELETES the whole admitted corpus and
+    * runs a 4th batch holding a byte-identical copy of class 0 plus a
+    * genuinely novel out-of-range-key blob — the dup must die through the
+    * narrow signature state alone (the corpus is gone), the novel row
+    * must land. The oracle recomputes every number from the closed
+    * form: per-batch admitted counts are bits-class minima per id
+    * range, and the 4th batch's admitted count is 1 unless the novel key's
+    * bits collide with an existing class (replayed, not assumed). */
+  def q201CurateBlobTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q201_")
+    try {
+      val gen = udf((key: Long) => {
+        // q192's pixel formula, 36x24, canonical P6 container
+        val w = 36; val h = 24
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = 3 * (y * w + x)
+            rgb(i) = ((key * 7 + x * 5 + y * 3) % 256).toByte
+            rgb(i + 1) = ((key * 11 + x * 3) % 256).toByte
+            rgb(i + 2) = ((y * 13 + key) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        graft.ops.Multimodal.encodePpm(w, h, rgb)
+      })
+      // persisted once: the synthetic-blob udf would otherwise re-run
+      // its pixel loops on every one of the tail's scans — harness
+      // cost, not operator cost. The blob-key modulus scales with the
+      // corpus (max(250, maxId/20)) so duplicate classes stay ~20
+      // wide at every sf — a fixed modulus would make the big-sf
+      // corpus 99% duplicates and the fixture's pair graph, not the
+      // operator, the thing being benchmarked.
+      val base = t(spark, dir, "documents")
+      val maxId = base.agg(max("doc_id")).head().getLong(0)
+      val blobMod = math.max(250L, maxId / 20)
+      val docs = base
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" uid"), col("doc_id")).as("text"))
+        .withColumn("blob", gen(col("doc_id") % blobMod))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cut1 = maxId / 3
+      val cut2 = 2 * maxId / 3
+      val batches = Seq(
+        docs.where(col("doc_id") <= cut1),
+        docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.where(col("doc_id") > cut2))
+      val outDir = tmp.resolve("out").toString
+      def tail = graft.ops.Curate.streamingTail(spark, outDir,
+        minQuality = 0.0, maxDup2gramFrac = 1.0, threshold = 1.01,
+        blobCol = Some("blob"), blobMaxHamming = 0)
+      batches.zipWithIndex.foreach { case (b, i) => tail(b, i.toLong) }
+      def admittedIds(): Set[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val perBatch = spark.read.parquet(outDir)
+        .groupBy(col("__batch_id").cast("long").as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val before = admittedIds()
+      // (a) foreachBatch retry of the last micro-batch: idempotent
+      tail(batches(2), 2L)
+      val replayNoop = admittedIds() == before
+      // (b) the durable signature state covers every admitted row
+      val stateSigs = spark.read.parquet(
+        tmp.resolve("out__state").resolve("percsigs").toString).count()
+      // (c) corpus-deletion survival: the dedup evidence is the narrow
+      // state, never the corpus — delete every admitted partition
+      java.nio.file.Files.list(tmp.resolve("out")).forEach { p =>
+        if (p.getFileName.toString.startsWith("__batch_id=")) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      }
+      val extra = Seq(
+        (maxId + 1, "s", s"wholly new prose alpha ${maxId + 1}"),
+        (maxId + 2, "s", s"wholly new prose beta ${maxId + 2}"))
+        .toDF("doc_id", "source", "text")
+        .withColumn("blob",
+          gen(when(col("doc_id") === maxId + 1, 0L)
+            .otherwise(blobMod + 700L)))
+      tail(extra, 3L)
+      val b3Path = tmp.resolve("out").resolve("__batch_id=3")
+      val b3Ids: Set[Long] =
+        if (!java.nio.file.Files.exists(b3Path)) Set.empty
+        else spark.read.parquet(b3Path.toString)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      docs.unpersist()
+      Seq((perBatch.getOrElse(0L, 0L), perBatch.getOrElse(1L, 0L),
+        perBatch.getOrElse(2L, 0L), stateSigs, replayNoop,
+        b3Ids.size.toLong, !b3Ids.contains(maxId + 1)))
+        .toDF("b0_admitted", "b1_admitted", "b2_admitted", "state_sigs",
+          "replay_noop", "b3_admitted", "b3_dup_dropped")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** BATCH ADC serving under a contract oracle
     * ([[graft.ops.SimSearch.ivfPqSearchBatch]] — the annLshTopKBatch
     * shape for the composed index): a query SET (every 25th corpus

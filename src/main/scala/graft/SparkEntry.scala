@@ -223,6 +223,7 @@ object SparkEntry {
     "q198_ivfpq_rerank" -> (Queries.q198IvfPqRerank(_, _)),
     "q199_perceptual_incremental" -> (Queries.q199PerceptualIncremental(_, _)),
     "q200_perceptual_gate" -> (Queries.q200PerceptualGate(_, _)),
+    "q201_curate_blob_tail" -> (Queries.q201CurateBlobTail(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4542,5 +4543,63 @@ ORDER BY id_a, id_b"""),
         |FROM newc n LEFT JOIN oldc o ON o.j = n.j AND o.ck = n.ck
         |GROUP BY n.blob_id
         |ORDER BY n.blob_id""".stripMargin,
+    // q201: the streaming blob tail replayed from the closed form —
+    // texts are unique and near-dedup a passthrough, so admitted =
+    // min doc_id per dHash-bits class (first-arrival ≡ global min
+    // under id-ordered batches); per-batch counts split the minima by
+    // the maxId/3 cuts; the 4th batch (after corpus deletion) admits
+    // only the novel-key blob, and only if its bits collide with no
+    // existing class — replayed, not assumed. replay_noop and
+    // b3_dup_dropped are the tail's contract booleans.
+    "q201_curate_blob_tail" ->
+      """WITH mx AS (SELECT max(doc_id) AS m,
+        |            greatest(250, max(doc_id) // 20) AS md FROM documents),
+        |keys AS (SELECT DISTINCT doc_id % (SELECT md FROM mx) AS id
+        |         FROM documents
+        |         UNION SELECT md + 700 FROM mx),
+        |g AS (
+        |  SELECT id, r.r, c.c, (c.c*4 + dx.dx) AS x, (r.r*3 + dy.dy) AS y
+        |  FROM keys,
+        |    (SELECT unnest(generate_series(0,7)) AS r) r,
+        |    (SELECT unnest(generate_series(0,8)) AS c) c,
+        |    (SELECT unnest(generate_series(0,3)) AS dx) dx,
+        |    (SELECT unnest(generate_series(0,2)) AS dy) dy),
+        |cell AS (
+        |  SELECT id, r, c,
+        |    SUM(((id*7 + x*5 + y*3) % 256) + ((id*11 + x*3) % 256)
+        |        + ((y*13 + id) % 256)) AS s
+        |  FROM g GROUP BY id, r, c),
+        |b AS (
+        |  SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.s < n.s THEN '1' ELSE '0' END AS bit
+        |  FROM cell a JOIN cell n ON n.id = a.id AND n.r = a.r
+        |    AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT id, string_agg(bit, '' ORDER BY r*8 + c DESC) AS bits
+        |  FROM b GROUP BY id),
+        |cls AS (
+        |  SELECT d.doc_id, h.bits,
+        |    CASE WHEN d.doc_id <= (SELECT m // 3 FROM mx) THEN 0
+        |         WHEN d.doc_id <= (SELECT 2 * m // 3 FROM mx) THEN 1
+        |         ELSE 2 END AS bat
+        |  FROM documents d
+        |  JOIN h ON h.id = d.doc_id % (SELECT md FROM mx)),
+        |win AS (SELECT bits, min(doc_id) AS w FROM cls GROUP BY bits),
+        |adm AS (
+        |  SELECT c.bat, count(*) AS n FROM cls c
+        |  JOIN win ON c.doc_id = win.w GROUP BY c.bat)
+        |SELECT
+        |  coalesce((SELECT n FROM adm WHERE bat = 0), 0) AS b0_admitted,
+        |  coalesce((SELECT n FROM adm WHERE bat = 1), 0) AS b1_admitted,
+        |  coalesce((SELECT n FROM adm WHERE bat = 2), 0) AS b2_admitted,
+        |  (SELECT count(*) FROM win) AS state_sigs,
+        |  TRUE AS replay_noop,
+        |  (CASE WHEN EXISTS (
+        |      SELECT 1 FROM h h0 JOIN h hn ON h0.bits = hn.bits
+        |      WHERE hn.id = (SELECT md + 700 FROM mx)
+        |        AND h0.id <> hn.id)
+        |    THEN 0 ELSE 1 END)::BIGINT AS b3_admitted,
+        |  TRUE AS b3_dup_dropped""".stripMargin,
   )
 }

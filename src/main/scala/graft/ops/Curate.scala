@@ -339,7 +339,7 @@ object Curate {
    * never corpus x corpus) → append the admitted docs to `outDir`.
    *
    * THE DEDUP STATE IS INCREMENTAL AND DURABLE: beside `outDir` the
-   * tail maintains three narrow state frames under `stateDir`
+   * tail maintains narrow state frames under `stateDir`
    * (default: `<outDir>__state`), each written per batch from the
    * rows just admitted —
    *
@@ -347,6 +347,29 @@ object Curate {
    *                                   ([[Novelty.exactKeyCol]])
    *   shingles/  (__id, __sh)         [[Dedup.shinglesOf]]
    *   postings/  (__band, __bh, __id) [[Dedup.postingsOf]]
+   *   percsigs/  (__id, modality, sig) [[Multimodal.perceptualSignature]]
+   *                                   (only with `blobCol`)
+   *
+   * WITH `blobCol`, a PERCEPTUAL dedup step runs between the gate and
+   * the text dedups (Curate.standard's stage order): the batch's
+   * image/audio payloads are signatured once, paired EXACTLY against
+   * the durable `percsigs` frame plus themselves
+   * ([[Multimodal.perceptualPairsIncremental]] — never the
+   * over-dropping Bloom prefilter, and the admitted corpus' blobs are
+   * never re-decoded), and dropped first-arrival: near-dups of an
+   * admitted blob die, intra-batch clusters keep their min id.
+   * Undecodable payloads are never dropped here. The signature state
+   * rides every recipe below: written per batch before keys (the
+   * commit marker), rebuilt from `outDir` in one decode pass when
+   * coverage is missing (an older-build state, batches admitted
+   * without `blobCol`, or a destroyed frame — the `_state_params`
+   * marker records whether the state tracks signatures, so a
+   * blob-less invocation of a tracking state FAILS instead of
+   * silently going stale), folded by `compactEvery` through the
+   * output-fold recipe (its banded candidate join keys on derived
+   * chunk values, so a bucketed tier buys nothing — the O(batch)
+   * probe side broadcasts instead), and excluded for the in-flight
+   * batch on replay.
    *
    * so a micro-batch pays O(batch + state-frame read), NEVER an
    * O(admitted-corpus) text re-read or re-shingle: exact novelty
@@ -446,7 +469,9 @@ object Curate {
                     compactBuckets: Int = 8,
                     compactMaxBases: Int = 4,
                     compactOutputEvery: Option[Int] = None,
-                    compactOutputFiles: Int = 8)
+                    compactOutputFiles: Int = 8,
+                    blobCol: Option[String] = None,
+                    blobMaxHamming: Int = 2)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     require(!batch.columns.contains("__batch_id"),
       "input column __batch_id collides with streamingTail's partition column")
@@ -454,6 +479,7 @@ object Curate {
     compactOutputEvery.foreach(n =>
       require(n >= 1, "compactOutputEvery must be >= 1"))
     val sd = stateDir.getOrElse(outDir.stripSuffix("/") + "__state")
+    val percsigsDir = s"$sd/percsigs"
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     // the state frames are only meaningful under the banding
     // parameters they were computed with — a mismatched rerun would
@@ -461,8 +487,10 @@ object Curate {
     // is written with the first state write; a pre-marker state dir
     // (older build) adopts the current invocation's parameters, which
     // is exactly the trust the caller extended before the marker
-    // existed.
-    checkStateParams(spark, sd, shingleSize, numHashes, bands)
+    // existed. The marker also pins whether the state TRACKS
+    // PERCEPTUAL SIGNATURES (see checkStateParams).
+    val storedPercsigs = checkStateParams(spark, sd, shingleSize,
+      numHashes, bands, blobCol.isDefined)
     // a `__batch_id`-partitioned frame under `dir`, EXCLUDING the
     // current batch's partition: on a foreachBatch retry after a
     // partial write, including it would dedup the batch against its
@@ -495,7 +523,8 @@ object Curate {
     // destroyed state and throws, so the write side must make the
     // invariant unconditional.
     def ensureStateDirs(): Unit =
-      Seq("shingles", "postings").foreach { s =>
+      (Seq("shingles", "postings") ++
+        blobCol.map(_ => "percsigs").toSeq).foreach { s =>
         val p = new org.apache.hadoop.fs.Path(s"$sd/$s")
         p.getFileSystem(hadoopConf).mkdirs(p)
       }
@@ -539,10 +568,52 @@ object Curate {
         bootWrite(Dedup.postingsOf(sh, numHashes, bands)
           .join(idToBatch, "__id"), s"$sd/postings")
         ensureStateDirs() // integrity invariant, see readState
-        writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes, bands)
+        writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes, bands,
+          percsigs = false) // the migration block below flips it after
+                            // a successful signature rebuild
         bootWrite(corpus.select(col(idCol).as("__id"),
           Novelty.exactKeyCol(textCol).as("__nk"), parts), s"$sd/keys")
       } finally sh.unpersist()
+    }
+    // PERCSIGS MIGRATION/REBUILD — the perceptual-signature frame is a
+    // PURE FUNCTION of the admitted corpus' blobs, so any coverage gap
+    // (a committed state that predates blob tracking, a percsigs=false
+    // marker from blob-less batches, a destroyed percsigs dir, or the
+    // text bootstrap that just ran above) rebuilds it from outDir in
+    // one decode pass — paid once, not per batch. The keys frame stays
+    // the state's commit marker; the marker flag flips to true only
+    // after the rebuild lands, so a crash anywhere in here redoes the
+    // rebuild instead of trusting partial coverage.
+    blobCol.foreach { bc =>
+      val pp = new org.apache.hadoop.fs.Path(percsigsDir)
+      val fs = pp.getFileSystem(hadoopConf)
+      val covered = storedPercsigs && fs.exists(pp)
+      if (!covered && stateCommitted) {
+        if (!outHasBatches) throw new IllegalStateException(
+          "streamingTail: blobCol is set but the committed state at " +
+            s"$sd has no perceptual-signature coverage and $outDir " +
+            "holds no batches to rebuild it from — the admitted corpus " +
+            "is gone. Restore outDir, or delete the WHOLE state dir to " +
+            "start fresh.")
+        val corpus = spark.read.parquet(outDir)
+          .where(col("__batch_id") =!= lit(batchId))
+        require(corpus.columns.contains(bc),
+          s"streamingTail: blobCol=$bc but the admitted corpus under " +
+            s"$outDir has no such column — the perceptual state cannot " +
+            "be rebuilt for batches admitted without it")
+        Multimodal.perceptualSignature(corpus.drop("__batch_id"), idCol, bc)
+          .where(col("sig").isNotNull)
+          .withColumnRenamed(idCol, "__id")
+          .join(corpus.select(col(idCol).as("__id"), col("__batch_id")),
+            "__id")
+          .write.partitionBy("__batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(percsigsDir)
+        fs.mkdirs(pp) // a zero-signature corpus still marks coverage
+        writeControlFile(spark, sd, ParamsFile,
+          stateParamsContent(shingleSize, numHashes, bands,
+            percsigs = true))
+      }
     }
     // auto-compaction: once `compactEvery` uncompacted batch
     // partitions have accumulated, fold them into the bucketed base.
@@ -559,6 +630,21 @@ object Curate {
       if (pending >= n)
         compactState(spark, sd, compactBuckets, compactAll = true,
           excludeBatchIds = Set(batchId), maxBases = compactMaxBases)
+      // the percsigs frame self-folds through the OUTPUT-fold recipe
+      // (negative-id base partition, marker-healed) instead of the
+      // tiered manifest: its rows are 3-column 64-bit signatures — the
+      // per-batch small-file problem is real, a bucketed tier is not
+      // (the banded candidate join keys on derived chunk values, so no
+      // bucket layout can make it Exchange-free; the probe side
+      // broadcasts instead)
+      blobCol.foreach { _ =>
+        healOutputFold(spark, percsigsDir)
+        val pendingP = statePartIds(hadoopConf, percsigsDir)
+          .count(id => id >= 0 && id != batchId)
+        if (pendingP >= n)
+          compactOutput(spark, percsigsDir, compactBuckets,
+            compactAll = true, excludeBatchIds = Set(batchId))
+      }
     }
     // output folding rides the same safety argument (every partition
     // except this batch's own is committed); the heal runs every
@@ -573,17 +659,17 @@ object Curate {
           compactAll = true, excludeBatchIds = Set(batchId))
     }
     val comp = loadCompaction(spark, sd)
-    val (novel, pairsOf, oldIds) = corpusOverride match {
+    val (novelOf, pairsOf, oldIds) = corpusOverride match {
       case Some(c) =>
         // escape hatch: derive everything live from the caller's frame
-        (Novelty.exactNovel(gated, c, textCol),
+        ((df: DataFrame) => Novelty.exactNovel(df, c, textCol),
           (ex: DataFrame) => Dedup.minhashPairsIncremental(ex, c, idCol,
             textCol, shingleSize, numHashes, bands, threshold),
           c.select(col(idCol).as("__old_id")).distinct())
       case None if comp.isEmpty && !hasParts(s"$sd/keys") =>
         // fresh stream: no admitted corpus yet, nothing to dedup
         // against cross-batch
-        (gated,
+        ((df: DataFrame) => df,
           (ex: DataFrame) => Dedup.minhashPairsIncrementalIndexed(ex,
             Dedup.postingsOf(Dedup.shinglesOf(batch.limit(0), idCol,
               textCol, shingleSize), numHashes, bands),
@@ -649,9 +735,10 @@ object Curate {
         // discard the bucket partitioning and re-shuffle the whole
         // corpus key set every batch; only the O(batch) probe side
         // shuffles, once per tier (<= maxBases tiers by construction)
-        val novelVsBases = keysBases.foldLeft(gated)((acc, b) =>
-          Novelty.exactNovelVsKeys(acc, b, textCol))
-        ((Novelty.exactNovelVsKeys(novelVsBases, keysTail, textCol)),
+        val novelVsBases = (df: DataFrame) => keysBases.foldLeft(df)(
+          (acc, b) => Novelty.exactNovelVsKeys(acc, b, textCol))
+        ((df: DataFrame) =>
+            Novelty.exactNovelVsKeys(novelVsBases(df), keysTail, textCol),
           (ex: DataFrame) => Dedup.minhashPairsIncrementalIndexed(ex,
             postings, shinglesSt, idCol, textCol, shingleSize, numHashes,
             bands, threshold),
@@ -659,25 +746,23 @@ object Curate {
             .map(_.select(col("__id").as("__old_id")))
             .reduce(_.unionByName(_)))
     }
-    // 3. exact: cross-batch novelty (key anti-join), then intra-batch
-    //    min-id winner
-    val exact = Dedup.exact(novel, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // 4. near: one incremental pair pass (new x corpus + new x new,
-      //    exact-Jaccard verified), split by which side each end is on
-      val pairs = pairsOf(exact).persist(StorageLevel.MEMORY_AND_DISK)
-      try {
+    // FIRST-ARRIVAL drop, shared by the perceptual and text near-dedup
+    // steps: rows paired with the admitted corpus drop (the corpus
+    // already carries that cluster's representative), then intra-batch
+    // clusters whose BOTH ends survived the cross check collapse to
+    // their min-id representative through pair closure.
+    def firstArrival(batchDf: DataFrame, pairs: DataFrame,
+                     old: DataFrame): DataFrame = {
       val flagged = pairs
-        .join(oldIds, pairs("id_a") === col("__old_id"), "left")
+        .join(old, pairs("id_a") === col("__old_id"), "left")
         .withColumn("__a_old", col("__old_id").isNotNull).drop("__old_id")
-        .join(oldIds, pairs("id_b") === col("__old_id"), "left")
+        .join(old, pairs("id_b") === col("__old_id"), "left")
         .withColumn("__b_old", col("__old_id").isNotNull).drop("__old_id")
       // a pair touching the corpus drops its NEW side (first-arrival)
       val crossDropped = flagged.where(col("__a_old") =!= col("__b_old"))
         .select(when(col("__a_old"), col("id_b")).otherwise(col("id_a"))
           .as(idCol)).distinct()
-      val afterCross = exact.join(crossDropped, Seq(idCol), "left_anti")
+      val afterCross = batchDf.join(crossDropped, Seq(idCol), "left_anti")
       // intra-batch closure over pairs whose both ends survived
       val survivorIds = afterCross.select(col(idCol).as("__sid"))
       val newPairs = flagged.where(!col("__a_old") && !col("__b_old"))
@@ -686,7 +771,55 @@ object Curate {
       val losers = Dedup.componentsOf(newPairs.select("id_a", "id_b"))
         .where(col("comp") =!= col("node"))
         .select(col("node").as(idCol))
-      val admitted = afterCross.join(losers, Seq(idCol), "left_anti")
+      afterCross.join(losers, Seq(idCol), "left_anti")
+    }
+    // 2b. PERCEPTUAL dedup (blobCol set) — the EXACT incremental
+    //     pairing vs the durable signature state (never the
+    //     over-dropping Bloom prefilter), BEFORE the text dedups,
+    //     mirroring Curate.standard's stage order: a re-encoded image
+    //     dup dies before its caption pays shingling. Cross-batch
+    //     first-arrival + intra-batch min-id closure, the text steps'
+    //     semantics; rows whose payload decodes as neither image nor
+    //     audio are never dropped here (no signature = no evidence).
+    //     The corpus side of the candidate join is the narrow
+    //     (id, modality, sig) state — the admitted corpus' BLOBS are
+    //     never re-decoded.
+    var percPairs: Option[DataFrame] = None
+    val pGated = blobCol match {
+      case None => gated
+      case Some(bc) =>
+        val oldSigs = corpusOverride match {
+          case Some(c) =>
+            require(c.columns.contains(bc),
+              s"streamingTail: corpusOverride has no blob column $bc — " +
+                "the override frame must carry the blobs to signature")
+            // the escape hatch decodes the override corpus live (its
+            // point is to bypass the durable state)
+            Multimodal.perceptualSignature(c, idCol, bc)
+              .where(col("sig").isNotNull)
+          case None =>
+            if (!hasParts(percsigsDir))
+              Multimodal.perceptualSignature(batch.limit(0), idCol, bc)
+            else readParts(percsigsDir).withColumnRenamed("__id", idCol)
+        }
+        val pairs = Multimodal.perceptualPairsIncremental(gated, oldSigs,
+          idCol, bc, blobMaxHamming)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        percPairs = Some(pairs)
+        firstArrival(gated, pairs,
+          oldSigs.select(col(idCol).as("__old_id")).distinct())
+    }
+    try {
+    // 3. exact: cross-batch novelty (key anti-join), then intra-batch
+    //    min-id winner
+    val exact = Dedup.exact(novelOf(pGated), idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 4. near: one incremental pair pass (new x corpus + new x new,
+      //    exact-Jaccard verified), split by which side each end is on
+      val pairs = pairsOf(exact).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+      val admitted = firstArrival(exact, pairs, oldIds)
       // 5. land the batch in its own partition; a foreachBatch retry
       //    overwrites it (idempotent replay) instead of duplicating
       writeParts(admitted, outDir)
@@ -714,14 +847,24 @@ object Curate {
           writeParts(shLanded, s"$sd/shingles")
           writeParts(Dedup.postingsOf(shLanded, numHashes, bands),
             s"$sd/postings")
+          // the perceptual-signature frame rides the same recipe: the
+          // landed rows' signatures in this batch's own partition,
+          // BEFORE keys (the commit marker)
+          blobCol.foreach { bc =>
+            writeParts(Multimodal.perceptualSignature(landed, idCol, bc)
+              .where(col("sig").isNotNull)
+              .withColumnRenamed(idCol, "__id"), percsigsDir)
+          }
           ensureStateDirs() // integrity invariant, see readState
-          writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes, bands)
+          writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes,
+            bands, percsigs = blobCol.isDefined)
           writeParts(landed.select(col(idCol).as("__id"),
             Novelty.exactKeyCol(textCol).as("__nk")), s"$sd/keys")
         } finally shLanded.unpersist()
       }
       } finally pairs.unpersist() // a failed write must not leak the cache
     } finally exact.unpersist()
+    } finally percPairs.foreach(_.unpersist())
   }
 
   // ------------------------------------------------------------------
@@ -841,41 +984,80 @@ object Curate {
     writeControlFile(spark, stateDir, CompactionFile, lines.mkString("\n"))
   }
 
+  private def stateParamsContent(shingleSize: Int, numHashes: Int,
+                                 bands: Int, percsigs: Boolean): String =
+    s"shingleSize=$shingleSize\nnumHashes=$numHashes\nbands=$bands\n" +
+      s"percsigs=$percsigs"
+
   /** Enforce the banding-params marker: the shingle/posting frames are
     * only meaningful under the (shingleSize, numHashes, bands) they
     * were computed with, so a tail invoked with different values must
     * fail loudly instead of silently probing stale postings. A
     * committed state WITHOUT a marker (written by an older build)
     * adopts the current invocation's parameters — the same trust the
-    * caller extended before the marker existed, recorded from then on. */
+    * caller extended before the marker existed, recorded from then on.
+    *
+    * The marker also records whether the state TRACKS PERCEPTUAL
+    * SIGNATURES (`percsigs=`): a state built with `blobCol` must not
+    * silently stop updating its signature frame (batches admitted
+    * without it would be invisible to every later perceptual check),
+    * so percsigs=true + a blob-less invocation throws; the converse
+    * (percsigs=false/absent + blobCol set) is a legal UPGRADE — the
+    * tail rebuilds the signature frame from outDir and flips the
+    * marker. Returns the stored percsigs flag (false when no marker
+    * or a pre-percsigs marker). */
   private def checkStateParams(spark: org.apache.spark.sql.SparkSession,
                                stateDir: String, shingleSize: Int,
-                               numHashes: Int, bands: Int): Unit = {
-    val now = s"shingleSize=$shingleSize\nnumHashes=$numHashes\nbands=$bands"
+                               numHashes: Int, bands: Int,
+                               tracksBlobs: Boolean): Boolean = {
+    def parse(text: String): Map[String, String] =
+      text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
     readControlFile(spark, stateDir, ParamsFile) match {
       case Some(stored) =>
-        if (stored.trim != now) throw new IllegalStateException(
+        val kv = parse(stored)
+        val bandingOk = Seq("shingleSize" -> shingleSize,
+          "numHashes" -> numHashes, "bands" -> bands).forall {
+          case (k, v) => kv.get(k).contains(v.toString) }
+        if (!bandingOk) throw new IllegalStateException(
           s"streamingTail state at $stateDir was computed under " +
             s"{${stored.trim.replace("\n", ", ")}} but this tail was " +
-            s"invoked with {${now.replace("\n", ", ")}} — probing the " +
+            s"invoked with {shingleSize=$shingleSize, " +
+            s"numHashes=$numHashes, bands=$bands} — probing the " +
             "stored postings under different banding would yield wrong " +
             "candidate sets. Match the parameters, or delete the WHOLE " +
             "state dir to rebuild it from outDir under the new ones.")
+        val storedPercsigs = kv.get("percsigs").exists(_.toBoolean)
+        if (storedPercsigs && !tracksBlobs) throw new IllegalStateException(
+          s"streamingTail state at $stateDir tracks perceptual " +
+            "signatures (it was built with blobCol), but this tail was " +
+            "invoked without blobCol — batches admitted now would be " +
+            "invisible to every later perceptual check, silently " +
+            "under-deduplicating the stream. Pass the blob column, or " +
+            "delete the WHOLE state dir to rebuild without it.")
+        storedPercsigs
       case None =>
         val conf = spark.sparkContext.hadoopConfiguration
         val committed = loadCompaction(spark, stateDir).isDefined ||
           statePartIds(conf, s"$stateDir/keys").nonEmpty
+        // adopt records the historical truth — an older-build state
+        // never tracked percsigs; the migration path flips the flag
+        // only after a successful signature rebuild
         if (committed)
-          writeControlFile(spark, stateDir, ParamsFile, now)
+          writeControlFile(spark, stateDir, ParamsFile,
+            stateParamsContent(shingleSize, numHashes, bands,
+              percsigs = false))
+        false
     }
   }
 
   private def writeStateParamsIfAbsent(
       spark: org.apache.spark.sql.SparkSession, stateDir: String,
-      shingleSize: Int, numHashes: Int, bands: Int): Unit =
+      shingleSize: Int, numHashes: Int, bands: Int,
+      percsigs: Boolean): Unit =
     if (readControlFile(spark, stateDir, ParamsFile).isEmpty)
       writeControlFile(spark, stateDir, ParamsFile,
-        s"shingleSize=$shingleSize\nnumHashes=$numHashes\nbands=$bands")
+        stateParamsContent(shingleSize, numHashes, bands, percsigs))
 
   /** Open a compacted base as its bucketed catalog table, re-creating
     * the table definition when this JVM has never seen it (fresh

@@ -727,6 +727,166 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 21L))
   }
 
+  // --- blobCol (durable perceptual-dedup state) fixtures: the image
+  // helpers live in a static object (CurateBlobFixtures) so the udf
+  // closure below never captures the (non-serializable) suite ---
+  import CurateBlobFixtures.{ppm, png, bmp}
+  private def rmTree(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(p)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => java.nio.file.Files.delete(q))
+
+  test("streaming tail blobCol: 3 micro-batches == 1 batch == Curate.standard; " +
+      "percsigs durable; replay idempotent") {
+    // real documents + a synthetic P6 blob keyed doc_id % 23 (docs
+    // sharing a key carry byte-identical payloads); texts made UNIQUE
+    // (uid suffix) and near-dedup passthrough (threshold > 1) so the
+    // only dedup in play is the perceptual stage — the streamed ≡
+    // batch ≡ standard equivalence is then exact, with no
+    // chain-straddles-a-dropped-middle epsilon from the text stages
+    val gen = udf((id: Long) => CurateBlobFixtures.ppm((id % 23).toInt))
+    val input = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" uid"), col("doc_id")).as("text"))
+      .withColumn("blob", gen(col("doc_id")))
+    val maxId = input.agg(max("doc_id")).head().getLong(0)
+    val batches = Seq(
+      input.where(col("doc_id") <= maxId / 3),
+      input.where(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+      input.where(col("doc_id") > 2 * maxId / 3))
+    def tail(outDir: String) = Curate.streamingTail(spark, outDir,
+      threshold = 1.01, blobCol = Some("blob"), blobMaxHamming = 0)
+    def admitted(outDir: String): Set[Long] =
+      spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    val d3 = java.nio.file.Files.createTempDirectory("graft-blob-3").toString
+    val fn3 = tail(d3)
+    batches.zipWithIndex.foreach { case (b, i) => fn3(b, i.toLong) }
+    val streamed = admitted(d3)
+    assert(streamed.nonEmpty)
+    // the perceptual stage actually dropped cross-batch dups
+    assert(streamed.size < input.count())
+
+    val d1 = java.nio.file.Files.createTempDirectory("graft-blob-1").toString
+    tail(d1)(input, 0L)
+    assert(admitted(d1) === streamed)
+
+    val (out, report) = Curate.standard(input, input.limit(0),
+      nearDupThreshold = 1.01, blobCol = Some("blob"), blobMaxHamming = 0)
+    val std = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    out.unpersist()
+    assert(streamed === std)
+    assert(report.counts("perceptual_dedup") === std.size)
+
+    // the percsigs state is durable, batch-partitioned, and covers
+    // exactly the admitted rows (every P6 payload decodes)
+    val sigs = spark.read.parquet(s"${d3}__state/percsigs")
+    assert(sigs.columns.toSet ===
+      Set("__id", "modality", "sig", "__batch_id"))
+    assert(sigs.select("__id").collect().map(_.getLong(0)).toSet === streamed)
+
+    // replaying the LAST micro-batch is idempotent (its partition is
+    // recomputed against the earlier state only)
+    fn3(batches(2), 2L)
+    assert(admitted(d3) === streamed)
+    assert(spark.read.parquet(s"${d3}__state/percsigs").select("__id")
+      .collect().map(_.getLong(0)).toSet === streamed)
+  }
+
+  test("streaming tail blobCol: percsigs migration, corpus-deletion survival, marker guard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-blob-mig")
+      .toString
+    val sd = dir + "__state"
+    def doc(id: Long, blob: Array[Byte]) =
+      (id, "s", s"completely unique prose number $id", blob)
+    // batch 0 runs WITHOUT blobCol (the frame still carries the blob
+    // column, as a corpus admitted by a blob-less config would)
+    Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0, threshold = 1.01)(
+      Seq(doc(1L, ppm(0)), doc(2L, ppm(1)))
+        .toDF("doc_id", "source", "text", "blob"), 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(sd, "percsigs")))
+    // UPGRADE: the first blobCol batch rebuilds percsigs from outDir
+    // (one decode pass) and flips the marker — the cross-codec dup of
+    // doc 1 must die through the MIGRATED state
+    def bt = Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0, threshold = 1.01,
+      blobCol = Some("blob"), blobMaxHamming = 0)
+    bt(Seq(doc(11L, png(0)), doc(12L, ppm(7)))
+      .toDF("doc_id", "source", "text", "blob"), 1L)
+    def admittedIds = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admittedIds === Set(1L, 2L, 12L),
+      s"migrated percsigs state did not drop the cross-codec dup: $admittedIds")
+    assert(spark.read.parquet(s"$sd/percsigs").select("__id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
+    // a DESTROYED percsigs dir rebuilds from outDir on the next batch
+    // (the frame is a pure function of the admitted corpus' blobs)
+    rmTree(java.nio.file.Paths.get(sd, "percsigs"))
+    bt(Seq(doc(21L, bmp(1)), doc(22L, ppm(9)))
+      .toDF("doc_id", "source", "text", "blob"), 2L)
+    assert(admittedIds === Set(1L, 2L, 12L, 22L))
+    // CORPUS-DELETION SURVIVAL: drop every admitted partition; a dup
+    // of doc 12 must still die — through the narrow signature state,
+    // never a corpus re-decode
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+      if (p.getFileName.toString.startsWith("__batch_id=")) rmTree(p)
+    }
+    bt(Seq(doc(31L, png(7))).toDF("doc_id", "source", "text", "blob"), 3L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "__batch_id=3")),
+      "the perceptual dup was admitted after corpus deletion — the " +
+        "state frame was not what dropped it")
+    // MARKER GUARD: a state that tracks signatures refuses a blob-less
+    // invocation (batches admitted without it would silently starve
+    // every later perceptual check)
+    val e = intercept[IllegalStateException] {
+      Curate.streamingTail(spark, dir, minQuality = 0.0,
+        maxDup2gramFrac = 1.0, threshold = 1.01)(
+        Seq(doc(41L, ppm(3))).toDF("doc_id", "source", "text", "blob"), 4L)
+    }
+    assert(e.getMessage.contains("perceptual"), e.getMessage)
+    // and with BOTH percsigs and the corpus gone, the rebuild fails
+    // loudly instead of silently starting from empty coverage
+    rmTree(java.nio.file.Paths.get(sd, "percsigs"))
+    val e2 = intercept[IllegalStateException] {
+      bt(Seq(doc(51L, ppm(4))).toDF("doc_id", "source", "text", "blob"), 5L)
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+  }
+
+  test("streaming tail blobCol: percsigs folds through compactEvery, dedup unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-blob-fold")
+      .toString
+    val sd = dir + "__state"
+    def doc(id: Long, blob: Array[Byte]) =
+      (id, "s", s"utterly distinct essay number $id", blob)
+    def bt = Curate.streamingTail(spark, dir, minQuality = 0.0,
+      maxDup2gramFrac = 1.0, threshold = 1.01,
+      compactEvery = Some(2), blobCol = Some("blob"), blobMaxHamming = 0)
+    val plan = Seq(
+      (0L, doc(1L, ppm(0))), (1L, doc(11L, ppm(1))),
+      (2L, doc(21L, png(0))), // dup of 1 — dropped
+      (3L, doc(31L, ppm(2))),
+      (4L, doc(41L, bmp(1)))) // dup of 11 — must die via the FOLDED base
+    plan.foreach { case (bid, d) =>
+      bt(Seq(d).toDF("doc_id", "source", "text", "blob"), bid)
+    }
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 31L))
+    // the signature partitions folded into a negative-id base (the
+    // output-fold recipe); total coverage is every admitted row
+    val partIds = new java.io.File(sd, "percsigs").listFiles()
+      .map(_.getName).filter(_.startsWith("__batch_id="))
+      .map(_.stripPrefix("__batch_id=").toLong).toSeq
+    assert(partIds.exists(_ < 0), s"no folded percsigs base: $partIds")
+    assert(spark.read.parquet(s"$sd/percsigs").select("__id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 31L))
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
@@ -755,4 +915,22 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
     // within the MG guarantee; availableNow over one file is one batch)
     assert(streamed === batch)
   }
+}
+
+/** Static image fixtures for the blobCol tail tests — a top-level
+  * object so udf closures referencing them stay serializable. */
+object CurateBlobFixtures extends Serializable {
+  def rgbOf(k: Int, w: Int = 36, h: Int = 24): Array[Byte] = {
+    val a = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = 3 * (y * w + x)
+      a(i) = ((k * 43 + x * 11 + y * 5) % 256).toByte
+      a(i + 1) = ((k * 19 + x * 3) % 256).toByte
+      a(i + 2) = ((k * 31 + y * 7) % 256).toByte
+    }
+    a
+  }
+  def ppm(k: Int): Array[Byte] = graft.ops.Multimodal.encodePpm(36, 24, rgbOf(k))
+  def png(k: Int): Array[Byte] = graft.ops.Multimodal.encodePng(36, 24, rgbOf(k))
+  def bmp(k: Int): Array[Byte] = graft.ops.Multimodal.encodeBmp(36, 24, rgbOf(k))
 }
