@@ -4082,14 +4082,22 @@ object Queries {
     val spark = emb.sparkSession
     val bcModel = spark.sparkContext.broadcast(idx.model)
     val bcCenters = spark.sparkContext.broadcast(idx.centers)
+    val bcRot = spark.sparkContext.broadcast(idx.rotation)
     val isRes = idx.residual
     val errU = udf((v: Seq[Double], cell: Int, cs: Seq[Int]) => {
       val m = bcModel.value
+      // an OPQ index quantizes in the rotated space — measure the
+      // error where the codebooks live (rotation preserves L2, so
+      // this is also the raw-space reconstruction error)
+      val y = bcRot.value match {
+        case Some(r) => graft.ops.SimSearch.rotateVec(r, v.toArray)
+        case None => v.toArray
+      }
       val base =
         if (isRes) {
           val c = bcCenters.value(cell)
-          Array.tabulate(v.length)(i => v(i) - c(i))
-        } else v.toArray
+          Array.tabulate(y.length)(i => y(i) - c(i))
+        } else y
       var s = 0.0
       var j = 0
       while (j < m.m) {
@@ -4438,6 +4446,103 @@ object Queries {
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  private val q202Index = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String,
+      graft.ops.SimSearch.OpqStats, graft.ops.SimSearch.OpqStats)]()
+
+  /** Memoized fit+persist of the three q202 indexes: OPQ shared, the
+    * IDENTITY-rotation baseline (same trainer, opqIters = 0 — equal
+    * everything but the learned rotation), and OPQ residual. */
+  private def q202IndexDirs(spark: SparkSession, dir: String)
+      : (String, String, String,
+         graft.ops.SimSearch.OpqStats, graft.ops.SimSearch.OpqStats) =
+    q202Index.computeIfAbsent(dir, { d =>
+      val sfName = d.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val pid = ProcessHandle.current().pid()
+      val base = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft_q202_opq_${sfName}_${digest}_p$pid")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base.toFile)
+      }
+      val emb = t(spark, d, "embeddings")
+      val opqDir = base.resolve("opq").toString
+      val identDir = base.resolve("ident").toString
+      val resDir = base.resolve("opqres").toString
+      val (opqIdx, opqStats) = graft.ops.SimSearch.ivfPqFitOpq(
+        emb, "vec_id", "embedding", nlist = 16, m = 16, k = 32, seed = 42L)
+      graft.ops.SimSearch.ivfPqSave(opqIdx, opqDir)
+      val (identIdx, _) = graft.ops.SimSearch.ivfPqFitOpq(
+        emb, "vec_id", "embedding", nlist = 16, m = 16, k = 32, seed = 42L,
+        opqIters = 0)
+      graft.ops.SimSearch.ivfPqSave(identIdx, identDir)
+      val (resIdx, resStats) = graft.ops.SimSearch.ivfPqFitOpq(
+        emb, "vec_id", "embedding", nlist = 16, m = 16, k = 32, seed = 42L,
+        residual = true)
+      graft.ops.SimSearch.ivfPqSave(resIdx, resDir)
+      (opqDir, identDir, resDir, opqStats, resStats)
+    })
+
+  /** OPQ-rotated IVF+PQ under a contract oracle (Ge et al. 2013; the
+    * q197 discipline for comparing approximate encodings — pin the
+    * objective the method optimizes, give ranking-level claims
+    * slack): at EQUAL geometry (nlist 16, m 16, k 32) and an
+    * EQUAL-everything-but-the-rotation baseline (the same
+    * deterministic sample trainer with opqIters = 0 — identity
+    * rotation, identical codebook init and Lloyd schedule), the
+    * learned rotation must (a) carry DISTINCT persisted kinds
+    * (`ivfpq_opq` / `ivfpq_opq_res`) whose loads restore the
+    * rotation/residual flags; (b) never increase the TRAINING
+    * objective (guaranteed: every alternating step is monotone —
+    * both the shared and the residual composition); (c) quantize the
+    * CORPUS tighter or equal — mean squared reconstruction error of
+    * the rotated index <= the identity baseline's (the
+    * generalization claim, measured not assumed); (d) self-match
+    * under production pruning on the LOADED indexes, deterministic
+    * (OpsSpec pins loaded ≡ in-memory and the append/batch paths).
+    * Thread-stability provenance: the rotation is fit driver-side
+    * from an id-ORDERED sample precisely so partitioning/thread
+    * count cannot perturb it (SimSearch.opqTrain scaladoc); MEASURED:
+    * the md5 of the sf0.01 rotation (12-decimal entries) is
+    * d82449cd0d4892f1 at both SPARK_GRAFT_CPUS=8 and 32
+    * (2026-08-16, temporary println probe, reverted). */
+  def q202IvfPqOpq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val (opqDir, identDir, resDir, opqStats, resStats) =
+      q202IndexDirs(spark, dir)
+    val opq = graft.ops.SimSearch.ivfPqLoad(spark, opqDir, "vec_id")
+    val ident = graft.ops.SimSearch.ivfPqLoad(spark, identDir, "vec_id")
+    val res = graft.ops.SimSearch.ivfPqLoad(spark, resDir, "vec_id")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedOpq = rows(graft.ops.SimSearch.ivfPqSearch(opq, q, 10, nprobe = 4))
+    val servedRes = rows(graft.ops.SimSearch.ivfPqSearch(res, q, 10, nprobe = 4))
+    val corpusOpq = q197MeanSelfError(opq, emb)
+    val corpusIdent = q197MeanSelfError(ident, emb)
+    Seq((16, opq.model.m, opq.model.k, opq.codes.count(),
+      opq.rotation.isDefined && !opq.residual &&
+        res.rotation.isDefined && res.residual &&
+        ident.rotation.isDefined,
+      opqStats.errRotated <= opqStats.errIdentity,
+      resStats.errRotated <= resStats.errIdentity,
+      corpusOpq <= corpusIdent,
+      servedOpq.head._1 == 0L && servedRes.head._1 == 0L,
+      servedOpq == rows(graft.ops.SimSearch.ivfPqSearch(opq, q, 10, nprobe = 4)) &&
+        servedRes == rows(graft.ops.SimSearch.ivfPqSearch(res, q, 10, nprobe = 4))))
+      .toDF("nlist", "m", "k", "n_codes", "distinct_kinds",
+        "objective_decreased", "objective_decreased_res",
+        "corpus_tighter", "self_top1", "deterministic")
   }
 
   /** BATCH ADC serving under a contract oracle

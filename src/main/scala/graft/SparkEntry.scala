@@ -224,6 +224,7 @@ object SparkEntry {
     "q199_perceptual_incremental" -> (Queries.q199PerceptualIncremental(_, _)),
     "q200_perceptual_gate" -> (Queries.q200PerceptualGate(_, _)),
     "q201_curate_blob_tail" -> (Queries.q201CurateBlobTail(_, _)),
+    "q202_ivfpq_opq" -> (Queries.q202IvfPqOpq(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4601,5 +4602,18 @@ ORDER BY id_a, id_b"""),
         |        AND h0.id <> hn.id)
         |    THEN 0 ELSE 1 END)::BIGINT AS b3_admitted,
         |  TRUE AS b3_dup_dropped""".stripMargin,
+    // q202: OPQ-rotated IVF+PQ — the seeded KMeans/SVD trainer is not
+    // SQL-replayable, so the oracle pins the opt-in rotation's
+    // CONTRACT (the q197 discipline): distinct persisted kinds, the
+    // training objective never increased by the monotone alternating
+    // solver (both compositions), corpus reconstruction error <= the
+    // equal-everything-but-the-rotation identity baseline, self-match
+    // under pruning, determinism. Geometry and corpus count exact.
+    "q202_ivfpq_opq" ->
+      """SELECT 16 AS nlist, 16 AS m, 32 AS k,
+        |  (SELECT count(*) FROM embeddings) AS n_codes,
+        |  TRUE AS distinct_kinds, TRUE AS objective_decreased,
+        |  TRUE AS objective_decreased_res, TRUE AS corpus_tighter,
+        |  TRUE AS self_top1, TRUE AS deterministic""".stripMargin,
   )
 }

@@ -1519,10 +1519,45 @@ object SimSearch {
     * (`idCol`, `__cell`, `codes`). `residual` marks the opt-in
     * per-cell RESIDUAL encoding ([[ivfPqFit]]'s flag): codes quantize
     * `v - center(cell)` instead of the raw vector, and serving builds
-    * one ADC table per probed cell from the query's residual. */
+    * one ADC table per probed cell from the query's residual.
+    * `rotation` marks the opt-in OPQ rotation ([[ivfPqFitOpq]]): the
+    * whole index — centers, codebooks, codes — lives in the ROTATED
+    * space `y = R v`, and every serve/append rotates its incoming
+    * vectors at the entry point (rotation preserves L2, so cell
+    * assignments and true distances are unchanged — only the
+    * quantization grid moves). */
   final case class IvfPqIndex(centers: Array[Array[Double]],
                               model: PqModel, codes: DataFrame,
-                              idCol: String, residual: Boolean = false)
+                              idCol: String, residual: Boolean = false,
+                              rotation: Option[Array[Array[Double]]] = None)
+
+  /** Apply a d×d rotation (row-major): `y(i) = Σ_j R(i)(j) v(j)`. */
+  private[graft] def rotateVec(r: Array[Array[Double]],
+                               v: Array[Double]): Array[Double] = {
+    require(v.length == r.length,
+      s"rotation: vector dim ${v.length} != rotation dim ${r.length}")
+    val d = r.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val row = r(i)
+      var s = 0.0; var j = 0
+      while (j < d) { s += row(j) * v(j); j += 1 }
+      out(i) = s; i += 1
+    }
+    out
+  }
+
+  /** The frame-side rotation kernel (map-only; R rides a broadcast).
+    * Null vectors stay null. */
+  private def rotateUdf(spark: org.apache.spark.sql.SparkSession,
+                        r: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(r)
+    udf { (v: Seq[Double]) =>
+      if (v == null) null else rotateVec(bc.value, v.toArray).toSeq
+    }
+  }
 
   /** The driver-side probe pick shared by [[ivfSearch]] and
     * [[ivfPqSearch]]: the `nprobe` cells whose centers are nearest
@@ -1608,6 +1643,216 @@ object SimSearch {
     }
   }
 
+  /** [[opqTrain]]'s objective trace: mean squared reconstruction
+    * error over the training sample under the IDENTITY rotation with
+    * the initial codebooks, and under the learned rotation with the
+    * final codebooks. `errRotated <= errIdentity` BY CONSTRUCTION
+    * (every alternating step is monotone — see [[opqTrain]]); the
+    * q202 oracle pins exactly that, the objective the method
+    * optimizes (the q197 discipline for comparing approximations). */
+  final case class OpqStats(errIdentity: Double, errRotated: Double)
+
+  /** Learn an OPQ rotation (Ge et al. 2013, "Optimized Product
+    * Quantization", the non-parametric alternating solver) on a
+    * DRIVER-SIDE training sample: alternate (1) re-encode the rotated
+    * sample under the current codebooks, (2) solve the orthogonal
+    * Procrustes problem `max_R <R, Σ x̂ vᵀ>` by one d×d SVD (R = U Vᵀ),
+    * (3) warm-started Lloyd refinement of the codebooks in the new
+    * rotated space. Every step is MONOTONE in the quantization
+    * objective (Procrustes can pick R unchanged; re-assignment and
+    * centroid means never increase it; Lloyd starts from the previous
+    * codebooks, never from scratch), so the returned
+    * [[OpqStats]] satisfies `errRotated <= errIdentity` exactly.
+    *
+    * Driver-side and sample-based ON PURPOSE: the rotation is a d×d
+    * matrix learned from a few thousand rows (the Faiss/OPQ training
+    * practice), so a distributed fit would only add the one thing
+    * this path must not have — float-summation orders that vary with
+    * partitioning. Everything here (sample order, seeded centroid
+    * init, LAPACK SVD) is deterministic for a given input, which is
+    * what makes the persisted index reproducible across 8/32-thread
+    * sessions (q202 pins it). Cost: O(iters · n · d · k) flops on a
+    * few-thousand-row sample — microscopic next to the corpus encode.
+    *
+    * Returns (rotation R row-major, codebooks, stats). `iters = 0`
+    * returns the identity rotation with the seeded-init+Lloyd
+    * codebooks — the equal-everything-but-the-rotation baseline the
+    * q202 corpus comparison uses. */
+  private[ops] def opqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+                            seed: Long, iters: Int = 4,
+                            lloydIters: Int = 8)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], OpqStats) = {
+    require(sample.nonEmpty, "opqTrain: empty training sample")
+    val d = sample(0).length
+    require(d % m == 0, s"dim $d must divide by m=$m subspaces")
+    require(iters >= 0 && lloydIters >= 1, "iters >= 0, lloydIters >= 1")
+    val dsub = d / m
+    val n = sample.length
+
+    def encodeRow(y: Array[Double], cbs: Array[Array[Array[Double]]])
+        : Array[Int] =
+      Array.tabulate(m) { j =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var p = 0
+          while (p < dsub) {
+            val dd = y(j * dsub + p) - cbs(j)(c)(p)
+            s += dd * dd; p += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      }
+    def reconRow(codes: Array[Int], cbs: Array[Array[Array[Double]]])
+        : Array[Double] = {
+      val out = new Array[Double](d)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(cbs(j)(codes(j)), 0, out, j * dsub, dsub)
+        j += 1
+      }
+      out
+    }
+    def meanErr(ys: Array[Array[Double]],
+                cbs: Array[Array[Array[Double]]]): Double = {
+      var s = 0.0
+      ys.foreach { y =>
+        val x = reconRow(encodeRow(y, cbs), cbs)
+        var i = 0
+        while (i < d) { val dd = y(i) - x(i); s += dd * dd; i += 1 }
+      }
+      s / n
+    }
+    // warm-started Lloyd: assign under the current codebooks, replace
+    // each centroid with the mean of its assigned subvectors (empty
+    // clusters keep their centroid), repeat — monotone from the given
+    // start, never a from-scratch re-init
+    def lloyd(ys: Array[Array[Double]],
+              start: Array[Array[Array[Double]]],
+              rounds: Int): Array[Array[Array[Double]]] = {
+      var cbs = start
+      var r = 0
+      while (r < rounds) {
+        val sums = Array.fill(m, k, dsub)(0.0)
+        val counts = Array.fill(m, k)(0L)
+        ys.foreach { y =>
+          val codes = encodeRow(y, cbs)
+          var j = 0
+          while (j < m) {
+            val c = codes(j)
+            counts(j)(c) += 1
+            var p = 0
+            while (p < dsub) { sums(j)(c)(p) += y(j * dsub + p); p += 1 }
+            j += 1
+          }
+        }
+        cbs = Array.tabulate(m, k) { (j, c) =>
+          if (counts(j)(c) == 0) cbs(j)(c)
+          else {
+            val cnt = counts(j)(c).toDouble
+            Array.tabulate(dsub)(p => sums(j)(c)(p) / cnt)
+          }
+        }
+        r += 1
+      }
+      cbs
+    }
+    // seeded deterministic init: per subspace, k distinct sample rows
+    // (cycled when the sample is smaller than k)
+    val init: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val rnd = new scala.util.Random(seed * 31 + j)
+      val order = rnd.shuffle((0 until n).toList)
+      Array.tabulate(k) { c =>
+        val row = sample(order(c % n))
+        java.util.Arrays.copyOfRange(row, j * dsub, (j + 1) * dsub)
+      }
+    }
+    var cbs = lloyd(sample, init, lloydIters)
+    val errId = meanErr(sample, cbs)
+    var r: Array[Array[Double]] =
+      Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var ys = sample
+    var it = 0
+    while (it < iters) {
+      // Procrustes: A(i)(j) = Σ_n x̂(i) v(j); max <R, A> → R = U Vᵀ
+      val codes = ys.map(encodeRow(_, cbs))
+      val a = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      var row = 0
+      while (row < n) {
+        val xh = reconRow(codes(row), cbs)
+        val v = sample(row)
+        var i = 0
+        while (i < d) {
+          val xi = xh(i)
+          if (xi != 0.0) {
+            var j = 0
+            while (j < d) { a(i, j) += xi * v(j); j += 1 }
+          }
+          i += 1
+        }
+        row += 1
+      }
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(a)
+      val rm = u * vt
+      r = Array.tabulate(d, d)((i, j) => rm(i, j))
+      ys = sample.map(rotateVec(r, _))
+      cbs = lloyd(ys, cbs, lloydIters)
+      it += 1
+    }
+    (r, cbs, OpqStats(errId, meanErr(ys, cbs)))
+  }
+
+  /** Fit the OPQ-rotated composed index ([[ivfPqFit]] with a learned
+    * rotation, Ge et al. 2013): the coarse quantizer is [[ivfFit]] on
+    * the RAW vectors (rotation preserves L2, so assignments are the
+    * same either way); the rotation + codebooks come from
+    * [[opqTrain]] on a deterministic id-ordered sample of the raw
+    * vectors (shared mode) or of the per-cell residuals
+    * (`residual = true` — OPQ composes with the q197 encoding: rotate
+    * the residual distribution instead of the raw one); then centers
+    * are stored ROTATED and every vector is encoded as `R v` (or
+    * `R (v - c)`) in ONE map pass. Persist with [[ivfPqSave]] (kinds
+    * `ivfpq_opq` / `ivfpq_opq_res`); every serve and append rotates
+    * incoming vectors at the entry point. Returns the index and the
+    * [[OpqStats]] objective trace (rotated <= identity by
+    * construction). */
+  def ivfPqFitOpq(df: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int = 16, m: Int = 8, k: Int = 16,
+                  seed: Long = 42L, sampleFraction: Double = 1.0,
+                  maxIterIvf: Int = 20, residual: Boolean = false,
+                  opqIters: Int = 4, opqSampleN: Int = 4096,
+                  lloydIters: Int = 8): (IvfPqIndex, OpqStats) = {
+    val spark = df.sparkSession
+    val ivf = ivfFit(df, idCol, vecCol, nlist, seed, sampleFraction,
+      maxIterIvf)
+    val trainCol =
+      if (residual)
+        residualUdf(spark, ivf.centers)(asDouble(col(vecCol)), col("__cell"))
+      else asDouble(col(vecCol))
+    val trainFrame = ivf.assigned.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__oid"), trainCol.as("__tv"))
+    // deterministic training sample: id-ordered prefix — the fit must
+    // not depend on partitioning or thread count (q202 pins identity
+    // across 8/32-thread sessions)
+    val sample = trainFrame.orderBy(col("__oid")).limit(opqSampleN)
+      .select(col("__tv")).collect().map(_.getSeq[Double](0).toArray)
+    val (r, cbs, stats) = opqTrain(sample, m, k, seed, opqIters, lloydIters)
+    val dsub = sample(0).length / m
+    val model = PqModel(m, k, dsub, cbs)
+    val rot = rotateUdf(spark, r)
+    val encodeInput =
+      if (residual)
+        rot(residualUdf(spark, ivf.centers)(asDouble(col(vecCol)),
+          col("__cell")))
+      else rot(asDouble(col(vecCol)))
+    val codes = ivf.assigned.select(col(idCol), col("__cell"),
+      pqEncoder(model)(encodeInput).as("codes"))
+    (IvfPqIndex(ivf.centers.map(rotateVec(r, _)), model, codes, idCol,
+      residual = residual, rotation = Some(r)), stats)
+  }
+
   /** Persist an [[IvfPqIndex]]: codes parquet PARTITIONED BY
     * (`__cell`, `__batch_id`) — cell first, so a probe of nprobe
     * cells prunes to nprobe directories at the scan (the file-level
@@ -1630,11 +1875,24 @@ object SimSearch {
     }.toSeq.toDF("cell", "pos", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
     pqSave(spark, index.model, s"$dir/pq")
+    // the OPQ rotation (tiny — d*d doubles) persists beside the model
+    index.rotation.foreach { r =>
+      r.zipWithIndex.flatMap { case (row, i) =>
+        row.zipWithIndex.map { case (w, j) => (i, j, w) }
+      }.toSeq.toDF("i", "j", "w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+    }
     clearVersionState(spark, dir)
-    // residual indexes carry a DISTINCT kind: their codes are
-    // meaningless under shared-codebook serving (and vice versa), so
+    // residual/OPQ indexes carry DISTINCT kinds: their codes are
+    // meaningless under another mode's serving (and vice versa), so
     // a cross-mode load must fail loudly, not rank silently wrong
-    Seq(if (index.residual) "ivfpq_res" else "ivfpq").toDF("kind")
+    val kind = (index.rotation.isDefined, index.residual) match {
+      case (true, true)   => "ivfpq_opq_res"
+      case (true, false)  => "ivfpq_opq"
+      case (false, true)  => "ivfpq_res"
+      case (false, false) => "ivfpq"
+    }
+    Seq(kind).toDF("kind")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_kind")
   }
 
@@ -1646,12 +1904,30 @@ object SimSearch {
   def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
                 idCol: String): IvfPqIndex = {
     val kind = spark.read.parquet(s"$dir/_kind").collect()(0).getString(0)
-    require(kind == "ivfpq" || kind == "ivfpq_res",
+    require(Set("ivfpq", "ivfpq_res", "ivfpq_opq", "ivfpq_opq_res")(kind),
       s"index at $dir is '$kind', not an ivfpq family — refusing a " +
         "cross-family load")
+    val rotation =
+      if (kind.startsWith("ivfpq_opq")) Some(loadRotation(spark, dir))
+      else None
     IvfPqIndex(loadCenters(spark, dir), pqLoad(spark, s"$dir/pq"),
       spark.read.parquet(s"$dir/codes"), idCol,
-      residual = kind == "ivfpq_res")
+      residual = kind.endsWith("_res"), rotation = rotation)
+  }
+
+  /** Load the persisted OPQ rotation, verifying every (i, j) cell is
+    * present (a torn rotation would rotate queries silently wrong). */
+  private def loadRotation(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Array[Array[Double]] = {
+    val cells = spark.read.parquet(s"$dir/rotation")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val d = math.sqrt(cells.size.toDouble).toInt
+    require(d * d == cells.size && cells.keySet ==
+        (for (i <- 0 until d; j <- 0 until d) yield (i, j)).toSet,
+      s"ivfPqLoad: rotation under $dir is torn (${cells.size} cells) — " +
+        "re-fit and re-save the index")
+    Array.tabulate(d, d)((i, j) => cells((i, j)))
   }
 
   /** APPEND an ingest batch to a persisted IVF+PQ index WITHOUT
@@ -1694,17 +1970,22 @@ object SimSearch {
       require(centers.nonEmpty, s"no centers found under $dir/centers")
       val model = pqLoad(spark, s"$dir/pq")
       // the persisted kind decides the encode input: a residual index
-      // must encode v - center(cell), exactly as fit time did
-      val isResidual = spark.read.parquet(s"$dir/_kind")
-        .collect()(0).getString(0) == "ivfpq_res"
+      // must encode v - center(cell), and an OPQ index must rotate
+      // first (its centers/codebooks live in the rotated space) —
+      // exactly as fit time did
+      val kind = spark.read.parquet(s"$dir/_kind")
+        .collect()(0).getString(0)
+      val isResidual = kind.endsWith("_res")
+      val vec =
+        if (kind.startsWith("ivfpq_opq"))
+          rotateUdf(spark, loadRotation(spark, dir))(asDouble(col(vecCol)))
+        else asDouble(col(vecCol))
       val assigned = newDf
-        .withColumn("__cell",
-          nearestCell(spark, centers)(asDouble(col(vecCol))))
+        .withColumn("__cell", nearestCell(spark, centers)(vec))
         .where(col("__cell") >= 0) // null vectors carry no position — skip
       val encodeInput =
-        if (isResidual)
-          residualUdf(spark, centers)(asDouble(col(vecCol)), col("__cell"))
-        else asDouble(col(vecCol))
+        if (isResidual) residualUdf(spark, centers)(vec, col("__cell"))
+        else vec
       val codes = assigned
         .select(col(idCol), col("__cell"),
           pqEncoder(model)(encodeInput).as("codes"),
@@ -1756,9 +2037,12 @@ object SimSearch {
     * [[pqSearch]] exactly (shared raw-vector codebooks); at the
     * production nprobe << nlist each query reads ~nprobe/nlist of
     * the code bytes — the last O(corpus)-per-query path closed. */
-  def ivfPqSearch(index: IvfPqIndex, query: Array[Double], topK: Int,
+  def ivfPqSearch(index: IvfPqIndex, rawQuery: Array[Double], topK: Int,
                   nprobe: Int = 4): DataFrame = {
     val spark = index.codes.sparkSession
+    // an OPQ index lives in the rotated space: rotate the query once
+    // at the entry point, everything downstream is unchanged
+    val query = index.rotation.map(rotateVec(_, rawQuery)).getOrElse(rawQuery)
     val probeCells = nearestCells(index.centers, query, nprobe)
     // broadcast must outlive the returned lazy frame (pqSearch's
     // lifetime note); <= nprobe tables of m*k doubles each,
@@ -1868,6 +2152,17 @@ object SimSearch {
     val spark = index.codes.sparkSession
     val bcCenters = spark.sparkContext.broadcast(index.centers)
     val bcModel = spark.sparkContext.broadcast(index.model)
+    // OPQ: rotate each query inside the same map pass that builds its
+    // probes/table — downstream is the unrotated plan unchanged
+    val bcRot = spark.sparkContext.broadcast(index.rotation)
+    // a val lambda, not a local def: a def would compile to a module
+    // method and the udf closures below would drag the whole
+    // (non-serializable) module into the task closure
+    val oriented: Seq[Double] => Array[Double] = v =>
+      bcRot.value match {
+        case Some(r) => rotateVec(r, v.toArray)
+        case None => v.toArray
+      }
     val np = nprobe
     val dist = udf((tbl: Seq[Seq[Double]], cs: Seq[Int]) =>
       if (cs == null) Double.MaxValue
@@ -1894,8 +2189,11 @@ object SimSearch {
     val joined = if (!index.residual) {
       val prep = udf((v: Seq[Double]) =>
         if (v == null) null
-        else (nearestCells(bcCenters.value, v.toArray, np),
-          bcModel.value.adcTable(v.toArray)))
+        else {
+          val y = oriented(v)
+          (nearestCells(bcCenters.value, y, np),
+            bcModel.value.adcTable(y))
+        })
       val base = queries
         .select(col(qIdCol).as("__qid"),
           prep(asDouble(col(vecCol))).as("__p"))
@@ -1918,9 +2216,12 @@ object SimSearch {
       // exploit; the guard estimate above charges for it honestly)
       val prep = udf((v: Seq[Double]) =>
         if (v == null) null
-        else nearestCells(bcCenters.value, v.toArray, np).map { c =>
-          (c, bcModel.value.adcTable(
-            queryResidual(v.toArray, bcCenters.value(c))))
+        else {
+          val y = oriented(v)
+          nearestCells(bcCenters.value, y, np).map { c =>
+            (c, bcModel.value.adcTable(
+              queryResidual(y, bcCenters.value(c))))
+          }
         })
       val probes = queries
         .select(col(qIdCol).as("__qid"),

@@ -779,6 +779,90 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqFitOpq: monotone objective, orthonormal rotation, round-trip, append, batch parity") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(c("vec_id") % 7 =!= 0)
+    val batch = emb.where(c("vec_id") % 7 === 0)
+    val (idx, stats) = SimSearch.ivfPqFitOpq(base, "vec_id", "embedding",
+      nlist = 4, m = 16, k = 8, opqSampleN = 64)
+    // the objective the method optimizes: alternating minimization
+    // never increases the training-sample quantization error
+    assert(stats.errRotated <= stats.errIdentity,
+      s"OPQ objective increased: ${stats.errRotated} > ${stats.errIdentity}")
+    // the learned rotation is orthonormal (R Rᵀ = I)
+    val r = idx.rotation.get
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(p => r(i)(p) * r(j)(p)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"R Rᵀ($i,$j) = $dot")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq").toString
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    try {
+      SimSearch.ivfPqSave(idx, dir)
+      val loaded = SimSearch.ivfPqLoad(spark, dir, "vec_id")
+      assert(loaded.rotation.isDefined && !loaded.residual)
+      val q = base.where(c("vec_id") === 1)
+        .select(c("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val served = rows(SimSearch.ivfPqSearch(idx, q, 10, nprobe = 4))
+      assert(served === rows(SimSearch.ivfPqSearch(loaded, q, 10, nprobe = 4)))
+      assert(served.head._1 === 1L) // self achieves the ADC minimum
+      // batch serving ranks identically to per-query serving
+      val queries = base.where(c("vec_id") % 17 === 1)
+        .select(c("vec_id"), c("embedding"))
+      val batchRows = SimSearch.ivfPqSearchBatch(loaded, queries,
+        "vec_id", "embedding", topK = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.groupBy(_._1)
+      queries.select("vec_id").collect().map(_.getLong(0)).take(3)
+        .foreach { qid =>
+          val qv = base.where(c("vec_id") === qid)
+            .select(c("embedding").cast("array<double>"))
+            .head().getSeq[Double](0).toArray
+          val single = rows(SimSearch.ivfPqSearch(loaded, qv, 5, nprobe = 4))
+          assert(batchRows(qid).sortBy(t => (t._3, t._2))
+            .map(t => (t._2, t._3)) ===
+            single.sortBy(t => (t._2, t._1)).map(identity))
+        }
+      // append rotates the new batch at the entry: appended vectors
+      // are servable and self-match
+      assert(SimSearch.ivfPqAppend(spark, dir, batch, "vec_id",
+        "embedding", batchId = Some(1L)))
+      val after = SimSearch.ivfPqLoad(spark, dir, "vec_id")
+      assert(after.codes.count() === emb.count())
+      val q0 = batch.where(c("vec_id") === 0)
+        .select(c("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      assert(rows(SimSearch.ivfPqSearch(after, q0, 5, nprobe = 4))
+        .head._1 === 0L)
+    } finally rmr(new java.io.File(dir))
+    // residual composition: distinct kind, self-match, round-trip
+    val (resIdx, resStats) = SimSearch.ivfPqFitOpq(base, "vec_id",
+      "embedding", nlist = 4, m = 16, k = 8, residual = true,
+      opqSampleN = 64)
+    assert(resStats.errRotated <= resStats.errIdentity)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-opqr").toString
+    try {
+      SimSearch.ivfPqSave(resIdx, dir2)
+      assert(spark.read.parquet(s"$dir2/_kind").head().getString(0)
+        === "ivfpq_opq_res")
+      val loadedRes = SimSearch.ivfPqLoad(spark, dir2, "vec_id")
+      assert(loadedRes.residual && loadedRes.rotation.isDefined)
+      val q = base.where(c("vec_id") === 1)
+        .select(c("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      assert(SimSearch.ivfPqSearch(loadedRes, q, 5, nprobe = 4)
+        .collect().head.getLong(0) === 1L)
+    } finally rmr(new java.io.File(dir2))
+  }
+
   test("append migrates a pre-ledger __cell-only layout in place (both layouts)") {
     import org.apache.spark.sql.functions.{col => c}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
