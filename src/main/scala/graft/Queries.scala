@@ -4545,6 +4545,73 @@ object Queries {
         "corpus_tighter", "self_top1", "deterministic")
   }
 
+  /** VIDEO near-duplicate pairs under oracle
+    * ([[graft.ops.Video.videoNearDupPairs]] — the q193 pattern for
+    * the video modality, completing the perceptual set): every 10th
+    * document id becomes a 6-frame 36x24 DIB AVI keyed
+    * `(doc_id/10) % max(25, maxId/100)` (closed-form pixels, so the
+    * oracle replays every dHash bit), and every ODD video id carries
+    * the SAME frames 2x nearest-neighbor UPSCALED (72x48 —
+    * grid-aligned, so the area-pooling dHash is bit-exact equal: the
+    * rescaled-copy case byte dedup can never catch). The operator
+    * samples stride-2 frames, pairs through the
+    * (position, chunk, key)-banded Hamming join, and keeps pairs
+    * matching at EVERY sampled position; the oracle brute-forces the
+    * full key-pair space over the replayed bits (BITSTRING xor), so
+    * missing a rescaled pair OR inventing a cross-key one both go
+    * red. */
+  def q203VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val maxId = t(spark, dir, "documents")
+      .agg(max("doc_id")).head().getLong(0)
+    val mod = math.max(25L, maxId / 100)
+    val gen = udf((vid: Long) => {
+      val w = 36; val h = 24
+      val k = ((vid / 10) % mod).toInt
+      val frames = (0 until 6).map { f =>
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = 3 * (y * w + x)
+            rgb(i) = ((k * 5 + f * 17 + x * 3 + y * 7) % 256).toByte
+            rgb(i + 1) = ((k * 11 + f * 3 + x * 5) % 256).toByte
+            rgb(i + 2) = ((k * 7 + f * 13 + y * 11) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        rgb
+      }
+      if ((vid / 10) % 2 == 1) {
+        // 2x nearest-neighbor upscale: out(x, y) = in(x/2, y/2) — the
+        // grid-aligned rescale the dHash is bit-exact invariant under
+        val up = frames.map { rgb =>
+          val out = new Array[Byte](2 * w * 2 * h * 3)
+          var y = 0
+          while (y < 2 * h) {
+            var x = 0
+            while (x < 2 * w) {
+              val s = 3 * ((y / 2) * w + (x / 2))
+              val d = 3 * (y * 2 * w + x)
+              out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        graft.ops.Video.encodeAvi(2 * w, 2 * h, 10, up)
+      } else graft.ops.Video.encodeAvi(w, h, 10, frames)
+    })
+    val vids = t(spark, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("blob_id"))
+      .withColumn("data", gen(col("blob_id")))
+    graft.ops.Video.videoNearDupPairs(vids, stride = 2, maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** BATCH ADC serving under a contract oracle
     * ([[graft.ops.SimSearch.ivfPqSearchBatch]] — the annLshTopKBatch
     * shape for the composed index): a query SET (every 25th corpus

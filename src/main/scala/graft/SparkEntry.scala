@@ -225,6 +225,7 @@ object SparkEntry {
     "q200_perceptual_gate" -> (Queries.q200PerceptualGate(_, _)),
     "q201_curate_blob_tail" -> (Queries.q201CurateBlobTail(_, _)),
     "q202_ivfpq_opq" -> (Queries.q202IvfPqOpq(_, _)),
+    "q203_video_neardup" -> (Queries.q203VideoNeardup(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4615,5 +4616,57 @@ ORDER BY id_a, id_b"""),
         |  TRUE AS distinct_kinds, TRUE AS objective_decreased,
         |  TRUE AS objective_decreased_res, TRUE AS corpus_tighter,
         |  TRUE AS self_top1, TRUE AS deterministic""".stripMargin,
+    // q203: video near-dup pairs replayed bit for bit — the per-key,
+    // per-sampled-frame dHash from the closed-form pixel formula
+    // (the 2x-upscaled odd videos carry the base bits: area pooling
+    // is bit-exact under the grid-aligned rescale), then the FULL
+    // key-pair brute force (BITSTRING xor, all three sampled
+    // positions within Hamming 2) expanded to video pairs — the
+    // banded plan must equal an all-pairs scan exactly.
+    "q203_video_neardup" ->
+      """WITH mx AS (SELECT greatest(25, max(doc_id) // 100) AS md
+        |            FROM documents),
+        |vids AS (
+        |  SELECT doc_id AS vid,
+        |    ((doc_id // 10) % (SELECT md FROM mx)) AS k
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |keys AS (SELECT DISTINCT k AS id FROM vids),
+        |g AS (
+        |  SELECT id, f.f, r.r, c.c, (c.c*4 + dx.dx) AS x,
+        |    (r.r*3 + dy.dy) AS y
+        |  FROM keys,
+        |    (SELECT unnest([0, 2, 4]) AS f) f,
+        |    (SELECT unnest(generate_series(0,7)) AS r) r,
+        |    (SELECT unnest(generate_series(0,8)) AS c) c,
+        |    (SELECT unnest(generate_series(0,3)) AS dx) dx,
+        |    (SELECT unnest(generate_series(0,2)) AS dy) dy),
+        |cell AS (
+        |  SELECT id, f, r, c,
+        |    SUM(((id*5 + f*17 + x*3 + y*7) % 256)
+        |      + ((id*11 + f*3 + x*5) % 256)
+        |      + ((id*7 + f*13 + y*11) % 256)) AS s
+        |  FROM g GROUP BY id, f, r, c),
+        |b AS (
+        |  SELECT a.id, a.f, a.r, a.c,
+        |    CASE WHEN a.s < n.s THEN '1' ELSE '0' END AS bit
+        |  FROM cell a JOIN cell n ON n.id = a.id AND n.f = a.f
+        |    AND n.r = a.r AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT id, f, string_agg(bit, '' ORDER BY r*8 + c DESC) AS bits
+        |  FROM b GROUP BY id, f),
+        |km AS (
+        |  SELECT h1.id AS ka, h2.id AS kb
+        |  FROM h h1 JOIN h h2 ON h1.f = h2.f AND h1.id <= h2.id
+        |  GROUP BY h1.id, h2.id
+        |  HAVING count(*) = 3
+        |    AND max(bit_count(xor(h1.bits::BIT, h2.bits::BIT))) <= 2)
+        |SELECT v1.vid AS id_a, v2.vid AS id_b,
+        |  3::BIGINT AS matched_frames, 3::BIGINT AS n_frames
+        |FROM vids v1
+        |JOIN vids v2 ON v1.vid < v2.vid
+        |JOIN km ON km.ka = least(v1.k, v2.k)
+        |  AND km.kb = greatest(v1.k, v2.k)
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

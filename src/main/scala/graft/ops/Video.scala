@@ -285,6 +285,98 @@ object Video {
         data, f.offset.toInt, f.offset.toInt + f.length)),
       mjpeg = kept.nonEmpty && kept.head.compressed)
 
+  /** Per-frame PERCEPTUAL hashes at a fixed stride — the video member
+    * of the perceptual family: decode every `stride`-th frame for
+    * real (DIB un-pad/flip or MJPEG via the JDK raster path) and
+    * dHash it with the SAME kernel the still-image path uses
+    * ([[Multimodal.dhash64]]), so a frame extracted from a video and
+    * the same image stored standalone hash identically. One map
+    * stage, payloads never shuffle; undecodable frames and non-AVI
+    * payloads emit no rows (honest — surface them via
+    * [[frameIndex]]). Output: (idCol, frame_idx, dhash). */
+  def framePerceptualHash(blobs: DataFrame, stride: Int,
+                          idCol: String = "blob_id",
+                          dataCol: String = "data"): DataFrame = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(idCol), col(dataCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, data) =>
+        parseAvi(data).toSeq.flatMap { info =>
+          (0 until info.nFrames by stride).flatMap { i =>
+            decodeFrame(data, info, i).map { case (w, h, rgb) =>
+              (id, i, Multimodal.dhash64(w, h, rgb))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "dhash")
+  }
+
+  /** VIDEO near-duplicate pairs — completes the perceptual modality
+    * set (text SimHash, embedding cosine, image dHash, audio
+    * envelope, video frame-dHash): two videos pair when EVERY sampled
+    * frame position matches within `maxHamming` (or, with
+    * `minMatchFrac < 1`, when at least that fraction of the larger
+    * side's sampled positions match). Frame hashes ride the shared
+    * banded 16-bit-chunk Hamming join KEYED BY FRAME POSITION — a
+    * frame can only witness a pair at its own sampled index, so the
+    * candidate space is (position, chunk, key) buckets, never
+    * all-pairs, and per-frame recall is EXACT for maxHamming <= 3 by
+    * pigeonhole (the SimHash guarantee). Catches re-encoded
+    * (DIB ↔ MJPEG) and grid-aligned rescaled copies that byte-level
+    * dedup misses; videos with different sampled-frame counts can
+    * only pair under a fractional `minMatchFrac` (matched positions
+    * are measured against the LARGER side).
+    *
+    * Scale shape: one decode map stage (payloads never shuffle), a
+    * (pos, chunk, key)-bucketed candidate join over narrow 64-bit
+    * rows, then a per-pair count aggregate against the per-video
+    * frame censuses. Output: (id_a, id_b, matched_frames, n_frames),
+    * id-normalized. */
+  def videoNearDupPairs(blobs: DataFrame, stride: Int,
+                        maxHamming: Int = 2, minMatchFrac: Double = 1.0,
+                        idCol: String = "blob_id",
+                        dataCol: String = "data"): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      "minMatchFrac must be in (0, 1]")
+    val sigs = framePerceptualHash(blobs, stride, idCol, dataCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sigs.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n"))
+      val chunked = sigs.select(col(idCol), col("frame_idx"), col("dhash"),
+        posexplode(SimHash.chunkKeys(col("dhash")))
+          .as(Seq("__chunk", "__key")))
+      val a = chunked.select(col("frame_idx"), col("__chunk"), col("__key"),
+        col(idCol).as("id_a"), col("dhash").as("sig_a"))
+      val b = chunked.select(col("frame_idx"), col("__chunk"), col("__key"),
+        col(idCol).as("id_b"), col("dhash").as("sig_b"))
+      val matched = a.join(b, Seq("frame_idx", "__chunk", "__key"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("frame_idx"),
+          col("sig_a"), col("sig_b"))
+        .dropDuplicates("id_a", "id_b", "frame_idx")
+        .where(SimHash.hamming(col("sig_a"), col("sig_b")) <= maxHamming)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("matched_frames"))
+      val out = matched
+        .join(counts.select(col(idCol).as("id_a"), col("__n").as("__na")),
+          Seq("id_a"))
+        .join(counts.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+          Seq("id_b"))
+        .withColumn("n_frames", greatest(col("__na"), col("__nb")))
+        .where(col("matched_frames") >=
+          ceil(lit(minMatchFrac) * col("n_frames")))
+        .select(col("id_a"), col("id_b"), col("matched_frames"),
+          col("n_frames"))
+        .localCheckpoint(true)
+      out
+    } finally { sigs.unpersist(); () }
+  }
+
   /** Decode every `stride`-th frame and emit its REAL luminance
     * histogram (the [[Multimodal.luminanceHistogram]] kernel, shared
     * with the still-image path) plus decoded dimensions. One map

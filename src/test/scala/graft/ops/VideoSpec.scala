@@ -152,4 +152,62 @@ class VideoSpec extends AnyFunSuite with SparkTestSession {
     assert(meta(2L)._1 === 8 && meta(2L)._2 === 4) // REAL PNG header dims
     assert(meta(3L)._1 >= 1 && meta(3L)._1 <= 1920) // stub synthesis
   }
+
+  test("videoNearDupPairs: rescaled/re-encoded copies pair, equals brute force") {
+    val w = 36; val h = 24
+    def px(k: Int, f: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        a(i) = ((k * 5 + f * 17 + x * 3 + y * 7) % 256).toByte
+        a(i + 1) = ((k * 11 + f * 3 + x * 5) % 256).toByte
+        a(i + 2) = ((k * 7 + f * 13 + y * 11) % 256).toByte
+      }
+      a
+    }
+    def up2(rgb: Array[Byte]): Array[Byte] =
+      Multimodal.nnResizeRgb(w, h, rgb, 2 * w, 2 * h)
+    val base = (0 until 6).map(px(0, _))
+    val vids = Seq(
+      (1L, Video.encodeAvi(w, h, 10, base)),                    // original
+      (2L, Video.encodeAvi(2 * w, 2 * h, 10, base.map(up2))),   // 2x rescale
+      (3L, Video.encodeAvi(w, h, 10, base, mjpeg = true)),      // re-encode
+      (4L, Video.encodeAvi(w, h, 10, (0 until 6).map(px(9, _)))), // different
+      (5L, "not a video at all".getBytes("UTF-8")),             // opaque
+      (6L, Video.encodeAvi(w, h, 10, base.take(4))))            // short copy
+      .toDF("blob_id", "data")
+    def pairs(maxH: Int, frac: Double) =
+      Video.videoNearDupPairs(vids, stride = 2, maxHamming = maxH,
+        minMatchFrac = frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strict = pairs(3, 1.0)
+    // the grid-aligned 2x rescale hashes BIT-EXACT equal (dhash
+    // area-pools integer cells), and the MJPEG re-encode sits within
+    // the Hamming budget on every sampled frame
+    assert(strict.contains((1L, 2L)), s"rescaled copy missed: $strict")
+    assert(strict.contains((1L, 3L)) && strict.contains((2L, 3L)),
+      s"re-encoded copy missed: $strict")
+    assert(!strict.exists(p => p._1 == 4L || p._2 == 4L)) // different content
+    assert(!strict.exists(p => p._1 == 5L || p._2 == 5L)) // opaque: no rows
+    // the short copy shares only 2 of the larger side's 3 sampled
+    // positions: dropped at frac 1.0, admitted at 0.6
+    assert(!strict.exists(p => p._1 == 6L || p._2 == 6L))
+    val loose = pairs(3, 0.6)
+    assert(loose.contains((1L, 6L)) && loose.contains((2L, 6L)))
+    // banded join == brute force over the same frame hashes (the
+    // q193 discipline: bucketing must never lose a pair)
+    val sigs = Video.framePerceptualHash(vids, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(t => t._2 -> t._3).toMap }
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      na = sigs(i).size; nb = sigs(j).size
+      m = sigs(i).keySet.intersect(sigs(j).keySet).count(p =>
+        java.lang.Long.bitCount(sigs(i)(p) ^ sigs(j)(p)) <= 3)
+      if m >= math.ceil(1.0 * math.max(na, nb)).toInt
+    } yield (i, j)).toSet
+    assert(strict === brute)
+  }
 }
