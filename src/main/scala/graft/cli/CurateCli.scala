@@ -250,7 +250,9 @@ object CurateCli {
         threshold = config.nearThreshold,
         compactEvery = config.compactEvery,
         compactMaxBases = config.compactMaxBases,
-        compactOutputEvery = config.compactOutputEvery))
+        compactOutputEvery = config.compactOutputEvery,
+        blobCol = config.blobCol,
+        blobMaxHamming = config.blobMaxHamming))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
         config.output.stripSuffix("/") + "__checkpoint")

@@ -277,4 +277,55 @@ class CurateCliSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L),
       "cross-run dedup through the durable state broken")
   }
+
+  test("stream lifecycle over a blob corpus: --stream --blob-col runs the " +
+      "durable perceptual tail") {
+    import spark.implicits._
+    def img(k: Int): Array[Byte] = {
+      val w = 36; val h = 24
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        a(i) = ((k * 47 + x * 11 + y * 5) % 256).toByte
+        a(i + 1) = ((k * 29 + x * 3) % 256).toByte
+        a(i + 2) = ((k * 13 + y * 7) % 256).toByte
+      }
+      a
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curatecli-b")
+    val srcDir = tmp.resolve("feed").toString
+    val out = tmp.resolve("curated").toString
+    def stage(name: String, rows: Seq[(Long, String, String, Array[Byte])],
+              mtime: Long): Unit = {
+      rows.toDF("doc_id", "source", "text", "blob").coalesce(1)
+        .write.parquet(s"$srcDir/$name")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(srcDir, name))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)))
+    }
+    stage("f0.parquet", Seq(
+      (1L, "s", "wholly unique text one",
+        graft.ops.Multimodal.encodePpm(36, 24, img(0))),
+      (2L, "s", "wholly unique text two",
+        graft.ops.Multimodal.encodePpm(36, 24, img(5)))), 1000000L)
+    // the second micro-batch carries a CROSS-CODEC perceptual dup of
+    // doc 1 (unique text — only the signature state can drop it)
+    stage("f1.parquet", Seq(
+      (11L, "s", "wholly unique text three",
+        graft.ops.Multimodal.encodePng(36, 24, img(0))),
+      (12L, "s", "wholly unique text four",
+        graft.ops.Multimodal.encodePpm(36, 24, img(9)))), 1060000L)
+    CurateCli.run(CurateCli.parse(Seq(
+      "--input", s"$srcDir/*.parquet", "--output", out,
+      "--min-quality", "0.0", "--max-dup2gram", "1.0",
+      "--near-threshold", "1.01",
+      "--blob-col", "blob", "--blob-max-hamming", "0",
+      "--stream", "--max-files-per-trigger", "1")).get, spark)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L),
+      "--blob-col was not honored by the streaming tail")
+    // the signature state landed beside the output
+    assert(spark.read.parquet(out + "__state/percsigs").select("__id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
+  }
 }
