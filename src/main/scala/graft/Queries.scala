@@ -4545,6 +4545,110 @@ object Queries {
         "corpus_tighter", "self_top1", "deterministic")
   }
 
+  /** STREAMING semantic-dedup state under oracle
+    * ([[graft.ops.Curate.streamingTail]] with `vecCol` — the
+    * embedding modality's durable cross-batch state, q201's pattern):
+    * every embedding row becomes a doc whose vector is the BASE
+    * embedding of `vec_id % max(20, (maxId+1)/50)` (docs sharing a
+    * key carry byte-identical vectors), texts are unique and the
+    * text near-dedup a passthrough, so the ONLY dedup in play is the
+    * semantic stage and the streamed result is exactly replayable:
+    * admitted = min vec_id per key class (identical vectors pair at
+    * cosine 1; the fixture's max CROSS-class cosine is ~0.33 vs the
+    * 0.95 threshold — REPLAYED as its own `fixture_margin_ok` column
+    * on both engines, not assumed). Then (a) the last micro-batch
+    * REPLAYS (idempotence), (b) the durable `semvecs` SRP state is
+    * censused, (c) the whole admitted corpus is DELETED and a 4th
+    * batch carrying an exact copy of class 0's vector plus its
+    * NEGATION runs — the copy must die through the narrow state
+    * alone (cosine 1 vs the stored vector), the negation must land
+    * (cosine -1; every cross cosine is under the margin). */
+  def q204CurateSemanticTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q204_")
+    try {
+      val emb = t(spark, dir, "embeddings")
+      val maxId = emb.agg(max("vec_id")).head().getLong(0)
+      val mod = math.max(20L, (maxId + 1) / 50)
+      val base = emb.where(col("vec_id") < mod)
+        .select(col("vec_id").as("__k"), col("embedding").as("vec"))
+      val docs = emb
+        .select(col("vec_id").as("doc_id"), lit("s").as("source"),
+          concat(lit("uniq text "), col("vec_id")).as("text"),
+          (col("vec_id") % mod).as("__k"))
+        .join(base, "__k").drop("__k")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cut1 = maxId / 3
+      val cut2 = 2 * maxId / 3
+      val batches = Seq(
+        docs.where(col("doc_id") <= cut1),
+        docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.where(col("doc_id") > cut2))
+      val outDir = tmp.resolve("out").toString
+      def tail = graft.ops.Curate.streamingTail(spark, outDir,
+        minQuality = 0.0, maxDup2gramFrac = 1.0, threshold = 1.01,
+        vecCol = Some("vec"))
+      batches.zipWithIndex.foreach { case (b, i) => tail(b, i.toLong) }
+      def admittedIds(): Set[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val perBatch = spark.read.parquet(outDir)
+        .groupBy(col("__batch_id").cast("long").as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val before = admittedIds()
+      tail(batches(2), 2L)
+      val replayNoop = admittedIds() == before
+      val stateVecs = spark.read.parquet(
+        tmp.resolve("out__state").resolve("semvecs").toString).count()
+      // the fixture's safety margin, replayed on BOTH engines: no
+      // cross-class base pair may reach the threshold (otherwise the
+      // closed-form class-minima replay would not model the operator)
+      val baseVecs = base.orderBy("__k")
+        .select(col("vec").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val marginOk = (for {
+        i <- baseVecs.indices; j <- baseVecs.indices if i < j
+      } yield cos(baseVecs(i), baseVecs(j))).max < 0.95
+      java.nio.file.Files.list(tmp.resolve("out")).forEach { p =>
+        if (p.getFileName.toString.startsWith("__batch_id=")) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      }
+      val dup = baseVecs(0).map(_.toFloat)
+      val neg = baseVecs(0).map(x => (-x).toFloat)
+      val extra = Seq(
+        (maxId + 1, "s", s"uniq text ${maxId + 1}", dup),
+        (maxId + 2, "s", s"uniq text ${maxId + 2}", neg))
+        .toDF("doc_id", "source", "text", "vec")
+      tail(extra, 3L)
+      val b3Path = tmp.resolve("out").resolve("__batch_id=3")
+      val b3Ids: Set[Long] =
+        if (!java.nio.file.Files.exists(b3Path)) Set.empty
+        else spark.read.parquet(b3Path.toString)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      docs.unpersist()
+      Seq((perBatch.getOrElse(0L, 0L), perBatch.getOrElse(1L, 0L),
+        perBatch.getOrElse(2L, 0L), stateVecs, replayNoop,
+        b3Ids.size.toLong, !b3Ids.contains(maxId + 1), marginOk))
+        .toDF("b0_admitted", "b1_admitted", "b2_admitted", "state_vecs",
+          "replay_noop", "b3_admitted", "b3_dup_dropped",
+          "fixture_margin_ok")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** VIDEO near-duplicate pairs under oracle
     * ([[graft.ops.Video.videoNearDupPairs]] — the q193 pattern for
     * the video modality, completing the perceptual set): every 10th

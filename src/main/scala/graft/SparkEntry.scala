@@ -226,6 +226,7 @@ object SparkEntry {
     "q201_curate_blob_tail" -> (Queries.q201CurateBlobTail(_, _)),
     "q202_ivfpq_opq" -> (Queries.q202IvfPqOpq(_, _)),
     "q203_video_neardup" -> (Queries.q203VideoNeardup(_, _)),
+    "q204_curate_semantic_tail" -> (Queries.q204CurateSemanticTail(_, _)),
   )
 
   /** q97 oracle: the 10 PageRank power iterations unrolled as chained
@@ -4668,5 +4669,43 @@ ORDER BY id_a, id_b"""),
         |JOIN km ON km.ka = least(v1.k, v2.k)
         |  AND km.kb = greatest(v1.k, v2.k)
         |ORDER BY id_a, id_b""".stripMargin,
+    // q204: the streaming semantic tail replayed from the closed
+    // form — identical-vector classes (vec_id % md), unique texts,
+    // near-dedup passthrough, so admitted = min vec_id per class
+    // (first-arrival ≡ global min under id-ordered batches); the
+    // 4th post-deletion batch admits only the negated vector. The
+    // class-minima model is sound only while no CROSS-class base
+    // pair reaches the 0.95 threshold — fixture_margin_ok replays
+    // that bound instead of assuming it (measured ~0.33 at every sf).
+    "q204_curate_semantic_tail" ->
+      """WITH mx AS (SELECT max(vec_id) AS m,
+        |            greatest(20, (max(vec_id) + 1) // 50) AS md
+        |            FROM embeddings),
+        |cls AS (
+        |  SELECT vec_id, vec_id % (SELECT md FROM mx) AS k,
+        |    CASE WHEN vec_id <= (SELECT m // 3 FROM mx) THEN 0
+        |         WHEN vec_id <= (SELECT 2 * m // 3 FROM mx) THEN 1
+        |         ELSE 2 END AS bat
+        |  FROM embeddings),
+        |win AS (SELECT k, min(vec_id) AS w FROM cls GROUP BY k),
+        |adm AS (
+        |  SELECT c.bat, count(*) AS n FROM cls c
+        |  JOIN win ON c.vec_id = win.w GROUP BY c.bat),
+        |b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < (SELECT md FROM mx))
+        |SELECT
+        |  coalesce((SELECT n FROM adm WHERE bat = 0), 0) AS b0_admitted,
+        |  coalesce((SELECT n FROM adm WHERE bat = 1), 0) AS b1_admitted,
+        |  coalesce((SELECT n FROM adm WHERE bat = 2), 0) AS b2_admitted,
+        |  (SELECT count(*) FROM win) AS state_vecs,
+        |  TRUE AS replay_noop,
+        |  1::BIGINT AS b3_admitted,
+        |  TRUE AS b3_dup_dropped,
+        |  (SELECT max(list_dot_product(a.v, c.v) /
+        |     (sqrt(list_dot_product(a.v, a.v)) *
+        |      sqrt(list_dot_product(c.v, c.v))))
+        |   FROM b a JOIN b c ON a.vec_id < c.vec_id) < 0.95
+        |    AS fixture_margin_ok""".stripMargin,
   )
 }

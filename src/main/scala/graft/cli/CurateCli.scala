@@ -252,7 +252,9 @@ object CurateCli {
         compactMaxBases = config.compactMaxBases,
         compactOutputEvery = config.compactOutputEvery,
         blobCol = config.blobCol,
-        blobMaxHamming = config.blobMaxHamming))
+        blobMaxHamming = config.blobMaxHamming,
+        vecCol = config.semanticCol,
+        semanticThreshold = config.semanticThreshold))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
         config.output.stripSuffix("/") + "__checkpoint")

@@ -349,6 +349,28 @@ object Curate {
    *   postings/  (__band, __bh, __id) [[Dedup.postingsOf]]
    *   percsigs/  (__id, modality, sig) [[Multimodal.perceptualSignature]]
    *                                   (only with `blobCol`)
+   *   semvecs/   (__id, __b, __v, __n) [[SimSearch.srpStateOf]]
+   *                                   (only with `vecCol`)
+   *
+   * WITH `vecCol`, a SEMANTIC dedup step runs after the text near
+   * dedup (Curate.standard's stage order): the batch's embeddings
+   * pair EXACTLY against the durable `semvecs` frame plus themselves
+   * ([[SimSearch.cosinePairsIncremental]] — SRP-bucketed candidates,
+   * exact-cosine verify; the admitted corpus is never re-bucketed or
+   * re-read) and drop first-arrival. The frame follows every percsigs
+   * recipe below (per-batch partitions before keys, rebuild from
+   * outDir on any coverage gap, marker-tracked — including the SRP
+   * bit width, which is part of the state's identity — output-fold
+   * compaction, replay exclusion). Note the sampled-batch semantics
+   * difference from the batch pipeline's [[SimSearch
+   * .dropSemanticDuplicates]]: the batch stage pairs within SemDeDup
+   * KMeans cells, the streaming stage within SRP buckets (a corpus
+   * fit per micro-batch would defeat the point) — both are
+   * candidate-generation strategies in front of the SAME exact-cosine
+   * verify, so they agree wherever their candidate sets both contain
+   * the true pairs (identical/near-identical vectors collide under
+   * both; CurateGateSpec pins streamed ≡ batch ≡ standard on such a
+   * fixture).
    *
    * WITH `blobCol`, a PERCEPTUAL dedup step runs between the gate and
    * the text dedups (Curate.standard's stage order): the batch's
@@ -471,15 +493,21 @@ object Curate {
                     compactOutputEvery: Option[Int] = None,
                     compactOutputFiles: Int = 8,
                     blobCol: Option[String] = None,
-                    blobMaxHamming: Int = 2)
+                    blobMaxHamming: Int = 2,
+                    vecCol: Option[String] = None,
+                    semanticThreshold: Double = 0.95,
+                    semanticBits: Int = 8)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     require(!batch.columns.contains("__batch_id"),
       "input column __batch_id collides with streamingTail's partition column")
     compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     compactOutputEvery.foreach(n =>
       require(n >= 1, "compactOutputEvery must be >= 1"))
+    require(semanticBits >= 1 && semanticBits <= 30,
+      "semanticBits must be in [1, 30]")
     val sd = stateDir.getOrElse(outDir.stripSuffix("/") + "__state")
     val percsigsDir = s"$sd/percsigs"
+    val semvecsDir = s"$sd/semvecs"
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     // the state frames are only meaningful under the banding
     // parameters they were computed with — a mismatched rerun would
@@ -489,8 +517,9 @@ object Curate {
     // is exactly the trust the caller extended before the marker
     // existed. The marker also pins whether the state TRACKS
     // PERCEPTUAL SIGNATURES (see checkStateParams).
-    val storedPercsigs = checkStateParams(spark, sd, shingleSize,
-      numHashes, bands, blobCol.isDefined)
+    val (storedPercsigs, storedSemvecs) = checkStateParams(spark, sd,
+      shingleSize, numHashes, bands, blobCol.isDefined, vecCol.isDefined,
+      semanticBits)
     // a `__batch_id`-partitioned frame under `dir`, EXCLUDING the
     // current batch's partition: on a foreachBatch retry after a
     // partial write, including it would dedup the batch against its
@@ -524,7 +553,8 @@ object Curate {
     // invariant unconditional.
     def ensureStateDirs(): Unit =
       (Seq("shingles", "postings") ++
-        blobCol.map(_ => "percsigs").toSeq).foreach { s =>
+        blobCol.map(_ => "percsigs").toSeq ++
+        vecCol.map(_ => "semvecs").toSeq).foreach { s =>
         val p = new org.apache.hadoop.fs.Path(s"$sd/$s")
         p.getFileSystem(hadoopConf).mkdirs(p)
       }
@@ -569,52 +599,71 @@ object Curate {
           .join(idToBatch, "__id"), s"$sd/postings")
         ensureStateDirs() // integrity invariant, see readState
         writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes, bands,
-          percsigs = false) // the migration block below flips it after
-                            // a successful signature rebuild
+          percsigs = false, semvecs = false,
+          sembits = semanticBits) // the migration block below flips the
+                                  // flags after a successful rebuild
         bootWrite(corpus.select(col(idCol).as("__id"),
           Novelty.exactKeyCol(textCol).as("__nk"), parts), s"$sd/keys")
       } finally sh.unpersist()
     }
-    // PERCSIGS MIGRATION/REBUILD — the perceptual-signature frame is a
-    // PURE FUNCTION of the admitted corpus' blobs, so any coverage gap
-    // (a committed state that predates blob tracking, a percsigs=false
-    // marker from blob-less batches, a destroyed percsigs dir, or the
-    // text bootstrap that just ran above) rebuilds it from outDir in
-    // one decode pass — paid once, not per batch. The keys frame stays
-    // the state's commit marker; the marker flag flips to true only
-    // after the rebuild lands, so a crash anywhere in here redoes the
-    // rebuild instead of trusting partial coverage.
-    blobCol.foreach { bc =>
-      val pp = new org.apache.hadoop.fs.Path(percsigsDir)
+    // DERIVED-STATE MIGRATION/REBUILD — the perceptual-signature and
+    // semantic-vector frames are PURE FUNCTIONS of the admitted
+    // corpus' blob/vector columns, so any coverage gap (a committed
+    // state that predates tracking, a flag=false marker from batches
+    // admitted without the column, a destroyed frame dir, or the text
+    // bootstrap that just ran above) rebuilds the frame from outDir in
+    // one pass — paid once, not per batch. The keys frame stays the
+    // state's commit marker; the params marker flips to tracking only
+    // after the rebuild lands (below, once both frames are settled),
+    // so a crash anywhere in here redoes the rebuild instead of
+    // trusting partial coverage.
+    def rebuildDerived(colName: String, dir: String, what: String,
+                       build: DataFrame => DataFrame): Unit = {
+      val pp = new org.apache.hadoop.fs.Path(dir)
       val fs = pp.getFileSystem(hadoopConf)
-      val covered = storedPercsigs && fs.exists(pp)
-      if (!covered && stateCommitted) {
-        if (!outHasBatches) throw new IllegalStateException(
-          "streamingTail: blobCol is set but the committed state at " +
-            s"$sd has no perceptual-signature coverage and $outDir " +
-            "holds no batches to rebuild it from — the admitted corpus " +
-            "is gone. Restore outDir, or delete the WHOLE state dir to " +
-            "start fresh.")
-        val corpus = spark.read.parquet(outDir)
-          .where(col("__batch_id") =!= lit(batchId))
-        require(corpus.columns.contains(bc),
-          s"streamingTail: blobCol=$bc but the admitted corpus under " +
-            s"$outDir has no such column — the perceptual state cannot " +
-            "be rebuilt for batches admitted without it")
-        Multimodal.perceptualSignature(corpus.drop("__batch_id"), idCol, bc)
-          .where(col("sig").isNotNull)
-          .withColumnRenamed(idCol, "__id")
-          .join(corpus.select(col(idCol).as("__id"), col("__batch_id")),
-            "__id")
-          .write.partitionBy("__batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(percsigsDir)
-        fs.mkdirs(pp) // a zero-signature corpus still marks coverage
-        writeControlFile(spark, sd, ParamsFile,
-          stateParamsContent(shingleSize, numHashes, bands,
-            percsigs = true))
-      }
+      if (!outHasBatches) throw new IllegalStateException(
+        s"streamingTail: $what is set but the committed state at " +
+          s"$sd has no $what coverage and $outDir holds no batches " +
+          "to rebuild it from — the admitted corpus is gone. Restore " +
+          "outDir, or delete the WHOLE state dir to start fresh.")
+      val corpus = spark.read.parquet(outDir)
+        .where(col("__batch_id") =!= lit(batchId))
+      require(corpus.columns.contains(colName),
+        s"streamingTail: $what=$colName but the admitted corpus under " +
+          s"$outDir has no such column — the state cannot be rebuilt " +
+          "for batches admitted without it")
+      build(corpus.drop("__batch_id"))
+        .withColumnRenamed(idCol, "__id")
+        .join(corpus.select(col(idCol).as("__id"), col("__batch_id")),
+          "__id")
+        .write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+      fs.mkdirs(pp) // a zero-row rebuild still marks coverage
     }
+    def dirExists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hadoopConf).exists(p)
+    }
+    blobCol.foreach { bc =>
+      if (!(storedPercsigs && dirExists(percsigsDir)) && stateCommitted)
+        rebuildDerived(bc, percsigsDir, "blobCol", c =>
+          Multimodal.perceptualSignature(c, idCol, bc)
+            .where(col("sig").isNotNull))
+    }
+    vecCol.foreach { vc =>
+      if (!(storedSemvecs && dirExists(semvecsDir)) && stateCommitted)
+        rebuildDerived(vc, semvecsDir, "vecCol", c =>
+          SimSearch.srpStateOf(c, idCol, vc, semanticBits))
+    }
+    // the marker now reflects exactly what this invocation tracks
+    // (checkStateParams already threw on any illegal transition, and
+    // the rebuilds above closed any coverage gap)
+    if (stateCommitted)
+      writeControlFile(spark, sd, ParamsFile,
+        stateParamsContent(shingleSize, numHashes, bands,
+          percsigs = blobCol.isDefined, semvecs = vecCol.isDefined,
+          sembits = semanticBits))
     // auto-compaction: once `compactEvery` uncompacted batch
     // partitions have accumulated, fold them into the bucketed base.
     // Running HERE — inside foreachBatch, before this batch's state
@@ -637,12 +686,13 @@ object Curate {
       // (the banded candidate join keys on derived chunk values, so no
       // bucket layout can make it Exchange-free; the probe side
       // broadcasts instead)
-      blobCol.foreach { _ =>
-        healOutputFold(spark, percsigsDir)
-        val pendingP = statePartIds(hadoopConf, percsigsDir)
+      (blobCol.map(_ => percsigsDir).toSeq ++
+        vecCol.map(_ => semvecsDir).toSeq).foreach { dir =>
+        healOutputFold(spark, dir)
+        val pendingP = statePartIds(hadoopConf, dir)
           .count(id => id >= 0 && id != batchId)
         if (pendingP >= n)
-          compactOutput(spark, percsigsDir, compactBuckets,
+          compactOutput(spark, dir, compactBuckets,
             compactAll = true, excludeBatchIds = Set(batchId))
       }
     }
@@ -819,7 +869,37 @@ object Curate {
       //    exact-Jaccard verified), split by which side each end is on
       val pairs = pairsOf(exact).persist(StorageLevel.MEMORY_AND_DISK)
       try {
-      val admitted = firstArrival(exact, pairs, oldIds)
+      val nearAdmitted = firstArrival(exact, pairs, oldIds)
+      // 4b. SEMANTIC dedup (vecCol set) — the embedding modality's
+      //     cross-batch step, after near dedup (Curate.standard's
+      //     stage order): the batch's vectors pair EXACTLY against
+      //     the durable SRP state plus themselves
+      //     (SimSearch.cosinePairsIncremental — the corpus is never
+      //     re-bucketed or re-read), then the same first-arrival
+      //     cross-drop + intra-batch min-id closure. Rows with null
+      //     vectors are never dropped here (no vector, no evidence).
+      val admitted = vecCol match {
+        case None => nearAdmitted
+        case Some(vc) =>
+          val oldState = corpusOverride match {
+            case Some(c) =>
+              require(c.columns.contains(vc),
+                s"streamingTail: corpusOverride has no vector column " +
+                  s"$vc — the override frame must carry the embeddings")
+              SimSearch.srpStateOf(c, idCol, vc, semanticBits)
+            case None =>
+              if (!hasParts(semvecsDir))
+                SimSearch.srpStateOf(batch.limit(0), idCol, vc,
+                  semanticBits)
+              else readParts(semvecsDir).withColumnRenamed("__id", idCol)
+          }
+          // cosinePairsIncremental localCheckpoints its output, so
+          // the three passes below reread the checkpoint, not the plan
+          val sPairs = SimSearch.cosinePairsIncremental(nearAdmitted,
+            oldState, idCol, vc, semanticThreshold, semanticBits)
+          firstArrival(nearAdmitted, sPairs,
+            oldState.select(col(idCol).as("__old_id")).distinct())
+      }
       // 5. land the batch in its own partition; a foreachBatch retry
       //    overwrites it (idempotent replay) instead of duplicating
       writeParts(admitted, outDir)
@@ -847,17 +927,22 @@ object Curate {
           writeParts(shLanded, s"$sd/shingles")
           writeParts(Dedup.postingsOf(shLanded, numHashes, bands),
             s"$sd/postings")
-          // the perceptual-signature frame rides the same recipe: the
-          // landed rows' signatures in this batch's own partition,
-          // BEFORE keys (the commit marker)
+          // the perceptual-signature and semantic-vector frames ride
+          // the same recipe: the landed rows' derived state in this
+          // batch's own partition, BEFORE keys (the commit marker)
           blobCol.foreach { bc =>
             writeParts(Multimodal.perceptualSignature(landed, idCol, bc)
               .where(col("sig").isNotNull)
               .withColumnRenamed(idCol, "__id"), percsigsDir)
           }
+          vecCol.foreach { vc =>
+            writeParts(SimSearch.srpStateOf(landed, idCol, vc,
+              semanticBits).withColumnRenamed(idCol, "__id"), semvecsDir)
+          }
           ensureStateDirs() // integrity invariant, see readState
           writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes,
-            bands, percsigs = blobCol.isDefined)
+            bands, percsigs = blobCol.isDefined,
+            semvecs = vecCol.isDefined, sembits = semanticBits)
           writeParts(landed.select(col(idCol).as("__id"),
             Novelty.exactKeyCol(textCol).as("__nk")), s"$sd/keys")
         } finally shLanded.unpersist()
@@ -985,9 +1070,10 @@ object Curate {
   }
 
   private def stateParamsContent(shingleSize: Int, numHashes: Int,
-                                 bands: Int, percsigs: Boolean): String =
+                                 bands: Int, percsigs: Boolean,
+                                 semvecs: Boolean, sembits: Int): String =
     s"shingleSize=$shingleSize\nnumHashes=$numHashes\nbands=$bands\n" +
-      s"percsigs=$percsigs"
+      s"percsigs=$percsigs\nsemvecs=$semvecs\nsembits=$sembits"
 
   /** Enforce the banding-params marker: the shingle/posting frames are
     * only meaningful under the (shingleSize, numHashes, bands) they
@@ -998,18 +1084,24 @@ object Curate {
     * caller extended before the marker existed, recorded from then on.
     *
     * The marker also records whether the state TRACKS PERCEPTUAL
-    * SIGNATURES (`percsigs=`): a state built with `blobCol` must not
-    * silently stop updating its signature frame (batches admitted
-    * without it would be invisible to every later perceptual check),
-    * so percsigs=true + a blob-less invocation throws; the converse
-    * (percsigs=false/absent + blobCol set) is a legal UPGRADE — the
-    * tail rebuilds the signature frame from outDir and flips the
-    * marker. Returns the stored percsigs flag (false when no marker
-    * or a pre-percsigs marker). */
+    * SIGNATURES (`percsigs=`) and SEMANTIC VECTORS (`semvecs=`, with
+    * their SRP `sembits=`): a state built with `blobCol`/`vecCol`
+    * must not silently stop updating its frames (batches admitted
+    * without them would be invisible to every later check), so a
+    * tracking state throws on an invocation that drops the column;
+    * the converse (untracked + column now set) is a legal UPGRADE —
+    * the tail rebuilds the frame from outDir and flips the marker.
+    * A tracked semvecs state also pins its SRP bit width (stale
+    * buckets under different hyperplanes would yield wrong candidate
+    * sets — the banding rule). Returns the stored
+    * (percsigs, semvecs) flags (false when no marker or a pre-flag
+    * marker). */
   private def checkStateParams(spark: org.apache.spark.sql.SparkSession,
                                stateDir: String, shingleSize: Int,
                                numHashes: Int, bands: Int,
-                               tracksBlobs: Boolean): Boolean = {
+                               tracksBlobs: Boolean,
+                               tracksVecs: Boolean,
+                               sembits: Int): (Boolean, Boolean) = {
     def parse(text: String): Map[String, String] =
       text.linesIterator.filter(_.contains("="))
         .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
@@ -1035,29 +1127,36 @@ object Curate {
             "invisible to every later perceptual check, silently " +
             "under-deduplicating the stream. Pass the blob column, or " +
             "delete the WHOLE state dir to rebuild without it.")
-        storedPercsigs
-      case None =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        val committed = loadCompaction(spark, stateDir).isDefined ||
-          statePartIds(conf, s"$stateDir/keys").nonEmpty
-        // adopt records the historical truth — an older-build state
-        // never tracked percsigs; the migration path flips the flag
-        // only after a successful signature rebuild
-        if (committed)
-          writeControlFile(spark, stateDir, ParamsFile,
-            stateParamsContent(shingleSize, numHashes, bands,
-              percsigs = false))
-        false
+        val storedSemvecs = kv.get("semvecs").exists(_.toBoolean)
+        if (storedSemvecs && !tracksVecs) throw new IllegalStateException(
+          s"streamingTail state at $stateDir tracks semantic vectors " +
+            "(it was built with vecCol), but this tail was invoked " +
+            "without vecCol — batches admitted now would be invisible " +
+            "to every later semantic check, silently under-" +
+            "deduplicating the stream. Pass the vector column, or " +
+            "delete the WHOLE state dir to rebuild without it.")
+        if (storedSemvecs && tracksVecs &&
+            !kv.get("sembits").contains(sembits.toString))
+          throw new IllegalStateException(
+            s"streamingTail semantic state at $stateDir was bucketed " +
+              s"under sembits=${kv.getOrElse("sembits", "?")} but this " +
+              s"tail was invoked with semanticBits=$sembits — probing " +
+              "stored buckets under different hyperplanes would yield " +
+              "wrong candidate sets. Match the parameter, or delete " +
+              "the WHOLE state dir to rebuild it from outDir.")
+        (storedPercsigs, storedSemvecs)
+      case None => (false, false)
     }
   }
 
   private def writeStateParamsIfAbsent(
       spark: org.apache.spark.sql.SparkSession, stateDir: String,
       shingleSize: Int, numHashes: Int, bands: Int,
-      percsigs: Boolean): Unit =
+      percsigs: Boolean, semvecs: Boolean, sembits: Int): Unit =
     if (readControlFile(spark, stateDir, ParamsFile).isEmpty)
       writeControlFile(spark, stateDir, ParamsFile,
-        stateParamsContent(shingleSize, numHashes, bands, percsigs))
+        stateParamsContent(shingleSize, numHashes, bands, percsigs,
+          semvecs, sembits))
 
   /** Open a compacted base as its bucketed catalog table, re-creating
     * the table definition when this JVM has never seen it (fresh

@@ -994,6 +994,80 @@ object SimSearch {
     (bucketed, verified)
   }
 
+  /** The precomputed SRP dedup-state frame behind
+    * [[cosinePairsIncremental]] — the embedding analogue of
+    * [[graft.ops.Dedup.postingsOf]]: one narrow row per non-null
+    * vector carrying its SRP bucket, the double-cast vector, and its
+    * hoisted norm (`(idCol, __b, __v, __n)`). Persist it when a batch
+    * lands (the [[graft.ops.Curate.streamingTail]] recipe) so later
+    * ingests pair against the admitted corpus without re-bucketing
+    * or re-reading it. */
+  def srpStateOf(df: DataFrame, idCol: String, vecCol: String,
+                 bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = dimOf(df, vecCol)
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol),
+        srpBucketUdf(bits, dim, seed)(col(vecCol)).as("__b"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+  }
+
+  /** INCREMENTAL embedding-cosine near-dup pairs — the
+    * [[graft.ops.Dedup.minhashPairsIncrementalIndexed]] shape for the
+    * SRP family (the daily-ingest path at 100 TB): pairs between a
+    * NEW batch and itself plus the PRECOMPUTED [[srpStateOf]] frame
+    * of the already-admitted corpus, without re-bucketing or
+    * re-pairing the corpus against itself. The new side probes its
+    * single-bit-flip buckets ([[cosineNearDupPairs]]' multi-probe
+    * policy — a pair split across one differing hyperplane sign is
+    * still a candidate whichever side is new); the corpus side
+    * contributes exact-bucket narrow rows only. Candidates carry ids
+    * only; the exact-cosine verify joins the vectors back from the
+    * two state frames, so at 768-dim embeddings the wide rows never
+    * ride the candidate shuffle. New×old pairs are id-normalized;
+    * old×old pairs were found when those batches landed. Ids must be
+    * disjoint across the two frames (one id space — the dedup
+    * family's contract). */
+  def cosinePairsIncremental(newDf: DataFrame, oldState: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double, bits: Int = 8,
+                             seed: Long = 42L): DataFrame = {
+    require(Set(idCol, "__b", "__v", "__n").subsetOf(oldState.columns.toSet),
+      s"oldState must be an srpStateOf frame ($idCol, __b, __v, __n); " +
+        s"got ${oldState.columns.mkString(",")}")
+    val newState = srpStateOf(newDf, idCol, vecCol, bits, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probes = newState.select(col(idCol).as("id_a"),
+        explode(multiProbe(col("__b"), bits)).as("__bucket"))
+      val index = newState.select(col("__b").as("__bucket"),
+        col(idCol).as("id_b"), lit(false).as("__old"))
+        .unionByName(oldState.select(col("__b").as("__bucket"),
+          col(idCol).as("id_b"), lit(true).as("__old")))
+      // new×new pairs appear from both directions -> keep id_a < id_b;
+      // new×old pairs appear once (old ids are never on the probe side)
+      val candidates = probes.join(index, Seq("__bucket"))
+        .where((col("__old") && col("id_a") =!= col("id_b")) ||
+          (!col("__old") && col("id_a") < col("id_b")))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val vecs = newState.select(col(idCol), col("__v"), col("__n"))
+        .unionByName(oldState.select(col(idCol), col("__v"), col("__n")))
+      val verified = candidates
+        .join(vecs.select(col(idCol).as("id_a"), col("__v").as("v_a"),
+          col("__n").as("n_a")), "id_a")
+        .join(vecs.select(col(idCol).as("id_b"), col("__v").as("v_b"),
+          col("__n").as("n_b")), "id_b")
+        .withColumn("cosine",
+          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cosine"))
+      verified.localCheckpoint(true)
+    } finally { newState.unpersist(); () }
+  }
+
   /**
    * SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): a
    * KMeans coarse quantizer partitions the corpus into `nlist` cells,

@@ -887,6 +887,103 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet === Set(1L, 11L, 31L))
   }
 
+  test("streaming tail vecCol: durable semantic state — streamed ≡ batch ≡ " +
+      "standard, deletion survival, marker guards") {
+    import spark.implicits._
+    // 8 orthogonal one-hot base vectors (cross-class cosine exactly 0,
+    // so the only semantic pairs are the identical copies): classes by
+    // doc_id % 8, unique texts + near passthrough so the semantic
+    // stage is the ONLY dedup in play — the streamed ≡ batch ≡
+    // standard equivalence is then exact (the batch stage's SemDeDup
+    // cells and the streaming stage's SRP buckets both contain every
+    // identical pair)
+    val gen = udf((id: Long) =>
+      Array.tabulate(16)(i => if (i == (id % 8)) 1.0f else 0.0f))
+    val input = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        concat(lit("uniq text "), col("doc_id")).as("text"))
+      .withColumn("vec", gen(col("doc_id")))
+    val maxId = input.agg(max("doc_id")).head().getLong(0)
+    val batches = Seq(
+      input.where(col("doc_id") <= maxId / 3),
+      input.where(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+      input.where(col("doc_id") > 2 * maxId / 3))
+    def tail(outDir: String) = Curate.streamingTail(spark, outDir,
+      minQuality = 0.0, maxDup2gramFrac = 1.0, threshold = 1.01,
+      vecCol = Some("vec"))
+    def admitted(outDir: String): Set[Long] =
+      spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    val d3 = java.nio.file.Files.createTempDirectory("graft-sem-3").toString
+    val fn3 = tail(d3)
+    batches.zipWithIndex.foreach { case (b, i) => fn3(b, i.toLong) }
+    val streamed = admitted(d3)
+    assert(streamed === (0L to math.min(7L, maxId)).toSet.map((k: Long) =>
+      // min id per class k: k itself unless 0 (ids start at 0? class
+      // minima are just the smallest ids 0..7 when ids are dense)
+      k), s"semantic first-arrival should keep the 8 class minima: $streamed")
+
+    val d1 = java.nio.file.Files.createTempDirectory("graft-sem-1").toString
+    tail(d1)(input, 0L)
+    assert(admitted(d1) === streamed)
+
+    val (out, _) = Curate.standard(input, input.limit(0),
+      nearDupThreshold = 1.01, semanticVecCol = Some("vec"))
+    val std = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    out.unpersist()
+    assert(streamed === std)
+
+    // durable SRP state covers exactly the admitted rows
+    val sd = d3 + "__state"
+    assert(spark.read.parquet(s"$sd/semvecs").select("__id")
+      .collect().map(_.getLong(0)).toSet === streamed)
+    // replay idempotence
+    fn3(batches(2), 2L)
+    assert(admitted(d3) === streamed)
+    // CORPUS-DELETION SURVIVAL: a dup VECTOR with unique text must die
+    // through the narrow state alone; a novel direction lands
+    java.nio.file.Files.list(java.nio.file.Paths.get(d3)).forEach { p =>
+      if (p.getFileName.toString.startsWith("__batch_id=")) rmTree(p)
+    }
+    def oneHot(k: Int): Array[Float] =
+      Array.tabulate(16)(i => if (i == k) 1.0f else 0.0f)
+    val extra = Seq(
+      (maxId + 1, "s", s"uniq text ${maxId + 1}", oneHot(0)), // class-0 dup
+      (maxId + 2, "s", s"uniq text ${maxId + 2}", oneHot(9))) // novel axis
+      .toDF("doc_id", "source", "text", "vec")
+    fn3(extra, 3L)
+    val b3 = spark.read.parquet(s"$d3/__batch_id=3").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(b3 === Set(maxId + 2),
+      s"semantic state did not survive corpus deletion: $b3")
+    // MARKER GUARDS: a vec-less invocation of a tracking state throws,
+    // and so does a different SRP bit width (stale buckets)
+    val e = intercept[IllegalStateException] {
+      Curate.streamingTail(spark, d3, minQuality = 0.0,
+        maxDup2gramFrac = 1.0, threshold = 1.01)(extra, 4L)
+    }
+    assert(e.getMessage.contains("semantic"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Curate.streamingTail(spark, d3, minQuality = 0.0,
+        maxDup2gramFrac = 1.0, threshold = 1.01,
+        vecCol = Some("vec"), semanticBits = 12)(extra, 4L)
+    }
+    assert(e2.getMessage.contains("sembits"), e2.getMessage)
+    // UPGRADE path: a corpus admitted without vecCol rebuilds the
+    // semantic state from outDir on the first vecCol batch
+    val dU = java.nio.file.Files.createTempDirectory("graft-sem-up").toString
+    Curate.streamingTail(spark, dU, minQuality = 0.0,
+      maxDup2gramFrac = 1.0, threshold = 1.01)(batches(0), 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dU + "__state", "semvecs")))
+    tail(dU)(extra, 1L) // maxId+1 duplicates class 0 — already admitted
+    val upAdmitted = spark.read.parquet(dU).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!upAdmitted.contains(maxId + 1) && upAdmitted.contains(maxId + 2),
+      s"semvecs migration rebuild failed: $upAdmitted")
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
