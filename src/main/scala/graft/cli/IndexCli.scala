@@ -37,6 +37,7 @@ import graft.sources.FormatIO
  *    measurable refit trigger.
  *
  * Flags: <verb> --index dir [--input p] [--output p] [--filetype t]
+ * [--pq-opq]
  * [--id-col c] [--vec-col c] [--nlist n] [--seed n]
  * [--sample-fraction d] [--k n] [--nprobe n] [--query-id n]
  * [--batch-id n] [--psi-alert d] [--dist-alert d] [--help].
@@ -62,6 +63,7 @@ object IndexCli {
                     pqM: Option[Int] = None,
                     pqK: Option[Int] = None,
                     pqResidual: Boolean = false,
+                    pqOpq: Boolean = false,
                     rerank: Option[Int] = None)
 
   val usage: String =
@@ -82,6 +84,10 @@ object IndexCli {
       |                             RESIDUALS (v - center) instead of raw
       |                             vectors — tighter quantization at equal
       |                             bits; persisted kind ivfpq_res
+      |  --pq-opq                   fit: with --pq-m/--pq-k, learn an OPQ
+      |                             rotation (Ge et al. 2013) before
+      |                             encoding — composes with --pq-residual;
+      |                             persisted kinds ivfpq_opq[_res]
       |  --pq-m <n> --pq-k <n>      fit: BOTH set -> IVF+PQ composed index
       |                             (codes per cell, 4*dim/m x compression;
       |                             search then needs --input for the query
@@ -131,6 +137,7 @@ object IndexCli {
         case _ => None
       }
       case "--pq-residual" :: t => loop(t, c.copy(pqResidual = true))
+      case "--pq-opq" :: t => loop(t, c.copy(pqOpq = true))
       case "--k" :: v :: t => v.toIntOption match {
         case Some(n) if n >= 1 => loop(t, c.copy(k = n))
         case _ => None
@@ -172,6 +179,7 @@ object IndexCli {
     else if (needOutput && c.output.isEmpty) None
     else if (c.pqM.isDefined != c.pqK.isDefined) None // both or neither
     else if (c.pqResidual && c.pqM.isEmpty) None // residual needs --pq-m/-k
+    else if (c.pqOpq && c.pqM.isEmpty) None // opq needs --pq-m/-k
     // --rerank is the two-stage ivfpq `search` serve and nothing else:
     // accepted anywhere it would be silently ignored, a user asking
     // for the exact rerank would get un-reranked results with no
@@ -216,18 +224,31 @@ object IndexCli {
     case "fit" if config.pqM.isDefined =>
       // composed IVF+PQ: cell-partitioned CODES (no raw vectors), so
       // the drift baseline is fitted from the input frame against the
-      // just-fitted centers (ivfBaselineOf) and persisted alongside
+      // just-fitted centers (ivfBaselineOf) and persisted alongside.
+      // An OPQ fit stores ROTATED centers, so its baseline feeds the
+      // ROTATED frame (distances are then the raw-space distances —
+      // rotation preserves L2; the drift verb rotates its batch the
+      // same way)
       val df = load(config, spark)
-      val idx = SimSearch.ivfPqFit(df, config.idCol, config.vecCol,
-        config.nlist, config.pqM.get, config.pqK.get, config.seed,
-        config.sampleFraction, residual = config.pqResidual)
+      val idx =
+        if (config.pqOpq)
+          SimSearch.ivfPqFitOpq(df, config.idCol, config.vecCol,
+            config.nlist, config.pqM.get, config.pqK.get, config.seed,
+            config.sampleFraction, residual = config.pqResidual)._1
+        else SimSearch.ivfPqFit(df, config.idCol, config.vecCol,
+          config.nlist, config.pqM.get, config.pqK.get, config.seed,
+          config.sampleFraction, residual = config.pqResidual)
       SimSearch.ivfPqSave(idx, config.index)
-      val baseline = SimSearch.ivfBaselineOf(spark, idx.centers, df,
+      val baseDf = idx.rotation
+        .map(r => SimSearch.rotateEmbeddings(df, config.vecCol, r))
+        .getOrElse(df)
+      val baseline = SimSearch.ivfBaselineOf(spark, idx.centers, baseDf,
         config.vecCol)
       SimSearch.ivfBaselineSave(spark, baseline, config.index)
       println(s"fit: ${baseline.n} vectors in ${baseline.nlist} cells, " +
         s"pq m=${config.pqM.get} k=${config.pqK.get}" +
         (if (config.pqResidual) " (residual)" else "") +
+        (if (config.pqOpq) " (opq)" else "") +
         s" -> ${config.index}")
     case "fit" =>
       val idx = SimSearch.ivfFit(load(config, spark), config.idCol,
@@ -313,8 +334,14 @@ object IndexCli {
         s"(nprobe ${config.nprobe}) -> ${config.output}")
     case "drift" =>
       val baseline = SimSearch.ivfBaselineLoad(spark, config.index)
+      // an OPQ index's centers live in the rotated space: rotate the
+      // batch so its cell shares and distances are comparable
+      val batch0 = load(config, spark)
+      val batch = SimSearch.ivfPqRotationOf(spark, config.index)
+        .map(r => SimSearch.rotateEmbeddings(batch0, config.vecCol, r))
+        .getOrElse(batch0)
       SimSearch.ivfDriftReport(spark, config.index, baseline,
-        load(config, spark), config.vecCol, config.psiAlert,
+        batch, config.vecCol, config.psiAlert,
         config.distAlert)
         .write.mode("overwrite").parquet(config.output)
       println(s"drift: ${config.input} vs ${config.index} baseline " +

@@ -1989,6 +1989,31 @@ object SimSearch {
       residual = kind.endsWith("_res"), rotation = rotation)
   }
 
+  /** Rotate an embedding column by an OPQ rotation (map-only) — the
+    * frame-side mate of a rotated index: drift baselines and drift
+    * scoring against an `ivfpq_opq` index must feed ROTATED vectors,
+    * because the persisted centers live in the rotated space (the
+    * distances are then exactly the raw-space distances — rotation
+    * preserves L2). */
+  def rotateEmbeddings(df: DataFrame, vecCol: String,
+                       rotation: Array[Array[Double]]): DataFrame =
+    df.withColumn(vecCol,
+      rotateUdf(df.sparkSession, rotation)(asDouble(col(vecCol))))
+
+  /** The persisted OPQ rotation of an index dir, when its `_kind`
+    * carries one; None for every other layout (including a plain IVF
+    * dir, which has no `_kind` at all). The torn-rotation load guard
+    * applies. */
+  def ivfPqRotationOf(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (spark.read.parquet(p.toString).collect()(0).getString(0)
+        .startsWith("ivfpq_opq")) Some(loadRotation(spark, dir))
+    else None
+  }
+
   /** Load the persisted OPQ rotation, verifying every (i, j) cell is
     * present (a torn rotation would rotate queries silently wrong). */
   private def loadRotation(spark: org.apache.spark.sql.SparkSession,

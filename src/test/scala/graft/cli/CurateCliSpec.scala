@@ -328,4 +328,41 @@ class CurateCliSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(out + "__state/percsigs").select("__id")
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
   }
+
+  test("stream lifecycle over an embedding corpus: --stream --semantic-col " +
+      "runs the durable semantic tail") {
+    import spark.implicits._
+    def oneHot(k: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == k) 1.0f else 0.0f)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curatecli-v")
+    val srcDir = tmp.resolve("feed").toString
+    val out = tmp.resolve("curated").toString
+    def stage(name: String, rows: Seq[(Long, String, String, Array[Float])],
+              mtime: Long): Unit = {
+      rows.toDF("doc_id", "source", "text", "vec").coalesce(1)
+        .write.parquet(s"$srcDir/$name")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(srcDir, name))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)))
+    }
+    stage("f0.parquet", Seq(
+      (1L, "s", "wholly unique text one", oneHot(0)),
+      (2L, "s", "wholly unique text two", oneHot(1))), 1000000L)
+    // the second micro-batch carries an identical-vector dup of doc 1
+    // (unique text — only the semantic state can drop it)
+    stage("f1.parquet", Seq(
+      (11L, "s", "wholly unique text three", oneHot(0)),
+      (12L, "s", "wholly unique text four", oneHot(2))), 1060000L)
+    CurateCli.run(CurateCli.parse(Seq(
+      "--input", s"$srcDir/*.parquet", "--output", out,
+      "--min-quality", "0.0", "--max-dup2gram", "1.0",
+      "--near-threshold", "1.01",
+      "--semantic-col", "vec",
+      "--stream", "--max-files-per-trigger", "1")).get, spark)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L),
+      "--semantic-col was not honored by the streaming tail")
+    assert(spark.read.parquet(out + "__state/semvecs").select("__id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
+  }
 }

@@ -270,6 +270,61 @@ class IndexCliSpec extends AnyFunSuite with SparkTestSession {
     } finally rm(t)
   }
 
+  test("fit --pq-opq: rotated lifecycle through the CLI equals the library") {
+    val t = tmpDir()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val basePath = t.resolve("base.parquet").toString
+      val batchPath = t.resolve("batch.parquet").toString
+      base.write.parquet(basePath)
+      batch.write.parquet(batchPath)
+      def cli(args: String*): Unit =
+        IndexCli.run(IndexCli.parse(args).get, spark)
+      // --pq-opq without the PQ geometry is rejected at parse
+      assert(IndexCli.parse(Seq("fit", "--index", "x", "--input",
+        basePath, "--pq-opq")).isEmpty)
+      val ix = t.resolve("ix").toString
+      cli("fit", "--index", ix, "--input", basePath, "--nlist", "8",
+        "--pq-m", "16", "--pq-k", "8", "--pq-opq")
+      assert(spark.read.parquet(s"$ix/_kind").head().getString(0)
+        === "ivfpq_opq")
+      // CLI search ≡ library on the persisted rotated index
+      val out = t.resolve("res").toString
+      cli("search", "--index", ix, "--output", out, "--input", basePath,
+        "--k", "7", "--nprobe", "3", "--query-id", "1")
+      val cliRows = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = SimSearch.ivfPqLoad(spark, ix, "vec_id")
+      val q = base.where(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val lib = SimSearch.ivfPqSearch(idx, q, 7, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(cliRows === lib && cliRows.head._1 === 1L)
+      // append rotates at the entry; drift rotates its batch so the
+      // HELD-OUT control stays quiet against the rotated baseline
+      cli("append", "--index", ix, "--input", batchPath, "--batch-id", "1")
+      assert(SimSearch.ivfPqLoad(spark, ix, "vec_id").codes.count()
+        === emb.count())
+      val driftOut = t.resolve("drift").toString
+      cli("drift", "--index", ix, "--input", batchPath,
+        "--output", driftOut)
+      val control = spark.read.parquet(driftOut).head()
+      assert(!control.getAs[Boolean]("psi_alert") &&
+        !control.getAs[Boolean]("dist_alert"),
+        "held-out control batch alarmed — the drift verb is not " +
+          "rotating its input to the index's space")
+      // the residual composition persists its own kind
+      val ixr = t.resolve("ixr").toString
+      cli("fit", "--index", ixr, "--input", basePath, "--nlist", "8",
+        "--pq-m", "16", "--pq-k", "8", "--pq-opq", "--pq-residual")
+      assert(spark.read.parquet(s"$ixr/_kind").head().getString(0)
+        === "ivfpq_opq_res")
+    } finally rm(t)
+  }
+
   test("append --batch-id: exactly-once replay is a no-op (both layouts)") {
     val t = tmpDir()
     try {
