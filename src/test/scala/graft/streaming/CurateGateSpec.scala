@@ -984,6 +984,58 @@ class CurateGateSpec extends AnyFunSuite with SparkTestSession {
       s"semvecs migration rebuild failed: $upAdmitted")
   }
 
+  test("streaming tail blobCol + vecCol COMPOSE: both durable states, streamed ≡ standard") {
+    import spark.implicits._
+    // both modalities in one corpus, classes ALIGNED on doc_id % 11 so
+    // the streamed ≡ standard equivalence is exact: with CROSSED keys
+    // a blob classmate dropped by the SEMANTIC stage would not be in
+    // the perceptual state to claim its class — the documented
+    // first-arrival epsilon ("a doc whose only near-witness was itself
+    // rejected stays") now spanning two modalities. Aligned keys keep
+    // every cross-batch witness an admitted row; the vecCol/blobCol
+    // suites above already pin each modality's own semantics.
+    val genBlob = udf((id: Long) => CurateBlobFixtures.ppm((id % 11).toInt))
+    val genVec = udf((id: Long) =>
+      Array.tabulate(16)(i => if (i == (id % 11)) 1.0f else 0.0f))
+    val input = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        concat(lit("uniq text "), col("doc_id")).as("text"))
+      .withColumn("blob", genBlob(col("doc_id")))
+      .withColumn("vec", genVec(col("doc_id")))
+    val maxId = input.agg(max("doc_id")).head().getLong(0)
+    val batches = Seq(
+      input.where(col("doc_id") <= maxId / 3),
+      input.where(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+      input.where(col("doc_id") > 2 * maxId / 3))
+    val d = java.nio.file.Files.createTempDirectory("graft-both").toString
+    val fn = Curate.streamingTail(spark, d,
+      minQuality = 0.0, maxDup2gramFrac = 1.0, threshold = 1.01,
+      blobCol = Some("blob"), blobMaxHamming = 0, vecCol = Some("vec"))
+    batches.zipWithIndex.foreach { case (b, i) => fn(b, i.toLong) }
+    val streamed = spark.read.parquet(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // nlist below the 11 distinct one-hots: MLlib KMeans aborts when
+    // k exceeds the distinct-point count (a degenerate-fixture quirk,
+    // not a corpus shape — real embeddings are all distinct)
+    val (out, _) = Curate.standard(input, input.limit(0),
+      nearDupThreshold = 1.01, blobCol = Some("blob"), blobMaxHamming = 0,
+      semanticVecCol = Some("vec"), semanticNlist = 8)
+    val std = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    out.unpersist()
+    assert(streamed === std, s"composed streamed != standard: " +
+      s"only-streamed=${streamed -- std} only-std=${std -- streamed}")
+    // both durable frames landed, each covering exactly the admitted rows
+    val sd = d + "__state"
+    assert(spark.read.parquet(s"$sd/percsigs").select("__id")
+      .collect().map(_.getLong(0)).toSet === streamed)
+    assert(spark.read.parquet(s"$sd/semvecs").select("__id")
+      .collect().map(_.getLong(0)).toSet === streamed)
+    // replay idempotence with both states active
+    fn(batches(2), 2L)
+    assert(spark.read.parquet(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === streamed)
+  }
+
   test("misra-gries aggregate streams: Complete-mode candidates equal the batch pass") {
     // the UDAF is a TypedImperativeAggregate, so it runs as a normal
     // streaming aggregation — the heavy-hitter candidate sketch over
