@@ -345,4 +345,45 @@ object KernelProps extends Properties("kernels") {
           math.abs((s.full + s.fracRate) - epochs) <= 5e-13 + 1e-12 * epochs
         })
     }
+
+  // randomized training samples for opqTrain: n rows of dim d = m*dsub
+  private val opqSample: Gen[(Array[Array[Double]], Int, Int)] = for {
+    m <- Gen.oneOf(2, 4)
+    dsub <- Gen.choose(2, 4)
+    k <- Gen.choose(2, 6)
+    n <- Gen.choose(4, 24)
+    rows <- Gen.listOfN(n * m * dsub, Gen.choose(-5.0, 5.0))
+  } yield (rows.grouped(m * dsub).map(_.toArray).toArray, m, k)
+
+  property("opqTrain: monotone objective (rotated <= identity), every iteration count") =
+    Prop.forAllNoShrink(opqSample, Gen.choose(0, 4), Gen.choose(42L, 46L)) {
+      case ((sample, m, k), iters, seed) =>
+        val (_, _, stats) = SimSearch.opqTrain(sample, m, k, seed,
+          iters = iters, lloydIters = 3)
+        Prop(stats.errRotated <= stats.errIdentity + 1e-9) :|
+          s"objective rose: ${stats.errRotated} > ${stats.errIdentity}" &&
+          Prop(iters > 0 || math.abs(stats.errRotated - stats.errIdentity) < 1e-12) :|
+          "iters=0 must return the identity baseline itself"
+    }
+
+  property("opqTrain: the learned rotation is orthonormal and preserves L2 norms") =
+    Prop.forAllNoShrink(opqSample, Gen.choose(43L, 47L)) {
+      case ((sample, m, k), seed) =>
+        val (r, _, _) = SimSearch.opqTrain(sample, m, k, seed,
+          iters = 2, lloydIters = 3)
+        val d = r.length
+        val ortho = (0 until d).forall { i =>
+          (0 until d).forall { j =>
+            val dot = (0 until d).map(p => r(i)(p) * r(j)(p)).sum
+            math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+          }
+        }
+        val normKept = sample.take(5).forall { v =>
+          val y = SimSearch.rotateVec(r, v)
+          val nv = math.sqrt(v.map(x => x * x).sum)
+          val ny = math.sqrt(y.map(x => x * x).sum)
+          math.abs(nv - ny) <= 1e-9 * (1.0 + nv)
+        }
+        Prop(ortho) :| "R Rᵀ != I" && Prop(normKept) :| "||Rv|| != ||v||"
+    }
 }

@@ -779,6 +779,42 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("cosinePairsIncremental: batch-touching pairs only, equals the filtered self-join") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // duplicate-vector plants: ids >= 10000 carry the base vector of
+    // (id - 10000), so near-dup pairs exist by construction
+    val dups = emb.where(c("vec_id") < 30)
+      .select((c("vec_id") + 10000L).as("vec_id"), c("embedding"))
+    val all = emb.unionByName(dups)
+    val newBatch = all.where(c("vec_id") % 5 === 0)
+    val oldRows = all.where(c("vec_id") % 5 =!= 0)
+    val oldState = SimSearch.srpStateOf(oldRows, "vec_id", "embedding")
+    val inc = SimSearch.cosinePairsIncremental(newBatch, oldState,
+      "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(inc.nonEmpty, "fixture planted no incremental pairs")
+    // old x old pairs never re-appear; every pair touches the batch
+    val batchIds = newBatch.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(inc.forall(p => batchIds(p._1) || batchIds(p._2)))
+    // equals the FULL self-join filtered to batch-touching pairs (the
+    // q199 discipline for the embedding modality). Same bits/seed, so
+    // the SRP candidate sets agree bucket for bucket.
+    val full = SimSearch.cosineNearDupPairs(all, "vec_id", "embedding",
+      threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds(p._1) || batchIds(p._2)).toSet
+    assert(inc === full)
+    // the state-frame guard refuses a non-srpStateOf frame
+    intercept[IllegalArgumentException] {
+      SimSearch.cosinePairsIncremental(newBatch, oldRows, "vec_id",
+        "embedding", threshold = 0.95)
+    }
+  }
+
   test("ivfPqFitOpq: monotone objective, orthonormal rotation, round-trip, append, batch parity") {
     import org.apache.spark.sql.functions.{col => c}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
