@@ -370,7 +370,16 @@ object Curate {
    * verify, so they agree wherever their candidate sets both contain
    * the true pairs (identical/near-identical vectors collide under
    * both; CurateGateSpec pins streamed ≡ batch ≡ standard on such a
-   * fixture).
+   * fixture). Scale shape, honestly: unlike the text postings (whose
+   * bucketed base keeps the state side Exchange-free), the semantic
+   * state is scanned ONCE per batch — column-pruned to (id, bucket)
+   * for the candidate join (the O(batch) probe side broadcasts) and
+   * to the candidate ids' vectors for the verify; nothing corpus-wide
+   * ever shuffles, but the scan itself is O(admitted corpus) columnar
+   * bytes per batch. At extreme scale the upgrade path is a
+   * bucket-partitioned fold of the state (probe-cell file pruning,
+   * the ivfPqSave recipe) — deliberately not paid until a profile
+   * demands it.
    *
    * WITH `blobCol`, a PERCEPTUAL dedup step runs between the gate and
    * the text dedups (Curate.standard's stage order): the batch's
