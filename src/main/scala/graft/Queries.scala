@@ -4502,9 +4502,12 @@ object Queries {
     * rotation/residual flags; (b) never increase the TRAINING
     * objective (guaranteed: every alternating step is monotone —
     * both the shared and the residual composition); (c) quantize the
-    * CORPUS tighter or equal — mean squared reconstruction error of
-    * the rotated index <= the identity baseline's (the
-    * generalization claim, measured not assumed); (d) self-match
+    * CORPUS tighter or equal within 5% — mean squared reconstruction
+    * error of the rotated index <= 1.05x the identity baseline's
+    * (the generalization claim: measured STRICTLY tighter at every
+    * tested sf when frozen, with slack because the monotonicity
+    * guarantee covers only the training sample — the q197/q186 bar
+    * discipline); (d) self-match
     * under production pruning on the LOADED indexes, deterministic
     * (OpsSpec pins loaded ≡ in-memory and the append/batch paths).
     * Thread-stability provenance: the rotation is fit driver-side
@@ -4536,7 +4539,15 @@ object Queries {
         ident.rotation.isDefined,
       opqStats.errRotated <= opqStats.errIdentity,
       resStats.errRotated <= resStats.errIdentity,
-      corpusOpq <= corpusIdent,
+      // GENERALIZATION claim with slack (the q197/q186 discipline for
+      // non-guaranteed bars): the monotone-objective argument covers
+      // the 4096-row training sample only; on the corpus the rotation
+      // measured STRICTLY tighter at sf0.001/0.01/0.1 when frozen
+      // (2026-08-16), and the 5% headroom keeps a correct
+      // implementation from going red on a future sample-
+      // unrepresentative scale factor. The strict, guaranteed claim
+      // is the objective_decreased pair above.
+      corpusOpq <= corpusIdent * 1.05,
       servedOpq.head._1 == 0L && servedRes.head._1 == 0L,
       servedOpq == rows(graft.ops.SimSearch.ivfPqSearch(opq, q, 10, nprobe = 4)) &&
         servedRes == rows(graft.ops.SimSearch.ivfPqSearch(res, q, 10, nprobe = 4))))

@@ -844,6 +844,12 @@ object Curate {
     //     (id, modality, sig) state — the admitted corpus' BLOBS are
     //     never re-decoded.
     var percPairs: Option[DataFrame] = None
+    var batchSigs: Option[DataFrame] = None
+    // the try opens BEFORE the perceptual stage: its persisted frames
+    // are eagerly materialized (the pair checkpoint and the closure
+    // jobs run inside firstArrival), so a failure anywhere past this
+    // point must release them like every other cache in this tail
+    try {
     val pGated = blobCol match {
       case None => gated
       case Some(bc) =>
@@ -861,14 +867,20 @@ object Curate {
               Multimodal.perceptualSignature(batch.limit(0), idCol, bc)
             else readParts(percsigsDir).withColumnRenamed("__id", idCol)
         }
-        val pairs = Multimodal.perceptualPairsIncremental(gated, oldSigs,
-          idCol, bc, blobMaxHamming)
+        // the batch's payloads are SIGNATURED ONCE: the persisted
+        // frame feeds the pairing here and the state write after the
+        // batch lands (decode is the stage's dominant per-row cost)
+        val sigs = Multimodal.perceptualSignature(gated, idCol, bc)
+          .where(col("sig").isNotNull)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        batchSigs = Some(sigs)
+        val pairs = Multimodal.perceptualPairsIncrementalFromSigs(sigs,
+          oldSigs, idCol, blobMaxHamming)
           .persist(StorageLevel.MEMORY_AND_DISK)
         percPairs = Some(pairs)
         firstArrival(gated, pairs,
           oldSigs.select(col(idCol).as("__old_id")).distinct())
     }
-    try {
     // 3. exact: cross-batch novelty (key anti-join), then intra-batch
     //    min-id winner
     val exact = Dedup.exact(novelOf(pGated), idCol, textCol)
@@ -938,10 +950,14 @@ object Curate {
             s"$sd/postings")
           // the perceptual-signature and semantic-vector frames ride
           // the same recipe: the landed rows' derived state in this
-          // batch's own partition, BEFORE keys (the commit marker)
-          blobCol.foreach { bc =>
-            writeParts(Multimodal.perceptualSignature(landed, idCol, bc)
-              .where(col("sig").isNotNull)
+          // batch's own partition, BEFORE keys (the commit marker).
+          // The signatures come from the batch's ONE persisted decode
+          // pass, semi-joined to the landed ids — payload bytes are
+          // identical, so this is still a pure function of the
+          // durable output
+          blobCol.foreach { _ =>
+            writeParts(batchSigs.get
+              .join(landed.select(col(idCol)), Seq(idCol), "left_semi")
               .withColumnRenamed(idCol, "__id"), percsigsDir)
           }
           vecCol.foreach { vc =>
@@ -958,7 +974,10 @@ object Curate {
       }
       } finally pairs.unpersist() // a failed write must not leak the cache
     } finally exact.unpersist()
-    } finally percPairs.foreach(_.unpersist())
+    } finally {
+      percPairs.foreach(_.unpersist())
+      batchSigs.foreach(_.unpersist())
+    }
   }
 
   // ------------------------------------------------------------------

@@ -540,19 +540,21 @@ object Multimodal {
     * expected-insertion estimate CAPPED at [[PerceptualKeySpace]]:
     * the key space is finite by construction, so sizing the Bloom at
     * 4×rows past that point only buys gigabytes of bits with strictly
-    * HIGHER fpp than the ~1.3 MB the capped size needs. Two passes
-    * over the narrow exploded key frame (bits + exact distinct-key
-    * count — the count is what makes saturation an exact, visible
-    * number instead of a silent flag-everything failure); a fit whose
-    * saturation exceeds 0.9 logs a loud warning. */
+    * HIGHER fpp than the ~1.3 MB the capped size needs. The exploded
+    * key frame is PERSISTED for the fit's lifetime so the signature
+    * lineage (often a live blob-decode) evaluates ONCE: one combined
+    * aggregate yields both the insertion estimate and the exact
+    * distinct-key count (what makes saturation a visible number
+    * instead of a silent flag-everything failure), then the Bloom
+    * pass reads the cache; a fit whose saturation exceeds 0.9 logs a
+    * loud warning. */
   def fitPerceptualIndex(sigs: DataFrame,
                          fpp: Double = 0.001): PerceptualIndex = {
     require(Set("modality", "sig").subsetOf(sigs.columns.toSet),
       "fitPerceptualIndex expects a perceptualSignature frame " +
         s"(modality, sig); got ${sigs.columns.mkString(",")}")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val live = sigs.where(col("sig").isNotNull)
-    val keyed = live
+    val keyed = sigs.where(col("sig").isNotNull)
       .select(col("sig"),
         when(col("modality") === "image", 0L).otherwise(lit(1L)).as("__m"))
       .select(explode(array((0 until 4).map { j =>
@@ -561,10 +563,15 @@ object Multimodal {
           .bitwiseOR(shiftrightunsigned(col("sig"), j * 16)
             .bitwiseAND(lit(0xFFFFL)))
       }: _*)).as("__k"))
-    val nEst = math.min(math.max(live.count() * 4, 1L), PerceptualKeySpace)
-    val bloom = keyed.stat.bloomFilter("__k", nEst, fpp / 4)
-    val distinctKeys = keyed.agg(countDistinct(col("__k"))).head().getLong(0)
-    val idx = PerceptualIndex(bloom, distinctKeys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = try {
+      // exactly 4 keys per live signature, so the keyed count IS the
+      // old live.count()*4 insertion estimate
+      val r = keyed.agg(count(lit(1)), countDistinct(col("__k"))).head()
+      val nEst = math.min(math.max(r.getLong(0), 1L), PerceptualKeySpace)
+      val bloom = keyed.stat.bloomFilter("__k", nEst, fpp / 4)
+      PerceptualIndex(bloom, r.getLong(1))
+    } finally { keyed.unpersist(); () }
     if (idx.saturation > 0.9)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         f"fitPerceptualIndex: the chunk-key space is ${idx.saturation * 100}%.1f%% " +
@@ -630,15 +637,29 @@ object Multimodal {
   def perceptualPairsIncremental(newBlobs: DataFrame, oldSigs: DataFrame,
                                  idCol: String = "blob_id",
                                  dataCol: String = "data",
-                                 maxHamming: Int = 2): DataFrame = {
-    require(Set(idCol, "modality", "sig").subsetOf(oldSigs.columns.toSet),
-      s"oldSigs must be a perceptualSignature frame " +
-        s"($idCol, modality, sig); got ${oldSigs.columns.mkString(",")}")
-    val newSigs = perceptualSignature(newBlobs, idCol, dataCol)
-      .where(col("sig").isNotNull)
+                                 maxHamming: Int = 2): DataFrame =
+    perceptualPairsIncrementalFromSigs(
+      perceptualSignature(newBlobs, idCol, dataCol)
+        .where(col("sig").isNotNull),
+      oldSigs, idCol, maxHamming)
+
+  /** [[perceptualPairsIncremental]] over an ALREADY-SIGNATURED new
+    * batch — the entry a caller uses when it needs the batch's
+    * signature frame for something else too (the streaming tail
+    * pairs with it AND persists it as state: decoding every payload
+    * twice would double the stage's dominant cost). */
+  def perceptualPairsIncrementalFromSigs(newSigs: DataFrame,
+                                         oldSigs: DataFrame,
+                                         idCol: String = "blob_id",
+                                         maxHamming: Int = 2): DataFrame = {
+    Seq(newSigs -> "newSigs", oldSigs -> "oldSigs").foreach { case (f, n) =>
+      require(Set(idCol, "modality", "sig").subsetOf(f.columns.toSet),
+        s"$n must be a perceptualSignature frame " +
+          s"($idCol, modality, sig); got ${f.columns.mkString(",")}")
+    }
     Seq("image", "audio").map { m =>
       SimHash.nearDupPairsFromSigsIncremental(
-        newSigs.where(col("modality") === m),
+        newSigs.where(col("modality") === m && col("sig").isNotNull),
         oldSigs.where(col("modality") === m && col("sig").isNotNull),
         idCol, "sig", maxHamming)
     }.reduce(_.unionByName(_))

@@ -482,8 +482,17 @@ object SimSearch {
           val dest = new org.apache.hadoop.fs.Path(cell.getPath,
             s"__batch_id=$FitBatchId")
           fs.mkdirs(dest)
-          legacy.foreach(f => fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(dest, f.getPath.getName)))
+          legacy.foreach { f =>
+            // Hadoop FileSystem.rename reports failure by RETURNING
+            // false, not throwing — swallowing it would leave the
+            // mixed-depth layout this migration exists to prevent,
+            // with nothing pointing at the unmoved file
+            val to = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+            if (!fs.rename(f.getPath, to)) throw new java.io.IOException(
+              s"migrateLegacyCellLayout: rename ${f.getPath} -> $to " +
+                "failed — the index layout is still mixed-depth; " +
+                "resolve the filesystem issue and retry the append")
+          }
         }
       }
   }
@@ -1035,6 +1044,21 @@ object SimSearch {
     require(Set(idCol, "__b", "__v", "__n").subsetOf(oldState.columns.toSet),
       s"oldState must be an srpStateOf frame ($idCol, __b, __v, __n); " +
         s"got ${oldState.columns.mkString(",")}")
+    // dim drift between the batch and the stored state must fail
+    // LOUDLY (the nearestCell rule): mismatched widths would bucket
+    // under different hyperplanes AND null out the zip_with dot in the
+    // verify — every near-dup of an admitted row silently admitted,
+    // the exact under-deduplication this state exists to prevent.
+    // One limit(1) peek per side — noise next to the pair pass.
+    val newDim = dimOf(newDf, vecCol)
+    val oldDim = oldState.where(col("__v").isNotNull)
+      .select(size(col("__v"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    require(newDim == 0 || oldDim == 0 || newDim == oldDim,
+      s"cosinePairsIncremental: batch embedding dim $newDim != stored " +
+        s"state dim $oldDim — the corpus was re-embedded under a " +
+        "different model/config; refit the state (delete and let the " +
+        "tail rebuild it) instead of pairing across spaces")
     val newState = srpStateOf(newDf, idCol, vecCol, bits, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

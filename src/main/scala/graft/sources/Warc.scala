@@ -273,25 +273,24 @@ object Warc {
               at + 1 < data.length && data(at + 1) == '\n') 2
           else if (at < data.length && data(at) == '\n') 1
           else 0
-        var hEnd = -1; var sepLen = 0; var j = i
+        var hEnd = -1; var sepLen = 0; var ambiguous = false; var j = i
         while (hEnd < 0 && j < data.length) {
           val b1 = breakLen(j)
           if (b1 > 0) {
             val b2 = breakLen(j + b1)
             if (b2 > 0) {
               hEnd = j; sepLen = b1 + b2
-              // `\n\r\n\r\n` — an LF-terminated LAST header line
-              // followed by a SPEC CRLF-CRLF blank: the earliest
-              // double-break (`\n`+`\r\n`) ends one break early and
-              // would donate the blank's second CRLF to the payload,
-              // shifting the Content-Length window by two bytes.
-              // Prefer the longest separator at the match: consume
-              // the full `\n\r\n\r\n`. Spec-pure CRLF files never
-              // enter this arm (their first break is 2 bytes), so a
-              // payload legitimately starting with CRLF after a
-              // CRLF-CRLF blank is untouched.
+              // `\n\r\n\r\n` — EITHER an LF-terminated LAST header
+              // line followed by a SPEC CRLF-CRLF blank (separator is
+              // all 5 bytes) OR an LF header + CRLF blank with a
+              // payload that legitimately STARTS with CRLF (separator
+              // is 3). The bytes alone cannot say; Content-Length
+              // can: below, once clen is parsed, the window whose end
+              // lands on a valid record boundary wins (ties go to the
+              // spec-leaning 5-byte read). Spec-pure CRLF files never
+              // enter this arm — their first break is 2 bytes.
               if (b1 == 1 && b2 == 2 && breakLen(j + 3) == 2)
-                sepLen = 5
+                ambiguous = true
             }
           }
           j += 1
@@ -302,6 +301,21 @@ object Warc {
           val (wtype, url, rid, date, ctype, clen) =
             parseHeaders(headerText.stripPrefix(RecordHeader + "\r\n")
               .stripPrefix(RecordHeader + "\n"))
+          if (ambiguous && clen >= 0) {
+            // a valid boundary = only inter-record breaks up to EOF
+            // or the next version line
+            def boundaryOk(end: Long): Boolean =
+              end <= data.length && {
+                var p = end.toInt
+                while (p < data.length &&
+                  (data(p) == '\r' || data(p) == '\n')) p += 1
+                p >= data.length || startsWith(RecordHeader, p)
+              }
+            sepLen =
+              if (boundaryOk(hEnd + 5 + clen)) 5
+              else if (boundaryOk(hEnd + 3 + clen)) 3
+              else 5 // neither aligns: keep the spec-leaning read
+          }
           if (clen >= 0 && hEnd + sepLen + clen <= data.length) {
             val payload = new String(data, hEnd + sepLen, clen.toInt, utf8)
             out += ((wtype, url, rid, date, ctype, clen, payload))

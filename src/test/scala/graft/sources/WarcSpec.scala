@@ -505,6 +505,15 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     val (recs2, bad2) = Warc.parseWarcBytes(lead.getBytes("UTF-8"))
     assert(bad2 === 0L)
     assert(recs2.map(r => (r._1, r._6)) === Vector(("http://d", "\r\ndelta")))
+    // the genuinely ambiguous mix — LF header + CRLF blank + a payload
+    // starting with CRLF — disambiguates by Content-Length: only the
+    // 3-byte separator's window ends on a valid record boundary here
+    // (the 5-byte read would run past the payload into EOF)
+    val mixLead = "WARC/1.0\r\nWARC-Target-URI: http://e\nContent-Length: 7\n\r\n" +
+      "\r\ndelta"
+    val (recs3, bad3) = Warc.parseWarcBytes(mixLead.getBytes("UTF-8"))
+    assert(bad3 === 0L)
+    assert(recs3.map(r => (r._1, r._6)) === Vector(("http://e", "\r\ndelta")))
   }
 
   test("reader plans stay narrow: no exchange before the payload lands") {
