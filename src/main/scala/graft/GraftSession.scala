@@ -15,6 +15,20 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Shuffle writer choice (r18 profile): with R <= 200 reduce
+      // partitions Spark picks BypassMergeSortShuffleWriter, which
+      // opens one temp file PER REDUCE PARTITION per map task and then
+      // concatenates them — R+2 file-metadata ops per task. Thread
+      // samples during the streaming-tail lifecycles showed 44/51
+      // RUNNABLE executor frames inside that writer's file open/merge
+      // path (DiskBlockObjectWriter.initialize, copyFileStreamNIO):
+      // a many-small-stage battery pays O(stages x tasks x R) metadata
+      // ops. Threshold 1 forces the sort-based writer — one spill file
+      // + one index per map task, O(R) fewer metadata ops — at every
+      // scale; large-R production shuffles (R > 200) never used the
+      // bypass writer anyway, so this only changes the small-R regime
+      // where the bypass writer's file fan-out is the known cost.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

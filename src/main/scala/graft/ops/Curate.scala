@@ -832,6 +832,15 @@ object Curate {
         .select(col("node").as(idCol))
       afterCross.join(losers, Seq(idCol), "left_anti")
     }
+    // UI/profiler attribution (optimization-guide §1.5): every job a
+    // phase triggers carries the phase name; restored afterwards so a
+    // caller's own description survives this tail.
+    def labeled[T](phase: String)(f: => T): T = {
+      val sc = spark.sparkContext
+      val old = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(s"streamingTail[b=$batchId] $phase")
+      try f finally sc.setJobDescription(old)
+    }
     // 2b. PERCEPTUAL dedup (blobCol set) — the EXACT incremental
     //     pairing vs the durable signature state (never the
     //     over-dropping Bloom prefilter), BEFORE the text dedups,
@@ -852,7 +861,7 @@ object Curate {
     try {
     val pGated = blobCol match {
       case None => gated
-      case Some(bc) =>
+      case Some(bc) => labeled("perceptual") {
         val oldSigs = corpusOverride match {
           case Some(c) =>
             require(c.columns.contains(bc),
@@ -880,6 +889,7 @@ object Curate {
         percPairs = Some(pairs)
         firstArrival(gated, pairs,
           oldSigs.select(col(idCol).as("__old_id")).distinct())
+      }
     }
     // 3. exact: cross-batch novelty (key anti-join), then intra-batch
     //    min-id winner
@@ -888,9 +898,11 @@ object Curate {
     try {
       // 4. near: one incremental pair pass (new x corpus + new x new,
       //    exact-Jaccard verified), split by which side each end is on
-      val pairs = pairsOf(exact).persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = labeled("near-pairs") {
+        pairsOf(exact).persist(StorageLevel.MEMORY_AND_DISK) }
       try {
-      val nearAdmitted = firstArrival(exact, pairs, oldIds)
+      val nearAdmitted = labeled("near-closure") {
+        firstArrival(exact, pairs, oldIds) }
       // 4b. SEMANTIC dedup (vecCol set) — the embedding modality's
       //     cross-batch step, after near dedup (Curate.standard's
       //     stage order): the batch's vectors pair EXACTLY against
@@ -901,7 +913,7 @@ object Curate {
       //     vectors are never dropped here (no vector, no evidence).
       val admitted = vecCol match {
         case None => nearAdmitted
-        case Some(vc) =>
+        case Some(vc) => labeled("semantic") {
           val oldState = corpusOverride match {
             case Some(c) =>
               require(c.columns.contains(vc),
@@ -920,10 +932,11 @@ object Curate {
             oldState, idCol, vc, semanticThreshold, semanticBits)
           firstArrival(nearAdmitted, sPairs,
             oldState.select(col(idCol).as("__old_id")).distinct())
+        }
       }
       // 5. land the batch in its own partition; a foreachBatch retry
       //    overwrites it (idempotent replay) instead of duplicating
-      writeParts(admitted, outDir)
+      labeled("land-output") { writeParts(admitted, outDir) }
       // 6. maintain the durable state from the rows JUST LANDED (read
       //    back the one pruned partition — cheap, and it makes the
       //    state a pure function of the durable output). The batch's
@@ -939,7 +952,7 @@ object Curate {
       //    rows again.
       val landedPath = new org.apache.hadoop.fs.Path(
         s"$outDir/__batch_id=$batchId")
-      if (landedPath.getFileSystem(hadoopConf).exists(landedPath)) {
+      if (landedPath.getFileSystem(hadoopConf).exists(landedPath)) labeled("state-write") {
         val landed = spark.read.parquet(outDir)
           .where(col("__batch_id") === lit(batchId)).drop("__batch_id")
         val shLanded = Dedup.shinglesOf(landed, idCol, textCol, shingleSize)

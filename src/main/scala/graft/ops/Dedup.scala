@@ -334,6 +334,7 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 12,
                    bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    if (threshold > 1.0) return emptyPairs(df, idCol)
     val (sh, verified) = minhashPairsPlan(df, idCol, textCol, shingleSize,
       numHashes, bands, threshold)
     // Eagerly materialize the (LSH-small) verified pair set so the
@@ -355,6 +356,24 @@ object Dedup {
                            shingleSize: Int): DataFrame =
     shinglesOf(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The provably-empty verified-pair frame (id_a, id_b, jaccard) in
+    * `df`'s id type — what every MinHash pair function returns when
+    * `threshold > 1`: Jaccard is bounded by 1, so no pair can verify
+    * and the shingle/posting/join work is dead (the passthrough
+    * configuration callers use to disable a text near-dedup stage).
+    * RDD-backed like the checkpointed frames the normal paths return. */
+  private def emptyPairs(df: DataFrame, idCol: String): DataFrame = {
+    val idt = df.schema(idCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", idt),
+      org.apache.spark.sql.types.StructField("id_b", idt),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Narrow (band, hash, id) posting of a shingle frame — the only
     * thing the candidate shuffle ever carries. */
@@ -484,20 +503,107 @@ object Dedup {
    * and [[componentsOf]] logs a warning for callers that keep the
    * labels-only shape.
    */
+  /** Pair-count ceiling for [[componentsWithStatus]]'s driver-side
+    * union-find fast path: at 2^20 pairs the collected edge frame is
+    * ~32 MB of longs — bounded driver work, the [[hintIfSmall]]
+    * size-guard discipline. Above the cap (a duplicate-heavy crawl
+    * whose verified pair graph is corpus-scale) the distributed
+    * min-label loop runs unchanged. */
+  private[ops] val DriverComponentsMaxPairs: Long = 1L << 20
+
+  /** Driver union-find over collected (src, dst) long edges: comp =
+    * min id of each node's component — exactly the min-label
+    * propagation fixpoint, without the per-iteration join + agg +
+    * checkpoint jobs (2 jobs per round; graphs of diameter d pay
+    * ~2d+4 jobs in the loop vs 1 collect here). Min-id roots: union
+    * links the larger root under the smaller, so find() lands on the
+    * component minimum directly. */
+  private def driverUnionFind(edges: Array[(Long, Long)])
+      : scala.collection.mutable.LongMap[Long] = {
+    val parent = new scala.collection.mutable.LongMap[Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      // path compression
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = new scala.collection.mutable.LongMap[Long](parent.size)
+    parent.foreachKey(k => out(k) = find(k))
+    out
+  }
+
   private[ops] def componentsWithStatus(pairs: DataFrame,
-                                        maxIter: Int = 25): (DataFrame, Boolean) = {
+                                        maxIter: Int = 25,
+                                        driverMaxPairs: Long =
+                                          DriverComponentsMaxPairs)
+      : (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     // no pairs -> no components: skip the whole propagation loop (the
     // COMMON production case — a mostly-clean corpus — would otherwise
     // pay several per-iteration jobs to converge on an empty frame).
-    // isEmpty here reads the already-materialized checkpoint, not the
-    // (possibly expensive) pair lineage.
-    if (edges.isEmpty) {
+    // The count here reads the already-materialized checkpoint, not
+    // the (possibly expensive) pair lineage; it also feeds the
+    // driver-fast-path size guard below.
+    val nEdges = edges.count()
+    if (nEdges == 0) {
       val empty = edges.select(col("src").as("node"), col("dst").as("comp"))
       edges.unpersist()
       return (empty, true)
+    }
+    // GUARDED DRIVER FAST PATH (integral ids only): below the pair cap
+    // the closure is a single collect of the checkpointed 16-byte edge
+    // rows plus a driver union-find — identical (node, comp = min id
+    // reachable) labels, ~1 job instead of the loop's 2-per-round.
+    // Restricted to integer id types because the distributed loop's
+    // min() on strings is UTF8 binary order, which JVM String ordering
+    // does not match for non-ASCII ids — the driver path must never be
+    // able to pick a different winner. Non-integral or over-cap pair
+    // graphs take the distributed loop below, results identical
+    // (OpsSpec pins parity on randomized graphs).
+    val srcType = edges.schema("src").dataType
+    val integral = srcType == org.apache.spark.sql.types.LongType ||
+      srcType == org.apache.spark.sql.types.IntegerType
+    if (integral && nEdges <= 2L * driverMaxPairs) {
+      val collected = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      edges.unpersist()
+      val labels = driverUnionFind(
+        collected.map(r => (r.getLong(0), r.getLong(1))))
+      val spark = pairs.sparkSession
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      rows.sizeHint(labels.size)
+      labels.foreach { case (n, c) =>
+        rows +=
+          (if (srcType == org.apache.spark.sql.types.LongType)
+            org.apache.spark.sql.Row(n, c)
+          else org.apache.spark.sql.Row(n.toInt, c.toInt))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", srcType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp", srcType, nullable = false)))
+      // RDD-backed, NOT a LocalRelation: the loop path returned a
+      // localCheckpointed LogicalRDD leaf, and downstream joins guard
+      // broadcasts with hintIfSmall on exactly that shape — a
+      // LocalRelation would both change those plans and risk inlining
+      // a near-cap label set into every task binary.
+      val slices = math.max(1, rows.size / (1 << 18))
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, slices), schema), true)
     }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
@@ -540,8 +646,11 @@ object Dedup {
   /** Labels-only form of [[componentsWithStatus]]; a partial
     * convergence (maxIter hit before the label-sum fixpoint) is
     * logged rather than silently returned. */
-  private[ops] def componentsOf(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val (labels, converged) = componentsWithStatus(pairs, maxIter)
+  private[ops] def componentsOf(pairs: DataFrame, maxIter: Int = 25,
+                                driverMaxPairs: Long =
+                                  DriverComponentsMaxPairs): DataFrame = {
+    val (labels, converged) = componentsWithStatus(pairs, maxIter,
+      driverMaxPairs)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"componentsOf hit maxIter=$maxIter before converging: labels are " +
@@ -631,6 +740,7 @@ object Dedup {
       "oldPostings must be a postingsOf frame (__band, __bh, __id)")
     require(Set("__id", "__sh").subsetOf(oldShingles.columns.toSet),
       "oldShingles must be a shinglesOf frame (__id, __sh)")
+    if (threshold > 1.0) return emptyPairs(newDf, idCol)
     val r = numHashes / bands
     val shNew = shingleFrame(newDf, idCol, textCol, shingleSize)
     val newPostings = bandedPostings(shNew, numHashes, bands, r)

@@ -657,12 +657,15 @@ object Multimodal {
         s"$n must be a perceptualSignature frame " +
           s"($idCol, modality, sig); got ${f.columns.mkString(",")}")
     }
-    Seq("image", "audio").map { m =>
-      SimHash.nearDupPairsFromSigsIncremental(
-        newSigs.where(col("modality") === m && col("sig").isNotNull),
-        oldSigs.where(col("modality") === m && col("sig").isNotNull),
-        idCol, "sig", maxHamming)
-    }.reduce(_.unionByName(_))
+    // ONE candidate join with modality riding the join key (r18):
+    // image and audio hashes still never cross-pair — equal modality
+    // is part of the equi-join key — but the old one-branch-per-
+    // modality union paid every join/dedup stage twice, once of them
+    // always empty on a single-modality corpus. Identical pair set.
+    SimHash.nearDupPairsFromSigsIncrementalGrouped(
+      newSigs.where(col("modality").isNotNull && col("sig").isNotNull),
+      oldSigs.where(col("modality").isNotNull && col("sig").isNotNull),
+      idCol, "sig", Seq("modality"), maxHamming)
   }
 
   /** PERCEPTUAL near-duplicate REMOVAL — the curation-stage form of
@@ -698,10 +701,12 @@ object Multimodal {
       "input columns collide with dropPerceptualDuplicates' reserved names")
     val sigs = perceptualSignature(df, idCol, dataCol)
       .where(col("sig").isNotNull)
-    val pairs = Seq("image", "audio").map { m =>
-      SimHash.nearDupPairsFromSigs(
-        sigs.where(col("modality") === m), idCol, "sig", maxHamming)
-    }.reduce(_.unionByName(_))
+    // one modality-keyed candidate join (r18) — see
+    // perceptualPairsIncrementalFromSigs; identical pair set, half
+    // the join/dedup stages of the per-modality union
+    val pairs = SimHash.nearDupPairsFromSigsGrouped(
+      sigs.where(col("modality").isNotNull), idCol, "sig",
+      Seq("modality"), maxHamming)
     val comps = Dedup.componentsOf(pairs)
       .select(col("node").as(idCol), col("comp").as("__pd_comp"))
     // componentsOf returns a localCheckpointed frame: one cheap count

@@ -100,16 +100,41 @@ object SimHash {
     * Hamming verify. */
   def nearDupPairsFromSigs(sigFrame: DataFrame, idCol: String,
                            sigCol: String,
-                           maxHamming: Int = 3): DataFrame = {
-    val sigs = sigFrame.select(col(idCol).as("__id"),
-      col(sigCol).as("__sig"))
-    val chunked = sigs.select(col("__id"), col("__sig"),
-      posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key")))
-    val a = chunked.select(col("__chunk"), col("__key"),
-      col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val b = chunked.select(col("__chunk"), col("__key"),
-      col("__id").as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("__chunk", "__key"))
+                           maxHamming: Int = 3): DataFrame =
+    nearDupPairsFromSigsGrouped(sigFrame, idCol, sigCol, Nil, maxHamming)
+
+  /** [[nearDupPairsFromSigs]] with extra GROUP key columns riding the
+    * candidate join (rows only pair within equal group values) — one
+    * join instead of one-per-group for callers that previously
+    * filtered + unioned per group (the multimodal modality split:
+    * half the stages, identical pairs — r18). maxHamming == 0
+    * additionally skips the 4-chunk explosion outright: Hamming 0 IS
+    * signature equality, so the candidate join keys on the full
+    * signature and every candidate is already verified — 4x fewer
+    * join-input rows at any scale, no dedup pass (a pair can match
+    * only once). */
+  private[ops] def nearDupPairsFromSigsGrouped(sigFrame: DataFrame,
+                                               idCol: String, sigCol: String,
+                                               groupCols: Seq[String],
+                                               maxHamming: Int): DataFrame = {
+    val gc = groupCols.map(col)
+    val sigs = sigFrame.select(
+      gc :+ col(idCol).as("__id") :+ col(sigCol).as("__sig"): _*)
+    if (maxHamming == 0) {
+      val a = sigs.select(gc :+ col("__sig") :+ col("__id").as("id_a"): _*)
+      val b = sigs.select(gc :+ col("__sig") :+ col("__id").as("id_b"): _*)
+      return a.join(b, groupCols :+ "__sig")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+        .dropDuplicates("id_a", "id_b") // duplicate-id input parity
+    }
+    val chunked = sigs.select(gc ++ Seq(col("__id"), col("__sig"),
+      posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key"))): _*)
+    val a = chunked.select(gc ++ Seq(col("__chunk"), col("__key"),
+      col("__id").as("id_a"), col("__sig").as("sig_a")): _*)
+    val b = chunked.select(gc ++ Seq(col("__chunk"), col("__key"),
+      col("__id").as("id_b"), col("__sig").as("sig_b")): _*)
+    a.join(b, groupCols ++ Seq("__chunk", "__key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .dropDuplicates("id_a", "id_b")
@@ -131,21 +156,51 @@ object SimHash {
   def nearDupPairsFromSigsIncremental(newSigs: DataFrame,
                                       oldSigs: DataFrame,
                                       idCol: String, sigCol: String,
-                                      maxHamming: Int = 3): DataFrame = {
-    def chunked(df: DataFrame) = df
-      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
-      .select(col("__id"), col("__sig"),
-        posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key")))
+                                      maxHamming: Int = 3): DataFrame =
+    nearDupPairsFromSigsIncrementalGrouped(newSigs, oldSigs, idCol, sigCol,
+      Nil, maxHamming)
+
+  /** [[nearDupPairsFromSigsIncremental]] with extra GROUP key columns
+    * on the candidate join, plus the Hamming-0 signature-equality
+    * fast path — see [[nearDupPairsFromSigsGrouped]]. */
+  private[ops] def nearDupPairsFromSigsIncrementalGrouped(
+      newSigs: DataFrame, oldSigs: DataFrame,
+      idCol: String, sigCol: String,
+      groupCols: Seq[String], maxHamming: Int): DataFrame = {
+    val gc = groupCols.map(col)
+    def narrowed(df: DataFrame) = df.select(
+      gc :+ col(idCol).as("__id") :+ col(sigCol).as("__sig"): _*)
+    if (maxHamming == 0) {
+      // Hamming 0 is signature EQUALITY: key the join on the whole
+      // signature — no chunk explosion, no verify, no dedup pass (a
+      // probe row meets each index row at most once on a single key)
+      val nNew = narrowed(newSigs)
+      val probe = nNew.select(gc :+ col("__sig") :+ col("__id").as("id_a"): _*)
+      val index = nNew.select(gc ++ Seq(col("__sig"),
+        col("__id").as("id_b"), lit(false).as("__old")): _*)
+        .union(narrowed(oldSigs).select(gc ++ Seq(col("__sig"),
+          col("__id").as("id_b"), lit(true).as("__old")): _*))
+      return probe.join(index, groupCols :+ "__sig")
+        .where((col("__old") && col("id_a") =!= col("id_b")) ||
+          (!col("__old") && col("id_a") < col("id_b")))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          lit(0).as("hamming"))
+        .dropDuplicates("id_a", "id_b") // duplicate-id input parity
+    }
+    def chunked(df: DataFrame) = narrowed(df)
+      .select(gc ++ Seq(col("__id"), col("__sig"),
+        posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key"))): _*)
     val cNew = chunked(newSigs)
-    val probe = cNew.select(col("__chunk"), col("__key"),
-      col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val index = cNew.select(col("__chunk"), col("__key"),
+    val probe = cNew.select(gc ++ Seq(col("__chunk"), col("__key"),
+      col("__id").as("id_a"), col("__sig").as("sig_a")): _*)
+    val index = cNew.select(gc ++ Seq(col("__chunk"), col("__key"),
       col("__id").as("id_b"), col("__sig").as("sig_b"),
-      lit(false).as("__old"))
-      .union(chunked(oldSigs).select(col("__chunk"), col("__key"),
+      lit(false).as("__old")): _*)
+      .union(chunked(oldSigs).select(gc ++ Seq(col("__chunk"), col("__key"),
         col("__id").as("id_b"), col("__sig").as("sig_b"),
-        lit(true).as("__old")))
-    probe.join(index, Seq("__chunk", "__key"))
+        lit(true).as("__old")): _*))
+    probe.join(index, groupCols ++ Seq("__chunk", "__key"))
       .where((col("__old") && col("id_a") =!= col("id_b")) ||
         (!col("__old") && col("id_a") < col("id_b")))
       // normalize new×old pairs whose old id is smaller; Hamming is

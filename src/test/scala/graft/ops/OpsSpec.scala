@@ -2344,13 +2344,40 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
 
   test("connected components report non-convergence when maxIter is hit") {
     // a 6-node chain has diameter 5: one propagation round cannot
-    // reach the fixpoint, and that must be signalled, not silent
+    // reach the fixpoint, and that must be signalled, not silent.
+    // driverMaxPairs = 0 forces the distributed loop (the driver
+    // union-find fast path has no iteration bound to hit)
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (_, convergedEarly) = Dedup.componentsWithStatus(chain, maxIter = 1)
+    val (_, convergedEarly) = Dedup.componentsWithStatus(chain, maxIter = 1,
+      driverMaxPairs = 0L)
     assert(!convergedEarly)
-    val (labels, ok) = Dedup.componentsWithStatus(chain, maxIter = 25)
+    val (labels, ok) = Dedup.componentsWithStatus(chain, maxIter = 25,
+      driverMaxPairs = 0L)
     assert(ok)
     assert(labels.collect().map(_.getLong(1)).forall(_ === 1L))
+  }
+
+  test("connected components: driver union-find ≡ distributed loop on random graphs") {
+    // the guarded fast path must be label-identical to the min-label
+    // propagation loop on arbitrary pair graphs — chains, cliques,
+    // forests, self-pairs, duplicate pairs (seeded, reproducible)
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 2 + rnd.nextInt(40)
+      val pairs = (0 until (1 + rnd.nextInt(60))).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.toDF("id_a", "id_b")
+      val viaDriver = Dedup.componentsOf(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = Dedup.componentsOf(pairs, driverMaxPairs = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver === viaLoop)
+    }
+    // and the IntegerType id shape survives the long round-trip
+    val intPairs = Seq((1, 2), (2, 3), (7, 8)).toDF("id_a", "id_b")
+    val intComps = Dedup.componentsOf(intPairs)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(intComps === Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7, 8 -> 7))
   }
 
   test("jaccardPairsWithin maxDf cap plans as agg + anti-join, not a window") {
