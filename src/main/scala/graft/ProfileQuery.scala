@@ -11,13 +11,17 @@ import scala.collection.mutable.ArrayBuffer
   * bench says "21 s", this says which jobs and which driver gaps own
   * those seconds.
   *
-  * Usage: runMain graft.ProfileQuery <sfDir> <queryName>
+  * Usage: runMain graft.ProfileQuery <sfDir> <queryName> [warm]
+  * With the trailing `warm` the query runs once UNPROFILED first, so
+  * the profiled pass reflects the bench's min-of-passes regime (JIT,
+  * codegen cache, parquet footers hot) instead of cold-JVM costs.
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ProfileQuery <sfDir> <name>")
+    require(args.length >= 2, "usage: ProfileQuery <sfDir> <name> [warm]")
     val sfDir = args(0)
     val name = args(1)
+    val warm = args.length > 2 && args(2) == "warm"
     require(SparkEntry.queries.contains(name), s"unknown query: $name")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
@@ -36,7 +40,8 @@ object ProfileQuery {
     final case class JobSpan(id: Int, start: Long, var end: Long,
                              site: String, ntasks: Int)
     final case class StageSpan(id: Int, name: String, ntasks: Int,
-                               runMs: Long, durMs: Long)
+                               runMs: Long, durMs: Long, deserMs: Long,
+                               gcMs: Long, cpuMs: Long)
     val jobs = ArrayBuffer.empty[JobSpan]
     val stages = ArrayBuffer.empty[StageSpan]
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -63,11 +68,15 @@ object ProfileQuery {
           stages += StageSpan(si.stageId, si.name, si.numTasks,
             si.taskMetrics.executorRunTime,
             (for {a <- si.completionTime; b <- si.submissionTime}
-              yield a - b).getOrElse(-1L))
+              yield a - b).getOrElse(-1L),
+            si.taskMetrics.executorDeserializeTime,
+            si.taskMetrics.jvmGCTime,
+            si.taskMetrics.executorCpuTime / 1000000L)
         }
     }
-    spark.sparkContext.addSparkListener(listener)
     val fn = SparkEntry.queries(name)
+    if (warm) fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.currentTimeMillis()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val t1 = System.currentTimeMillis()
@@ -107,8 +116,13 @@ object ProfileQuery {
     // and the top INDIVIDUAL stages (the rollup hides which specific
     // materialization burned the CPU when one callsite owns hundreds)
     stagesV.sortBy(-_.runMs).take(30).foreach { s =>
-      println(f"  ONESTAGE id=${s.id}%4d run=${s.runMs / 1000.0}%8.3f s wall=${s.durMs / 1000.0}%8.3f s tasks=${s.ntasks}%4d  ${s.name.take(100)}%s")
+      println(f"  ONESTAGE id=${s.id}%4d run=${s.runMs / 1000.0}%8.3f s cpu=${s.cpuMs / 1000.0}%7.3f deser=${s.deserMs / 1000.0}%6.3f gc=${s.gcMs / 1000.0}%6.3f wall=${s.durMs / 1000.0}%7.3f s tasks=${s.ntasks}%4d  ${s.name.take(70)}%s")
     }
+    val totDeser = stagesV.map(_.deserMs).sum
+    val totRun = stagesV.map(_.runMs).sum
+    val totCpu = stagesV.map(_.cpuMs).sum
+    val totGc = stagesV.map(_.gcMs).sum
+    println(f"STAGETOTALS run=${totRun / 1000.0}%.1f s cpu=${totCpu / 1000.0}%.1f s deser=${totDeser / 1000.0}%.1f s gc=${totGc / 1000.0}%.1f s tasks=${stagesV.map(_.ntasks).sum}%d")
     spark.stop()
   }
 }

@@ -821,16 +821,28 @@ object Curate {
       val crossDropped = flagged.where(col("__a_old") =!= col("__b_old"))
         .select(when(col("__a_old"), col("id_b")).otherwise(col("id_a"))
           .as(idCol)).distinct()
-      val afterCross = batchDf.join(crossDropped, Seq(idCol), "left_anti")
-      // intra-batch closure over pairs whose both ends survived
-      val survivorIds = afterCross.select(col(idCol).as("__sid"))
+      // intra-batch closure over pairs whose both ends survived the
+      // cross drop. Every non-old pair end is a batch id by
+      // construction (pairs come from batch-probe joins), so "survived"
+      // is exactly "not cross-dropped" — deciding it against the tiny
+      // pair-derived crossDropped frame instead of semi-joining the
+      // batch side keeps the closure's lineage free of the batch
+      // pipeline (r18: those semi-joins forced a second materialization
+      // of the whole gate chain inside the closure stage).
       val newPairs = flagged.where(!col("__a_old") && !col("__b_old"))
-        .join(survivorIds, col("id_a") === col("__sid"), "left_semi")
-        .join(survivorIds, col("id_b") === col("__sid"), "left_semi")
+        .join(crossDropped.select(col(idCol).as("__cd_a")),
+          col("id_a") === col("__cd_a"), "left_anti")
+        .join(crossDropped.select(col(idCol).as("__cd_b")),
+          col("id_b") === col("__cd_b"), "left_anti")
       val losers = Dedup.componentsOf(newPairs.select("id_a", "id_b"))
         .where(col("comp") =!= col("node"))
         .select(col("node").as(idCol))
-      afterCross.join(losers, Seq(idCol), "left_anti")
+      // cross-dropped and loser ids are disjoint (losers are non-old,
+      // non-cross-dropped by construction), so ONE anti-join over the
+      // union ≡ the old chained pair of anti-joins — the batch side is
+      // scanned once, not twice
+      batchDf.join(crossDropped.unionByName(losers), Seq(idCol),
+        "left_anti")
     }
     // UI/profiler attribution (optimization-guide §1.5): every job a
     // phase triggers carries the phase name; restored afterwards so a
@@ -854,6 +866,9 @@ object Curate {
     //     never re-decoded.
     var percPairs: Option[DataFrame] = None
     var batchSigs: Option[DataFrame] = None
+    // the batch's SRP state frame (vecCol set), bucketed once and
+    // shared by the semantic pair pass and the semvecs state write
+    var batchSem: Option[DataFrame] = None
     // the try opens BEFORE the perceptual stage: its persisted frames
     // are eagerly materialized (the pair checkpoint and the closure
     // jobs run inside firstArrival), so a failure anywhere past this
@@ -892,9 +907,18 @@ object Curate {
       }
     }
     // 3. exact: cross-batch novelty (key anti-join), then intra-batch
-    //    min-id winner
+    //    min-id winner. Eagerly localCheckpointed (not just persisted):
+    //    every later phase of the batch — near pairs, both closures,
+    //    the semantic stage, the output write, the state writes — used
+    //    to re-ANALYZE the full gate+state-read lineage per action
+    //    (the r18 profile's driver-gap floor, ~3.5 s per micro-batch);
+    //    a checkpointed leaf makes each of those plans shallow. Same
+    //    storage class as the old persist (MEMORY_AND_DISK blocks);
+    //    blocks are released by the ContextCleaner when the batch
+    //    closure drops the reference, like every other checkpointed
+    //    frame in this library.
     val exact = Dedup.exact(novelOf(pGated), idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       // 4. near: one incremental pair pass (new x corpus + new x new,
       //    exact-Jaccard verified), split by which side each end is on
@@ -926,10 +950,17 @@ object Curate {
                   semanticBits)
               else readParts(semvecsDir).withColumnRenamed("__id", idCol)
           }
+          // the batch is SRP-BUCKETED ONCE (the batchSigs recipe, r18):
+          // the checkpointed state frame feeds the pair pass here and
+          // the semvecs state write after the batch lands — the old
+          // srpStateOf(landed) re-ran the hyperplane pass per batch
+          val bState = SimSearch.srpStateOf(nearAdmitted, idCol, vc,
+            semanticBits).localCheckpoint(true)
+          batchSem = Some(bState)
           // cosinePairsIncremental localCheckpoints its output, so
           // the three passes below reread the checkpoint, not the plan
-          val sPairs = SimSearch.cosinePairsIncremental(nearAdmitted,
-            oldState, idCol, vc, semanticThreshold, semanticBits)
+          val sPairs = SimSearch.cosinePairsIncrementalFromState(bState,
+            oldState, idCol, semanticThreshold, semanticBits)
           firstArrival(nearAdmitted, sPairs,
             oldState.select(col(idCol).as("__old_id")).distinct())
         }
@@ -973,9 +1004,14 @@ object Curate {
               .join(landed.select(col(idCol)), Seq(idCol), "left_semi")
               .withColumnRenamed(idCol, "__id"), percsigsDir)
           }
-          vecCol.foreach { vc =>
-            writeParts(SimSearch.srpStateOf(landed, idCol, vc,
-              semanticBits).withColumnRenamed(idCol, "__id"), semvecsDir)
+          vecCol.foreach { _ =>
+            // the batch's ONE bucketing pass, semi-joined to the
+            // landed ids — the vectors are byte-identical to the
+            // landed rows', so this is still a pure function of the
+            // durable output (the batchSigs argument above)
+            writeParts(batchSem.get
+              .join(landed.select(col(idCol)), Seq(idCol), "left_semi")
+              .withColumnRenamed(idCol, "__id"), semvecsDir)
           }
           ensureStateDirs() // integrity invariant, see readState
           writeStateParamsIfAbsent(spark, sd, shingleSize, numHashes,

@@ -1041,27 +1041,53 @@ object SimSearch {
                              idCol: String, vecCol: String,
                              threshold: Double, bits: Int = 8,
                              seed: Long = 42L): DataFrame = {
-    require(Set(idCol, "__b", "__v", "__n").subsetOf(oldState.columns.toSet),
-      s"oldState must be an srpStateOf frame ($idCol, __b, __v, __n); " +
-        s"got ${oldState.columns.mkString(",")}")
+    // eagerly localCheckpointed (r18): the probe, index, and BOTH
+    // verify join-backs reference this frame — with a plain persist,
+    // each of the pair query's stages re-analyzed the whole upstream
+    // batch lineage (gates, anti-joins, window) per materialization;
+    // a checkpointed leaf keeps the pair pass's plans O(pair pass)
+    cosinePairsIncrementalFromState(
+      srpStateOf(newDf, idCol, vecCol, bits, seed).localCheckpoint(true),
+      oldState, idCol, threshold, bits)
+  }
+
+  /** [[cosinePairsIncremental]] over an ALREADY-BUCKETED new batch —
+    * the [[graft.ops.Multimodal.perceptualPairsIncrementalFromSigs]]
+    * entry shape for the SRP family (r18): the streaming tail buckets
+    * its batch ONCE ([[srpStateOf]], checkpointed) and shares the
+    * frame between this pair pass and the durable-state write, instead
+    * of paying the hyperplane pass twice per micro-batch. `newState`
+    * must be an [[srpStateOf]] frame computed under the SAME bits/seed
+    * as `oldState` (the caller owns that contract — the tail persists
+    * the bit width in its `_state_params` marker). */
+  def cosinePairsIncrementalFromState(newState: DataFrame,
+                                      oldState: DataFrame,
+                                      idCol: String,
+                                      threshold: Double,
+                                      bits: Int = 8): DataFrame = {
+    Seq(newState -> "newState", oldState -> "oldState").foreach {
+      case (f, n) =>
+        require(Set(idCol, "__b", "__v", "__n").subsetOf(f.columns.toSet),
+          s"$n must be an srpStateOf frame ($idCol, __b, __v, __n); " +
+            s"got ${f.columns.mkString(",")}")
+    }
     // dim drift between the batch and the stored state must fail
     // LOUDLY (the nearestCell rule): mismatched widths would bucket
     // under different hyperplanes AND null out the zip_with dot in the
     // verify — every near-dup of an admitted row silently admitted,
     // the exact under-deduplication this state exists to prevent.
     // One limit(1) peek per side — noise next to the pair pass.
-    val newDim = dimOf(newDf, vecCol)
-    val oldDim = oldState.where(col("__v").isNotNull)
+    def dimOfState(st: DataFrame): Int = st.where(col("__v").isNotNull)
       .select(size(col("__v"))).head(1).headOption
       .map(_.getInt(0)).getOrElse(0)
+    val newDim = dimOfState(newState)
+    val oldDim = dimOfState(oldState)
     require(newDim == 0 || oldDim == 0 || newDim == oldDim,
       s"cosinePairsIncremental: batch embedding dim $newDim != stored " +
         s"state dim $oldDim — the corpus was re-embedded under a " +
         "different model/config; refit the state (delete and let the " +
         "tail rebuild it) instead of pairing across spaces")
-    val newState = srpStateOf(newDf, idCol, vecCol, bits, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       val probes = newState.select(col(idCol).as("id_a"),
         explode(multiProbe(col("__b"), bits)).as("__bucket"))
       val index = newState.select(col("__b").as("__bucket"),
@@ -1089,7 +1115,7 @@ object SimSearch {
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))
       verified.localCheckpoint(true)
-    } finally { newState.unpersist(); () }
+    }
   }
 
   /**
