@@ -118,8 +118,16 @@ object SimHash {
                                                groupCols: Seq[String],
                                                maxHamming: Int): DataFrame = {
     val gc = groupCols.map(col)
+    // the narrow (group, id, sig) frame is MATERIALIZED once before
+    // the self-join (r18): both join sides otherwise re-evaluate the
+    // signature lineage — for perceptual callers that is the payload
+    // DECODE, the stage's dominant per-row cost, paid twice per row.
+    // ~17 bytes/row of checkpoint storage buys decode-once at any
+    // scale; the banded join below is unchanged and stays visible to
+    // the plan-shape pins.
     val sigs = sigFrame.select(
       gc :+ col(idCol).as("__id") :+ col(sigCol).as("__sig"): _*)
+      .localCheckpoint(true)
     if (maxHamming == 0) {
       val a = sigs.select(gc :+ col("__sig") :+ col("__id").as("id_a"): _*)
       val b = sigs.select(gc :+ col("__sig") :+ col("__id").as("id_b"): _*)
@@ -170,11 +178,17 @@ object SimHash {
     val gc = groupCols.map(col)
     def narrowed(df: DataFrame) = df.select(
       gc :+ col(idCol).as("__id") :+ col(sigCol).as("__sig"): _*)
+    // the new side sits on BOTH sides of the candidate join (probe +
+    // index): materialize the narrow signature rows once so a live
+    // decode lineage isn't evaluated twice (no-op-cheap when the
+    // caller already persisted its signature frame, e.g. the
+    // streaming tail's batchSigs)
+    lazy val newNarrowed = narrowed(newSigs).localCheckpoint(true)
     if (maxHamming == 0) {
       // Hamming 0 is signature EQUALITY: key the join on the whole
       // signature — no chunk explosion, no verify, no dedup pass (a
       // probe row meets each index row at most once on a single key)
-      val nNew = narrowed(newSigs)
+      val nNew = newNarrowed
       val probe = nNew.select(gc :+ col("__sig") :+ col("__id").as("id_a"): _*)
       val index = nNew.select(gc ++ Seq(col("__sig"),
         col("__id").as("id_b"), lit(false).as("__old")): _*)
@@ -188,10 +202,11 @@ object SimHash {
           lit(0).as("hamming"))
         .dropDuplicates("id_a", "id_b") // duplicate-id input parity
     }
-    def chunked(df: DataFrame) = narrowed(df)
+    def chunk(df: DataFrame) = df
       .select(gc ++ Seq(col("__id"), col("__sig"),
         posexplode(chunkKeys(col("__sig"))).as(Seq("__chunk", "__key"))): _*)
-    val cNew = chunked(newSigs)
+    def chunked(df: DataFrame) = chunk(narrowed(df))
+    val cNew = chunk(newNarrowed)
     val probe = cNew.select(gc ++ Seq(col("__chunk"), col("__key"),
       col("__id").as("id_a"), col("__sig").as("sig_a")): _*)
     val index = cNew.select(gc ++ Seq(col("__chunk"), col("__key"),

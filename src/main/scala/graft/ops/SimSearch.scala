@@ -991,6 +991,15 @@ object SimSearch {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      // explicit scale-adaptive parallelism for the exact-cosine
+      // verify (r18): the candidate frame is a few narrow bytes, so
+      // AQE's byte-based coalescing collapses it to 1-2 partitions —
+      // but the verify's cost is per-PAIR dot products, profiled at
+      // two busy tasks and 30 idle cores. Explicit N (>= cores, >= the
+      // corpus frame's own parallelism) is exempt from AQE coalescing.
+      .repartition(math.max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        bucketed.rdd.getNumPartitions), col("id_a"))
     val verified = candidates
       .join(bucketed.select(col("__id").as("id_a"), col("__v").as("v_a"),
         col("__n").as("n_a")), "id_a")
@@ -1274,8 +1283,23 @@ object SimSearch {
     * `__cell` (never a global product), id_a < id_b, hoisted-norm
     * cosine, thresholded. */
   private def withinCellPairs(cells: DataFrame, threshold: Double): DataFrame = {
-    val a = cells.select(col("__cell"), col("__id").as("id_a"),
-      col("__v").as("v_a"), col("__n").as("n_a"))
+    // hash-distribute the PROBE side by cell before the join (r18):
+    // with a broadcast-sized build side the quadratic dot-product work
+    // otherwise runs on the scan's raw partitioning — profiled at
+    // parallelism TWO (one per input file) with every other core idle.
+    // The partition count is EXPLICIT (AQE coalesces a bare
+    // repartition(col) back to one partition on byte size, but the
+    // cost here is per-PAIR compute, not bytes) and scale-adaptive:
+    // never below the cluster's core count, never below the input's
+    // own parallelism. Past broadcast size the planner's sort-merge
+    // join shuffles both sides on __cell anyway, and per-cell skew
+    // stays bounded by the maxPairsPerCell budget.
+    val minPar = math.max(
+      cells.sparkSession.sparkContext.defaultParallelism,
+      cells.rdd.getNumPartitions)
+    val a = cells.repartition(minPar, col("__cell"))
+      .select(col("__cell"), col("__id").as("id_a"),
+        col("__v").as("v_a"), col("__n").as("n_a"))
     val b = cells.select(col("__cell"), col("__id").as("id_b"),
       col("__v").as("v_b"), col("__n").as("n_b"))
     a.join(b, Seq("__cell"))
