@@ -28,7 +28,8 @@ object GraftSession {
       // scale; large-R production shuffles (R > 200) never used the
       // bypass writer anyway, so this only changes the small-R regime
       // where the bypass writer's file fan-out is the known cost.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
