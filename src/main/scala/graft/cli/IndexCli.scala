@@ -251,13 +251,21 @@ object IndexCli {
         (if (config.pqOpq) " (opq)" else "") +
         s" -> ${config.index}")
     case "fit" =>
-      val idx = SimSearch.ivfFit(load(config, spark), config.idCol,
+      val df = load(config, spark)
+      val idx = SimSearch.ivfFit(df, config.idCol,
         config.vecCol, config.nlist, config.seed, config.sampleFraction)
       SimSearch.ivfSave(idx, config.index)
       // the drift baseline is part of the corpus version — fit and
       // persist it WITH the index (ivfSave just invalidated any stale
-      // one), so `drift` runs load it instead of re-scanning
-      val baseline = SimSearch.ivfBaseline(spark, config.index, config.vecCol)
+      // one), so `drift` runs load it instead of re-scanning. Fitted
+      // from the in-session frame + centers (the IVF+PQ path's
+      // ivfBaselineOf — same argmin kernel, same per-row distances as
+      // re-deriving from the stored assignment): the old
+      // ivfBaseline(dir) re-READ the corpus just written and
+      // re-collected the centers from disk, a whole extra round-trip
+      // per fit (r19)
+      val baseline = SimSearch.ivfBaselineOf(spark, idx.centers, df,
+        config.vecCol)
       SimSearch.ivfBaselineSave(spark, baseline, config.index)
       println(s"fit: ${baseline.n} vectors in ${baseline.nlist} cells " +
         s"-> ${config.index}")

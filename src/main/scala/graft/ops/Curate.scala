@@ -810,6 +810,16 @@ object Curate {
     // already carries that cluster's representative), then intra-batch
     // clusters whose BOTH ends survived the cross check collapse to
     // their min-id representative through pair closure.
+    //
+    // INVARIANT this shape relies on (do not break it with a state-
+    // layout change): every non-old pair end IS a batch id. That holds
+    // because `old` is derived from the KEYS frame (the state's
+    // LAST-written commit marker) while pairs probe the shingles/
+    // postings/sigs frames written BEFORE it — a crash between the
+    // derived-state writes and the keys commit replays the whole batch,
+    // so a state id can never be present in the pair frames yet absent
+    // from `old`. If a foreign (non-batch, non-old) id ever entered the
+    // closure it could win a min-id race and silently drop batch rows.
     def firstArrival(batchDf: DataFrame, pairs: DataFrame,
                      old: DataFrame): DataFrame = {
       val flagged = pairs
@@ -913,13 +923,24 @@ object Curate {
     //    to re-ANALYZE the full gate+state-read lineage per action
     //    (the r18 profile's driver-gap floor, ~3.5 s per micro-batch);
     //    a checkpointed leaf makes each of those plans shallow. Same
-    //    storage class as the old persist (MEMORY_AND_DISK blocks);
-    //    blocks are released by the ContextCleaner when the batch
-    //    closure drops the reference, like every other checkpointed
-    //    frame in this library.
+    //    storage class as the old persist (MEMORY_AND_DISK blocks), but
+    //    lifecycle differs in two documented ways: (a) RELEASE —
+    //    Dataset.unpersist does NOT free checkpoint RDD blocks (it only
+    //    uncaches CacheManager entries), so these blocks are released
+    //    by GC + ContextCleaner when the batch closure drops the frame
+    //    reference; a long-running tail relies on that, which is why
+    //    there is deliberately no dead `finally unpersist()` here.
+    //    (b) FAULT TOLERANCE — localCheckpoint trades lineage for plan
+    //    truncation: on a real cluster an executor loss makes the
+    //    checkpointed blocks unrecoverable and FAILS the action. The
+    //    tail is safe because foreachBatch replay is idempotent (the
+    //    retry recomputes the whole batch from source); plain BATCH
+    //    callers of the checkpointing operators die and retry from
+    //    source the same way. Revisit if the engine ever runs on
+    //    preemptible executors.
     val exact = Dedup.exact(novelOf(pGated), idCol, textCol)
       .localCheckpoint(true)
-    try {
+    locally {
       // 4. near: one incremental pair pass (new x corpus + new x new,
       //    exact-Jaccard verified), split by which side each end is on
       val pairs = labeled("near-pairs") {
@@ -1022,7 +1043,8 @@ object Curate {
         } finally shLanded.unpersist()
       }
       } finally pairs.unpersist() // a failed write must not leak the cache
-    } finally exact.unpersist()
+    } // `exact` is a localCheckpoint: released by the ContextCleaner
+      // (see the step-3 comment), not by a (no-op) unpersist
     } finally {
       percPairs.foreach(_.unpersist())
       batchSigs.foreach(_.unpersist())

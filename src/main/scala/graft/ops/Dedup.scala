@@ -504,11 +504,14 @@ object Dedup {
    * labels-only shape.
    */
   /** Pair-count ceiling for [[componentsWithStatus]]'s driver-side
-    * union-find fast path: at 2^20 pairs the collected edge frame is
-    * ~32 MB of longs — bounded driver work, the [[hintIfSmall]]
-    * size-guard discipline. Above the cap (a duplicate-heavy crawl
-    * whose verified pair graph is corpus-scale) the distributed
-    * min-label loop runs unchanged. */
+    * union-find fast path: at the cap the collect materializes ~2^21
+    * GenericRow objects — roughly 150–300 MB of transient driver heap
+    * (the long payload is 32 MB, but each collected row carries object
+    * headers and boxing until the rows are condensed into the primitive
+    * edge array) — bounded driver work, the [[hintIfSmall]] size-guard
+    * discipline. Above the cap (a duplicate-heavy crawl whose verified
+    * pair graph is corpus-scale) the distributed min-label loop runs
+    * unchanged. */
   private[ops] val DriverComponentsMaxPairs: Long = 1L << 20
 
   /** Driver union-find over collected (src, dst) long edges: comp =
@@ -577,9 +580,16 @@ object Dedup {
     val integral = srcType == org.apache.spark.sql.types.LongType ||
       srcType == org.apache.spark.sql.types.IntegerType
     if (integral && nEdges <= 2L * driverMaxPairs) {
+      // null ids would silently unbox to 0L in getLong and merge
+      // unrelated components into id 0, where the distributed loop's
+      // joins/min just ignore them — unreachable today (pairs come
+      // from equi-joins), asserted so a future caller can't diverge
       val collected = edges
         .select(col("src").cast("long"), col("dst").cast("long"))
         .collect()
+      require(collected.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+        "componentsOf: null id in the verified pair frame — pair " +
+          "sources must emit non-null ids")
       edges.unpersist()
       val labels = driverUnionFind(
         collected.map(r => (r.getLong(0), r.getLong(1))))

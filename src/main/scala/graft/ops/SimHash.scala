@@ -112,7 +112,16 @@ object SimHash {
     * signature equality, so the candidate join keys on the full
     * signature and every candidate is already verified — 4x fewer
     * join-input rows at any scale, no dedup pass (a pair can match
-    * only once). */
+    * only once).
+    *
+    * PRECONDITION when `groupCols` is non-empty: an id appears under
+    * at most ONE group value (the multimodal caller's shape — modality
+    * is a function of id). The pair dedup below keys on (id_a, id_b)
+    * EXCLUDING the group columns, so an id carrying rows in two groups
+    * would keep an arbitrary group's sig pair into the Hamming verify
+    * — a pair that verifies under one group's sigs could be
+    * nondeterministically dropped by the other's. All current callers
+    * satisfy the precondition by construction. */
   private[ops] def nearDupPairsFromSigsGrouped(sigFrame: DataFrame,
                                                idCol: String, sigCol: String,
                                                groupCols: Seq[String],

@@ -871,13 +871,16 @@ object SimSearch {
     val qVec = index.assigned.where(col(idCol) === queryId)
       .select(asDouble(col(vecCol))).head().getSeq[Double](0).toArray
     val probeCells = nearestCells(index.centers, qVec, nprobe)
-    val qRow = index.assigned.where(col(idCol) === queryId)
-      .select(asDouble(col(vecCol)).as("__q"))
+    // the query vector is already on the driver (the head() above):
+    // inline it as a LITERAL column instead of broadcast-cross-joining
+    // a one-row frame — the old qRow frame cost a SECOND full scan of
+    // the assigned corpus per search (r19); same values, same cosine
+    // expression tree, so results are bit-identical
+    val qLit = typedLit(qVec.toSeq)
     index.assigned
       .where(col("__cell").isin(probeCells.toSeq: _*) && col(idCol) =!= queryId)
-      .crossJoin(broadcast(qRow))
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("__q")), 4).as("cosine"))
+        round(cosine(asDouble(col(vecCol)), qLit), 4).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
@@ -996,10 +999,11 @@ object SimSearch {
       // AQE's byte-based coalescing collapses it to 1-2 partitions —
       // but the verify's cost is per-PAIR dot products, profiled at
       // two busy tasks and 30 idle cores. Explicit N (>= cores, >= the
-      // corpus frame's own parallelism) is exempt from AQE coalescing.
-      .repartition(math.max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        bucketed.rdd.getNumPartitions), col("id_a"))
+      // session's reduce width) is exempt from AQE coalescing. The
+      // floor is derived from session settings only (r19): reading
+      // bucketed.rdd.getNumPartitions forced a SECOND physical
+      // planning of the frame just for a partition count.
+      .repartition(verifyParallelism(df.sparkSession), col("id_a"))
     val verified = candidates
       .join(bucketed.select(col("__id").as("id_a"), col("__v").as("v_a"),
         col("__n").as("n_a")), "id_a")
@@ -1123,6 +1127,10 @@ object SimSearch {
         .where(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))
+      // checkpoint blocks are released by GC + ContextCleaner when the
+      // caller drops the frame (Dataset.unpersist would be a no-op on
+      // a localCheckpoint — see Curate.streamingTail's step-3 note,
+      // which also documents the executor-loss tradeoff)
       verified.localCheckpoint(true)
     }
   }
@@ -1279,6 +1287,15 @@ object SimSearch {
     }
   }
 
+  /** Explicit partition count for the CPU-bound pair-verify stages:
+    * never below the cluster's core count or the session's configured
+    * reduce width. Session-derived only — no `.rdd.getNumPartitions`
+    * peek, which would force an extra physical planning of the input
+    * lineage just to read a number. */
+  private def verifyParallelism(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+
   /** The within-cell pair join of [[semanticDedupPairs]]: equi-join on
     * `__cell` (never a global product), id_a < id_b, hoisted-norm
     * cosine, thresholded. */
@@ -1290,14 +1307,15 @@ object SimSearch {
     // The partition count is EXPLICIT (AQE coalesces a bare
     // repartition(col) back to one partition on byte size, but the
     // cost here is per-PAIR compute, not bytes) and scale-adaptive:
-    // never below the cluster's core count, never below the input's
-    // own parallelism. Past broadcast size the planner's sort-merge
-    // join shuffles both sides on __cell anyway, and per-cell skew
-    // stays bounded by the maxPairsPerCell budget.
-    val minPar = math.max(
-      cells.sparkSession.sparkContext.defaultParallelism,
-      cells.rdd.getNumPartitions)
-    val a = cells.repartition(minPar, col("__cell"))
+    // never below the cluster's core count or the session's configured
+    // reduce width — derived from session settings only (r19: reading
+    // cells.rdd.getNumPartitions forced a second full physical
+    // planning of the un-materialized cells lineage on the driver,
+    // the very cost these rounds remove). Past broadcast size the
+    // planner's sort-merge join shuffles both sides on __cell anyway,
+    // and per-cell skew stays bounded by the maxPairsPerCell budget.
+    val a = cells.repartition(verifyParallelism(cells.sparkSession),
+      col("__cell"))
       .select(col("__cell"), col("__id").as("id_a"),
         col("__v").as("v_a"), col("__n").as("n_a"))
     val b = cells.select(col("__cell"), col("__id").as("id_b"),
